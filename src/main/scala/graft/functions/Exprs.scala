@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column helpers shared by the operator library.
+  *
+  * Parity rules (see SURVEY.md §6): money math runs in exact decimal and
+  * is cast to double only at the end, so Spark and the DuckDB oracle
+  * produce bit-identical doubles regardless of aggregation order.
+  * Portable hashing derives 60-bit integers from md5 prefixes, which
+  * every SQL engine can reproduce.
+  */
+object Exprs {
+
+  /** 2-decimal money column → exact decimal. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** small 2-decimal rate (discount/tax) → exact decimal. */
+  def rate2(c: Column): Column = c.cast(DecimalType(3, 2))
+
+  /** exact decimal sum of a 2-decimal double column, emitted as double. */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** `extendedprice * (1 - discount)` in exact decimal. */
+  def discPrice(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1).cast(DecimalType(3, 2)) - rate2(discount))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a long.
+    * DuckDB equivalent: `CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT)`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant for minhash signature families. */
+  def md5LongSeeded(c: Column, seed: Int): Column =
+    md5Long(concat(c, lit(s"#$seed")))
+
+  /** float array → double array (all vector math runs in double). */
+  def vecAsDouble(arr: Column): Column = transform(arr, _.cast(DoubleType))
+
+  /** Left-fold dot product — same fold order as the DuckDB
+    * `list_reduce(list_prepend(0.0, ...))` oracle, so doubles match
+    * bit-for-bit. Inputs must already be double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  // ---- DuckDB SQL fragments mirroring the above (oracle side) ----
+
+  /** DuckDB: element-wise double cast of a list column. */
+  def sqlVecAsDouble(col: String): String =
+    s"list_transform($col, x -> CAST(x AS DOUBLE))"
+
+  /** DuckDB: left-fold dot product over two DOUBLE lists (1-based idx). */
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  def sqlNormSq(a: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform($a, x -> x * x)), (acc, x) -> acc + x)"
+
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlNormSq(a)}) * sqrt(${sqlNormSq(b)})))"
+
+  def sqlMd5Long(x: String): String =
+    s"CAST(concat('0x', substring(md5($x), 1, 15)) AS BIGINT)"
+
+  def sqlMd5LongSeeded(x: String, seed: Int): String =
+    sqlMd5Long(s"concat($x, '#$seed')")
+}
