@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference ETL surface (SURVEY.md §2a), re-expressed Spark-first.
+  *
+  * The reference (`/root/reference/src/main/scala/...`) consumes a Kafka
+  * topic of JSON, validates required fields (dropping "dirty" records,
+  * MyKafkaDeserializationSchema.scala:44-60), enriches with source
+  * metadata + derived date columns (MyWindowFunction.scala:40-43),
+  * batches per key with a count window (KafakToClickhouse.scala:57-60)
+  * and emits multi-row INSERT statements with type-aware literal
+  * formatting (MyWindowFunction.scala:36-60).
+  *
+  * Here the `events` table stands in for the topic (`event_id`≈offset,
+  * `user_id`≈essCode, `ts`≈cTime, `props`≈payload). Everything is
+  * declarative DataFrame API — validation is a predicate the optimizer
+  * can push into the scan; batching is one shuffle on the key; SQL
+  * generation is codegen'd string expressions, no driver-side loops.
+  */
+object EtlOps {
+
+  private val reqK = "props RLIKE '\"k\"\\\\s*:'"
+  private val maxValid = 175.0
+
+  /** Validity predicate ≈ reference `checkAndProcess` required-field
+    * check, plus a range rule (the configurable part of validation). */
+  private def isValid: Column =
+    col("user_id").isNotNull && col("ts").isNotNull &&
+      col("event_type").isin("click", "error", "purchase", "signup", "view") &&
+      expr(reqK) && col("value") >= 0 && col("value") <= maxValid
+
+  private val sqlIsValid: String =
+    """user_id IS NOT NULL AND ts IS NOT NULL
+      | AND event_type IN ('click','error','purchase','signup','view')
+      | AND regexp_matches(props, '"k"\s*:')
+      | AND value >= 0 AND value <= 175.0""".stripMargin.replace("\n", "")
+
+  /** JSON payload field extraction (fastjson `getString` equivalent). */
+  val jsonExtract: GraftOp = GraftOp(
+    "etl_json_extract",
+    """SELECT event_id, event_type,
+      |  CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(\d+)', 1), '') AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        nullif(regexp_extract(col("props"), "\"k\"\\s*:\\s*(\\d+)", 1), lit("")).cast(IntegerType).as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Required-field + range validation: the clean stream. */
+  val validate: GraftOp = GraftOp(
+    "etl_validate",
+    s"""SELECT event_id, user_id, event_type, value
+       |FROM events WHERE $sqlIsValid ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(isValid)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Dirty-record routing: the complement stream, with a reason column
+    * (reference just printlns dirty records; we route them). */
+  val dirty: GraftOp = GraftOp(
+    "etl_dirty",
+    s"""SELECT event_id, user_id, value,
+       |  CASE WHEN user_id IS NULL OR ts IS NULL THEN 'missing_field'
+       |       WHEN NOT regexp_matches(props, '"k"\\s*:') THEN 'missing_k'
+       |       WHEN event_type NOT IN ('click','error','purchase','signup','view') THEN 'bad_type'
+       |       ELSE 'value_range' END AS reason
+       |FROM events WHERE NOT ($sqlIsValid) ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(!isValid)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("user_id").isNull || col("ts").isNull, "missing_field")
+          .when(!expr(reqK), "missing_k")
+          .when(!col("event_type").isin("click", "error", "purchase", "signup", "view"), "bad_type")
+          .otherwise("value_range").as("reason"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Metadata + derived-column enrichment (`dayOfYear`, topic/offset
+    * metadata — reference injects these per record). */
+  val enrich: GraftOp = GraftOp(
+    "etl_enrich",
+    """SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d') AS day,
+      |  'events' AS topic_name, user_id % 32 AS topic_partition,
+      |  event_id AS topic_offset, 'graft' AS group_id
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        lit("events").as("topic_name"),
+        pmod(col("user_id"), lit(32)).as("topic_partition"),
+        col("event_id").as("topic_offset"),
+        lit("graft").as("group_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Keyed count-window batching (`countWindow(N)` per key): one
+    * row_number shuffle, no state, no driver loop. */
+  val countBatch: GraftOp = GraftOp(
+    "etl_count_batch",
+    """WITH numbered AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(floor((rn - 1) / 20) AS BIGINT) AS batch_id,
+      |  count(*) AS n, min(event_id) AS min_event, max(event_id) AS max_event,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val byKey = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("batch_id", floor((col("rn") - 1) / 20).cast(LongType))
+      .groupBy(col("user_id"), col("batch_id"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("user_id"), col("batch_id"))
+  }
+
+  /** Batched INSERT-statement generation with type-aware literal
+    * formatting (quote+escape strings, decimal-format numerics —
+    * reference MyWindowFunction.formatValue). Pure codegen'd string
+    * expressions per row + one bounded collect_list per batch. */
+  val batchSql: GraftOp = GraftOp(
+    "etl_batch_sql",
+    """WITH numbered AS (
+      |  SELECT user_id, event_id, event_type, value, strftime(ts, '%Y-%m-%d') AS day,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events),
+      |formatted AS (
+      |  SELECT user_id, event_id, CAST(floor((rn - 1) / 20) AS BIGINT) AS batch_id,
+      |    concat('(', CAST(event_id AS VARCHAR), ',', CAST(user_id AS VARCHAR),
+      |      ',''', replace(event_type, '''', ''''''), ''',',
+      |      CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR), ',''', day, ''')') AS row_sql
+      |  FROM numbered)
+      |SELECT user_id, batch_id,
+      |  concat('INSERT INTO sink.events (event_id,user_id,event_type,value,day) VALUES ',
+      |    string_agg(row_sql, ',' ORDER BY event_id)) AS stmt
+      |FROM formatted GROUP BY user_id, batch_id ORDER BY user_id, batch_id""".stripMargin) { (s, d) =>
+    val byKey = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val rowSql = concat(
+      lit("("), col("event_id").cast(StringType),
+      lit(","), col("user_id").cast(StringType),
+      lit(",'"), regexp_replace(col("event_type"), "'", "''"),
+      lit("',"), col("value").cast(DecimalType(10, 2)).cast(StringType),
+      lit(",'"), date_format(col("ts"), "yyyy-MM-dd"), lit("')"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("batch_id", floor((col("rn") - 1) / 20).cast(LongType))
+      .withColumn("row_sql", rowSql)
+      .groupBy(col("user_id"), col("batch_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("event_id").as("eid"), col("row_sql").as("fmt")))),
+          x => x.getField("fmt")),
+        ",").as("vals"))
+      .select(col("user_id"), col("batch_id"),
+        concat(lit("INSERT INTO sink.events (event_id,user_id,event_type,value,day) VALUES "),
+          col("vals")).as("stmt"))
+      .orderBy(col("user_id"), col("batch_id"))
+  }
+
+  /** Replay dedup: at-least-once delivery → effectively-once by keeping
+    * the first record per (key, day, type). */
+  val keyDedup: GraftOp = GraftOp(
+    "etl_key_dedup",
+    """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |  min(event_id) AS first_event, count(*) AS n_dups
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
+      .orderBy(col("user_id"), col("day"), col("event_type"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(
+    jsonExtract, validate, dirty, enrich, countBatch, batchSql, keyDedup)
+}
