@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash kernels shared by the interpreted and codegen paths of the
+  * custom expressions (generated Java calls these via the object's
+  * static forwarders, keeping whole-stage codegen spans intact).
+  */
+object HashImpls {
+
+  /** 64-bit polynomial rolling hash over UTF-8 bytes (FNV-ish offset,
+    * 31 multiplier, wrapping Long arithmetic). */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31L + bytes(i)
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit xorshift-multiply mix (splitmix64 finalizer) — cheap
+    * per-token hash for simhash voting. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + -7046029254386353131L // 0x9E3779B97F4A7C15
+    x = (x ^ (x >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+    x = (x ^ (x >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+    x ^ (x >>> 31)
+  }
+
+  /** SimHash-64 over a token array: per-token 64-bit hash, per-bit
+    * ±1 voting, sign → bit. Deterministic; O(tokens · 64). */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = mix64(rollingHash(tokens.getUTF8String(i)))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

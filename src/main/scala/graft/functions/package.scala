@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnShim
+
+/** Column-level API for the engine's custom Catalyst expressions.
+  * SQL-side registration lives in [[graft.GraftExtensions]]. */
+package object functions {
+
+  def rolling_hash(c: Column): Column =
+    ColumnShim.column(RollingHash64(ColumnShim.expression(c)))
+
+  def simhash64(tokens: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+}

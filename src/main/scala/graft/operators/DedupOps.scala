@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.functions.{simhash64, Exprs}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family for LLM-data pipelines (SURVEY.md §2d).
+  *
+  * Scale design: nothing here is O(n²) in the corpus. Exact dedup is a
+  * single hash shuffle; near-dup candidate generation goes through an
+  * inverted index (explode on shingle / band / bucket, shuffle on that
+  * key), so cost is bounded by index-entry counts, with a document-
+  * frequency cap killing the hot-shingle quadratic blowup.
+  */
+object DedupOps {
+
+  /** word 3-gram distinct shingles as an array column (guarded for
+    * docs shorter than 3 tokens). */
+  private def shingleArr(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array(text)))
+  }
+
+  private val sqlShingles =
+    """list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+      |  ELSE [text] END)""".stripMargin.replace("\n", " ")
+
+  /** Exact dedup: content-hash groupBy, keep lowest doc_id. */
+  val exact: GraftOp = GraftOp(
+    "dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_doc""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc"))
+  }
+
+  /** Near-dup via exact n-gram Jaccard over an inverted shingle index.
+    * Blocking: only shingles with document frequency ≤ 50 generate
+    * candidates (near-dup pairs share *rare* shingles; common shingles
+    * only add quadratic noise). Jaccard computed exactly from distinct
+    * shingle sets; pairs ≥ 0.8 emitted. */
+  val ngram: GraftOp = GraftOp(
+    "dedup_ngram",
+    s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest($sqlShingles) AS shingle FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 50),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE a.shingle IN (SELECT shingle FROM rare)
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+       |FROM pairs, sizes sa, sizes sb
+       |WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b
+       |  AND inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), shingleArr(col("text")).as("shingles"))
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("shingle"))
+    val indexed = sh.join(rare, "shingle")
+    val pairs = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter") * lit(1.0) /
+      (col("sa.n") + col("sb.n") - col("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(jac >= 0.8)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + LSH: k=16 portable md5-derived min-hashes per doc,
+    * 4 bands × 4 rows; docs sharing a band bucket become candidates,
+    * verified with exact Jaccard ≥ 0.8. One explode-shuffle on band
+    * buckets — never all-pairs. */
+  val minhash: GraftOp = GraftOp(
+    "dedup_minhash",
+    s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |shl AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
+       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+       |hashes AS (
+       |  SELECT doc_id, seed, min(${Exprs.sqlMd5Long("concat(shingle, '#', seed)")}) AS mh
+       |  FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+       |  FROM hashes GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, len(shingles) AS n, shingles FROM shl),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+       |      (sa.n + sb.n - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |  FROM cand, sizes sa, sizes sb
+       |  WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleArr(col("text")).as("shingles"))
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // 16 portable min-hashes: explode seeds, min per (doc, seed)
+    val hashes = sh
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(15)),
+          seed => Exprs.md5Long(concat(col("shingle"), lit("#"), seed.cast(StringType))))))
+      .toDF("doc_id", "seed", "h")
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("mh"))
+    val bands = hashes
+      .withColumn("band", (col("seed") / 4).cast(IntegerType))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("mh").cast(StringType).as("v")))),
+        x => x.getField("v")), ",").as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = docs.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+    val inter = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+    val jac = inter * lit(1.0) / (col("sa.n") + col("sb.n") - inter)
+    cand
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup: 64-bit simhash (native Catalyst expression),
+    * 4×16-bit LSH bands for candidates, Hamming ≤ 6 verification via
+    * bit_count(xor). Wrapping-Long simhash isn't portable to DuckDB →
+    * rows-only; semantics spec'd in DedupSpec. */
+  val simhash: GraftOp = GraftOp.rowsOnly("dedup_simhash") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(split(col("text"), "\\s+")).as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 to 3).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "sh", "band", "bucket")
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup: all qualifying pairs with cosine ≥ 0.45.
+    * Double-precision fold-order math matches DuckDB bit-for-bit; the
+    * emitted value is rounded to 6dp as belt-and-braces. At 100 TB this
+    * runs behind the LSH bucketing of KnnOps; at test SF the corpus
+    * side is broadcast. */
+  val embed: GraftOp = GraftOp(
+    "dedup_embed",
+    s"""WITH v AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${Exprs.sqlCosine("a.e", "b.e")}, 6) AS cos_sim
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE ${Exprs.sqlCosine("a.e", "b.e")} >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
+    val cos = Exprs.cosine(col("a.e"), col("b.e"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= 0.45)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cos, 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(exact, ngram, minhash, simhash, embed)
+}

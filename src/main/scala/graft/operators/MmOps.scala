@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.functions.Exprs
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2g).
+  *
+  * Media are opaque `binary` columns with typed metadata. The container
+  * has no image/audio codecs, so the decode kernel is a clearly-marked
+  * deterministic STUB — but the Spark side (schema, binary batching,
+  * partition-wise decode via mapPartitions, output shape) is the real
+  * production plumbing a decoder would drop into.
+  */
+object MmOps {
+
+  /** Binary ingest + metadata: text bytes stand in for media blobs. */
+  val meta: GraftOp = GraftOp(
+    "mm_meta",
+    s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |  64 + ${Exprs.sqlMd5Long("text")} % 512 AS width,
+       |  64 + (${Exprs.sqlMd5Long("text")} >> 9) % 512 AS height,
+       |  1 + ${Exprs.sqlMd5Long("text")} % 3 AS channels
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h = Exprs.md5Long(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        (lit(64) + h % 512).as("width"),
+        (lit(64) + shiftright(h, 9) % 512).as("height"),
+        (lit(1) + h % 3).as("channels"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_luma", DoubleType)))
+
+  /** Stubbed media decode: partition-wise imperative decode over binary
+    * batches — the `mapPartitions` shape a JNI/codec decoder needs.
+    * STUB: dimensions/luma are derived deterministically from the bytes
+    * instead of a real codec (none in this container). */
+  def decodeStub(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    blobs.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // --- STUB decode kernel: a real implementation would hand
+        // `bytes` to an image/audio codec here. Deterministic fake:
+        var h = 1125899906842597L
+        var lumaSum = 0L
+        var i = 0
+        while (i < bytes.length) { h = h * 31L + bytes(i); lumaSum += (bytes(i) & 0xFF); i += 1 }
+        val width = 64 + (math.floorMod(h, 512L)).toInt
+        val height = 64 + (math.floorMod(h >>> 9, 512L)).toInt
+        val channels = 1 + math.floorMod(h, 3L).toInt
+        Row(docId, bytes.length, width, height, channels,
+          if (bytes.length == 0) 0.0 else lumaSum.toDouble / bytes.length)
+      }
+    }(enc)
+  }
+
+  /** Queries-map wrapper for the decode stub (rows-only: the stub
+    * kernel is imperative JVM code, not SQL-expressible). */
+  val decode: GraftOp = GraftOp.rowsOnly("mm_decode") { (s, d) =>
+    decodeStub(s, d).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode)
+}

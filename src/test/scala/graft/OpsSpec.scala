@@ -1,0 +1,132 @@
+package graft
+
+import graft.functions.{rolling_hash, simhash64, HashImpls}
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]", cores = 4)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every registered op plans and executes at sf0.001") {
+    SparkEntry.allOps.foreach { op =>
+      val n = op.run(spark, sf).count()
+      assert(n >= 0, s"${op.name} failed to execute")
+    }
+  }
+
+  test("queries and oracleSql stay consistent") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.nonEmpty)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val exact = Relational.qDistinct.run(spark, sf)
+      .select(col("event_type"), col("n_users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.qApproxDistinct.run(spark, sf).collect().foreach { r =>
+      val (t, approx) = (r.getString(0), r.getLong(1))
+      assert(math.abs(approx - exact(t)).toDouble / exact(t) <= 0.05,
+        s"$t approx=$approx exact=${exact(t)}")
+    }
+  }
+}
+
+class CustomExpressionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("rolling_hash: pinned values, null-safe, codegen == interpreted") {
+    import spark.implicits._
+    val expected = HashImpls.rollingHash(UTF8String.fromString("hello world"))
+    val viaCol = Seq("hello world").toDF("s")
+      .select(rolling_hash(col("s"))).head.getLong(0)
+    assert(viaCol === expected)
+    // distinct inputs, distinct hashes; stability across calls
+    val hs = Seq("a", "b", "ab", "ba", "").toDF("s")
+      .select(rolling_hash(col("s"))).collect().map(_.getLong(0))
+    assert(hs.distinct.length === hs.length)
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s").select(rolling_hash(col("s"))).head
+    assert(n.isNullAt(0))
+  }
+
+  test("rolling_hash registered for SQL via GraftExtensions") {
+    assert(spark.sql("SELECT rolling_hash('x') h").head.getLong(0) ===
+      HashImpls.rollingHash(UTF8String.fromString("x")))
+  }
+
+  test("simhash64: similar token sets → small hamming distance") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(3, "changed")                 // 1 of 60 tokens differs
+    val far = (1 to 60).map(i => s"other$i")
+    val df = Seq(("base", base), ("near", near), ("far", far)).toDF("id", "toks")
+      .select(col("id"), simhash64(col("toks")).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m("base"), m("near")) < ham(m("base"), m("far")),
+      s"near=${ham(m("base"), m("near"))} far=${ham(m("base"), m("far"))}")
+    assert(ham(m("base"), m("near")) <= 6)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("minhash+LSH finds the same near-dup pairs as exact ngram jaccard") {
+    val exact = DedupOps.ngram.run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = DedupOps.minhash.run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // minhash verifies candidates with exact jaccard → subset; recall high
+    assert(mh.subsetOf(exact))
+    assert(mh.size.toDouble / exact.size >= 0.9, s"recall ${mh.size}/${exact.size}")
+  }
+
+  test("simhash bands surface near-dup candidates") {
+    val pairs = DedupOps.simhash.run(spark, sf).count()
+    assert(pairs > 0, "planted near-dups should collide in simhash bands")
+  }
+}
+
+class MmSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decode stub: deterministic, sane schema and ranges") {
+    val out = MmOps.decodeStub(spark, sf)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "n_bytes", "width", "height", "channels", "mean_luma"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) > 0)
+      assert(r.getInt(2) >= 64 && r.getInt(2) < 576)
+      assert(r.getInt(3) >= 64 && r.getInt(3) < 576)
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 3)
+      assert(r.getDouble(5) > 0)
+    }
+    // determinism: two runs agree
+    val again = MmOps.decodeStub(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}
