@@ -1,0 +1,62 @@
+package graft.config
+
+import java.io.FileInputStream
+import java.util.Properties
+import scala.jdk.CollectionConverters._
+
+/** Typed pipeline configuration — covers the reference's
+  * `test.properties` surface (/root/reference/test.properties): Kafka
+  * consumer, checkpoint/restart policy, sink target + retry, window
+  * size, required-field validation, string-typed columns.
+  */
+final case class PipelineConfig(
+    // source
+    bootstrapServers: String = "localhost:9092",
+    topics: Seq[String] = Seq("events"),
+    groupId: String = "graft",
+    startingOffsets: String = "earliest",
+    maxOffsetsPerTrigger: Option[Long] = Some(100000L),
+    // validation (reference `check.field`)
+    requiredFields: Seq[String] = Seq("cTime", "essCode"),
+    // batching (reference `window.size`)
+    windowSize: Int = 20,
+    // checkpoint / restart (reference checkpoint.* / restart.*)
+    env: String = "test",
+    checkpointLocation: String = "/tmp/graft-checkpoints",
+    triggerIntervalMs: Long = 5000L,
+    // sink (reference clickhouse.*)
+    sinkDatabase: String = "sink",
+    sinkTable: String = "events",
+    sinkMaxRetries: Int = 3,
+    sinkRetryBackoffMs: Long = 100L,
+    stringTypes: Set[String] = Set("string", "date", "datetime"))
+
+object PipelineConfig {
+
+  def fromProperties(props: Properties): PipelineConfig = {
+    val m = props.asScala
+    def get(k: String, dflt: String) = m.getOrElse(k, dflt)
+    PipelineConfig(
+      bootstrapServers = get("kafka.bootstrap.servers", "localhost:9092"),
+      topics = get("kafka.topic", "events").split(",").toSeq,
+      groupId = get("kafka.consumer.groupid", "graft"),
+      startingOffsets = get("kafka.auto.offset.reset", "earliest"),
+      requiredFields = get("check.field", "cTime,essCode").split(",").toSeq,
+      windowSize = get("window.size", "20").toInt,
+      env = get("flink.env", get("env", "test")),
+      checkpointLocation = get("checkpoint.path", "/tmp/graft-checkpoints"),
+      triggerIntervalMs = get("checkpoint.interval", "5000").toLong,
+      sinkDatabase = get("clickhouse.database", "sink"),
+      sinkTable = get("clickhouse.table", "events"),
+      sinkMaxRetries = get("clickhouse.maxRetries", "3").toInt,
+      stringTypes = get("clickhouse.stringTypes", "String,Date,DateTime")
+        .split(",").map(_.trim.toLowerCase).toSet)
+  }
+
+  def fromFile(path: String): PipelineConfig = {
+    val props = new Properties()
+    val in = new FileInputStream(path)
+    try props.load(in) finally in.close()
+    fromProperties(props)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.functions.Exprs
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (SURVEY.md §2e).
+  *
+  * Scale design: the query set is broadcast; the corpus is only ever
+  * scanned, never shuffled, for brute force. The ANN path buckets the
+  * corpus once (linear pass over n·L·K plane dot-products) and joins
+  * query buckets to corpus buckets — candidate generation is an
+  * equi-join on (table, bucket), so cost follows bucket occupancy, not
+  * n². More hash bits per table keeps buckets bounded as n grows.
+  */
+object KnnOps {
+
+  private val K = 10
+
+  /** Brute-force cosine top-k: exact baseline. */
+  val brute: GraftOp = GraftOp(
+    "knn_brute",
+    s"""WITH v AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    ${Exprs.sqlCosine("q.e", "c.e")} AS cos
+       |  FROM q JOIN v c ON c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+       |  FROM s)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cos_sim, rn
+       |FROM r WHERE rn <= $K ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val cos = Exprs.cosine(col("qe"), col("e"))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Deterministic ±1 random-hyperplane tables: L tables × B bits. */
+  private[operators] val L = 16
+  private[operators] val B = 4
+  private[operators] val DIM = 64
+
+  private def planesDf(spark: SparkSession): DataFrame = {
+    val rng = new scala.util.Random(42)
+    val rows = for (t <- 0 until L; b <- 0 until B) yield
+      (t, b, Array.fill(DIM)(if (rng.nextBoolean()) 1.0 else -1.0).toSeq)
+    spark.createDataFrame(rows).toDF("tbl", "bit", "plane")
+  }
+
+  /** LSH-bucketed approximate top-k (random hyperplane signatures).
+    * Approximate by construction → rows-only; KnnSpec pins recall vs
+    * the brute-force baseline. */
+  val lsh: GraftOp = GraftOp.rowsOnly("knn_lsh") { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
+    val planes = planesDf(s)
+    def bucketize(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("e"), col("tbl"), col("bit"),
+          when(Exprs.dot(col("e"), Exprs.vecAsDouble(col("plane"))) > 0, 1).otherwise(0).as("sb"))
+        .groupBy(col("vec_id"), col("tbl"))
+        .agg(sum(col("sb") * pow(lit(2), col("bit")).cast(IntegerType)).as("bucket"))
+    val corpusB = bucketize(v)
+    val queryB = bucketize(v.filter(col("vec_id") < 5))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = corpusB.join(queryB, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"))
+      .distinct()
+    val withVecs = cand
+      .join(v.select(col("vec_id").as("corpus_id"), col("e").as("ce")), "corpus_id")
+      .join(broadcast(v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))), "query_id")
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    withVecs
+      .select(col("query_id"), col("corpus_id"), Exprs.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(brute, lsh)
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.config.PipelineConfig
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming pipelines (SURVEY.md §2c).
+  *
+  * Semantics mirror the batch ops the DuckDB oracle checks
+  * (q_time_bucket, etl_count_batch), so streaming correctness is
+  * asserted by equivalence in StreamingSpec. Watermarks bound state;
+  * nothing here buffers unbounded.
+  */
+object StreamingPipelines {
+
+  /** Watermarked tumbling-window aggregation (streaming twin of
+    * q_time_bucket). Append mode → only closed windows emit. */
+  def windowedAgg(events: DataFrame, window5: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window5), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming dedup within the watermark (at-least-once → effectively-
+    * once on the event id — the dedup the reference's replay lacks). */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class EventRow(event_id: Long, user_id: Long, value: Double)
+  final case class KeyedBatch(user_id: Long, batch_seq: Long, n: Int,
+      min_event: Long, max_event: Long)
+
+  /** True port of the reference's `countWindow(N)` (KafakToClickhouse
+    * .scala:57-60): flush a batch per key every N records, holding at
+    * most N-1 rows of state per key in the state store. */
+  def countBatcher(events: Dataset[EventRow], n: Int)(
+      implicit spark: SparkSession): Dataset[KeyedBatch] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, List[EventRow]), KeyedBatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, List[EventRow])]) =>
+          val (seq0, pending0) = state.getOption.getOrElse((0L, Nil))
+          var seq = seq0
+          var pending = pending0
+          val out = scala.collection.mutable.ListBuffer.empty[KeyedBatch]
+          rows.foreach { r =>
+            pending = r :: pending
+            if (pending.size >= n) {
+              val ids = pending.map(_.event_id)
+              out += KeyedBatch(key, seq, pending.size, ids.min, ids.max)
+              seq += 1
+              pending = Nil
+            }
+          }
+          state.update((seq, pending))
+          out.iterator
+      }
+  }
+}

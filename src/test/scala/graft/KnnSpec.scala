@@ -1,0 +1,21 @@
+package graft
+
+import graft.operators.KnnOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("lsh ANN recall@10 vs brute force") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(KnnOps.brute.run(spark, sf))
+    val approx = pairs(KnnOps.lsh.run(spark, sf))
+    assert(exact.size === 50)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below floor")
+    info(s"recall@10 = $recall")
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.operators.Relational
+import graft.streaming.StreamingPipelines
+import graft.streaming.StreamingPipelines.EventRow
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** File-source streaming read of the events table (copied into a
+    * temp dir — the file source lists directories). */
+  private def eventsStream(): DataFrame = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    // watermarks need TIMESTAMP (LTZ); session TZ is UTC so wall-clock
+    // values match the batch side's NTZ exactly
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  private def runToMemory(df: DataFrame, mode: String, name: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming windowed agg == batch q_time_bucket") {
+    val got = runToMemory(
+      StreamingPipelines.windowedAgg(eventsStream()), "complete", "win_out")
+      .withColumn("bucket_start", col("bucket_start").cast(TimestampNTZType))
+      .orderBy("bucket_start", "event_type").collect()
+    val want = Relational.qTimeBucket.run(spark, sf)
+      .orderBy("bucket_start", "event_type").collect()
+    assert(got.length === want.length)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
+  test("streaming dedup removes replayed events") {
+    val doubled = eventsStream().union(eventsStream())
+    val out = runToMemory(StreamingPipelines.dedupStream(doubled), "append", "dedup_out")
+    val distinctIds = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").distinct().count()
+    assert(out.select("event_id").distinct().count() === distinctIds)
+    assert(out.count() === distinctIds)
+  }
+
+  test("count-batcher flushes a batch every N records per key") {
+    implicit val s = spark
+    import s.implicits._
+    val n = 20
+    val src = eventsStream().select(col("event_id"), col("user_id"), col("value")).as[EventRow]
+    val out = runToMemory(StreamingPipelines.countBatcher(src, n).toDF(), "append", "batch_out")
+    val perKey = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedBatches = perKey.values.map(_ / n).sum
+    assert(out.count() === expectedBatches)
+    assert(out.filter(col("n") =!= n).count() === 0)
+  }
+}
+
+class SinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("batched sink retries transient failures, then succeeds") {
+    graft.sinks.TestWriter.reset(failFirst = 2)
+    val sink = new graft.sinks.BatchedRetrySink(graft.sinks.TestWriter, maxRetries = 3, backoffMs = 1L)
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .coalesce(1)
+    sink.writeBatch("sink.events", spark_partition_id(), 100)(df, batchId = 7L)
+    assert(graft.sinks.TestWriter.attempts.get() >= 3) // 2 failures + success
+    val written = graft.sinks.TestWriter.statements
+    assert(written.size === 10) // 1000 rows / 100 per statement
+    assert(written.forall(_.startsWith("INSERT INTO sink.events (event_id,user_id,event_type) VALUES ")))
+    assert(written.forall(_.contains("'")), "string literals must be quoted")
+  }
+
+  test("sink surfaces permanent failure after retries exhausted") {
+    graft.sinks.TestWriter.reset(failFirst = Int.MaxValue)
+    val sink = new graft.sinks.BatchedRetrySink(graft.sinks.TestWriter, maxRetries = 2, backoffMs = 1L)
+    val df = spark.read.parquet(s"$sf/events.parquet").select("event_id").coalesce(1)
+    val e = intercept[Exception] {
+      sink.writeBatch("sink.events", spark_partition_id(), 100)(df, 8L)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("SqlInsertFormatter quotes strings/timestamps, passes numerics raw") {
+    import spark.implicits._
+    val df = Seq((1L, "o'neil", 3.5)).toDF("id", "name", "score")
+    val stmt = graft.sinks.SqlInsertFormatter
+      .insertStatements(df, "t", lit(0), 10)
+      .head.getString(0)
+    assert(stmt === raw"INSERT INTO t (id,name,score) VALUES (1,'o\'neil',3.5)")
+  }
+}
