@@ -1,9 +1,25 @@
 package graft
 
 import graft.functions.{RollingHash64, SimHash64}
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Planner strategy for the engine's custom logical operators. */
+object GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      // two-phase: map-side partial top-k bounds shuffle volume to
+      // k rows per key per input partition, then final top-k after
+      // clustering on the keys
+      TopKPerKeyExec(keys, order, k, global = true,
+        TopKPerKeyExec(keys, order, k, global = false, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
 
 /** Session extensions: registers the engine's native Catalyst
   * expressions for SQL use. Enable with
@@ -12,6 +28,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => GraftStrategies)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash"),
