@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling joins (SURVEY.md §5).
+  *
+  * AQE's skew-join splitting covers sort-merge joins at runtime; salting
+  * is the explicit fallback when a handful of hot keys dominate (e.g. a
+  * power-law user_id in a 100 TB event log) or when the join sits where
+  * AQE can't rewrite it. Salting replicates the SMALL side `salts`
+  * times and scatters the big side's hot keys across salt buckets, so
+  * no single task owns a whole hot key.
+  */
+object SkewJoin {
+
+  /** Equi-join `big ⋈ small` on `key`, salted `salts` ways.
+    * Result is identical to `big.join(small, key)` (inner). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.functions.Exprs._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Additional SQL-surface coverage (SURVEY.md §2b continued):
+  * percentiles, CUBE, set operations, conditional aggregation, string
+  * functions — each oracle-checked against DuckDB.
+  */
+object SqlSurface {
+
+  /** Exact percentiles (linear interpolation, same definition as
+    * DuckDB quantile_cont); rounded to 6dp to absorb last-ulp
+    * interpolation differences. */
+  val qPercentile: GraftOp = GraftOp(
+    "q_percentile",
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CUBE over two dimensions with exact-decimal money aggregate. */
+  val qCube: GraftOp = GraftOp(
+    "q_cube",
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders, customer WHERE o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+      |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** INTERSECT / EXCEPT set operations, tagged and unioned. */
+  val qSetOps: GraftOp = GraftOp(
+    "q_setops",
+    """SELECT 'both' AS tag, c_custkey AS custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT 'only_seg' AS tag, c_custkey AS custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY tag, custkey""".stripMargin) { (s, d) =>
+    val seg = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val fin = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    seg.intersect(fin).select(lit("both").as("tag"), col("custkey"))
+      .unionAll(seg.except(fin).select(lit("only_seg").as("tag"), col("custkey")))
+      .orderBy(col("tag"), col("custkey"))
+  }
+
+  /** Conditional aggregation (CASE inside aggregates). */
+  val qCaseAgg: GraftOp = GraftOp(
+    "q_case_agg",
+    """SELECT o_orderpriority,
+      |  count(*) AS n,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_totalprice") > 100000, dec2(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType).as("big_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** String-function surface: case, pad, substring, replace, reverse. */
+  val qStringFuncs: GraftOp = GraftOp(
+    "q_string_funcs",
+    """SELECT p_partkey,
+      |  upper(p_name) AS uname, length(p_name) AS nlen,
+      |  substr(p_name, 1, 5) AS prefix,
+      |  replace(p_type, ' ', '_') AS slug,
+      |  lpad(p_brand, 12, '*') AS padded,
+      |  reverse(p_brand) AS rev,
+      |  concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"), length(col("p_name")).as("nlen"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        regexp_replace(col("p_type"), " ", "_").as("slug"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        reverse(col("p_brand")).as("rev"),
+        concat(col("p_brand"), lit(":"), col("p_size").cast(StringType)).as("brand_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Sliding-window aggregation (10-min windows every 5 min): each
+    * event lands in exactly two windows; the oracle unnests the two
+    * window starts per event. */
+  val qSlidingWindow: GraftOp = GraftOp(
+    "q_sliding_window",
+    """WITH x AS (
+      |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+      |                 time_bucket(INTERVAL '5 minutes', ts)]) AS win_start,
+      |         event_type, value
+      |  FROM events)
+      |SELECT win_start, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(qPercentile, qCube, qSetOps, qCaseAgg, qStringFuncs, qSlidingWindow)
+}

@@ -1,0 +1,30 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Day-partitioned parquet lake layout — the landing zone an
+  * events-to-warehouse pipeline writes at scale.
+  *
+  * Writing partitioned by a low-cardinality day column means readers
+  * with a day predicate scan only the matching directories (partition
+  * pruning happens at planning time, before any file I/O), and daily
+  * reprocessing replaces one directory atomically (dynamic partition
+  * overwrite) instead of rewriting the table.
+  */
+object PartitionedLake {
+
+  /** Write `df` partitioned by the date of `tsCol`. */
+  def writeByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("day")) // one shuffle → one file set per day
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Read back one day — planner prunes to that partition directory. */
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("day") === day)
+}
