@@ -27,6 +27,14 @@ object DedupOps {
     Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.word_shingles(col("text"), 3).as("shingles"))
 
+  /** Shared persisted inverted index (doc_id, sid) on the 60-bit
+    * shingle hash — CacheManager dedupes identical plans, so ngram and
+    * minhash share one cache entry within a session. */
+  private def hashedIndex(s: SparkSession, d: String): DataFrame =
+    shingledDocs(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid")).persist()
+
   private val sqlShingles =
     """list_distinct(CASE WHEN len(toks) >= 3
       |  THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
@@ -72,8 +80,7 @@ object DedupOps {
     // join on a portable 60-bit shingle hash: long equi-keys shuffle and
     // probe far cheaper than ~30-char strings; the oracle hashes
     // identically so any collision affects both engines the same way
-    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid")).persist()
+    val sh = hashedIndex(s, d)
     val rare = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50).select(col("sid"))
     // persist the filtered index: the self-join reads it twice
@@ -101,9 +108,10 @@ object DedupOps {
     "dedup_minhash",
     s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
        |shl AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
-       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+       |sh0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+       |sh AS (SELECT doc_id, ${Exprs.sqlMd5Long("shingle")} AS sid FROM sh0),
        |hashes AS (
-       |  SELECT doc_id, seed, min(${Exprs.sqlMd5Long("concat(shingle, '#', seed)")}) AS mh
+       |  SELECT doc_id, seed, min(${Exprs.sqlMd5Long("concat(CAST(sid AS VARCHAR), '#', seed)")}) AS mh
        |  FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds
        |  GROUP BY 1, 2),
        |bands AS (
@@ -123,17 +131,17 @@ object DedupOps {
        |  WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, jaccard FROM verified
        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val docs = shingledDocs(s, d).persist()
-    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("shingle")).persist()
+    val docs = shingledDocs(s, d)
+    val sh = hashedIndex(s, d) // shared cache with dedup_ngram
     // 16 portable min-hashes. md5 is the expensive kernel → hash each
-    // DISTINCT shingle once (dictionary, as a 16-wide array), then join
-    // back and take 16 columnar min-aggregates per doc — no seed
+    // DISTINCT shingle id once (dictionary, as a 16-wide array), then
+    // join back and take 16 columnar min-aggregates per doc — no seed
     // explosion, one narrow shuffle of |index| rows.
-    val dict = sh.select(col("shingle")).distinct()
-      .select(col("shingle"), transform(sequence(lit(0), lit(15)),
-        seed => Exprs.md5Long(concat(col("shingle"), lit("#"), seed.cast(StringType)))).as("hs"))
+    val dict = sh.select(col("sid")).distinct()
+      .select(col("sid"), transform(sequence(lit(0), lit(15)),
+        seed => Exprs.md5Long(concat(col("sid").cast(StringType), lit("#"), seed.cast(StringType)))).as("hs"))
     val minCols = (0 until 16).map(i => min(element_at(col("hs"), i + 1)).as(s"m$i"))
-    val sigs = sh.join(dict, "shingle")
+    val sigs = sh.join(dict, "sid")
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     // 4 bands × 4 rows: band signature = comma-joined minhash run

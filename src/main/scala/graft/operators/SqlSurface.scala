@@ -127,6 +127,60 @@ object SqlSurface {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Correlated scalar subquery (above-nation-average account balance);
+    * the Spark plan expresses it as a window average — one shuffle,
+    * no per-row subquery execution. */
+  val qCorrSubquery: GraftOp = GraftOp(
+    "q_corr_subquery",
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) > (
+      |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_nationkey"))
+    Tables.customer(s, d)
+      .withColumn("nation_avg",
+        sum(dec2(col("c_acctbal"))).over(w).cast(DoubleType) / count(lit(1)).over(w))
+      .filter(dec2(col("c_acctbal")) > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        dec2(col("c_acctbal")).cast(DoubleType).as("acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Array aggregation: sorted distinct collection per group. */
+  val qArrayAgg: GraftOp = GraftOp(
+    "q_array_agg",
+    """SELECT event_type,
+      |  list_sort(list(DISTINCT user_id % 10)) AS user_buckets,
+      |  len(list_sort(list(DISTINCT user_id))) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        array_sort(collect_set(col("user_id") % 10)).as("user_buckets"),
+        size(collect_set(col("user_id"))).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Datetime-function surface (fields aligned across engines). */
+  val qDatetime: GraftOp = GraftOp(
+    "q_datetime",
+    """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+      |  CAST(day(ts) AS INT) AS dom, CAST(hour(ts) AS INT) AS h,
+      |  count(*) AS n,
+      |  min(CAST(ts AS DATE)) AS first_day
+      |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), min(to_date(col("ts"))).as("first_day"))
+      .orderBy(col("y"), col("m"), col("dom"), col("h"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(qPercentile, qCube, qSetOps, qCaseAgg, qStringFuncs, qSlidingWindow)
+    Seq(qPercentile, qCube, qSetOps, qCaseAgg, qStringFuncs, qSlidingWindow,
+      qCorrSubquery, qArrayAgg, qDatetime)
 }

@@ -34,6 +34,26 @@ object StreamingPipelines {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: purchases enriched with the same user's
+    * signups within the preceding hour. Both sides watermarked; the
+    * time-range condition lets Spark bound join state on both sides. */
+  def streamStreamJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("signup_id"),
+        col("p_ts"), col("s_ts"), col("value"))
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, value: Double)
   final case class KeyedBatch(user_id: Long, batch_seq: Long, n: Int,
       min_event: Long, max_event: Long)

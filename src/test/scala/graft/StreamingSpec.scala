@@ -56,6 +56,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() === distinctIds)
   }
 
+  test("stream-stream join == batch equivalent") {
+    val got = runToMemory(
+      StreamingPipelines.streamStreamJoin(eventsStream()), "append", "ssj_out")
+      .orderBy("purchase_id", "signup_id").collect()
+    val ev = eventsStream() // batch twin over the same frame shape
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("value"))
+    val su = batch.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    val want = p.join(su, col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") && col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("signup_id"), col("p_ts"), col("s_ts"), col("value"))
+      .orderBy("purchase_id", "signup_id").collect()
+    assert(got.length === want.length)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
   test("count-batcher flushes a batch every N records per key") {
     implicit val s = spark
     import s.implicits._
