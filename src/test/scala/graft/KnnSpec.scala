@@ -18,4 +18,15 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall below floor")
     info(s"recall@10 = $recall")
   }
+
+  test("ivf ANN recall@10 vs brute force") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(KnnOps.brute.run(spark, sf))
+    val approx = pairs(KnnOps.ivf.run(spark, sf))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall below floor")
+    info(s"ivf recall@10 = $recall")
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.config.PipelineConfig
+import graft.streaming.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end drive of the composed reference pipeline:
+  * Kafka-shaped JSON stream → parse/validate/enrich → keyed batching →
+  * retrying INSERT sink, with checkpoint recovery across restarts. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val payloadSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("ts", StringType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** events rows → Kafka-shaped JSON records; every 10th record drops
+    * user_id (dirty per required-field validation). */
+  private def kafkaShapedBatch(): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val payload = struct(
+      col("event_id"),
+      when(col("event_id") % 10 =!= 0, col("user_id")).as("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      col("event_type"), col("value"))
+    ev.select(
+      lit("events").as("topic"),
+      (col("user_id") % 4).cast(IntegerType).as("partition"),
+      col("event_id").as("offset"),
+      to_json(payload).as("value"))
+  }
+
+  private def writeSlice(dir: Path, df: DataFrame, name: String): Unit =
+    df.coalesce(1).write.mode("append").parquet(dir.toString)
+
+  private def tupleCount(statements: Seq[String]): Int =
+    statements.map(_.split("\\),\\(").length).sum
+
+  test("composed pipeline: parse, validate, route dirty, batch, retry, checkpoint-recover") {
+    val srcDir = Files.createTempDirectory("graft-pipe-src")
+    val ckpt = Files.createTempDirectory("graft-pipe-ckpt").toString
+    val all = kafkaShapedBatch().cache()
+    val half1 = all.filter(col("offset") < 500)
+    val half2 = all.filter(col("offset") >= 500)
+
+    graft.sinks.TestWriter.reset(failFirst = 1) // one transient failure
+    val dirtyRows = new java.util.concurrent.atomic.AtomicLong()
+    val cfg = PipelineConfig(requiredFields = Seq("user_id", "ts"), windowSize = 20,
+      sinkRetryBackoffMs = 1L)
+
+    def start() = Pipeline.runFromSource(
+      spark.readStream.schema(half1.schema).parquet(srcDir.toString),
+      payloadSchema, cfg, graft.sinks.TestWriter,
+      tsField = "ts", keyField = "user_id", checkpoint = ckpt,
+      dirtySink = Some((df, _) => dirtyRows.addAndGet(df.count())))
+
+    writeSlice(srcDir, half1, "a")
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = tupleCount(graft.sinks.TestWriter.statements)
+    assert(afterFirst === half1.count() - half1.filter(col("offset") % 10 === 0).count())
+    assert(dirtyRows.get() === half1.filter(col("offset") % 10 === 0).count())
+
+    // restart from checkpoint with more data: no reprocessing of half1
+    writeSlice(srcDir, half2, "b")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val total = tupleCount(graft.sinks.TestWriter.statements)
+    val expectedValid = all.count() - all.filter(col("offset") % 10 === 0).count()
+    assert(total === expectedValid, "checkpoint restart must not duplicate batches")
+    assert(dirtyRows.get() === all.filter(col("offset") % 10 === 0).count())
+    // statements carry the enriched dayOfYear column
+    assert(graft.sinks.TestWriter.statements.head.contains("dayOfYear"))
+  }
+}
