@@ -109,5 +109,20 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(quality, langId, tokenCount, fingerprint)
+  /** Exact corpus-wide top tokens (the baseline the SpaceSaving sketch
+    * is spec-checked against). */
+  val topTokens: GraftOp = GraftOp(
+    "text_top_tokens",
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+      |SELECT tok, count(*) AS n FROM t
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
+  val ops: Seq[GraftOp] = Seq(quality, langId, tokenCount, fingerprint, topTokens)
 }

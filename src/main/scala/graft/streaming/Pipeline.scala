@@ -23,10 +23,14 @@ import org.apache.spark.sql.types.StructType
 object Pipeline {
 
   /** Enrichment from the reference's MyWindowFunction.process:40-43 —
-    * `dayOfYear` = date prefix of the event time, `sTime` = batch
-    * ingest time (stamped per micro-batch, deterministic within it). */
+    * `dayOfYear` = date prefix of the event time, `sTime` = processing
+    * wall-clock (`current_timestamp` is stamped once per micro-batch,
+    * so it's consistent within a batch — unlike the reference's
+    * per-row `getTimeStr`). */
   def enrich(valid: DataFrame, tsField: String): DataFrame =
-    valid.withColumn("dayOfYear", date_format(col(tsField), "yyyy-MM-dd"))
+    valid
+      .withColumn("dayOfYear", date_format(col(tsField), "yyyy-MM-dd"))
+      .withColumn("sTime", date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss"))
 
   def runFromSource(
       kafkaShaped: DataFrame,
