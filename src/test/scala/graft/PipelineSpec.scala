@@ -36,8 +36,12 @@ class PipelineSpec extends AnyFunSuite {
       lit("events").as("topic"),
       (col("user_id") % 4).cast(IntegerType).as("partition"),
       col("event_id").as("offset"),
-      to_json(payload).as("value"))
+      // every 101st record is corrupt JSON → must route dirty, not crash
+      when(col("event_id") % 101 === 3, lit("{not json!"))
+        .otherwise(to_json(payload)).as("value"))
   }
+
+  private def isDirty = col("offset") % 10 === 0 || col("offset") % 101 === 3
 
   private def writeSlice(dir: Path, df: DataFrame, name: String): Unit =
     df.coalesce(1).write.mode("append").parquet(dir.toString)
@@ -67,17 +71,17 @@ class PipelineSpec extends AnyFunSuite {
     val q1 = start()
     q1.processAllAvailable(); q1.stop()
     val afterFirst = tupleCount(graft.sinks.TestWriter.statements)
-    assert(afterFirst === half1.count() - half1.filter(col("offset") % 10 === 0).count())
-    assert(dirtyRows.get() === half1.filter(col("offset") % 10 === 0).count())
+    assert(afterFirst === half1.count() - half1.filter(isDirty).count())
+    assert(dirtyRows.get() === half1.filter(isDirty).count())
 
     // restart from checkpoint with more data: no reprocessing of half1
     writeSlice(srcDir, half2, "b")
     val q2 = start()
     q2.processAllAvailable(); q2.stop()
     val total = tupleCount(graft.sinks.TestWriter.statements)
-    val expectedValid = all.count() - all.filter(col("offset") % 10 === 0).count()
+    val expectedValid = all.count() - all.filter(isDirty).count()
     assert(total === expectedValid, "checkpoint restart must not duplicate batches")
-    assert(dirtyRows.get() === all.filter(col("offset") % 10 === 0).count())
+    assert(dirtyRows.get() === all.filter(isDirty).count())
     // statements carry the enriched dayOfYear column
     assert(graft.sinks.TestWriter.statements.head.contains("dayOfYear"))
   }
