@@ -11,12 +11,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 /** Planner strategy for the engine's custom logical operators. */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys, order, k, child, rankAttr) =>
       // two-phase: map-side partial top-k bounds shuffle volume to
       // k rows per key per input partition, then final top-k after
-      // clustering on the keys
+      // clustering on the keys (rank emitted only by the final phase)
       TopKPerKeyExec(keys, order, k, global = true,
-        TopKPerKeyExec(keys, order, k, global = false, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, global = false, planLater(child)),
+        rankAttr) :: Nil
     case _ => Nil
   }
 }
@@ -29,6 +30,7 @@ object GraftStrategies extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberLimitToTopK)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash"),

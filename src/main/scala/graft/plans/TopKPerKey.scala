@@ -20,8 +20,9 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankAttr
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
@@ -36,9 +37,10 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     global: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (global) ClusteredDistribution(keys) :: Nil
@@ -48,6 +50,8 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (keyExprs, sortOrder, limit, childOutput) = (keys, order, k, child.output)
+    val emitRank = rankAttr.isDefined
+    val outputSchema = output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
@@ -69,7 +73,7 @@ case class TopKPerKeyExec(
         }
       }
       val groups = heaps.values().iterator()
-      new Iterator[InternalRow] {
+      val plain = new Iterator[InternalRow] {
         private var current: Iterator[InternalRow] = Iterator.empty
         override def hasNext: Boolean = {
           while (!current.hasNext && groups.hasNext)
@@ -77,6 +81,31 @@ case class TopKPerKeyExec(
           current.hasNext
         }
         override def next(): InternalRow = current.next()
+      }
+      if (!emitRank) plain
+      else {
+        // rank = 1-based position within the group's sorted output;
+        // project to unsafe since downstream exchanges require it
+        val groups2 = heaps.values().iterator()
+        val proj = UnsafeProjection.create(outputSchema.map(_.dataType).toArray)
+        val rankCell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        new Iterator[InternalRow] {
+          private var current: Iterator[InternalRow] = Iterator.empty
+          private var rank = 0
+          override def hasNext: Boolean = {
+            while (!current.hasNext && groups2.hasNext) {
+              current = groups2.next().dequeueAll.reverseIterator
+              rank = 0
+            }
+            current.hasNext
+          }
+          override def next(): InternalRow = {
+            rank += 1
+            rankCell.update(0, rank)
+            proj(joined(current.next(), rankCell))
+          }
+        }
       }
     }
   }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected optimizer rule rewrites row_number-limit filters into
+  * the native TopKPerKey operator — transparently, for any user query
+  * of that shape. */
+class TopKRuleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rankedQuery() = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  test("row_number<=k filter is rewritten to TopKPerKeyExec") {
+    val plan = rankedQuery().queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window should be gone:\n$plan")
+  }
+
+  test("rewritten query returns identical rows incl. the rank column") {
+    val got = rankedQuery()
+      .orderBy("user_id", "rn").collect()
+    // reference computed WITHOUT the rewrite: extra window column blocks
+    // the (single-window-expression) pattern, so this runs as a Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    val want = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("blocker", lag(col("value"), 1).over(w))
+      .filter(col("rn") <= 3)
+      .drop("blocker")
+      .orderBy("user_id", "rn").collect()
+    assert(want.length > 0 && got.length === want.length)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
+  test("rule does NOT fire when the window has other functions") {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    val plan = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("rn") <= 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"must stay a Window:\n$plan")
+  }
+}
