@@ -18,12 +18,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RowNumberLimitToTopK extends Rule[LogicalPlan] {
 
-  private def limitFor(cond: Expression, rank: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(r: Attribute, Literal(k: Int, _)) if r.semanticEquals(rank) => Some(k)
-    case LessThan(r: Attribute, Literal(k: Int, _)) if r.semanticEquals(rank) => Some(k - 1)
-    case GreaterThanOrEqual(Literal(k: Int, _), r: Attribute) if r.semanticEquals(rank) => Some(k)
-    case GreaterThan(Literal(k: Int, _), r: Attribute) if r.semanticEquals(rank) => Some(k - 1)
-    case _ => None
+  /** Above this, bounded in-memory heaps lose to Spark's spill-capable
+    * window sort — bail out and keep the Window (mirrors the rationale
+    * of Spark's own group-limit threshold). */
+  private val maxK = 10000
+
+  private def limitFor(cond: Expression, rank: Attribute): Option[Int] = {
+    // guard non-positive literals BEFORE the k-1 adjustment: rn < Int.MinValue
+    // would otherwise overflow to top-Int.MaxValue instead of always-false
+    def pos(k: Int): Option[Int] = if (k >= 1 && k <= maxK) Some(k) else None
+    cond match {
+      case LessThanOrEqual(r: Attribute, Literal(k: Int, _)) if r.semanticEquals(rank) => pos(k)
+      case LessThan(r: Attribute, Literal(k: Int, _)) if r.semanticEquals(rank) => pos(k).flatMap(x => pos(x - 1))
+      case GreaterThanOrEqual(Literal(k: Int, _), r: Attribute) if r.semanticEquals(rank) => pos(k)
+      case GreaterThan(Literal(k: Int, _), r: Attribute) if r.semanticEquals(rank) => pos(k).flatMap(x => pos(x - 1))
+      case _ => None
+    }
   }
 
   private def isRowNumberFrame(spec: WindowSpecDefinition): Boolean =
@@ -37,7 +47,9 @@ object RowNumberLimitToTopK extends Rule[LogicalPlan] {
     case f @ Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec: WindowSpecDefinition), _)),
           part, order, wchild, _))
-        if order.nonEmpty && isRowNumberFrame(spec) =>
+        if part.nonEmpty && order.nonEmpty && isRowNumberFrame(spec) =>
+      // part.nonEmpty: a global top-n (empty PARTITION BY) would build
+      // ClusteredDistribution(Nil), which Spark rejects at planning
       val rank = alias.toAttribute
       limitFor(cond, rank) match {
         case Some(k) if k >= 1 =>

@@ -73,37 +73,28 @@ case class TopKPerKeyExec(
         }
       }
       val groups = heaps.values().iterator()
-      val plain = new Iterator[InternalRow] {
+      // rank = 1-based position within the group's sorted output; when
+      // emitted, project to unsafe since downstream exchanges require it
+      lazy val proj = UnsafeProjection.create(outputSchema.map(_.dataType).toArray)
+      val rankCell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      new Iterator[InternalRow] {
         private var current: Iterator[InternalRow] = Iterator.empty
+        private var rank = 0
         override def hasNext: Boolean = {
-          while (!current.hasNext && groups.hasNext)
+          while (!current.hasNext && groups.hasNext) {
             current = groups.next().dequeueAll.reverseIterator // ascending order
+            rank = 0
+          }
           current.hasNext
         }
-        override def next(): InternalRow = current.next()
-      }
-      if (!emitRank) plain
-      else {
-        // rank = 1-based position within the group's sorted output;
-        // project to unsafe since downstream exchanges require it
-        val groups2 = heaps.values().iterator()
-        val proj = UnsafeProjection.create(outputSchema.map(_.dataType).toArray)
-        val rankCell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
-        new Iterator[InternalRow] {
-          private var current: Iterator[InternalRow] = Iterator.empty
-          private var rank = 0
-          override def hasNext: Boolean = {
-            while (!current.hasNext && groups2.hasNext) {
-              current = groups2.next().dequeueAll.reverseIterator
-              rank = 0
-            }
-            current.hasNext
-          }
-          override def next(): InternalRow = {
+        override def next(): InternalRow = {
+          val row = current.next()
+          if (!emitRank) row
+          else {
             rank += 1
             rankCell.update(0, rank)
-            proj(joined(current.next(), rankCell))
+            proj(joined(row, rankCell))
           }
         }
       }

@@ -42,6 +42,32 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("global top-n (empty PARTITION BY) is left alone and still plans") {
+    val w = Window.orderBy(col("value").desc, col("event_id"))
+    val df = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(df.count() === 5)
+  }
+
+  test("degenerate limits are not rewritten (overflow guard)") {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    def q(cond: org.apache.spark.sql.Column) =
+      graft.sources.Tables.events(spark, sf)
+        .select(col("user_id"), col("event_id"))
+        .withColumn("rn", row_number().over(w)).filter(cond)
+    // rn < Int.MinValue: k-1 would overflow to Int.MaxValue — must stay
+    // a Window and return zero rows
+    val neg = q(col("rn") < Int.MinValue)
+    assert(!neg.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(neg.count() === 0)
+    // above the heap threshold: keep the spill-capable Window
+    val huge = q(col("rn") <= 100000000)
+    assert(!huge.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("rule does NOT fire when the window has other functions") {
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
     val plan = graft.sources.Tables.events(spark, sf)
