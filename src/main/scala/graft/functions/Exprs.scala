@@ -32,10 +32,6 @@ object Exprs {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** Seeded variant for minhash signature families. */
-  def md5LongSeeded(c: Column, seed: Int): Column =
-    md5Long(concat(c, lit(s"#$seed")))
-
   /** float array → double array (all vector math runs in double). */
   def vecAsDouble(arr: Column): Column = transform(arr, _.cast(DoubleType))
 
@@ -52,12 +48,11 @@ object Exprs {
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Unit-normalized double vector: cosine becomes a single dot product
-    * (compute once per vector, not 3 aggregates per pair). Division per
+    * (compute once per vector, not 3 aggregates per pair). Native
+    * one-pass kernel — the HOF formulation re-evaluates the norm
+    * aggregate inside the lambda, O(d²) per vector. Division per
     * element is IEEE-identical on the oracle side. */
-  def unit(a: Column): Column = {
-    val nrm = sqrt(normSq(a))
-    transform(a, x => x / nrm)
-  }
+  def unit(a: Column): Column = graft.functions.vec_normalize(a)
 
   // ---- DuckDB SQL fragments mirroring the above (oracle side) ----
 
@@ -84,6 +79,4 @@ object Exprs {
   def sqlMd5Long(x: String): String =
     s"CAST(concat('0x', substring(md5($x), 1, 15)) AS BIGINT)"
 
-  def sqlMd5LongSeeded(x: String, seed: Int): String =
-    sqlMd5Long(s"concat($x, '#$seed')")
 }

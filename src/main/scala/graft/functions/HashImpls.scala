@@ -60,6 +60,22 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  /** Unit-normalize a double array in one pass: left-fold sum of
+    * squares (same order as the SQL oracle), sqrt, divide. One kernel
+    * call per vector instead of the O(d²) lambda-recompute of a
+    * `transform(a, x -> x / sqrt(aggregate(a, ...)))` formulation. */
+  def normalize(a: ArrayData): ArrayData = {
+    val x = a.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](x.length)
+    i = 0
+    while (i < x.length) { out(i) = x(i) / n; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Left-to-right dot product over two double arrays — identical fold
     * order to `aggregate(zip_with(a,b,*), 0.0, +)` and to the DuckDB
     * `list_reduce(list_prepend(0.0, ...))` oracle, but a primitive loop

@@ -29,8 +29,14 @@ class SpaceSavingTopK(capacity: Int, k: Int)
     }
 
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    // an item absent from a full sketch may have been evicted with up
+    // to that sketch's minimum count — add it as the overestimate bound
+    // (parallel SpaceSaving) so cross-partition heavy hitters keep
+    // their mass instead of being truncated away
+    val aFloor = if (a.size >= capacity) a.values.min else 0L
+    val bFloor = if (b.size >= capacity) b.values.min else 0L
     val merged = (a.keySet ++ b.keySet).iterator
-      .map(it => it -> (a.getOrElse(it, 0L) + b.getOrElse(it, 0L))).toMap
+      .map(it => it -> (a.getOrElse(it, aFloor) + b.getOrElse(it, bFloor))).toMap
     if (merged.size <= capacity) merged
     else merged.toSeq.sortBy { case (it, c) => (-c, it) }.take(capacity).toMap
   }

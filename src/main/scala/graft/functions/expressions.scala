@@ -42,6 +42,23 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** VecNormalize(array<double>) — one-pass unit normalization; fold
+  * order matches the SQL-oracle formulation bit-for-bit. */
+case class VecNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "vec_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.normalize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNormalize =
+    copy(child = newChild)
+}
+
 /** VecDot(array<double>, array<double>) — native dot product with a
   * primitive kernel; fold order matches the HOF formulation so results
   * are bit-identical to the SQL oracle. */

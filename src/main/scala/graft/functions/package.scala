@@ -18,4 +18,7 @@ package object functions {
 
   def word_shingles(text: Column, n: Int): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(text), n))
+
+  def vec_normalize(a: Column): Column =
+    ColumnShim.column(VecNormalize(ColumnShim.expression(a)))
 }

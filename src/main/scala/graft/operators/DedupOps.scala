@@ -53,30 +53,33 @@ object DedupOps {
 
   /** Near-dup via exact n-gram Jaccard over an inverted shingle index.
     * Blocking: only shingles with document frequency ≤ 50 generate
-    * candidates (near-dup pairs share *rare* shingles; common shingles
-    * only add quadratic noise). Jaccard computed exactly from distinct
-    * shingle sets; pairs ≥ 0.8 emitted. */
+    * CANDIDATE pairs (near-dup pairs share *rare* shingles; hot
+    * shingles only add quadratic noise and are the skew bomb at
+    * corpus scale). Candidates are then verified with the exact
+    * full-set Jaccard over the complete shingle arrays — the emitted
+    * value is the true Jaccard, blocking only bounds which pairs get
+    * considered. */
   val ngram: GraftOp = GraftOp(
     "dedup_ngram",
     s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
-       |sh0 AS (SELECT doc_id, unnest($sqlShingles) AS shingle FROM toks),
+       |shl AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
+       |sh0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
        |sh AS (SELECT doc_id, ${Exprs.sqlMd5Long("shingle")} AS sid FROM sh0),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |rare AS (SELECT sid FROM sh GROUP BY 1 HAVING count(*) <= 50),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
-       |  WHERE a.sid IN (SELECT sid FROM rare)
-       |  GROUP BY 1, 2)
+       |  WHERE a.sid IN (SELECT sid FROM rare)),
+       |sizes AS (SELECT doc_id, len(shingles) AS n, shingles FROM shl)
        |SELECT doc_a, doc_b,
-       |  inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
-       |FROM pairs, sizes sa, sizes sb
+       |  len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+       |    (sa.n + sb.n - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |FROM cand, sizes sa, sizes sb
        |WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b
-       |  AND inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+       |  AND len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+       |    (sa.n + sb.n - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = shingledDocs(s, d)
-    // sizes from the array directly — no second explode+agg
-    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
     // join on a portable 60-bit shingle hash: long equi-keys shuffle and
     // probe far cheaper than ~30-char strings; the oracle hashes
     // identically so any collision affects both engines the same way
@@ -85,18 +88,19 @@ object DedupOps {
       .filter(col("df") <= 50).select(col("sid"))
     // persist the filtered index: the self-join reads it twice
     val indexed = sh.join(broadcast(rare), "sid").persist()
-    val pairs = indexed.as("a")
+    val cand = indexed.as("a")
       .join(indexed.as("b"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val jac = col("inter") * lit(1.0) /
-      (col("sa.n") + col("sb.n") - col("inter"))
-    pairs
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
-      .filter(jac >= 0.8)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = docs.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+    val inter = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+    val jac = inter * lit(1.0) / (col("sa.n") + col("sb.n") - inter)
+    cand
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -115,7 +119,7 @@ object DedupOps {
        |  FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds
        |  GROUP BY 1, 2),
        |bands AS (
-       |  SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+       |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
        |  FROM hashes GROUP BY 1, 2),
        |cand AS (

@@ -29,17 +29,21 @@ object EtlOps {
   private val maxValid = 175.0
 
   /** Validity predicate ≈ reference `checkAndProcess` required-field
-    * check, plus a range rule (the configurable part of validation). */
-  private def isValid: Column =
+    * check, plus a range rule (the configurable part of validation).
+    * Wrapped in coalesce(_, false): a NULL field makes the raw
+    * predicate NULL, and NULL fails BOTH `filter(p)` and `filter(!p)`
+    * — the record would vanish from valid AND dirty. */
+  private def isValid: Column = coalesce(
     col("user_id").isNotNull && col("ts").isNotNull &&
       col("event_type").isin("click", "error", "purchase", "signup", "view") &&
-      expr(reqK) && col("value") >= 0 && col("value") <= maxValid
+      expr(reqK) && col("value") >= 0 && col("value") <= maxValid,
+    lit(false))
 
   private val sqlIsValid: String =
-    """user_id IS NOT NULL AND ts IS NOT NULL
+    """COALESCE(user_id IS NOT NULL AND ts IS NOT NULL
       | AND event_type IN ('click','error','purchase','signup','view')
       | AND regexp_matches(props, '"k"\s*:')
-      | AND value >= 0 AND value <= 175.0""".stripMargin.replace("\n", "")
+      | AND value >= 0 AND value <= 175.0, FALSE)""".stripMargin.replace("\n", "")
 
   /** JSON payload field extraction (fastjson `getString` equivalent). */
   val jsonExtract: GraftOp = GraftOp(

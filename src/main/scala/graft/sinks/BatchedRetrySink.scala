@@ -29,8 +29,9 @@ class BatchedRetrySink(
 
   /** foreachBatch-compatible entry point: format + write one micro-batch.
     * `keyExpr` partitions the batching (reference keyBy(essCode));
-    * `spark_partition_id()` batches within partitions with NO shuffle —
-    * the right default at scale when per-key ordering isn't required. */
+    * `spark_partition_id()` keys batches by source partition so the
+    * single batching shuffle stays uniform — use a domain key when
+    * per-key statement ordering matters. */
   def writeBatch(table: String, keyExpr: org.apache.spark.sql.Column, batchSize: Int)(
       df: DataFrame, batchId: Long): Unit = {
     val stmts = SqlInsertFormatter.insertStatements(df, table, keyExpr, batchSize)
@@ -52,7 +53,9 @@ class BatchedRetrySink(
 object BatchedRetrySink {
   /** Bounded retry with exponential backoff; rethrows after the last
     * attempt so the caller (task) fails loudly — unlike the reference,
-    * which swallows the final failure and drops the batch. */
+    * which swallows the final failure and drops the batch. Fatal errors
+    * and interrupts (Spark's task-cancellation signal) propagate
+    * immediately instead of sleeping through backoffs. */
   def retryOnFailure[T](maxRetries: Int, backoffMs: Long)(block: => T): T = {
     var attempt = 0
     var result: Option[T] = None
@@ -60,7 +63,7 @@ object BatchedRetrySink {
     while (result.isEmpty && attempt <= maxRetries) {
       try result = Some(block)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) if !e.isInstanceOf[InterruptedException] =>
           lastErr = e
           attempt += 1
           if (attempt <= maxRetries) Thread.sleep(backoffMs * (1L << (attempt - 1)))

@@ -38,11 +38,16 @@ object SqlInsertFormatter {
   def insertStatements(df: DataFrame, table: String, keyExpr: Column, batchSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cols = df.columns.mkString(",")
-    val byKey = Window.partitionBy(keyExpr).orderBy(monotonically_increasing_id())
-    df.withColumn("__tuple", valuesTuple(df))
+    // materialize the key ONCE before the window shuffle: a
+    // nondeterministic keyExpr (e.g. spark_partition_id) re-evaluated
+    // after the exchange would merge batches across source partitions
+    // and overflow the batchSize contract
+    val keyed = df.withColumn("__tuple", valuesTuple(df)).withColumn("__key", keyExpr)
+    val byKey = Window.partitionBy(col("__key")).orderBy(monotonically_increasing_id())
+    keyed
       .withColumn("__rn", row_number().over(byKey))
       .withColumn("__batch", floor((col("__rn") - 1) / batchSize))
-      .groupBy(keyExpr.as("__key"), col("__batch"))
+      .groupBy(col("__key"), col("__batch"))
       .agg(concat_ws(",", collect_list(col("__tuple"))).as("__vals"))
       .select(concat(lit(s"INSERT INTO $table ($cols) VALUES "), col("__vals")).as("stmt"))
   }

@@ -48,9 +48,14 @@ object Pipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(cfg.triggerIntervalMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val parsed = JsonIngest.parse(batch, schema, cfg)
-        dirtySink.foreach(f => f(parsed.dirty, batchId))
-        write(enrich(parsed.valid, tsField), batchId)
+        // two downstream actions (dirty sink + insert write) — persist
+        // so the source read + JSON parse run once per trigger
+        batch.persist()
+        try {
+          val parsed = JsonIngest.parse(batch, schema, cfg)
+          dirtySink.foreach(f => f(parsed.dirty, batchId))
+          write(enrich(parsed.valid, tsField), batchId)
+        } finally batch.unpersist()
       }
       .start()
   }
