@@ -26,7 +26,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        if v == 0.0:
+            return "0"  # collapse -0.0 vs 0.0
+        return format(v, ".10g")  # significant digits, not decimal places
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)

@@ -31,13 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberLimitToTopK)
+    def unary(name: String)(
+        mk: org.apache.spark.sql.catalyst.expressions.Expression =>
+          org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression = { es =>
+      if (es.length != 1) throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${es.length}")
+      mk(es.head)
+    }
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash"),
-      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => RollingHash64(es.head)))
+      unary("rolling_hash")(RollingHash64)))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => SimHash64(es.head)))
+      unary("simhash64")(SimHash64)))
   }
 }

@@ -36,12 +36,16 @@ object PipelineConfig {
   def fromProperties(props: Properties): PipelineConfig = {
     val m = props.asScala
     def get(k: String, dflt: String) = m.getOrElse(k, dflt)
+    def getList(k: String, dflt: String) =
+      get(k, dflt).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     PipelineConfig(
       bootstrapServers = get("kafka.bootstrap.servers", "localhost:9092"),
-      topics = get("kafka.topic", "events").split(",").toSeq,
+      topics = getList("kafka.topic", "events"),
       groupId = get("kafka.consumer.groupid", "graft"),
       startingOffsets = get("kafka.auto.offset.reset", "earliest"),
-      requiredFields = get("check.field", "cTime,essCode").split(",").toSeq,
+      maxOffsetsPerTrigger =
+        m.get("kafka.maxOffsetsPerTrigger").map(_.trim.toLong).orElse(Some(100000L)),
+      requiredFields = getList("check.field", "cTime,essCode"),
       windowSize = get("window.size", "20").toInt,
       env = get("flink.env", get("env", "test")),
       checkpointLocation = get("checkpoint.path", "/tmp/graft-checkpoints"),
@@ -49,6 +53,7 @@ object PipelineConfig {
       sinkDatabase = get("clickhouse.database", "sink"),
       sinkTable = get("clickhouse.table", "events"),
       sinkMaxRetries = get("clickhouse.maxRetries", "3").toInt,
+      sinkRetryBackoffMs = get("clickhouse.retryBackoffMs", "100").toLong,
       stringTypes = get("clickhouse.stringTypes", "String,Date,DateTime")
         .split(",").map(_.trim.toLowerCase).toSet)
   }

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("uniform sample: deterministic for a fixed seed, fraction in bounds") {
+    val a = Sampling.uniform.run(spark, sf).collect().map(_.getLong(0))
+    val b = Sampling.uniform.run(spark, sf).collect().map(_.getLong(0))
+    assert(a.sameElements(b), "same seed must give the same sample")
+    val n = 10000.0
+    val frac = a.length / n
+    // binomial 3σ ≈ 0.009 at p=0.1, n=10000
+    assert(frac > 0.07 && frac < 0.13, s"fraction $frac out of bounds")
+  }
+
+  test("stratified sample: dominant stratum downsampled, others kept") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratified.run(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("de") === total("de"))
+    assert(got("zh") === total("zh"))
+    val enFrac = got("en").toDouble / total("en")
+    assert(enFrac > 0.1 && enFrac < 0.4, s"en fraction $enFrac not ~0.25")
+  }
+}
