@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{DedupOps, IncrementalDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("increment vs corpus-index finds cross-split near-dups, passes clean docs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // known near-dup pairs from the oracle-checked batch op
+    val pairs = DedupOps.ngram.run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // split so that each known pair straddles corpus/increment
+    val incIds = pairs.map(_._2).toSet
+    val corpus = docs.filter(!col("doc_id").isin(incIds.toSeq: _*))
+    val increment = docs.filter(col("doc_id").isin(incIds.toSeq: _*))
+
+    val index = IncrementalDedup.buildIndex(corpus)
+    val res = IncrementalDedup.dedupIncrement(increment, index)
+
+    // no exact dups exist in this corpus (all texts distinct)
+    assert(res.exactDups.count() === 0)
+    // every cross-split near-dup pair must surface as a candidate
+    val found = res.nearDupCandidates.collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    val straddling = pairs.filter { case (a, b) => !incIds.contains(a) && incIds.contains(b) }.toSet
+    assert(straddling.subsetOf(found),
+      s"missed cross-split dups: ${straddling -- found}")
+    // clean + flagged partition the increment
+    assert(res.clean.count() + res.nearDupCandidates.select("doc_id").distinct().count()
+      === increment.count())
+  }
+
+  test("exact duplicate in the increment is caught by the hash index") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+    // clone corpus doc 7 into the increment under a new id
+    val clone = corpus.filter(col("doc_id") === 7)
+      .withColumn("doc_id", lit(99999L))
+    val res = IncrementalDedup.dedupIncrement(clone, IncrementalDedup.buildIndex(corpus))
+    val dups = res.exactDups.collect()
+    assert(dups.length === 1)
+    assert(dups.head.getLong(0) === 99999L && dups.head.getLong(1) === 7L)
+    assert(res.clean.count() === 0)
+  }
+}
