@@ -208,8 +208,8 @@ object DedupOps {
   /** Embedding-cosine near-dup: all qualifying pairs with cosine ≥ 0.45.
     * Double-precision fold-order math matches DuckDB bit-for-bit; the
     * emitted value is rounded to 6dp as belt-and-braces. At 100 TB this
-    * runs behind the LSH bucketing of KnnOps; at test SF the corpus
-    * side is broadcast. */
+    * runs behind LSH/IVF bucketing (KnnOps); within a bucket the
+    * all-pairs kernel below is the standard shape. */
   val embed: GraftOp = GraftOp(
     "dedup_embed",
     s"""WITH raw AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
@@ -218,16 +218,53 @@ object DedupOps {
        |  round(${Exprs.sqlDot("a.u", "b.u")}, 6) AS cos_sim
        |FROM v a JOIN v b ON a.vec_id < b.vec_id
        |WHERE ${Exprs.sqlDot("a.u", "b.u")} >= 0.45
-       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    // unit-normalize once per vector (persisted) → one dot per pair
+       |ORDER BY vec_a, vec_b""".stripMargin)(embedPairs(0.45))
+
+  /** Declarative formulation (broadcast-nested-loop join) — kept for
+    * the kernel-equivalence spec. */
+  private[graft] def embedPairsDeclarative(tau: Double)(s: SparkSession, d: String): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
-      .persist()
     val cos = Exprs.dot(col("a.u"), col("b.u"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .filter(cos >= 0.45)
+      .filter(cos >= tau)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cos, 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** All-pairs kernel: corpus rows stream against a broadcast unit-
+    * vector matrix — the same memory footprint as the BNL join Spark
+    * would pick (one full broadcast side) but without materializing a
+    * join row per pair (~2M array copies at sf0.1). The broadcast
+    * build is the op's one driver-side collect, identical in role to
+    * Spark's own broadcast-build; same left-fold doubles, same
+    * HALF_UP rounding → bit-identical to the declarative plan and the
+    * SQL oracle (EmbedKernelSpec asserts equality). */
+  private[graft] def embedPairs(tau: Double)(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+      .as[(Long, Array[Double])]
+    val matrix = s.sparkContext.broadcast(v.collect().sortBy(_._1))
+    v.flatMap { case (ida, ua) =>
+      val m = matrix.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var j = 0
+      while (j < m.length) {
+        val (idb, ub) = m(j)
+        if (idb > ida) {
+          var sum = 0.0
+          var i = 0
+          while (i < ua.length) { sum += ua(i) * ub(i); i += 1 }
+          if (sum >= tau)
+            out += ((ida, idb,
+              BigDecimal(sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+        j += 1
+      }
+      out
+    }.toDF("vec_a", "vec_b", "cos_sim")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -22,3 +22,17 @@ class SketchSpec extends AnyFunSuite {
       s"missing heavy hitters: ${top10 -- approx.toSet}")
   }
 }
+
+class EmbedKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("broadcast-matrix kernel == declarative BNL formulation, bit-identical") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val kernel = graft.operators.DedupOps.embedPairs(0.45)(spark, sf)
+        .collect().map(_.toString)
+      val declarative = graft.operators.DedupOps.embedPairsDeclarative(0.45)(spark, sf)
+        .collect().map(_.toString)
+      assert(kernel.sameElements(declarative), s"mismatch at $sf")
+    }
+  }
+}
