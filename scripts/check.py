@@ -5,9 +5,14 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (Spark result) and runs
 <verifyOutDir>/oracle_sql.json[<name>] in DuckDB with views named after
-the test tables. Compares row count, column names, and value hashes
-(column-name-sorted, row-sorted, floats rounded to 9 significant-ish
-decimals) — strictness ≥ the driver's, so a pass here should pass there.
+the test tables. Mirrors the driver's pipeline: both sides are
+materialized through pandas (so DuckDB HUGEINT -> float64 coercion and
+similar dtype effects are visible exactly as the driver sees them),
+columns are sorted by name, rows sorted, and values compared
+dtype-faithfully — an int64 1000 does NOT equal a float64 1000.0, and
+floats are compared via repr (bit-faithful, -0.0 != 0.0). Columns whose
+values are arrays/ndarrays are reported as driver-incompatible (the
+driver's pandas row sort throws on them).
 
 Dev tool only — the Scala engine does not depend on this.
 """
@@ -15,29 +20,45 @@ import json, sys, math
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(v):
+    """Dtype-tagged canonical form. Int and float never collapse."""
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            return "0"  # collapse -0.0 vs 0.0
-        return format(v, ".10g")  # significant digits, not decimal places
-    if isinstance(v, list):
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:NaN"
+        return "f:" + repr(f)  # repr is bit-faithful; keeps -0.0 vs 0.0
+    if isinstance(v, (np.bool_, bool)):
+        return "b:" + str(bool(v))
+    if isinstance(v, (np.integer, int)):
+        return "i:" + str(int(v))
+    if isinstance(v, (np.ndarray, list, tuple)):
+        raise TypeError("array-typed value (driver-incompatible)")
+    if isinstance(v, pd.Timestamp):
+        return "t:" + v.isoformat()
+    if v is pd.NaT:
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return "s:" + str(v)
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted("|".join(norm(r[i]) for i in order) for r in rows)
-    return out
+def canon(df):
+    cols = sorted(df.columns)
+    rows = ["|".join(norm(r[c]) for c in cols)
+            for _, r in df.iterrows()]
+    return sorted(rows)
 
 
 def main(sf_dir, out_dir):
@@ -55,26 +76,28 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            sq = con.execute(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-            s_cols = [d[0] for d in sq.description]
-            s_rows = sq.fetchall()
-            oq = con.execute(sql)
-            o_cols = [d[0] for d in oq.description]
-            o_rows = oq.fetchall()
+            s_df = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            o_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        if sorted(s_cols) != sorted(o_cols):
-            print(f"FAIL {name}: cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if sorted(s_df.columns) != sorted(o_df.columns):
+            print(f"FAIL {name}: cols spark={sorted(s_df.columns)} "
+                  f"oracle={sorted(o_df.columns)}")
             n_fail += 1
             continue
-        if len(s_rows) != len(o_rows):
-            print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+        if len(s_df) != len(o_df):
+            print(f"FAIL {name}: rows spark={len(s_df)} oracle={len(o_df)}")
             n_fail += 1
             continue
-        cs, co = canon(s_rows, s_cols), canon(o_rows, o_cols)
+        try:
+            cs, co = canon(s_df), canon(o_df)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if cs != co:
             bad = next(i for i, (a, b) in enumerate(zip(cs, co)) if a != b)
             print(f"FAIL {name}: value mismatch at sorted-row {bad}:")
@@ -82,7 +105,7 @@ def main(sf_dir, out_dir):
             print(f"  oracle: {co[bad][:300]}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(s_rows)} rows)")
+        print(f"PASS {name} ({len(s_df)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0

@@ -72,7 +72,7 @@ object SqlSurface {
     "q_case_agg",
     """SELECT o_orderpriority,
       |  count(*) AS n,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
       |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
@@ -149,17 +149,22 @@ object SqlSurface {
       .orderBy(col("c_custkey"))
   }
 
-  /** Array aggregation: sorted distinct collection per group. */
+  /** Array aggregation: sorted distinct collection per group. The
+    * contract output serializes the array as a comma-joined string so
+    * the driver's pandas-based row sort can hash it (raw numpy arrays
+    * are unhashable there); ArrayOpsSpec covers the array-typed
+    * variant. */
   val qArrayAgg: GraftOp = GraftOp(
     "q_array_agg",
     """SELECT event_type,
-      |  list_sort(list(DISTINCT user_id % 10)) AS user_buckets,
+      |  array_to_string(list_sort(list(DISTINCT user_id % 10)), ',') AS user_buckets,
       |  len(list_sort(list(DISTINCT user_id))) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
-        array_sort(collect_set(col("user_id") % 10)).as("user_buckets"),
+        array_join(transform(array_sort(collect_set(col("user_id") % 10)),
+          _.cast(StringType)), ",").as("user_buckets"),
         size(collect_set(col("user_id"))).as("n_users"))
       .orderBy(col("event_type"))
   }
