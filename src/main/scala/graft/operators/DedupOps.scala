@@ -233,35 +233,78 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** All-pairs kernel: corpus rows stream against a broadcast unit-
-    * vector matrix — the same memory footprint as the BNL join Spark
-    * would pick (one full broadcast side) but without materializing a
-    * join row per pair (~2M array copies at sf0.1). The broadcast
-    * build is the op's one driver-side collect, identical in role to
-    * Spark's own broadcast-build; same left-fold doubles, same
-    * HALF_UP rounding → bit-identical to the declarative plan and the
-    * SQL oracle (EmbedKernelSpec asserts equality). */
+  /** All-pairs kernel, block-matrix formulation: the corpus is split
+    * into B = `graft.embed.blocks` (default 8) blocks by vec_id; each
+    * vector is replicated to the B block-pair tasks its block touches,
+    * and each of the B·(B+1)/2 tasks computes the exact pairs between
+    * its two blocks. Fully distributed — no driver-side collect, no
+    * broadcast of the whole corpus; per-task memory is 2/B of the
+    * corpus, so B scales as sqrt(corpus/executor-mem) at 100 TB
+    * (the same blocked-matrix shape a GEMM tiling uses). Shuffle
+    * volume is B× the corpus — the price of an *exact* all-pairs
+    * result; sub-quadratic candidate generation is the LSH/IVF family
+    * in KnnOps. Same ascending-index fold-order doubles, same HALF_UP
+    * rounding → bit-identical to the declarative plan and the SQL
+    * oracle (EmbedKernelSpec asserts equality). */
   private[graft] def embedPairs(tau: Double)(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val nBlocks = s.conf.getOption("graft.embed.blocks").map(_.toInt).getOrElse(8)
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
       .as[(Long, Array[Double])]
-    val matrix = s.sparkContext.broadcast(v.collect().sortBy(_._1))
-    v.flatMap { case (ida, ua) =>
-      val m = matrix.value
+    // a vector in block b participates in every block pair (lo,hi)
+    // with lo=min(b,j), hi=max(b,j) — one replica per pair, B total
+    val tagged = v.flatMap { case (id, u) =>
+      val b = (id % nBlocks).toInt
+      (0 until nBlocks).map { j =>
+        (math.min(b, j) * nBlocks + math.max(b, j), b, id, u)
+      }
+    }
+    def dotRounded(ua: Array[Double], ub: Array[Double]): Double = {
+      var sum = 0.0
+      var i = 0
+      while (i < ua.length) { sum += ua(i) * ub(i); i += 1 }
+      sum
+    }
+    tagged.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val lo = key / nBlocks
+      val hi = key % nBlocks
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      it.foreach { case (_, b, id, u) =>
+        if (b == lo) left += ((id, u)) else right += ((id, u))
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var j = 0
-      while (j < m.length) {
-        val (idb, ub) = m(j)
-        if (idb > ida) {
-          var sum = 0.0
-          var i = 0
-          while (i < ua.length) { sum += ua(i) * ub(i); i += 1 }
-          if (sum >= tau)
-            out += ((ida, idb,
-              BigDecimal(sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      def emit(ida: Long, ua: Array[Double], idb: Long, ub: Array[Double]): Unit = {
+        val sum = dotRounded(ua, ub)
+        if (sum >= tau) {
+          val r = BigDecimal(sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (ida < idb) out += ((ida, idb, r)) else out += ((idb, ida, r))
         }
-        j += 1
+      }
+      if (lo == hi) {
+        // diagonal task: all pairs within the block
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) {
+            emit(left(i)._1, left(i)._2, left(j)._1, left(j)._2)
+            j += 1
+          }
+          i += 1
+        }
+      } else {
+        // off-diagonal: only cross-block pairs (within-block pairs are
+        // owned by the two diagonal tasks)
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) {
+            emit(left(i)._1, left(i)._2, right(j)._1, right(j)._2)
+            j += 1
+          }
+          i += 1
+        }
       }
       out
     }.toDF("vec_a", "vec_b", "cos_sim")

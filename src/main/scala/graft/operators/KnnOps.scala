@@ -3,7 +3,7 @@ package graft.operators
 import graft.GraftOp
 import graft.functions.Exprs
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -56,35 +56,50 @@ object KnnOps {
   private[operators] val B = 4
   private[operators] val DIM = 64
 
-  private def planesDf(spark: SparkSession): DataFrame = {
+  /** Deterministic ±1 plane coefficients, [table][bit] → DIM array.
+    * Same rng stream as round 1's planesDf, so buckets (and KnnSpec's
+    * pinned recall) are unchanged. */
+  private[operators] lazy val planeArrays: IndexedSeq[IndexedSeq[Array[Double]]] = {
     val rng = new scala.util.Random(42)
-    val rows = for (t <- 0 until L; b <- 0 until B) yield
-      (t, b, Array.fill(DIM)(if (rng.nextBoolean()) 1.0 else -1.0).toSeq)
-    spark.createDataFrame(rows).toDF("tbl", "bit", "plane")
+    IndexedSeq.tabulate(L)(_ =>
+      IndexedSeq.tabulate(B)(_ =>
+        Array.fill(DIM)(if (rng.nextBoolean()) 1.0 else -1.0)))
   }
 
   /** LSH-bucketed approximate top-k (random hyperplane signatures).
-    * Approximate by construction → rows-only; KnnSpec pins recall vs
-    * the brute-force baseline. */
+    *
+    * The L signatures are computed per-row in ONE projection — planes
+    * are literal arrays baked into the plan, so the corpus is neither
+    * exploded ×(L·B) nor shuffled to reassemble signatures (round 1
+    * did both). The only exchanges left are over the small candidate
+    * set: query buckets broadcast into the corpus bucket stream, the
+    * deduped candidates broadcast back into the corpus scan for
+    * vectors, and the final per-query top-k window. Approximate by
+    * construction → rows-only; KnnSpec pins recall vs brute force and
+    * asserts the shuffle-free corpus path. */
   val lsh: GraftOp = GraftOp.rowsOnly("knn_lsh") { (s, d) =>
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
-    val planes = planesDf(s)
+    // bucket for table t = Σ_b [dot(e, plane_tb) > 0]·2^b — a pure
+    // per-row expression over literal plane coefficients
+    def bucketCols: Seq[Column] = (0 until L).map { t =>
+      (0 until B).map { b =>
+        when(Exprs.dot(col("e"), typedLit(planeArrays(t)(b).toSeq)) > 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
     def bucketize(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(planes))
-        .select(col("vec_id"), col("e"), col("tbl"), col("bit"),
-          when(Exprs.dot(col("e"), Exprs.vecAsDouble(col("plane"))) > 0, 1).otherwise(0).as("sb"))
-        .groupBy(col("vec_id"), col("tbl"))
-        .agg(sum(col("sb") * pow(lit(2), col("bit")).cast(IntegerType)).as("bucket"))
+      df.select(col("vec_id"), posexplode(array(bucketCols: _*)))
+        .toDF("vec_id", "tbl", "bucket")
     val corpusB = bucketize(v)
     val queryB = bucketize(v.filter(col("vec_id") < 5))
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-    val cand = corpusB.join(queryB, Seq("tbl", "bucket"))
+    val cand = corpusB.join(broadcast(queryB), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("corpus_id"))
       .distinct()
-    val withVecs = cand
-      .join(v.select(col("vec_id").as("corpus_id"), col("e").as("ce")), "corpus_id")
+    val withVecs = v.select(col("vec_id").as("corpus_id"), col("e").as("ce"))
+      .join(broadcast(cand), "corpus_id")
       .join(broadcast(v.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("e").as("qe"))), "query_id")
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))

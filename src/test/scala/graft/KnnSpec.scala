@@ -15,8 +15,16 @@ class KnnSpec extends AnyFunSuite {
     val approx = pairs(KnnOps.lsh.run(spark, sf))
     assert(exact.size === 50)
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall below floor")
+    assert(recall >= 0.9, s"recall $recall below floor")
     info(s"recall@10 = $recall")
+  }
+
+  test("lsh corpus path is shuffle-free (signatures per-row, candidates broadcast)") {
+    val plan = KnnOps.lsh.run(spark, sf).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // only the small-candidate distinct and the per-query window may
+    // hash-shuffle; the corpus is never exploded ×(L·B) nor shuffled
+    assert(shuffles <= 2, s"expected <=2 hash shuffles, got $shuffles:\n$plan")
   }
 
   test("ivf ANN recall@10 vs brute force") {

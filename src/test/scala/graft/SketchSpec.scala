@@ -26,7 +26,7 @@ class SketchSpec extends AnyFunSuite {
 class EmbedKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  test("broadcast-matrix kernel == declarative BNL formulation, bit-identical") {
+  test("block-matrix kernel == declarative BNL formulation, bit-identical") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val kernel = graft.operators.DedupOps.embedPairs(0.45)(spark, sf)
         .collect().map(_.toString)
