@@ -29,7 +29,24 @@ final case class PipelineConfig(
     sinkTable: String = "events",
     sinkMaxRetries: Int = 3,
     sinkRetryBackoffMs: Long = 100L,
-    stringTypes: Set[String] = Set("string", "date", "datetime"))
+    stringTypes: Set[String] = Set("string", "date", "datetime"),
+    // state backend (reference state.backend → Flink Fs/RocksDB state
+    // backends; Spark's analog is the streaming state store provider)
+    stateBackend: String = "hashmap") {
+
+  /** Session confs implied by this config. `rocksdb` selects Spark's
+    * RocksDB state store provider — at 100-TB keyed state the default
+    * in-memory HDFS-backed store holds every key's state on-heap;
+    * RocksDB keeps it off-heap with incremental snapshots, the same
+    * role RocksDBStateBackend plays in the reference. */
+  def sparkConfs: Map[String, String] = stateBackend.toLowerCase match {
+    case "rocksdb" => Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    case _ => Map.empty
+  }
+}
 
 object PipelineConfig {
 
@@ -55,7 +72,8 @@ object PipelineConfig {
       sinkMaxRetries = get("clickhouse.maxRetries", "3").toInt,
       sinkRetryBackoffMs = get("clickhouse.retryBackoffMs", "100").toLong,
       stringTypes = get("clickhouse.stringTypes", "String,Date,DateTime")
-        .split(",").map(_.trim.toLowerCase).toSet)
+        .split(",").map(_.trim.toLowerCase).toSet,
+      stateBackend = get("state.backend", "hashmap"))
   }
 
   def fromFile(path: String): PipelineConfig = {

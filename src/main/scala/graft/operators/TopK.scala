@@ -20,10 +20,18 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
     val child = df.queryExecution.analyzed
     val attrs = child.output
+    // honor the session's spark.sql.caseSensitive semantics and refuse
+    // to bind silently when the child has duplicate column names
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
     def resolve(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       e.transform { case u: UnresolvedAttribute =>
-        attrs.find(_.name == u.name).getOrElse(
-          throw new IllegalArgumentException(s"column ${u.name} not in ${attrs.map(_.name)}"))
+        attrs.filter(a => resolver(a.name, u.name)) match {
+          case Seq(one) => one
+          case Seq() => throw new IllegalArgumentException(
+            s"column ${u.name} not in ${attrs.map(_.name)}")
+          case many => throw new IllegalArgumentException(
+            s"column ${u.name} is ambiguous: matches ${many.map(_.name)}")
+        }
       }
     val keys = keyCols.map(n => resolve(UnresolvedAttribute(n)))
     val sortOrder = order.map(c => ColumnShim.catalystExpression(c) match {

@@ -43,7 +43,11 @@ object RowNumberLimitToTopK extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.topk.rewrite.enabled", "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec: WindowSpecDefinition), _)),
           part, order, wchild, _))

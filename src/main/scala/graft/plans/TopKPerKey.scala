@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -11,10 +11,10 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 /** Logical top-k-per-key: the first `k` rows of each key group under
   * `order`. Planned by [[graft.GraftStrategies]] into a two-phase
   * physical operator (map-side partial top-k → shuffle on keys → final
-  * top-k), replacing the window/row_number formulation that must sort
-  * ALL rows of every key group — at 100 TB, bounded heaps of size k per
-  * key beat a full per-partition sort and cut shuffle volume to at most
-  * k·partitions rows per key.
+  * streaming group-limit), replacing the window/row_number formulation
+  * that must sort ALL rows of every key group — at 100 TB, bounded
+  * heaps of size k per key beat a full per-partition sort and cut
+  * shuffle volume to at most k·partitions rows per key.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
@@ -23,14 +23,29 @@ case class TopKPerKey(
     child: LogicalPlan,
     rankAttr: Option[Attribute] = None) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
-/** Physical per-key top-k: bounded max-heap per key per partition.
-  * `global = false` → partial (no distribution requirement, runs
-  * map-side); `global = true` → requires clustering on `keys`, emits
-  * each group's rows in sort order.
+/** Physical per-key top-k.
+  *
+  * `global = false` — map-side partial: bounded max-heap of size k per
+  * key per partition (no distribution requirement). Heap memory is
+  * capped by `graft.topk.maxBufferedRows` (default 8M rows): once the
+  * cap is hit, rows for keys not already tracked pass through
+  * unfiltered — always correct, because the final phase re-filters;
+  * the partial phase is only a shuffle-volume optimization, so
+  * degrading to pass-through under ultra-high key cardinality costs
+  * shuffle bytes, never memory or correctness.
+  *
+  * `global = true` — final: requires clustering on `keys` AND
+  * (keys ++ order) child ordering, so Spark plans its spill-capable
+  * SortExec underneath and this phase is a streaming group-limit with
+  * O(1) state (current key + count) — the same execution shape as
+  * Spark's WindowGroupLimit final, with no per-key heap map that could
+  * OOM on near-unique keys. Its input is already pruned to ≤ k rows
+  * per key per map partition by the partial phase.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
@@ -42,60 +57,123 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output ++ rankAttr
 
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
+
+  private def keysAndOrder: Seq[SortOrder] =
+    keys.map(SortOrder(_, Ascending)) ++ order
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (global) ClusteredDistribution(keys) :: Nil
     else UnspecifiedDistribution :: Nil
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (global) Seq(keysAndOrder) else Seq(Nil)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (global) keysAndOrder else Nil
+
   override def outputPartitioning = child.outputPartitioning
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val (keyExprs, sortOrder, limit, childOutput) = (keys, order, k, child.output)
+  override protected def doExecute(): RDD[InternalRow] =
+    if (global) executeFinal() else executePartial()
+
+  /** Streaming group-limit over (keys ++ order)-sorted input. */
+  private def executeFinal(): RDD[InternalRow] = {
+    val (keyExprs, limit, childOutput) = (keys, k, child.output)
     val emitRank = rankAttr.isDefined
     val outputSchema = output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      lazy val proj = UnsafeProjection.create(outputSchema.map(_.dataType).toArray)
+      val rankCell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      new Iterator[InternalRow] {
+        private var currentKey: UnsafeRow = null
+        private var rank = 0
+        private var pending: InternalRow = null
+        override def hasNext: Boolean = {
+          while (pending == null && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            if (currentKey == null || key != currentKey) {
+              currentKey = key.copy()
+              rank = 0
+            }
+            rank += 1
+            if (rank <= limit) pending = row
+          }
+          pending != null
+        }
+        override def next(): InternalRow = {
+          val row = pending
+          pending = null
+          if (!emitRank) row
+          else {
+            rankCell.update(0, rank)
+            proj(joined(row, rankCell))
+          }
+        }
+      }
+    }
+  }
+
+  /** Map-side partial: bounded heaps, pass-through beyond the cap. */
+  private def executePartial(): RDD[InternalRow] = {
+    val (keyExprs, sortOrder, limit, childOutput) = (keys, order, k, child.output)
+    val maxBuffered =
+      conf.getConfString("graft.topk.maxBufferedRows", (8 << 20).toString).toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
       // max-heap: head = worst row currently kept for the key
       val heapOrd: Ordering[InternalRow] = ordering
       val heaps = new java.util.LinkedHashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
-        }
-      }
-      val groups = heaps.values().iterator()
-      // rank = 1-based position within the group's sorted output; when
-      // emitted, project to unsafe since downstream exchanges require it
-      lazy val proj = UnsafeProjection.create(outputSchema.map(_.dataType).toArray)
-      val rankCell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
       new Iterator[InternalRow] {
-        private var current: Iterator[InternalRow] = Iterator.empty
-        private var rank = 0
-        override def hasNext: Boolean = {
-          while (!current.hasNext && groups.hasNext) {
-            current = groups.next().dequeueAll.reverseIterator // ascending order
-            rank = 0
+        private var nBuffered = 0L
+        private var overflow: InternalRow = null
+        private var drain: Iterator[InternalRow] = null
+        private def scan(): Unit = {
+          while (overflow == null && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (nBuffered >= maxBuffered) {
+                // cap reached: new keys bypass partial filtering — the
+                // final phase still computes the exact top-k
+                overflow = row
+              } else {
+                heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
+                heaps.put(key.copy(), heap)
+                heap.enqueue(row.copy())
+                nBuffered += 1
+              }
+            } else if (heap.size < limit) {
+              heap.enqueue(row.copy())
+              nBuffered += 1
+            } else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
           }
-          current.hasNext
+        }
+        override def hasNext: Boolean = {
+          if (overflow != null) return true
+          scan()
+          if (overflow != null) return true
+          if (drain == null)
+            drain = {
+              val groups = heaps.values().iterator()
+              new Iterator[Iterator[InternalRow]] {
+                override def hasNext: Boolean = groups.hasNext
+                override def next(): Iterator[InternalRow] = groups.next().dequeueAll.iterator
+              }.flatten
+            }
+          drain.hasNext
         }
         override def next(): InternalRow = {
-          val row = current.next()
-          if (!emitRank) row
-          else {
-            rank += 1
-            rankCell.update(0, rank)
-            proj(joined(row, rankCell))
-          }
+          if (overflow != null) { val r = overflow; overflow = null; r }
+          else drain.next()
         }
       }
     }

@@ -25,22 +25,26 @@ trait StatementWriter extends Serializable {
 class BatchedRetrySink(
     writer: StatementWriter,
     maxRetries: Int = 3,
-    backoffMs: Long = 100L) extends Serializable {
+    backoffMs: Long = 100L,
+    chunkSize: Int = 4096) extends Serializable {
 
   /** foreachBatch-compatible entry point: format + write one micro-batch.
     * `keyExpr` partitions the batching (reference keyBy(essCode));
     * `spark_partition_id()` keys batches by source partition so the
     * single batching shuffle stays uniform — use a domain key when
-    * per-key statement ordering matters. */
+    * per-key statement ordering matters. Statements stream through in
+    * chunks of `chunkSize` (the retry unit must be replayable, so each
+    * chunk is materialized, but never the whole partition). */
   def writeBatch(table: String, keyExpr: org.apache.spark.sql.Column, batchSize: Int)(
       df: DataFrame, batchId: Long): Unit = {
     val stmts = SqlInsertFormatter.insertStatements(df, table, keyExpr, batchSize)
     val w = writer
-    val (retries, backoff) = (maxRetries, backoffMs)
+    val (retries, backoff, chunk) = (maxRetries, backoffMs, chunkSize)
     stmts.select("stmt").foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val statements = rows.map(_.getString(0)).toSeq
-      BatchedRetrySink.retryOnFailure(retries, backoff) {
-        w.write(batchId, statements.iterator)
+      rows.map(_.getString(0)).grouped(chunk).foreach { group =>
+        BatchedRetrySink.retryOnFailure(retries, backoff) {
+          w.write(batchId, group.iterator)
+        }
       }
     }
   }

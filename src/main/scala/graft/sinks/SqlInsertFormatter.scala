@@ -8,41 +8,103 @@ import org.apache.spark.sql.types._
   * MyWindowFunction.formatValue (quote + escape string-ish types, raw
   * numerics, NULL for missing) — but as codegen'd Column expressions
   * that run distributed, instead of per-record driver string work.
+  *
+  * Two sources of type truth, mirroring the reference: the TARGET
+  * table's declared column types (MyWindowFunction looks them up from
+  * `system.columns`) decide quoting when supplied via `targetTypes`;
+  * the DataFrame schema is the fallback. A string df-column bound to a
+  * numeric target column is emitted raw/unquoted, and a numeric
+  * df-column bound to a String target is quoted — exactly the
+  * reference's behavior.
   */
 object SqlInsertFormatter {
+
+  /** Escape a string Column for single-quoted SQL literals: backslash,
+    * quote, and the control characters NUL/\n/\r/\t (ClickHouse/MySQL
+    * escaping rules) — raw control bytes would break statement text. */
+  private def escaped(c: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "\\\\" -> "\\\\\\\\", // backslash first, it's the escape char
+      "'" -> "\\\\'",
+      "\u0000" -> "\\\\0",
+      "\n" -> "\\\\n",
+      "\r" -> "\\\\r",
+      "\t" -> "\\\\t")
+    steps.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+  }
+
+  private def quoted(c: Column): Column =
+    concat(lit("'"), escaped(c), lit("'"))
+
+  /** Render the column as text per its DataFrame type (timestamps and
+    * dates in the reference's wall-clock formats), without quoting. */
+  private def rendered(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case DateType => date_format(c, "yyyy-MM-dd")
+    case _ => c.cast(StringType)
+  }
 
   /** Literal-format one column according to its Spark type. */
   def literal(c: Column, dt: DataType): Column = {
     val formatted = dt match {
-      case StringType =>
-        concat(lit("'"), regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "\\\\'"), lit("'"))
-      case TimestampType | TimestampNTZType =>
-        concat(lit("'"), date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("'"))
-      case DateType =>
-        concat(lit("'"), date_format(c, "yyyy-MM-dd"), lit("'"))
-      case _: DecimalType | DoubleType | FloatType => c.cast(StringType)
-      case _ => c.cast(StringType)
+      case StringType | TimestampType | TimestampNTZType | DateType =>
+        quoted(rendered(c, dt))
+      case _ => rendered(c, dt)
     }
     coalesce(formatted, lit("NULL"))
   }
 
-  /** Per-row `(v1,v2,...)` tuple column for the given DataFrame. */
-  def valuesTuple(df: DataFrame): Column = {
-    val parts = df.schema.fields.map(f => literal(col(f.name), f.dataType))
+  /** True when a ClickHouse-ish declared type takes a quoted literal.
+    * Wrappers (Nullable, LowCardinality) are stripped first. */
+  private[sinks] def targetIsQuoted(declared: String): Boolean = {
+    var t = declared.trim
+    var changed = true
+    while (changed) {
+      changed = false
+      for (w <- Seq("Nullable(", "LowCardinality(")) {
+        if (t.startsWith(w) && t.endsWith(")")) {
+          t = t.substring(w.length, t.length - 1).trim
+          changed = true
+        }
+      }
+    }
+    Seq("String", "FixedString", "UUID", "Enum", "IPv4", "IPv6",
+      "Date", "DateTime").exists(t.startsWith)
+  }
+
+  /** Literal-format driven by the TARGET column's declared type; the
+    * DataFrame type only controls rendering (timestamp formats). */
+  def literalForTarget(c: Column, dt: DataType, declaredTargetType: String): Column = {
+    val text = rendered(c, dt)
+    val formatted = if (targetIsQuoted(declaredTargetType)) quoted(text) else text
+    coalesce(formatted, lit("NULL"))
+  }
+
+  /** Per-row `(v1,v2,...)` tuple column for the given DataFrame.
+    * `targetTypes` maps column name → declared sink type; columns
+    * absent from the map fall back to DataFrame-schema formatting. */
+  def valuesTuple(df: DataFrame, targetTypes: Map[String, String] = Map.empty): Column = {
+    val parts = df.schema.fields.map { f =>
+      targetTypes.get(f.name) match {
+        case Some(t) => literalForTarget(col(f.name), f.dataType, t)
+        case None => literal(col(f.name), f.dataType)
+      }
+    }
     concat(lit("("), concat_ws(",", parts.toIndexedSeq: _*), lit(")"))
   }
 
   /** Batch the rows of `df` into multi-row INSERT statements of at most
     * `batchSize` rows per target-partition key. Output: one row per
     * statement, column `stmt`. Single shuffle on the batch key. */
-  def insertStatements(df: DataFrame, table: String, keyExpr: Column, batchSize: Int): DataFrame = {
+  def insertStatements(df: DataFrame, table: String, keyExpr: Column, batchSize: Int,
+      targetTypes: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cols = df.columns.mkString(",")
     // materialize the key ONCE before the window shuffle: a
     // nondeterministic keyExpr (e.g. spark_partition_id) re-evaluated
     // after the exchange would merge batches across source partitions
     // and overflow the batchSize contract
-    val keyed = df.withColumn("__tuple", valuesTuple(df)).withColumn("__key", keyExpr)
+    val keyed = df.withColumn("__tuple", valuesTuple(df, targetTypes)).withColumn("__key", keyExpr)
     val byKey = Window.partitionBy(col("__key")).orderBy(monotonically_increasing_id())
     keyed
       .withColumn("__rn", row_number().over(byKey))

@@ -41,6 +41,12 @@ object Pipeline {
       keyField: String,
       checkpoint: String,
       dirtySink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
+    // config-selected state store provider (reference state.backend):
+    // applied before start() so every stateful operator in this query
+    // uses it; session-scoped, like Flink's env.setStateBackend
+    cfg.sparkConfs.foreach { case (k, v) =>
+      kafkaShaped.sparkSession.conf.set(k, v)
+    }
     val sink = new BatchedRetrySink(writer, cfg.sinkMaxRetries, cfg.sinkRetryBackoffMs)
     val write = sink.writeBatch(
       s"${cfg.sinkDatabase}.${cfg.sinkTable}", col(keyField), cfg.windowSize) _

@@ -68,6 +68,41 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(!huge.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("rewrite survives plan-change validation (producedAttributes)") {
+    withConf("spark.sql.planChangeValidation" -> "true") {
+      val df = rankedQuery()
+      assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(df.count() > 0)
+    }
+  }
+
+  test("rewrite can be disabled via spark.graft.topk.rewrite.enabled") {
+    withConf("spark.graft.topk.rewrite.enabled" -> "false") {
+      val plan = rankedQuery().queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"), s"rewrite fired while disabled:\n$plan")
+    }
+  }
+
+  test("partial-phase buffer cap degrades to pass-through, results exact") {
+    val want = rankedQuery().orderBy("user_id", "rn").collect()
+    // cap of 4 buffered rows per partition: nearly every key overflows,
+    // so most rows take the pass-through path — results must not change
+    val got = withConf("graft.topk.maxBufferedRows" -> "4") {
+      rankedQuery().orderBy("user_id", "rn").collect()
+    }
+    assert(got.length === want.length && got.length > 0)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
   test("rule does NOT fire when the window has other functions") {
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
     val plan = graft.sources.Tables.events(spark, sf)
