@@ -40,6 +40,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     reportDeltas(results, total)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${JsonUtil.q(sfDir)}}""")
+    CachedPlans.clear(spark)
     spark.stop()
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{RollingHash64, SimHash64}
+import graft.functions.{RollingHash64, SimHash64, VecDot, VecNormalize, WordShingles}
 import graft.plans.{TopKPerKey, TopKPerKeyExec}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -48,5 +48,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       unary("simhash64")(SimHash64)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_normalize"),
+      new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),
+      unary("vec_normalize")(VecNormalize)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"vec_dot expects exactly 2 arguments, got ${es.length}")
+        VecDot(es.head, es(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"word_shingles expects (text, n), got ${es.length} arguments")
+        es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+            WordShingles(es.head, n)
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an INT literal, got $other")
+        }
+      }))
   }
 }

@@ -30,6 +30,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonUtil.q(k)}: ${JsonUtil.q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    CachedPlans.clear(spark)
     spark.stop()
   }
 }

@@ -28,12 +28,17 @@ object DedupOps {
       .select(col("doc_id"), graft.functions.word_shingles(col("text"), 3).as("shingles"))
 
   /** Shared persisted inverted index (doc_id, sid) on the 60-bit
-    * shingle hash — CacheManager dedupes identical plans, so ngram and
-    * minhash share one cache entry within a session. */
+    * shingle hash — one registry entry per session+dir, shared by
+    * ngram and minhash; released via [[clearCache]]. */
   private def hashedIndex(s: SparkSession, d: String): DataFrame =
-    shingledDocs(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid")).persist()
+    graft.CachedPlans.cached(s, s"dedup.hashedIndex:$d") {
+      shingledDocs(s, d)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid"))
+    }
+
+  /** Unpersist the shared dedup/ANN indexes this session built. */
+  def clearCache(s: SparkSession): Unit = graft.CachedPlans.clear(s)
 
   private val sqlShingles =
     """list_distinct(CASE WHEN len(toks) >= 3
@@ -88,7 +93,9 @@ object DedupOps {
     val rare = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50).select(col("sid"))
     // persist the filtered index: the self-join reads it twice
-    val indexed = sh.join(broadcast(rare), "sid").persist()
+    val indexed = graft.CachedPlans.cached(s, s"dedup.rareIndex:$d") {
+      sh.join(broadcast(rare), "sid")
+    }
     // second blocking stage: require >= 5 shared rare shingles before
     // the (array-intersect) exact verification — random pairs share 1-2
     // rare shingles, near-dups share dozens, so this cuts the verify
@@ -183,8 +190,10 @@ object DedupOps {
     * bit_count(xor). Wrapping-Long simhash isn't portable to DuckDB →
     * rows-only; semantics spec'd in DedupSpec. */
   val simhash: GraftOp = GraftOp.rowsOnly("dedup_simhash") { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(split(col("text"), "\\s+")).as("sh")).persist()
+    val docs = graft.CachedPlans.cached(s, s"dedup.simhashDocs:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhash64(split(col("text"), "\\s+")).as("sh"))
+    }
     val banded = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 to 3).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -121,10 +121,11 @@ object KnnOps {
     import org.apache.spark.ml.functions.array_to_vector
     val k = 16
     val nprobe = 4
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
-      .withColumn("fv", array_to_vector(col("u")))
-      .persist()
+    val v = graft.CachedPlans.cached(s, s"knn.ivf.corpus:$d") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+        .withColumn("fv", array_to_vector(col("u")))
+    }
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(v)
     val assigned = model.transform(v).select(col("vec_id"), col("u"), col("cell"))

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Relational
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI enforcement of the scan-level plan properties SURVEY §5 claims:
+  * predicate pushdown reaching the parquet scan and column pruning of
+  * the read schema. A scan that reads all 16 lineitem columns for a
+  * 2-column aggregate is wrong even when results match. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    // default 100-char metadata truncation cuts PushedFilters/ReadSchema
+    // mid-list, which would make the assertions below vacuous
+    s.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q6_filter: predicates are pushed to the parquet scan") {
+    val plan = Relational.q6Filter.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pushed.contains("l_discount") || pushed.contains("l_quantity") ||
+      pushed.contains("l_shipdate"),
+      s"no q6 predicate reached the scan; PushedFilters=[$pushed]\n$plan")
+  }
+
+  test("q1_agg: scan reads only the referenced lineitem columns") {
+    val plan = Relational.q1Agg.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty, s"no ReadSchema in plan:\n$plan")
+    // needed columns present, unreferenced wide columns pruned
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    for (c <- Seq("l_comment", "l_shipinstruct", "l_partkey", "l_suppkey"))
+      assert(!read.contains(c), s"column $c not pruned: ReadSchema=$read")
+  }
+
+  test("SQL surface: vec_dot / vec_normalize / word_shingles registered") {
+    val dot = spark.sql("SELECT vec_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
+      .head.getDouble(0)
+    assert(dot === 11.0)
+    val unit = spark.sql("SELECT vec_dot(vec_normalize(array(3.0d,4.0d)), vec_normalize(array(3.0d,4.0d))) AS d")
+      .head.getDouble(0)
+    assert(math.abs(unit - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+  }
+}
