@@ -118,13 +118,11 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash + LSH: k=16 portable md5-derived min-hashes per doc,
-    * 4 bands × 4 rows; docs sharing a band bucket become candidates,
-    * verified with exact Jaccard ≥ 0.8. One explode-shuffle on band
-    * buckets — never all-pairs. */
-  val minhash: GraftOp = GraftOp(
-    "dedup_minhash",
-    s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+  /** Shared oracle CTE chain ending in `verified(doc_a, doc_b,
+    * jaccard)` — the minhash pipeline up to exact-Jaccard
+    * verification, reused by dedup_minhash and dedup_clusters. */
+  private val sqlMinhashVerified: String =
+    s"""toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
        |shl AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
        |sh0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
        |sh AS (SELECT doc_id, ${Exprs.sqlMd5Long("shingle")} AS sid FROM sh0),
@@ -146,9 +144,10 @@ object DedupOps {
        |    len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
        |      (sa.n + sb.n - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
        |  FROM cand, sizes sa, sizes sb
-       |  WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, jaccard FROM verified
-       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+       |  WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b)""".stripMargin
+
+  /** Verified minhash near-dup pairs (jaccard ≥ 0.8), unordered. */
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = shingledDocs(s, d)
     val sh = hashedIndex(s, d) // shared cache with dedup_ngram
     // 16 portable min-hashes. md5 is the expensive kernel → hash each
@@ -182,7 +181,73 @@ object DedupOps {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + LSH: k=16 portable md5-derived min-hashes per doc,
+    * 4 bands × 4 rows; docs sharing a band bucket become candidates,
+    * verified with exact Jaccard ≥ 0.8. One explode-shuffle on band
+    * buckets — never all-pairs. */
+  val minhash: GraftOp = GraftOp(
+    "dedup_minhash",
+    s"""WITH $sqlMinhashVerified
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup cluster assignment: connected components over the
+    * verified minhash pair graph — the production step between "pairs
+    * found" and "pick one canonical doc per duplicate group", without
+    * which transitive dup chains (A~B, B~C) keep both A and C.
+    *
+    * Distributed min-label propagation: each round every vertex takes
+    * the min label among itself and its neighbors; rounds are whole
+    * DataFrame jobs (one shuffle each), the driver only checks the
+    * converged flag — no vertex data ever leaves the executors. Round
+    * count is bounded by the graph diameter (near-dup clusters are
+    * tiny, so a handful); at web scale the same loop runs with the
+    * large-star/small-star edge rewrite to collapse diameter
+    * logarithmically. Oracle: recursive CTE over the same pair graph.
+    */
+  val clusters: GraftOp = GraftOp(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $sqlMinhashVerified,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+       |      UNION ALL
+       |      SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8),
+       |v AS (SELECT DISTINCT src AS doc FROM e),
+       |walk(doc, label) AS (
+       |  SELECT doc, doc FROM v
+       |  UNION
+       |  SELECT e.dst, walk.label FROM walk JOIN e ON walk.doc = e.src)
+       |SELECT doc AS doc_id, min(label) AS cluster_id
+       |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val sym = graft.CachedPlans.cached(s, s"dedup.clusterEdges:$d") {
+      pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+    }
+    var labels = sym.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = sym.join(labels, col("src") === col("doc"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, col("doc") === col("dst"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.doc") === col("p.doc"))
+        .filter(col("n.label") =!= col("p.label"))
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup: 64-bit simhash (native Catalyst expression),
@@ -320,5 +385,5 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val ops: Seq[GraftOp] = Seq(exact, ngram, minhash, simhash, embed)
+  val ops: Seq[GraftOp] = Seq(exact, ngram, minhash, clusters, simhash, embed)
 }

@@ -30,5 +30,23 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(uniform, stratified)
+  /** Deterministic hash-based sampling: keep a row iff a portable hash
+    * of its key lands under the rate threshold. Unlike RNG Bernoulli
+    * sampling this is reproducible ACROSS engines and runs (same rows
+    * at any parallelism, append-stable as the corpus grows — the
+    * property dataset curation actually wants), so it's fully
+    * oracle-checkable. Partition-local, no shuffle. */
+  val hashSample: GraftOp = GraftOp(
+    "sample_hash",
+    s"""SELECT event_id, user_id, event_type FROM events
+       |WHERE ${graft.functions.Exprs.sqlMd5Long("CAST(event_id AS VARCHAR)")} % 100 < 10
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(graft.functions.Exprs.md5Long(
+        col("event_id").cast(org.apache.spark.sql.types.StringType)) % 100 < 10)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(uniform, stratified, hashSample)
 }

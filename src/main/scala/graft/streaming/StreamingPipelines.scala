@@ -27,6 +27,20 @@ object StreamingPipelines {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming sessionization (streaming twin of q_session): Spark's
+    * native session_window merges events closer than `gap`; with a
+    * watermark, closed sessions emit incrementally in append mode
+    * (state per OPEN session only — bounded). StreamingSpec asserts
+    * equivalence against the batch gaps-and-islands formulation. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** Streaming dedup within the watermark (at-least-once → effectively-
     * once on the event id — the dedup the reference's replay lacks). */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -4,6 +4,29 @@ import graft.operators.{DedupOps, IncrementalDedup}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+class DedupClusterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("connected components: pairs end up co-clustered, cluster id = min member") {
+    val pairs = DedupOps.minhash.run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val clusters = DedupOps.clusters.run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly the docs that appear in some pair are clustered
+    assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both endpoints of every pair share a cluster (incl. transitively)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum doc_id of its members
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid min is ${members.keys.min}")
+    }
+  }
+}
+
 class IncrementalDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.01"

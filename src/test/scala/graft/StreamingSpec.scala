@@ -75,6 +75,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("streaming session windows == batch q_session sessions") {
+    val got = runToMemory(
+      StreamingPipelines.sessionAgg(eventsStream()), "complete", "sess_out")
+      .withColumn("session_start", col("session_start").cast(TimestampNTZType))
+      .orderBy("user_id", "session_start").collect()
+    // batch oracle-green sessionization, re-keyed on (user, start, n)
+    val want = Relational.qSession.run(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length === want.length)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
   test("count-batcher flushes a batch every N records per key") {
     implicit val s = spark
     import s.implicits._
