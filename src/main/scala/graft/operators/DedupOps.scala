@@ -146,8 +146,13 @@ object DedupOps {
        |  FROM cand, sizes sa, sizes sb
        |  WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b)""".stripMargin
 
-  /** Verified minhash near-dup pairs (jaccard ≥ 0.8), unordered. */
-  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Verified minhash near-dup pairs (jaccard ≥ 0.8), unordered.
+    * Registry-persisted: dedup_minhash and dedup_clusters share one
+    * materialization of the band-join + exact-verify chain. */
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"dedup.minhashPairs:$d")(minhashPairsPlan(s, d))
+
+  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
     val docs = shingledDocs(s, d)
     val sh = hashedIndex(s, d) // shared cache with dedup_ngram
     // 16 portable min-hashes. md5 is the expensive kernel → hash each
@@ -222,10 +227,13 @@ object DedupOps {
        |  SELECT e.dst, walk.label FROM walk JOIN e ON walk.doc = e.src)
        |SELECT doc AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    // symmetrize in one pass over the persisted pairs (explode of both
+    // orientations, not a union that would scan the chain twice)
     val sym = graft.CachedPlans.cached(s, s"dedup.clusterEdges:$d") {
-      pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst")
+      minhashPairs(s, d).select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }
     var labels = sym.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc")).persist()
@@ -234,17 +242,21 @@ object DedupOps {
     while (!converged && rounds < 50) {
       val nbrMin = sym.join(labels, col("src") === col("doc"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      // carry a per-row changed flag so convergence costs one agg over
+      // the SAME persisted frame — no extra old-vs-new join per round
+      // (a self-referential join is also where Spark's relation dedup
+      // can silently collapse the comparison to a tautology)
       val next = labels.join(nbrMin, col("doc") === col("dst"), "left")
         .select(col("doc"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).cast("long").as("chg"))
         .persist()
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.doc") === col("p.doc"))
-        .filter(col("n.label") =!= col("p.label"))
-        .isEmpty
+      val nChanged = next.agg(sum(col("chg"))).head.getLong(0)
       labels.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("doc"), col("label"))
+      converged = nChanged == 0
       rounds += 1
+      System.err.println(s"[graft] dedup_clusters round=$rounds changed=$nChanged")
     }
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
