@@ -9,8 +9,8 @@ object SparkEntry {
   /** Every operator the engine exposes, from all op families. */
   def allOps: Seq[GraftOp] =
     Relational.ops ++ SqlSurface.ops ++ SqlSurface2.ops ++ TpchMore.ops ++ TpchMore2.ops ++
-      EtlOps.ops ++ TextOps.ops ++ DedupOps.ops ++ MmOps.ops ++ KnnOps.ops ++ TopK.ops ++
-      Sampling.ops
+      EtlOps.ops ++ TextOps.ops ++ DedupOps.ops ++ CleanPipeline.ops ++ MmOps.ops ++
+      KnnOps.ops ++ TopK.ops ++ Sampling.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning — the composition a training-data
+  * pipeline actually runs, built entirely from the oracle-green
+  * primitives: quality scoring + language ID (TextOps) → exact dedup
+  * (content-hash canonical) → near-dup removal (minhash clusters,
+  * keep the minimum-id member of each duplicate group).
+  *
+  * One op, four stages, zero driver round-trips beyond the bounded
+  * cluster-propagation loop; every stage is the same plan shape the
+  * standalone op uses, so this is also a regression net for how the
+  * primitives compose.
+  */
+object CleanPipeline {
+
+  val clean: GraftOp = GraftOp(
+    "pipeline_clean",
+    s"""WITH RECURSIVE ${DedupOps.sqlMinhashVerified},
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+       |      UNION ALL
+       |      SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8),
+       |vv AS (SELECT DISTINCT src AS doc FROM e),
+       |walk(doc, label) AS (
+       |  SELECT doc, doc FROM vv
+       |  UNION
+       |  SELECT e.dst, walk.label FROM walk JOIN e ON walk.doc = e.src),
+       |noncanon AS (SELECT doc FROM walk GROUP BY doc HAVING min(label) <> doc),
+       |q AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars, t.toks,
+       |    row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+       |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+       |scored AS (
+       |  SELECT doc_id, lang, rn,
+       |    len(list_filter(toks, x -> list_contains(${TextOps.sqlStopList}, x))) * 1.0 / len(toks) AS en_ratio,
+       |    0.3 * least(1.0, n_chars / 500.0)
+       |      + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+       |      + 0.3 * (len(list_filter(toks, x -> list_contains(${TextOps.sqlStopList}, x))) * 1.0 / len(toks)) AS quality_score
+       |  FROM q)
+       |SELECT doc_id, quality_score, en_ratio
+       |FROM scored
+       |WHERE quality_score >= 0.38 AND en_ratio >= 0.05 AND rn = 1
+       |  AND doc_id NOT IN (SELECT doc FROM noncanon)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val nTok = size(col("toks"))
+    val enRatio = size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / nTok
+    val ttr = size(array_distinct(col("toks"))) * lit(1.0) / nTok
+    val score = lit(0.3) * least(lit(1.0), col("n_chars") / 500.0) +
+      lit(0.4) * ttr + lit(0.3) * enRatio
+    val byContent = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    // near-dup losers: every cluster member that is not its cluster's
+    // minimum doc_id (the canonical survivor)
+    val nonCanonical = DedupOps.clusters.run(s, d)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        split(col("text"), "\\s+").as("toks"))
+      .withColumn("rn", row_number().over(byContent))
+      .select(col("doc_id"), col("rn"),
+        enRatio.as("en_ratio"), score.as("quality_score"))
+      .filter(col("quality_score") >= 0.38 && col("en_ratio") >= 0.05 && col("rn") === 1)
+      .join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality_score"), col("en_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(clean)
+}

@@ -121,7 +121,7 @@ object DedupOps {
   /** Shared oracle CTE chain ending in `verified(doc_a, doc_b,
     * jaccard)` — the minhash pipeline up to exact-Jaccard
     * verification, reused by dedup_minhash and dedup_clusters. */
-  private val sqlMinhashVerified: String =
+  private[operators] val sqlMinhashVerified: String =
     s"""toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
        |shl AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
        |sh0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),

@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  private val stopwords = Seq(
+  private[operators] val stopwords = Seq(
     "the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "as", "at", "by")
-  private val sqlStopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[operators] val sqlStopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private def tokens: Column = split(col("text"), "\\s+")
 

@@ -146,5 +146,105 @@ object TpchMore2 {
       .orderBy(col("c_mktsegment"))
   }
 
-  val ops: Seq[GraftOp] = Seq(q4Exists, q13Custdist, q17SmallQty, q21Single, q22Wealthy)
+  /** Q7 shape: trade volume between two nations by ship year — the
+    * two-sided nation-pair filter over a 4-way join, dims broadcast. */
+  val q7Volume: GraftOp = GraftOp(
+    "q7_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS volume
+      |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8 shape: one nation's market share inside one region's customer
+    * base, by year — ratio of conditional to total exact-decimal sums. */
+  val q8Share: GraftOp = GraftOp(
+    "q8_share",
+    """SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CASE WHEN n1.n_name = 'NATION_2'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))
+      |    ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS mkt_share,
+      |  count(*) AS n_items
+      |FROM lineitem, orders, supplier, customer, nation n1, nation n2, region
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val disc = discPrice(col("l_extendedprice"), col("l_discount"))
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("nk2"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("nk2"), "left_semi")
+      .groupBy(year(col("l_shipdate")).as("l_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_2", disc)
+          .otherwise(lit(0).cast(DecimalType(21, 4)))).cast(DoubleType)
+          / sum(disc).cast(DoubleType)).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_year"))
+  }
+
+  /** Q15 shape: top-revenue supplier(s) — grouped revenue view joined
+    * against its own max (scalar subquery → single-row broadcast). */
+  val q15TopSupp: GraftOp = GraftOp(
+    "q15_top_supp",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1997-01-01 00:00:00" &&
+        col("l_shipdate") < "1997-04-01 00:00:00")
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
+    revenue.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(q4Exists, q13Custdist, q17SmallQty, q21Single, q22Wealthy,
+    q7Volume, q8Share, q15TopSupp)
 }
