@@ -243,14 +243,18 @@ object DedupOps {
       val nbrMin = sym.join(labels, col("src") === col("doc"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
       // carry a per-row changed flag so convergence costs one agg over
-      // the SAME persisted frame — no extra old-vs-new join per round
-      // (a self-referential join is also where Spark's relation dedup
-      // can silently collapse the comparison to a tautology)
+      // the SAME materialized frame — no extra old-vs-new join per
+      // round (a self-referential join is also where Spark's relation
+      // dedup can silently collapse the comparison to a tautology).
+      // localCheckpoint (eager) truncates lineage: labels appears twice
+      // per round, so plain persist would DOUBLE the logical plan every
+      // iteration — execution stays cached but analysis/printing of the
+      // final plan goes exponential in round count.
       val next = labels.join(nbrMin, col("doc") === col("dst"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).cast("long").as("chg"))
-        .persist()
+        .localCheckpoint(true)
       val nChanged = next.agg(sum(col("chg"))).head.getLong(0)
       labels.unpersist(blocking = false)
       labels = next.select(col("doc"), col("label"))

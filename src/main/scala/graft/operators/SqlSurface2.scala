@@ -124,6 +124,48 @@ object SqlSurface2 {
       .orderBy(col("event_id"))
   }
 
+  /** Ranking-function matrix: rank / dense_rank / percent_rank /
+    * cume_dist over the same window (ties exercised via p_size). */
+  val qRankFuncs: GraftOp = GraftOp(
+    "q_rank_funcs",
+    """SELECT p_partkey, p_brand, p_size,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand")).orderBy(col("p_size"))
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Ordered string aggregation per group (LISTAGG semantics made
+    * deterministic: collect, sort, join — collect_list order is
+    * partition-dependent, so the sort is what makes this reproducible
+    * at any parallelism). */
+  val qStringAgg: GraftOp = GraftOp(
+    "q_string_agg",
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), "|").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(qGroupingSets, qWindowFrames, qJoinTypes, qUnpivot, qNullFuncs)
+    Seq(qGroupingSets, qWindowFrames, qJoinTypes, qUnpivot, qNullFuncs,
+      qRankFuncs, qStringAgg)
 }
