@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Every operator the engine exposes, from all op families. */
   def allOps: Seq[GraftOp] =
-    Relational.ops ++ SqlSurface.ops ++ SqlSurface2.ops ++ TpchMore.ops ++ TpchMore2.ops ++
+    Relational.ops ++ SqlSurface.ops ++ SqlSurface2.ops ++ SqlSurface3.ops ++
+      TpchMore.ops ++ TpchMore2.ops ++
       EtlOps.ops ++ TextOps.ops ++ DedupOps.ops ++ CleanPipeline.ops ++ MmOps.ops ++
       KnnOps.ops ++ TopK.ops ++ Sampling.ops
 
