@@ -55,9 +55,14 @@ def norm(v):
 
 
 def canon(df):
+    # per-COLUMN normalization: iterrows() materializes each row as a
+    # Series, upcasting int64 to float64 whenever the row mixes numeric
+    # dtypes — which would silently collapse exactly the int-vs-float
+    # distinction this tool exists to catch. Series.tolist() keeps each
+    # column's dtype (int64 -> int, float64 -> float).
     cols = sorted(df.columns)
-    rows = ["|".join(norm(r[c]) for c in cols)
-            for _, r in df.iterrows()]
+    col_vals = [[norm(v) for v in df[c].tolist()] for c in cols]
+    rows = ["|".join(vals) for vals in zip(*col_vals)]
     return sorted(rows)
 
 

@@ -12,6 +12,7 @@ object ExplainCheck {
       val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
       System.err.println(s"[explain] $name: bhj=$bhj smj=$smj shj=$shj hashEx=$ex")
     }
+    CachedPlans.clear(spark)
     spark.stop()
   }
 }

@@ -21,14 +21,7 @@ object CleanPipeline {
   val clean: GraftOp = GraftOp(
     "pipeline_clean",
     s"""WITH RECURSIVE ${DedupOps.sqlMinhashVerified},
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
-       |      UNION ALL
-       |      SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8),
-       |vv AS (SELECT DISTINCT src AS doc FROM e),
-       |walk(doc, label) AS (
-       |  SELECT doc, doc FROM vv
-       |  UNION
-       |  SELECT e.dst, walk.label FROM walk JOIN e ON walk.doc = e.src),
+       |${DedupOps.sqlClusterWalk},
        |noncanon AS (SELECT doc FROM walk GROUP BY doc HAVING min(label) <> doc),
        |q AS (
        |  SELECT d.doc_id, d.lang, d.n_chars, t.toks,

@@ -214,17 +214,23 @@ object DedupOps {
     * large-star/small-star edge rewrite to collapse diameter
     * logarithmically. Oracle: recursive CTE over the same pair graph.
     */
+  /** Connected-components CTE fragment over `verified` — shared by the
+    * dedup_clusters and pipeline_clean oracles so the two can't drift.
+    * Ends in `walk(doc, label)`; consumers aggregate min(label). */
+  private[operators] val sqlClusterWalk: String =
+    """e AS (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+      |      UNION ALL
+      |      SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8),
+      |vv AS (SELECT DISTINCT src AS doc FROM e),
+      |walk(doc, label) AS (
+      |  SELECT doc, doc FROM vv
+      |  UNION
+      |  SELECT e.dst, walk.label FROM walk JOIN e ON walk.doc = e.src)""".stripMargin
+
   val clusters: GraftOp = GraftOp(
     "dedup_clusters",
     s"""WITH RECURSIVE $sqlMinhashVerified,
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
-       |      UNION ALL
-       |      SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8),
-       |v AS (SELECT DISTINCT src AS doc FROM e),
-       |walk(doc, label) AS (
-       |  SELECT doc, doc FROM v
-       |  UNION
-       |  SELECT e.dst, walk.label FROM walk JOIN e ON walk.doc = e.src)
+       |$sqlClusterWalk
        |SELECT doc AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin) { (s, d) =>
     // symmetrize in one pass over the persisted pairs (explode of both
@@ -255,13 +261,21 @@ object DedupOps {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).cast("long").as("chg"))
         .localCheckpoint(true)
-      val nChanged = next.agg(sum(col("chg"))).head.getLong(0)
+      // coalesce: sum over an EMPTY label set (no qualifying pairs in
+      // the corpus) is null, and an empty graph is trivially converged
+      val nChanged = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
       labels.unpersist(blocking = false)
       labels = next.select(col("doc"), col("label"))
       converged = nChanged == 0
       rounds += 1
       System.err.println(s"[graft] dedup_clusters round=$rounds changed=$nChanged")
     }
+    // a silent cutoff would return plausible-but-wrong cluster ids;
+    // diameter > 50 means the corpus needs the large-star/small-star
+    // rewrite, and the caller must know
+    if (!converged) throw new IllegalStateException(
+      s"dedup_clusters: label propagation did not converge in $rounds rounds " +
+        "(pair-graph diameter too large — raise the bound or use star-contraction)")
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

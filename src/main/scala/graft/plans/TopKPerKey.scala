@@ -59,11 +59,25 @@ case class TopKPerKeyExec(
 
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
 
+  /** Float/double keys normalized (-0.0 → 0.0, canonical NaN). The
+    * RowNumberLimitToTopK rewrite fires BEFORE Spark's
+    * NormalizeFloatingNumbers batch and replaces the Window that rule
+    * would have handled, so this node must normalize its own keys —
+    * otherwise the exchange can hash 0.0 and -0.0 to different
+    * partitions and the final phase would split one logical group. */
+  private val normKeys: Seq[Expression] = keys.map { k =>
+    k.dataType match {
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(k)
+      case _ => k
+    }
+  }
+
   private def keysAndOrder: Seq[SortOrder] =
-    keys.map(SortOrder(_, Ascending)) ++ order
+    normKeys.map(SortOrder(_, Ascending)) ++ order
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (global) ClusteredDistribution(keys) :: Nil
+    if (global) ClusteredDistribution(normKeys) :: Nil
     else UnspecifiedDistribution :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
@@ -79,7 +93,7 @@ case class TopKPerKeyExec(
 
   /** Streaming group-limit over (keys ++ order)-sorted input. */
   private def executeFinal(): RDD[InternalRow] = {
-    val (keyExprs, limit, childOutput) = (keys, k, child.output)
+    val (keyExprs, limit, childOutput) = (normKeys, k, child.output)
     val emitRank = rankAttr.isDefined
     val outputSchema = output
     child.execute().mapPartitions { iter =>
@@ -119,7 +133,7 @@ case class TopKPerKeyExec(
 
   /** Map-side partial: bounded heaps, pass-through beyond the cap. */
   private def executePartial(): RDD[InternalRow] = {
-    val (keyExprs, sortOrder, limit, childOutput) = (keys, order, k, child.output)
+    val (keyExprs, sortOrder, limit, childOutput) = (normKeys, order, k, child.output)
     val maxBuffered =
       conf.getConfString("graft.topk.maxBufferedRows", (8 << 20).toString).toLong
     child.execute().mapPartitions { iter =>
@@ -149,8 +163,13 @@ case class TopKPerKeyExec(
                 nBuffered += 1
               }
             } else if (heap.size < limit) {
-              heap.enqueue(row.copy())
-              nBuffered += 1
+              // cap gates EXISTING keys' growth too — without this,
+              // tracked keys could buffer up to cap × k rows total
+              if (nBuffered >= maxBuffered) overflow = row
+              else {
+                heap.enqueue(row.copy())
+                nBuffered += 1
+              }
             } else if (ordering.compare(row, heap.head) < 0) {
               heap.dequeue()
               heap.enqueue(row.copy())

@@ -103,6 +103,21 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("float partition keys: -0.0 and 0.0 land in one group") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val df = Seq((0.0, 1), (-0.0, 2), (0.0, 3), (1.5, 4), (-0.0, 5)).toDF("key", "v")
+    val w = Window.partitionBy(col("key")).orderBy(col("v"))
+    val got = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(got.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // unnormalized keys would split the zero group by byte pattern and
+    // keep all five rows; normalized: top-2 of {1,2,3,5} plus {4}
+    val rows = got.collect()
+    assert(rows.length === 3, rows.mkString(","))
+    assert(rows.map(_.getInt(1)).sorted.sameElements(Array(1, 2, 4)))
+  }
+
   test("rule does NOT fire when the window has other functions") {
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
     val plan = graft.sources.Tables.events(spark, sf)
