@@ -288,7 +288,20 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Approximate percentiles (t-digest-backed `approx_percentile`) —
+    * the sketch-family twin of q_percentile. Approximate by
+    * construction → rows-only; OpsSpec pins the error bound against
+    * the exact quantiles. */
+  val qApproxPercentile: GraftOp = GraftOp.rowsOnly("q_approx_percentile") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(
     q1Agg, q6Filter, q3Topk, q5Join, qSemiAnti, qWindow, qDistinct,
-    qApproxDistinct, qRollup, qAsofJoin, qTimeBucket, qSession)
+    qApproxDistinct, qApproxPercentile, qRollup, qAsofJoin, qTimeBucket, qSession)
 }

@@ -37,6 +37,18 @@ class OpsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx_percentile within 5% of exact quantiles") {
+    val exact = graft.operators.SqlSurface.qPercentile.run(spark, sf)
+      .select(col("event_type"), col("p50"), col("p95")).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    Relational.qApproxPercentile.run(spark, sf).collect().foreach { r =>
+      val t = r.getString(0)
+      val (e50, e95) = exact(t)
+      assert(math.abs(r.getDouble(1) - e50) / e50 <= 0.05, s"$t p50 ${r.getDouble(1)} vs $e50")
+      assert(math.abs(r.getDouble(2) - e95) / e95 <= 0.05, s"$t p95 ${r.getDouble(2)} vs $e95")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val exact = Relational.qDistinct.run(spark, sf)
       .select(col("event_type"), col("n_users")).collect()

@@ -39,6 +39,15 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!read.contains(c), s"column $c not pruned: ReadSchema=$read")
   }
 
+  test("q5_join: all four dimension joins broadcast, no sort-merge join") {
+    val plan = Relational.q5Join.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"dimension join fell back to sort-merge:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n$plan")
+  }
+
   test("SQL surface: vec_dot / vec_normalize / word_shingles registered") {
     val dot = spark.sql("SELECT vec_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
       .head.getDouble(0)
