@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.ops ++ SqlSurface.ops ++ SqlSurface2.ops ++ SqlSurface3.ops ++
       TpchMore.ops ++ TpchMore2.ops ++
       EtlOps.ops ++ TextOps.ops ++ DedupOps.ops ++ CleanPipeline.ops ++ MmOps.ops ++
-      KnnOps.ops ++ TopK.ops ++ Sampling.ops
+      KnnOps.ops ++ TopK.ops ++ Sampling.ops ++ RangeJoin.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sides() = {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts").as("s_ts"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("s_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    (signups, purchases)
+  }
+
+  test("binned rewrite == naive range-predicate join, without the nested loop") {
+    val (signups, purchases) = sides()
+    val naive = purchases.join(signups,
+        col("p_ts") >= col("s_ts") && col("p_ts") < col("s_end"))
+      .select(col("signup_id"), col("purchase_id"))
+    val binned = RangeJoin.binnedPointInterval(
+        purchases, col("p_ts"), signups, col("s_ts"), col("s_end"), binSeconds = 600L)
+      .select(col("signup_id"), col("purchase_id"))
+    val a = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = binned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.nonEmpty, "test data should contain temporal co-occurrences")
+    assert(a.sameElements(b))
+    // the naive plan is a nested loop; the rewrite must not be
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    val binnedPlan = binned.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"))
+    assert(!binnedPlan.contains("BroadcastNestedLoopJoin"),
+      s"binned rewrite fell back to a nested loop:\n$binnedPlan")
+  }
+}
