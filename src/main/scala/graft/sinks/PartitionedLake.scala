@@ -27,4 +27,21 @@ object PartitionedLake {
   /** Read back one day — planner prunes to that partition directory. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("day") === day)
+
+  /** Compact one day's small files into `targetFiles` outputs. Small
+    * files are the chronic lake disease (every micro-batch appends a
+    * few, listing and scan overhead grow without bound); compaction
+    * rewrites just the one directory via dynamic partition overwrite.
+    * The eager localCheckpoint materializes the day's rows first —
+    * Spark (correctly) refuses to overwrite a path it is still
+    * reading, and a truncated-lineage scan no longer references it. */
+  def compactDay(spark: SparkSession, path: String, day: String, targetFiles: Int): Unit =
+    readDay(spark, path, day)
+      .localCheckpoint(true)
+      .repartition(targetFiles)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
 }

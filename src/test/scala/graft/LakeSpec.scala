@@ -30,4 +30,24 @@ class LakeSpec extends AnyFunSuite {
     PartitionedLake.writeByDay(ev.filter(date_format(col("ts"), "yyyy-MM-dd") === day), "ts", path)
     assert(spark.read.parquet(path).count() === total)
   }
+
+  test("compaction: small files collapse, rows and other days untouched") {
+    val path = Files.createTempDirectory("graft-compact").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    // deliberately fragment: 16 shuffle partitions → ~16 files per day
+    ev.repartition(16).write.partitionBy("day").parquet(path)
+    val day = "2024-01-05"
+    def files(d: String) = new java.io.File(s"$path/day=$d")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = files(day)
+    assert(before > 4, s"fragmentation setup produced only $before files")
+    val total = spark.read.parquet(path).count()
+    val dayRows = spark.read.parquet(path).filter(col("day") === day).count()
+
+    PartitionedLake.compactDay(spark, path, day, targetFiles = 2)
+    assert(files(day) === 2, "compaction must hit the file target")
+    assert(spark.read.parquet(path).filter(col("day") === day).count() === dayRows)
+    assert(spark.read.parquet(path).count() === total, "other days must be untouched")
+  }
 }
