@@ -77,5 +77,35 @@ object MmOps {
     decodeStub(s, d).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode)
+  /** Fixed-size blob chunking — the frame-sample / shard step before a
+    * per-chunk decoder or embedder: one blob row → N chunk rows with
+    * (chunk_id, offset, chunk bytes). Pure expressions (sequence +
+    * posexplode + binary substring), so chunking stays in codegen and
+    * the expensive kernel only ever sees bounded-size chunks. */
+  val chunk: GraftOp = GraftOp(
+    "mm_chunk",
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS total FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, CAST(n AS INT) AS chunk_id,
+      |  CAST(n * 256 + 1 AS BIGINT) AS byte_offset,
+      |  CAST(least(256, total - n * 256) AS INT) AS chunk_bytes
+      |FROM b, unnest(range(0, CAST(ceil(total / 256.0) AS BIGINT))) AS t(n)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val chunkSize = 256
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"), col("blob"),
+        posexplode(sequence(lit(0),
+          ceil(octet_length(col("blob")) / chunkSize.toDouble).cast(IntegerType) - 1)))
+      .toDF("doc_id", "blob", "chunk_id", "n")
+      // the chunk bytes are REALLY extracted (binary substr) — the
+      // contract emits their length; the oracle states it arithmetically
+      .select(col("doc_id"), col("chunk_id"),
+        (col("n").cast(LongType) * chunkSize + 1).as("byte_offset"),
+        octet_length(col("blob").substr(col("n") * chunkSize + 1, lit(chunkSize)))
+          .as("chunk_bytes"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk)
 }
