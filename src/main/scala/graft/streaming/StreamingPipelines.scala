@@ -41,6 +41,15 @@ object StreamingPipelines {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-static enrichment: a streaming fact joined to a batch
+    * dimension. The static side is re-planned per micro-batch (so a
+    * refreshed dim parquet is picked up) and broadcast when small —
+    * no stream-side state at all, unlike a stream-stream join. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String, how: String = "left_outer"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(streamKey) === col(dimKey), how)
+
   /** Streaming dedup within the watermark (at-least-once → effectively-
     * once on the event id — the dedup the reference's replay lacks). */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

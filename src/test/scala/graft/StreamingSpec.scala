@@ -75,6 +75,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("stream-static dimension enrichment == batch join") {
+    val dim = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").as("dim_user"), (col("user_id") % 5).as("cohort"))
+      .distinct()
+    val got = runToMemory(
+      StreamingPipelines.enrichWithDim(eventsStream(), dim, "user_id", "dim_user")
+        .select(col("event_id"), col("cohort")), "append", "enrich_out")
+      .orderBy("event_id").collect()
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .join(dim, col("user_id") === col("dim_user"), "left_outer")
+      .select(col("event_id"), col("cohort"))
+      .orderBy("event_id").collect()
+    assert(got.length === want.length && got.length > 0)
+    assert(got.map(_.toString).sameElements(want.map(_.toString)))
+  }
+
   test("streaming session windows == batch q_session sessions") {
     val got = runToMemory(
       StreamingPipelines.sessionAgg(eventsStream()), "complete", "sess_out")
