@@ -16,13 +16,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // explicit: AQE splits skewed shuffle-join partitions at runtime
-      // (the per-key hot-spot answer at 100 TB, alongside SkewJoin's
-      // deliberate salting for known-skew keys)
+      // pinned to their Spark 4 defaults deliberately: both are
+      // load-bearing for the 100-TB plan shape (AQE skew-join split
+      // for hot keys; runtime bloom filters pruning the fact side of
+      // shuffle joins before the exchange), and pinning keeps an ops
+      // config override from silently turning them off
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // runtime bloom filters: a shuffle join's selective side injects
-      // a bloom filter into the other side's scan — at 100 TB this
-      // prunes fact-table rows before the exchange, off by default
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -93,10 +93,15 @@ object MmOps {
     val chunkSize = 256
     Tables.documents(s, d)
       .filter(col("doc_id") < 100)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+        ceil(octet_length(encode(col("text"), "UTF-8")) / chunkSize.toDouble)
+          .cast(IntegerType).as("n_chunks"))
+      // empty blob → ZERO chunk rows. sequence(0, -1) would "helpfully"
+      // infer step -1 and return [0, -1]; posexplode of an empty array
+      // matches the oracle's empty range(0, 0)
       .select(col("doc_id"), col("blob"),
-        posexplode(sequence(lit(0),
-          ceil(octet_length(col("blob")) / chunkSize.toDouble).cast(IntegerType) - 1)))
+        posexplode(when(col("n_chunks") > 0, sequence(lit(0), col("n_chunks") - 1))
+          .otherwise(array().cast("array<int>"))))
       .toDF("doc_id", "blob", "chunk_id", "n")
       // the chunk bytes are REALLY extracted (binary substr) — the
       // contract emits their length; the oracle states it arithmetically

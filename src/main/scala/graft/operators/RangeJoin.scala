@@ -27,12 +27,18 @@ object RangeJoin {
       points: DataFrame, pointTs: Column,
       intervals: DataFrame, startTs: Column, endTs: Column,
       binSeconds: Long): DataFrame = {
+    for (df <- Seq(points, intervals); c <- Seq("__bin", "__bins"))
+      require(!df.columns.contains(c),
+        s"binnedPointInterval reserves column name $c")
     val p = points.withColumn("__bin", floor(unix_timestamp(pointTs) / binSeconds))
     val i = intervals.withColumn("__bins",
       sequence(
         floor(unix_timestamp(startTs) / binSeconds),
-        // end is exclusive, but an interval touching a bin boundary
-        // still covers that bin's opening instant → ceil via the raw end
+        // floor(end/bin) is included even though end is exclusive:
+        // unix_timestamp truncates to seconds, so a sub-second end can
+        // still admit points whose truncated bin is floor(end/bin).
+        // When end sits exactly on a boundary the extra bin's rows are
+        // discarded by the exact re-filter — replication, not error.
         floor(unix_timestamp(endTs) / binSeconds)))
       .withColumn("__bin", explode(col("__bins"))).drop("__bins")
     p.join(i, Seq("__bin"))

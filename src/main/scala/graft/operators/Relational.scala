@@ -288,7 +288,7 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  /** Approximate percentiles (t-digest-backed `approx_percentile`) —
+  /** Approximate percentiles (Greenwald-Khanna-sketch `approx_percentile`) —
     * the sketch-family twin of q_percentile. Approximate by
     * construction → rows-only; OpsSpec pins the error bound against
     * the exact quantiles. */

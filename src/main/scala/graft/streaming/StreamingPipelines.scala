@@ -43,12 +43,20 @@ object StreamingPipelines {
 
   /** Stream-static enrichment: a streaming fact joined to a batch
     * dimension. The static side is re-planned per micro-batch (so a
-    * refreshed dim parquet is picked up) and broadcast when small —
-    * no stream-side state at all, unlike a stream-stream join. */
+    * refreshed dim parquet is picked up); no stream-side state at all,
+    * unlike a stream-stream join. `broadcastDim = true` forces the
+    * broadcast hint — set false for dimensions too large to broadcast
+    * and let Spark pick the join strategy. Keys are resolved against
+    * their own side, so stream and dim may share the key column name;
+    * the dim's key column is dropped from the output. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String,
-      dimKey: String, how: String = "left_outer"): DataFrame =
-    stream.join(org.apache.spark.sql.functions.broadcast(dim),
-      col(streamKey) === col(dimKey), how)
+      dimKey: String, how: String = "left_outer",
+      broadcastDim: Boolean = true): DataFrame = {
+    val dimSide =
+      if (broadcastDim) org.apache.spark.sql.functions.broadcast(dim) else dim
+    stream.join(dimSide, stream.col(streamKey) === dimSide.col(dimKey), how)
+      .drop(dimSide.col(dimKey))
+  }
 
   /** Streaming dedup within the watermark (at-least-once → effectively-
     * once on the event id — the dedup the reference's replay lacks). */
