@@ -280,6 +280,46 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level dedup: repeated W-token spans across (or within)
+    * documents — the "deduplicating text spans" op (Lee et al. 2022)
+    * that doc-level dedup misses: two mostly-different docs sharing a
+    * boilerplate paragraph surface here, not in minhash. Windows of
+    * W=20 tokens at stride S=10 hash to a portable 60-bit key; one
+    * groupBy on the span hash — linear in corpus token count, never
+    * pairwise. A span-removal pass would join these hashes back to
+    * window positions; the detection stage is the scale-critical part. */
+  val spans: GraftOp = GraftOp(
+    "dedup_spans",
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, array_to_string(toks[n*10+1:n*10+20], ' ') AS span
+       |  FROM toks, unnest(range(0, CAST(greatest(0, floor((len(toks)-20)/10.0)+1) AS BIGINT))) AS t(n)),
+       |h AS (SELECT doc_id, ${Exprs.sqlMd5Long("span")} AS span_hash FROM w)
+       |SELECT span_hash, count(*) AS n_occ,
+       |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+       |FROM h GROUP BY span_hash HAVING count(*) > 1
+       |ORDER BY span_hash""".stripMargin) { (s, d) =>
+    val W = 20
+    val S = 10
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("n_win",
+        greatest(lit(0L), floor((size(col("toks")) - W) / S.toDouble) + 1).cast(IntegerType))
+      // n_win guard: sequence(0, -1) yields [0, -1], not empty
+      .filter(col("n_win") > 0)
+      .select(col("doc_id"), col("toks"), posexplode(sequence(lit(0), col("n_win") - 1)))
+      .toDF("doc_id", "toks", "w_idx", "n")
+      .select(col("doc_id"),
+        Exprs.md5Long(array_join(slice(col("toks"), col("n") * S + 1, lit(W)), " "))
+          .as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("span_hash"))
+  }
+
   /** SimHash near-dup: 64-bit simhash (native Catalyst expression),
     * 4×16-bit LSH bands for candidates, Hamming ≤ 6 verification via
     * bit_count(xor). Wrapping-Long simhash isn't portable to DuckDB →
@@ -415,5 +455,5 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val ops: Seq[GraftOp] = Seq(exact, ngram, minhash, clusters, simhash, embed)
+  val ops: Seq[GraftOp] = Seq(exact, ngram, minhash, clusters, spans, simhash, embed)
 }
