@@ -48,5 +48,36 @@ object Sampling {
       .orderBy(col("event_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(uniform, stratified, hashSample)
+  /** Fixed-size per-stratum sample: exactly k rows per group (unlike
+    * Bernoulli sampleBy's random sizes), chosen by ranking on a
+    * portable hash — deterministic across engines, runs, and
+    * parallelism. The row_number ≤ k filter is rewritten into the
+    * native two-phase TopKPerKeyExec by RowNumberLimitToTopK, so at
+    * scale each stratum ships k rows per map partition, not the whole
+    * group, through the shuffle. */
+  val fixedPerGroup: GraftOp = GraftOp(
+    "sample_fixed_per_group",
+    s"""WITH h AS (
+       |  SELECT event_id, event_type,
+       |    ${graft.functions.Exprs.sqlMd5Long("CAST(event_id AS VARCHAR)")} AS hk
+       |  FROM events),
+       |r AS (
+       |  SELECT event_id, event_type,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS rn
+       |  FROM h)
+       |SELECT event_type, event_id FROM r WHERE rn <= 50
+       |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hk = graft.functions.Exprs.md5Long(
+      col("event_id").cast(org.apache.spark.sql.types.StringType))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hk"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), hk.as("hk"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select(col("event_type"), col("event_id"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(uniform, stratified, hashSample, fixedPerGroup)
 }

@@ -48,6 +48,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n$plan")
   }
 
+  test("sample_fixed_per_group runs on the native TopKPerKey operator") {
+    val plan = graft.operators.Sampling.fixedPerGroup.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+  }
+
   test("SQL surface: vec_dot / vec_normalize / word_shingles registered") {
     val dot = spark.sql("SELECT vec_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
       .head.getDouble(0)
