@@ -1,16 +1,34 @@
 package graft
+
+/** Diagnostic main: join-strategy audit across every registered query.
+  * Prints a line per query with join/exchange node counts and flags
+  * plans containing nested-loop or cartesian joins — those are
+  * intentional ONLY where a single-row side makes them free (scalar
+  * subquery broadcasts). */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[8]", 8).config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    for (name <- Seq("q7_volume", "q21_single", "q17_small_qty", "pipeline_clean")) {
-      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
-      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
-      val smj = "SortMergeJoin".r.findAllIn(plan).size
-      val shj = "ShuffledHashJoin".r.findAllIn(plan).size
-      val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
-      System.err.println(s"[explain] $name: bhj=$bhj smj=$smj shj=$shj hashEx=$ex")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // intended BNLs: single-row scalar-aggregate broadcasts (free), and
+    // knn_brute, where corpus × broadcast-query-set IS the brute force
+    val intendedBnl = Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+        val smj = "SortMergeJoin".r.findAllIn(plan).size
+        val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        val cart = "CartesianProduct".r.findAllIn(plan).size
+        val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+        val flag =
+          if (cart > 0) "  <-- CARTESIAN"
+          else if (bnl > 0 && !intendedBnl.contains(name)) "  <-- NESTED LOOP"
+          else ""
+        System.err.println(s"[explain] $name: bhj=$bhj smj=$smj bnl=$bnl cart=$cart hashEx=$ex$flag")
+      } catch {
+        case e: Throwable => System.err.println(s"[explain] $name: FAILED ${e.getMessage}")
+      }
     }
     CachedPlans.clear(spark)
     spark.stop()
