@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Catalyst prune projections and sorts and time a
   * gutted plan. Failures are reported as -1 in the per-query map (and
   * logged to stderr) instead of masquerading as fast timings.
+  *
+  * The artifact is self-describing: queries run in sorted name order
+  * (stable cross-round per-query diffs — Map hash order let whichever
+  * query ran first absorb post-warmup costs), and the JSON carries the
+  * warmup wall-time (a machine-load proxy: warmup does fixed work, so
+  * a 3× warmup means a loaded box, not a plan regression) plus the
+  * baseline comparison (total ratio + flagged queries), so a noisy run
+  * identifies itself without a rerun.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,13 +28,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query doesn't absorb
     // session bring-up (measures steady-state, not cold-start)
+    val w0 = System.nanoTime()
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch {
       case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val warmupSec = (System.nanoTime() - w0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -37,21 +47,22 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    reportDeltas(results, total)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${JsonUtil.q(sfDir)}}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val delta = reportDeltas(results.toMap, total)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""warmup_sec":$warmupSec,$delta"sf":${JsonUtil.q(sfDir)}}""")
     CachedPlans.clear(spark)
     spark.stop()
   }
 
   /** Per-query regression report vs `bench_baseline.json` (snapshot of
-    * the round-1 driver run), on STDERR — stdout stays the one-line
-    * JSON contract. Flags ratios > 1.3× so regressions surface in the
-    * run log instead of needing archaeology across BENCH_r{N} files. */
-  private def reportDeltas(results: Map[String, Double], total: Double): Unit = {
+    * the round-1 driver run): printed on STDERR and returned as JSON
+    * fragments (`"baseline_ratio":…,"flagged":[…],`) for embedding in
+    * the stdout artifact — empty string when no baseline is present. */
+  private def reportDeltas(results: Map[String, Double], total: Double): String = {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json")
     val f = new java.io.File(baselinePath)
-    if (!f.exists()) return
+    if (!f.exists()) return ""
     try {
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       // minimal parse of {"queries":{"name":sec,...}} — no JSON lib on the classpath
@@ -64,14 +75,25 @@ object Bench {
           (name, sec, baseline(name))
       }.sortBy { case (_, sec, b) => -(sec / b) }
       val baseTotal = baseline.values.filter(_ >= 0).sum
+      // shared-query ratio: totals aren't comparable once new queries
+      // are added, so compare only the intersection
+      val sharedNames = results.keySet intersect baseline.keySet
+      val sharedNow = sharedNames.toSeq.map(results).filter(_ >= 0).sum
+      val sharedBase = sharedNames.toSeq.map(baseline).filter(_ >= 0).sum
+      val ratio = if (sharedBase > 0) sharedNow / sharedBase else -1.0
       System.err.println(
-        f"[bench] total ${total}%.1fs vs baseline ${baseTotal}%.1fs (${total / baseTotal}%.2fx)")
+        f"[bench] total ${total}%.1fs (baseline-total ${baseTotal}%.1fs); " +
+          f"shared ${sharedNames.size} queries: ${sharedNow}%.1fs vs ${sharedBase}%.1fs (${ratio}%.2fx)")
       flagged.foreach { case (name, sec, b) =>
         System.err.println(f"[bench] REGRESSION $name: ${sec}%.2fs vs baseline ${b}%.2fs (${sec / b}%.2fx)")
       }
       if (flagged.isEmpty) System.err.println("[bench] no per-query regressions > 1.3x")
+      val flaggedJson = flagged.map { case (n, _, _) => JsonUtil.q(n) }.mkString("[", ",", "]")
+      s""""baseline_shared_ratio":$ratio,"baseline_flagged":$flaggedJson,"""
     } catch {
-      case e: Throwable => System.err.println(s"[bench] baseline compare failed: ${e.getMessage}")
+      case e: Throwable =>
+        System.err.println(s"[bench] baseline compare failed: ${e.getMessage}")
+        ""
     }
   }
 }

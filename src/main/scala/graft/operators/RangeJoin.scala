@@ -22,24 +22,39 @@ object RangeJoin {
 
   /** Equi-bin rewrite of `points ⋈ intervals ON point ∈ [start, end)`.
     * `point`, `start`, `end` are timestamp columns; output = all
-    * (point-row, interval-row) matches. */
+    * (point-row, interval-row) matches.
+    *
+    * Guards: intervals with `end < start` can match no point and are
+    * dropped BEFORE the bin explode (a reversed pair would otherwise
+    * make `sequence` infer a negative step and emit a garbage bin
+    * array); an interval covering more than `maxBins` bins fails the
+    * job loudly — one corrupt multi-year interval exploding into
+    * millions of bin rows is an executor OOM, and silently clamping it
+    * would silently drop matches. Size `binSeconds` near the typical
+    * interval length so replication stays O(1). */
   def binnedPointInterval(
       points: DataFrame, pointTs: Column,
       intervals: DataFrame, startTs: Column, endTs: Column,
-      binSeconds: Long): DataFrame = {
+      binSeconds: Long, maxBins: Int = 10000): DataFrame = {
     for (df <- Seq(points, intervals); c <- Seq("__bin", "__bins"))
       require(!df.columns.contains(c),
         s"binnedPointInterval reserves column name $c")
     val p = points.withColumn("__bin", floor(unix_timestamp(pointTs) / binSeconds))
-    val i = intervals.withColumn("__bins",
-      sequence(
-        floor(unix_timestamp(startTs) / binSeconds),
-        // floor(end/bin) is included even though end is exclusive:
-        // unix_timestamp truncates to seconds, so a sub-second end can
-        // still admit points whose truncated bin is floor(end/bin).
-        // When end sits exactly on a boundary the extra bin's rows are
-        // discarded by the exact re-filter — replication, not error.
-        floor(unix_timestamp(endTs) / binSeconds)))
+    val startBin = floor(unix_timestamp(startTs) / binSeconds)
+    // floor(end/bin) is included even though end is exclusive:
+    // unix_timestamp truncates to seconds, so a sub-second end can
+    // still admit points whose truncated bin is floor(end/bin).
+    // When end sits exactly on a boundary the extra bin's rows are
+    // discarded by the exact re-filter — replication, not error.
+    val endBin = floor(unix_timestamp(endTs) / binSeconds)
+    val i = intervals
+      .filter(endTs >= startTs)
+      .withColumn("__bins",
+        when(endBin - startBin < lit(maxBins.toLong), sequence(startBin, endBin))
+          .otherwise(raise_error(format_string(
+            s"binnedPointInterval: interval spans %d bins (max $maxBins) — " +
+              "corrupt interval or binSeconds far too small",
+            endBin - startBin + 1))))
       .withColumn("__bin", explode(col("__bins"))).drop("__bins")
     p.join(i, Seq("__bin"))
       .filter(pointTs >= startTs && pointTs < endTs)

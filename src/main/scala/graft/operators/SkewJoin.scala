@@ -15,10 +15,19 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Equi-join `big ⋈ small` on `key`, salted `salts` ways.
-    * Result is identical to `big.join(small, key)` (inner). */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    * Result is identical to `big.join(small, key)` (inner).
+    *
+    * The salt hashes the big side's ROW CONTENT (all columns + a seed),
+    * not `monotonically_increasing_id()`: monotonic ids are physical
+    * positions, so a retried map task can re-scatter the same row into
+    * a different salt bucket mid-shuffle. Content hashing is stable
+    * under task retry and repartitioning, and still spreads a hot key's
+    * rows because they differ in their non-key columns. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+      seed: Int = 0x5a17): DataFrame = {
+    val rowContent = big.columns.map(col).toSeq :+ lit(seed)
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(hash(rowContent: _*), lit(salts)))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

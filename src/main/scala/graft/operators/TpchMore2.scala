@@ -160,9 +160,17 @@ object TpchMore2 {
       |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
       |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    // nation dims are pre-filtered to the two nations of interest (the
+    // TPC-H reference plan shape): supplier/customer rows outside them
+    // fall out of the broadcast joins directly, instead of relying on
+    // Catalyst to infer per-side IN() predicates from the pair OR —
+    // cheap insurance that the fact stream is pruned at 100× scale
+    val pairNations = Seq("NATION_3", "NATION_7")
     val n1 = Tables.nation(s, d)
+      .filter(col("n_name").isin(pairNations: _*))
       .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, d)
+      .filter(col("n_name").isin(pairNations: _*))
       .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))

@@ -72,11 +72,31 @@ object SqlInsertFormatter {
       "Date", "DateTime").exists(t.startsWith)
   }
 
+  /** True when the DataFrame type's rendered text can't contain SQL
+    * metacharacters by construction — safe to emit raw. */
+  private def rendersNumericSafe(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType => true
+    case _ => false
+  }
+
+  /** Numeric-literal shape accepted on the unquoted emission path. */
+  private[sinks] val NumericLiteral = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
   /** Literal-format driven by the TARGET column's declared type; the
-    * DataFrame type only controls rendering (timestamp formats). */
+    * DataFrame type only controls rendering (timestamp formats).
+    *
+    * The unquoted (numeric-target) path never emits raw text straight
+    * from a string-typed DataFrame column: a value like `1),(999` or
+    * `1; DROP ...` would splice into the statement, since the quoting
+    * escapes are bypassed here by design. Non-numeric-shaped values
+    * become NULL — the same "malformed value degrades to NULL" contract
+    * the reference applies to missing fields. */
   def literalForTarget(c: Column, dt: DataType, declaredTargetType: String): Column = {
     val text = rendered(c, dt)
-    val formatted = if (targetIsQuoted(declaredTargetType)) quoted(text) else text
+    val formatted =
+      if (targetIsQuoted(declaredTargetType)) quoted(text)
+      else if (rendersNumericSafe(dt)) text
+      else when(text.rlike(NumericLiteral), text) // else null → NULL below
     coalesce(formatted, lit("NULL"))
   }
 

@@ -37,4 +37,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!binnedPlan.contains("BroadcastNestedLoopJoin"),
       s"binned rewrite fell back to a nested loop:\n$binnedPlan")
   }
+
+  test("reversed intervals are dropped, not exploded into garbage bins") {
+    val (signups, purchases) = sides()
+    // swap start/end: every interval is reversed → zero matches, and
+    // no sequence() negative-step blowup
+    val out = RangeJoin.binnedPointInterval(
+      purchases, col("p_ts"), signups, col("s_end"), col("s_ts"), binSeconds = 600L)
+    assert(out.count() === 0)
+  }
+
+  test("an interval wider than maxBins fails loudly instead of OOMing the task") {
+    val (signups, purchases) = sides()
+    val wide = signups.withColumn("s_end", col("s_ts") + expr("INTERVAL 2000 MINUTES"))
+    val ex = intercept[Exception] {
+      RangeJoin.binnedPointInterval(
+        purchases, col("p_ts"), wide, col("s_ts"), col("s_end"),
+        binSeconds = 60L, maxBins = 100).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("binnedPointInterval")),
+      s"expected the maxBins guard message, got: $ex")
+  }
 }
