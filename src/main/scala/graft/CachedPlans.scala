@@ -51,6 +51,14 @@ object CachedPlans {
     }
   }
 
+  /** Unpersist and drop ONE plan (no-op when absent) — the rebuild
+    * path for registry entries that can go stale (e.g. an ANN index
+    * after corpus growth). */
+  def invalidate(s: SparkSession, key: String): Unit = {
+    val m = sessionMap(s)
+    m.synchronized(m.remove(key)).foreach(_.unpersist(blocking = false))
+  }
+
   /** Unpersist and drop every plan this session registered. */
   def clear(s: SparkSession): Unit = {
     val m = cache.synchronized(Option(cache.remove(s)))

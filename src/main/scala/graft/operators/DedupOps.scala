@@ -205,14 +205,11 @@ object DedupOps {
     * found" and "pick one canonical doc per duplicate group", without
     * which transitive dup chains (A~B, B~C) keep both A and C.
     *
-    * Distributed min-label propagation: each round every vertex takes
-    * the min label among itself and its neighbors; rounds are whole
-    * DataFrame jobs (one shuffle each), the driver only checks the
-    * converged flag — no vertex data ever leaves the executors. Round
-    * count is bounded by the graph diameter (near-dup clusters are
-    * tiny, so a handful); at web scale the same loop runs with the
-    * large-star/small-star edge rewrite to collapse diameter
-    * logarithmically. Oracle: recursive CTE over the same pair graph.
+    * Runs [[ConnectedComponents]] — large-star/small-star contraction
+    * by default (round count ~log n, independent of chain length, so
+    * serial-boilerplate dup chains can't blow the round bound), with
+    * min-label propagation behind `spark.graft.cc.algo=propagation`.
+    * Oracle: recursive CTE over the same pair graph.
     */
   /** Connected-components CTE fragment over `verified` — shared by the
     * dedup_clusters and pipeline_clean oracles so the two can't drift.
@@ -233,49 +230,13 @@ object DedupOps {
        |$sqlClusterWalk
        |SELECT doc AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // symmetrize in one pass over the persisted pairs (explode of both
-    // orientations, not a union that would scan the chain twice)
-    val sym = graft.CachedPlans.cached(s, s"dedup.clusterEdges:$d") {
-      minhashPairs(s, d).select(explode(array(
-          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // star-contraction (default) or propagation — see ConnectedComponents.
+    // The labels are registry-persisted: pipeline_clean re-reads them
+    // without re-running the contraction loop.
+    val labels = graft.CachedPlans.cached(s, s"dedup.clusterLabels:$d") {
+      ConnectedComponents.run(s,
+        minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
     }
-    var labels = sym.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc")).persist()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val nbrMin = sym.join(labels, col("src") === col("doc"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-      // carry a per-row changed flag so convergence costs one agg over
-      // the SAME materialized frame — no extra old-vs-new join per
-      // round (a self-referential join is also where Spark's relation
-      // dedup can silently collapse the comparison to a tautology).
-      // localCheckpoint (eager) truncates lineage: labels appears twice
-      // per round, so plain persist would DOUBLE the logical plan every
-      // iteration — execution stays cached but analysis/printing of the
-      // final plan goes exponential in round count.
-      val next = labels.join(nbrMin, col("doc") === col("dst"), "left")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).cast("long").as("chg"))
-        .localCheckpoint(true)
-      // coalesce: sum over an EMPTY label set (no qualifying pairs in
-      // the corpus) is null, and an empty graph is trivially converged
-      val nChanged = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
-      labels.unpersist(blocking = false)
-      labels = next.select(col("doc"), col("label"))
-      converged = nChanged == 0
-      rounds += 1
-      System.err.println(s"[graft] dedup_clusters round=$rounds changed=$nChanged")
-    }
-    // a silent cutoff would return plausible-but-wrong cluster ids;
-    // diameter > 50 means the corpus needs the large-star/small-star
-    // rewrite, and the caller must know
-    if (!converged) throw new IllegalStateException(
-      s"dedup_clusters: label propagation did not converge in $rounds rounds " +
-        "(pair-graph diameter too large — raise the bound or use star-contraction)")
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -37,4 +37,27 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ivf recall $recall below floor")
     info(s"ivf recall@10 = $recall")
   }
+
+  test("ivf quantizer is fit once and reused across query runs; rebuild refits") {
+    import graft.operators.IvfIndex
+    val first = KnnOps.ivf.run(spark, sf).collect()
+    val afterFirst = IvfIndex.fitCount
+    val second = KnnOps.ivf.run(spark, sf).collect()
+    assert(IvfIndex.fitCount === afterFirst,
+      "second query run must reuse the persisted index, not refit KMeans")
+    assert(first.map(_.toString).sorted.sameElements(second.map(_.toString).sorted))
+    // explicit rebuild entry point retrains exactly once
+    IvfIndex.rebuild(spark, sf)
+    KnnOps.ivf.run(spark, sf).collect()
+    assert(IvfIndex.fitCount === afterFirst + 1)
+  }
+
+  test("ivf build op emits full cell occupancy (every corpus vector indexed)") {
+    import graft.operators.IvfIndex
+    val occ = KnnOps.ivfBuild.run(spark, sf).collect()
+    val total = occ.map(_.getLong(1)).sum
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(total === corpus, "every vector must land in exactly one cell")
+    assert(occ.length <= IvfIndex.K_CELLS && occ.length > 1)
+  }
 }
