@@ -281,6 +281,86 @@ object DedupOps {
       .orderBy(col("span_hash"))
   }
 
+  /** Span-removal surgery (the second half of Lee et al. 2022): every
+    * duplicated W-token span keeps its FIRST occurrence corpus-wide
+    * (ordered by doc_id, then window start) and is cut from all
+    * later occurrences; overlapping removed windows merge by position.
+    * Output: every document with its surviving token count and
+    * re-assembled cleaned text.
+    *
+    * Scale shape — every stage linear in corpus tokens: window hashes
+    * (same kernel as dedup_spans) → occurrence ranking (one window
+    * shuffle on span_hash) → removed-position explode (≤ W rows per
+    * removed window) → token-position anti-join (one shuffle on
+    * (doc_id, pos)) → per-doc reassembly (sort_array of (pos, tok) —
+    * one shuffle on doc_id). Never pairwise, no driver round-trips. */
+  private[graft] def spanCleanFrom(docsText: DataFrame): DataFrame = {
+    val W = 20
+    val S = 10
+    val docs = docsText.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    val wins = docs
+      .withColumn("n_win",
+        greatest(lit(0L), floor((size(col("toks")) - W) / S.toDouble) + 1).cast(IntegerType))
+      .filter(col("n_win") > 0)
+      .select(col("doc_id"), col("toks"), posexplode(sequence(lit(0), col("n_win") - 1)))
+      .toDF("doc_id", "toks", "w_idx", "n")
+      .select(col("doc_id"), (col("n") * S).cast(LongType).as("start"),
+        Exprs.md5Long(array_join(slice(col("toks"), col("n") * S + 1, lit(W)), " "))
+          .as("span_hash"))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_hash")).orderBy(col("doc_id"), col("start"))
+    val overHash = org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))
+    val removed = wins
+      .withColumn("occ", row_number().over(byHash))
+      .withColumn("n_occ", count(lit(1)).over(overHash))
+      .filter(col("n_occ") > 1 && col("occ") > 1)
+      .select(col("doc_id"), explode(sequence(col("start"), col("start") + W - 1)).as("pos"))
+      .distinct()
+    val tokPos = docs.select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("pos", col("pos").cast(LongType))
+    val keptAgg = tokPos.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    // left join back: a doc made ENTIRELY of later-occurrence spans has
+    // zero kept tokens but must still appear (empty text, not absent)
+    docs.select(col("doc_id"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanClean: GraftOp = GraftOp(
+    "dedup_span_clean",
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(n*10 AS BIGINT) AS start,
+       |    array_to_string(toks[n*10+1:n*10+20], ' ') AS span
+       |  FROM toks, unnest(range(0, CAST(greatest(0, floor((len(toks)-20)/10.0)+1) AS BIGINT))) AS t(n)),
+       |h AS (SELECT doc_id, start, ${Exprs.sqlMd5Long("span")} AS span_hash FROM w),
+       |ranked AS (
+       |  SELECT doc_id, start,
+       |    row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, start) AS occ,
+       |    count(*) OVER (PARTITION BY span_hash) AS n_occ
+       |  FROM h),
+       |rem AS (SELECT DISTINCT doc_id, start + u AS pos
+       |  FROM ranked, unnest(range(0, 20)) AS t(u)
+       |  WHERE n_occ > 1 AND occ > 1),
+       |remlist AS (SELECT doc_id, list(pos) AS rpos FROM rem GROUP BY doc_id),
+       |out AS (
+       |  SELECT t.doc_id,
+       |    list_filter(t.toks, (x, i) -> NOT coalesce(list_contains(r.rpos, i - 1), false)) AS kept
+       |  FROM toks t LEFT JOIN remlist r USING (doc_id))
+       |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+       |  coalesce(array_to_string(kept, ' '), '') AS text_clean
+       |FROM out ORDER BY doc_id""".stripMargin) { (s, d) =>
+    spanCleanFrom(Tables.documents(s, d))
+  }
+
   /** SimHash near-dup: 64-bit simhash (native Catalyst expression),
     * 4×16-bit LSH bands for candidates, Hamming ≤ 6 verification via
     * bit_count(xor). Wrapping-Long simhash isn't portable to DuckDB →
@@ -416,5 +496,5 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val ops: Seq[GraftOp] = Seq(exact, ngram, minhash, clusters, spans, simhash, embed)
+  val ops: Seq[GraftOp] = Seq(exact, ngram, minhash, clusters, spans, spanClean, simhash, embed)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpanCleanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("planted shared paragraph: first occurrence survives, later ones are cut") {
+    import spark.implicits._
+    val common = (0 until 20).map(i => s"c$i").mkString(" ")
+    val doc0 = common + " " + (0 until 10).map(i => s"x$i").mkString(" ") // first occurrence
+    val doc1 = (0 until 10).map(i => s"y$i").mkString(" ") + " " + common // shares the paragraph at offset 10
+    val doc2 = (0 until 25).map(i => s"z$i").mkString(" ") // no dup spans
+    val doc3 = common + " " + common // built ENTIRELY of later occurrences
+    val docs = Seq((0L, doc0), (1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val out = graft.operators.DedupOps.spanCleanFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L) === ((30L, doc0)), "first occurrence must keep its full text")
+    assert(out(1L) === ((10L, (0 until 10).map(i => s"y$i").mkString(" "))),
+      "later occurrence must lose exactly the shared window's positions")
+    assert(out(2L) === ((25L, doc2)), "docs without duplicated spans are untouched")
+    assert(out(3L) === ((0L, "")),
+      "a doc made only of later-occurrence spans keeps zero tokens but stays present")
+  }
+
+  test("overlapping removed windows merge by position (no double-removal, no gaps)") {
+    import spark.implicits._
+    // doc 0 holds two overlapping first-occurrence windows; doc 1
+    // repeats a 30-token run = two overlapping duplicated windows
+    // (starts 0 and 10) whose position sets overlap in 10..19
+    val run = (0 until 30).map(i => s"r$i").mkString(" ")
+    val tail = (0 until 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, run + " " + tail), (1L, run + " " + tail + " " + run))
+      .toDF("doc_id", "text")
+    val out = graft.operators.DedupOps.spanCleanFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L)._1 === 40L)
+    // doc1: tokens 0..39 = first occurrences of its windows? windows at
+    // 0,10 (inside run) duplicate doc0's — removed; exact survivor set
+    // is whatever positions no removed window covers; assert the
+    // invariants instead of hand-computing: fewer tokens than input,
+    // and every surviving token appears in the original order
+    val (n1, text1) = out(1L)
+    assert(n1 < 70L && n1 >= 0L)
+    val orig = (run + " " + tail + " " + run).split(" ")
+    val cleaned = if (text1.isEmpty) Array.empty[String] else text1.split(" ")
+    assert(n1 === cleaned.length)
+    // order-preserving subsequence check
+    var j = 0
+    for (t <- orig if j < cleaned.length && t == cleaned(j)) j += 1
+    assert(j === cleaned.length, "cleaned text must be an order-preserving subsequence")
+  }
+}
