@@ -35,9 +35,12 @@ class BatchedRetrySink(
     * per-key statement ordering matters. Statements stream through in
     * chunks of `chunkSize` (the retry unit must be replayable, so each
     * chunk is materialized, but never the whole partition). */
-  def writeBatch(table: String, keyExpr: org.apache.spark.sql.Column, batchSize: Int)(
+  def writeBatch(table: String, keyExpr: org.apache.spark.sql.Column, batchSize: Int,
+      targetTypes: Map[String, String] = Map.empty,
+      dialect: SqlDialect = SqlDialect.ClickHouseLike)(
       df: DataFrame, batchId: Long): Unit = {
-    val stmts = SqlInsertFormatter.insertStatements(df, table, keyExpr, batchSize)
+    val stmts = SqlInsertFormatter.insertStatements(df, table, keyExpr, batchSize,
+      targetTypes, dialect)
     val w = writer
     val (retries, backoff, chunk) = (maxRetries, backoffMs, chunkSize)
     stmts.select("stmt").foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

@@ -16,25 +16,46 @@ import org.apache.spark.sql.types._
   * numeric target column is emitted raw/unquoted, and a numeric
   * df-column bound to a String target is quoted — exactly the
   * reference's behavior.
+  *
+  * See [[SqlDialect]] for the escaping rules of the target engine;
+  * defaults everywhere are ClickHouse-like (the reference's sink).
   */
+
+/** Literal-escaping dialect of the target SQL engine. */
+sealed trait SqlDialect
+object SqlDialect {
+  /** Backslash escapes incl. control characters — ClickHouse/MySQL
+    * string-literal rules (the reference's target). */
+  case object ClickHouseLike extends SqlDialect
+  /** Standard SQL: the single quote doubles; backslash and newlines are
+    * ordinary characters inside a string literal (Derby/Postgres
+    * standard-conforming strings). */
+  case object Ansi extends SqlDialect
+}
+
 object SqlInsertFormatter {
 
-  /** Escape a string Column for single-quoted SQL literals: backslash,
-    * quote, and the control characters NUL/\n/\r/\t (ClickHouse/MySQL
-    * escaping rules) — raw control bytes would break statement text. */
-  private def escaped(c: Column): Column = {
-    val steps: Seq[(String, String)] = Seq(
-      "\\\\" -> "\\\\\\\\", // backslash first, it's the escape char
-      "'" -> "\\\\'",
-      "\u0000" -> "\\\\0",
-      "\n" -> "\\\\n",
-      "\r" -> "\\\\r",
-      "\t" -> "\\\\t")
-    steps.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+  /** Escape a string Column for single-quoted SQL literals per the
+    * target dialect — ClickHouse-like: backslash escapes + the control
+    * characters NUL/\n/\r/\t (raw control bytes would break statement
+    * text there); ANSI: only the quote doubles, everything else is
+    * legal inside the literal. */
+  private def escaped(c: Column, dialect: SqlDialect): Column = dialect match {
+    case SqlDialect.Ansi =>
+      regexp_replace(c, "'", "''")
+    case SqlDialect.ClickHouseLike =>
+      val steps: Seq[(String, String)] = Seq(
+        "\\\\" -> "\\\\\\\\", // backslash first, it's the escape char
+        "'" -> "\\\\'",
+        "\u0000" -> "\\\\0",
+        "\n" -> "\\\\n",
+        "\r" -> "\\\\r",
+        "\t" -> "\\\\t")
+      steps.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
   }
 
-  private def quoted(c: Column): Column =
-    concat(lit("'"), escaped(c), lit("'"))
+  private def quoted(c: Column, dialect: SqlDialect): Column =
+    concat(lit("'"), escaped(c, dialect), lit("'"))
 
   /** Render the column as text per its DataFrame type (timestamps and
     * dates in the reference's wall-clock formats), without quoting. */
@@ -45,10 +66,11 @@ object SqlInsertFormatter {
   }
 
   /** Literal-format one column according to its Spark type. */
-  def literal(c: Column, dt: DataType): Column = {
+  def literal(c: Column, dt: DataType,
+      dialect: SqlDialect = SqlDialect.ClickHouseLike): Column = {
     val formatted = dt match {
       case StringType | TimestampType | TimestampNTZType | DateType =>
-        quoted(rendered(c, dt))
+        quoted(rendered(c, dt), dialect)
       case _ => rendered(c, dt)
     }
     coalesce(formatted, lit("NULL"))
@@ -91,10 +113,11 @@ object SqlInsertFormatter {
     * escapes are bypassed here by design. Non-numeric-shaped values
     * become NULL — the same "malformed value degrades to NULL" contract
     * the reference applies to missing fields. */
-  def literalForTarget(c: Column, dt: DataType, declaredTargetType: String): Column = {
+  def literalForTarget(c: Column, dt: DataType, declaredTargetType: String,
+      dialect: SqlDialect = SqlDialect.ClickHouseLike): Column = {
     val text = rendered(c, dt)
     val formatted =
-      if (targetIsQuoted(declaredTargetType)) quoted(text)
+      if (targetIsQuoted(declaredTargetType)) quoted(text, dialect)
       else if (rendersNumericSafe(dt)) text
       else when(text.rlike(NumericLiteral), text) // else null → NULL below
     coalesce(formatted, lit("NULL"))
@@ -103,11 +126,12 @@ object SqlInsertFormatter {
   /** Per-row `(v1,v2,...)` tuple column for the given DataFrame.
     * `targetTypes` maps column name → declared sink type; columns
     * absent from the map fall back to DataFrame-schema formatting. */
-  def valuesTuple(df: DataFrame, targetTypes: Map[String, String] = Map.empty): Column = {
+  def valuesTuple(df: DataFrame, targetTypes: Map[String, String] = Map.empty,
+      dialect: SqlDialect = SqlDialect.ClickHouseLike): Column = {
     val parts = df.schema.fields.map { f =>
       targetTypes.get(f.name) match {
-        case Some(t) => literalForTarget(col(f.name), f.dataType, t)
-        case None => literal(col(f.name), f.dataType)
+        case Some(t) => literalForTarget(col(f.name), f.dataType, t, dialect)
+        case None => literal(col(f.name), f.dataType, dialect)
       }
     }
     concat(lit("("), concat_ws(",", parts.toIndexedSeq: _*), lit(")"))
@@ -117,14 +141,16 @@ object SqlInsertFormatter {
     * `batchSize` rows per target-partition key. Output: one row per
     * statement, column `stmt`. Single shuffle on the batch key. */
   def insertStatements(df: DataFrame, table: String, keyExpr: Column, batchSize: Int,
-      targetTypes: Map[String, String] = Map.empty): DataFrame = {
+      targetTypes: Map[String, String] = Map.empty,
+      dialect: SqlDialect = SqlDialect.ClickHouseLike): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cols = df.columns.mkString(",")
     // materialize the key ONCE before the window shuffle: a
     // nondeterministic keyExpr (e.g. spark_partition_id) re-evaluated
     // after the exchange would merge batches across source partitions
     // and overflow the batchSize contract
-    val keyed = df.withColumn("__tuple", valuesTuple(df, targetTypes)).withColumn("__key", keyExpr)
+    val keyed = df.withColumn("__tuple", valuesTuple(df, targetTypes, dialect))
+      .withColumn("__key", keyExpr)
     val byKey = Window.partitionBy(col("__key")).orderBy(monotonically_increasing_id())
     keyed
       .withColumn("__rn", row_number().over(byKey))

@@ -85,6 +85,72 @@ object StreamingPipelines {
         col("p_ts"), col("s_ts"), col("value"))
   }
 
+  /** Streaming incremental dedup: the LLM-pipeline dedup composed with
+    * the reference's streaming shape. Each micro-batch of documents is
+    * checked against the PERSISTED corpus index
+    * ([[graft.operators.IncrementalDedup]]) — exact content-hash dups
+    * and minhash band collisions route out; clean docs extend the
+    * index — so a duplicate replayed in any LATER micro-batch is
+    * caught without ever rescanning the corpus.
+    *
+    * Index writes go to `indexDir/{hashes,bands}/batch=<id>` with
+    * overwrite, so a replayed micro-batch rewrites its own partition
+    * instead of appending twice — idempotent under at-least-once
+    * delivery. Within-batch duplicates (same content twice in one
+    * trigger) are routed out before the corpus check.
+    */
+  def incrementalDedupStream(
+      docs: DataFrame, indexDir: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))(
+      onBatch: (DataFrame, DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.IncrementalDedup
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val hashesSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("content_hash", StringType)))
+    val bandsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", StringType)))
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val hashesPath = s"$indexDir/hashes"
+        val bandsPath = s"$indexDir/bands"
+        def readOr(path: String, schema: StructType): DataFrame =
+          if (new java.io.File(path).exists())
+            s.read.schema(schema.add("batch", LongType)).parquet(path).drop("batch")
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val byContent = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+        val marked = batch
+          .withColumn("content_hash", md5(col("text")))
+          .withColumn("rn", row_number().over(byContent))
+          .persist()
+        try {
+          val withinDups = marked.filter(col("rn") > 1).select(col("doc_id"))
+          val firstCopies = marked.filter(col("rn") === 1).select(col("doc_id"), col("text"))
+          val index = IncrementalDedup.CorpusIndex(
+            hashes = readOr(hashesPath, hashesSchema),
+            bands = readOr(bandsPath, bandsSchema))
+          val res = IncrementalDedup.dedupIncrement(firstCopies, index)
+          val clean = res.clean.persist()
+          try {
+            val newIndex = IncrementalDedup.buildIndex(clean)
+            newIndex.hashes.write.mode("overwrite").parquet(s"$hashesPath/batch=$batchId")
+            newIndex.bands.write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+            val dups = withinDups
+              .union(res.exactDups.select(col("doc_id")))
+              .union(res.nearDupCandidates.select(col("doc_id")))
+              .distinct()
+            onBatch(clean, dups, batchId)
+          } finally clean.unpersist()
+        } finally marked.unpersist()
+      }
+      .start()
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, value: Double)
   final case class KeyedBatch(user_id: Long, batch_seq: Long, n: Int,
       min_event: Long, max_event: Long)

@@ -47,6 +47,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("streaming incremental dedup routes a duplicate replayed in a later micro-batch") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-incdedup-src")
+    val idxDir = Files.createTempDirectory("graft-incdedup-idx")
+    val ckpt = Files.createTempDirectory("graft-incdedup-ckpt")
+    def addBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-incdedup-b")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get
+      Files.copy(part, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val textA = (0 until 40).map(i => s"alpha$i tokenA$i").mkString(" ")
+    val textB = (0 until 40).map(i => s"beta$i tokenB$i").mkString(" ")
+    val textC = (0 until 40).map(i => s"gamma$i tokenC$i").mkString(" ")
+    addBatch("b1.parquet", Seq((1L, textA), (2L, textB)))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", LongType).add("text", org.apache.spark.sql.types.StringType)
+    val docs = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val cleanIds = scala.collection.mutable.Set.empty[Long]
+    val dupIds = scala.collection.mutable.Set.empty[Long]
+    val q = StreamingPipelines.incrementalDedupStream(
+      docs, idxDir.toString, ckpt.toString) { (clean, dups, _) =>
+      cleanIds ++= clean.select("doc_id").collect().map(_.getLong(0))
+      dupIds ++= dups.collect().map(_.getLong(0))
+    }
+    try {
+      q.processAllAvailable()
+      assert(cleanIds === Set(1L, 2L))
+      assert(dupIds.isEmpty)
+      // later micro-batch: 3 replays doc 1's content verbatim (must hit
+      // the PERSISTED index, not same-batch state); 5 duplicates 4
+      // within the batch
+      addBatch("b2.parquet", Seq((3L, textA), (4L, textC), (5L, textC)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cleanIds === Set(1L, 2L, 4L))
+    assert(dupIds === Set(3L, 5L))
+  }
+
   test("streaming dedup removes replayed events") {
     val doubled = eventsStream().union(eventsStream())
     val out = runToMemory(StreamingPipelines.dedupStream(doubled), "append", "dedup_out")
