@@ -124,5 +124,75 @@ object TextOps {
       .limit(20)
   }
 
-  val ops: Seq[GraftOp] = Seq(quality, langId, tokenCount, fingerprint, topTokens)
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * fraction of a doc's bigrams taken by its single most frequent
+    * bigram, and the duplicate-token fraction — the two cheapest
+    * "machine-generated/boilerplate" tells. Bigrams come from a lead()
+    * window over exploded token positions (one doc_id shuffle, linear)
+    * rather than an array lambda — CollapseProject re-inlines split()
+    * into per-element lambdas, going O(len²) per doc. */
+  val repetition: GraftOp = GraftOp(
+    "text_repetition",
+    """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+      |  FROM toks WHERE len(toks) >= 2),
+      |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM cnt GROUP BY 1),
+      |dup AS (
+      |  SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq
+      |  FROM toks)
+      |SELECT d.doc_id AS doc_id,
+      |  round(coalesce(top_c * 1.0 / n_bg, 0.0), 6) AS top_bigram_frac,
+      |  round(1.0 - n_uniq * 1.0 / n_tok, 6) AS dup_token_frac
+      |FROM dup d LEFT JOIN top t ON d.doc_id = t.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tokPos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = tokPos
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    val top = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    val dup = tokPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uniq"))
+    dup.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("top_c") * lit(1.0) / col("n_bg"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - col("n_uniq") * lit(1.0) / col("n_tok"), 6)
+          .as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide top bigrams — the n-gram extension of text_top_tokens
+    * (phrase-level corpus statistics for contamination screens). */
+  val topBigrams: GraftOp = GraftOp(
+    "text_top_bigrams",
+    """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+      |  FROM toks WHERE len(toks) >= 2)
+      |SELECT bigram, count(*) AS n FROM bg
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+    val tokPos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokPos
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams)
 }
