@@ -12,7 +12,8 @@ object ExplainCheck {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     // intended BNLs: single-row scalar-aggregate broadcasts (free), and
     // knn_brute, where corpus × broadcast-query-set IS the brute force
-    val intendedBnl = Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute")
+    val intendedBnl =
+      Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute", "text_tfidf")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString

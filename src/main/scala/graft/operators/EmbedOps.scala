@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-column analytics beyond search: per-class centroids and
+  * scalar quantization — the vector-pipeline ops that sit next to the
+  * ANN family (KnnOps) in a training-data stack.
+  *
+  * Oracle parity: all vector math runs in DOUBLE on both engines
+  * (float→double widening is exact), aggregate outputs are rounded to 6
+  * decimals so partial-aggregation fold-order noise (~1e-15) cannot
+  * surface, and min/max are fold-order-free so quantization arithmetic
+  * is bit-identical.
+  */
+object EmbedOps {
+
+  /** Per-label centroid, emitted exploded as (label, dim, value) —
+    * scalar columns, so the result is fully oracle-checkable. At scale
+    * the explode multiplies rows ×dim but partial aggregation folds
+    * them map-side; the shuffle carries only |labels|×dim groups. */
+  val centroids: GraftOp = GraftOp(
+    "emb_centroids",
+    """WITH e AS (
+      |  SELECT label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |    unnest(embedding) AS v
+      |  FROM embeddings)
+      |SELECT label, dim, round(avg(v), 6) AS centroid
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "dim", "v")
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  /** Scalar (SQ8-style) quantization: per-dimension corpus min/max,
+    * then each value mapped to an 8-bit code — the compression step an
+    * IVF-SQ index applies to residuals. Two passes: a dim-wise min/max
+    * aggregate (broadcast back, |dim| rows), then a pure map. Emitted
+    * as per-(vec_id, dim) codes for a hash-exact oracle; min/max have
+    * no fold-order ambiguity, so the arithmetic matches bit-for-bit. */
+  val quantize: GraftOp = GraftOp(
+    "emb_quantize",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |rng AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY 1)
+      |SELECT vec_id, e.dim AS dim,
+      |  CAST(round((v - lo) / (hi - lo) * 255, 0) AS INT) AS code
+      |FROM e JOIN rng ON e.dim = rng.dim
+      |WHERE vec_id < 100
+      |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "v")
+      .withColumn("v", col("v").cast(DoubleType))
+    val rng = e.groupBy(col("dim").as("rdim"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    e.join(broadcast(rng), col("dim") === col("rdim"))
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("dim"),
+        round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
+          .cast(IntegerType).as("code"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize)
+}

@@ -79,5 +79,35 @@ object Sampling {
       .orderBy(col("event_type"), col("event_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(uniform, stratified, hashSample, fixedPerGroup)
+  /** Weighted sample without replacement via priority sampling
+    * (Duffield, Lund & Thorup 2007): each row gets priority w/u with u
+    * a per-row uniform from the portable 60-bit md5 hash, and the k
+    * highest-priority rows win. Longer documents are proportionally
+    * more likely to be kept — the length-weighted corpus subsample
+    * move. Deterministic across engines AND parallelism: u is exact
+    * (integer / 2^60), and w/u uses only IEEE-correctly-rounded ops
+    * (no transcendentals), so both engines pick identical rows. At
+    * scale the priority is partition-local and top-k is a per-partition
+    * heap + driver merge of k rows — no shuffle. */
+  val weighted: GraftOp = GraftOp(
+    "sample_weighted",
+    s"""WITH p AS (
+       |  SELECT doc_id, n_chars,
+       |    n_chars / ((${graft.functions.Exprs.sqlMd5Long("CAST(doc_id AS VARCHAR)")} + 1)
+       |               / 1152921504606846976.0) AS pri
+       |  FROM documents),
+       |k AS (SELECT doc_id, n_chars FROM p ORDER BY pri DESC, doc_id LIMIT 100)
+       |SELECT doc_id, n_chars FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val u = (graft.functions.Exprs.md5Long(
+      col("doc_id").cast(org.apache.spark.sql.types.StringType)) + 1) /
+      lit(1152921504606846976.0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), (col("n_chars") / u).as("pri"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(uniform, stratified, hashSample, fixedPerGroup, weighted)
 }

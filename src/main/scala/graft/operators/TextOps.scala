@@ -193,6 +193,44 @@ object TextOps {
       .limit(20)
   }
 
+  /** Per-document top-3 TF-IDF terms: term frequency from the doc,
+    * document frequency from a corpus-wide dictionary joined back in.
+    * The dictionary (one row per distinct term) is tiny next to the
+    * corpus — broadcast — so the scoring pass is shuffle-free; the
+    * only wide exchange is the (doc_id, term) tf aggregation. Ranking
+    * keys are ROUNDED tfidf then term, so libm ULP differences between
+    * engines' ln() cannot reorder the top-3. */
+  val tfidf: GraftOp = GraftOp(
+    "text_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT doc_id, term, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      |  FROM sc)
+      |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df, tfidf
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams)
+    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, tfidf)
 }
