@@ -12,8 +12,11 @@ object ExplainCheck {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     // intended BNLs: single-row scalar-aggregate broadcasts (free), and
     // knn_brute, where corpus × broadcast-query-set IS the brute force
+    // knn_classify: corpus × broadcast-query-set is the brute-force
+    // scan; q_gap_fill: types × single-row min/max bounds spine
     val intendedBnl =
-      Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute", "text_tfidf")
+      Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute", "text_tfidf",
+        "knn_classify", "q_gap_fill")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics in the reference's target-warehouse idiom —
+  * the query families a ClickHouse-backed event pipeline serves daily
+  * (latest-state lookup, funnels, cohort retention, gap-filled
+  * series). The reference ships events INTO such a warehouse
+  * (KafakToClickhouse.scala); these are the reads the other side of
+  * that pipe exists for, re-expressed as Spark plans.
+  *
+  * Parity rules: all time math is integer day indexes
+  * (`datediff` from a fixed epoch date) — no week/tz conventions to
+  * disagree on — and counts are exact longs.
+  */
+object EventsAnalytics {
+
+  /** Latest event per user — ClickHouse `argMax`/ReplacingMergeTree
+    * "current state" semantics. A single hash aggregation with a
+    * lexicographic struct max: partial aggregation folds map-side, so
+    * the shuffle carries one row per user, not the event stream (the
+    * window-function formulation would sort every event through the
+    * exchange). (ts, event_id) is unique → deterministic. */
+  val latestPerKey: GraftOp = GraftOp(
+    "q_latest_per_key",
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("last_ts"), col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Ordered 3-step funnel (ClickHouse `windowFunnel` shape):
+    * signup → first view strictly after it → first purchase strictly
+    * after that. Each stage is a per-user aggregate joined to the
+    * previous stage's timestamps; all joins are on user_id, so at
+    * scale the three stages co-partition onto one exchange and the
+    * final depth histogram is five rows. */
+  val funnel: GraftOp = GraftOp(
+    "q_funnel",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+      |d AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |         LEFT JOIN s3 USING (user_id))
+      |SELECT depth, count(*) AS n_users FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val u = ev.select(col("user_id")).distinct()
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .filter(col("event_type") === "view" && col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    u.join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
+  /** Cohort retention: users grouped by first-active day, counted on
+    * each later active day as an offset from their cohort day. Two
+    * user_id aggregations and one join — the (cohort, offset) matrix
+    * is |days|² rows no matter the corpus size. Day indexes are
+    * `datediff` from 2024-01-01 (integer; no tz/week conventions). */
+  val retention: GraftOp = GraftOp(
+    "q_retention",
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      |  FROM events),
+      |c AS (SELECT user_id, min(day_idx) AS cohort_day FROM a GROUP BY 1)
+      |SELECT cohort_day, CAST(day_idx - cohort_day AS BIGINT) AS offset_day,
+      |  count(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val active = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("day_idx")).as("cohort_day"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day_idx") - col("cohort_day")).cast(LongType).as("offset_day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset_day"))
+  }
+
+  /** Gap-filled daily series: per-type daily counts left-joined onto a
+    * dense (type × day) spine so silent days appear as zeros —
+    * the step dashboards/downsamplers assume and plain GROUP BY can't
+    * give. The spine is generated from the corpus min/max day (one
+    * scalar aggregate broadcast into a lambda-free sequence+explode),
+    * |types|·|days| rows — independent of event volume. */
+  val gapFill: GraftOp = GraftOp(
+    "q_gap_fill",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |agg AS (SELECT event_type, day_idx, count(*) AS n, sum(v) AS sv FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM e),
+      |spine AS (
+      |  SELECT t.event_type, d.day_idx
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM bounds) d)
+      |SELECT s.event_type, CAST(s.day_idx AS INT) AS day_idx,
+      |  coalesce(n, 0) AS n, CAST(coalesce(sv, 0) AS DOUBLE) AS sum_value
+      |FROM spine s LEFT JOIN agg a
+      |  ON s.event_type = a.event_type AND s.day_idx = a.day_idx
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val agg = e.groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val bounds = e.agg(min(col("day_idx")).as("lo"), max(col("day_idx")).as("hi"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+    spine.join(agg, Seq("event_type", "day_idx"), "left")
+      .select(col("event_type"), col("day_idx").cast(IntegerType).as("day_idx"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sv"), lit(0).cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(latestPerKey, funnel, retention, gapFill)
+}

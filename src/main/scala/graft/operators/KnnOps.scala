@@ -163,5 +163,55 @@ object KnnOps {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf)
+  /** kNN majority-vote classification: label each "unlabeled" query
+    * vector (vec_id < 50) by the majority label among its 10 nearest
+    * labeled neighbors (vec_id ≥ 50), ties to the smaller label — the
+    * label-propagation step that turns a similarity index into a
+    * weak-labeling pipeline. Same broadcast-query scan shape as
+    * [[brute]] (corpus never shuffled); the vote is a tiny per-query
+    * aggregation over k·|queries| rows. */
+  val classify: GraftOp = GraftOp(
+    "knn_classify",
+    s"""WITH raw AS (SELECT vec_id, label, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |v AS (SELECT vec_id, label, ${Exprs.sqlUnit("e")} AS u FROM raw),
+       |q AS (SELECT vec_id, u FROM v WHERE vec_id < 50),
+       |c AS (SELECT vec_id, label, u FROM v WHERE vec_id >= 50),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.label,
+       |    ${Exprs.sqlDot("q.u", "c.u")} AS cos
+       |  FROM q JOIN c ON true),
+       |r AS (
+       |  SELECT query_id, label, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+       |  FROM s),
+       |vote AS (
+       |  SELECT query_id, label, count(*) AS n_votes
+       |  FROM r WHERE rn <= $K GROUP BY 1, 2),
+       |w AS (
+       |  SELECT query_id, label, n_votes,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS wr
+       |  FROM vote)
+       |SELECT query_id, label AS pred_label, n_votes
+       |FROM w WHERE wr = 1 ORDER BY query_id""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val q = v.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val c = v.filter(col("vec_id") >= 50)
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    val byVotes = Window.partitionBy(col("query_id")).orderBy(col("n_votes").desc, col("label"))
+    c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("corpus_id"), col("label"),
+        Exprs.dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("n_votes"))
+      .withColumn("wr", row_number().over(byVotes))
+      .filter(col("wr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy(col("query_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf, classify)
 }

@@ -231,6 +231,52 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Benchmark decontamination (GPT-3 appendix-C shape): flag training
+    * documents sharing any 8-gram with a held-out benchmark split
+    * (here the deterministic `doc_id % 20 = 0` slice stands in for the
+    * eval set). 8-grams come from 7 lead() taps over ONE per-doc
+    * window pass, and the overlap join runs on the portable 60-bit
+    * md5 of the gram — a narrow long-keyed shuffle of the distinct
+    * gram sets, never the text. Output: each contaminated train doc
+    * with its distinct shared-gram and matched-benchmark-doc counts. */
+  val decontam: GraftOp = GraftOp(
+    "text_decontam",
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, ${graft.functions.Exprs.sqlMd5Long(
+            "unnest(list_transform(range(1, len(toks) - 6), i -> " +
+              "concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', " +
+              "toks[i+4], ' ', toks[i+5], ' ', toks[i+6], ' ', toks[i+7])))")} AS gh
+       |  FROM toks WHERE len(toks) >= 8),
+       |bench AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 20 = 0),
+       |train AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 20 <> 0)
+       |SELECT t.doc_id AS doc_id,
+       |  count(DISTINCT t.gh) AS n_shared_grams,
+       |  count(DISTINCT b.doc_id) AS n_bench_docs
+       |FROM train t JOIN bench b ON t.gh = b.gh
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val tokPos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = tokPos
+      .select(col("doc_id") +: (0 to 7).map(i =>
+        (if (i == 0) col("tok") else lead(col("tok"), i).over(byDoc)).as(s"t$i")): _*)
+      .filter(col("t7").isNotNull)
+      .select(col("doc_id"), graft.functions.Exprs.md5Long(
+        concat_ws(" ", (0 to 7).map(i => col(s"t$i")): _*)).as("gh"))
+    val bench = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bench_doc"), col("gh")).distinct()
+    val train = grams.filter(col("doc_id") % 20 =!= 0).distinct()
+    train.join(bench, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared_grams"),
+        countDistinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, tfidf)
+    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, tfidf,
+      decontam)
 }
