@@ -9,16 +9,25 @@ import org.apache.spark.sql.types.DecimalType
   * duplicate group". Input: edges (src, dst); output: (doc, label)
   * where label = the component's minimum node id.
   *
-  * Two EXACT algorithms, selected by `spark.graft.cc.algo`:
+  * Three EXACT algorithms, selected by `spark.graft.cc.algo`
+  * (default `auto`):
   *
-  *  - `star` (default): alternating large-star/small-star contraction
+  *  - `auto`: driver-side union-find when the symmetrized edge set is
+  *    at most `spark.graft.cc.localThreshold` edges (default 1M ≈
+  *    16 MB of longs — BOUNDED, unlike a corpus collect: the pair
+  *    graph is near-dup density × corpus, tiny next to the documents,
+  *    and above the bound it falls through to `star`). A dedup
+  *    pipeline's cluster step is usually a small graph riding behind
+  *    a huge scan; burning 5–10 distributed stage launches per
+  *    contraction round on 300 edges is pure overhead.
+  *  - `star`: alternating large-star/small-star contraction
   *    (Kiveris et al. 2014, "Connected Components in MapReduce and
   *    Beyond") — converges in ~log(n) rounds INDEPENDENT of graph
   *    diameter, so serial boilerplate chains (diameter ≫ 50) that
   *    abort plain propagation finish in a handful of rounds. The
-  *    web-corpus default.
-  *  - `propagation`: min-label propagation — rounds ∝ diameter; the
-  *    simple fallback for known-tiny graphs.
+  *    above-threshold web-corpus path.
+  *  - `propagation`: min-label propagation — rounds ∝ diameter; kept
+  *    as the reference implementation.
   *
   * Both loops checkpoint each round eagerly (lineage would double per
   * round otherwise) and explicitly free the PREVIOUS generation's
@@ -61,9 +70,15 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
-    val labels = s.conf.getOption("spark.graft.cc.algo").getOrElse("star") match {
+    val labels = s.conf.getOption("spark.graft.cc.algo").getOrElse("auto") match {
       case "propagation" => viaPropagation(sym)
-      case _ => viaStarContraction(sym)
+      case "star" => viaStarContraction(sym)
+      case _ =>
+        val threshold = s.conf.getOption("spark.graft.cc.localThreshold")
+          .map(_.toLong).getOrElse(1000000L)
+        // sym is checkpointed — the count reads materialized blocks
+        if (sym.count() <= threshold) viaLocalUnionFind(sym)
+        else viaStarContraction(sym)
     }
     // exactness gate: a hash-checksum fixpoint (star) or changed-count
     // (propagation) said "converged"; prove it — every edge must join
@@ -78,6 +93,39 @@ object ConnectedComponents {
       "connected components: convergence check passed but an edge crosses two labels — report this")
     release(sym)
     labels
+  }
+
+  /** Driver-side union-find with path compression and union-by-min —
+    * the small-graph fast path. Memory is bounded by the caller's edge
+    * threshold, not the corpus; a million edges resolve in
+    * milliseconds where each distributed contraction round costs
+    * several stage launches. Union-by-min makes every root the
+    * component minimum — same labeling as the distributed paths. */
+  private[operators] def viaLocalUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    val edges = sym.select(col("src"), col("dst")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    lastRounds = 1
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    val it = parent.keySet.iterator()
+    while (it.hasNext) { val k = it.next(); out(i) = (k, find(k)); i += 1 }
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toIndexedSeq))
+      .toDF("doc", "label")
   }
 
   /** Large-star ∘ small-star rounds until the edge set reaches its

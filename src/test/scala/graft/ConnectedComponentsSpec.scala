@@ -12,7 +12,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // the exact failure mode star contraction exists to remove
     import spark.implicits._
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
-    val labels = ConnectedComponents.run(spark, edges) // default algo = star
+    spark.conf.set("spark.graft.cc.algo", "star") // pin the distributed path
+    val labels =
+      try ConnectedComponents.run(spark, edges)
+      finally spark.conf.unset("spark.graft.cc.algo")
     val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length === 200)
     assert(out.forall(_._2 == 0L), "every chain node must label to the chain minimum")
@@ -35,8 +38,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
     val star = labelsWith("star")
     val prop = labelsWith("propagation")
+    val local = labelsWith("auto") // 150 edges ≪ localThreshold → union-find
     assert(star.nonEmpty)
     assert(star.sameElements(prop))
+    assert(star.sameElements(local))
   }
 
   test("empty edge set yields empty labels (no hang, no NPE)") {
