@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation and warehouse-maintenance operators: per-source
+  * caps, CDC upsert application, column profiling, fuzzy matching and
+  * multi-dimensional layout keys. These are the jobs that run AROUND
+  * the analytics queries in a production pipeline (the reference's
+  * ClickHouse target gets them from MergeTree machinery —
+  * ReplacingMergeTree versions, ORDER BY layout keys; here they are
+  * explicit Spark plans).
+  *
+  * Parity rules as everywhere: counts are exact longs, money math goes
+  * through DECIMAL(18,2) so double fold-order can't drift, and every
+  * ranking has a total tie-break order.
+  */
+object CurationOps {
+
+  /** Per-source document cap: keep the k longest documents per source
+    * (ties to the smaller doc_id). The standard anti-boilerplate move
+    * against a crawl dominated by one domain. The row_number ≤ k shape
+    * is rewritten to the native two-phase TopKPerKeyExec, so each
+    * source ships at most k rows per map partition through the
+    * shuffle — the cap happens before the exchange, not after. */
+  val capPerSource: GraftOp = GraftOp(
+    "cap_per_source",
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
+      |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** CDC upsert application, latest-version-wins (the batch twin of
+    * ClickHouse ReplacingMergeTree semantics the reference's target
+    * table family relies on). The change batch here is derived
+    * deterministically from the base table (status updates for keys
+    * ≡3 mod 7, inserts for keys ≡0 mod 97) so the oracle can replay
+    * it; in production it is the CDC stream. The merge itself is ONE
+    * hash aggregation with a lexicographic (version, …) struct max —
+    * partial aggregation folds map-side, so the shuffle carries one
+    * row per key instead of base+changes (the window-function
+    * formulation would sort everything through the exchange). */
+  val mergeUpsert: GraftOp = GraftOp(
+    "merge_upsert",
+    """WITH all_rows AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 100 AS o_totalprice, 1 AS version
+      |  FROM orders WHERE o_orderkey % 7 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |m AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |  FROM all_rows)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM m WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val base = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      lit(0).as("version"))
+    val updates = o.filter(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 100).as("o_totalprice"), lit(1).as("version"))
+    val inserts = o.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("N").as("o_orderstatus"),
+        col("o_totalprice"), lit(1).as("version"))
+    base.union(updates).union(inserts)
+      .groupBy(col("o_orderkey"))
+      .agg(max(struct(col("version"), col("o_orderstatus"), col("o_totalprice"))).as("m"))
+      .groupBy(col("m.o_orderstatus").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("m.o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val profileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val profileNumeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Column profiling (the engine's ANALYZE / data-quality summary):
+    * per-column row, null, and exact distinct counts plus numeric
+    * min/max, in ONE scan — the multi-distinct aggregate goes through
+    * Catalyst's Expand (|cols|+1 streams over one pass), then a stack()
+    * pivots the single wide row to long form. The per-column UNION ALL
+    * formulation (what the oracle runs) would scan the table once per
+    * column — 6× the IO at 100 TB. Min/max only for numeric columns:
+    * double→string rendering is engine-specific, numeric values are
+    * not. */
+  val profileColumns: GraftOp = GraftOp(
+    "profile_columns",
+    profileCols.map { c =>
+      val (mn, mx) =
+        if (profileNumeric(c)) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, d) =>
+    val aggs = count(lit(1)).as("n_rows") +: profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")) ++
+        (if (profileNumeric(c))
+          Seq(min(col(c)).cast(DoubleType).as(s"mn_$c"), max(col(c)).cast(DoubleType).as(s"mx_$c"))
+        else Seq.empty)
+    }
+    val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = profileCols.map { c =>
+      val mn = if (profileNumeric(c)) s"mn_$c" else "CAST(NULL AS DOUBLE)"
+      val mx = if (profileNumeric(c)) s"mx_$c" else "CAST(NULL AS DOUBLE)"
+      s"'$c', n_rows - nn_$c, nd_$c, $mn, $mx"
+    }.mkString(s"stack(${profileCols.size}, ", ", ", ")")
+    one.selectExpr("n_rows", s"$stackExpr AS (col_name, n_nulls, n_distinct, min_num, max_num)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_num"), col("max_num"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Fuzzy (edit-distance) self-match over part names with blocking:
+    * candidates must share a last token, so the join is a plain hash
+    * equi-join on the block key and levenshtein runs only inside
+    * blocks — never all-pairs. The entity-resolution primitive
+    * (catalog reconciliation, near-identical product names); at scale
+    * the block key is the thing to tune (phonetic key, length band,
+    * token prefix), the plan shape stays this one. */
+  val fuzzyJoin: GraftOp = GraftOp(
+    "fuzzy_join",
+    """WITH n AS (
+      |  SELECT DISTINCT p_name, regexp_extract(p_name, '(\S+)$', 1) AS blk FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d)
+      .select(col("p_name"), regexp_extract(col("p_name"), "(\\S+)$", 1).as("blk"))
+      .distinct()
+    val a = names.select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Morton/Z-order layout key: interleaves the bits of two dimensions
+    * (customer, order day) so that sorting by the key clusters rows
+    * that are close in BOTH — the multi-dimensional data-skipping
+    * layout (Delta/Iceberg OPTIMIZE ZORDER; ClickHouse ORDER BY can
+    * only nest). Each dimension is first min/max-normalized to the
+    * same 8-bit resolution — raw interleaving of unequal domains
+    * degenerates to a sort on whichever dimension has the higher bits
+    * (CurationOpsSpec pins the both-dimensions-bounded property that
+    * normalization buys). A writer pairs the key with
+    * repartitionByRange(zval) so every parquet file covers a tight
+    * min/max box in both dimensions and either predicate prunes
+    * files. One scalar min/max aggregate broadcast into pure bit
+    * arithmetic (3 mask-shift rounds per dimension) — fully codegen'd,
+    * no extra shuffle to assign. */
+  val zorder: GraftOp = GraftOp(
+    "lake_zorder",
+    {
+      def spread(x: String): String =
+        Seq(("4", "3855"), ("2", "13107"), ("1", "21845")) // 0x0F0F 0x3333 0x5555
+          .foldLeft(x) { case (e, (sh, mask)) => s"((($e) | (($e) << $sh)) & $mask)" }
+      s"""WITH d AS (
+         |  SELECT o_orderkey, o_custkey AS ck,
+         |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dy
+         |  FROM orders),
+         |b AS (SELECT min(ck) AS cmin, max(ck) AS cmax, min(dy) AS dmin, max(dy) AS dmax FROM d),
+         |n AS (
+         |  SELECT o_orderkey,
+         |    ((ck - cmin) * 256) // (cmax - cmin + 1) AS cust_bucket,
+         |    ((dy - dmin) * 256) // (dmax - dmin + 1) AS day_bucket
+         |  FROM d CROSS JOIN b),
+         |z AS (
+         |  SELECT o_orderkey, cust_bucket, day_bucket,
+         |    (${spread("cust_bucket")}) | ((${spread("day_bucket")}) << 1) AS zval
+         |  FROM n)
+         |SELECT o_orderkey, cust_bucket, day_bucket, zval FROM z
+         |ORDER BY zval, o_orderkey LIMIT 2000""".stripMargin
+    }) { (s, d) =>
+    def spread(c: Column): Column = Seq((4, 3855L), (2, 13107L), (1, 21845L))
+      .foldLeft(c) { case (e, (sh, mask)) => (e.bitwiseOR(shiftleft(e, sh))).bitwiseAND(lit(mask)) }
+    val dd = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("dy"))
+    val b = dd.agg(min(col("ck")).as("cmin"), max(col("ck")).as("cmax"),
+      min(col("dy")).as("dmin"), max(col("dy")).as("dmax"))
+    dd.crossJoin(broadcast(b))
+      .select(col("o_orderkey"),
+        expr("((ck - cmin) * 256) div (cmax - cmin + 1)").as("cust_bucket"),
+        expr("((dy - dmin) * 256) div (dmax - dmin + 1)").as("day_bucket"))
+      .withColumn("zval",
+        spread(col("cust_bucket")).bitwiseOR(shiftleft(spread(col("day_bucket")), 1)))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .limit(2000)
+      .select(col("o_orderkey"), col("cust_bucket"), col("day_bucket"), col("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, zorder)
+}

@@ -153,5 +153,124 @@ object EventsAnalytics {
       .orderBy(col("event_type"), col("day_idx"))
   }
 
-  val ops: Seq[GraftOp] = Seq(latestPerKey, funnel, retention, gapFill)
+  /** Linear interpolation over the gap-filled daily series: silent
+    * days get the straight line between the nearest observed days
+    * (edges clamp to the nearest observation). Runs on the aggregated
+    * (type × day) matrix — |types|·|days| rows regardless of event
+    * volume — so the four IGNORE-NULLS window passes are over tiny
+    * partitions, never the raw stream. Daily sums are exact
+    * DECIMAL(18,2) (fold-order-free); the interpolation formula is the
+    * same double expression in both engines, so results are
+    * bit-identical (rounded to 6 decimals as belt and braces). */
+  val interpolate: GraftOp = GraftOp(
+    "q_interpolate",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |agg AS (SELECT event_type, day_idx, sum(v) AS sv FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM e),
+      |spine AS (
+      |  SELECT t.event_type, d.day_idx
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM bounds) d),
+      |j AS (
+      |  SELECT s.event_type, s.day_idx, CAST(a.sv AS DOUBLE) AS sv
+      |  FROM spine s LEFT JOIN agg a
+      |    ON s.event_type = a.event_type AND s.day_idx = a.day_idx),
+      |w AS (
+      |  SELECT event_type, day_idx, sv,
+      |    last_value(sv IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY day_idx
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(CASE WHEN sv IS NOT NULL THEN day_idx END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY day_idx
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+      |    first_value(sv IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY day_idx
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN sv IS NOT NULL THEN day_idx END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY day_idx
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT event_type, CAST(day_idx AS INT) AS day_idx,
+      |  round(CASE
+      |    WHEN sv IS NOT NULL THEN sv
+      |    WHEN pv IS NULL THEN nv
+      |    WHEN nv IS NULL THEN pv
+      |    ELSE pv + (nv - pv) * (day_idx - pd) / (nd - pd) END, 6) AS filled,
+      |  CASE WHEN sv IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+      |FROM w ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val agg = e.groupBy(col("event_type"), col("day_idx")).agg(sum(col("v")).as("sv"))
+    val bounds = e.agg(min(col("day_idx")).as("lo"), max(col("day_idx")).as("hi"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+    val j = spine.join(agg, Seq("event_type", "day_idx"), "left")
+      .select(col("event_type"), col("day_idx"), col("sv").cast(DoubleType).as("sv"))
+    val before = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val markedDay = when(col("sv").isNotNull, col("day_idx"))
+    j.select(col("event_type"), col("day_idx"), col("sv"),
+        last(col("sv"), ignoreNulls = true).over(before).as("pv"),
+        last(markedDay, ignoreNulls = true).over(before).as("pd"),
+        first(col("sv"), ignoreNulls = true).over(after).as("nv"),
+        first(markedDay, ignoreNulls = true).over(after).as("nd"))
+      .select(col("event_type"), col("day_idx").cast(IntegerType).as("day_idx"),
+        round(
+          when(col("sv").isNotNull, col("sv"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("day_idx") - col("pd")) / (col("nd") - col("pd"))), 6).as("filled"),
+        when(col("sv").isNotNull, "obs").otherwise("interp").as("src"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  /** Per-type z-score outliers. The per-group moments come from exact
+    * DECIMAL sums (sum v, sum v²) folded map-side in one aggregation
+    * and broadcast back — no window over the raw stream, no
+    * Welford-order drift: mean/variance/sqrt are then the same double
+    * expression in both engines, so membership of |z| > 2.5 cannot
+    * disagree at the boundary. */
+  val outliers: GraftOp = GraftOp(
+    "q_outliers",
+    """WITH e AS (
+      |  SELECT event_id, event_type, value, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |st AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(v) AS DOUBLE) AS s1, CAST(sum(v * v) AS DOUBLE) AS s2
+      |  FROM e GROUP BY 1),
+      |z AS (
+      |  SELECT event_id, e.event_type,
+      |    (value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS zs
+      |  FROM e JOIN st ON e.event_type = st.event_type)
+      |SELECT event_id, event_type, round(zs, 6) AS zscore
+      |FROM z WHERE abs(zs) > 2.5 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val st = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast(DoubleType).as("s1"),
+        sum(col("v") * col("v")).cast(DoubleType).as("s2"))
+    val mean = col("s1") / col("n")
+    val zs = (col("value") - mean) / sqrt(col("s2") / col("n") - mean * mean)
+    e.join(broadcast(st), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), zs.as("zs"))
+      .filter(abs(col("zs")) > 2.5)
+      .select(col("event_id"), col("event_type"), round(col("zs"), 6).as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers)
 }
