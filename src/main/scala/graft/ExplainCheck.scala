@@ -14,9 +14,11 @@ object ExplainCheck {
     // knn_brute, where corpus × broadcast-query-set IS the brute force
     // knn_classify: corpus × broadcast-query-set is the brute-force
     // scan; q_gap_fill: types × single-row min/max bounds spine
+    // lake_zorder / q11_value_share / q_interpolate: single-row
+    // min-max/total scalar-aggregate broadcast, same family as q_gap_fill
     val intendedBnl =
       Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute", "text_tfidf",
-        "knn_classify", "q_gap_fill")
+        "knn_classify", "q_gap_fill", "lake_zorder", "q11_value_share", "q_interpolate")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString

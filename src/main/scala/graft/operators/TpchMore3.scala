@@ -69,5 +69,143 @@ object TpchMore3 {
       .orderBy(col("nation"), col("o_year"))
   }
 
-  val ops: Seq[GraftOp] = Seq(q12Priority, q9Profit)
+  /** Q2 shape: cheapest supplier per part within one region, with the
+    * min-cost condition as a correlated aggregate. partsupp doesn't
+    * exist in the star schema, so supply cost is derived: min unit
+    * price per (part, supplier) observed in lineitem. The per-part
+    * minimum is computed once (grouped agg, not a per-row subquery
+    * re-scan) and joined back — the decorrelated plan Catalyst/DuckDB
+    * both reach; unit costs are identical doubles in both engines
+    * (same single division), so the equality join can't disagree. */
+  val q2MinCost: GraftOp = GraftOp(
+    "q2_min_cost",
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |rsupp AS (
+      |  SELECT s_suppkey, s_name, n_name FROM supplier, nation, region
+      |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE'),
+      |c2 AS (
+      |  SELECT l_partkey, unit_cost, s_name, n_name
+      |  FROM cost JOIN rsupp ON l_suppkey = s_suppkey),
+      |m AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM c2 GROUP BY 1)
+      |SELECT p_partkey, p_name, s_name, n_name, round(unit_cost, 4) AS unit_cost
+      |FROM c2
+      |JOIN m ON c2.l_partkey = m.l_partkey AND c2.unit_cost = m.min_cost
+      |JOIN part ON p_partkey = c2.l_partkey
+      |WHERE p_size <= 10
+      |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin) { (s, d) =>
+    val cost = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val rsupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val c2 = cost.join(broadcast(rsupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("unit_cost"), col("s_name"), col("n_name"))
+    val m = c2.groupBy(col("l_partkey").as("m_partkey")).agg(min(col("unit_cost")).as("min_cost"))
+    c2.join(m, col("l_partkey") === col("m_partkey") && col("unit_cost") === col("min_cost"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 10)),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        round(col("unit_cost"), 4).as("unit_cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  /** Q11 shape: parts whose revenue exceeds the mean per-part revenue —
+    * grouped agg + one scalar aggregate broadcast into the HAVING. The
+    * threshold is val×n_parts > total (exact decimal × bigint): Q11's
+    * FRACTION literal is scale-dependent (0.0001 at SF1 selects
+    * nothing at SF0.01 and everything at SF100); an above-average cut
+    * keeps ~half the parts at EVERY scale, and no engine can disagree
+    * at an exact-arithmetic boundary. */
+  val q11ValueShare: GraftOp = GraftOp(
+    "q11_value_share",
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS val
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(val) AS total, count(*) AS n_parts FROM v)
+      |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+      |FROM v, t WHERE val * n_parts > total
+      |ORDER BY value DESC, l_partkey""".stripMargin) { (s, d) =>
+    val v = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("val"))
+    val t = v.agg(sum(col("val")).as("total"), count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(t))
+      .filter(col("val") * col("n_parts") > col("total"))
+      .select(col("l_partkey"), col("val").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q16 shape: how many distinct suppliers serve each (brand, type,
+    * size) bucket, excluding flagged suppliers (negative balance plays
+    * Q16's complaints filter). The NOT IN is a broadcast anti-join;
+    * the distinct pair set comes off lineitem once. */
+  val q16SupplierCnt: GraftOp = GraftOp(
+    "q16_supplier_cnt",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM ps JOIN part ON p_partkey = l_partkey
+      |WHERE p_size IN (1, 5, 10, 15, 20) AND p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_size").isin(1, 5, 10, 15, 20) && col("p_brand") =!= "Brand#1")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20 shape: suppliers who ship an above-average share of some red
+    * part's volume — a semi-join against a per-(part,supplier)
+    * aggregate compared to the per-part total (Q20's 0.5×avail_qty
+    * test re-expressed scale-stably: qty×n_suppliers > total is exact
+    * decimal × bigint, meaningful at every SF). Both aggregates group
+    * on l_partkey, so the second reuses the first's partitioning (no
+    * extra wide shuffle at scale). */
+  val q20Excess: GraftOp = GraftOp(
+    "q20_excess",
+    """WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+      |sq AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem JOIN rp ON p_partkey = l_partkey GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey, sum(qty) AS tqty, count(*) AS nsupp FROM sq GROUP BY 1),
+      |win AS (
+      |  SELECT DISTINCT l_suppkey FROM sq JOIN tot USING (l_partkey)
+      |  WHERE qty * nsupp > tqty)
+      |SELECT s_name, n_name FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM win)
+      |ORDER BY s_name""".stripMargin) { (s, d) =>
+    val rp = Tables.part(s, d).filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val sq = Tables.lineitem(s, d)
+      .join(broadcast(rp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+    val tot = sq.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("tqty"), count(lit(1)).as("nsupp"))
+    val win = sq.join(tot, Seq("l_partkey"))
+      .filter(col("qty") * col("nsupp") > col("tqty"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(win), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(q12Priority, q9Profit, q2MinCost, q11ValueShare, q16SupplierCnt, q20Excess)
 }
