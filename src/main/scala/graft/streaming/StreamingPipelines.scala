@@ -151,6 +151,34 @@ object StreamingPipelines {
       .start()
   }
 
+  final case class UpsertRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Streaming CDC upsert / latest-per-key (streaming twin of the
+    * batch `q_latest_per_key` argMax and `merge_upsert`): one state row
+    * per key holding the current (ts, event_id)-max version; each
+    * trigger emits only keys whose latest changed (Update mode — the
+    * ReplacingMergeTree "current state" table maintained
+    * incrementally). State is one row per key — bounded by key
+    * cardinality, not stream length; with at-least-once replay the
+    * lexicographic max is idempotent, so duplicates can't regress the
+    * state. StreamingSpec asserts the final table equals the batch
+    * argMax over the same events. */
+  def latestPerKeyStream(events: Dataset[UpsertRow])(
+      implicit spark: SparkSession): Dataset[UpsertRow] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UpsertRow, UpsertRow](GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[UpsertRow]) =>
+          // lexicographic (ts, event_id) max across state + batch rows
+          val latest = (state.getOption.iterator ++ rows)
+            .maxBy(r => (r.ts.getTime, r.event_id))
+          state.update(latest)
+          latest
+      }
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, value: Double)
   final case class KeyedBatch(user_id: Long, batch_seq: Long, n: Int,
       min_event: Long, max_event: Long)

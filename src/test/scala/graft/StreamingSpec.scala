@@ -144,6 +144,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toString).sameElements(want.map(_.toString)))
   }
 
+  test("streaming latest-per-key upsert == batch argMax current state") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    val src = eventsStream()
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow]
+    val out = runToMemory(
+      StreamingPipelines.latestPerKeyStream(src).toDF(), "update", "latest_out")
+    // updates are monotone in (ts, event_id), so the per-key max over
+    // ALL emitted updates is the final state
+    val got = out.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.EventsAnalytics.latestPerKey.run(spark, sf)
+      .select(col("user_id"), col("last_event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("count-batcher flushes a batch every N records per key") {
     implicit val s = spark
     import s.implicits._
