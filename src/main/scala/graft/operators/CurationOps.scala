@@ -216,6 +216,50 @@ object CurationOps {
       .orderBy(col("zval"), col("o_orderkey"))
   }
 
+  /** Incremental view maintenance with retractions: a materialized
+    * per-type rollup is brought current by MERGING the old aggregate
+    * with insert and delete deltas (count/sum are abelian-group
+    * aggregates — deltas apply with a ±1 sign, no base rescan).
+    * base = days < 15; deletes = flagged rows of the base (id ≡ 0 mod
+    * 13); inserts = days ≥ 15 — all derived deterministically so the
+    * oracle can replay the FULL recompute over the survivor set, whose
+    * equality with the merged view IS the IVM correctness statement.
+    * At 100 TB the three agg inputs are |types|-row tables plus the
+    * delta scan; the base fact is never re-read. Types whose count
+    * reaches zero drop out (the retraction edge a naive merge gets
+    * wrong). */
+  val aggIncremental: GraftOp = GraftOp(
+    "agg_incremental",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |survivors AS (
+      |  SELECT * FROM e WHERE day_idx < 15 AND event_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT * FROM e WHERE day_idx >= 15)
+      |SELECT event_type, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value
+      |FROM survivors GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    def agg(df: org.apache.spark.sql.DataFrame, sign: Int) =
+      df.groupBy(col("event_type"))
+        .agg((count(lit(1)) * sign).as("dn"), (sum(col("v")) * sign).as("dv"))
+    val base = agg(e.filter(col("day_idx") < 15), 1)           // the materialized view
+    val dels = agg(e.filter(col("day_idx") < 15 && col("event_id") % 13 === 0), -1)
+    val ins = agg(e.filter(col("day_idx") >= 15), 1)
+    base.union(dels).union(ins)
+      .groupBy(col("event_type"))
+      .agg(sum(col("dn")).as("n"), sum(col("dv")).as("sv"))
+      .filter(col("n") > 0)
+      .select(col("event_type"), col("n"),
+        col("sv").cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, zorder)
+    Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, zorder, aggIncremental)
 }
