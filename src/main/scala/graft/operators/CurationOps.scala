@@ -260,6 +260,31 @@ object CurationOps {
       .orderBy(col("event_type"))
   }
 
+  /** Order-independent table checksum: bit_xor over a portable 60-bit
+    * hash of each row's canonical string form — the migration/parity
+    * primitive (same rows ⇒ same checksum on ANY engine, any row
+    * order, any partitioning; one map + one scalar aggregate, no
+    * sort). Money goes through DECIMAL so the canonical string is
+    * render-stable; xor (not sum) so the fold needs no overflow
+    * modulus. This is literally how the driver's own oracle compare
+    * works — exposed as an operator. */
+  val tableChecksum: GraftOp = GraftOp(
+    "table_checksum",
+    s"""WITH r AS (
+       |  SELECT concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment,
+       |    CAST(c_acctbal AS DECIMAL(12,2))) AS row_str
+       |  FROM customer)
+       |SELECT count(*) AS n_rows,
+       |  bit_xor(${graft.functions.Exprs.sqlMd5Long("row_str")}) AS checksum
+       |FROM r""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal").cast(DecimalType(12, 2))).as("row_str"))
+      .select(graft.functions.Exprs.md5Long(col("row_str")).as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, zorder, aggIncremental)
+    Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, zorder, aggIncremental,
+      tableChecksum)
 }

@@ -112,5 +112,46 @@ object MmOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk)
+  /** Container-format sniffing over binary columns: classify each blob
+    * by magic-byte prefix (PNG/JPEG/RIFF here), the first gate of any
+    * media-ingest pipeline (route to the right decoder, quarantine the
+    * rest). Test blobs get deterministic planted headers so the oracle
+    * can replay the classification; the prefix test itself is the
+    * production kernel. Pure map + one |formats|-row aggregate. */
+  val sniff: GraftOp = GraftOp(
+    "mm_sniff",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    from_hex(CASE doc_id % 3 WHEN 0 THEN '89504E470D0A1A0A'
+      |      WHEN 1 THEN 'FFD8FFE0' ELSE '52494646' END) || encode(text) AS blob
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, octet_length(blob) AS n_bytes,
+      |    CASE WHEN hex(blob) LIKE '89504E470D0A1A0A%' THEN 'png'
+      |         WHEN hex(blob) LIKE 'FFD8FF%' THEN 'jpeg'
+      |         WHEN hex(blob) LIKE '52494646%' THEN 'riff'
+      |         ELSE 'unknown' END AS format
+      |  FROM b)
+      |SELECT format, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val header = unhex(
+      when(col("doc_id") % 3 === 0, "89504E470D0A1A0A")
+        .when(col("doc_id") % 3 === 1, "FFD8FFE0")
+        .otherwise("52494646"))
+    val b = Tables.documents(s, d)
+      .select(col("doc_id"), concat(header, encode(col("text"), "UTF-8")).as("blob"))
+    // production kernel would substring(blob, 1, 8) before hex; DuckDB
+    // lacks blob substring, so the oracle-parity form hexes the blob —
+    // the classification is identical
+    b.select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
+        when(hex(col("blob")).startsWith("89504E470D0A1A0A"), "png")
+          .when(hex(col("blob")).startsWith("FFD8FF"), "jpeg")
+          .when(hex(col("blob")).startsWith("52494646"), "riff")
+          .otherwise("unknown").as("format"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).cast(LongType).as("total_bytes"))
+      .orderBy(col("format"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff)
 }
