@@ -60,5 +60,64 @@ object SqlSurface3 {
       .orderBy(col("bucket"))
   }
 
-  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram)
+  /** Equi-depth (quantile-bucket) histogram: ntile over a TOTAL order
+    * (value, event_id — the tie-break makes every engine cut the same
+    * rows into the same buckets, which plain ntile-over-value cannot
+    * guarantee), then per-bucket bounds and mass. The complement of the
+    * fixed-width q_histogram: bucket population is constant, bucket
+    * width adapts. One global sort at |rows| — at scale the same shape
+    * runs on approx_percentile cuts instead (q_approx_percentile). */
+  val qEquidepth: GraftOp = GraftOp(
+    "q_equidepth",
+    """WITH t AS (
+      |  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      |  FROM events)
+      |SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .select(col("value"),
+        ntile(10).over(Window.orderBy(col("value"), col("event_id"))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** 2-D skyline (Pareto frontier): parts not dominated on
+    * (p_retailprice, p_size). The oracle states the definition as a
+    * correlated NOT EXISTS (O(n²) — fine for an oracle); the engine
+    * computes it with the sort + running-max trick: sorted by price
+    * desc, a row survives iff its size beats the running max size of
+    * all STRICTLY-higher-priced rows and it is the max size within its
+    * own price tie-group — O(n log n), two windows over one sort, the
+    * window-function formulation of the classic skyline algorithms. */
+  val qSkyline: GraftOp = GraftOp(
+    "q_skyline",
+    """SELECT p_partkey, p_retailprice, p_size FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice >= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice > a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // collapse to one row per distinct price first (price → max size):
+    // the window then runs over |distinct prices| rows, and a ROWS
+    // frame gives the strictly-higher-priced running max exactly
+    val g = Tables.part(s, d)
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("gmax"))
+      .withColumn("max_size_higher",
+        max(col("gmax")).over(Window.orderBy(col("price").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      // a price level survives iff its best size beats every
+      // higher-priced size
+      .filter(col("max_size_higher").isNull || col("gmax") > col("max_size_higher"))
+    Tables.part(s, d)
+      .join(broadcast(g),
+        col("p_retailprice") === col("price") && col("p_size") === col("gmax"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline)
 }
