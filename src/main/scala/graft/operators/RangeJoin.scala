@@ -88,5 +88,71 @@ object RangeJoin {
       .orderBy(col("signup_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(qRangeJoin)
+  /** Equi-bin rewrite of `left ⋈ right ON overlap([ls,le), [rs,re))`.
+    * Both interval sets explode into covered bins and hash-join on the
+    * bin; a pair overlapping several bins would duplicate, so matches
+    * are kept ONLY in the canonical bin containing max(ls, rs) — every
+    * overlapping pair shares exactly that bin (floor is monotone and
+    * both intervals cover their overlap's start), which dedupes
+    * without a distinct shuffle. Same guards as the point form. */
+  def binnedIntervalOverlap(
+      left: DataFrame, ls: Column, le: Column,
+      right: DataFrame, rs: Column, re: Column,
+      binSeconds: Long, maxBins: Int = 10000): DataFrame = {
+    for (df <- Seq(left, right); c <- Seq("__bin", "__bins", "__sbin_l", "__sbin_r"))
+      require(!df.columns.contains(c),
+        s"binnedIntervalOverlap reserves column name $c")
+    def explodeBins(df: DataFrame, s: Column, e: Column, startBinName: String): DataFrame = {
+      val sb = floor(unix_timestamp(s) / binSeconds)
+      val eb = floor(unix_timestamp(e) / binSeconds)
+      df.filter(e >= s)
+        .withColumn(startBinName, sb)
+        .withColumn("__bins",
+          when(eb - sb < lit(maxBins.toLong), sequence(sb, eb))
+            .otherwise(raise_error(format_string(
+              s"binnedIntervalOverlap: interval spans %d bins (max $maxBins)",
+              eb - sb + 1))))
+        .withColumn("__bin", explode(col("__bins"))).drop("__bins")
+    }
+    explodeBins(left, ls, le, "__sbin_l")
+      .join(explodeBins(right, rs, re, "__sbin_r"), Seq("__bin"))
+      .filter(ls < re && rs < le) // exact half-open overlap
+      .filter(col("__bin") === greatest(col("__sbin_l"), col("__sbin_r")))
+      .drop("__bin", "__sbin_l", "__sbin_r")
+  }
+
+  /** Overlapping activity windows across event types: each signup
+    * opens a 30-minute window, each purchase a 10-minute window; pairs
+    * whose windows overlap, with the overlap duration. NO shared key —
+    * a genuine interval-interval join, executed as the binned equi
+    * rewrite (the DuckDB oracle states the naive overlap predicate, so
+    * the hash match proves the rewrite + canonical-bin dedup). */
+  val qIntervalOverlap: GraftOp = GraftOp(
+    "q_interval_overlap",
+    """WITH s AS (
+      |  SELECT event_id AS signup_id, ts AS s_s, ts + INTERVAL '30 minutes' AS s_e
+      |  FROM events WHERE event_type = 'signup'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, ts AS p_s, ts + INTERVAL '10 minutes' AS p_e
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT signup_id, purchase_id,
+      |  date_diff('second', greatest(s_s, p_s), least(s_e, p_e)) AS overlap_sec
+      |FROM s JOIN p ON s_s < p_e AND p_s < s_e
+      |ORDER BY signup_id, purchase_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts").as("s_s"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("s_e"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_s"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("p_e"))
+    binnedIntervalOverlap(signups, col("s_s"), col("s_e"),
+        purchases, col("p_s"), col("p_e"), binSeconds = 1200L)
+      .select(col("signup_id"), col("purchase_id"),
+        (unix_timestamp(least(col("s_e"), col("p_e"))) -
+          unix_timestamp(greatest(col("s_s"), col("p_s")))).as("overlap_sec"))
+      .orderBy(col("signup_id"), col("purchase_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(qRangeJoin, qIntervalOverlap)
 }

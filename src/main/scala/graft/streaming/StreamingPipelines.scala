@@ -179,6 +179,50 @@ object StreamingPipelines {
       }
   }
 
+  final case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Silence / heartbeat-loss detection: emit an alert when a key that
+    * was active produces no event for `gap` of EVENT time — the
+    * monitoring primitive (sensor offline, pipeline stalled, user
+    * churned) that needs event-time TIMEOUTS, not just watermarked
+    * aggregation: nothing arrives for a silent key, so only the state
+    * store can speak for it. flatMapGroupsWithState with
+    * EventTimeTimeout: each batch refreshes the key's last-seen ts and
+    * re-arms the timeout at last_ts + gap; when the WATERMARK (not the
+    * wall clock — replays stay deterministic) passes that point the
+    * state times out, the alert fires once, and the key's state is
+    * dropped (re-appearing keys start fresh). One state row per
+    * currently-live key. */
+  def silenceDetector(events: Dataset[UpsertRow], gap: String = "1 hour")(
+      implicit spark: SparkSession): Dataset[SilenceAlert] = {
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMs.months == 0, "silence gap must be a fixed duration (no months)")
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SilenceAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (lastTs, n) = state.get
+            state.remove()
+            Iterator.single(SilenceAlert(key, new java.sql.Timestamp(lastTs), n))
+          } else {
+            val (prevTs, prevN) = state.getOption.getOrElse((Long.MinValue, 0L))
+            var lastTs = prevTs
+            var n = prevN
+            rows.foreach { r => n += 1; if (r.ts.getTime > lastTs) lastTs = r.ts.getTime }
+            state.update((lastTs, n))
+            state.setTimeoutTimestamp(lastTs + gapMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, value: Double)
   final case class KeyedBatch(user_id: Long, batch_seq: Long, n: Int,
       min_event: Long, max_event: Long)

@@ -165,6 +165,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("silence detector alerts exactly the key that went event-time silent") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.silenceDetector(mem.toDS(), "1 hour").toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("silence_out").start()
+    try {
+      mem.addData(UpsertRow(1L, ts(0), 1L, "a", 0.0), UpsertRow(1L, ts(5), 2L, "a", 0.0))
+      q.processAllAvailable() // watermark → t+5m
+      mem.addData(UpsertRow(2L, ts(180), 3L, "a", 0.0))
+      q.processAllAvailable() // watermark → t+180m; user 1 timed out at t+65m
+      mem.addData(UpsertRow(2L, ts(181), 4L, "a", 0.0))
+      q.processAllAvailable() // timeout processed in the following batch
+      val alerts = spark.table("silence_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(alerts.toSeq === Seq((1L, 2L)),
+        s"expected exactly user 1 (2 events) to go silent, got ${alerts.toSeq}")
+    } finally q.stop()
+  }
+
   test("count-batcher flushes a batch every N records per key") {
     implicit val s = spark
     import s.implicits._
