@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived relational graphs (connected
+  * components lives in [[ConnectedComponents]]; this adds the numeric
+  * iteration family).
+  *
+  * Cross-engine float parity for iterative numerics: every iteration
+  * ROUNDS the rank vector to 10 decimals in BOTH engines, so the
+  * per-iteration state is bit-identical (a sum's fold-order ULP sits
+  * ~1e-17 relative; a 1e-10 grid snaps it) and errors cannot compound
+  * across iterations. The oracle unrolls the fixed iteration count as
+  * chained CTEs — no reliance on aggregation-in-recursive-term, which
+  * standard SQL forbids.
+  */
+object GraphOps {
+
+  private val Damping = 0.85
+  private val Iters = 10
+
+  /** PageRank over the nation trade graph (supplier nation → customer
+    * nation edges derived from lineitem⋈orders⋈supplier⋈customer).
+    * Fixed 10 iterations, damping 0.85, dangling mass dropped (the
+    * simple formulation — both sides state the SAME semantics, which
+    * is what the oracle checks).
+    *
+    * Scale shape: the graph (distinct nation pairs) is tiny, but the
+    * loop body is the standard join-aggregate round — ranks ⋈ edges on
+    * src, groupBy dst, one shuffle per iteration — exactly what runs
+    * on a billion-edge web graph; each round eagerly checkpoints so
+    * lineage stays flat (the round-1 lesson ConnectedComponents
+    * learned). The EDGE DERIVATION is the expensive part at 100 TB and
+    * it is one pass over the pruned fact join. */
+  val pagerank: GraftOp = GraftOp(
+    "graph_pagerank",
+    {
+      val base = """WITH edges AS (
+        |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |    AND o_custkey = c_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND n1.n_nationkey <> n2.n_nationkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nc AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |p0 AS (SELECT node,
+        |  round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nc), 10) AS rank FROM nodes)""".stripMargin
+      val iters = (1 to Iters).map { k =>
+        s"""p$k AS (
+           |  SELECT n.node,
+           |    round(CAST(${1 - Damping} AS DOUBLE) / (SELECT n FROM nc)
+           |      + CAST($Damping AS DOUBLE) * coalesce(sum(p.rank / d.outdeg), 0), 10) AS rank
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN p${k - 1} p ON p.node = e.src
+           |  LEFT JOIN deg d ON d.src = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"$base$iters\nSELECT node, rank FROM p$Iters ORDER BY node"
+    }) { (s, d) =>
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("src"))),
+        col("s_nationkey") === col("nk1"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("dst"))),
+        col("c_nationkey") === col("nk2"))
+      .filter(col("nk1") =!= col("nk2"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks: DataFrame = nodes
+      .select(col("node"), round(lit(1.0) / n, 10).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val next = nodes
+        .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"), "left")
+        .join(deg, Seq("src"), "left")
+        .groupBy(col("node"))
+        .agg(round(lit(1 - Damping) / n +
+          lit(Damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks.orderBy(col("node"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(pagerank)
+}
