@@ -284,7 +284,45 @@ object CurationOps {
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
   }
 
+  /** SCD Type-2 history: instead of latest-wins (merge_upsert), every
+    * version of a key becomes a validity interval — valid_from =
+    * its version, valid_to = the NEXT version (lead over the key's
+    * version order; null = current). The summary proves interval
+    * bookkeeping: every key has exactly one open (current) version,
+    * updated keys carry one closed one. Same derived change set as
+    * merge_upsert so the two ops document SCD1 vs SCD2 over identical
+    * input. One window over (key, version) — at scale the same
+    * partitioning as the upsert shuffle. */
+  val scd2History: GraftOp = GraftOp(
+    "scd2_history",
+    """WITH all_rows AS (
+      |  SELECT o_orderkey, o_orderstatus, 0 AS version FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 1 FROM orders WHERE o_orderkey % 7 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'N', 1 FROM orders WHERE o_orderkey % 97 = 0),
+      |h AS (
+      |  SELECT o_orderkey, o_orderstatus, version,
+      |    lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+      |  FROM all_rows)
+      |SELECT (valid_to IS NULL) AS is_current, o_orderstatus,
+      |  count(*) AS n, count(DISTINCT o_orderkey) AS n_keys
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val allRows = o.select(col("o_orderkey"), col("o_orderstatus"), lit(0).as("version"))
+      .union(o.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), lit("U"), lit(1)))
+      .union(o.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"), lit("N"), lit(1)))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version"))
+    allRows
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .groupBy(col("valid_to").isNull.as("is_current"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("n_keys"))
+      .orderBy(col("is_current"), col("o_orderstatus"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, zorder, aggIncremental,
-      tableChecksum)
+      tableChecksum, scd2History)
 }

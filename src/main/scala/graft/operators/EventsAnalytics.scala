@@ -271,6 +271,40 @@ object EventsAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Trailing-7-day distinct actives per day (rolling MAU shape).
+    * COUNT(DISTINCT) over a sliding frame is unsupported as a window
+    * function, and a band join would plan as a nested loop — so each
+    * deduplicated (user, day) pair EXPLODES into the ≤7 later days it
+    * supports and a plain groupBy(day) counts distinct users. Fan-out
+    * is bounded by the window length, independent of event volume; one
+    * equi shuffle on day. */
+  val trailingActive: GraftOp = GraftOp(
+    "q_trailing_active",
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      |  FROM events),
+      |b AS (SELECT max(day_idx) AS hi FROM a),
+      |x AS (
+      |  SELECT user_id, unnest(generate_series(day_idx, day_idx + 6)) AS day
+      |  FROM a)
+      |SELECT CAST(day AS INT) AS day_idx, count(DISTINCT user_id) AS active_7d
+      |FROM x WHERE day <= (SELECT hi FROM b)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"))
+      .distinct()
+    val bounds = a.agg(max(col("day_idx")).as("hi"))
+    a.select(col("user_id"),
+        explode(sequence(col("day_idx"), col("day_idx") + 6)).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("hi"))
+      .groupBy(col("day").cast(IntegerType).as("day_idx"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .orderBy(col("day_idx"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers)
+    Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive)
 }
