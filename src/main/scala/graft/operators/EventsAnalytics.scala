@@ -305,6 +305,65 @@ object EventsAnalytics {
       .orderBy(col("day_idx"))
   }
 
+  /** Top event-type transitions (path analysis): consecutive pairs in
+    * each user's event-time order, counted corpus-wide — the Markov /
+    * user-journey primitive. One window pass partitioned by user (the
+    * natural co-partitioning), one pair shuffle; (ts, event_id) total
+    * order makes consecutive-ness deterministic. */
+  val transitions: GraftOp = GraftOp(
+    "q_transitions",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |FROM o WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(20)
+  }
+
+  /** Inter-event gap percentiles per type: lag() over each user's
+    * event-time order gives the gap to the previous same-user event in
+    * integer seconds (exact — no float drift in the ORDER the
+    * percentile sorts), then exact p50/p95 per event type. The
+    * engagement-cadence metric; same one-window-one-agg shape as
+    * q_transitions. */
+  val gapStats: GraftOp = GraftOp(
+    "q_gap_stats",
+    """WITH o AS (
+      |  SELECT event_type,
+      |    date_diff('second',
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_sec
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  round(quantile_cont(gap_sec, 0.5), 6) AS p50_sec,
+      |  round(quantile_cont(gap_sec, 0.95), 6) AS p95_sec
+      |FROM o WHERE gap_sec IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_sec"))
+      .filter(col("gap_sec").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap_sec"), lit(0.5)), 6).as("p50_sec"),
+        round(percentile(col("gap_sec"), lit(0.95)), 6).as("p95_sec"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive)
+    Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive,
+      transitions, gapStats)
 }
