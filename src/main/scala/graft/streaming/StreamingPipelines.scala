@@ -179,6 +179,23 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming heavy hitters: maintain the corpus-wide top-k of an
+    * unbounded key domain in O(capacity) state — the trending-items
+    * query a full streaming groupBy can't give without unbounded
+    * state. The SpaceSaving sketch ([[graft.functions.SpaceSavingTopK]])
+    * rides Spark's typed streaming aggregation: partial sketches fold
+    * map-side per micro-batch and MERGE into the single state sketch
+    * (Complete mode re-emits the current top-k per trigger, flattened
+    * to plain columns for any sink). */
+  def heavyHittersStream(items: Dataset[String], capacity: Int = 256, k: Int = 10)(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    import spark.implicits._
+    items
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.SpaceSavingTopK(capacity, k).toColumn)
+      .flatMap { case (_, topk) => topk }
+  }
+
   final case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
       n_events: Long)
 

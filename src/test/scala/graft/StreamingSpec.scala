@@ -165,6 +165,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming heavy hitters recover the true top users in bounded state") {
+    implicit val s = spark
+    import s.implicits._
+    val src = eventsStream().select(col("user_id").cast("string")).as[String]
+    val out = runToMemory(
+      StreamingPipelines.heavyHittersStream(src, capacity = 256, k = 10).toDF(),
+      "complete", "hh_out")
+    val approx = out.collect().map(_.getString(0)).toSet
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count().orderBy(col("count").desc, col("user_id"))
+      .limit(3).collect().map(_.getLong(0).toString).toSet
+    assert(exact.subsetOf(approx),
+      s"true top-3 users ${exact} not all in sketch top-10 ${approx}")
+  }
+
   test("silence detector alerts exactly the key that went event-time silent") {
     implicit val s = spark
     import s.implicits._
