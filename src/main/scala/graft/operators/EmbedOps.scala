@@ -71,5 +71,35 @@ object EmbedOps {
       .orderBy(col("vec_id"), col("dim"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize)
+  /** Matryoshka (MRL) truncation: keep the first 16 dims of each
+    * embedding and re-normalize — the train-big/serve-small move that
+    * trades recall for a dim/16 memory and dot-product cost cut. The
+    * quality signal emitted per vector is the retained-norm fraction
+    * ‖v[:16]‖/‖v‖ (how much of the vector's mass the prefix keeps —
+    * the quantity MRL training maximizes). Same fold-order-exact
+    * norm arithmetic as the rest of the family: identical left-fold
+    * on both engines, rounded to 6. Pure map, no shuffle. */
+  val matryoshka: GraftOp = GraftOp(
+    "emb_matryoshka",
+    s"""WITH e AS (
+       |  SELECT vec_id, ${graft.functions.Exprs.sqlVecAsDouble("embedding")} AS v
+       |  FROM embeddings),
+       |t AS (SELECT vec_id, v, v[1:16] AS p FROM e)
+       |SELECT vec_id,
+       |  round(sqrt(${graft.functions.Exprs.sqlNormSq("p")}), 6) AS prefix_norm,
+       |  round(sqrt(${graft.functions.Exprs.sqlNormSq("p")})
+       |    / sqrt(${graft.functions.Exprs.sqlNormSq("v")}), 6) AS retained
+       |FROM t ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val v = graft.functions.Exprs.vecAsDouble(col("embedding"))
+    val p = slice(v, 1, 16)
+    def norm(c: org.apache.spark.sql.Column) =
+      sqrt(graft.functions.Exprs.dot(c, c))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(norm(p), 6).as("prefix_norm"),
+        round(norm(p) / norm(v), 6).as("retained"))
+      .orderBy(col("vec_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka)
 }

@@ -213,5 +213,44 @@ object KnnOps {
       .orderBy(col("query_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf, classify)
+  /** Filtered vector search: top-k under a metadata predicate (label
+    * = 1) — the filtered-ANN query every production vector store
+    * serves (RAG with ACL/date/source filters). Pre-filtering the
+    * corpus BEFORE the scan is the right plan when the predicate is
+    * selective (the filter pushes into the parquet scan — label is a
+    * plain column); post-filtering an ANN candidate list k'>k is the
+    * alternative when it isn't. Exact → fully oracle-checkable. */
+  val filtered: GraftOp = GraftOp(
+    "knn_filtered",
+    s"""WITH raw AS (
+       |  SELECT vec_id, label, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |v AS (SELECT vec_id, label, ${Exprs.sqlUnit("e")} AS u FROM raw),
+       |q AS (SELECT vec_id, u FROM v WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    ${Exprs.sqlDot("q.u", "c.u")} AS cos
+       |  FROM q JOIN v c ON c.vec_id <> q.vec_id AND c.label = 1),
+       |r AS (
+       |  SELECT query_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+       |  FROM s)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cos_sim, rn
+       |FROM r WHERE rn <= $K ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    v.filter(col("label") === 1)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        Exprs.dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf, classify, filtered)
 }
