@@ -50,4 +50,25 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter(col("day") === day).count() === dayRows)
     assert(spark.read.parquet(path).count() === total, "other days must be untouched")
   }
+
+  test("schema evolution: columns added over time merge, old files read null") {
+    // the lake reality: month 1 wrote (id, v); month 2 added quality.
+    // mergeSchema must surface the union schema with nulls for old
+    // files — silently dropping the new column (the default schema =
+    // first-file behavior) loses data for every reader that doesn't
+    // know evolution happened.
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-evolve").toString + "/docs"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(s"$path/batch=1")
+    Seq((3L, 30.0, 0.9), (4L, 40.0, 0.7)).toDF("id", "v", "quality")
+      .write.parquet(s"$path/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet === Set("id", "v", "quality", "batch"))
+    assert(merged.count() === 4)
+    assert(merged.filter(col("quality").isNull).count() === 2,
+      "old-batch rows must read null for the evolved column")
+    assert(merged.filter(col("quality") > 0.8).count() === 1,
+      "filters on the evolved column must work across the union")
+  }
 }
