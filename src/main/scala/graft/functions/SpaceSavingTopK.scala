@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** Space-saving heavy-hitters sketch as a typed `Aggregator` — the
   * user-facing typed-aggregation extension point (complementing the
-  * native-Expression and TypedImperativeAggregate tiers).
+  * native codegen'd Expression tier in [[graft.functions]] and the
+  * custom plan-node tier in [[graft.plans]]). Also the state of the
+  * streaming heavy-hitters pipeline
+  * ([[graft.streaming.StreamingPipelines.heavyHittersStream]]).
   *
   * Tracks at most `capacity` counters; when full, the smallest counter
   * is reassigned to the incoming item with +1 (Metwally et al.'s
