@@ -109,5 +109,31 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(uniform, stratified, hashSample, fixedPerGroup, weighted)
+  /** Corpus mixture sampling: per-source keep rates (the data-mixing
+    * step of LLM training — upweight curated sources, downsample the
+    * crawl) applied via the portable hash, so the mix is deterministic,
+    * append-stable, and reproducible across engines and parallelism —
+    * re-running the mix on a grown corpus keeps every previously-kept
+    * document. Partition-local (no shuffle); the rate lookup is a
+    * CASE over the source column. */
+  val mixture: GraftOp = GraftOp(
+    "sample_mixture",
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${graft.functions.Exprs.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100 <
+       |  CASE WHEN source IN ('src1', 'src2') THEN 100
+       |       WHEN source IN ('src3', 'src4') THEN 50
+       |       ELSE 20 END
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val rate = when(col("source").isin("src1", "src2"), 100)
+      .when(col("source").isin("src3", "src4"), 50)
+      .otherwise(20)
+    Tables.documents(s, d)
+      .filter(graft.functions.Exprs.md5Long(
+        col("doc_id").cast(org.apache.spark.sql.types.StringType)) % 100 < rate)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture)
 }
