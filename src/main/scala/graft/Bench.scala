@@ -77,9 +77,13 @@ object Bench {
       val baseTotal = baseline.values.filter(_ >= 0).sum
       // shared-query ratio: totals aren't comparable once new queries
       // are added, so compare only the intersection
-      val sharedNames = results.keySet intersect baseline.keySet
-      val sharedNow = sharedNames.toSeq.map(results).filter(_ >= 0).sum
-      val sharedBase = sharedNames.toSeq.map(baseline).filter(_ >= 0).sum
+      // only names with a VALID timing on BOTH sides: a query that
+      // crashed this run (-1) must drop out of both sums, or breakage
+      // reads as a speedup
+      val sharedNames = (results.keySet intersect baseline.keySet)
+        .filter(n => results(n) >= 0 && baseline(n) >= 0)
+      val sharedNow = sharedNames.toSeq.map(results).sum
+      val sharedBase = sharedNames.toSeq.map(baseline).sum
       val ratio = if (sharedBase > 0) sharedNow / sharedBase else -1.0
       System.err.println(
         f"[bench] total ${total}%.1fs (baseline-total ${baseTotal}%.1fs); " +

@@ -50,8 +50,11 @@ object ConnectedComponents {
   @volatile private[graft] var lastRounds = 0
 
   /** Free a local-checkpointed frame's blocks (two-generation
-    * lifecycle). Safe only once nothing will read the frame again. */
-  private def release(df: DataFrame): Unit = {
+    * lifecycle). Safe only once nothing will read the frame again.
+    * Shared with the other iterative operator ([[GraphOps.pagerank]]):
+    * plain `unpersist` is a no-op for local checkpoints, so each
+    * iteration would otherwise leak a generation of blocks. */
+  private[operators] def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false) // no-op for checkpoints, real for persist()
     df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

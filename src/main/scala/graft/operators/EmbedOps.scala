@@ -53,7 +53,8 @@ object EmbedOps {
       |  FROM embeddings),
       |rng AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY 1)
       |SELECT vec_id, e.dim AS dim,
-      |  CAST(round((v - lo) / (hi - lo) * 255, 0) AS INT) AS code
+      |  CASE WHEN hi = lo THEN 0
+      |       ELSE CAST(round((v - lo) / (hi - lo) * 255, 0) AS INT) END AS code
       |FROM e JOIN rng ON e.dim = rng.dim
       |WHERE vec_id < 100
       |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
@@ -66,8 +67,11 @@ object EmbedOps {
     e.join(broadcast(rng), col("dim") === col("rdim"))
       .filter(col("vec_id") < 100)
       .select(col("vec_id"), col("dim"),
-        round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
-          .cast(IntegerType).as("code"))
+        // constant (dead/zero-padded) dimension: 0/0 would be NaN —
+        // Spark's cast renders 0 but the oracle's ANSI cast errors
+        when(col("hi") === col("lo"), 0)
+          .otherwise(round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
+            .cast(IntegerType)).as("code"))
       .orderBy(col("vec_id"), col("dim"))
   }
 

@@ -93,9 +93,14 @@ object GraphOps {
         .agg(round(lit(1 - Damping) / n +
           lit(Damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank"))
         .localCheckpoint(true)
-      ranks.unpersist(blocking = false)
+      // plain unpersist is a no-op for local checkpoints — release the
+      // previous generation's blocks explicitly (shared CC machinery)
+      ConnectedComponents.release(ranks)
       ranks = next
     }
+    // final ranks (|nodes| rows) stays checkpointed for the caller to
+    // consume; the working frames are released
+    Seq(edges, nodes, deg).foreach(ConnectedComponents.release)
     ranks.orderBy(col("node"))
   }
 

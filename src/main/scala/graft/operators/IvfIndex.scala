@@ -55,20 +55,24 @@ object IvfIndex {
         .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
     }
 
-  /** Get-or-train the coarse quantizer's centroids for this corpus. */
+  /** Get-or-train the coarse quantizer's centroids for this corpus.
+    * The fit runs under the registry lock: check-then-fit-then-insert
+    * would let two cold-start callers both pay the KMeans fit (and
+    * break the one-fit contract KnnSpec pins); holding the lock for
+    * the fit is correct and the contention window exists only on the
+    * first call per corpus. */
   def centroidsOf(s: SparkSession, d: String): Array[Array[Double]] = {
     val m = regFor(s)
-    m.synchronized(m.get(d)) match {
-      case Some(c) => c
-      case None =>
+    m.synchronized {
+      m.getOrElseUpdate(d, {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val fitInput = corpus(s, d).withColumn("fv", array_to_vector(col("u")))
         val model = new KMeans().setK(K_CELLS).setSeed(42).setMaxIter(5)
           .setFeaturesCol("fv").setPredictionCol("cell").fit(fitInput)
         fitCount += 1
-        val c = model.clusterCenters.map(_.toArray)
-        m.synchronized(m.getOrElseUpdate(d, c))
+        model.clusterCenters.map(_.toArray)
+      })
     }
   }
 

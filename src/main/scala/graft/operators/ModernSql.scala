@@ -28,15 +28,26 @@ object ModernSql {
       |  SELECT node, parent // 10, depth + 1 FROM anc WHERE parent >= 10)
       |SELECT node, max(depth) AS depth_to_root FROM anc
       |GROUP BY 1 ORDER BY node LIMIT 1000""".stripMargin) { (s, d) =>
+    // enable recursion only for this statement's ANALYSIS, restoring
+    // the prior value — leaving it on would let a later query with an
+    // accidentally self-referential CTE name silently plan as
+    // recursion (the result DataFrame stays valid after restore: the
+    // plan is resolved eagerly at sql() time)
+    val prior = s.conf.getOption("spark.sql.cteRecursionEnabled")
     s.conf.set("spark.sql.cteRecursionEnabled", "true")
-    Tables.customer(s, d).createOrReplaceTempView("customer_v")
-    s.sql(
-      """WITH RECURSIVE anc AS (
-        |  SELECT c_custkey AS node, c_custkey div 10 AS parent, 1 AS depth FROM customer_v
-        |  UNION ALL
-        |  SELECT node, parent div 10, depth + 1 FROM anc WHERE parent >= 10)
-        |SELECT node, max(depth) AS depth_to_root FROM anc
-        |GROUP BY 1 ORDER BY node LIMIT 1000""".stripMargin)
+    try {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT c_custkey AS node, c_custkey div 10 AS parent, 1 AS depth FROM customer_v
+          |  UNION ALL
+          |  SELECT node, parent div 10, depth + 1 FROM anc WHERE parent >= 10)
+          |SELECT node, max(depth) AS depth_to_root FROM anc
+          |GROUP BY 1 ORDER BY node LIMIT 1000""".stripMargin)
+    } finally prior match {
+      case Some(v) => s.conf.set("spark.sql.cteRecursionEnabled", v)
+      case None => s.conf.unset("spark.sql.cteRecursionEnabled")
+    }
   }
 
   /** Semi-structured access through the VARIANT type (Spark 4's

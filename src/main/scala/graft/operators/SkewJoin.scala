@@ -21,8 +21,15 @@ object SkewJoin {
     * not `monotonically_increasing_id()`: monotonic ids are physical
     * positions, so a retried map task can re-scatter the same row into
     * a different salt bucket mid-shuffle. Content hashing is stable
-    * under task retry and repartitioning, and still spreads a hot key's
-    * rows because they differ in their non-key columns. */
+    * under task retry and repartitioning, and spreads a hot key's rows
+    * because they differ in their non-key columns.
+    *
+    * Known limits of content salting (the price of retry determinism):
+    * (1) EXACT duplicate rows all land in one salt bucket — a hot key
+    * made of byte-identical copies does not spread (dedup first, or
+    * accept mono-id's retry instability for that workload); (2) `hash`
+    * rejects MapType columns — project them away or to their sorted
+    * entries before salting. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
       seed: Int = 0x5a17): DataFrame = {
     val rowContent = big.columns.map(col).toSeq :+ lit(seed)

@@ -116,39 +116,61 @@ object StreamingPipelines {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val hashesPath = s"$indexDir/hashes"
-        val bandsPath = s"$indexDir/bands"
-        def readOr(path: String, schema: StructType): DataFrame =
-          if (new java.io.File(path).exists())
-            s.read.schema(schema.add("batch", LongType)).parquet(path).drop("batch")
-          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val byContent = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-        val marked = batch
-          .withColumn("content_hash", md5(col("text")))
-          .withColumn("rn", row_number().over(byContent))
-          .persist()
-        try {
-          val withinDups = marked.filter(col("rn") > 1).select(col("doc_id"))
-          val firstCopies = marked.filter(col("rn") === 1).select(col("doc_id"), col("text"))
-          val index = IncrementalDedup.CorpusIndex(
-            hashes = readOr(hashesPath, hashesSchema),
-            bands = readOr(bandsPath, bandsSchema))
-          val res = IncrementalDedup.dedupIncrement(firstCopies, index)
-          val clean = res.clean.persist()
-          try {
-            val newIndex = IncrementalDedup.buildIndex(clean)
-            newIndex.hashes.write.mode("overwrite").parquet(s"$hashesPath/batch=$batchId")
-            newIndex.bands.write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
-            val dups = withinDups
-              .union(res.exactDups.select(col("doc_id")))
-              .union(res.nearDupCandidates.select(col("doc_id")))
-              .distinct()
-            onBatch(clean, dups, batchId)
-          } finally clean.unpersist()
-        } finally marked.unpersist()
+        processDedupBatch(batch, batchId, indexDir)(onBatch)
       }
       .start()
+  }
+
+  /** One micro-batch of the incremental-dedup stream — package-visible
+    * so the replay-idempotence contract is directly testable (calling
+    * this twice with the SAME batchId must produce the same clean/dup
+    * routing and leave the index unchanged). */
+  private[graft] def processDedupBatch(batch: DataFrame, batchId: Long, indexDir: String)(
+      onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
+    import graft.operators.IncrementalDedup
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val hashesSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("content_hash", StringType)))
+    val bandsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", StringType)))
+    val s = batch.sparkSession
+    val hashesPath = s"$indexDir/hashes"
+    val bandsPath = s"$indexDir/bands"
+    // exclude THIS batch's own partition: a replayed batch must see
+    // the index exactly as it stood before its first attempt, or
+    // every doc it wrote last time reads as a duplicate of itself
+    // and the overwrite below then erases its index contribution
+    def readOr(path: String, schema: StructType): DataFrame =
+      if (new java.io.File(path).exists())
+        s.read.schema(schema.add("batch", LongType)).parquet(path)
+          .filter(col("batch") =!= batchId).drop("batch")
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val byContent = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val marked = batch
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(byContent))
+      .persist()
+    try {
+      val withinDups = marked.filter(col("rn") > 1).select(col("doc_id"))
+      val firstCopies = marked.filter(col("rn") === 1).select(col("doc_id"), col("text"))
+      val index = IncrementalDedup.CorpusIndex(
+        hashes = readOr(hashesPath, hashesSchema),
+        bands = readOr(bandsPath, bandsSchema))
+      val res = IncrementalDedup.dedupIncrement(firstCopies, index)
+      val clean = res.clean.persist()
+      try {
+        val newIndex = IncrementalDedup.buildIndex(clean)
+        newIndex.hashes.write.mode("overwrite").parquet(s"$hashesPath/batch=$batchId")
+        newIndex.bands.write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+        val dups = withinDups
+          .union(res.exactDups.select(col("doc_id")))
+          .union(res.nearDupCandidates.select(col("doc_id")))
+          .distinct()
+        onBatch(clean, dups, batchId)
+      } finally clean.unpersist()
+    } finally marked.unpersist()
   }
 
   final case class UpsertRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
@@ -234,7 +256,12 @@ object StreamingPipelines {
             var n = prevN
             rows.foreach { r => n += 1; if (r.ts.getTime > lastTs) lastTs = r.ts.getTime }
             state.update((lastTs, n))
-            state.setTimeoutTimestamp(lastTs + gapMillis)
+            // a LATE event (flatMapGroupsWithState does not drop them)
+            // can put lastTs + gap at or below the current watermark,
+            // where setTimeoutTimestamp throws and kills the query —
+            // clamp so the stale key simply times out on the next batch
+            state.setTimeoutTimestamp(
+              math.max(lastTs + gapMillis, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

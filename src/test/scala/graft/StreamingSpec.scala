@@ -165,6 +165,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental dedup micro-batch is replay-idempotent (same batchId twice)") {
+    import spark.implicits._
+    val indexDir = Files.createTempDirectory("graft-replay").toString
+    val b1 = Seq((1L, "alpha beta gamma delta"), (2L, "unique text one two")).toDF("doc_id", "text")
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): (Set[Long], Set[Long]) = {
+      var out: (Set[Long], Set[Long]) = (Set.empty, Set.empty)
+      graft.streaming.StreamingPipelines.processDedupBatch(batch, id, indexDir) {
+        (clean, dups, _) =>
+          out = (clean.select("doc_id").collect().map(_.getLong(0)).toSet,
+            dups.collect().map(_.getLong(0)).toSet)
+      }
+      out
+    }
+    val first = run(b1, 0L)
+    assert(first._1 === Set(1L, 2L) && first._2 === Set.empty[Long])
+    // crash-before-checkpoint-commit: the SAME batch replays with the
+    // SAME id — it must NOT see its own prior index write, so the docs
+    // stay clean and the index partition is rewritten, not emptied
+    val replay = run(b1, 0L)
+    assert(replay._1 === Set(1L, 2L),
+      s"replayed batch flagged its own docs as duplicates: $replay")
+    assert(replay._2 === Set.empty[Long])
+    // and a genuine duplicate in a LATER batch is still caught
+    val second = run(Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "text"), 1L)
+    assert(second._1 === Set.empty[Long] && second._2 === Set(3L))
+  }
+
   test("streaming heavy hitters recover the true top users in bounded state") {
     implicit val s = spark
     import s.implicits._
