@@ -60,13 +60,24 @@ object SqlSurface3 {
       .orderBy(col("bucket"))
   }
 
-  /** Equi-depth (quantile-bucket) histogram: ntile over a TOTAL order
-    * (value, event_id — the tie-break makes every engine cut the same
-    * rows into the same buckets, which plain ntile-over-value cannot
-    * guarantee), then per-bucket bounds and mass. The complement of the
-    * fixed-width q_histogram: bucket population is constant, bucket
-    * width adapts. One global sort at |rows| — at scale the same shape
-    * runs on approx_percentile cuts instead (q_approx_percentile). */
+  /** Equi-depth (quantile-bucket) histogram with EXACT ntile semantics
+    * over a TOTAL order (value, event_id — the tie-break makes every
+    * engine cut the same rows into the same buckets) — but WITHOUT the
+    * single-reducer global-sort window `ntile` plans to. Distributed
+    * exact rank in two passes over one range-partitioned frame:
+    *
+    *   1. `repartitionByRange(value, event_id)` → globally ordered
+    *      partitions; per-partition row counts (≤ P rows) prefix-sum on
+    *      the driver into per-partition rank offsets.
+    *   2. partition-local `row_number` + offset = exact 0-based global
+    *      rank; the closed-form ntile rule (first n%b buckets take
+    *      ⌈n/b⌉ rows, the rest ⌊n/b⌋) maps rank → bucket.
+    *
+    * Every task sees ≤ |rows|/P rows — nothing funnels the corpus to
+    * one reducer (the distributed shape of ClickHouse's exact-quantile
+    * family; the approximate sibling is q_approx_percentile). The
+    * ranged frame is persisted (CachedPlans) so the count pass and the
+    * rank pass observe the identical partition assignment. */
   val qEquidepth: GraftOp = GraftOp(
     "q_equidepth",
     """WITH t AS (
@@ -75,9 +86,33 @@ object SqlSurface3 {
       |SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    Tables.events(s, d)
-      .select(col("value"),
-        ntile(10).over(Window.orderBy(col("value"), col("event_id"))).as("bucket"))
+    val b = 10
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.CachedPlans.cached(s, s"equidepth.ranged:$d") {
+      Tables.events(s, d).select(col("value"), col("event_id"))
+        .repartitionByRange(parts, col("value"), col("event_id"))
+        .withColumn("__pid", spark_partition_id())
+    }
+    // pass 1: per-partition counts → driver-side prefix sums (≤ P rows)
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    val big = total / b + 1 // size of the first (total % b) buckets
+    val cut = (total % b) * big // rank where bucket size drops to ⌊n/b⌋
+    val small = math.max(total / b, 1L) // guard: unreachable branch when n < b
+    // pass 2: exact global rank = partition offset + local row_number
+    val r0 = element_at(typedLit(offsets), col("__pid")) +
+      row_number().over(Window.partitionBy(col("__pid"))
+        .orderBy(col("value"), col("event_id"))) - 1
+    ranged
+      .withColumn("__r0", r0)
+      .withColumn("bucket",
+        (when(col("__r0") < cut, expr(s"__r0 div ${big}L"))
+          .otherwise(lit(total % b) + expr(s"(__r0 - ${cut}L) div ${small}L"))
+          + 1).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
       .orderBy(col("bucket"))
