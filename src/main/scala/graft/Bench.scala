@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   * a 3× warmup means a loaded box, not a plan regression) plus the
   * baseline comparison (total ratio + flagged queries), so a noisy run
   * identifies itself without a rerun.
+  *
+  * Two full passes, per-query MIN reported: warmup_sec catches a
+  * loaded box at start, but a mid-run co-tenant spike lands on
+  * whichever queries were executing — min-of-2 makes a single spike
+  * drop out entirely, and both raw passes are in the JSON
+  * (`queries_run1`/`queries_run2`) so a reader can see which pass a
+  * flag came from without a rerun. CachedPlans is cleared between
+  * passes so pass 2 pays the same shared-index builds (per-query cost
+  * attribution stays comparable across passes).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,20 +45,32 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val run1 = onePass()
+    CachedPlans.clear(spark) // pass 2 rebuilds shared indexes: same cost model
+    val run2 = onePass()
+    val r2map = run2.toMap
+    // min over the passes that SUCCEEDED; -1 only when both failed
+    val results = run1.map { case (name, a) =>
+      val b = r2map.getOrElse(name, -1.0)
+      name -> Seq(a, b).filter(_ >= 0).minOption.getOrElse(-1.0)
     }
-    val qs = results.map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val delta = reportDeltas(results.toMap, total)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},""" +
+      s""""queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},""" +
       s""""warmup_sec":$warmupSec,$delta"sf":${JsonUtil.q(sfDir)}}""")
     CachedPlans.clear(spark)
     spark.stop()
