@@ -61,6 +61,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(es.head, es(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("tdigest_quantiles"),
+      new ExpressionInfo(classOf[graft.functions.TDigestQuantiles].getName, "tdigest_quantiles"),
+      { es =>
+        if (es.length < 2 || es.length > 3) throw new IllegalArgumentException(
+          s"tdigest_quantiles expects (value, percentages[, compression]), got ${es.length} arguments")
+        def num(v: Any): Double = v match {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case i: Int => i.toDouble
+          case l: Long => l.toDouble
+          case other => throw new IllegalArgumentException(
+            s"tdigest_quantiles percentages must be numeric, got $other")
+        }
+        def constDoubles(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] = {
+          require(e.foldable, s"tdigest_quantiles percentages must be a constant, got $e")
+          (e.eval(), e.dataType) match {
+            case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+                at: org.apache.spark.sql.types.ArrayType) =>
+              a.toObjectArray(at.elementType).map(num).toSeq
+            case (v, _) => Seq(num(v))
+          }
+        }
+        val compression = if (es.length == 3) {
+          require(es(2).foldable, "tdigest_quantiles compression must be a constant")
+          es(2).eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"tdigest_quantiles compression must be INT, got $other")
+          }
+        } else 300
+        val asDouble = org.apache.spark.sql.catalyst.expressions.Cast(
+          es.head, org.apache.spark.sql.types.DoubleType)
+        graft.functions.TDigestQuantiles(asDouble, constDoubles(es(1)), compression)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       { es =>

@@ -21,4 +21,13 @@ package object functions {
 
   def vec_normalize(a: Column): Column =
     ColumnShim.column(VecNormalize(ColumnShim.expression(a)))
+
+  /** Mergeable t-digest quantiles (TypedImperativeAggregate): partial
+    * digests are built map-side and merged after the shuffle — the
+    * distributed shape of ClickHouse's quantilesTDigest. */
+  def tdigest_quantiles(c: Column, percentages: Seq[Double],
+      compression: Int = 300): Column =
+    ColumnShim.column(
+      TDigestQuantiles(ColumnShim.expression(c.cast("double")), percentages, compression)
+        .toAggregateExpression())
 }

@@ -288,16 +288,19 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  /** Approximate percentiles (Greenwald-Khanna-sketch `approx_percentile`) —
-    * the sketch-family twin of q_percentile. Approximate by
-    * construction → rows-only; OpsSpec pins the error bound against
-    * the exact quantiles. */
+  /** Approximate percentiles on the engine's own mergeable t-digest
+    * ([[graft.functions.TDigestQuantiles]], a TypedImperativeAggregate:
+    * per-partition digests built map-side, serialized through the
+    * shuffle, merged finally — ClickHouse's quantilesTDigest shape).
+    * The sketch-family twin of q_percentile. Approximate by
+    * construction → rows-only; SketchSpec pins the rank-error bound
+    * against the exact quantiles and asserts partial-merge execution. */
   val qApproxPercentile: GraftOp = GraftOp.rowsOnly("q_approx_percentile") { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(
-        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
-        expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"))
+      .agg(graft.functions.tdigest_quantiles(col("value"), Seq(0.5, 0.95)).as("qs"))
+      .select(col("event_type"),
+        col("qs").getItem(0).as("p50_approx"), col("qs").getItem(1).as("p95_approx"))
       .orderBy(col("event_type"))
   }
 

@@ -23,6 +23,69 @@ class SketchSpec extends AnyFunSuite {
   }
 }
 
+class TDigestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("t-digest rank error within 1% of exact on events.value") {
+    val exactVals = graft.sources.Tables.events(spark, sf)
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    val n = exactVals.length
+    val approx = graft.sources.Tables.events(spark, sf)
+      .agg(graft.functions.tdigest_quantiles(col("value"), Seq(0.05, 0.5, 0.95, 0.99)).as("qs"))
+      .head.getSeq[Double](0)
+    for ((q, est) <- Seq(0.05, 0.5, 0.95, 0.99).zip(approx)) {
+      // rank error is the sketch's actual guarantee (value error is
+      // unbounded on a skewed domain): locate the estimate in the
+      // exact sorted data and compare its normalized rank to q
+      val rank = {
+        val i = java.util.Arrays.binarySearch(exactVals, est)
+        (if (i >= 0) i else -i - 1).toDouble / n
+      }
+      assert(math.abs(rank - q) <= 0.01, s"q=$q est=$est rank=$rank")
+    }
+  }
+
+  test("t-digest merge of split halves == accuracy of one-shot digest") {
+    val vals = graft.sources.Tables.events(spark, sf)
+      .select(col("value")).collect().map(_.getDouble(0))
+    val (a, b) = vals.splitAt(vals.length / 2)
+    val da = new graft.functions.TDigest(300); a.foreach(da.add)
+    val db = new graft.functions.TDigest(300); b.foreach(db.add)
+    // serialize/deserialize round trip exercises the shuffle path
+    val rt = graft.functions.TDigest.fromBytes(db.toBytes)
+    da.mergeWith(rt)
+    val sorted = vals.sorted
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = da.quantile(q)
+      val i = java.util.Arrays.binarySearch(sorted, est)
+      val rank = (if (i >= 0) i else -i - 1).toDouble / sorted.length
+      assert(math.abs(rank - q) <= 0.01, s"merged q=$q est=$est rank=$rank")
+    }
+    // capacity stays bounded by the scale function, not the input size
+    assert(da.centroidCount <= 2 * 300, s"centroids=${da.centroidCount}")
+  }
+
+  test("q_approx_percentile runs as a partial/final typed-imperative aggregate") {
+    val plan = graft.operators.Relational.qApproxPercentile.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_tdigest_quantiles"),
+      s"no map-side partial digest in plan:\n$plan")
+  }
+
+  test("tdigest_quantiles is registered for SQL") {
+    graft.sources.Tables.events(spark, sf).createOrReplaceTempView("tdq_events")
+    try {
+      val r = spark.sql(
+        "SELECT tdigest_quantiles(value, array(0.5D, 0.95D), 300) AS qs FROM tdq_events")
+        .head.getSeq[Double](0)
+      assert(r.length == 2 && r(0) < r(1))
+    } finally spark.catalog.dropTempView("tdq_events")
+  }
+}
+
 class EmbedKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
