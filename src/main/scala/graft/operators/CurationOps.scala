@@ -196,8 +196,7 @@ object CurationOps {
          |SELECT o_orderkey, cust_bucket, day_bucket, zval FROM z
          |ORDER BY zval, o_orderkey LIMIT 2000""".stripMargin
     }) { (s, d) =>
-    def spread(c: Column): Column = Seq((4, 3855L), (2, 13107L), (1, 21845L))
-      .foldLeft(c) { case (e, (sh, mask)) => (e.bitwiseOR(shiftleft(e, sh))).bitwiseAND(lit(mask)) }
+    def spread(c: Column): Column = graft.sinks.ZOrder.spread(c)
     val dd = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey").as("ck"),
         datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast(DateType))

@@ -44,4 +44,26 @@ object PartitionedLake {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(path)
+
+  /** Z-ordered compaction: rewrite one day laid out along the Morton
+    * key of two numeric dimensions (`OPTIMIZE ZORDER BY (a, b)`).
+    * `repartitionByRange(zval)` gives each output file a contiguous
+    * arc of the Z-curve and `sortWithinPartitions` orders rows inside
+    * it, so every file's min/max box is tight in BOTH dimensions and a
+    * predicate on EITHER dimension skips most files at scan time
+    * (LakeSpec reads the boxes back and pins the pruning). The key is
+    * layout-only — dropped before the write, so readers see the
+    * original schema. */
+  def compactDayZordered(spark: SparkSession, path: String, day: String,
+      dimA: String, dimB: String, targetFiles: Int): Unit =
+    ZOrder.withZKey(readDay(spark, path, day).localCheckpoint(true),
+        col(dimA), col(dimB), "__zval")
+      .repartitionByRange(targetFiles, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
 }

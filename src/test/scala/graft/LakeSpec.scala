@@ -51,6 +51,46 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === total, "other days must be untouched")
   }
 
+  test("z-ordered compaction: per-file boxes tight, either dimension prunes files") {
+    val path = Files.createTempDirectory("graft-zorder").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.repartition(16).write.partitionBy("day").parquet(path)
+    val day = "2024-01-05"
+    val dayRows = spark.read.parquet(path).filter(col("day") === day).count()
+
+    PartitionedLake.compactDayZordered(spark, path, day,
+      dimA = "user_id", dimB = "value", targetFiles = 8)
+
+    val files = new java.io.File(s"$path/day=$day")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length === 8, s"expected 8 z-ordered files, got ${files.length}")
+    assert(spark.read.parquet(s"$path/day=$day").count() === dayRows,
+      "z-order layout must not change the row set")
+    assert(!spark.read.parquet(files.head).columns.contains("__zval"),
+      "layout key must not leak into the files")
+
+    // read back each file's min/max box in both dimensions
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("user_id")), max(col("user_id")), min(col("value")), max(col("value")))
+        .head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    val uLo = boxes.map(_._1).min; val uHi = boxes.map(_._2).max
+    val vLo = boxes.map(_._3).min; val vHi = boxes.map(_._4).max
+    // data-skipping: a predicate selecting the bottom 1/8 of EITHER
+    // dimension's domain must skip files by min/max alone. A 1-D sort
+    // layout passes one dimension and intersects ALL files on the
+    // other; the Z-curve bounds both.
+    val uCut = uLo + (uHi - uLo) / 8
+    val vCut = vLo + (vHi - vLo) / 8
+    val hitU = boxes.count { case (lo, _, _, _) => lo <= uCut }
+    val hitV = boxes.count { case (_, _, lo, _) => lo <= vCut }
+    assert(hitU <= 6, s"user_id predicate hits $hitU/8 files — dimension not clustered")
+    assert(hitV <= 6, s"value predicate hits $hitV/8 files — dimension not clustered")
+  }
+
   test("schema evolution: columns added over time merge, old files read null") {
     // the lake reality: month 1 wrote (id, v); month 2 added quality.
     // mergeSchema must surface the union schema with nulls for old
