@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftOp
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,29 +40,47 @@ object CleanPipeline {
        |WHERE quality_score >= 0.38 AND en_ratio >= 0.05 AND rn = 1
        |  AND doc_id NOT IN (SELECT doc FROM noncanon)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val stopArr = array(TextOps.stopwords.map(lit): _*)
-    val nTok = size(col("toks"))
-    val enRatio = size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / nTok
-    val ttr = size(array_distinct(col("toks"))) * lit(1.0) / nTok
-    val score = lit(0.3) * least(lit(1.0), col("n_chars") / 500.0) +
-      lit(0.4) * ttr + lit(0.3) * enRatio
     val byContent = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     // near-dup losers: every cluster member that is not its cluster's
     // minimum doc_id (the canonical survivor)
     val nonCanonical = DedupOps.clusters.run(s, d)
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-        split(col("text"), "\\s+").as("toks"))
+    withQuality(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text")))
       .withColumn("rn", row_number().over(byContent))
-      .select(col("doc_id"), col("rn"),
-        enRatio.as("en_ratio"), score.as("quality_score"))
       .filter(col("quality_score") >= 0.38 && col("en_ratio") >= 0.05 && col("rn") === 1)
       .join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("quality_score"), col("en_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** The quality/language gate columns — shared by the batch pipeline
+    * above and the streaming composition
+    * ([[graft.streaming.StreamingPipelines.cleanCorpusStream]]), so the
+    * two can't drift. Input needs `doc_id, text, n_chars`; adds
+    * `en_ratio` (English-stopword ratio — the language gate) and
+    * `quality_score` (length + type-token-ratio + stopword blend). */
+  private[graft] def withQuality(docs: DataFrame): DataFrame = {
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val toks = col("__toks")
+    val nTok = size(toks)
+    val enRatio = size(filter(toks, x => array_contains(stopArr, x))) * lit(1.0) / nTok
+    val ttr = size(array_distinct(toks)) * lit(1.0) / nTok
+    docs
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .withColumn("en_ratio", enRatio)
+      .withColumn("quality_score",
+        lit(0.3) * least(lit(1.0), col("n_chars") / 500.0) +
+          lit(0.4) * ttr + lit(0.3) * enRatio)
+      .drop("__toks")
+  }
+
+  /** Rows passing both gates (the filter the streaming stage applies
+    * before its cross-corpus index check). */
+  private[graft] def qualityGate(docs: DataFrame): DataFrame =
+    withQuality(docs)
+      .filter(col("quality_score") >= 0.38 && col("en_ratio") >= 0.05)
 
   val ops: Seq[GraftOp] = Seq(clean)
 }

@@ -152,9 +152,24 @@ object DedupOps {
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
     graft.CachedPlans.cached(s, s"dedup.minhashPairs:$d")(minhashPairsPlan(s, d))
 
-  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
-    val docs = shingledDocs(s, d)
-    val sh = hashedIndex(s, d) // shared cache with dedup_ngram
+  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame =
+    verifiedPairChain(shingledDocs(s, d), hashedIndex(s, d)) // shared cache with dedup_ngram
+
+  /** Verified near-dup pairs for an ARBITRARY docs frame (doc_id,
+    * text) — the same signature/band/verify chain as dedup_minhash but
+    * with no registry coupling, so the streaming corpus-clean
+    * composition can canonicalize WITHIN a micro-batch with the exact
+    * expressions the batch pipeline uses (bit-identical pair sets —
+    * the batch/stream equivalence spec depends on it). */
+  private[graft] def verifiedPairsFor(docsRaw: DataFrame): DataFrame = {
+    val docs = docsRaw.select(col("doc_id"), col("text"),
+      graft.functions.word_shingles(col("text"), 3).as("shingles"))
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid"))
+    verifiedPairChain(docs, sh)
+  }
+
+  private def verifiedPairChain(docs: DataFrame, sh: DataFrame): DataFrame = {
     // 16 portable min-hashes. md5 is the expensive kernel → hash each
     // DISTINCT shingle id once (dictionary, as a 16-wide array), then
     // join back and take 16 columnar min-aggregates per doc — no seed

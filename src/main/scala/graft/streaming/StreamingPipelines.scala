@@ -125,28 +125,41 @@ object StreamingPipelines {
     * so the replay-idempotence contract is directly testable (calling
     * this twice with the SAME batchId must produce the same clean/dup
     * routing and leave the index unchanged). */
-  private[graft] def processDedupBatch(batch: DataFrame, batchId: Long, indexDir: String)(
-      onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
-    import graft.operators.IncrementalDedup
-    import org.apache.spark.sql.expressions.Window
+  /** Read the persisted corpus index EXCLUDING `batchId`'s own
+    * partition: a replayed batch must see the index exactly as it
+    * stood before its first attempt, or every doc it wrote last time
+    * reads as a duplicate of itself and the overwrite then erases its
+    * index contribution. */
+  private def readIndexExcluding(s: SparkSession, indexDir: String,
+      batchId: Long): graft.operators.IncrementalDedup.CorpusIndex = {
     import org.apache.spark.sql.types._
     val hashesSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("content_hash", StringType)))
     val bandsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("band", IntegerType),
       StructField("sig", StringType)))
-    val s = batch.sparkSession
-    val hashesPath = s"$indexDir/hashes"
-    val bandsPath = s"$indexDir/bands"
-    // exclude THIS batch's own partition: a replayed batch must see
-    // the index exactly as it stood before its first attempt, or
-    // every doc it wrote last time reads as a duplicate of itself
-    // and the overwrite below then erases its index contribution
     def readOr(path: String, schema: StructType): DataFrame =
       if (new java.io.File(path).exists())
         s.read.schema(schema.add("batch", LongType)).parquet(path)
           .filter(col("batch") =!= batchId).drop("batch")
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.operators.IncrementalDedup.CorpusIndex(
+      hashes = readOr(s"$indexDir/hashes", hashesSchema),
+      bands = readOr(s"$indexDir/bands", bandsSchema))
+  }
+
+  /** Overwrite this batch's index partition with `clean`'s signatures
+    * (idempotent under replay — see [[readIndexExcluding]]). */
+  private def appendIndex(clean: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val newIndex = graft.operators.IncrementalDedup.buildIndex(clean)
+    newIndex.hashes.write.mode("overwrite").parquet(s"$indexDir/hashes/batch=$batchId")
+    newIndex.bands.write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+  }
+
+  private[graft] def processDedupBatch(batch: DataFrame, batchId: Long, indexDir: String)(
+      onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
+    import graft.operators.IncrementalDedup
+    import org.apache.spark.sql.expressions.Window
     val byContent = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     val marked = batch
       .withColumn("content_hash", md5(col("text")))
@@ -155,21 +168,97 @@ object StreamingPipelines {
     try {
       val withinDups = marked.filter(col("rn") > 1).select(col("doc_id"))
       val firstCopies = marked.filter(col("rn") === 1).select(col("doc_id"), col("text"))
-      val index = IncrementalDedup.CorpusIndex(
-        hashes = readOr(hashesPath, hashesSchema),
-        bands = readOr(bandsPath, bandsSchema))
+      val index = readIndexExcluding(batch.sparkSession, indexDir, batchId)
       val res = IncrementalDedup.dedupIncrement(firstCopies, index)
       val clean = res.clean.persist()
       try {
-        val newIndex = IncrementalDedup.buildIndex(clean)
-        newIndex.hashes.write.mode("overwrite").parquet(s"$hashesPath/batch=$batchId")
-        newIndex.bands.write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+        appendIndex(clean, indexDir, batchId)
         val dups = withinDups
           .union(res.exactDups.select(col("doc_id")))
           .union(res.nearDupCandidates.select(col("doc_id")))
           .distinct()
         onBatch(clean, dups, batchId)
       } finally clean.unpersist()
+    } finally marked.unpersist()
+  }
+
+  /** Streaming CORPUS CLEAN: the full batch `pipeline_clean`
+    * composition (quality score + language gate + exact dedup +
+    * near-dup canonicalization) run incrementally per micro-batch,
+    * with the cross-batch duplicate check against the persisted
+    * corpus index — quality-failing docs never reach the expensive
+    * index join.
+    *
+    * Stage order inside a batch mirrors the batch pipeline so the two
+    * agree row-for-row on the same docs (StreamingSpec pins it):
+    * dedup DECISIONS (first-copy rank, verified-pair clusters) are
+    * made over the WHOLE batch — a near-dup loser is dropped even when
+    * its canonical twin then fails quality, exactly as the batch op
+    * does — and the gates then shrink what flows into the corpus-index
+    * check and the index append. Replay-idempotent the same way as
+    * [[incrementalDedupStream]] (per-batch index partitions, own
+    * partition excluded on read).
+    *
+    * `onBatch(clean, rejected, batchId)`: `rejected` = dedup rejects
+    * (within-batch copies, non-canonical near-dups, index hits);
+    * quality-gate failures are dropped silently (they are scoring
+    * decisions, not duplicates — route them by scoring the raw stream
+    * with [[graft.operators.CleanPipeline.withQuality]] if needed). */
+  def cleanCorpusStream(
+      docs: DataFrame, indexDir: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))(
+      onBatch: (DataFrame, DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCleanBatch(batch, batchId, indexDir)(onBatch)
+      }
+      .start()
+
+  /** One micro-batch of [[cleanCorpusStream]] — package-visible so the
+    * replay contract and the batch-equivalence spec drive it directly.
+    * Input batch needs `doc_id, text, n_chars`. */
+  private[graft] def processCleanBatch(batch: DataFrame, batchId: Long, indexDir: String)(
+      onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
+    import graft.operators.{CleanPipeline, ConnectedComponents, DedupOps, IncrementalDedup}
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val byContent = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    val marked = batch
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(byContent))
+      .persist()
+    try {
+      // dedup decisions over the FULL batch (batch-pipeline parity)
+      val pairs = DedupOps.verifiedPairsFor(marked.select(col("doc_id"), col("text")))
+      val nonCanon = ConnectedComponents.run(s,
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .filter(col("doc") =!= col("label"))
+        .select(col("doc").as("doc_id"))
+        .persist()
+      try {
+        val withinRejects = marked.filter(col("rn") > 1).select(col("doc_id"))
+          .union(nonCanon)
+          .distinct()
+        // quality + language gates BEFORE the cross-corpus index join
+        val gated = CleanPipeline.qualityGate(marked)
+          .filter(col("rn") === 1)
+          .join(nonCanon, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"))
+        val res = IncrementalDedup.dedupIncrement(
+          gated, readIndexExcluding(s, indexDir, batchId))
+        val clean = res.clean.persist()
+        try {
+          appendIndex(clean, indexDir, batchId)
+          val rejected = withinRejects
+            .union(res.exactDups.select(col("doc_id")))
+            .union(res.nearDupCandidates.select(col("doc_id")))
+            .distinct()
+          onBatch(clean, rejected, batchId)
+        } finally clean.unpersist()
+      } finally nonCanon.unpersist()
     } finally marked.unpersist()
   }
 

@@ -87,6 +87,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupIds === Set(3L, 5L))
   }
 
+  test("streaming corpus clean == batch pipeline_clean over the same docs") {
+    val srcDir = Files.createTempDirectory("graft-cleanstream")
+    val idxDir = Files.createTempDirectory("graft-cleanidx")
+    val ckpt = Files.createTempDirectory("graft-cleanckpt")
+    val docsB = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    // one micro-batch holding the whole table → per-batch semantics
+    // must reproduce the batch pipeline exactly
+    docsB.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    val stream = spark.readStream.schema(docsB.schema).parquet(srcDir.toString)
+    val cleanIds = scala.collection.mutable.Set.empty[Long]
+    val rejectedIds = scala.collection.mutable.Set.empty[Long]
+    val q = StreamingPipelines.cleanCorpusStream(
+      stream, idxDir.toString, ckpt.toString) { (clean, rejected, _) =>
+      cleanIds ++= clean.select("doc_id").collect().map(_.getLong(0))
+      rejectedIds ++= rejected.collect().map(_.getLong(0))
+    }
+    try {
+      q.processAllAvailable()
+      val batchIds = graft.operators.CleanPipeline.clean.run(spark, sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(cleanIds.toSet === batchIds,
+        s"stream-only: ${cleanIds.toSet -- batchIds}; batch-only: ${batchIds -- cleanIds}")
+
+      // second micro-batch: a clean doc's text replayed verbatim under
+      // a new id must be caught by the PERSISTED index across batches
+      val survivor = cleanIds.head
+      val replayText = docsB.filter(col("doc_id") === survivor)
+        .select("text", "n_chars").head
+      val tmp = Files.createTempDirectory("graft-cleanstream-b2")
+      import spark.implicits._
+      Seq((99999L, replayText.getString(0), replayText.getAs[Number](1).longValue))
+        .toDF("doc_id", "text", "n_chars")
+        .select(docsB.schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get
+      Files.copy(part, srcDir.resolve("b2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      assert(rejectedIds.contains(99999L),
+        "verbatim replay of an indexed doc must be rejected by the corpus index")
+      assert(!cleanIds.contains(99999L))
+    } finally q.stop()
+  }
+
   test("streaming dedup removes replayed events") {
     val doubled = eventsStream().union(eventsStream())
     val out = runToMemory(StreamingPipelines.dedupStream(doubled), "append", "dedup_out")
