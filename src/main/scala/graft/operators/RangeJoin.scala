@@ -35,29 +35,44 @@ object RangeJoin {
   def binnedPointInterval(
       points: DataFrame, pointTs: Column,
       intervals: DataFrame, startTs: Column, endTs: Column,
-      binSeconds: Long, maxBins: Int = 10000): DataFrame = {
+      binSeconds: Long, maxBins: Int = 10000): DataFrame =
+    binnedPointIntervalBy(points, pointTs, intervals, startTs, endTs,
+      c => floor(unix_timestamp(c) / binSeconds), maxBins)
+
+  /** Domain-generic form of the equi-bin rewrite: `bin` maps a domain
+    * value (timestamp, price, offset, id…) to a LONG bin index and
+    * must be monotone non-decreasing — floor-division by a fixed width
+    * is the canonical instance. The timestamp wrapper above and the
+    * numeric `floor(c / width)` case in RangeJoinSpec are both this
+    * function.
+    *
+    * Note on the inclusive end bin: `bin(end)` is included even though
+    * `end` is exclusive — a coarser-than-domain bin function (e.g.
+    * second-truncating unix_timestamp over sub-second timestamps) can
+    * map a point below `end` into `bin(end)`. When `end` sits exactly
+    * on a boundary the extra bin's rows are discarded by the exact
+    * re-filter — replication, not error. */
+  def binnedPointIntervalBy(
+      points: DataFrame, pointCol: Column,
+      intervals: DataFrame, startCol: Column, endCol: Column,
+      bin: Column => Column, maxBins: Int = 10000): DataFrame = {
     for (df <- Seq(points, intervals); c <- Seq("__bin", "__bins"))
       require(!df.columns.contains(c),
         s"binnedPointInterval reserves column name $c")
-    val p = points.withColumn("__bin", floor(unix_timestamp(pointTs) / binSeconds))
-    val startBin = floor(unix_timestamp(startTs) / binSeconds)
-    // floor(end/bin) is included even though end is exclusive:
-    // unix_timestamp truncates to seconds, so a sub-second end can
-    // still admit points whose truncated bin is floor(end/bin).
-    // When end sits exactly on a boundary the extra bin's rows are
-    // discarded by the exact re-filter — replication, not error.
-    val endBin = floor(unix_timestamp(endTs) / binSeconds)
+    val p = points.withColumn("__bin", bin(pointCol))
+    val startBin = bin(startCol)
+    val endBin = bin(endCol)
     val i = intervals
-      .filter(endTs >= startTs)
+      .filter(endCol >= startCol)
       .withColumn("__bins",
         when(endBin - startBin < lit(maxBins.toLong), sequence(startBin, endBin))
           .otherwise(raise_error(format_string(
             s"binnedPointInterval: interval spans %d bins (max $maxBins) — " +
-              "corrupt interval or binSeconds far too small",
+              "corrupt interval or bin width far too small",
             endBin - startBin + 1))))
       .withColumn("__bin", explode(col("__bins"))).drop("__bins")
     p.join(i, Seq("__bin"))
-      .filter(pointTs >= startTs && pointTs < endTs)
+      .filter(pointCol >= startCol && pointCol < endCol)
       .drop("__bin")
   }
 
@@ -98,13 +113,22 @@ object RangeJoin {
   def binnedIntervalOverlap(
       left: DataFrame, ls: Column, le: Column,
       right: DataFrame, rs: Column, re: Column,
-      binSeconds: Long, maxBins: Int = 10000): DataFrame = {
+      binSeconds: Long, maxBins: Int = 10000): DataFrame =
+    binnedIntervalOverlapBy(left, ls, le, right, rs, re,
+      c => floor(unix_timestamp(c) / binSeconds), maxBins)
+
+  /** Domain-generic interval-overlap rewrite — same `bin` contract as
+    * [[binnedPointIntervalBy]] (monotone non-decreasing into LONG). */
+  def binnedIntervalOverlapBy(
+      left: DataFrame, ls: Column, le: Column,
+      right: DataFrame, rs: Column, re: Column,
+      bin: Column => Column, maxBins: Int = 10000): DataFrame = {
     for (df <- Seq(left, right); c <- Seq("__bin", "__bins", "__sbin_l", "__sbin_r"))
       require(!df.columns.contains(c),
         s"binnedIntervalOverlap reserves column name $c")
     def explodeBins(df: DataFrame, s: Column, e: Column, startBinName: String): DataFrame = {
-      val sb = floor(unix_timestamp(s) / binSeconds)
-      val eb = floor(unix_timestamp(e) / binSeconds)
+      val sb = bin(s)
+      val eb = bin(e)
       df.filter(e >= s)
         .withColumn(startBinName, sb)
         .withColumn("__bins",

@@ -38,6 +38,50 @@ class RangeJoinSpec extends AnyFunSuite {
       s"binned rewrite fell back to a nested loop:\n$binnedPlan")
   }
 
+  test("numeric-domain bin function: price-band join == naive predicate join") {
+    // parts priced into synthesized bands [lo, hi) — a range join on a
+    // NUMERIC key, where the timestamp wrapper can't apply; the
+    // generic form takes floor(price / width) as the bin function
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice").as("price"))
+    val bands = spark.range(0, 20).toDF("band_id")
+      .select(col("band_id"),
+        (col("band_id") * 100.0 + 850.0).as("lo"),
+        (col("band_id") * 100.0 + 1000.0).as("hi")) // overlapping bands
+    val naive = parts.join(bands, col("price") >= col("lo") && col("price") < col("hi"))
+      .select(col("p_partkey"), col("band_id"))
+    val binned = RangeJoin.binnedPointIntervalBy(
+        parts, col("price"), bands, col("lo"), col("hi"),
+        bin = c => floor(c / 100.0).cast("long"))
+      .select(col("p_partkey"), col("band_id"))
+    val a = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = binned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.nonEmpty, "bands should catch parts")
+    assert(a.sameElements(b))
+    assert(!binned.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "numeric binned rewrite fell back to a nested loop")
+  }
+
+  test("numeric-domain interval overlap == naive overlap join") {
+    // id-range overlap: two sets of [start, end) long ranges
+    val left = spark.range(0, 50).toDF("l_id")
+      .select(col("l_id"), (col("l_id") * 37 % 500).as("l_s"),
+        (col("l_id") * 37 % 500 + 40).as("l_e"))
+    val right = spark.range(0, 60).toDF("r_id")
+      .select(col("r_id"), (col("r_id") * 23 % 500).as("r_s"),
+        (col("r_id") * 23 % 500 + 25).as("r_e"))
+    val naive = left.join(right, col("l_s") < col("r_e") && col("r_s") < col("l_e"))
+      .select(col("l_id"), col("r_id"))
+    val binned = RangeJoin.binnedIntervalOverlapBy(
+        left, col("l_s"), col("l_e"), right, col("r_s"), col("r_e"),
+        bin = c => floor(c / 32.0).cast("long"))
+      .select(col("l_id"), col("r_id"))
+    val a = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = binned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.nonEmpty)
+    assert(a.sameElements(b))
+  }
+
   test("reversed intervals are dropped, not exploded into garbage bins") {
     val (signups, purchases) = sides()
     // swap start/end: every interval is reversed → zero matches, and
