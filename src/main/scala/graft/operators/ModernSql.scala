@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftOp
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Spark 4 modern-SQL surface: recursive CTEs (UnionLoop), VARIANT
@@ -10,6 +11,25 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle (DuckDB speaks all three natively).
   */
 object ModernSql {
+
+  /** Plan `body` against UNIQUELY-named temp views of the given
+    * frames, dropping the views right after planning. `sql()` resolves
+    * eagerly, so the returned DataFrame stays valid after the drop —
+    * while the shared session catalog never sees a fixed-name
+    * mutation: two concurrent planners (or two dirs in one session)
+    * cannot race each other's views, and nothing leaks to later
+    * callers. `body` receives base-name → unique-name. */
+  private def withTempViews(s: SparkSession, dfs: (String, DataFrame)*)(
+      body: Map[String, String] => DataFrame): DataFrame = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val names = dfs.map { case (base, df) =>
+      val unique = s"${base}_$suffix"
+      df.createTempView(unique) // unique ⇒ cannot collide; fails loudly if it somehow does
+      base -> unique
+    }.toMap
+    try body(names)
+    finally names.values.foreach(s.catalog.dropTempView(_))
+  }
 
   /** Hierarchy walk via WITH RECURSIVE — depth-to-root over the
     * deterministic parent chain key→key/10 (a digit-trie org chart
@@ -36,14 +56,15 @@ object ModernSql {
     val prior = s.conf.getOption("spark.sql.cteRecursionEnabled")
     s.conf.set("spark.sql.cteRecursionEnabled", "true")
     try {
-      Tables.customer(s, d).createOrReplaceTempView("customer_v")
-      s.sql(
-        """WITH RECURSIVE anc AS (
-          |  SELECT c_custkey AS node, c_custkey div 10 AS parent, 1 AS depth FROM customer_v
-          |  UNION ALL
-          |  SELECT node, parent div 10, depth + 1 FROM anc WHERE parent >= 10)
-          |SELECT node, max(depth) AS depth_to_root FROM anc
-          |GROUP BY 1 ORDER BY node LIMIT 1000""".stripMargin)
+      withTempViews(s, "customer_v" -> Tables.customer(s, d)) { v =>
+        s.sql(
+          s"""WITH RECURSIVE anc AS (
+             |  SELECT c_custkey AS node, c_custkey div 10 AS parent, 1 AS depth FROM ${v("customer_v")}
+             |  UNION ALL
+             |  SELECT node, parent div 10, depth + 1 FROM anc WHERE parent >= 10)
+             |SELECT node, max(depth) AS depth_to_root FROM anc
+             |GROUP BY 1 ORDER BY node LIMIT 1000""".stripMargin)
+      }
     } finally prior match {
       case Some(v) => s.conf.set("spark.sql.cteRecursionEnabled", v)
       case None => s.conf.unset("spark.sql.cteRecursionEnabled")
@@ -79,15 +100,17 @@ object ModernSql {
       |  WHERE c_nationkey = n_nationkey
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
       |ORDER BY n_name, c_custkey""".stripMargin) { (s, d) =>
-    Tables.nation(s, d).createOrReplaceTempView("nation_v")
-    Tables.customer(s, d).createOrReplaceTempView("customer_v")
-    s.sql(
-      """SELECT n_name, l.c_custkey, l.c_acctbal
-        |FROM nation_v, LATERAL (
-        |  SELECT c_custkey, c_acctbal FROM customer_v
-        |  WHERE c_nationkey = n_nationkey
-        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
-        |ORDER BY n_name, c_custkey""".stripMargin)
+    withTempViews(s,
+      "nation_v" -> Tables.nation(s, d),
+      "customer_v" -> Tables.customer(s, d)) { v =>
+      s.sql(
+        s"""SELECT n_name, l.c_custkey, l.c_acctbal
+           |FROM ${v("nation_v")}, LATERAL (
+           |  SELECT c_custkey, c_acctbal FROM ${v("customer_v")}
+           |  WHERE c_nationkey = n_nationkey
+           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+           |ORDER BY n_name, c_custkey""".stripMargin)
+    }
   }
 
   val ops: Seq[GraftOp] = Seq(recursiveCte, variantJson, lateralTopN)

@@ -37,6 +37,24 @@ class OpsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("ModernSql ops: two dirs in one session don't collide, no temp-view leaks") {
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    // plan BOTH dirs before collecting EITHER — a fixed view name
+    // would let the second plan capture the first's data
+    val small = graft.operators.ModernSql.lateralTopN.run(spark, "/root/testdata/sf0.001")
+    val big = graft.operators.ModernSql.lateralTopN.run(spark, "/root/testdata/sf0.01")
+    val smallRows = small.count()
+    val bigRows = big.count()
+    assert(smallRows === 50 && bigRows === 50) // 25 nations × top-2
+    // different dirs → different balances: the two plans must not
+    // have resolved against the same view
+    val sBal = small.selectExpr("sum(c_acctbal)").head.getDouble(0)
+    val bBal = big.selectExpr("sum(c_acctbal)").head.getDouble(0)
+    assert(sBal !== bBal, "both dirs resolved to the same underlying view")
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(after === before, s"temp views leaked: ${after -- before}")
+  }
+
   test("approx_percentile within 5% of exact quantiles") {
     val exact = graft.operators.SqlSurface.qPercentile.run(spark, sf)
       .select(col("event_type"), col("p50"), col("p95")).collect()
