@@ -471,10 +471,25 @@ object DedupOps {
     * oracle (EmbedKernelSpec asserts equality). */
   private[graft] def embedPairs(tau: Double)(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val nBlocks = s.conf.getOption("graft.embed.blocks").map(_.toInt).getOrElse(8)
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
       .as[(Long, Array[Double])]
+    // B auto-sizes to the larger of two floors (override: graft.embed.blocks):
+    //  - parallelism: B(B+1)/2 tasks ≥ cores → B ≈ ceil(sqrt(2·cores)),
+    //    so the diagonal+off-diagonal tasks fill the cluster;
+    //  - memory: per-task resident set is 2/B of the corpus → B ≥
+    //    2·corpusBytes / 128 MB (scan-stats estimate, metadata-only).
+    // A FIXED B would over-replicate small corpora (shuffle volume is
+    // B× the corpus) and under-split big ones (task OOM). Capped at
+    // 1024: past that, exact all-pairs is the wrong tool — use the
+    // LSH/IVF candidate generation in KnnOps.
+    val nBlocks = s.conf.getOption("graft.embed.blocks").map(_.toInt).getOrElse {
+      val bPar = math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt
+      val corpusBytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+      val bMemBig = (corpusBytes * 2 + (128L << 20) - 1) / (128L << 20)
+      val bMem = if (bMemBig > 1024) 1024 else bMemBig.toInt // BigInt.toInt overflows past the cap
+      math.min(1024, math.max(1, math.max(bPar, bMem)))
+    }
     // a vector in block b participates in every block pair (lo,hi)
     // with lo=min(b,j), hi=max(b,j) — one replica per pair, B total
     val tagged = v.flatMap { case (id, u) =>
