@@ -49,11 +49,30 @@ object ConnectedComponents {
     * star path's round count at ~log(diameter), not ∝ diameter. */
   @volatile private[graft] var lastRounds = 0
 
-  /** Free a local-checkpointed frame's blocks (two-generation
-    * lifecycle). Safe only once nothing will read the frame again.
-    * Shared with the other iterative operator ([[GraphOps.pagerank]]):
-    * plain `unpersist` is a no-op for local checkpoints, so each
-    * iteration would otherwise leak a generation of blocks. */
+  /** Eager lineage snapshot for iterative loops. Default is
+    * `localCheckpoint` (executor-local blocks — fastest, right for the
+    * single-JVM test envelope) but blocks die with their executor: at
+    * cluster scale set `spark.graft.checkpointDir` and every loop
+    * snapshot becomes a RELIABLE `checkpoint()` into that directory,
+    * so losing an executor mid-iteration recomputes nothing and fails
+    * nothing (the delta between the two is exactly executor-loss
+    * resilience; results are identical). */
+  private[operators] def snapshot(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        if (!s.sparkContext.getCheckpointDir.contains(dir))
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+
+  /** Free a snapshot frame's blocks (two-generation lifecycle). Safe
+    * only once nothing will read the frame again. Shared with the
+    * other iterative operator ([[GraphOps.pagerank]]): plain
+    * `unpersist` is a no-op for local checkpoints, so each iteration
+    * would otherwise leak a generation of blocks. */
   private[operators] def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false) // no-op for checkpoints, real for persist()
     df.queryExecution.logical match {
@@ -72,7 +91,7 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(snapshot)
     val labels = s.conf.getOption("spark.graft.cc.algo").getOrElse("auto") match {
       case "propagation" => viaPropagation(sym)
       case "star" => viaStarContraction(sym)
@@ -160,7 +179,7 @@ object ConnectedComponents {
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(mins2.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint(true)
+        .transform(snapshot)
       // fixpoint signature: count + order-independent hash checksum,
       // computed in the SAME action that materializes the checkpoint
       val sigRow = small.agg(
@@ -183,7 +202,7 @@ object ConnectedComponents {
       .join(edges.groupBy(col("src")).agg(min(col("dst")).as("m")),
         col("doc") === col("src"), "left")
       .select(col("doc"), coalesce(col("m"), col("doc")).as("label"))
-      .localCheckpoint(true)
+      .transform(snapshot)
     release(edges)
     out
   }
@@ -209,7 +228,7 @@ object ConnectedComponents {
         .select(col("doc"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).cast("long").as("chg"))
-        .localCheckpoint(true)
+        .transform(snapshot)
       // coalesce: sum over an EMPTY label set (no qualifying pairs in
       // the corpus) is null, and an empty graph is trivially converged
       val nChanged = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)

@@ -75,33 +75,61 @@ object GraphOps {
         col("c_nationkey") === col("nk2"))
       .filter(col("nk1") =!= col("nk2"))
       .select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
+    pagerankFrom(edges, Iters, Damping).orderBy(col("node"))
+  }
+
+  /** Iterations the last [[pagerankFrom]] actually ran — test-visible
+    * (the early-stop spec pins it below the requested bound). */
+  @volatile private[graft] var lastIterations = 0
+
+  /** The PageRank loop over an arbitrary (src, dst) edge frame.
+    *
+    * Early stop WITHOUT breaking the fixed-iteration oracle contract:
+    * every iteration snaps ranks to the 1e-10 grid, so when an
+    * iteration reproduces the previous vector EXACTLY (L1 delta = 0 on
+    * the grid — not an ε-tolerance), the map is at a fixpoint and
+    * every remaining iteration is the identity: emitting now is
+    * bit-identical to running all `iters`. The delta check is one
+    * |nodes|-row aggregate per round, riding on the rank frame the
+    * round materialized anyway.
+    *
+    * Snapshots go through [[ConnectedComponents.snapshot]]: eager
+    * localCheckpoint by default, reliable `checkpoint()` into
+    * `spark.graft.checkpointDir` when set (executor-loss resilience at
+    * cluster scale). */
+  private[graft] def pagerankFrom(rawEdges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val edges = ConnectedComponents.snapshot(rawEdges)
+    val nodes = ConnectedComponents.snapshot(
+      edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct())
     val n = nodes.count()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    var ranks: DataFrame = nodes
-      .select(col("node"), round(lit(1.0) / n, 10).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to Iters) {
-      val next = nodes
+    val deg = ConnectedComponents.snapshot(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    var ranks: DataFrame = ConnectedComponents.snapshot(
+      nodes.select(col("node"), round(lit(1.0) / n, 10).as("rank")))
+    var iter = 0
+    var fixpoint = false
+    while (iter < iters && !fixpoint) {
+      val next = ConnectedComponents.snapshot(nodes
         .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"), "left")
         .join(deg, Seq("src"), "left")
         .groupBy(col("node"))
-        .agg(round(lit(1 - Damping) / n +
-          lit(Damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank"))
-        .localCheckpoint(true)
+        .agg(round(lit(1 - damping) / n +
+          lit(damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank")))
+      val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+        .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
+      fixpoint = delta == 0.0
       // plain unpersist is a no-op for local checkpoints — release the
       // previous generation's blocks explicitly (shared CC machinery)
       ConnectedComponents.release(ranks)
       ranks = next
+      iter += 1
     }
+    lastIterations = iter
     // final ranks (|nodes| rows) stays checkpointed for the caller to
     // consume; the working frames are released
     Seq(edges, nodes, deg).foreach(ConnectedComponents.release)
-    ranks.orderBy(col("node"))
+    ranks
   }
 
   val ops: Seq[GraftOp] = Seq(pagerank)

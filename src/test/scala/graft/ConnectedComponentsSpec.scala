@@ -50,6 +50,47 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ConnectedComponents.run(spark, empty).count() === 0)
   }
 
+  test("pagerank early-stops at an exact grid fixpoint, result == full run") {
+    import spark.implicits._
+    // 3-cycle: uniform 1/3 is stationary ON THE 1e-10 GRID after one
+    // round, so the loop must detect the fixpoint and stop — and
+    // stopping is bit-identical to running all 10 rounds
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ranks = graft.operators.GraphOps.pagerankFrom(cycle, iters = 10, damping = 0.85)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(graft.operators.GraphOps.lastIterations < 10,
+      s"fixpoint not detected: ran ${graft.operators.GraphOps.lastIterations} rounds")
+    val third = BigDecimal(1.0 / 3).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ranks === Array((1L, third), (2L, third), (3L, third)))
+    // a non-symmetric graph must NOT trigger the early stop prematurely
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val chainRanks = graft.operators.GraphOps.pagerankFrom(chain, iters = 5, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(chainRanks(3L) > chainRanks(1L), "sink of the chain must accumulate rank")
+  }
+
+  test("spark.graft.checkpointDir switches loops to reliable checkpoints, same labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = (0L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val local = ConnectedComponents.run(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      spark.conf.set("spark.graft.cc.algo", "star") // force the distributed loop
+      val reliable = ConnectedComponents.run(spark, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(reliable.sameElements(local))
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(countFiles).sum else 1
+      assert(countFiles(new java.io.File(dir)) > 0,
+        "no reliable checkpoint data written under spark.graft.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      spark.conf.unset("spark.graft.cc.algo")
+    }
+  }
+
   test("checkpoint blocks from intermediate rounds are released (two-generation lifecycle)") {
     import spark.implicits._
     val sc = spark.sparkContext
