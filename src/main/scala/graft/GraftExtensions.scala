@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(es.head, es(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
+      { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"bloom_might_contain expects (filter, key), got ${es.length} arguments")
+        graft.functions.BloomMightContain(es.head, es(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("tdigest_quantiles"),
       new ExpressionInfo(classOf[graft.functions.TDigestQuantiles].getName, "tdigest_quantiles"),
       { es =>

@@ -22,6 +22,19 @@ package object functions {
   def vec_normalize(a: Column): Column =
     ColumnShim.column(VecNormalize(ColumnShim.expression(a)))
 
+  /** Bloom filter over a BIGINT key column (TypedImperativeAggregate:
+    * map-side build, bitwise-OR merge) — returns the serialized filter
+    * as BINARY for [[bloom_might_contain]] probes. */
+  def bloom_agg(key: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    ColumnShim.column(
+      BloomFilterAgg(ColumnShim.expression(key), expectedItems, fpp)
+        .toAggregateExpression())
+
+  /** Probe a serialized Bloom filter: false ⇒ definitely absent. */
+  def bloom_might_contain(filter: Column, key: Column): Column =
+    ColumnShim.column(
+      BloomMightContain(ColumnShim.expression(filter), ColumnShim.expression(key)))
+
   /** Mergeable t-digest quantiles (TypedImperativeAggregate): partial
     * digests are built map-side and merged after the shuffle — the
     * distributed shape of ClickHouse's quantilesTDigest. */

@@ -86,6 +86,59 @@ class TDigestSpec extends AnyFunSuite {
   }
 }
 
+class BloomSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("bloom filter: no false negatives, bounded false positives, real pruning") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val keys = orders.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey"))
+    val bytes = keys.agg(graft.functions.bloom_agg(col("o_orderkey"), 20000, 0.01))
+      .head.getAs[Array[Byte]](0)
+    val probed = orders.select(col("o_orderkey"),
+      graft.functions.bloom_might_contain(lit(bytes), col("o_orderkey")).as("hit"))
+    // every inserted key must probe true — a Bloom filter never lies
+    // in the negative direction
+    assert(probed.filter(col("o_orderkey") % 7 === 0 && !col("hit")).count() === 0)
+    // non-members: fpp pinned at ~1% (10x slack for small-sample noise)
+    val nonMembers = probed.filter(col("o_orderkey") % 7 =!= 0)
+    val fp = nonMembers.filter(col("hit")).count().toDouble / nonMembers.count()
+    assert(fp <= 0.1, s"false-positive rate $fp far above the 1% design point")
+    // pruning is real: the probe removes the bulk of the fact side
+    assert(nonMembers.filter(col("hit")).count() < nonMembers.count() / 2)
+  }
+
+  test("bloom_agg merges partial filters (partial_ mode in plan), OR is lossless") {
+    val orders = graft.sources.Tables.orders(spark, sf).repartition(8)
+    val agg = orders.agg(graft.functions.bloom_agg(col("o_orderkey"), 20000, 0.01))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_bloom_agg"),
+      s"expected map-side partial bloom build:\n$plan")
+    // distributed build over 8 partitions == single-threaded build
+    val distributed = agg.head.getAs[Array[Byte]](0)
+    val local = orders.coalesce(1).agg(
+      graft.functions.bloom_agg(col("o_orderkey"), 20000, 0.01)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(distributed, local),
+      "OR-merge of partial filters must be byte-identical to a serial build")
+  }
+
+  test("bloom_might_contain registered for SQL, codegen-compatible") {
+    val keys = spark.range(0, 1000).toDF("k")
+    keys.createOrReplaceTempView("bloom_keys")
+    try {
+      val ser = keys.agg(graft.functions.bloom_agg(col("k"), 1000, 0.01))
+        .head.getAs[Array[Byte]](0)
+      val hits = keys.filter(
+        graft.functions.bloom_might_contain(lit(ser), col("k"))).count()
+      assert(hits === 1000)
+      val sqlHit = spark.sql(
+        s"SELECT count(*) FROM bloom_keys WHERE bloom_might_contain(X'${ser.map("%02x".format(_)).mkString}', k)")
+        .head.getLong(0)
+      assert(sqlHit === 1000)
+    } finally spark.catalog.dropTempView("bloom_keys")
+  }
+}
+
 class EmbedKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
