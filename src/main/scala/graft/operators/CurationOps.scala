@@ -321,7 +321,64 @@ object CurationOps {
       .orderBy(col("is_current"), col("o_orderstatus"))
   }
 
+  /** Data-quality EXPECTATIONS: declarative rules evaluated as one
+    * violation-count row each (the dbt-test / Great Expectations shape
+    * a warehouse runs before publishing a table). Each rule is a
+    * single filtered aggregate over its table — per-table rules fuse
+    * into one scan via conditional aggregation, and the referential
+    * rule is one anti-join on the join key (never a row-by-row
+    * lookup). Zero is a meaningful result: it PROVES the invariant
+    * held at check time (the TPC-H integrity rules stay 0; the events
+    * replay-duplicate rule is the deliberately-dirty one). */
+  val expectations: GraftOp = GraftOp(
+    "q_expectations",
+    """WITH ev AS (
+      |  SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_ids,
+      |    CAST(sum(CASE WHEN value < 0 OR value >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS bad_value,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user
+      |  FROM events),
+      |li AS (
+      |  SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
+      |  FROM lineitem),
+      |orph AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |ord AS (
+      |  SELECT CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_total
+      |  FROM orders)
+      |SELECT rule, violations FROM (
+      |  SELECT 'events_duplicate_event_id' AS rule, dup_ids AS violations FROM ev
+      |  UNION ALL SELECT 'events_value_out_of_range', bad_value FROM ev
+      |  UNION ALL SELECT 'events_null_user_id', null_user FROM ev
+      |  UNION ALL SELECT 'lineitem_qty_out_of_range', bad_qty FROM li
+      |  UNION ALL SELECT 'lineitem_orphan_orderkey', n FROM orph
+      |  UNION ALL SELECT 'orders_nonpositive_total', bad_total FROM ord)
+      |ORDER BY rule""".stripMargin) { (s, d) =>
+    val bad = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val ev = Tables.events(s, d).agg(
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids"),
+      bad(col("value") < 0 || col("value") >= 1000).as("bad_value"),
+      bad(col("user_id").isNull).as("null_user"))
+    val li = Tables.lineitem(s, d)
+      .agg(bad(col("l_quantity") < 1 || col("l_quantity") > 50).as("bad_qty"))
+    val orph = Tables.lineitem(s, d).select(col("l_orderkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val ord = Tables.orders(s, d)
+      .agg(bad(graft.functions.Exprs.dec2(col("o_totalprice")) <= 0).as("bad_total"))
+    def rule(name: String, src: org.apache.spark.sql.DataFrame, c: String) =
+      src.select(lit(name).as("rule"), col(c).cast(LongType).as("violations"))
+    rule("events_duplicate_event_id", ev, "dup_ids")
+      .union(rule("events_value_out_of_range", ev, "bad_value"))
+      .union(rule("events_null_user_id", ev, "null_user"))
+      .union(rule("lineitem_qty_out_of_range", li, "bad_qty"))
+      .union(rule("lineitem_orphan_orderkey", orph, "n"))
+      .union(rule("orders_nonpositive_total", ord, "bad_total"))
+      .orderBy(col("rule"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, zorder, aggIncremental,
-      tableChecksum, scd2History)
+      tableChecksum, scd2History, expectations)
 }

@@ -118,6 +118,72 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric shingle CONTAINMENT: |A∩B| / min(|A|,|B|) ≥ 0.9 —
+    * the subset/quotation relation symmetric Jaccard MISSES: a short
+    * doc fully embedded in a much longer one has jaccard ≈ |A|/|B|
+    * (tiny) but containment ≈ 1. The dedup literature treats these as
+    * near-dups too (boilerplate inclusion, quote farms). Same
+    * rare-shingle blocking as dedup_ngram (df ≤ 50, ≥ 3 shared rare
+    * shingles — lower second gate than ngram's 5: a small contained
+    * doc has fewer shingles to share), then exact verification over
+    * the full shingle arrays; only pairs NOT already caught by the
+    * jaccard ≥ 0.8 family are emitted (the op's value is what it adds
+    * OVER dedup_ngram). Shares the session-persisted shingle index and
+    * rare-block index with the rest of the dedup family. */
+  val containment: GraftOp = GraftOp(
+    "dedup_containment",
+    s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |shl AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
+       |sh0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+       |sh AS (SELECT doc_id, ${Exprs.sqlMd5Long("shingle")} AS sid FROM sh0),
+       |rare AS (SELECT sid FROM sh GROUP BY 1 HAVING count(*) <= 50),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |  WHERE a.sid IN (SELECT sid FROM rare)
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |sizes AS (SELECT doc_id, len(shingles) AS n, shingles FROM shl),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |    sa.n AS na, sb.n AS nb
+       |  FROM cand, sizes sa, sizes sb
+       |  WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(inter * 1.0 / least(na, nb), 6) AS containment
+       |FROM v
+       |WHERE inter * 1.0 / least(na, nb) >= 0.9
+       |  AND inter * 1.0 / (na + nb - inter) < 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = shingledDocs(s, d)
+    val sh = hashedIndex(s, d)
+    val rare = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("sid"))
+    val indexed = graft.CachedPlans.cached(s, s"dedup.rareIndex:$d") {
+      sh.join(broadcast(rare), "sid")
+    }
+    val cand = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("rare_inter"))
+      .filter(col("rare_inter") >= 3)
+      .select(col("doc_a"), col("doc_b"))
+    val sizes = docs.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+    val inter = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+    val containmentExpr = inter * lit(1.0) / least(col("sa.n"), col("sb.n"))
+    val jac = inter * lit(1.0) / (col("sa.n") + col("sb.n") - inter)
+    cand
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(containmentExpr, 6).as("containment"),
+        containmentExpr.as("__c"), jac.as("__j"))
+      .filter(col("__c") >= 0.9 && col("__j") < 0.8)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Shared oracle CTE chain ending in `verified(doc_a, doc_b,
     * jaccard)` — the minhash pipeline up to exact-Jaccard
     * verification, reused by dedup_minhash and dedup_clusters. */
@@ -550,5 +616,6 @@ object DedupOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(candidateIndex, exact, ngram, minhash, clusters, spans, spanClean, simhash, embed)
+    Seq(candidateIndex, exact, ngram, minhash, clusters, spans, spanClean, simhash,
+      embed, containment)
 }

@@ -363,7 +363,73 @@ object EventsAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** WINDOW-constrained funnel (ClickHouse `windowFunnel(W)` — the
+    * reference's target engine ships this as a native aggregate):
+    * max level k such that signup → view → purchase occur in order
+    * with the whole chain inside a 30-minute window of its FIRST step.
+    * Differs from q_funnel, which has no window.
+    *
+    * Engine shape: ONE shuffle (groupBy user) and a LINEAR fold over
+    * each user's time-sorted events via the max-chain-start DP — state
+    * per level j holds the LATEST chain start that reaches level j
+    * (maximizing the start dominates: any event that can extend some
+    * chain can extend the latest-started one). The oracle states the
+    * same semantics as 2-way/3-way EXISTS self-joins — quadratic/cubic
+    * per user, fine for an oracle, exactly what the fold avoids at
+    * scale. Ties broken by event_id in both engines. */
+  val windowFunnel: GraftOp = GraftOp(
+    "q_window_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+      |l2 AS (
+      |  SELECT DISTINCT a.user_id FROM e a JOIN e b ON a.user_id = b.user_id
+      |  WHERE a.event_type = 'signup' AND b.event_type = 'view'
+      |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+      |    AND b.us - a.us <= 1800000000),
+      |l3 AS (
+      |  SELECT DISTINCT a.user_id
+      |  FROM e a JOIN e b ON a.user_id = b.user_id JOIN e c ON a.user_id = c.user_id
+      |  WHERE a.event_type = 'signup' AND b.event_type = 'view' AND c.event_type = 'purchase'
+      |    AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+      |    AND (c.us > b.us OR (c.us = b.us AND c.event_id > b.event_id))
+      |    AND c.us - a.us <= 1800000000),
+      |d AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN l3.user_id IS NOT NULL THEN 3 WHEN l2.user_id IS NOT NULL THEN 2
+      |         WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+      |  FROM u LEFT JOIN l1 USING (user_id) LEFT JOIN l2 USING (user_id)
+      |         LEFT JOIN l3 USING (user_id))
+      |SELECT level, CAST(count(*) AS BIGINT) AS n_users FROM d
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type"))))
+        .as("evs"))
+      .select(col("user_id"), expr(
+        """aggregate(evs,
+          |  named_struct('s1', -1L, 's2', -1L, 's3', -1L),
+          |  (acc, e) -> CASE
+          |    WHEN e.event_type = 'signup'
+          |      THEN named_struct('s1', greatest(acc.s1, e.us), 's2', acc.s2, 's3', acc.s3)
+          |    WHEN e.event_type = 'view' AND acc.s1 >= 0L AND e.us - acc.s1 <= 1800000000L
+          |      THEN named_struct('s1', acc.s1, 's2', greatest(acc.s2, acc.s1), 's3', acc.s3)
+          |    WHEN e.event_type = 'purchase' AND acc.s2 >= 0L AND e.us - acc.s2 <= 1800000000L
+          |      THEN named_struct('s1', acc.s1, 's2', acc.s2, 's3', greatest(acc.s3, acc.s2))
+          |    ELSE acc END)""".stripMargin).as("st"))
+      .select(
+        when(col("st.s3") >= 0, 3)
+          .when(col("st.s2") >= 0, 2)
+          .when(col("st.s1") >= 0, 1)
+          .otherwise(0).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive,
-      transitions, gapStats)
+      transitions, gapStats, windowFunnel)
 }

@@ -63,7 +63,14 @@ object GraphOps {
       }.mkString(",\n", ",\n", "")
       s"$base$iters\nSELECT node, rank FROM p$Iters ORDER BY node"
     }) { (s, d) =>
-    val edges = Tables.lineitem(s, d)
+    pagerankFrom(tradeEdges(s, d), Iters, Damping).orderBy(col("node"))
+  }
+
+  /** Supplier-nation → customer-nation trade edges (distinct pairs) —
+    * one pass over the pruned fact join, all dims broadcast. Shared by
+    * pagerank and triangle counting. */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -75,8 +82,6 @@ object GraphOps {
         col("c_nationkey") === col("nk2"))
       .filter(col("nk1") =!= col("nk2"))
       .select(col("src"), col("dst")).distinct()
-    pagerankFrom(edges, Iters, Damping).orderBy(col("node"))
-  }
 
   /** Iterations the last [[pagerankFrom]] actually ran — test-visible
     * (the early-stop spec pins it below the requested bound). */
@@ -132,5 +137,57 @@ object GraphOps {
     ranks
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank)
+  /** Per-node triangle counts over the undirected trade graph — the
+    * clustering-coefficient / community-density primitive.
+    *
+    * Scale shape: DEGREE ORIENTATION (Cohen 2009 / the MapReduce
+    * triangle-counting standard). Each undirected edge is directed
+    * from its lower to its higher endpoint in the (degree, name) total
+    * order; wedges are enumerated only at each edge's SMALLER-degree
+    * endpoint, so per-node wedge fan-out is bounded by O(√m) instead
+    * of the max degree — the quadratic hub blowup a naive
+    * neighbor-join suffers on power-law graphs never happens. Two
+    * self-joins on the oriented edge list (wedge build + closing-edge
+    * check), one explode, one count — every triangle found exactly
+    * once. The oracle enumerates x<y<z lexicographically, which counts
+    * the same triangles — the hash match proves orientation-invariance. */
+  val triangles: GraftOp = GraftOp(
+    "graph_triangles",
+    """WITH e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |tri AS (
+      |  SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM und a JOIN und b ON a.v = b.u JOIN und c ON c.u = a.u AND c.v = b.v),
+      |m AS (SELECT unnest([x, y, z]) AS node FROM tri)
+      |SELECT node, count(*) AS n_triangles FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val raw = tradeEdges(s, d)
+    val und = raw
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge toward the (deg, name)-larger endpoint
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(pagerank, triangles)
 }

@@ -27,6 +27,33 @@ class DedupClusterSpec extends AnyFunSuite {
   }
 }
 
+class ContainmentSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("containment catches a short doc embedded in a long one; jaccard misses it") {
+    import spark.implicits._
+    // synthesize a dir-shaped corpus: doc 2 is a verbatim subset of
+    // doc 1 (containment 1.0) but jaccard |A|/|B| ≈ 0.4 — invisible to
+    // the symmetric dedup family by construction
+    val core = (0 until 30).map(i => s"core$i").mkString(" ")
+    val extra = (0 until 45).map(i => s"extra$i").mkString(" ")
+    val other = (0 until 40).map(i => s"other$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    Seq((1L, s"$core $extra"), (2L, core), (3L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.DedupOps.containment.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 1 && got.head._1 === 1L && got.head._2 === 2L,
+      s"expected exactly the (1,2) containment pair, got ${got.mkString(",")}")
+    assert(got.head._3 === 1.0, s"verbatim subset must have containment 1.0")
+    // and the symmetric family indeed does NOT flag the pair
+    val jacPairs = graft.operators.DedupOps.ngram.run(spark, dir).count()
+    assert(jacPairs === 0, "jaccard >= 0.8 should not fire on a 40% overlap")
+    graft.operators.DedupOps.clearCache(spark)
+  }
+}
+
 class IncrementalDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.01"
