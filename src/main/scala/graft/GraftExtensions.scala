@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberLimitToTopK)
+    ext.injectOptimizerRule(_ => graft.plans.AutoRangeJoin)
     def unary(name: String)(
         mk: org.apache.spark.sql.catalyst.expressions.Expression =>
           org.apache.spark.sql.catalyst.expressions.Expression)

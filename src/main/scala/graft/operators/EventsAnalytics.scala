@@ -429,7 +429,43 @@ object EventsAnalytics {
       .orderBy(col("level"))
   }
 
+  /** Per-user exponential moving average (α = 0.3) over the value
+    * series in (ts, event_id) order — the classic smoothing primitive
+    * (ClickHouse exponentialMovingAverage family). An EWMA is
+    * inherently SEQUENTIAL (each step multiplies the previous state),
+    * so it cannot be a partial-mergeable aggregate; the scale-correct
+    * shape is one shuffle to the key and a LINEAR in-memory fold over
+    * each key's sorted series — exactly what both engines run here
+    * (Spark `aggregate` HOF, DuckDB `list_reduce`, identical fold
+    * order ⇒ identical doubles; each step snaps to 10 dp as
+    * belt-and-braces). Emits the final smoothed value per user. */
+  val ewma: GraftOp = GraftOp(
+    "q_ewma",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    list_transform(
+      |      list_sort(list({'us': epoch_us(ts), 'eid': event_id, 'v': value})),
+      |      r -> r.v) AS vals
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+      |  round(list_reduce(vals, (acc, x) -> round(0.3 * x + 0.7 * acc, 10)), 6) AS ewma
+      |FROM s ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(us, event_id, value))), r -> r.value)")
+        .as("vals"))
+      .select(col("user_id"),
+        size(col("vals")).cast("long").as("n_events"),
+        round(expr(
+          "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1)," +
+            " (acc, x) -> round(0.3D * x + 0.7D * acc, 10))"), 6).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive,
-      transitions, gapStats, windowFunnel)
+      transitions, gapStats, windowFunnel, ewma)
 }

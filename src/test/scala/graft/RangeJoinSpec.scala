@@ -82,6 +82,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("AutoRangeJoin rule: naive range predicate rewritten to equi join when opted in") {
+    val (signups, purchases) = sides()
+    def naive() = purchases.join(signups,
+        col("p_ts") >= col("s_ts") && col("p_ts") < col("s_end"))
+      .select(col("signup_id"), col("purchase_id"))
+    val expected = naive().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(naive().queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "precondition: without the conf the naive shape is a nested loop")
+    spark.conf.set("spark.graft.rangejoin.binSeconds", "600")
+    try {
+      val rewritten = naive()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rule did not fire — still a nested loop:\n$plan")
+      assert(plan.contains("Generate") || plan.contains("explode"),
+        s"expected the bin explode in the rewritten plan:\n$plan")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(expected), "rewrite changed the result set")
+      // equi-keyed joins must be left alone — the rule targets only
+      // the keyless range shape
+      val keyed = purchases.withColumn("k", col("purchase_id") % 10)
+        .join(signups.withColumn("k", col("signup_id") % 10), Seq("k"))
+      assert(!keyed.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+        "rule fired on an equi join")
+    } finally spark.conf.unset("spark.graft.rangejoin.binSeconds")
+  }
+
   test("reversed intervals are dropped, not exploded into garbage bins") {
     val (signups, purchases) = sides()
     // swap start/end: every interval is reversed → zero matches, and
