@@ -105,5 +105,48 @@ object EmbedOps {
       .orderBy(col("vec_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka)
+  /** Random-projection dimensionality reduction 64 → 16 (the
+    * Johnson–Lindenstrauss / SimHash-plane compression step): each
+    * output dim is the dot product with a ±1 plane whose signs derive
+    * from the portable md5 hash of (plane#dim) — a SEEDED projection
+    * both engines can regenerate independently, no shipped matrix.
+    * Planes enter the Spark plan as array literals into the codegen'd
+    * VecDot kernel (pure map — zero shuffle, the projection of 100 TB
+    * is embarrassingly parallel); the oracle recomputes the same signs
+    * from the same hash and folds the dot in the same ascending order.
+    * Output exploded to (vec_id, dim, value) scalars. */
+  val project: GraftOp = GraftOp(
+    "emb_project", {
+      val planeSql = (0 until 16).map { j =>
+        val signs = (0 until 64).map { i =>
+          s"CASE WHEN ${graft.functions.Exprs.sqlMd5Long(s"'$j#$i'")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        }.mkString("[", ", ", "]")
+        s"SELECT vec_id, $j AS dim, round(${graft.functions.Exprs.sqlDot("e", signs)} / 8.0, 6) AS value FROM v"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, ${graft.functions.Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings)
+         |SELECT vec_id, dim, value FROM (
+         |$planeSql
+         |) ORDER BY vec_id, dim""".stripMargin
+    }) { (s, d) =>
+    // same signs, computed driver-side with the identical md5 formula
+    def md5Long15(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val planes: Seq[Seq[Double]] = (0 until 16).map { j =>
+      (0 until 64).map(i => if (md5Long15(s"$j#$i") % 2 == 0) 1.0 else -1.0)
+    }
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), graft.functions.Exprs.vecAsDouble(col("embedding")).as("e"))
+    val dims = planes.zipWithIndex.map { case (plane, j) =>
+      struct(lit(j).cast(IntegerType).as("dim"),
+        round(graft.functions.vec_dot(col("e"), typedLit(plane)) / 8.0, 6).as("value"))
+    }
+    v.select(col("vec_id"), explode(array(dims: _*)).as("p"))
+      .select(col("vec_id"), col("p.dim"), col("p.value"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project)
 }

@@ -276,7 +276,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction: emails and IPv4 literals replaced with typed
+    * placeholders, with a per-doc redaction count — the scrub step a
+    * training-data pipeline runs before release (pure map over the
+    * corpus: zero shuffle, trivially parallel at 100 TB). Patterns are
+    * RE2-compatible so Spark (Java regex) and the oracle (DuckDB RE2)
+    * match identical spans; the synthetic corpus contains no PII, so
+    * the oracle proves the all-zero result and PiiSpec proves the
+    * mechanics on planted PII (the same synthetic-dir pattern
+    * ContainmentSpec uses). Emitted text is the redacted form. */
+  val piiRedact: GraftOp = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    GraftOp(
+      "text_pii_redact",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) +
+         |       len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_redactions,
+         |  regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'),
+         |    '$ipv4', '[IP]', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (regexp_count(col("text"), lit(email)) +
+            regexp_count(col("text"), lit(ipv4))).cast(LongType).as("n_redactions"),
+          regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"), ipv4, "[IP]")
+            .as("redacted"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, tfidf,
-      decontam)
+      decontam, piiRedact)
 }

@@ -54,6 +54,26 @@ class ContainmentSpec extends AnyFunSuite {
   }
 }
 
+class PiiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("pii redaction scrubs planted emails and IPs, counts them, leaves clean text alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (1L, "contact alice.smith+x@example.co.uk or 192.168.1.250 for access"),
+      (2L, "plain text with no identifiers at all"),
+      (3L, "two mails a@b.io c@d.org one ip 10.0.0.1"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.piiRedact.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got(0)._2 === 2 && got(0)._3 === "contact [EMAIL] or [IP] for access")
+    assert(got(1)._2 === 0 && got(1)._3 === "plain text with no identifiers at all")
+    assert(got(2)._2 === 3 && got(2)._3 === "two mails [EMAIL] [EMAIL] one ip [IP]")
+  }
+}
+
 class IncrementalDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.01"
