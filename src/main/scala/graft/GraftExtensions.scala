@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{RollingHash64, SimHash64, VecDot, VecNormalize, WordShingles}
+import graft.functions.{NfcNormalize, RollingHash64, SimHash64, VecDot, VecNormalize, WordShingles}
 import graft.plans.{TopKPerKey, TopKPerKeyExec}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       unary("simhash64")(SimHash64)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      unary("nfc_normalize")(NfcNormalize)))
     ext.injectFunction((
       FunctionIdentifier("vec_normalize"),
       new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),

@@ -115,4 +115,18 @@ object HashImpls {
     }
     out
   }
+
+  /** Unicode NFC composition (java.text.Normalizer — the Unicode
+    * standard algorithm, matching DuckDB's nfc_normalize). Fast path:
+    * pure-ASCII input (the overwhelming case in a web corpus) is
+    * already NFC — return the input without materializing a String. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
 }

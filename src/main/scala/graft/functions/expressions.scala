@@ -42,6 +42,23 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** NfcNormalize(text) — Unicode NFC composition as a native
+  * expression (Spark ships no normalizer function; DuckDB twin:
+  * `nfc_normalize`). ASCII input short-circuits without allocating. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** VecNormalize(array<double>) — one-pass unit normalization; fold
   * order matches the SQL-oracle formulation bit-for-bit. */
 case class VecNormalize(child: Expression) extends UnaryExpression {

@@ -22,6 +22,10 @@ package object functions {
   def vec_normalize(a: Column): Column =
     ColumnShim.column(VecNormalize(ColumnShim.expression(a)))
 
+  /** Unicode NFC composition (DuckDB nfc_normalize twin). */
+  def nfc_normalize(c: Column): Column =
+    ColumnShim.column(NfcNormalize(ColumnShim.expression(c)))
+
   /** Bloom filter over a BIGINT key column (TypedImperativeAggregate:
     * map-side build, bitwise-OR merge) — returns the serialized filter
     * as BINARY for [[bloom_might_contain]] probes. */

@@ -306,7 +306,27 @@ object TextOps {
     }
   }
 
+  /** Canonical text normalization: Unicode NFC composition (the
+    * engine's native [[graft.functions.NfcNormalize]] expression —
+    * Spark ships no normalizer; ASCII short-circuits, so the 100-TB
+    * common case never allocates) + locale-free lowercase + internal
+    * whitespace collapse + trim. The canonicalization step upstream of
+    * every hash-based dedup — two byte-identical-after-normalization
+    * docs MUST hash identically or the dedup family undercounts.
+    * Pure map, zero shuffle. */
+  val normalize: GraftOp = GraftOp(
+    "text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS normalized
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(graft.functions.nfc_normalize(col("text"))), "\\s+", " "))
+          .as("normalized"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, tfidf,
-      decontam, piiRedact)
+      decontam, piiRedact, normalize)
 }

@@ -265,6 +265,49 @@ object StreamingPipelines {
   final case class UpsertRow(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
       event_type: String, value: Double)
 
+  final case class FunnelState(s1: Long, s2: Long, s3: Long)
+
+  /** Streaming WINDOW funnel (twin of batch `q_window_funnel`): per
+    * user, the max signup→view→purchase level completed inside the
+    * window, maintained incrementally with the same max-chain-start DP
+    * the batch op folds — state is THREE LONGS per user regardless of
+    * stream length.
+    *
+    * Each trigger sorts its group's events by (ts, event_id) and folds
+    * them into the state; the `chain start ≤ event ts` guard makes
+    * replayed events idempotent (a re-delivered event can only re-take
+    * transitions that remain time-valid — level never overcounts).
+    * Equals the batch op exactly when events arrive in event-time
+    * order across triggers (the spec's condition); under disorder the
+    * level is a LOWER bound — an out-of-order prerequisite can't
+    * resurrect a chain for events already folded (the inherent
+    * order-sensitivity of any funnel maintained without an event
+    * buffer; ClickHouse's incremental MVs share it). */
+  def windowFunnelStream(events: Dataset[UpsertRow], windowMicros: Long = 1800000000L)(
+      implicit spark: SparkSession): Dataset[(Long, Int)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, (Long, Int)](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime * 1000L // micros
+            e.event_type match {
+              case "signup" =>
+                st = st.copy(s1 = math.max(st.s1, t))
+              case "view" if st.s1 >= 0 && st.s1 <= t && t - st.s1 <= windowMicros =>
+                st = st.copy(s2 = math.max(st.s2, st.s1))
+              case "purchase" if st.s2 >= 0 && st.s2 <= t && t - st.s2 <= windowMicros =>
+                st = st.copy(s3 = math.max(st.s3, st.s2))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          val level = if (st.s3 >= 0) 3 else if (st.s2 >= 0) 2 else if (st.s1 >= 0) 1 else 0
+          (uid, level)
+      }
+  }
+
   /** Streaming CDC upsert / latest-per-key (streaming twin of the
     * batch `q_latest_per_key` argMax and `merge_upsert`): one state row
     * per key holding the current (ts, event_id)-max version; each

@@ -83,5 +83,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
       .head.getSeq[String](0)
     assert(sh === Seq("a b c", "b c d"))
+    // NFC: decomposed e + COMBINING ACUTE (U+0301) composes to é;
+    // pure-ASCII text takes the no-alloc short circuit unchanged
+    val n = spark.range(1)
+      .select(graft.functions.nfc_normalize(
+        org.apache.spark.sql.functions.lit("Cafe\u0301 plain")))
+      .head.getString(0)
+    assert(n === "Caf\u00e9 plain")
   }
 }

@@ -277,6 +277,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming window funnel: cross-batch chains, replay-idempotent, == batch") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.windowFunnelStream(mem.toDS()).toDF("user_id", "level")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_out").start()
+    def levels(): Map[Long, Int] = {
+      q.processAllAvailable()
+      // update-mode memory sink appends every emission; latest wins
+      spark.table("funnel_out").groupBy("user_id")
+        .agg(last(col("level")).as("l")) // single-partition test table
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    try {
+      // user 1 completes the chain ACROSS three triggers inside 30min;
+      // user 2's purchase comes 2h after signup — window cuts it at 1
+      mem.addData(UpsertRow(1L, ts(0), 1L, "signup", 0), UpsertRow(2L, ts(0), 2L, "signup", 0))
+      mem.addData(UpsertRow(1L, ts(5), 3L, "view", 0))
+      assert(levels() === Map(1L -> 2, 2L -> 1))
+      mem.addData(UpsertRow(1L, ts(10), 4L, "purchase", 0), UpsertRow(2L, ts(120), 5L, "purchase", 0))
+      assert(levels() === Map(1L -> 3, 2L -> 1))
+      // replay: re-deliver user 1's view — level must not change
+      mem.addData(UpsertRow(1L, ts(5), 3L, "view", 0))
+      assert(levels() === Map(1L -> 3, 2L -> 1))
+    } finally q.stop()
+
+    // equivalence over real data: feed sf0.001 events in one ordered
+    // batch, histogram of final levels == batch q_window_funnel
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem2 = MemoryStream[UpsertRow]
+    val q2 = StreamingPipelines.windowFunnelStream(mem2.toDS()).toDF("user_id", "level")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_out2").start()
+    try {
+      mem2.addData(rows.toIndexedSeq)
+      q2.processAllAvailable()
+      val got = spark.table("funnel_out2").groupBy("user_id").agg(last(col("level")).as("l"))
+        .groupBy(col("l")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = graft.operators.EventsAnalytics.windowFunnel.run(spark, sf)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // batch also counts level-0 users (present in events but no
+      // signup); the stream emits a row per user either way
+      assert(got === want, s"stream=$got batch=$want")
+    } finally q2.stop()
+  }
+
   test("count-batcher flushes a batch every N records per key") {
     implicit val s = spark
     import s.implicits._
