@@ -45,6 +45,41 @@ object PartitionedLake {
       .partitionBy("day")
       .parquet(path)
 
+  /** Per-file zone map (min/max per column) for a parquet directory —
+    * the Delta/Iceberg file-statistics manifest computed as ONE Spark
+    * scan via `input_file_name()` grouping. At 100 TB the manifest is
+    * |files|×|cols| rows (thousands), built once per compaction and
+    * reused by every [[readPruned]] query. */
+  def manifest(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Zone-map-pruned read: keep only files whose [min,max] box can
+    * intersect `[lo, hi]` on `column`, then apply the exact filter.
+    * With a Z-ordered layout EITHER clustered dimension prunes; with a
+    * 1-D sort only the leading column does (LakeSpec demonstrates both
+    * the equality contract and the file-skipping payoff). Returns
+    * (result, filesRead, filesTotal). */
+  def readPruned(spark: SparkSession, path: String, manifestDf: DataFrame,
+      column: String, lo: Double, hi: Double): (DataFrame, Long, Long) = {
+    val total = manifestDf.count()
+    val keep = manifestDf
+      .filter(col(s"min_$column").cast("double") <= hi &&
+        col(s"max_$column").cast("double") >= lo)
+      .select(col("file")).collect().map(_.getString(0))
+    val result =
+      if (keep.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else
+        spark.read.parquet(keep.toIndexedSeq: _*)
+          .filter(col(column).cast("double") >= lo && col(column).cast("double") <= hi)
+    (result, keep.length.toLong, total)
+  }
+
   /** Z-ordered compaction: rewrite one day laid out along the Morton
     * key of two numeric dimensions (`OPTIMIZE ZORDER BY (a, b)`).
     * `repartitionByRange(zval)` gives each output file a contiguous

@@ -89,6 +89,23 @@ class LakeSpec extends AnyFunSuite {
     val hitV = boxes.count { case (_, _, lo, _) => lo <= vCut }
     assert(hitU <= 6, s"user_id predicate hits $hitU/8 files — dimension not clustered")
     assert(hitV <= 6, s"value predicate hits $hitV/8 files — dimension not clustered")
+
+    // zone-map reader: manifest-pruned scans read fewer files and
+    // return exactly the full-scan filter result on BOTH dimensions
+    val dayPath = s"$path/day=$day"
+    val man = PartitionedLake.manifest(spark, dayPath, Seq("user_id", "value")).persist()
+    try {
+      val full = spark.read.parquet(dayPath)
+      for ((c, lo, hi) <- Seq(("user_id", uLo.toDouble, uCut.toDouble),
+        ("value", vLo, vCut))) {
+        val (pruned, nRead, nTotal) = PartitionedLake.readPruned(spark, dayPath, man, c, lo, hi)
+        val want = full.filter(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+          .select(col("event_id")).collect().map(_.getLong(0)).sorted
+        val got = pruned.select(col("event_id")).collect().map(_.getLong(0)).sorted
+        assert(got.sameElements(want), s"pruned read on $c changed the result")
+        assert(nRead < nTotal, s"$c zone map pruned nothing ($nRead/$nTotal)")
+      }
+    } finally man.unpersist()
   }
 
   test("schema evolution: columns added over time merge, old files read null") {
