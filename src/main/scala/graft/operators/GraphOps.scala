@@ -67,9 +67,15 @@ object GraphOps {
   }
 
   /** Supplier-nation → customer-nation trade edges (distinct pairs) —
-    * one pass over the pruned fact join, all dims broadcast. Shared by
-    * pagerank and triangle counting. */
+    * one pass over the pruned fact join, all dims broadcast. The
+    * derivation is the expensive part of every graph op (the graph
+    * itself is tiny), so the frame is registry-persisted and shared by
+    * pagerank and triangle counting: one fact scan per session+dir,
+    * not one per operator. */
   private def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"graph.tradeEdges:$d")(tradeEdgesPlan(s, d))
+
+  private def tradeEdgesPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
