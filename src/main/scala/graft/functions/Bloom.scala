@@ -50,10 +50,14 @@ object BloomImpls {
     }
   }
 
-  /** Probe a SERIALIZED filter (layout: int numHashes, long[] bits). */
+  /** Probe a SERIALIZED filter (layout: int numHashes, long[] bits).
+    * Reads bytes directly (no ByteBuffer wrapping) — this runs inside
+    * the fact scan's codegen'd filter for every row, so the probe must
+    * be allocation-free. */
   def mightContain(ser: Array[Byte], value: Long): Boolean = {
     if (ser == null || ser.length < 12) return false
-    val numHashes = ByteBuffer.wrap(ser, 0, 4).getInt
+    val numHashes = ((ser(0) & 0xff) << 24) | ((ser(1) & 0xff) << 16) |
+      ((ser(2) & 0xff) << 8) | (ser(3) & 0xff)
     val words = (ser.length - 4) / 8
     val m = words.toLong * 64
     val h1 = splitmix64(value)
@@ -61,7 +65,10 @@ object BloomImpls {
     var i = 0
     while (i < numHashes) {
       val idx = java.lang.Math.floorMod(h1 + i * h2, m)
-      val word = ByteBuffer.wrap(ser, 4 + (idx >>> 6).toInt * 8, 8).getLong
+      val off = 4 + (idx >>> 6).toInt * 8
+      var word = 0L
+      var b = 0
+      while (b < 8) { word = (word << 8) | (ser(off + b) & 0xffL); b += 1 }
       if ((word & (1L << (idx & 63))) == 0) return false
       i += 1
     }

@@ -121,10 +121,12 @@ object HashImpls {
     * pure-ASCII input (the overwhelming case in a web corpus) is
     * already NFC — return the input without materializing a String. */
   def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
-    val bytes = s.getBytes
+    // byte-at-a-time ASCII scan over the unsafe payload — getBytes
+    // would COPY the row's bytes, defeating the fast path's purpose
+    val n = s.numBytes()
     var i = 0
     var ascii = true
-    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
     if (ascii) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))

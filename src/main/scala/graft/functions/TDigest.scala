@@ -25,9 +25,15 @@ import org.apache.spark.sql.types._
   * re-compresses — associative, which is exactly what a distributed
   * partial/final aggregate needs.
   *
-  * DETERMINISTIC by construction (no RNG): same input order → same
-  * centroids. Under a fixed partitioning Spark's partial/final
-  * schedule is stable, so the rows-only determinism gate holds.
+  * DETERMINISM, scoped honestly: no RNG anywhere, so the digest is a
+  * pure function of its (update, merge) CALL SEQUENCE — same sequence,
+  * bit-identical centroids, which is what the local rows-only
+  * determinism gate exercises. Across a cluster the FINAL merge folds
+  * partial digests in shuffle-fetch arrival order, and a t-digest
+  * merge (like ClickHouse's quantileTDigest) is order-sensitive at
+  * the bit level — cluster reruns stay within the rank-error bound
+  * (TDigestSpec pins it) but are not guaranteed bit-stable. Exact
+  * bit-stability needs the exact q_percentile twin.
   */
 final class TDigest(val compression: Double) extends Serializable {
   private var means = new Array[Double](0)
@@ -97,8 +103,9 @@ final class TDigest(val compression: Double) extends Serializable {
       allM(count + bufN + i) = pendM(i); allW(count + bufN + i) = pendW(i); i += 1
     }
     bufN = 0; pendN = 0
-    // sort (mean, weight) pairs by mean — index sort keeps pairs aligned
-    val idx = (0 until m).sortBy(i => allM(i))
+    // sort (mean, weight) pairs by (mean, weight) — the weight
+    // tie-break removes insertion-order dependence among equal means
+    val idx = (0 until m).sortBy(i => (allM(i), allW(i)))
     val w = allW.sum
     val outM = new Array[Double](m)
     val outW = new Array[Double](m)

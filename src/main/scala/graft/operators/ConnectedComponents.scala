@@ -57,12 +57,19 @@ object ConnectedComponents {
     * so losing an executor mid-iteration recomputes nothing and fails
     * nothing (the delta between the two is exactly executor-loss
     * resilience; results are identical). */
+  // last dir WE set per context — SparkContext stores a fs-qualified
+  // "<dir>/<uuid>" internally, so comparing against getCheckpointDir
+  // can never match and would re-mkdir a fresh directory per snapshot
+  private val ckptDirSet = new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
+
   private[operators] def snapshot(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
-        if (!s.sparkContext.getCheckpointDir.contains(dir))
-          s.sparkContext.setCheckpointDir(dir)
+        val sc = s.sparkContext
+        ckptDirSet.synchronized {
+          if (ckptDirSet.get(sc) != dir) { sc.setCheckpointDir(dir); ckptDirSet.put(sc, dir) }
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

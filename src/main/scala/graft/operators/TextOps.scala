@@ -288,20 +288,30 @@ object TextOps {
   val piiRedact: GraftOp = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    // n_redactions counts what the SEQUENTIAL replacement actually
+    // emits: emails on the original text, then IPs on the
+    // email-redacted text — counting both patterns on the original
+    // would over-count when one match consumes the other (an IP inside
+    // an email local part is replaced once, not twice)
     GraftOp(
       "text_pii_redact",
-      s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '$email')) +
-         |       len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_redactions,
-         |  regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'),
-         |    '$ipv4', '[IP]', 'g') AS redacted
-         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH r1 AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         |    regexp_replace(text, '$email', '[EMAIL]', 'g') AS t1
+         |  FROM documents)
+         |SELECT doc_id,
+         |  n_email + CAST(len(regexp_extract_all(t1, '$ipv4')) AS BIGINT) AS n_redactions,
+         |  regexp_replace(t1, '$ipv4', '[IP]', 'g') AS redacted
+         |FROM r1 ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          (regexp_count(col("text"), lit(email)) +
-            regexp_count(col("text"), lit(ipv4))).cast(LongType).as("n_redactions"),
-          regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"), ipv4, "[IP]")
-            .as("redacted"))
+          regexp_count(col("text"), lit(email)).cast(LongType).as("n_email"),
+          regexp_replace(col("text"), email, "[EMAIL]").as("t1"))
+        .select(col("doc_id"),
+          (col("n_email") + regexp_count(col("t1"), lit(ipv4)).cast(LongType))
+            .as("n_redactions"),
+          regexp_replace(col("t1"), ipv4, "[IP]").as("redacted"))
         .orderBy(col("doc_id"))
     }
   }

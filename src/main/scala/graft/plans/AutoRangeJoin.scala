@@ -113,9 +113,20 @@ object AutoRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
           // intervals side: reversed pairs filtered (negative sequence
           // step guard), covered-bin array exploded to rows
           val filtered = Filter(GreaterThanOrEqual(e, s), intervals)
-          val binsAlias = Alias(
-            Sequence(binOf(s, binSeconds), binOf(e, binSeconds), None,
-              Some(conf.sessionLocalTimeZone)), "__graft_bins")()
+          // same loud maxBins guard as the manual API: one corrupt
+          // multi-year interval must fail the job, not OOM the task
+          val sb = binOf(s, binSeconds)
+          val eb = binOf(e, binSeconds)
+          val seq = Sequence(sb, eb, None, Some(conf.sessionLocalTimeZone))
+          val maxBins = conf.getConfString("spark.graft.rangejoin.maxBins", "10000").toLong
+          val guarded = If(
+            LessThan(Subtract(eb, sb), Literal(maxBins)),
+            seq,
+            Cast(new RaiseError(Literal(
+              s"AutoRangeJoin: interval spans more than $maxBins bins — " +
+                "corrupt interval or spark.graft.rangejoin.binSeconds far too small")),
+              seq.dataType))
+          val binsAlias = Alias(guarded, "__graft_bins")()
           val withBins = Project(intervals.output :+ binsAlias, filtered)
           val explodeGen = Explode(binsAlias.toAttribute)
           val el = explodeGen.elementSchema.head

@@ -71,11 +71,15 @@ object PartitionedLake {
       .filter(col(s"min_$column").cast("double") <= hi &&
         col(s"max_$column").cast("double") >= lo)
       .select(col("file")).collect().map(_.getString(0))
+    // basePath keeps the schema identical on both branches: leaf-file
+    // reads recover any partition columns under `path` instead of
+    // silently dropping them (a zero-file prune would otherwise return
+    // a DIFFERENT schema than a one-file prune)
     val result =
       if (keep.isEmpty)
         spark.read.parquet(path).filter(lit(false))
       else
-        spark.read.parquet(keep.toIndexedSeq: _*)
+        spark.read.option("basePath", path).parquet(keep.toIndexedSeq: _*)
           .filter(col(column).cast("double") >= lo && col(column).cast("double") <= hi)
     (result, keep.length.toLong, total)
   }

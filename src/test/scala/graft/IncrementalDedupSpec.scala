@@ -72,6 +72,20 @@ class PiiSpec extends AnyFunSuite {
     assert(got(1)._2 === 0 && got(1)._3 === "plain text with no identifiers at all")
     assert(got(2)._2 === 3 && got(2)._3 === "two mails [EMAIL] [EMAIL] one ip [IP]")
   }
+
+  test("overlapping PII: count equals placeholders actually emitted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii2").toString
+    // the IP is INSIDE the email's local part: the sequential
+    // replacement emits ONE placeholder — the audit count must say 1,
+    // not 2 (counting both patterns on the original double-counts)
+    Seq((1L, "mail 1.2.3.4@example.com end"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TextOps.piiRedact.run(spark, dir).head
+    assert(r.getString(2) === "mail [EMAIL] end")
+    assert(r.getLong(1) === 1L, s"count ${r.getLong(1)} != 1 emitted placeholder")
+  }
 }
 
 class IncrementalDedupSpec extends AnyFunSuite {

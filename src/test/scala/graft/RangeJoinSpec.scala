@@ -106,6 +106,16 @@ class RangeJoinSpec extends AnyFunSuite {
         .join(signups.withColumn("k", col("signup_id") % 10), Seq("k"))
       assert(!keyed.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
         "rule fired on an equi join")
+      // the rewrite carries the manual API's maxBins guard: a corrupt
+      // multi-year interval fails loudly instead of OOMing the task
+      val wide = signups.withColumn("s_end", col("s_ts") + expr("INTERVAL 3650 DAYS"))
+      val ex = intercept[Exception] {
+        purchases.join(wide, col("p_ts") >= col("s_ts") && col("p_ts") < col("s_end")).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(ex).exists(m => m != null && m.contains("AutoRangeJoin")),
+        s"expected the AutoRangeJoin maxBins guard, got: $ex")
     } finally spark.conf.unset("spark.graft.rangejoin.binSeconds")
   }
 
