@@ -96,4 +96,35 @@ object IvfIndex {
     m.synchronized(m.remove(d))
     graft.CachedPlans.invalidate(s, s"knn.ivf.assigned:$d")
   }
+
+  /** Persist the index to disk: the k centroids (tiny) plus the
+    * materialized inverted file — the artifact the offline build job
+    * ships so serve clusters (and later sessions) never pay the
+    * KMeans fit or the corpus assignment pass again. */
+  def save(s: SparkSession, d: String, indexDir: String): Unit = {
+    import s.implicits._
+    centroidsOf(s, d).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assigned(s, d).write.mode("overwrite").parquet(s"$indexDir/assigned")
+  }
+
+  /** Load a saved index: centroids go into the quantizer registry (so
+    * serve-path routing works with ZERO fits — KnnSpec pins fitCount)
+    * and the saved assignment becomes the session's persisted inverted
+    * file, replacing whatever was cached. */
+  def load(s: SparkSession, d: String, indexDir: String): Unit = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid")).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids found under $indexDir")
+    val m = regFor(s)
+    m.synchronized(m.update(d, cents))
+    graft.CachedPlans.invalidate(s, s"knn.ivf.assigned:$d")
+    graft.CachedPlans.cached(s, s"knn.ivf.assigned:$d") {
+      s.read.parquet(s"$indexDir/assigned")
+    }
+    ()
+  }
 }

@@ -52,6 +52,22 @@ class KnnSpec extends AnyFunSuite {
     assert(IvfIndex.fitCount === afterFirst + 1)
   }
 
+  test("ivf index survives a save/load round trip with zero refits") {
+    import graft.operators.IvfIndex
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val before = KnnOps.ivf.run(spark, sf).collect().map(_.toString).sorted
+    IvfIndex.save(spark, sf, idxDir)
+    // wipe the in-session index — the load path must restore BOTH the
+    // quantizer registry and the inverted file from disk
+    IvfIndex.rebuild(spark, sf)
+    val fits = IvfIndex.fitCount
+    IvfIndex.load(spark, sf, idxDir)
+    val after = KnnOps.ivf.run(spark, sf).collect().map(_.toString).sorted
+    assert(IvfIndex.fitCount === fits,
+      "serving from a loaded index must not refit KMeans")
+    assert(after.sameElements(before), "loaded index changed query results")
+  }
+
   test("ivf build op emits full cell occupancy (every corpus vector indexed)") {
     import graft.operators.IvfIndex
     val occ = KnnOps.ivfBuild.run(spark, sf).collect()
