@@ -465,7 +465,34 @@ object EventsAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Per-type least-squares trend: slope/intercept/correlation of
+    * value against hours-since-epoch-start — the drift detector behind
+    * any metrics dashboard, via the SQL-standard `regr_*`/`corr`
+    * aggregates (one partial-aggregable shuffle; every engine ships
+    * these as running-moment aggregates). x is normalized to HOURS
+    * from a fixed origin so the slope is a per-hour drift (raw epoch
+    * seconds would push slopes to 1e-9 where 6dp rounding erases
+    * them); results rounded to 6dp so double fold-order noise (~1e-15
+    * relative) cannot surface in the hash. */
+  val regression: GraftOp = GraftOp(
+    "q_regression",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(regr_slope(value, (epoch_us(ts) - 1704067200000000) / 3600000000.0), 6) AS slope,
+      |  round(regr_intercept(value, (epoch_us(ts) - 1704067200000000) / 3600000000.0), 6) AS intercept,
+      |  round(corr(value, (epoch_us(ts) - 1704067200000000) / 3600000000.0), 6) AS r
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val x = (unix_micros(col("ts").cast("timestamp")) - lit(1704067200000000L)) / 3600000000.0
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), x.as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(regr_slope(col("value"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("x")), 6).as("intercept"),
+        round(corr(col("value"), col("x")), 6).as("r"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive,
-      transitions, gapStats, windowFunnel, ewma)
+      transitions, gapStats, windowFunnel, ewma, regression)
 }
