@@ -132,6 +132,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lake sink: exactly-once across restart, day pruning on read") {
+    // stream → day-partitioned parquet lake: the native file sink's
+    // manifest gives exactly-once per batch; a restart from the same
+    // checkpoint must append only the NEW data, and readers prune on
+    // the day directory like any batch-written lake
+    val srcDir = Files.createTempDirectory("graft-lakestream-src")
+    val lake = Files.createTempDirectory("graft-lakestream").toString + "/events"
+    val ckpt = Files.createTempDirectory("graft-lakestream-ckpt").toString
+    val evAll = spark.read.parquet(s"$sf/events.parquet")
+    val schema = evAll.schema
+    def addFile(name: String, filter: org.apache.spark.sql.Column): Long = {
+      val tmp = Files.createTempDirectory("graft-lakestream-b")
+      val part = evAll.filter(filter)
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get
+      Files.copy(f, srcDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      part.count()
+    }
+    val n1 = addFile("b1.parquet", col("event_id") % 2 === 0)
+    def startQuery() = {
+      val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val ts = if (schema("ts").dataType == LongType)
+        timestamp_micros(expr("ts div 1000")) else col("ts").cast("timestamp")
+      raw.withColumn("day", date_format(ts, "yyyy-MM-dd"))
+        .writeStream
+        .format("parquet")
+        .option("path", lake)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("day")
+        .start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(lake).count() === n1)
+
+    // restart from the same checkpoint with new + ALREADY-PROCESSED
+    // files present: only the new file's rows may land
+    val n2 = addFile("b2.parquet", col("event_id") % 2 =!= 0)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val lakeDf = spark.read.parquet(lake)
+    assert(lakeDf.count() === n1 + n2, "restart duplicated or dropped rows")
+    assert(lakeDf.select("event_id").distinct().count() === n1 + n2)
+    // partition pruning works on the streamed layout (the day
+    // directory value type-infers back as DATE — read it as string)
+    val day = lakeDf.select(col("day").cast("string")).head.getString(0)
+    val plan = lakeDf.filter(col("day") === day)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"day predicate did not prune partitions:\n${plan.take(500)}")
+  }
+
   test("streaming dedup removes replayed events") {
     val doubled = eventsStream().union(eventsStream())
     val out = runToMemory(StreamingPipelines.dedupStream(doubled), "append", "dedup_out")
