@@ -134,6 +134,30 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (80/10/10): every doc gets a
+    * split LABEL from a portable hash bucket of its id — the dataset-
+    * prep staple. Hash assignment (vs RNG) means the split is
+    * reproducible across engines, runs, and parallelism, and
+    * APPEND-STABLE: a grown corpus never reassigns an existing doc's
+    * split (no train/test leakage on refresh). Pure map, zero shuffle;
+    * the summary the op emits doubles as the split-ratio audit. */
+  val split: GraftOp = GraftOp(
+    "sample_split",
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |         WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT doc_id, split FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bucket = graft.functions.Exprs.md5Long(
+      col("doc_id").cast(org.apache.spark.sql.types.StringType)) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture)
+    Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split)
 }
