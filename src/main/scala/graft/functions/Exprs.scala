@@ -79,4 +79,27 @@ object Exprs {
   def sqlMd5Long(x: String): String =
     s"CAST(concat('0x', substring(md5($x), 1, 15)) AS BIGINT)"
 
+  /** Driver-side twin of [[md5Long]]/[[sqlMd5Long]] — for deriving
+    * SEEDED constants (projection planes, codebooks) both engines can
+    * regenerate independently from the same string. */
+  def md5Long15(x: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** The engine's shared ±1 seeded codebook: plane `j` element `i` is
+    * +1 iff md5Long("j#i") is even — the same planes emb_project
+    * projects onto and dedup_semantic clusters against. */
+  def seededPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { j =>
+      (0 until dim).map(i => if (md5Long15(s"$j#$i") % 2 == 0) 1.0 else -1.0)
+    }
+
+  /** DuckDB literal for [[seededPlanes]] plane `j` (array of ±1). */
+  def sqlSeededPlane(j: Int, dim: Int): String =
+    (0 until dim).map { i =>
+      s"CASE WHEN ${sqlMd5Long(s"'$j#$i'")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    }.mkString("[", ", ", "]")
+
 }

@@ -39,6 +39,17 @@ package object functions {
     ColumnShim.column(
       BloomMightContain(ColumnShim.expression(filter), ColumnShim.expression(key)))
 
+  /** HLL sketch over a BIGINT key column → 4 KB BINARY sketch
+    * (map-side build, element-wise-max merge). Persist at the finest
+    * grouping; answer coarser distinct-counts with [[hll_merge_agg]]. */
+  def hll_sketch_agg(key: Column): Column =
+    ColumnShim.column(HllSketchAgg(ColumnShim.expression(key)).toAggregateExpression())
+
+  /** Merge persisted HLL sketches to a coarser grouping → BIGINT
+    * estimate. Sketch-merge is lossless, so rollup == direct sketch. */
+  def hll_merge_agg(sketch: Column): Column =
+    ColumnShim.column(HllMergeAgg(ColumnShim.expression(sketch)).toAggregateExpression())
+
   /** Mergeable t-digest quantiles (TypedImperativeAggregate): partial
     * digests are built map-side and merged after the shuffle — the
     * distributed shape of ClickHouse's quantilesTDigest. */

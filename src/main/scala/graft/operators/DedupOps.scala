@@ -615,7 +615,87 @@ object DedupOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    * embeddings, then prune near-duplicates WITHIN clusters only —
+    * never the corpus-wide all-pairs [[embed]] runs. The codebook is
+    * the engine's 16 seeded ±1 planes (the same md5-derived codebook
+    * emb_project uses — deterministic, both engines regenerate it; a
+    * learned KMeans codebook is the IvfIndex path, not oracle-
+    * expressible). Each vector is assigned to its top-3 clusters by
+    * dot product (multi-probe, the IVF nprobe move — single-assignment
+    * recall on pairs that straddle a cluster boundary is poor); a pair
+    * is a candidate iff the assignments intersect, then verified with
+    * the exact cosine. Output is the PRUNE decision: each dropped
+    * vector with its kept (lowest-id) representative.
+    *
+    * Scale shape: assignment is a pure map (16 codegen'd VecDot taps +
+    * a per-vector top-3), candidates shuffle on the cluster key, and
+    * within-cluster pairs are quadratic only in the cluster size —
+    * with balanced clusters that is ~(probe²/K)·n²/2 work vs the exact
+    * op's n²/2, and the codebook size K scales with the corpus. On
+    * THIS synthetic corpus (i.i.d. random vectors — no real cluster
+    * structure) the candidate fraction is ~46% and pair recall at
+    * τ=0.45 is 0.79–0.86 vs [[embed]]; on a real embedding corpus the
+    * clusters are tight and both numbers improve sharply. The oracle
+    * recomputes the identical assignment, so the hash check proves
+    * exactness of the computed semantics, not recall. */
+  val semantic: GraftOp = GraftOp(
+    "dedup_semantic", {
+      val dotSql = (0 until 16).map { j =>
+        s"SELECT vec_id, $j AS j, ${Exprs.sqlDot("u", Exprs.sqlSeededPlane(j, 64))} AS dp FROM v"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH raw AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |v AS (SELECT vec_id, ${Exprs.sqlUnit("e")} AS u FROM raw),
+         |d AS (
+         |$dotSql
+         |),
+         |r AS (SELECT vec_id, j,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, j) AS rn FROM d),
+         |asg AS (SELECT vec_id, j AS cluster FROM r WHERE rn <= 3),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT va, vb, ${Exprs.sqlDot("x.u", "y.u")} AS cos
+         |  FROM cand JOIN v x ON x.vec_id = va JOIN v y ON y.vec_id = vb
+         |  WHERE ${Exprs.sqlDot("x.u", "y.u")} >= 0.45),
+         |sel AS (SELECT vb, va, cos,
+         |    row_number() OVER (PARTITION BY vb ORDER BY va) AS rn FROM pairs)
+         |SELECT vb AS vec_id, va AS kept_id, round(cos, 6) AS cos_sim
+         |FROM sel WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val planes = Exprs.seededPlanes(16, 64)
+    val u = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val dots = u.select(col("vec_id"),
+      posexplode(array(planes.map(p => Exprs.dot(col("u"), typedLit(p))): _*)))
+      .toDF("vec_id", "j", "dp")
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dp").desc, col("j"))
+    val asg = dots.withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("j").as("cluster"))
+    val cand = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val cos = Exprs.dot(col("ua"), col("ub"))
+    val pairs = cand
+      .join(u.select(col("vec_id").as("va"), col("u").as("ua")), "va")
+      .join(u.select(col("vec_id").as("vb"), col("u").as("ub")), "vb")
+      .withColumn("cos", cos)
+      .filter(col("cos") >= 0.45)
+    val byDropped = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vb")).orderBy(col("va"))
+    pairs.withColumn("rn", row_number().over(byDropped))
+      .filter(col("rn") === 1)
+      .select(col("vb").as("vec_id"), col("va").as("kept_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(candidateIndex, exact, ngram, minhash, clusters, spans, spanClean, simhash,
-      embed, containment)
+      embed, containment, semantic)
 }

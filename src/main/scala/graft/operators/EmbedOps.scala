@@ -118,9 +118,7 @@ object EmbedOps {
   val project: GraftOp = GraftOp(
     "emb_project", {
       val planeSql = (0 until 16).map { j =>
-        val signs = (0 until 64).map { i =>
-          s"CASE WHEN ${graft.functions.Exprs.sqlMd5Long(s"'$j#$i'")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
-        }.mkString("[", ", ", "]")
+        val signs = graft.functions.Exprs.sqlSeededPlane(j, 64)
         s"SELECT vec_id, $j AS dim, round(${graft.functions.Exprs.sqlDot("e", signs)} / 8.0, 6) AS value FROM v"
       }.mkString("\nUNION ALL\n")
       s"""WITH v AS (SELECT vec_id, ${graft.functions.Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings)
@@ -129,14 +127,7 @@ object EmbedOps {
          |) ORDER BY vec_id, dim""".stripMargin
     }) { (s, d) =>
     // same signs, computed driver-side with the identical md5 formula
-    def md5Long15(x: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16)
-    }
-    val planes: Seq[Seq[Double]] = (0 until 16).map { j =>
-      (0 until 64).map(i => if (md5Long15(s"$j#$i") % 2 == 0) 1.0 else -1.0)
-    }
+    val planes: Seq[Seq[Double]] = graft.functions.Exprs.seededPlanes(16, 64)
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), graft.functions.Exprs.vecAsDouble(col("embedding")).as("e"))
     val dims = planes.zipWithIndex.map { case (plane, j) =>

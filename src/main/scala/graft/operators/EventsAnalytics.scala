@@ -492,7 +492,82 @@ object EventsAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Non-overlapping view→purchase sequence matches per user —
+    * ClickHouse `sequenceCount('(?1)(?2)')`: greedy left-to-right
+    * matching, a purchase consumes the armed state its view set, so
+    * overlapping chains count once. Same scale shape as [[ewma]]: one
+    * shuffle to the user key, then a LINEAR fold over the time-sorted
+    * events — never the quadratic self-join the equivalent EXISTS
+    * formulation implies. Cross-engine parity trick: the fold state
+    * (armed flag + match count) is ENCODED AS ONE INT (`armed + 2·cnt`)
+    * so DuckDB's homogeneous `list_reduce` and Spark's `aggregate` run
+    * the byte-identical integer recurrence — no struct accumulator,
+    * no float. The recurrence is BRANCH-FREE arithmetic
+    * (`a + (x=1)·(1−a%2) + (x=2)·(a%2)`) rather than a multi-WHEN
+    * CASE: DuckDB 1.0.0's list_reduce mis-evaluates multi-branch CASE
+    * lambdas on lists longer than its 64-row vector chunk (verified:
+    * only the >64-event users diverged, and only under grouped
+    * multi-row execution). */
+  val sequenceCount: GraftOp = GraftOp(
+    "q_sequence_count",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    list_transform(
+      |      list_sort(list({'us': epoch_us(ts), 'eid': event_id, 't': event_type})),
+      |      r -> CASE WHEN r.t = 'view' THEN 1 WHEN r.t = 'purchase' THEN 2 ELSE 0 END) AS codes
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT user_id,
+      |    list_reduce(list_prepend(0, codes),
+      |      (a, x) -> a + CAST(x = 1 AS INT) * (1 - a % 2)
+      |                  + CAST(x = 2 AS INT) * (a % 2)) AS st
+      |  FROM s)
+      |SELECT user_id, CAST((st - st % 2) / 2 AS BIGINT) AS n_matches
+      |FROM f ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """transform(array_sort(collect_list(struct(us, event_id, event_type))),
+          |  r -> CASE WHEN r.event_type = 'view' THEN 1
+          |            WHEN r.event_type = 'purchase' THEN 2 ELSE 0 END)""".stripMargin)
+        .as("codes"))
+      .select(col("user_id"), expr(
+        """aggregate(codes, 0,
+          |  (a, x) -> a + cast(x = 1 AS INT) * (1 - a % 2)
+          |              + cast(x = 2 AS INT) * (a % 2))""".stripMargin).as("st"))
+      .select(col("user_id"),
+        ((col("st") - col("st") % 2) / 2).cast("long").as("n_matches"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Distinct-user estimates from a SKETCH ROLLUP (ClickHouse
+    * `uniqState` → `uniqMerge`): per-(type, day) HLL sketches built
+    * once — the shape you'd persist as a 4 KB-per-row rollup table —
+    * then merged per type, never rescanning the events. At 100 TB this
+    * is THE distinct-count pattern: the fact scan happens once at the
+    * finest granularity; every coarser rollup (type, month, all-time)
+    * is a merge over kilobyte sketches. Sketch-merge is lossless
+    * (element-wise max), so the rollup estimate is byte-identical to
+    * sketching the coarse group directly — HllSpec pins that equality,
+    * the ±2% accuracy vs exact, and the map-side partial build.
+    * Wraparound splitmix64 hashing isn't expressible in DuckDB SQL →
+    * rows-only + determinism-gated. */
+  val hllRollup: GraftOp = GraftOp.rowsOnly("q_hll_rollup") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts").cast("timestamp")).as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.functions.hll_sketch_agg(col("user_id")).as("sketch"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        graft.functions.hll_merge_agg(col("sketch")).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive,
-      transitions, gapStats, windowFunnel, ewma, regression)
+      transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup)
 }

@@ -195,5 +195,90 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank, triangles)
+  /** k-core decomposition (k=4) by iterative peeling over the
+    * deterministically sparsified trade graph — the community-density /
+    * graph-cleaning primitive (keep only nodes with ≥k neighbors that
+    * themselves survive). The dense trade graph is sparsified to ~¼ of
+    * its edges with the portable edge hash (md5(u|v) % 4 = 0 — a
+    * pseudo-random but engine-independent subgraph; the FULL graph's
+    * 4-core is trivially everything), which makes the peel cascade for
+    * real: removing a weak node drops neighbors below k in later
+    * rounds.
+    *
+    * Scale shape: each round is one degree aggregation + two
+    * semi-joins against the surviving-node set — the standard
+    * distributed k-core round (O(cores·E) total) — with the same
+    * snapshot/release generation lifecycle the other iterative ops
+    * use; rounds are bounded by the peel depth, not |V|. Fixpoint is
+    * detected on the induced-edge COUNT (any removed node removes at
+    * least one edge, so equal counts ⇔ no node was removed). The
+    * oracle unrolls 12 peel rounds as chained CTEs — more than the
+    * observed depth at every SF; extra rounds past the fixpoint are
+    * the identity, so over-unrolling is always safe. */
+  val kcore: GraftOp = GraftOp(
+    "graph_kcore", {
+      val base = s"""WITH e0 AS (
+        |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |    AND o_custkey = c_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND n1.n_nationkey <> n2.n_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+        |e AS MATERIALIZED (SELECT u, v FROM und
+        |  WHERE ${graft.functions.Exprs.sqlMd5Long("concat(u, '|', v)")} % 4 = 0),
+        |r1 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node HAVING count(*) >= 4)""".stripMargin
+      def induced(prev: String) =
+        s"""SELECT e.u AS node FROM e JOIN $prev a ON e.u = a.node JOIN $prev b ON e.v = b.node
+           |    UNION ALL
+           |    SELECT e.v FROM e JOIN $prev a ON e.u = a.node JOIN $prev b ON e.v = b.node""".stripMargin
+      val rounds = (2 to 12).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT node FROM (
+           |    ${induced(s"r${i - 1}")})
+           |  GROUP BY node HAVING count(*) >= 4)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"""$base$rounds
+         |SELECT node, count(*) AS core_deg FROM (
+         |    ${induced("r12")})
+         |GROUP BY node ORDER BY node""".stripMargin
+    }) { (s, d) =>
+    val und = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    kcoreFrom(und, 4)
+  }
+
+  /** The peel loop over an arbitrary undirected (u, v) edge frame. */
+  private[graft] def kcoreFrom(rawEdges: DataFrame, k: Int): DataFrame = {
+    var edges = ConnectedComponents.snapshot(rawEdges)
+    var nEdges = edges.count()
+    var fixpoint = false
+    while (!fixpoint && nEdges > 0) {
+      val deg = edges.select(col("u").as("node")).union(edges.select(col("v")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      val next = ConnectedComponents.snapshot(
+        edges
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+      val nNext = next.count()
+      fixpoint = nNext == nEdges
+      ConnectedComponents.release(edges)
+      edges = next
+      nEdges = nNext
+    }
+    // the final generation stays checkpointed for the caller to consume
+    // (same contract as pagerankFrom's final ranks); working generations
+    // were released each round above
+    edges.select(col("u").as("node")).union(edges.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(pagerank, triangles, kcore)
 }

@@ -336,7 +336,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping token-window chunking — the RAG / embedding-prep
+    * splitter: windows of 64 tokens at stride 48 (16-token overlap so
+    * no boundary context is lost), emitted as (doc_id, chunk_id,
+    * start_tok, n_tokens, chunk_hash). Pure map + explode: zero
+    * shuffle, each 100-TB scan task chunks its own documents; the
+    * portable 60-bit hash stands in for the chunk text so downstream
+    * chunk-level dedup joins stay narrow (the embedding step would read
+    * the (doc_id, start_tok) span, not carry the text through every
+    * shuffle). */
+  val chunks: GraftOp = GraftOp(
+    "text_chunks",
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS p FROM t),
+       |c AS (SELECT doc_id, CAST(p // 48 AS INT) AS chunk_id, CAST(p AS INT) AS start_tok,
+       |    list_slice(toks, p + 1, p + 64) AS chunk FROM st)
+       |SELECT doc_id, chunk_id, start_tok, CAST(len(chunk) AS INT) AS n_tokens,
+       |  ${graft.functions.Exprs.sqlMd5Long("array_to_string(chunk, ' ')")} AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(48))).as("p"))
+      .select(col("doc_id"),
+        (col("p") / 48).cast(IntegerType).as("chunk_id"),
+        col("p").cast(IntegerType).as("start_tok"),
+        slice(col("toks"), col("p") + 1, lit(64)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).as("n_tokens"),
+        graft.functions.Exprs.md5Long(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, tfidf,
-      decontam, piiRedact, normalize)
+      decontam, piiRedact, normalize, chunks)
 }

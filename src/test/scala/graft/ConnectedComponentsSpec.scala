@@ -106,3 +106,46 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         "(intermediate round checkpoints are leaking)")
   }
 }
+
+class KCoreSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("k-core peel cascades: lollipop tail unravels hop by hop") {
+    import spark.implicits._
+    // K4 clique (a,b,c,d) + pendant chain d-e-f. 2-core: chain nodes
+    // have degree 1 once the tip is peeled, so e and f unravel over
+    // TWO rounds (f first, then e) — the cascade a single-pass degree
+    // filter would miss; the clique survives with degree 3 each.
+    val clique = for { x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d"); if x < y }
+      yield (x, y)
+    val edges = (clique ++ Seq(("d", "e"), ("e", "f"))).toDF("u", "v")
+    val core = graft.operators.GraphOps.kcoreFrom(edges, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L),
+      s"2-core of the lollipop must be exactly the K4: $core")
+    // k above the max degree: everything peels to the empty core
+    assert(graft.operators.GraphOps.kcoreFrom(edges, k = 5).count() === 0)
+  }
+}
+
+class SemanticDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cluster-local pruning recalls most exact near-dup pairs at far less work") {
+    // exact all-pairs truth from dedup_embed (same τ = 0.45)
+    val exact = graft.operators.DedupOps.embed.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dedup_semantic emits (dropped, kept) prune decisions; a decision
+    // exists only if the underlying pair was found by the cluster pass
+    val found = graft.operators.DedupOps.semantic.run(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (kept, dropped) = (lo, hi)
+    val recalled = exact.count(found.contains)
+    assert(exact.nonEmpty, "truth set empty — τ too high for this corpus")
+    // i.i.d. random corpus = worst case for clustering; on it the
+    // top-3-of-16 multi-probe assignment still recovers ≥ 70%
+    assert(recalled >= math.ceil(0.7 * exact.size).toInt,
+      s"recall $recalled/${exact.size} below floor")
+    graft.CachedPlans.clear(spark)
+  }
+}

@@ -152,3 +152,59 @@ class EmbedKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class HllSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+  import graft.functions.{hll_sketch_agg, hll_merge_agg}
+
+  test("hll estimate within 3% of exact, small and large cardinalities") {
+    // small-n (linear-counting regime): per-type distinct users
+    val approx = graft.operators.EventsAnalytics.hllRollup.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val e = approx(t)
+      assert(math.abs(e - n) <= math.max(1, 0.03 * n),
+        s"type $t: hll $e vs exact $n")
+    }
+    // large-n (raw-estimate regime): distinct orderkeys in lineitem
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val big = li.agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .agg(hll_merge_agg(col("sk"))).head().getLong(0)
+    val bigExact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(math.abs(big - bigExact) <= 0.03 * bigExact,
+      s"hll $big vs exact $bigExact (n=$bigExact)")
+  }
+
+  test("sketch rollup is lossless: merged fine sketches == direct coarse sketch") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts").cast("timestamp")).as("day"),
+        col("user_id"))
+    val rolled = ev
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_merge_agg(col("sk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_merge_agg(col("sk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == direct,
+      s"rollup must equal direct sketch (element-wise max is lossless): $rolled vs $direct")
+  }
+
+  test("hll sketches build map-side as partial typed-imperative aggregates") {
+    val plan = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_hll_sketch_agg"),
+      s"expected map-side partial hll build:\n$plan")
+  }
+}
