@@ -19,7 +19,7 @@ object ExplainCheck {
     val intendedBnl =
       Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute", "text_tfidf",
         "knn_classify", "q_gap_fill", "lake_zorder", "q11_value_share", "q_interpolate",
-        "q_trailing_active", "knn_filtered")
+        "q_trailing_active", "q_hll_trailing", "knn_filtered")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString

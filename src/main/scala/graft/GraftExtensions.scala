@@ -112,6 +112,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("hll_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.HllSketchAgg].getName, "hll_sketch_agg"),
+      unary("hll_sketch_agg")(e =>
+        graft.functions.HllSketchAgg(e).toAggregateExpression())))
+    ext.injectFunction((
+      FunctionIdentifier("hll_merge_agg"),
+      new ExpressionInfo(classOf[graft.functions.HllMergeAgg].getName, "hll_merge_agg"),
+      unary("hll_merge_agg")(e =>
+        graft.functions.HllMergeAgg(e).toAggregateExpression())))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       { es =>

@@ -567,7 +567,34 @@ object EventsAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Trailing-7-day distinct actives from SLIDING SKETCH MERGES — the
+    * sketch twin of [[trailingActive]]. The exact op explodes every
+    * (user, day) pair ×7 into a countDistinct shuffle (fine at these
+    * SFs; at 100 TB that is 7× the activity table through a wide
+    * exchange). This one builds ONE 4 KB HLL sketch per day (the fact
+    * scan happens once), then each day's sketch — not its users —
+    * replicates to the 7 windows it serves: the merge shuffle carries
+    * |days|×7 kilobyte rows, independent of user volume. Same
+    * bound/filter semantics as the exact op; HllSpec pins per-day
+    * estimates within 3% of it. Sketch math → rows-only. */
+  val hllTrailing: GraftOp = GraftOp.rowsOnly("q_hll_trailing") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"),
+        col("user_id"))
+      .groupBy(col("day_idx"))
+      .agg(graft.functions.hll_sketch_agg(col("user_id")).as("sk"))
+    val bounds = daily.agg(max(col("day_idx")).as("hi"))
+    daily
+      .select(explode(sequence(col("day_idx"), col("day_idx") + 6)).as("day"), col("sk"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("hi"))
+      .groupBy(col("day").cast(IntegerType).as("day_idx"))
+      .agg(graft.functions.hll_merge_agg(col("sk")).as("active_7d_est"))
+      .orderBy(col("day_idx"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive,
-      transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup)
+      transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup,
+      hllTrailing)
 }

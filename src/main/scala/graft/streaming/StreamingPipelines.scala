@@ -350,6 +350,29 @@ object StreamingPipelines {
       .flatMap { case (_, topk) => topk }
   }
 
+  /** Streaming distinct-count via HLL state (twin of batch
+    * `q_hll_rollup`): one 4 KB register array per group key, each
+    * trigger folds its rows in and emits the running estimate — the
+    * unbounded-domain distinct count a streaming
+    * `approx_count_distinct` groupBy cannot give with bounded state.
+    * Register updates are MAX operations, so the state is a CRDT:
+    * at-least-once replay of any event is a no-op by construction
+    * (the spec replays a batch and pins unchanged estimates), and the
+    * final state equals the batch sketch over the same rows exactly —
+    * not approximately — because add/merge order never matters. */
+  def distinctUsersStream(events: Dataset[UpsertRow])(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Byte], (String, Long)](GroupStateTimeout.NoTimeout) {
+        (etype, rows, state) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](graft.functions.HllImpls.M))
+          rows.foreach(r => graft.functions.HllImpls.add(regs, r.user_id))
+          state.update(regs)
+          (etype, graft.functions.HllImpls.estimate(regs))
+      }
+  }
+
   final case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
       n_events: Long)
 

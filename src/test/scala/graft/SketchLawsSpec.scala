@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws the mergeable-sketch tier depends on for
+  * correctness under ANY partitioning: Spark may split, reorder, and
+  * re-merge partial aggregation buffers arbitrarily (map-side
+  * partials, AQE re-plans, speculative retries), so each sketch's
+  * merge must be a commutative, associative, idempotent monoid and
+  * its insert must commute with merge. Checked over 100 seeded random
+  * input splits per law — the unit specs pin accuracy on real data;
+  * these pin the algebra that makes the distributed answer
+  * independent of the plan. (Seeded loops, not ScalaCheck's forAll:
+  * the scalatest-scalacheck bridge artifact isn't in the offline
+  * cache; determinism is a feature here anyway.)
+  */
+class SketchLawsSpec extends AnyFunSuite {
+
+  private def cases(seed: Long): Seq[(Vector[Long], Vector[Long], Vector[Long])] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to 100).map { _ =>
+      def vec() = Vector.fill(rnd.nextInt(400))(rnd.nextLong())
+      (vec(), vec(), vec())
+    }
+  }
+
+  private def hllOf(vs: Seq[Long]): Array[Byte] = {
+    val r = new Array[Byte](functions.HllImpls.M)
+    vs.foreach(functions.HllImpls.add(r, _))
+    r
+  }
+
+  private def hllMerged(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val m = a.clone(); functions.HllImpls.merge(m, b); m
+  }
+
+  test("hll: merge is commutative, associative, idempotent; insert distributes") {
+    cases(seed = 11L).foreach { case (xs, ys, zs) =>
+      val (a, b, c) = (hllOf(xs), hllOf(ys), hllOf(zs))
+      assert(hllMerged(a, b).sameElements(hllMerged(b, a)), "commutative")
+      assert(hllMerged(hllMerged(a, b), c).sameElements(hllMerged(a, hllMerged(b, c))),
+        "associative")
+      assert(hllMerged(a, a).sameElements(a), "idempotent")
+      // building from the concatenation == merging the parts — the law
+      // that makes map-side partials correct under any input split
+      assert(hllOf(xs ++ ys).sameElements(hllMerged(a, b)), "insert-merge distributivity")
+      // duplicates never move registers (the CRDT/replay property)
+      assert(hllOf(xs ++ xs).sameElements(a), "duplicate inserts are no-ops")
+    }
+  }
+
+  test("hll: estimate within 5% across magnitudes") {
+    Seq(10, 500, 5000, 50000).foreach { n =>
+      val est = functions.HllImpls.estimate(hllOf((1L to n.toLong).toVector))
+      assert(math.abs(est - n) <= math.max(2, 0.05 * n), s"n=$n est=$est")
+    }
+  }
+
+  test("bloom: no false negatives under any split/merge of the build") {
+    cases(seed = 23L).foreach { case (xs, ys, _) =>
+      val bits = functions.BloomImpls.optimalBits(math.max(1, xs.size + ys.size), 0.01)
+      val k = functions.BloomImpls.optimalHashes(0.01)
+      def filterOf(vs: Seq[Long]) = {
+        val b = new functions.BloomBuffer(new Array[Long]((bits + 63) / 64), k)
+        vs.foreach(b.add); b
+      }
+      val merged = filterOf(xs)
+      merged.orWith(filterOf(ys))
+      val ser = functions.BloomImpls.serialize(merged.bits, k)
+      (xs ++ ys).foreach(v =>
+        assert(functions.BloomImpls.mightContain(ser, v), s"false negative for $v"))
+      // OR-merge == serial build (byte-identical, the lossless-merge law)
+      val serial = filterOf(xs ++ ys)
+      assert(functions.BloomImpls.serialize(serial.bits, k).sameElements(ser))
+    }
+  }
+
+  test("tdigest: merged halves preserve rank accuracy vs the raw data") {
+    val rnd = new scala.util.Random(37L)
+    (1 to 25).foreach { _ =>
+      val vs = Vector.fill(200 + rnd.nextInt(800))(rnd.nextDouble() * 2e6 - 1e6)
+      val (l, r) = vs.splitAt(vs.size / 2)
+      def digestOf(d: Seq[Double]) = {
+        val t = new functions.TDigest(300.0)
+        d.foreach(t.add); t
+      }
+      val merged = digestOf(l)
+      merged.mergeWith(digestOf(r))
+      val sorted = vs.sorted
+      Seq(0.1, 0.5, 0.9).foreach { q =>
+        val est = merged.quantile(q)
+        // rank of the estimate must sit within 5% of the target rank
+        val rank = sorted.count(_ <= est).toDouble / sorted.size
+        assert(math.abs(rank - q) <= 0.05, s"q=$q est=$est rank=$rank n=${vs.size}")
+      }
+    }
+  }
+}

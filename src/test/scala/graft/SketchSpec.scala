@@ -199,6 +199,31 @@ class HllSpec extends AnyFunSuite {
       s"rollup must equal direct sketch (element-wise max is lossless): $rolled vs $direct")
   }
 
+  test("sliding sketch merges track the exact trailing-7d actives within 3%") {
+    val approx = graft.operators.EventsAnalytics.hllTrailing.run(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.EventsAnalytics.trailingActive.run(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "same day spine as the exact op")
+    exact.foreach { case (day, n) =>
+      assert(math.abs(approx(day) - n) <= math.max(2, 0.03 * n),
+        s"day $day: sketch ${approx(day)} vs exact $n")
+    }
+  }
+
+  test("hll aggregates are registered for SQL") {
+    graft.sources.Tables.events(spark, sf).createOrReplaceTempView("hll_events")
+    try {
+      val est = spark.sql(
+        """SELECT hll_merge_agg(sk) FROM (
+          |  SELECT event_type, hll_sketch_agg(user_id) AS sk
+          |  FROM hll_events GROUP BY 1)""".stripMargin).head().getLong(0)
+      val exact = spark.sql("SELECT count(DISTINCT user_id) FROM hll_events")
+        .head().getLong(0)
+      assert(math.abs(est - exact) <= math.max(2, 0.03 * exact), s"$est vs $exact")
+    } finally spark.catalog.dropTempView("hll_events")
+  }
+
   test("hll sketches build map-side as partial typed-imperative aggregates") {
     val plan = graft.sources.Tables.events(spark, sf)
       .groupBy(col("event_type"))

@@ -438,6 +438,42 @@ class StreamingSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("streaming HLL distinct: CRDT state, replay no-op, == batch sketch") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.distinctUsersStream(mem.toDS())
+      .toDF("event_type", "approx_users")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hll_out").start()
+    def estimates(): Map[String, Long] = {
+      q.processAllAvailable()
+      spark.table("hll_out").groupBy("event_type")
+        .agg(last(col("approx_users")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    try {
+      mem.addData(half1.toIndexedSeq)
+      mem.addData(half2.toIndexedSeq)
+      val full = estimates()
+      // register updates are MAX ops ⇒ replaying a whole half changes nothing
+      mem.addData(half1.toIndexedSeq)
+      assert(estimates() === full, "replay must be a state no-op (CRDT)")
+      // and the incremental state equals the batch sketch exactly
+      val batch = graft.operators.EventsAnalytics.hllRollup.run(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(full === batch, s"stream=$full batch=$batch")
+    } finally q.stop()
+  }
 }
 
 class SinkSpec extends AnyFunSuite {
