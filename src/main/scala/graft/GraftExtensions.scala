@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{NfcNormalize, RollingHash64, SimHash64, VecDot, VecNormalize, WordShingles}
+import graft.functions.{JaroWinkler, NfcNormalize, RollingHash64, SimHash64, VecDot, VecNormalize, WordShingles}
 import graft.plans.{TopKPerKey, TopKPerKeyExec}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -66,6 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(es.head, es(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"jaro_winkler expects exactly 2 arguments, got ${es.length}")
+        JaroWinkler(es.head, es(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
       { es =>
@@ -121,6 +129,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.HllMergeAgg].getName, "hll_merge_agg"),
       unary("hll_merge_agg")(e =>
         graft.functions.HllMergeAgg(e).toAggregateExpression())))
+    ext.injectFunction((
+      FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSketchAgg].getName, "theta_sketch_agg"),
+      unary("theta_sketch_agg")(e =>
+        graft.functions.ThetaSketchAgg(e).toAggregateExpression())))
+    ext.injectFunction((
+      FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.ThetaUnionAgg].getName, "theta_union_agg"),
+      unary("theta_union_agg")(e =>
+        graft.functions.ThetaUnionAgg(e).toAggregateExpression())))
+    ext.injectFunction((
+      FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[graft.functions.ThetaEstimate].getName, "theta_estimate"),
+      unary("theta_estimate")(graft.functions.ThetaEstimate)))
+    ext.injectFunction((
+      FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[graft.functions.ThetaIntersect].getName, "theta_intersect"),
+      { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"theta_intersect expects (sketch, sketch), got ${es.length} arguments")
+        graft.functions.ThetaIntersect(es.head, es(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_a_not_b"),
+      new ExpressionInfo(classOf[graft.functions.ThetaANotB].getName, "theta_a_not_b"),
+      { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"theta_a_not_b expects (sketch, sketch), got ${es.length} arguments")
+        graft.functions.ThetaANotB(es.head, es(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

@@ -131,4 +131,63 @@ object HashImpls {
     else org.apache.spark.unsafe.types.UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
   }
+
+  /** Jaro-Winkler similarity over UTF-8 BYTES, bit-identical to
+    * DuckDB 1.0's `jaro_winkler_similarity` (vendored rapidfuzz):
+    * byte-level matching (probed: 'résumé'/'resume' → 0.75, the
+    * byte-window answer, not the codepoint one), either-empty → 0.0,
+    * integer-halved transpositions, sum-then-divide fold order, and
+    * the Winkler prefix boost (≤4 bytes, weight 0.1) applied only
+    * when the Jaro score strictly exceeds 0.7. Keeping the exact
+    * float operation order lets the oracle compare raw doubles
+    * bit-faithfully — no rounding fudge in the contract. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val x = a.getBytes
+    val y = b.getBytes
+    val l1 = x.length
+    val l2 = y.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val win = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val flagged = new Array[Boolean](l2)
+    val m1 = new Array[Byte](math.min(l1, l2))
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - win)
+      val hi = math.min(l2, i + win + 1)
+      var j = lo
+      var hit = false
+      while (!hit && j < hi) {
+        if (!flagged(j) && x(i) == y(j)) {
+          flagged(j) = true
+          m1(m) = x(i)
+          m += 1
+          hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var mismatches = 0
+    var k = 0
+    var j = 0
+    while (j < l2) {
+      if (flagged(j)) {
+        if (y(j) != m1(k)) mismatches += 1
+        k += 1
+      }
+      j += 1
+    }
+    val t = mismatches / 2 // integer halving, matching rapidfuzz
+    val md = m.toDouble
+    var sim = (md / l1 + md / l2 + (m - t).toDouble / md) / 3.0
+    if (sim > 0.7) {
+      var pfx = 0
+      val maxP = math.min(math.min(l1, l2), 4)
+      while (pfx < maxP && x(pfx) == y(pfx)) pfx += 1
+      sim = sim + pfx.toDouble * 0.1 * (1.0 - sim)
+    }
+    sim
+  }
 }

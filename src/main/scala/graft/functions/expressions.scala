@@ -94,6 +94,25 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** JaroWinkler(left, right) — native Jaro-Winkler similarity,
+  * bit-identical to DuckDB's `jaro_winkler_similarity` (see the
+  * kernel's contract notes). Codegen'd, so blocked fuzzy joins keep
+  * the whole-stage span through the similarity filter. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+}
+
 /** SimHash64(array<string>) — native Catalyst expression: 64-bit
   * SimHash over a token array (per-token splitmix64, per-bit voting).
   */

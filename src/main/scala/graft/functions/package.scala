@@ -26,6 +26,11 @@ package object functions {
   def nfc_normalize(c: Column): Column =
     ColumnShim.column(NfcNormalize(ColumnShim.expression(c)))
 
+  /** Jaro-Winkler similarity (DuckDB jaro_winkler_similarity twin,
+    * bit-identical — see the kernel's contract notes). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnShim.column(JaroWinkler(ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** Bloom filter over a BIGINT key column (TypedImperativeAggregate:
     * map-side build, bitwise-OR merge) — returns the serialized filter
     * as BINARY for [[bloom_might_contain]] probes. */
@@ -49,6 +54,32 @@ package object functions {
     * estimate. Sketch-merge is lossless, so rollup == direct sketch. */
   def hll_merge_agg(sketch: Column): Column =
     ColumnShim.column(HllMergeAgg(ColumnShim.expression(sketch)).toAggregateExpression())
+
+  /** KMV theta sketch over a BIGINT key column → BINARY sketch
+    * (map-side build, k-smallest merge). Unlike HLL, supports the
+    * full set algebra downstream: [[theta_intersect]] /
+    * [[theta_a_not_b]] between independently built sketches. */
+  def theta_sketch_agg(key: Column): Column =
+    ColumnShim.column(ThetaSketchAgg(ColumnShim.expression(key)).toAggregateExpression())
+
+  /** Roll persisted theta sketches up to a coarser grouping → merged
+    * BINARY sketch (lossless; rollup == direct sketch, byte-identical). */
+  def theta_union_agg(sketch: Column): Column =
+    ColumnShim.column(ThetaUnionAgg(ColumnShim.expression(sketch)).toAggregateExpression())
+
+  /** Distinct-count estimate of a theta sketch (exact below K=4096). */
+  def theta_estimate(sketch: Column): Column =
+    ColumnShim.column(ThetaEstimate(ColumnShim.expression(sketch)))
+
+  /** |A ∩ B| estimate from two theta sketches (exact when both are
+    * below K) — the set operation HLL cannot answer. */
+  def theta_intersect(a: Column, b: Column): Column =
+    ColumnShim.column(ThetaIntersect(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** |A \ B| estimate from two theta sketches (exact when both below
+    * K): churn / exclusive audience. */
+  def theta_a_not_b(a: Column, b: Column): Column =
+    ColumnShim.column(ThetaANotB(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Mergeable t-digest quantiles (TypedImperativeAggregate): partial
     * digests are built map-side and merged after the shuffle — the

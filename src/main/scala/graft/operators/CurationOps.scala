@@ -159,6 +159,37 @@ object CurationOps {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Jaro-Winkler fuzzy self-match — the same blocked entity-resolution
+    * shape as [[fuzzyJoin]] but scored with the native [[graft.functions.JaroWinkler]]
+    * expression (codegen'd; byte-level, bit-identical to DuckDB's
+    * jaro_winkler_similarity, so the oracle compares the RAW doubles —
+    * no rounding fudge). Prefix-weighted similarity ranks "same name,
+    * different tail" variants above same-edit-distance scrambles,
+    * which is what product/entity reconciliation wants. Blocking keeps
+    * it a hash equi-join; the similarity is a post-join filter inside
+    * the codegen span, never a join condition. */
+  val fuzzyJw: GraftOp = GraftOp(
+    "fuzzy_jw",
+    """WITH n AS (
+      |  SELECT DISTINCT p_name, regexp_extract(p_name, '(\S+)$', 1) AS blk FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d)
+      .select(col("p_name"), regexp_extract(col("p_name"), "(\\S+)$", 1).as("blk"))
+      .distinct()
+    val a = names.select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("sim", graft.functions.jaro_winkler(col("name_a"), col("name_b")))
+      .filter(col("sim") >= 0.93)
+      .select(col("name_a"), col("name_b"), col("sim"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** Morton/Z-order layout key: interleaves the bits of two dimensions
     * (customer, order day) so that sorting by the key clusters rows
     * that are close in BOTH — the multi-dimensional data-skipping
@@ -379,6 +410,6 @@ object CurationOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, zorder, aggIncremental,
-      tableChecksum, scd2History, expectations)
+    Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
+      aggIncremental, tableChecksum, scd2History, expectations)
 }

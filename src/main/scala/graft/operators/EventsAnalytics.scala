@@ -593,8 +593,41 @@ object EventsAnalytics {
       .orderBy(col("day_idx"))
   }
 
+  /** Month-over-month audience set algebra from THETA sketches — the
+    * set operations HLL cannot answer. One scan of orders builds a
+    * 32 KB KMV sketch of each month's customer set; every
+    * retained / churned / new-customer number between consecutive
+    * months is then sketch-vs-sketch arithmetic (linear merges over
+    * ≤4096 retained hashes), never a self-join of the fact table. At
+    * 100 TB the alternative — a month-to-month FULL OUTER self-join on
+    * customer — shuffles the fact table twice per month pair; this
+    * shuffles kilobytes. KMV sketches are EXACT below K=4096 retained
+    * keys and ≈1.6% RSE above (ThetaSpec pins both, plus the lossless
+    * union-rollup law). Hash-set math isn't expressible in DuckDB SQL
+    * → rows-only + determinism-gated. */
+  val thetaMonths: GraftOp = GraftOp.rowsOnly("q_theta_months") { (s, d) =>
+    val monthly = Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_custkey"))
+      .groupBy(col("month"))
+      .agg(graft.functions.theta_sketch_agg(col("o_custkey")).as("sk"))
+    // consecutive-month pairing is an equi-join on the derived next
+    // month key; both sides are |months| rows of sketches — broadcast
+    val next = monthly.select(
+      date_format(add_months(to_date(concat(col("month"), lit("-01"))), 1), "yyyy-MM").as("pm"),
+      col("sk").as("cur_prev"))
+    monthly
+      .join(broadcast(next), col("month") === col("pm"))
+      .select(col("month"),
+        graft.functions.theta_estimate(col("cur_prev")).as("prev_customers"),
+        graft.functions.theta_estimate(col("sk")).as("customers"),
+        graft.functions.theta_intersect(col("sk"), col("cur_prev")).as("retained"),
+        graft.functions.theta_a_not_b(col("sk"), col("cur_prev")).as("new_customers"),
+        graft.functions.theta_a_not_b(col("cur_prev"), col("sk")).as("churned"))
+      .orderBy(col("month"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive,
       transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup,
-      hllTrailing)
+      hllTrailing, thetaMonths)
 }

@@ -71,4 +71,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"fuzzy join went all-pairs:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"fuzzy join went all-pairs:\n$plan")
   }
+
+  test("jaro_winkler pins the published values and DuckDB's byte/empty semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("DIXON", "DICKSONX"),
+      ("CRATE", "TRACE"), ("abc", "abc"), ("", ""), ("a", ""),
+      // non-ASCII: DuckDB matches UTF-8 BYTES (probed: 0.75, not the
+      // 0.8 a codepoint-level window would give) — the kernel must too
+      ("résumé", "resume"))
+      .toDF("a", "b")
+      .select(graft.functions.jaro_winkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    val expected = Seq(0.9611111111111111, 0.8400000000000001, 0.8133333333333332,
+      0.7333333333333334, 1.0, 0.0, 0.0, 0.75)
+    rows.zip(expected).foreach { case (got, want) =>
+      assert(got === want, s"expected bit-exact $want, got $got")
+    }
+  }
+
+  test("jaro_winkler is registered for SQL and matches the Column form") {
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA')").collect().head.getDouble(0)
+    assert(viaSql === 0.9611111111111111)
+  }
+
+  test("fuzzy_jw stays a blocked equi-join with the similarity as a filter") {
+    val plan = CurationOps.fuzzyJw.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"jw join went all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"jw join went all-pairs:\n$plan")
+    assert(plan.contains("jaro_winkler") || plan.contains("jarowinkler"),
+      s"native expression missing from plan:\n$plan")
+  }
 }

@@ -75,6 +75,55 @@ class SketchLawsSpec extends AnyFunSuite {
     }
   }
 
+  private def thetaOf(vs: Seq[Long]): Array[Byte] = {
+    val s = functions.ThetaImpls.newSet()
+    vs.foreach(functions.ThetaImpls.add(s, _))
+    functions.ThetaImpls.serialize(s)
+  }
+
+  private def thetaMerged(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val s = functions.ThetaImpls.newSet()
+    functions.ThetaImpls.mergeInto(s, a)
+    functions.ThetaImpls.mergeInto(s, b)
+    functions.ThetaImpls.serialize(s)
+  }
+
+  test("theta: merge is commutative, associative, idempotent; insert distributes") {
+    cases(seed = 41L).foreach { case (xs, ys, zs) =>
+      val (a, b, c) = (thetaOf(xs), thetaOf(ys), thetaOf(zs))
+      assert(thetaMerged(a, b).sameElements(thetaMerged(b, a)), "commutative")
+      assert(thetaMerged(thetaMerged(a, b), c).sameElements(thetaMerged(a, thetaMerged(b, c))),
+        "associative")
+      assert(thetaMerged(a, a).sameElements(a), "idempotent")
+      assert(thetaOf(xs ++ ys).sameElements(thetaMerged(a, b)), "insert-merge distributivity")
+      assert(thetaOf(xs ++ xs).sameElements(a), "duplicate inserts are no-ops")
+    }
+  }
+
+  test("theta: EXACT below K — counts, intersections and differences are true values") {
+    // two overlapping key ranges, both under K=4096 distinct
+    val a = thetaOf((1L to 3000L) ++ (1L to 1000L)) // dups must not matter
+    val b = thetaOf(2001L to 5000L)
+    assert(functions.ThetaImpls.estimate(a) === 3000L)
+    assert(functions.ThetaImpls.estimate(b) === 3000L)
+    assert(functions.ThetaImpls.intersect(a, b) === 1000L) // 2001..3000
+    assert(functions.ThetaImpls.aNotB(a, b) === 2000L) // 1..2000
+    assert(functions.ThetaImpls.aNotB(b, a) === 2000L) // 3001..5000
+  }
+
+  test("theta: estimates within 5% (distinct) / 10% (set ops) above K") {
+    val a = thetaOf((1L to 100000L).toVector)
+    val b = thetaOf((50001L to 150000L).toVector)
+    val ea = functions.ThetaImpls.estimate(a)
+    assert(math.abs(ea - 100000L) <= 5000, s"est=$ea")
+    val inter = functions.ThetaImpls.intersect(a, b)
+    assert(math.abs(inter - 50000L) <= 5000, s"intersect=$inter")
+    val diff = functions.ThetaImpls.aNotB(a, b)
+    assert(math.abs(diff - 50000L) <= 5000, s"aNotB=$diff")
+    // sanity: the three must roughly partition A
+    assert(math.abs((inter + diff) - ea) <= 8000)
+  }
+
   test("tdigest: merged halves preserve rank accuracy vs the raw data") {
     val rnd = new scala.util.Random(37L)
     (1 to 25).foreach { _ =>

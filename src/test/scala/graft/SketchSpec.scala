@@ -232,4 +232,89 @@ class HllSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_hll_sketch_agg"),
       s"expected map-side partial hll build:\n$plan")
   }
+
+}
+
+/** KMV theta-sketch tier: exactness in the sub-K regime (where the
+  * sketch IS the key set), lossless union rollup, SQL registration,
+  * and the map-side partial build. Algebraic merge laws live in
+  * SketchLawsSpec. */
+class ThetaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import graft.functions.{theta_sketch_agg, theta_union_agg}
+
+  test("q_theta_months is EXACT in the sub-K regime — equals the self-join answer") {
+    // sf0.001 months hold far fewer than K=4096 distinct customers, so
+    // every estimate must be the TRUE count (the KMV exactness
+    // contract), not merely close
+    val got = graft.operators.EventsAnalytics.thetaMonths.run(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val byMonth = graft.sources.Tables.orders(spark, sf)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("o_custkey"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (m, (prevN, curN, retained, fresh, churned)) =>
+      val prevM = {
+        val Array(y, mo) = m.split("-").map(_.toInt)
+        if (mo == 1) f"${y - 1}%04d-12" else f"$y%04d-${mo - 1}%02d"
+      }
+      val (p, c) = (byMonth(prevM), byMonth(m))
+      assert(prevN === p.size.toLong, s"$m prev")
+      assert(curN === c.size.toLong, s"$m cur")
+      assert(retained === (c & p).size.toLong, s"$m retained")
+      assert(fresh === (c -- p).size.toLong, s"$m new")
+      assert(churned === (p -- c).size.toLong, s"$m churned")
+    }
+  }
+
+  test("theta union rollup is lossless: merged fine sketches == direct, byte-identical") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts").cast("timestamp")).as("day"),
+        col("user_id"))
+    val rolled = ev
+      .groupBy(col("event_type"), col("day"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(theta_union_agg(col("sk")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val direct = ev
+      .groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(rolled == direct,
+      "k-smallest union merge must be byte-identical to the direct sketch")
+  }
+
+  test("theta aggregates and set ops are registered for SQL") {
+    graft.sources.Tables.events(spark, sf).createOrReplaceTempView("theta_events")
+    try {
+      val row = spark.sql(
+        """SELECT theta_estimate(a.sk), theta_intersect(a.sk, b.sk), theta_a_not_b(a.sk, b.sk)
+          |FROM (SELECT theta_sketch_agg(user_id) AS sk FROM theta_events WHERE event_type = 'click') a
+          |CROSS JOIN (SELECT theta_sketch_agg(user_id) AS sk FROM theta_events WHERE event_type = 'view') b""".stripMargin)
+        .head()
+      val clicks = graft.sources.Tables.events(spark, sf)
+        .filter(col("event_type") === "click").select(col("user_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val views = graft.sources.Tables.events(spark, sf)
+        .filter(col("event_type") === "view").select(col("user_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      // sub-K regime → exact
+      assert(row.getLong(0) === clicks.size.toLong)
+      assert(row.getLong(1) === (clicks & views).size.toLong)
+      assert(row.getLong(2) === (clicks -- views).size.toLong)
+    } finally spark.catalog.dropTempView("theta_events")
+  }
+
+  test("theta sketches build map-side as partial typed-imperative aggregates") {
+    val plan = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_theta_sketch_agg"),
+      s"expected map-side partial theta build:\n$plan")
+  }
 }
