@@ -373,6 +373,41 @@ object StreamingPipelines {
       }
   }
 
+  final case class MomentsState(n: Long, s1_cents: Long, s2_cents4: Long)
+
+  /** Streaming per-key moments (n, Σv, Σv²) via exact INTEGER state —
+    * the incremental twin of batch `q_outliers`' stats CTE. Values are
+    * first rounded to 2 dp exactly as Spark's double→DECIMAL(18,2)
+    * cast does (shortest-decimal string, HALF_UP), then accumulated as
+    * scaled longs (cents and cents²·10⁻⁴): integer addition is
+    * order-independent and replay-visible, so the final state equals
+    * the batch DECIMAL aggregate EXACTLY regardless of how the stream
+    * was batched — the spec pins stream == batch and z-scores derived
+    * from the final moments == the batch outlier op. Overflow bound:
+    * |v| ≤ 10⁶ for ~10⁸ rows per key fits s2 in a signed long; beyond
+    * that, widen the state to BigDecimal. Emits the running moments
+    * per trigger (Update mode) — mean/stddev are a cheap map over the
+    * emitted longs, left to the caller so the state stays exact. */
+  def momentsStream(events: Dataset[UpsertRow])(
+      implicit spark: SparkSession): Dataset[(String, Long, Long, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[MomentsState, (String, Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (etype, rows, state) =>
+          var st = state.getOption.getOrElse(MomentsState(0L, 0L, 0L))
+          rows.foreach { r =>
+            // java.lang.Double.toString == Spark Decimal(double)'s
+            // shortest-repr path; 2.675 must round to 2.68, not 2.67
+            val cents = new java.math.BigDecimal(java.lang.Double.toString(r.value))
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            st = MomentsState(st.n + 1, st.s1_cents + cents, st.s2_cents4 + cents * cents)
+          }
+          state.update(st)
+          (etype, st.n, st.s1_cents, st.s2_cents4)
+      }
+  }
+
   final case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
       n_events: Long)
 

@@ -474,6 +474,61 @@ class StreamingSpec extends AnyFunSuite {
       assert(full === batch, s"stream=$full batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming moments: exact integer state == batch DECIMAL aggregate; z-scores == q_outliers") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.momentsStream(mem.toDS())
+      .toDF("event_type", "n", "s1_cents", "s2_cents4")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("moments_out").start()
+    try {
+      mem.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("moments_out")
+        .groupBy("event_type")
+        .agg(last(col("n")).as("n"), last(col("s1_cents")).as("s1"),
+          last(col("s2_cents4")).as("s2"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // batch twin: the DECIMAL(18,2) sums of q_outliers' stats CTE,
+      // scaled to the same integer domain — must be EXACTLY equal
+      val v = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val batch = graft.sources.Tables.events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(v) * 100).cast("long").as("s1"),
+          (sum(v * v) * 10000).cast("long").as("s2"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(streamed === batch, s"stream=$streamed batch=$batch")
+      // z-scores computed from the FINAL streamed moments reproduce the
+      // batch outlier set (same formula as the op: double math on the
+      // exact sums)
+      val outliers = rows.flatMap { r =>
+        val (n, s1c, s2c4) = streamed(r.event_type)
+        val (s1, s2) = (s1c.toDouble / 100.0, s2c4.toDouble / 10000.0)
+        val mean = s1 / n
+        val zs = (r.value - mean) / math.sqrt(s2 / n - mean * mean)
+        if (math.abs(zs) > 2.5) Some(r.event_id) else None
+      }.toSet
+      val batchOutliers = graft.operators.EventsAnalytics.outliers.run(spark, sf)
+        .collect().map(_.getLong(0)).toSet
+      assert(outliers === batchOutliers,
+        s"stream-derived outliers ${outliers.size} != batch ${batchOutliers.size}")
+    } finally q.stop()
+  }
 }
 
 class SinkSpec extends AnyFunSuite {
