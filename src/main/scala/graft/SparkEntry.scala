@@ -12,7 +12,8 @@ object SparkEntry {
       TpchMore.ops ++ TpchMore2.ops ++ TpchMore3.ops ++ ModernSql.ops ++ EmbedOps.ops ++
       EventsAnalytics.ops ++ PackOps.ops ++ CurationOps.ops ++ GraphOps.ops ++
       EtlOps.ops ++ TextOps.ops ++ DedupOps.ops ++ CleanPipeline.ops ++ MmOps.ops ++
-      KnnOps.ops ++ TopK.ops ++ Sampling.ops ++ RangeJoin.ops ++ JoinPrune.ops
+      KnnOps.ops ++ TopK.ops ++ Sampling.ops ++ RangeJoin.ops ++ JoinPrune.ops ++
+      AffinityOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Co-occurrence / market-basket affinity mining — the "frequently
+  * bought together" family (reference target engines ship this as
+  * retention/affinity dashboards over order facts).
+  *
+  * Scale shape: the pair enumeration is a SELF-JOIN of the distinct
+  * (order, item) set on the order key — both sides hash-partition on
+  * the same key, so it is ONE co-partitioned shuffle, and the fan-out
+  * per order is bounded by the basket size B (B·(B-1)/2 pairs; TPC-H
+  * baskets are ≤7 lines). It is never an all-pairs product over items:
+  * work is Σ_orders B², linear in the fact table for bounded baskets.
+  * For 100-TB corpora with pathological baskets (one order with 10⁵
+  * items), cap the basket first with the per-key top-k operator
+  * (TopKPerKeyExec) — the pair count is quadratic in the single
+  * largest basket, a data-quality guard, not a plan weakness.
+  */
+object AffinityOps {
+
+  /** Top co-purchased part pairs with support and lift. Lift =
+    * support·n_orders / (count(p1)·count(p2)) is a ratio of exact
+    * integer products (each < 2⁵³), so the one double division is
+    * IEEE-correctly-rounded and identical across engines — no rounding
+    * snap needed. Part frequencies are a dimension-sized table
+    * (|parts| rows) broadcast back onto the pair aggregate; the order
+    * count rides in as a broadcast single-row cross join (scalar
+    * subquery shape). */
+  val copurchase: GraftOp = GraftOp(
+    "q_copurchase",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM items),
+      |pc AS (SELECT l_partkey, count(*) AS pc FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT p1, p2, support, support * n_orders / (c1.pc * c2.pc) AS lift
+      |  FROM pairs
+      |  JOIN pc c1 ON p1 = c1.l_partkey
+      |  JOIN pc c2 ON p2 = c2.l_partkey
+      |  CROSS JOIN n
+      |  WHERE support >= 2)
+      |SELECT p1, p2, support, lift FROM sc
+      |ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    val partCounts = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
+    val nOrders = items.agg(
+      countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
+    pairs
+      .join(broadcast(partCounts.as("c1")), col("p1") === col("c1.l_partkey"))
+      .join(broadcast(partCounts.as("c2")), col("p2") === col("c2.l_partkey"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("support"),
+        (col("support") * col("n_orders") / (col("c1.pc") * col("c2.pc"))).as("lift"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase)
+}

@@ -271,6 +271,50 @@ object EventsAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Per-type ROBUST outliers via median absolute deviation (the
+    * Iglewicz–Hoaglin modified z-score, |0.6745·(x−med)/MAD| — written
+    * below as (x−med)/(1.4826·MAD) > 3.5, the same test). Complements
+    * q_outliers: mean/stddev are themselves dragged by the outliers
+    * they're hunting, while the two medians are not — the robust
+    * detector a metrics warehouse runs on heavy-tailed series.
+    *
+    * Two aggregation passes (median of value, then median of the
+    * absolute deviation), each a one-shuffle exact percentile on the
+    * type key with the tiny per-type result broadcast back — no window
+    * over the raw stream. Both engines interpolate percentiles
+    * linearly and the score is one correctly-rounded divide, so
+    * membership at the 3.5 boundary cannot disagree; the emitted score
+    * is snapped to 6dp. */
+  val robustOutliers: GraftOp = GraftOp(
+    "q_robust_outliers",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.value,
+      |    abs(e.value - med.med) AS ad, med.med AS med
+      |  FROM events e JOIN med ON e.event_type = med.event_type),
+      |m2 AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1),
+      |r AS (
+      |  SELECT event_id, dev.event_type, (value - med) / (1.4826 * mad) AS rz
+      |  FROM dev JOIN m2 ON dev.event_type = m2.event_type)
+      |SELECT event_id, event_type, round(rz, 6) AS robust_z
+      |FROM r WHERE abs(rz) > 3.5 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("med")) / (lit(1.4826) * col("mad"))).as("rz"))
+      .filter(abs(col("rz")) > 3.5)
+      .select(col("event_id"), col("event_type"), round(col("rz"), 6).as("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Trailing-7-day distinct actives per day (rolling MAU shape).
     * COUNT(DISTINCT) over a sliding frame is unsupported as a window
     * function, and a band join would plan as a nested loop — so each
@@ -627,7 +671,8 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, trailingActive,
+    Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, robustOutliers,
+      trailingActive,
       transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup,
       hllTrailing, thetaMonths)
 }

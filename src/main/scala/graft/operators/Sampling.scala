@@ -158,6 +158,48 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled language rebalancing (α = 0.5): the
+    * multilingual-training mix move — sampling probability per
+    * language ∝ p_lang^α instead of p_lang, flattening the head
+    * without inverting the order. Written against the SMALLEST
+    * language, the keep rate is min(1, √(n_min/n_lang)), which is α =
+    * 0.5 exactly and needs only a divide and a square root — BOTH
+    * IEEE-correctly-rounded, so the rate is the identical double in
+    * every engine (the reason α is 0.5 here and not a free parameter:
+    * pow() is a libm transcendental with no cross-engine guarantee).
+    * Membership is then an INTEGER compare — portable-hash % 10⁶ <
+    * floor(rate·10⁶) — so no float comparison can straddle engines.
+    *
+    * Scale shape: the per-language census is a 5-row aggregate
+    * broadcast back; the keep decision is partition-local and
+    * append-stable (same hash contract as sample_mixture) — re-mixing
+    * a grown corpus keeps every previously-kept doc whose language
+    * rate did not move. */
+  val temperature: GraftOp = GraftOp(
+    "sample_temperature",
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |m AS (SELECT CAST(min(n) AS DOUBLE) AS n_min FROM c),
+       |r AS (
+       |  SELECT lang,
+       |    CAST(floor(least(1.0, sqrt(n_min / n)) * 1000000) AS BIGINT) AS keep_ppm
+       |  FROM c CROSS JOIN m)
+       |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE ${graft.functions.Exprs.sqlMd5Long("CAST(d.doc_id AS VARCHAR)")} % 1000000 < keep_ppm
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val census = Tables.documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val nMin = census.agg(min(col("n")).cast("double").as("n_min"))
+    val rates = census.crossJoin(broadcast(nMin))
+      .select(col("lang"),
+        floor(least(lit(1.0), sqrt(col("n_min") / col("n"))) * 1000000)
+          .cast("long").as("keep_ppm"))
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(graft.functions.Exprs.md5Long(
+        col("doc_id").cast(org.apache.spark.sql.types.StringType)) % 1000000 < col("keep_ppm"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split)
+    Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature)
 }

@@ -193,6 +193,60 @@ object TextOps {
       .limit(20)
   }
 
+  /** Collocation extraction: top bigrams by pointwise mutual
+    * information against the unigram model. PMI = ln(p(xy)/(p(x)p(y)))
+    * is monotone in the RAW ratio n_xy·N / (c_x·c_y), so the engine
+    * ranks and emits that ratio and never evaluates a transcendental —
+    * every factor is an exact integer product below 2⁵³ and the single
+    * divide is IEEE-correctly-rounded, identical across engines (the
+    * same trick q_sequence_count uses to stay branch-free).
+    *
+    * Scale shape: one (w1,w2) hash aggregation over the lead()-paired
+    * token stream (linear, the exchange carries bigram hashes not
+    * documents) + a dictionary-sized unigram join — vocabulary grows
+    * sublinearly (Heaps' law), so the dictionary is broadcast like
+    * text_tfidf's. A min-support floor (n_xy ≥ 5) kills the hapax tail
+    * before the join, which is what bounds the aggregate at 100 TB. */
+  val pmi: GraftOp = GraftOp(
+    "text_pmi",
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |toks AS (SELECT unnest(toks) AS tok FROM t),
+      |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM toks),
+      |bgl AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+      |  FROM t WHERE len(toks) >= 2),
+      |bg AS (
+      |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS n_xy FROM bgl
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |sc AS (
+      |  SELECT w1, w2, n_xy, n_xy * n_tok / (u1.c * u2.c) AS pmi_ratio
+      |  FROM bg JOIN uni u1 ON w1 = u1.tok JOIN uni u2 ON w2 = u2.tok
+      |  CROSS JOIN n)
+      |SELECT w1, w2, n_xy, pmi_ratio FROM sc
+      |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+    val tokPos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val uni = tokPos.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTok = tokPos.agg(count(lit(1)).cast("double").as("n_tok"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = tokPos
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    bg.join(broadcast(uni.as("u1")), col("w1") === col("u1.tok"))
+      .join(broadcast(uni.as("u2")), col("w2") === col("u2.tok"))
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("n_xy"),
+        (col("n_xy") * col("n_tok") / (col("u1.c") * col("u2.c"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Per-document top-3 TF-IDF terms: term frequency from the doc,
     * document frequency from a corpus-wide dictionary joined back in.
     * The dictionary (one row per distinct term) is tiny next to the
@@ -369,6 +423,6 @@ object TextOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, tfidf,
+    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, tfidf,
       decontam, piiRedact, normalize, chunks)
 }
