@@ -84,6 +84,44 @@ object PartitionedLake {
     (result, keep.length.toLong, total)
   }
 
+  /** Per-file BLOOM manifest over a BIGINT key column — the file-skip
+    * index for point lookups that zone maps cannot serve: on a
+    * high-cardinality key with no sort order, every file's [min,max]
+    * box spans the whole domain and [[readPruned]] keeps everything,
+    * but each file only CONTAINS its own keys, which is exactly what a
+    * Bloom filter captures (Iceberg/Delta ship the same idea as
+    * per-file bloom columns in the stats manifest).
+    *
+    * One scan grouped by `input_file_name()` with the engine's
+    * [[graft.functions.BloomFilterAgg]] per file — the manifest is
+    * |files| rows × ~`optimalBits(expected)/8` bytes, built once per
+    * compaction and reused by every point lookup. */
+  def bloomManifest(spark: SparkSession, path: String, keyCol: String,
+      expectedPerFile: Long = 100000, fpp: Double = 0.01): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.functions.bloom_agg(col(keyCol), expectedPerFile, fpp).as("bloom"))
+
+  /** Bloom-pruned point lookup: keep only files whose filter says the
+    * key MIGHT be present (false ⇒ definitely absent — pruning can
+    * never lose a row), then apply the exact predicate so false
+    * positives die before the caller sees them. Returns
+    * (result, filesRead, filesTotal). */
+  def readPrunedByKey(spark: SparkSession, path: String, bloomManifestDf: DataFrame,
+      keyCol: String, key: Long): (DataFrame, Long, Long) = {
+    val total = bloomManifestDf.count()
+    val keep = bloomManifestDf
+      .filter(graft.functions.bloom_might_contain(col("bloom"), lit(key)))
+      .select(col("file")).collect().map(_.getString(0))
+    val result =
+      if (keep.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else
+        spark.read.option("basePath", path).parquet(keep.toIndexedSeq: _*)
+          .filter(col(keyCol) === key)
+    (result, keep.length.toLong, total)
+  }
+
   /** Z-ordered compaction: rewrite one day laid out along the Morton
     * key of two numeric dimensions (`OPTIMIZE ZORDER BY (a, b)`).
     * `repartitionByRange(zval)` gives each output file a contiguous

@@ -108,6 +108,49 @@ class LakeSpec extends AnyFunSuite {
     } finally man.unpersist()
   }
 
+  test("bloom manifest: point lookup skips files zone maps cannot, result exact") {
+    val path = Files.createTempDirectory("graft-bloom").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    // hash-fragmented layout: every file's event_id [min,max] box spans
+    // ~the whole domain, so min/max stats are useless for a point key
+    ev.repartition(8, col("user_id")).write.partitionBy("day").parquet(path)
+    val day = "2024-01-05"
+    val dayPath = s"$path/day=$day"
+    // a MID-domain key: every file's hash-scattered [min,max] straddles
+    // it (an extreme key would let min/max stats prune after all)
+    val ids = spark.read.parquet(dayPath).select(col("event_id"))
+      .orderBy(col("event_id")).collect().map(_.getLong(0))
+    val key = ids(ids.length / 2)
+
+    // zone maps keep (nearly) everything on this layout…
+    val zman = PartitionedLake.manifest(spark, dayPath, Seq("event_id")).persist()
+    val bman = PartitionedLake.bloomManifest(spark, dayPath, "event_id",
+      expectedPerFile = 10000, fpp = 0.01).persist()
+    try {
+      val (_, zRead, zTotal) =
+        PartitionedLake.readPruned(spark, dayPath, zman, "event_id", key.toDouble, key.toDouble)
+      assert(zTotal > 1, "fragmentation setup produced a single file")
+      assert(zRead > 1,
+        s"layout unexpectedly min/max-prunable to one file ($zRead/$zTotal) — test premise broken")
+
+      // …the bloom manifest reads only the file(s) that can hold the key
+      val (res, nRead, nTotal) =
+        PartitionedLake.readPrunedByKey(spark, dayPath, bman, "event_id", key)
+      assert(nTotal === zTotal)
+      assert(nRead < zRead,
+        s"bloom must beat zone maps on a point key (bloom $nRead vs zone $zRead of $nTotal)")
+      assert(res.select(col("event_id")).collect().map(_.getLong(0)).toSeq === Seq(key),
+        "bloom-pruned lookup must return exactly the matching row")
+
+      // definitely-absent contract: a key never written returns no rows
+      // (false positives may open a file; the exact filter ends them)
+      val (res2, _, _) =
+        PartitionedLake.readPrunedByKey(spark, dayPath, bman, "event_id", -987654321L)
+      assert(res2.count() === 0)
+    } finally { zman.unpersist(); bman.unpersist() }
+  }
+
   test("schema evolution: columns added over time merge, old files read null") {
     // the lake reality: month 1 wrote (id, v); month 2 added quality.
     // mergeSchema must surface the union schema with nulls for old
