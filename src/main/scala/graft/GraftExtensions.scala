@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => GraftStrategies)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberLimitToTopK)
     ext.injectOptimizerRule(_ => graft.plans.AutoRangeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxCountDistinct)
     def unary(name: String)(
         mk: org.apache.spark.sql.catalyst.expressions.Expression =>
           org.apache.spark.sql.catalyst.expressions.Expression)
