@@ -408,6 +408,36 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming per-key quantiles via t-digest state — the incremental
+    * twin of q_approx_percentile's TDigestQuantiles aggregate. Each
+    * trigger folds the batch's values into the key's digest and writes
+    * it back serialized; centroids are BOUNDED by the compression
+    * parameter, so state per key is a few KB regardless of stream
+    * length — the reason a quantile can live in a state store at all
+    * (exact percentiles would need every value). Emits the running
+    * (p50, p95) per trigger in Update mode.
+    *
+    * Contract is RANK accuracy, not bit-equality with a batch digest:
+    * centroid boundaries depend on fold order (the scoped determinism
+    * note on functions/TDigest.scala), which differs between a
+    * streamed and a batched run — the spec therefore pins the rank
+    * error of the emitted estimates against the exact sorted stream,
+    * the same ±1% gauge TDigestSpec uses for the batch aggregate. */
+  def quantilesStream(events: Dataset[UpsertRow])(
+      implicit spark: SparkSession): Dataset[(String, Double, Double)] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Byte], (String, Double, Double)](GroupStateTimeout.NoTimeout) {
+        (etype, rows, state) =>
+          val dig = state.getOption
+            .map(graft.functions.TDigest.fromBytes)
+            .getOrElse(new graft.functions.TDigest(300.0))
+          rows.foreach(r => dig.add(r.value))
+          state.update(dig.toBytes)
+          (etype, dig.quantile(0.5), dig.quantile(0.95))
+      }
+  }
+
   final case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
       n_events: Long)
 

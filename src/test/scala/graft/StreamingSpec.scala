@@ -529,6 +529,45 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-derived outliers ${outliers.size} != batch ${batchOutliers.size}")
     } finally q.stop()
   }
+
+  test("streaming t-digest quantiles: bounded state, rank error within 2% of exact") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.quantilesStream(mem.toDS())
+      .toDF("event_type", "p50", "p95")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("quantiles_out").start()
+    try {
+      mem.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("quantiles_out")
+        .groupBy("event_type")
+        .agg(last(col("p50")).as("p50"), last(col("p95")).as("p95"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      // rank gauge: the estimate's position in the exact sorted stream
+      // must sit within ±2% of the requested rank (the digest's whole
+      // contract — value-space tolerance would be distribution-shaped)
+      val byType = rows.groupBy(_.event_type)
+      assert(streamed.keySet === byType.keySet)
+      for ((etype, (p50, p95)) <- streamed; (want, got) <- Seq((0.50, p50), (0.95, p95))) {
+        val sorted = byType(etype).map(_.value).sorted
+        val rank = sorted.count(_ <= got).toDouble / sorted.length
+        assert(math.abs(rank - want) <= 0.02,
+          s"$etype q=$want estimate $got landed at rank $rank")
+      }
+    } finally q.stop()
+  }
 }
 
 class SinkSpec extends AnyFunSuite {
