@@ -21,6 +21,7 @@ object GraphOps {
 
   private val Damping = 0.85
   private val Iters = 10
+  private val HitsIters = 8
 
   /** PageRank over the nation trade graph (supplier nation → customer
     * nation edges derived from lineitem⋈orders⋈supplier⋈customer).
@@ -141,6 +142,114 @@ object GraphOps {
     // consume; the working frames are released
     Seq(edges, nodes, deg).foreach(ConnectedComponents.release)
     ranks
+  }
+
+  /** HITS hubs & authorities over the directed trade graph (Kleinberg
+    * 1999) — the bipartite-influence twin of PageRank: exporter
+    * nations score as HUBS (they point at good authorities), importer
+    * nations as AUTHORITIES (pointed at by good hubs). Fixed 8
+    * mutual-reinforcement rounds, L1 normalization each half-step
+    * (values are non-negative, so the L1 norm is a plain sum — no
+    * sqrt, one less transcendental to agree on), every half-step
+    * snapped to the 1e-10 grid exactly like PageRank so per-iteration
+    * state is bit-identical across engines.
+    *
+    * Scale shape: each half-step is the same join-aggregate round
+    * PageRank runs (scores ⋈ edges, groupBy the other endpoint, one
+    * shuffle); the normalizer is a single-row aggregate broadcast back
+    * as a cross join — no driver round trip inside the loop. Early
+    * stop at an EXACT grid fixpoint of the hub vector: authorities are
+    * a function of the previous hubs within the round, so hub-vector
+    * equality makes every later round the identity — emitting early is
+    * bit-identical to running all 8. */
+  val hits: GraftOp = GraftOp(
+    "graph_hits",
+    {
+      val base = """WITH edges AS (
+        |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |    AND o_custkey = c_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND n1.n_nationkey <> n2.n_nationkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nc AS (SELECT count(*) AS n FROM nodes),
+        |h0 AS (SELECT node,
+        |  round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nc), 10) AS hub FROM nodes)""".stripMargin
+      val iters = (1 to HitsIters).map { k =>
+        s"""a${k}r AS MATERIALIZED (
+           |  SELECT n.node, coalesce(sum(h.hub), 0) AS raw
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN h${k - 1} h ON h.node = e.src
+           |  GROUP BY n.node),
+           |a$k AS MATERIALIZED (
+           |  SELECT node, round(raw / (SELECT sum(raw) FROM a${k}r), 10) AS auth FROM a${k}r),
+           |h${k}r AS MATERIALIZED (
+           |  SELECT n.node, coalesce(sum(a.auth), 0) AS raw
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.src = n.node
+           |  LEFT JOIN a$k a ON a.node = e.dst
+           |  GROUP BY n.node),
+           |h$k AS MATERIALIZED (
+           |  SELECT node, round(raw / (SELECT sum(raw) FROM h${k}r), 10) AS hub FROM h${k}r)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"""$base$iters
+         |SELECT h.node, h.hub, a.auth
+         |FROM h$HitsIters h JOIN a$HitsIters a ON h.node = a.node ORDER BY h.node""".stripMargin
+    }) { (s, d) =>
+    hitsFrom(tradeEdges(s, d), HitsIters).orderBy(col("node"))
+  }
+
+  /** Iterations the last [[hitsFrom]] actually ran (early-stop spec). */
+  @volatile private[graft] var lastHitsIterations = 0
+
+  /** The HITS loop over an arbitrary (src, dst) edge frame. One
+    * L1-normalized half-step:
+    * scores ⋈ edges → groupBy other endpoint → sum → ÷ total → snap. */
+  private[graft] def hitsFrom(rawEdges: DataFrame, iters: Int): DataFrame = {
+    val edges = ConnectedComponents.snapshot(rawEdges)
+    val nodes = ConnectedComponents.snapshot(
+      edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct())
+    val n = nodes.count()
+
+    // one half-step: fold `scores` (on `from`) across edges onto `to`
+    def halfStep(scores: DataFrame, from: String, to: String, outCol: String): DataFrame = {
+      val raw = nodes
+        .join(edges.withColumnRenamed(to, "node"), Seq("node"), "left")
+        .join(scores.withColumnRenamed("node", from), Seq(from), "left")
+        .groupBy(col("node"))
+        .agg(coalesce(sum(col("score")), lit(0.0)).as("raw"))
+      val total = raw.agg(sum(col("raw")).as("total"))
+      ConnectedComponents.snapshot(
+        raw.crossJoin(broadcast(total))
+          .select(col("node"), round(col("raw") / col("total"), 10).as(outCol))
+          .withColumnRenamed(outCol, "score"))
+    }
+
+    var hubs: DataFrame = ConnectedComponents.snapshot(
+      nodes.select(col("node"), round(lit(1.0) / n, 10).as("score")))
+    var auths: DataFrame = null
+    var iter = 0
+    var fixpoint = false
+    while (iter < iters && !fixpoint) {
+      val nextAuths = halfStep(hubs, from = "src", to = "dst", outCol = "auth")
+      val nextHubs = halfStep(nextAuths, from = "dst", to = "src", outCol = "hub")
+      val delta = nextHubs.select(col("node"), col("score").as("next"))
+        .join(hubs.select(col("node"), col("score").as("prev")), Seq("node"))
+        .agg(coalesce(sum(abs(col("next") - col("prev"))), lit(0.0))).head.getDouble(0)
+      fixpoint = delta == 0.0
+      ConnectedComponents.release(hubs)
+      if (auths != null) ConnectedComponents.release(auths)
+      hubs = nextHubs
+      auths = nextAuths
+      iter += 1
+    }
+    lastHitsIterations = iter
+    val out = hubs.select(col("node"), col("score").as("hub"))
+      .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
+    Seq(edges, nodes).foreach(ConnectedComponents.release)
+    out
   }
 
   /** Per-node triangle counts over the undirected trade graph — the
@@ -280,5 +389,5 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank, triangles, kcore)
+  val ops: Seq[GraftOp] = Seq(pagerank, hits, triangles, kcore)
 }

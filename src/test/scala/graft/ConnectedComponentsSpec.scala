@@ -69,6 +69,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(chainRanks(3L) > chainRanks(1L), "sink of the chain must accumulate rank")
   }
 
+  test("HITS early-stops at an exact hub fixpoint, hubs/auths normalized") {
+    import spark.implicits._
+    // 3-cycle: the uniform vector is stationary on the grid after one
+    // round (in-degree = out-degree = 1 everywhere) — early stop fires
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val scores = graft.operators.GraphOps.hitsFrom(cycle, iters = 8)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(graft.operators.GraphOps.lastHitsIterations < 8,
+      s"fixpoint not detected: ran ${graft.operators.GraphOps.lastHitsIterations} rounds")
+    val third = BigDecimal(1.0 / 3).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scores === Array((1L, third, third), (2L, third, third), (3L, third, third)))
+    // asymmetric star: the center is the only authority; leaves the hubs
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val s2 = graft.operators.GraphOps.hitsFrom(star, iters = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(s2(9L)._2 === 1.0, "sole authority must take all authority mass")
+    assert(s2(9L)._1 === 0.0, "pure sink has no hub score")
+    assert(s2(1L)._1 > 0.3 && s2(1L)._2 === 0.0, "leaves are pure hubs")
+  }
+
   test("spark.graft.checkpointDir switches loops to reliable checkpoints, same labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
