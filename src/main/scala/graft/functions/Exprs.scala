@@ -102,4 +102,18 @@ object Exprs {
       s"CASE WHEN ${sqlMd5Long(s"'$j#$i'")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
     }.mkString("[", ", ", "]")
 
+  /** Product-quantization codebook: subspace `j`, codeword `c` → ±1
+    * vector over `sub` dims, seeded in the 1000+ plane-id namespace
+    * (disjoint from emb_project / dedup_semantic's planes 0..15).
+    * Shared by the encode op and the ADC server — and regenerable by
+    * the oracle via [[sqlPqPlane]], no shipped codebook. */
+  def pqCodebook(m: Int, k: Int, sub: Int): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    IndexedSeq.tabulate(m)(j => IndexedSeq.tabulate(k)(c =>
+      (0 until sub).map(i =>
+        if (md5Long15(s"${1000 + j * k + c}#$i") % 2 == 0) 1.0 else -1.0)))
+
+  /** DuckDB literal for [[pqCodebook]] codeword (j, c). */
+  def sqlPqPlane(j: Int, c: Int, k: Int, sub: Int): String =
+    sqlSeededPlane(1000 + j * k + c, sub)
+
 }

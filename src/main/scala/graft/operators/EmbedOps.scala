@@ -17,6 +17,14 @@ import org.apache.spark.sql.types._
   */
 object EmbedOps {
 
+  /** PQ geometry shared with KnnOps' ADC server: 8 subspaces × 8 dims,
+    * 16 codewords each (4-bit codes). Declared ahead of the ops —
+    * object vals initialize in order, and the oracle SQL interpolates
+    * these eagerly. */
+  private[operators] val PqM = 8
+  private[operators] val PqSub = 8
+  private[operators] val PqK = 16
+
   /** Per-label centroid, emitted exploded as (label, dim, value) —
     * scalar columns, so the result is fully oracle-checkable. At scale
     * the explode multiplies rows ×dim but partial aggregation folds
@@ -139,5 +147,50 @@ object EmbedOps {
       .orderBy(col("vec_id"), col("dim"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project)
+  /** Product-quantization encode (Jégou et al. 2011): the 64-dim unit
+    * vector split into 8 subspaces of 8 dims, each mapped to its
+    * nearest of 16 codewords — 4 bits per subspace, a 32-bit code per
+    * vector (64× smaller than float32). Codewords are the engine's
+    * seeded ±1 codebook (1000+ namespace), so with constant codeword
+    * norm the nearest-by-L2 codeword IS the argmax dot product — the
+    * encode needs only 16 fold-order-exact dots per subspace and an
+    * array_position argmax (first-max tiebreak in BOTH engines), which
+    * is what makes an approximate-index build oracle-checkable at all.
+    * Pure map over the corpus — plane literals in the plan, zero
+    * shuffle; the codes table this emits is the PQ "index" that
+    * [[graft.operators.KnnOps]]' ADC server probes. */
+  val pqEncode: GraftOp = GraftOp(
+    "emb_pq_encode", {
+      val perSub = (0 until PqM).map { j =>
+        val lo = j * PqSub + 1
+        val hi = (j + 1) * PqSub
+        val scores = (0 until PqK)
+          .map(c => graft.functions.Exprs.sqlDot(s"u[$lo:$hi]",
+            graft.functions.Exprs.sqlPqPlane(j, c, PqK, PqSub)))
+          .mkString("[", ", ", "]")
+        s"""SELECT vec_id, $j AS subspace,
+           |  CAST(list_position($scores, list_max($scores)) - 1 AS INT) AS code FROM v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH raw AS (SELECT vec_id, ${graft.functions.Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |v AS (SELECT vec_id, ${graft.functions.Exprs.sqlUnit("e")} AS u FROM raw)
+         |SELECT vec_id, subspace, code FROM (
+         |$perSub
+         |) ORDER BY vec_id, subspace""".stripMargin
+    }) { (s, d) =>
+    val cb = graft.functions.Exprs.pqCodebook(PqM, PqK, PqSub)
+    val u = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.Exprs.unit(graft.functions.Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val subCodes = (0 until PqM).map { j =>
+      val sub = slice(col("u"), j * PqSub + 1, PqSub)
+      val scores = array(cb(j).map(p => graft.functions.Exprs.dot(sub, typedLit(p))): _*)
+      struct(lit(j).as("subspace"),
+        (array_position(scores, array_max(scores)) - 1).cast(IntegerType).as("code"))
+    }
+    u.select(col("vec_id"), explode(array(subCodes: _*)).as("c"))
+      .select(col("vec_id"), col("c.subspace").as("subspace"), col("c.code").as("code"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode)
 }

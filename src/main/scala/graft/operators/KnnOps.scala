@@ -252,5 +252,70 @@ object KnnOps {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf, classify, filtered)
+  /** PQ asymmetric-distance (ADC) search with exact re-ranking — the
+    * serving half of emb_pq_encode's index (Jégou et al. 2011; the
+    * standard IVF-PQ shortlist→rerank pipeline). Per query, a lookup
+    * table LUT[j][k] = ⟨q_subⱼ, codeword_{j,k}⟩ (8×16 doubles, computed
+    * driver-side — queries are small by definition, same pattern as
+    * the IVF router) turns the approximate score of a corpus vector
+    * into 8 ARRAY LOOKUPS on its 32-bit code: Σⱼ LUT[j][codeⱼ]. The
+    * corpus is scanned, never shuffled — LUTs ride as plan literals;
+    * only the (query, corpus, approx) triples flow into the per-query
+    * top-`Pool` window (TopKPerKeyExec after the rewrite), and only
+    * the ≤ Pool·|queries| shortlist joins vectors back (broadcast)
+    * for the exact cosine rerank. Approximate → rows-only; KnnSpec
+    * pins recall vs brute force. */
+  val pqAdc: GraftOp = GraftOp.rowsOnly("knn_pq_adc") { (s, d) =>
+    import EmbedOps.{PqK, PqM, PqSub}
+    val pool = 100
+    val cb = graft.functions.Exprs.pqCodebook(PqM, PqK, PqSub)
+    // the encoded corpus (vec_id, u, codes) — built once per
+    // session+dir and shared, the build/serve split the index family
+    // uses throughout
+    val codes = graft.CachedPlans.cached(s, s"knn.pqCodes:$d") {
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+      val codeCols = (0 until PqM).map { j =>
+        val sub = slice(col("u"), j * PqSub + 1, PqSub)
+        val scores = array(cb(j).map(p => Exprs.dot(sub, typedLit(p))): _*)
+        (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
+      }
+      u.withColumn("codes", array(codeCols: _*))
+    }
+    val queries = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("u")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    // per-query LUTs as plan literals: approx = Σ_j LUT[j][code_j]
+    val perQuery = queries.map { case (qid, qu) =>
+      val approx = (0 until PqM).map { j =>
+        val lut = cb(j).map(p =>
+          (0 until PqSub).map(i => qu(j * PqSub + i) * p(i)).sum)
+        element_at(typedLit(lut), col("codes")(j) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), approx.as("approx"))
+    }
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("corpus_id"))
+    val shortlist = codes
+      .select(col("vec_id").as("corpus_id"), explode(array(perQuery: _*)).as("sc"))
+      .select(col("corpus_id"), col("sc.query_id").as("query_id"), col("sc.approx").as("approx"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("prn", row_number().over(wPool))
+      .filter(col("prn") <= pool)
+      .select(col("query_id"), col("corpus_id"))
+    import s.implicits._
+    val qdf = queries.toSeq.map { case (q, u) => (q, u: Seq[Double]) }.toDF("query_id", "qu")
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    codes.select(col("vec_id").as("corpus_id"), col("u"))
+      .join(broadcast(shortlist), Seq("corpus_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"), Exprs.dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc)
 }

