@@ -315,6 +315,76 @@ object EventsAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Winsorized (p05/p95-clipped) per-type mean next to the raw mean —
+    * the robust-average move for heavy-tailed metrics (cap the tails
+    * instead of dropping them). Same two-phase shape as the MAD op:
+    * one exact-percentile aggregate broadcast back, then one clipped
+    * aggregate. Parity: the clip bounds are interpolated identically,
+    * the clipped value is snapped to DECIMAL(18,6) BEFORE summing
+    * (double→decimal casts agree across engines — the q_outliers
+    * contract), so both sums are exact integer-scaled arithmetic with
+    * no fold-order drift. */
+  val winsorized: GraftOp = GraftOp(
+    "q_winsorized",
+    """WITH qs AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT e.event_type,
+      |    CAST(e.value AS DECIMAL(18,6)) AS v,
+      |    CAST(least(greatest(e.value, lo), hi) AS DECIMAL(18,6)) AS w
+      |  FROM events e JOIN qs ON e.event_type = qs.event_type)
+      |SELECT event_type, count(*) AS n,
+      |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS raw_mean,
+      |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS wins_mean
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"), col("value"))
+    val qs = e.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.05)).as("lo"),
+        percentile(col("value"), lit(0.95)).as("hi"))
+    e.join(broadcast(qs), Seq("event_type"))
+      .select(col("event_type"),
+        col("value").cast(DecimalType(18, 6)).as("v"),
+        least(greatest(col("value"), col("lo")), col("hi"))
+          .cast(DecimalType(18, 6)).as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v")).cast(DoubleType) / count(lit(1)), 6).as("raw_mean"),
+        round(sum(col("w")).cast(DoubleType) / count(lit(1)), 6).as("wins_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-user time-decayed engagement score Σ v·e^(−Δt/τ) with a 1-day
+    * half-life-ish τ, anchored at the corpus max timestamp — the
+    * recency-weighted ranking signal (feed scoring, churn features)
+    * ClickHouse pipelines compute with exponentialMovingAverage-family
+    * combinators. One fact-table groupBy (partial-aggregable — the
+    * decay weight is a pure per-row map before the fold); the anchor
+    * rides in as a broadcast single-row cross join. Parity: Δt is
+    * integer seconds, exp() may differ by 1 ulp between libms and the
+    * sum folds in engine order — both absorbed by the 6dp snap on
+    * scores O(10³), the q_regression contract. */
+  val decay: GraftOp = GraftOp(
+    "q_decay",
+    """WITH m AS (SELECT max(ts) AS mts FROM events),
+      |w AS (
+      |  SELECT user_id,
+      |    value * exp(-CAST(date_diff('second', ts, mts) AS DOUBLE) / 86400.0) AS dv
+      |  FROM events CROSS JOIN m)
+      |SELECT user_id, count(*) AS n, round(sum(dv), 6) AS decay_score
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val m = e.agg(max(col("ts")).as("mts"))
+    e.crossJoin(broadcast(m))
+      .select(col("user_id"),
+        (col("value") * exp((unix_timestamp(col("ts")) - unix_timestamp(col("mts")))
+          .cast(DoubleType) / 86400.0)).as("dv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("dv")), 6).as("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
   /** Trailing-7-day distinct actives per day (rolling MAU shape).
     * COUNT(DISTINCT) over a sliding frame is unsupported as a window
     * function, and a band join would plan as a nested loop — so each
@@ -672,7 +742,7 @@ object EventsAnalytics {
 
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, robustOutliers,
-      trailingActive,
+      winsorized, decay, trailingActive,
       transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup,
       hllTrailing, thetaMonths)
 }

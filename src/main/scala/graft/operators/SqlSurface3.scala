@@ -154,5 +154,72 @@ object SqlSurface3 {
       .orderBy(col("p_partkey"))
   }
 
-  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline)
+  /** ABC / Pareto classification: parts labeled A/B/C by cumulative
+    * revenue share (≤80% → A, ≤95% → B, tail → C) — the inventory-
+    * analysis staple every ClickHouse-backed dashboard ships.
+    *
+    * The global running sum is the same scale trap as q_equidepth's
+    * ntile — `sum OVER (ORDER BY …)` with no partition key funnels the
+    * table through ONE reducer — and gets the same distributed cure:
+    * range-partition on the total order (rev desc, partkey), per-
+    * partition sums prefix-summed on the driver (≤P longs), partition-
+    * local running sum + offset = exact global cumulative. Revenue is
+    * held as INTEGER 10⁻⁴-dollar units end-to-end (price-cents ×
+    * discount-hundredths), so the cumulative is order-independent
+    * integer addition and the 80/95 boundary — one long→double divide
+    * per side — cannot straddle engines. Overflow bound: total corpus
+    * revenue < 2⁶³·10⁻⁴ ≈ 9·10¹⁴ dollars.
+    *
+    * The cumsum runs over the PART-level aggregate (dimension-sized,
+    * |parts| rows), not the fact table — the fact scan is one ordinary
+    * group-by. */
+  val qPareto: GraftOp = GraftOp(
+    "q_pareto",
+    """WITH r AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rc
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT l_partkey, rc,
+      |    sum(rc) OVER (ORDER BY rc DESC, l_partkey) AS cum,
+      |    sum(rc) OVER () AS tot
+      |  FROM r)
+      |SELECT l_partkey, rc / 10000.0 AS revenue,
+      |  CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.80 THEN 'A'
+      |       WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS cls
+      |FROM c ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // integer money units BEFORE any rounding cast: price-cents ×
+    // discount-hundredths (a double→decimal cast of the PRODUCT rounds
+    // a borderline cent differently across engines; round() of a
+    // near-integer double does not — both engines see the same double)
+    val r = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * round((lit(1) - col("l_discount")) * 100).cast("long")).as("rc"))
+    val ranged = graft.CachedPlans.cached(s, s"pareto.ranged:$d") {
+      r.repartitionByRange(parts, col("rc").desc, col("l_partkey"))
+        .withColumn("__pid", spark_partition_id())
+    }
+    val perPart = ranged.groupBy(col("__pid")).agg(sum(col("rc")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val tot = perPart.map(_._2).sum.toDouble
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      perPart.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("rc").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = element_at(typedLit(offsets), col("__pid")) + sum(col("rc")).over(w)
+    val share = cum.cast("double") / lit(tot)
+    ranged
+      .select(col("l_partkey"), (col("rc") / 10000.0).as("revenue"),
+        when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").as("cls"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline, qPareto)
 }
