@@ -122,6 +122,48 @@ object PartitionedLake {
     (result, keep.length.toLong, total)
   }
 
+  /** Targeted key delete (the right-to-be-forgotten / GDPR-erasure
+    * primitive): physically rewrite ONLY the files that can contain
+    * the keys — located with the Bloom manifest — and leave every
+    * other file byte-untouched. Deleting one user from a 100-TB lake
+    * this way rewrites a handful of files instead of the table (the
+    * Delta/Iceberg DELETE + file-pruning behavior, done directly on
+    * parquet).
+    *
+    * Per hit file: read → anti-filter → write to a scratch dir
+    * (materializes before the original is removed) → swap into the
+    * original's directory under a fresh part name. A file whose rows
+    * are ALL deleted is removed without a replacement. Readers see the
+    * directory listing, so the swap is safe for subsequent scans; the
+    * Bloom manifest must be rebuilt for the rewritten files (filters
+    * cannot unlearn keys — the stale entry is merely over-inclusive,
+    * never wrong, but rebuilding restores its pruning power).
+    * Returns (filesRewritten, filesTotal). */
+  def deleteKeys(spark: SparkSession, path: String, bloomManifestDf: DataFrame,
+      keyCol: String, keys: Seq[Long]): (Long, Long) = {
+    require(keys.nonEmpty, "deleteKeys: empty key set")
+    val total = bloomManifestDf.count()
+    val hits = bloomManifestDf
+      .filter(keys.map(k => graft.functions.bloom_might_contain(col("bloom"), lit(k)))
+        .reduce(_ || _))
+      .select(col("file")).collect().map(_.getString(0))
+    hits.foreach { f =>
+      val orig = java.nio.file.Paths.get(new java.net.URI(f))
+      val scratch = java.nio.file.Files.createTempDirectory("graft-delete").toFile
+      spark.read.parquet(f)
+        .filter(!col(keyCol).isin(keys: _*))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.listFiles().find(_.getName.endsWith(".parquet"))
+      java.nio.file.Files.delete(orig)
+      part.foreach { p =>
+        java.nio.file.Files.move(p.toPath,
+          orig.getParent.resolve(s"part-del-${java.util.UUID.randomUUID()}.parquet"))
+      }
+    }
+    (hits.length.toLong, total)
+  }
+
   /** Z-ordered compaction: rewrite one day laid out along the Morton
     * key of two numeric dimensions (`OPTIMIZE ZORDER BY (a, b)`).
     * `repartitionByRange(zval)` gives each output file a contiguous

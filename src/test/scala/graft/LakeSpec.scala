@@ -151,6 +151,47 @@ class LakeSpec extends AnyFunSuite {
     } finally { zman.unpersist(); bman.unpersist() }
   }
 
+  test("targeted key delete rewrites only bloom-hit files; others byte-untouched") {
+    val path = Files.createTempDirectory("graft-del").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.repartition(8, col("user_id")).write.partitionBy("day").parquet(path)
+    val day = "2024-01-05"
+    val dayPath = s"$path/day=$day"
+    def listing() = new java.io.File(dayPath).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+
+    val before = spark.read.parquet(dayPath)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    // three mid-range keys (extremes make every premise trivial)
+    val victims = Seq(before(before.length / 4), before(before.length / 2),
+      before(3 * before.length / 4))
+    val bman = graft.sinks.PartitionedLake.bloomManifest(spark, dayPath, "event_id",
+      expectedPerFile = 10000, fpp = 0.01).persist()
+    val filesBefore = listing()
+    try {
+      val (rewritten, total) = graft.sinks.PartitionedLake.deleteKeys(
+        spark, dayPath, bman, "event_id", victims)
+      assert(total === filesBefore.size.toLong)
+      assert(rewritten < total, s"delete rewrote every file ($rewritten/$total)")
+
+      val after = spark.read.parquet(dayPath)
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted
+      assert(after.length === before.length - victims.length)
+      assert((before.toSet -- victims) === after.toSet,
+        "exactly the victim rows must disappear, nothing else")
+
+      // files the bloom didn't implicate are PHYSICALLY the same files
+      val filesAfter = listing()
+      val untouched = filesBefore.keySet & filesAfter.keySet
+      assert(untouched.size.toLong === total - rewritten)
+      untouched.foreach { f =>
+        assert(filesBefore(f) === filesAfter(f), s"untouched file $f changed on disk")
+      }
+    } finally bman.unpersist()
+  }
+
   test("schema evolution: columns added over time merge, old files read null") {
     // the lake reality: month 1 wrote (id, v); month 2 added quality.
     // mergeSchema must surface the union schema with nulls for old
