@@ -385,6 +385,45 @@ object EventsAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** χ² contingency table: event_type × day-of-week with observed vs
+    * expected counts and per-cell χ² contribution — the independence
+    * test behind "does behavior vary by weekday" dashboards (and the
+    * feature-selection statistic in ML prep). Emitted PER CELL, so
+    * every number is a ratio of exact integer products (row-total ×
+    * col-total / N, all < 2⁵³) — no global fold to disagree on; the
+    * caller sums the 35 cells for the statistic. One fact groupBy +
+    * two tiny marginal aggregates broadcast back. */
+  val chiSquare: GraftOp = GraftOp(
+    "q_chi_square",
+    """WITH c AS (
+      |  SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(o) AS DOUBLE) AS rt FROM c GROUP BY 1),
+      |ct AS (SELECT dow, CAST(sum(o) AS DOUBLE) AS ct FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c)
+      |SELECT c.event_type, c.dow, o,
+      |  round(rt * ct / n, 6) AS expected,
+      |  round((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n), 6) AS chi2_cell
+      |FROM c JOIN rt ON c.event_type = rt.event_type JOIN ct ON c.dow = ct.dow
+      |CROSS JOIN n
+      |ORDER BY c.event_type, c.dow""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("int").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rt = c.groupBy(col("event_type")).agg(sum(col("o")).cast(DoubleType).as("rt"))
+    val ct = c.groupBy(col("dow")).agg(sum(col("o")).cast(DoubleType).as("ct"))
+    val n = c.agg(sum(col("o")).cast(DoubleType).as("n"))
+    val e = col("rt") * col("ct") / col("n")
+    c.join(broadcast(rt), Seq("event_type"))
+      .join(broadcast(ct), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("o"),
+        round(e, 6).as("expected"),
+        round((col("o") - e) * (col("o") - e) / e, 6).as("chi2_cell"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Trailing-7-day distinct actives per day (rolling MAU shape).
     * COUNT(DISTINCT) over a sliding frame is unsupported as a window
     * function, and a band join would plan as a nested loop — so each
@@ -742,7 +781,7 @@ object EventsAnalytics {
 
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, robustOutliers,
-      winsorized, decay, trailingActive,
+      winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup,
       hllTrailing, thetaMonths)
 }
