@@ -121,6 +121,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAgg].getName, "bitmap_agg"),
+      unary("bitmap_agg")(e =>
+        graft.functions.BitmapAgg(e).toAggregateExpression())))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_merge_agg"),
+      new ExpressionInfo(classOf[graft.functions.BitmapMergeAgg].getName, "bitmap_merge_agg"),
+      unary("bitmap_merge_agg")(e =>
+        graft.functions.BitmapMergeAgg(e).toAggregateExpression())))
+    ext.injectFunction((
       FunctionIdentifier("hll_sketch_agg"),
       new ExpressionInfo(classOf[graft.functions.HllSketchAgg].getName, "hll_sketch_agg"),
       unary("hll_sketch_agg")(e =>

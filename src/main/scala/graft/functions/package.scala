@@ -34,6 +34,17 @@ package object functions {
   /** Bloom filter over a BIGINT key column (TypedImperativeAggregate:
     * map-side build, bitwise-OR merge) — returns the serialized filter
     * as BINARY for [[bloom_might_contain]] probes. */
+  /** Exact bitmap over a dense BIGINT key domain
+    * (TypedImperativeAggregate: map-side build, bitwise-OR merge) —
+    * canonical BINARY for rollup tables; the exact twin of
+    * [[hll_sketch_agg]]. */
+  def bitmap_agg(key: Column): Column =
+    ColumnShim.column(BitmapAgg(ColumnShim.expression(key)).toAggregateExpression())
+
+  /** OR persisted bitmaps to a coarser grouping → EXACT distinct count. */
+  def bitmap_merge_agg(bm: Column): Column =
+    ColumnShim.column(BitmapMergeAgg(ColumnShim.expression(bm)).toAggregateExpression())
+
   def bloom_agg(key: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     ColumnShim.column(
       BloomFilterAgg(ColumnShim.expression(key), expectedItems, fpp)

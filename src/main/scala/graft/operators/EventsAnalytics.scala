@@ -720,6 +720,33 @@ object EventsAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** EXACT distinct-count rollup from mergeable BITMAP state — the
+    * exact twin of [[hllRollup]] (ClickHouse groupBitmapState→
+    * groupBitmapMerge): one fact scan builds a canonical bitmap per
+    * (type, day); every coarser distinct count is a bitwise-OR of
+    * those bitmaps, never a rescan — and unlike HLL the merged count
+    * is EXACT, which is why this one is oracle-hash-checked against
+    * plain COUNT(DISTINCT) while the sketch twin is rows-only. No
+    * RewriteDistinctAggregates Expand anywhere: the shuffle carries
+    * one ⌈max_id/8⌉-byte bitmap per group instead of the distinct key
+    * stream. Dense-ID contract: keys must sit in [0, 2²⁶) — the
+    * dictionary-encoded id shape — enforced loudly by the aggregate. */
+  val bitmapRollup: GraftOp = GraftOp(
+    "q_bitmap_rollup",
+    """SELECT event_type,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  count(DISTINCT user_id) AS users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.functions.bitmap_agg(col("user_id")).as("bm"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        graft.functions.bitmap_merge_agg(col("bm")).as("users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Trailing-7-day distinct actives from SLIDING SKETCH MERGES — the
     * sketch twin of [[trailingActive]]. The exact op explodes every
     * (user, day) pair ×7 into a countDistinct shuffle (fine at these
@@ -782,6 +809,6 @@ object EventsAnalytics {
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
-      transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup,
+      transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)
 }

@@ -144,4 +144,42 @@ class SketchLawsSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def bitmapOf(vs: Seq[Long]): Array[Long] = {
+    var w = new Array[Long](1)
+    vs.foreach(v => w = functions.BitmapImpls.set(w, v))
+    w
+  }
+
+  test("bitmap: exact cardinality, canonical bytes under any split, OR laws") {
+    import functions.BitmapImpls._
+    val rnd = new scala.util.Random(53L)
+    (1 to 100).foreach { _ =>
+      def vec() = Vector.fill(rnd.nextInt(400))(rnd.nextInt(1 << 20).toLong)
+      val (a, b) = (vec(), vec())
+      // exact cardinality
+      assert(cardinality(bitmapOf(a)) === a.distinct.size.toLong)
+      // merge == set union, commutative, idempotent
+      val ab = or(bitmapOf(a), bitmapOf(b))
+      assert(cardinality(ab) === (a ++ b).distinct.size.toLong)
+      assert(serialize(ab).toSeq === serialize(or(bitmapOf(b), bitmapOf(a))).toSeq)
+      assert(serialize(or(ab, bitmapOf(b))).toSeq === serialize(ab).toSeq)
+      // canonical serialization: growth history doesn't leak — building
+      // from a shuffled copy yields byte-identical bitmaps
+      assert(serialize(bitmapOf(rnd.shuffle(a))).toSeq === serialize(bitmapOf(a)).toSeq)
+      // round trip
+      assert(serialize(deserialize(serialize(ab))).toSeq === serialize(ab).toSeq)
+    }
+    // dense-domain contract fails loud, never truncates
+    intercept[IllegalArgumentException](set(new Array[Long](1), MaxBits))
+    intercept[IllegalArgumentException](set(new Array[Long](1), -1L))
+  }
+
+  test("bitmap rollup executes partial aggregation (state crosses the shuffle)") {
+    val spark = SparkTestSession.spark
+    val plan = graft.operators.EventsAnalytics.bitmapRollup
+      .run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bitmap_agg") || plan.contains("partial_"),
+      s"expected partial aggregation in plan:\n$plan")
+  }
 }
