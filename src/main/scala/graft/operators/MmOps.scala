@@ -153,5 +153,43 @@ object MmOps {
       .orderBy(col("format"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff)
+  /** Uniform frame sampling — the video-ingest plumbing that decides
+    * WHICH frames a vision pipeline decodes before any codec runs
+    * (sample ≤16 frames per clip, evenly spaced): per blob, synthetic
+    * (n_frames, fps) metadata from the portable hash stands in for
+    * container headers, stride = ⌈n_frames/16⌉, sampled index list =
+    * range(0, n_frames, stride), timestamp = frame·1000 div fps.
+    * All INTEGER arithmetic — the sampling plan is bit-reproducible
+    * (re-ingesting a clip samples identical frames, so frame-level
+    * caches/dedup stay valid). Pure map + explode, zero shuffle; the
+    * emitted (frame_idx, ts_ms) rows are exactly what a decode stage
+    * maps over. */
+  val frameSample: GraftOp = GraftOp(
+    "mm_framesample",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(8 + ${Exprs.sqlMd5Long("text")} % 120 AS BIGINT) AS n_frames,
+       |    CAST(1 + (${Exprs.sqlMd5Long("text")} >> 7) % 29 AS BIGINT) AS fps
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_frames, fps,
+       |    unnest(range(0, n_frames, (n_frames + 15) // 16)) AS frame_idx
+       |  FROM m)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  frame_idx * 1000 // fps AS ts_ms
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    val h = Exprs.md5Long(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(8) + h % 120).as("n_frames"),
+        (lit(1) + shiftright(h, 7) % 29).as("fps"))
+      .select(col("doc_id"), col("fps"),
+        explode(sequence(lit(0L), col("n_frames") - 1,
+          expr("(n_frames + 15) div 16"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("frame_idx * 1000 div fps").as("ts_ms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample)
 }
