@@ -70,5 +70,68 @@ object AffinityOps {
       .limit(100)
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase)
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintile scores, the retail-analytics segmentation staple. Each
+    * dimension scores 1–5 against its OWN p20/p40/p60/p80 cuts
+    * (recency inverted: recent = high), then customers aggregate into
+    * the segment matrix.
+    *
+    * The quintile assignment deliberately avoids ntile's global-sort
+    * window: cuts come from one exact-percentile aggregate (a 1-row
+    * frame broadcast back), and the score is a CASE-sum of boundary
+    * comparisons — pure map over the customer aggregate. Parity: R/F/M
+    * are exact integers (days, counts, cents), the interpolated cuts
+    * are the same doubles in both engines, and int-vs-double compares
+    * at the boundaries agree bit-for-bit. */
+  val rfm: GraftOp = GraftOp(
+    "q_rfm",
+    """WITH base AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_dt, count(*) AS f,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT max(last_dt) AS mx FROM base),
+      |b2 AS (
+      |  SELECT o_custkey, CAST(date_diff('day', last_dt, mx) AS BIGINT) AS r, f, m
+      |  FROM base CROSS JOIN mx),
+      |cuts AS (
+      |  SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rc,
+      |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fc,
+      |    quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mc
+      |  FROM b2),
+      |sc AS (
+      |  SELECT
+      |    5 - ((CASE WHEN r > rc[1] THEN 1 ELSE 0 END) + (CASE WHEN r > rc[2] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN r > rc[3] THEN 1 ELSE 0 END) + (CASE WHEN r > rc[4] THEN 1 ELSE 0 END)) AS r_score,
+      |    1 + (CASE WHEN f > fc[1] THEN 1 ELSE 0 END) + (CASE WHEN f > fc[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN f > fc[3] THEN 1 ELSE 0 END) + (CASE WHEN f > fc[4] THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN m > mc[1] THEN 1 ELSE 0 END) + (CASE WHEN m > mc[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m > mc[3] THEN 1 ELSE 0 END) + (CASE WHEN m > mc[4] THEN 1 ELSE 0 END) AS m_score
+      |  FROM b2 CROSS JOIN cuts)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers
+      |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_dt"), count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+    val mx = base.agg(max(col("last_dt")).as("mx"))
+    val b2 = base.crossJoin(broadcast(mx))
+      .select(col("o_custkey"),
+        datediff(col("mx"), col("last_dt")).cast("long").as("r"), col("f"), col("m"))
+    val cuts = b2.agg(
+      percentile(col("r"), typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("rc"),
+      percentile(col("f"), typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("fc"),
+      percentile(col("m"), typedLit(Seq(0.2, 0.4, 0.6, 0.8))).as("mc"))
+    def above(x: org.apache.spark.sql.Column, cutsCol: String): org.apache.spark.sql.Column =
+      (1 to 4).map(i => when(x > col(cutsCol)(i - 1), 1).otherwise(0)).reduce(_ + _)
+    b2.crossJoin(broadcast(cuts))
+      .select(
+        (lit(5) - above(col("r"), "rc")).as("r_score"),
+        (lit(1) + above(col("f"), "fc")).as("f_score"),
+        (lit(1) + above(col("m"), "mc")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm)
 }

@@ -304,6 +304,65 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Neighborhood Jaccard similarity — the classic link-prediction /
+    * role-similarity primitive: for node pairs sharing at least one
+    * neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| over the hash-sparsified
+    * trade graph (the full graph is near-complete — every Jaccard ≈ 1,
+    * nothing to rank).
+    *
+    * Scale shape: the intersection is a WEDGE JOIN on the shared
+    * neighbor (adjacency ⋈ adjacency on the middle node — one
+    * co-partitioned shuffle, work ∝ Σ deg², the standard
+    * common-neighbor enumeration), never an all-pairs set comparison;
+    * the union comes free from broadcast degrees (|A∪B| = dA+dB−∩).
+    * Jaccard is one ratio of exact small ints — deterministic, ordered
+    * on the rounded score with a pair tiebreak. */
+  val jaccard: GraftOp = GraftOp(
+    "graph_jaccard", {
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+         |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+         |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |    AND o_custkey = c_custkey
+         |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |    AND n1.n_nationkey <> n2.n_nationkey),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+         |e AS (SELECT u, v FROM und
+         |  WHERE ${graft.functions.Exprs.sqlMd5Long("concat(u, '|', v)")} % 4 = 0),
+         |nb AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT x, count(*) AS d FROM nb GROUP BY 1),
+         |wedge AS (
+         |  SELECT a.x AS pa, b.x AS pb, count(*) AS n_common
+         |  FROM nb a JOIN nb b ON a.y = b.y AND a.x < b.x
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT pa, pb, n_common, da.d + db.d - n_common AS n_union
+         |  FROM wedge JOIN deg da ON pa = da.x JOIN deg db ON pb = db.x)
+         |SELECT pa, pb, n_common, n_union,
+         |  round(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard
+         |FROM j ORDER BY jaccard DESC, pa, pb""".stripMargin
+    }) { (s, d) =>
+    val e = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val nb = e.select(col("u").as("x"), col("v").as("y"))
+      .union(e.select(col("v").as("x"), col("u").as("y")))
+    val deg = nb.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val wedge = nb.as("a")
+      .join(nb.as("b"), col("a.y") === col("b.y") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("pa"), col("b.x").as("pb"))
+      .agg(count(lit(1)).as("n_common"))
+    wedge
+      .join(broadcast(deg.select(col("x").as("pa"), col("d").as("da"))), Seq("pa"))
+      .join(broadcast(deg.select(col("x").as("pb"), col("d").as("db"))), Seq("pb"))
+      .select(col("pa"), col("pb"), col("n_common"),
+        (col("da") + col("db") - col("n_common")).as("n_union"))
+      .select(col("pa"), col("pb"), col("n_common"), col("n_union"),
+        round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("pa"), col("pb"))
+  }
+
   /** k-core decomposition (k=4) by iterative peeling over the
     * deterministically sparsified trade graph — the community-density /
     * graph-cleaning primitive (keep only nodes with ≥k neighbors that
@@ -389,5 +448,5 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank, hits, triangles, kcore)
+  val ops: Seq[GraftOp] = Seq(pagerank, hits, triangles, kcore, jaccard)
 }
