@@ -247,6 +247,60 @@ object TextOps {
       .limit(50)
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene/
+    * Elasticsearch default scorer) for a keyword query — the text-
+    * SEARCH member of the text family: score(d) = Σ_t idf_t ·
+    * tf/(tf + k1·(1−b+b·dl/avgdl)), k1=1.2, b=0.75, Lucene's
+    * ln(1 + (N−df+0.5)/(df+0.5)) idf.
+    *
+    * Scale shape: one (doc, term) tf aggregation restricted to the
+    * query terms (the filter pushes into the token stream — the
+    * inverted-index access pattern without materializing an index),
+    * doc lengths from a second linear pass, df/avgdl as tiny broadcast
+    * frames; top-k through the rounded-score TakeOrdered. Parity: tf /
+    * df / dl are exact ints, avgdl the same double, and the one ln()
+    * per term is snapped by the 6dp round BEFORE ranking (the
+    * text_tfidf contract). */
+  val bm25: GraftOp = GraftOp(
+    "text_bm25", {
+      val terms = "('join', 'scan', 'filter')"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN $terms GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+         |  GROUP BY 1)
+         |SELECT doc_id, round(score, 6) AS bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val terms = Seq("join", "scan", "filter")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast(DoubleType).as("df"))
+    val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") / (col("tf") + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(idf * norm).as("score"))
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Per-document top-3 TF-IDF terms: term frequency from the doc,
     * document frequency from a corpus-wide dictionary joined back in.
     * The dictionary (one row per distinct term) is tiny next to the
@@ -423,6 +477,6 @@ object TextOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, tfidf,
+    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, tfidf,
       decontam, piiRedact, normalize, chunks)
 }
