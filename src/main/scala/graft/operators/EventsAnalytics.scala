@@ -618,6 +618,58 @@ object EventsAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user CUSUM drift statistic (Page 1954) — the sequential
+    * changepoint detector: s_t = max(0, s_{t-1} + (x_t − μ)) over the
+    * time-ordered series, with μ the corpus mean. A user whose values
+    * drift persistently above the mean accumulates; noise resets to
+    * zero. Like q_ewma the fold is inherently sequential (no partial
+    * merge exists), so the scale shape is one shuffle to the key + a
+    * linear fold.
+    *
+    * The fold state is ALL-INTEGER: values become exact cents (the
+    * momentsStream double→DECIMAL(18,2) contract) and the recurrence
+    * runs in cents·n units — s_t = max(0, s_{t-1} + x_cents·n −
+    * Σcents) — so there is NO per-step float rounding for the engines
+    * to disagree on (a round(…,10)-gridded double fold was observed to
+    * drift one grid step on near-midpoint values at sf0.1; integers
+    * cannot). The one divide back to value units happens once at emit.
+    * Overflow bound: max|x_cents|·n·len < 2⁶³ — beyond that, fold in
+    * DECIMAL. */
+  val cusum: GraftOp = GraftOp(
+    "q_cusum",
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+      |  FROM events),
+      |m AS (SELECT CAST(sum(xc) AS BIGINT) AS sc, count(*) AS n FROM c),
+      |s AS (
+      |  SELECT user_id,
+      |    list_transform(
+      |      list_sort(list({'us': us, 'eid': event_id, 'v': xc})),
+      |      r -> r.v) AS vals
+      |  FROM c GROUP BY 1)
+      |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+      |    (acc, x) -> greatest(acc + x * n - sc, CAST(0 AS BIGINT))) // n AS BIGINT) / 100.0 AS cusum
+      |FROM s CROSS JOIN m ORDER BY user_id""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("xc"))
+    val m = c.agg(sum(col("xc")).cast(LongType).as("sc"), count(lit(1)).as("n"))
+    c.groupBy(col("user_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(us, event_id, xc))), r -> r.xc)")
+        .as("vals"))
+      .crossJoin(broadcast(m))
+      .select(col("user_id"),
+        size(col("vals")).cast("long").as("n_events"),
+        (expr(
+          "aggregate(vals, 0L, (acc, x) -> greatest(acc + x * n - sc, 0L)) div n") / 100.0)
+          .as("cusum"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-type least-squares trend: slope/intercept/correlation of
     * value against hours-since-epoch-start — the drift detector behind
     * any metrics dashboard, via the SQL-standard `regr_*`/`corr`
@@ -809,6 +861,6 @@ object EventsAnalytics {
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
-      transitions, gapStats, windowFunnel, ewma, regression, sequenceCount, hllRollup, bitmapRollup,
+      transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)
 }

@@ -247,6 +247,51 @@ object TextOps {
       .limit(50)
   }
 
+  /** Model-based quality filtering — the linear-classifier gate LLM
+    * curation pipelines run after heuristics (the DCLM / FineWeb-Edu
+    * pattern: a cheap trained scorer decides keep/drop). Weights are
+    * LITERALS in the plan (a shipped model, not a fit), features are
+    * the same deterministic signals text_quality computes, the score
+    * is a sigmoid over the linear term. Pure map, zero shuffle —
+    * scoring 100 TB is embarrassingly parallel. Parity: features are
+    * exact ratios, the single exp() may differ by 1 ulp and the
+    * keep/drop flag therefore compares the ROUNDED probability, so
+    * the gate cannot straddle engines. */
+  val qualityModel: GraftOp = GraftOp(
+    "text_quality_model",
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    least(1.0, n_chars / 500.0) AS f_len,
+       |    len(list_distinct(toks)) * 1.0 / len(toks) AS f_ttr,
+       |    len(list_filter(toks, x -> list_contains($sqlStopList, x))) * 1.0 / len(toks) AS f_stop,
+       |    list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b)
+       |      * 1.0 / len(toks) / 10.0 AS f_awl
+       |  FROM t),
+       |z AS (
+       |  SELECT doc_id,
+       |    1.2 * f_len + 2.0 * f_ttr + 1.5 * f_stop - 0.2 * f_awl - 2.0 AS z
+       |  FROM f)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS prob,
+       |  CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 THEN 1 ELSE 0 END AS keep
+       |FROM z ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(col("toks"))
+    val fLen = least(lit(1.0), col("n_chars") / 500.0)
+    val fTtr = size(array_distinct(col("toks"))) * lit(1.0) / nTok
+    val fStop = size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / nTok
+    val fAwl = aggregate(transform(col("toks"), x => length(x)), lit(0), (a, b) => a + b) *
+      lit(1.0) / nTok / 10.0
+    val z = lit(1.2) * fLen + lit(2.0) * fTtr + lit(1.5) * fStop - lit(0.2) * fAwl - 2.0
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), tokens.as("toks"))
+      .select(col("doc_id"), prob.as("prob"),
+        when(prob >= 0.5, 1).otherwise(0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene/
     * Elasticsearch default scorer) for a keyword query — the text-
     * SEARCH member of the text family: score(d) = Σ_t idf_t ·
@@ -477,6 +522,6 @@ object TextOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, tfidf,
+    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, tfidf,
       decontam, piiRedact, normalize, chunks)
 }
