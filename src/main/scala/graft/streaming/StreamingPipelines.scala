@@ -438,6 +438,39 @@ object StreamingPipelines {
       }
   }
 
+  final case class EwmaState(n: Long, ewma: Double)
+
+  /** Streaming per-user EWMA — incremental twin of batch `q_ewma`,
+    * same recurrence (α=0.3, per-step 1e-10 grid snap) folded over
+    * each trigger's rows in (ts, event_id) order. State is TWO FIELDS
+    * per user regardless of stream length; the grid snap makes the
+    * state equal the batch fold EXACTLY whenever events arrive in
+    * event-time order across triggers (the spec's condition — same
+    * contract as the window-funnel twin; EWMA is order-defined, so
+    * disorder shifts the value by construction, not by bug). */
+  def ewmaStream(events: Dataset[UpsertRow], alpha: Double = 0.3)(
+      implicit spark: SparkSession): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            st =
+              if (st.n == 0L) EwmaState(1L, e.value)
+              else EwmaState(st.n + 1,
+                // Double.toString == Spark round()'s shortest-repr
+                // path (the momentsStream cast contract) — a raw
+                // BigDecimal(double) would round the binary expansion
+                new java.math.BigDecimal(
+                  java.lang.Double.toString(alpha * e.value + (1 - alpha) * st.ewma))
+                  .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue())
+          }
+          state.update(st)
+          (uid, st.n, st.ewma)
+      }
+  }
+
   final case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
       n_events: Long)
 

@@ -530,6 +530,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA equals batch q_ewma under event-time-ordered arrival") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)) // ordered arrival — the contract
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.ewmaStream(mem.toDS())
+      .toDF("user_id", "n", "ewma")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ewma_out").start()
+    try {
+      mem.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_out")
+        .groupBy("user_id").agg(last(col("n")).as("n"), last(col("ewma")).as("ewma"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = graft.operators.EventsAnalytics.ewma.run(spark, sf)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed.keySet === batch.keySet)
+      for ((u, (n, e)) <- batch) {
+        val (sn, se) = streamed(u)
+        assert(sn === n, s"user $u count")
+        // batch emits round(state, 6); stream emits the raw grid state
+        val rounded = new java.math.BigDecimal(java.lang.Double.toString(se))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        assert(rounded === e, s"user $u: stream $se (→$rounded) != batch $e")
+      }
+    } finally q.stop()
+  }
+
   test("streaming t-digest quantiles: bounded state, rank error within 2% of exact") {
     implicit val s = spark
     import s.implicits._
