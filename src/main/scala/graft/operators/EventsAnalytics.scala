@@ -85,6 +85,59 @@ object EventsAnalytics {
       .orderBy(col("depth"))
   }
 
+  /** A/B experiment readout: users assigned to variants by the
+    * portable hash (the deterministic bucketing every experimentation
+    * platform uses — assignment is reproducible, append-stable, and
+    * balanced in expectation), then the 3-step funnel depth tallied
+    * per variant — the conversion comparison an experiment exists to
+    * answer. Same co-partitioned per-user funnel stages as q_funnel;
+    * the variant tag is a pure map, so the experiment dimension adds
+    * ZERO extra shuffles. */
+  val abFunnel: GraftOp = GraftOp(
+    "q_ab_funnel",
+    s"""WITH v AS (
+       |  SELECT DISTINCT user_id,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS variant
+       |  FROM events),
+       |s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+       |d AS (
+       |  SELECT v.user_id, v.variant,
+       |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+       |  FROM v LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       |         LEFT JOIN s3 USING (user_id))
+       |SELECT variant, depth, count(*) AS n_users FROM d
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val v = ev.select(col("user_id")).distinct()
+      .withColumn("variant",
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .filter(col("event_type") === "view" && col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("variant"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("depth"))
+      .groupBy(col("variant"), col("depth")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("variant"), col("depth"))
+  }
+
   /** Cohort retention: users grouped by first-active day, counted on
     * each later active day as an offset from their cohort day. Two
     * user_id aggregations and one join — the (cohort, offset) matrix
@@ -859,7 +912,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, retention, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, retention, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)

@@ -200,6 +200,40 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Class-balanced downsampling: every label keeps exactly
+    * min-class-count vectors (the class-balancing step before
+    * classifier training — undersample the majority, keep the
+    * minority whole). Selection ranks on the portable hash inside
+    * each label, so the subsample is deterministic, append-stable per
+    * class, and engine-reproducible. The per-label rank filter is the
+    * row_number≤k shape RowNumberLimitToTopK rewrites into the
+    * two-phase TopKPerKeyExec; k arrives as a broadcast scalar (the
+    * min class count), so the plan stays one key shuffle. */
+  val balanced: GraftOp = GraftOp(
+    "sample_balanced",
+    s"""WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+       |k AS (SELECT min(n) AS k FROM c),
+       |r AS (
+       |  SELECT vec_id, label,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY ${graft.functions.Exprs.sqlMd5Long("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+       |  FROM embeddings)
+       |SELECT vec_id, label FROM r CROSS JOIN k WHERE rn <= k
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val k = e.groupBy(col("label")).agg(count(lit(1)).as("n")).agg(min(col("n")).as("k"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(graft.functions.Exprs.md5Long(
+        col("vec_id").cast(org.apache.spark.sql.types.StringType)), col("vec_id"))
+    e.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(k))
+      .filter(col("rn") <= col("k"))
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature)
+    Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
+      balanced)
 }
