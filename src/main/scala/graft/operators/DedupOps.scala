@@ -345,6 +345,63 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-representative selection BY QUALITY — the curation policy
+    * on top of [[clusters]]: instead of "keep the first copy", keep
+    * each near-dup cluster's HIGHEST-QUALITY member (the text_quality
+    * composite), doc_id tiebreak. "First copy" discards a clean
+    * original in favor of whichever mangled mirror sorted lower; this
+    * is the policy real corpus curation ships.
+    *
+    * Scale shape: the cluster labels are the registry-persisted frame
+    * dedup_clusters already built (no re-contraction), quality is a
+    * pure map over the clustered docs only, and the argmax is one
+    * window over cluster-sized groups. Parity: quality_score is the
+    * hash-green text_quality expression — identical doubles — so the
+    * (quality desc, doc_id) order cannot differ. */
+  val representative: GraftOp = GraftOp(
+    "dedup_representative",
+    s"""WITH RECURSIVE $sqlMinhashVerified,
+       |$sqlClusterWalk,
+       |labels AS (SELECT doc AS doc_id, min(label) AS cluster_id FROM walk GROUP BY doc),
+       |q AS (
+       |  SELECT d.doc_id, cluster_id,
+       |    0.3 * least(1.0, n_chars / 500.0)
+       |      + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+       |      + 0.3 * (len(list_filter(toks, x -> list_contains(${TextOps.sqlStopList}, x))) * 1.0 / len(toks)) AS quality
+       |  FROM labels JOIN (
+       |    SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS toks FROM documents) d
+       |    ON labels.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT cluster_id, doc_id, quality,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM q)
+       |SELECT cluster_id, doc_id AS kept_doc_id, round(quality, 6) AS quality,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.{Window => W}
+    val labels = graft.CachedPlans.cached(s, s"dedup.clusterLabels:$d") {
+      ConnectedComponents.run(s,
+        minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    }.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val nTok = size(col("toks"))
+    val quality = lit(0.3) * least(lit(1.0), col("n_chars") / 500.0) +
+      lit(0.4) * (size(array_distinct(col("toks"))) * lit(1.0) / nTok) +
+      lit(0.3) * (size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / nTok)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), "\\s+").as("toks"))
+    val w = W.partitionBy(col("cluster_id")).orderBy(col("quality").desc, col("doc_id"))
+    labels.join(docs, Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), quality.as("quality"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(W.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        round(col("quality"), 6).as("quality"), col("n_members").cast(LongType).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Span-level dedup: repeated W-token spans across (or within)
     * documents — the "deduplicating text spans" op (Lee et al. 2022)
     * that doc-level dedup misses: two mostly-different docs sharing a
@@ -696,6 +753,6 @@ object DedupOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(candidateIndex, exact, ngram, minhash, clusters, spans, spanClean, simhash,
+    Seq(candidateIndex, exact, ngram, minhash, clusters, representative, spans, spanClean, simhash,
       embed, containment, semantic)
 }
