@@ -165,6 +165,82 @@ object EventsAnalytics {
       .orderBy(col("cohort_day"), col("offset_day"))
   }
 
+  /** Daily new vs returning actives — the acquisition/retention split
+    * on every product dashboard: a user counts as NEW on their first
+    * active day, RETURNING on later ones. One distinct (user, day)
+    * projection, the first-day aggregate joined back on the user key
+    * (co-partitioned), then a day rollup — |days| output rows
+    * regardless of event volume. */
+  val newVsReturning: GraftOp = GraftOp(
+    "q_new_returning",
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      |  FROM events),
+      |f AS (SELECT user_id, min(day_idx) AS first_day FROM a GROUP BY 1)
+      |SELECT CAST(a.day_idx AS INT) AS day_idx,
+      |  CAST(sum(CASE WHEN a.day_idx = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |  CAST(sum(CASE WHEN a.day_idx > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"))
+      .distinct()
+    val f = a.groupBy(col("user_id")).agg(min(col("day_idx")).as("first_day"))
+    a.join(f, Seq("user_id"))
+      .groupBy(col("day_idx").cast(IntegerType).as("day_idx"))
+      .agg(sum(when(col("day_idx") === col("first_day"), 1).otherwise(0)).cast(LongType)
+        .as("new_users"),
+        sum(when(col("day_idx") > col("first_day"), 1).otherwise(0)).cast(LongType)
+          .as("returning_users"))
+      .orderBy(col("day_idx"))
+  }
+
+  /** DAU/WAU stickiness per day — "what fraction of the week's users
+    * showed up today", the engagement-quality ratio next to raw
+    * actives. DAU is the day's distinct users; WAU reuses the
+    * trailing-7-day explode (each active day serves the 7 windows it
+    * falls in). Both counts are exact ints; the one divide is
+    * correctly rounded and snapped at 6dp. */
+  val stickiness: GraftOp = GraftOp(
+    "q_stickiness",
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      |  FROM events),
+      |dau AS (SELECT day_idx, count(*) AS dau FROM a GROUP BY 1),
+      |win AS (
+      |  SELECT w.day, a.user_id
+      |  FROM a, LATERAL (SELECT unnest(range(a.day_idx, a.day_idx + 7)) AS day) w),
+      |wau AS (
+      |  SELECT CAST(day AS INT) AS day_idx, count(DISTINCT user_id) AS wau
+      |  FROM win WHERE day <= (SELECT max(day_idx) FROM a) GROUP BY 1)
+      |SELECT CAST(dau.day_idx AS INT) AS day_idx, CAST(dau AS BIGINT) AS dau,
+      |  CAST(wau AS BIGINT) AS wau,
+      |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |FROM dau JOIN wau ON dau.day_idx = wau.day_idx
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"))
+      .distinct()
+    val dau = a.groupBy(col("day_idx")).agg(count(lit(1)).as("dau"))
+    val hi = a.agg(max(col("day_idx")).as("hi"))
+    val wau = a
+      .select(explode(sequence(col("day_idx"), col("day_idx") + 6)).as("day"), col("user_id"))
+      .crossJoin(broadcast(hi))
+      .filter(col("day") <= col("hi"))
+      .groupBy(col("day").cast(IntegerType).as("day_idx"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.select(col("day_idx").cast(IntegerType).as("day_idx"), col("dau"))
+      .join(wau, Seq("day_idx"))
+      .select(col("day_idx"), col("dau").cast(LongType).as("dau"),
+        col("wau").cast(LongType).as("wau"),
+        round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day_idx"))
+  }
+
   /** Gap-filled daily series: per-type daily counts left-joined onto a
     * dense (type × day) spine so silent days appear as zeros —
     * the step dashboards/downsamplers assume and plain GROUP BY can't
@@ -912,7 +988,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, abFunnel, retention, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)
