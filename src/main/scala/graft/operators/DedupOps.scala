@@ -384,11 +384,7 @@ object DedupOps {
       ConnectedComponents.run(s,
         minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
     }.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
-    val stopArr = array(TextOps.stopwords.map(lit): _*)
-    val nTok = size(col("toks"))
-    val quality = lit(0.3) * least(lit(1.0), col("n_chars") / 500.0) +
-      lit(0.4) * (size(array_distinct(col("toks"))) * lit(1.0) / nTok) +
-      lit(0.3) * (size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / nTok)
+    val quality = TextOps.qualityScoreExpr
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), split(col("text"), "\\s+").as("toks"))
     val w = W.partitionBy(col("cluster_id")).orderBy(col("quality").desc, col("doc_id"))

@@ -177,20 +177,30 @@ object EmbedOps {
          |$perSub
          |) ORDER BY vec_id, subspace""".stripMargin
     }) { (s, d) =>
-    val cb = graft.functions.Exprs.pqCodebook(PqM, PqK, PqSub)
-    val u = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        graft.functions.Exprs.unit(graft.functions.Exprs.vecAsDouble(col("embedding"))).as("u"))
-    val subCodes = (0 until PqM).map { j =>
-      val sub = slice(col("u"), j * PqSub + 1, PqSub)
-      val scores = array(cb(j).map(p => graft.functions.Exprs.dot(sub, typedLit(p))): _*)
-      struct(lit(j).as("subspace"),
-        (array_position(scores, array_max(scores)) - 1).cast(IntegerType).as("code"))
-    }
-    u.select(col("vec_id"), explode(array(subCodes: _*)).as("c"))
-      .select(col("vec_id"), col("c.subspace").as("subspace"), col("c.code").as("code"))
+    pqCodes(s, d)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "subspace", "code")
       .orderBy(col("vec_id"), col("subspace"))
   }
+
+  /** The encoded PQ corpus (vec_id, u, codes) — ONE registry-persisted
+    * frame per session+dir, read by BOTH the encode op and KnnOps' ADC
+    * server: the build/serve split means the served index IS the
+    * emitted one, never a second encode. */
+  private[operators] def pqCodes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.CachedPlans.cached(s, s"emb.pqCodes:$d") {
+      val cb = graft.functions.Exprs.pqCodebook(PqM, PqK, PqSub)
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.Exprs.unit(graft.functions.Exprs.vecAsDouble(col("embedding"))).as("u"))
+      val codeCols = (0 until PqM).map { j =>
+        val sub = slice(col("u"), j * PqSub + 1, PqSub)
+        val scores = array(cb(j).map(p => graft.functions.Exprs.dot(sub, typedLit(p))): _*)
+        (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
+      }
+      u.withColumn("codes", array(codeCols: _*))
+    }
 
   val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode)
 }

@@ -425,7 +425,8 @@ object EventsAnalytics {
       |m2 AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1),
       |r AS (
       |  SELECT event_id, dev.event_type, (value - med) / (1.4826 * mad) AS rz
-      |  FROM dev JOIN m2 ON dev.event_type = m2.event_type)
+      |  FROM dev JOIN m2 ON dev.event_type = m2.event_type
+      |  WHERE mad > 0)
       |SELECT event_id, event_type, round(rz, 6) AS robust_z
       |FROM r WHERE abs(rz) > 3.5 ORDER BY event_id""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
@@ -437,6 +438,11 @@ object EventsAnalytics {
     val mad = dev.groupBy(col("event_type"))
       .agg(percentile(col("ad"), lit(0.5)).as("mad"))
     dev.join(broadcast(mad), Seq("event_type"))
+      // MAD = 0 (≥half the values AT the median — discretized metrics)
+      // leaves the score undefined: Spark's non-ANSI divide gives NULL
+      // (row dropped) where DuckDB gives ±inf (row kept) — filter the
+      // degenerate groups explicitly on BOTH sides
+      .filter(col("mad") > 0)
       .select(col("event_id"), col("event_type"),
         ((col("value") - col("med")) / (lit(1.4826) * col("mad"))).as("rz"))
       .filter(abs(col("rz")) > 3.5)

@@ -269,20 +269,10 @@ object KnnOps {
     import EmbedOps.{PqK, PqM, PqSub}
     val pool = 100
     val cb = graft.functions.Exprs.pqCodebook(PqM, PqK, PqSub)
-    // the encoded corpus (vec_id, u, codes) — built once per
-    // session+dir and shared, the build/serve split the index family
-    // uses throughout
-    val codes = graft.CachedPlans.cached(s, s"knn.pqCodes:$d") {
-      val u = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
-      val codeCols = (0 until PqM).map { j =>
-        val sub = slice(col("u"), j * PqSub + 1, PqSub)
-        val scores = array(cb(j).map(p => Exprs.dot(sub, typedLit(p))): _*)
-        (array_position(scores, array_max(scores)) - 1).cast(IntegerType)
-      }
-      u.withColumn("codes", array(codeCols: _*))
-    }
+    // the encoded corpus (vec_id, u, codes) — THE registry-persisted
+    // frame emb_pq_encode emits, shared: the served index IS the
+    // emitted one, one encode per session+dir
+    val codes = EmbedOps.pqCodes(s, d)
     val queries = codes.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("u")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))

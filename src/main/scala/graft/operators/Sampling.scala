@@ -207,8 +207,10 @@ object Sampling {
     * each label, so the subsample is deterministic, append-stable per
     * class, and engine-reproducible. The per-label rank filter is the
     * row_number≤k shape RowNumberLimitToTopK rewrites into the
-    * two-phase TopKPerKeyExec; k arrives as a broadcast scalar (the
-    * min class count), so the plan stays one key shuffle. */
+    * two-phase TopKPerKeyExec — the rule needs a LITERAL bound, so k
+    * (one tiny census aggregate) is resolved driver-side first and
+    * enters the plan as a literal; the per-label path then stays one
+    * key shuffle with map-side partial top-k. */
   val balanced: GraftOp = GraftOp(
     "sample_balanced",
     s"""WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
@@ -222,13 +224,13 @@ object Sampling {
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    val k = e.groupBy(col("label")).agg(count(lit(1)).as("n")).agg(min(col("n")).as("k"))
+    val k = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head.getLong(0).toInt
     val w = Window.partitionBy(col("label"))
       .orderBy(graft.functions.Exprs.md5Long(
         col("vec_id").cast(org.apache.spark.sql.types.StringType)), col("vec_id"))
     e.withColumn("rn", row_number().over(w))
-      .crossJoin(broadcast(k))
-      .filter(col("rn") <= col("k"))
+      .filter(col("rn") <= lit(k))
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
   }

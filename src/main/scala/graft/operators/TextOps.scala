@@ -20,6 +20,17 @@ object TextOps {
 
   private def tokens: Column = split(col("text"), "\\s+")
 
+  /** The composite quality score over (toks, n_chars) columns — THE
+    * formula text_quality emits; dedup_representative ranks on the
+    * same expression, so keep exactly one copy. */
+  private[operators] def qualityScoreExpr: Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(col("toks"))
+    val ttr = size(array_distinct(col("toks"))) * lit(1.0) / nTok
+    val stopRatio = size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / nTok
+    lit(0.3) * least(lit(1.0), col("n_chars") / 500.0) + lit(0.4) * ttr + lit(0.3) * stopRatio
+  }
+
   /** Quality scoring: length, type-token ratio, stopword ratio, mean
     * word length, and a composite score (identical double-op order on
     * the oracle side, so values match exactly). */
@@ -48,8 +59,7 @@ object TextOps {
         stopRatio.as("stop_ratio"),
         (aggregate(transform(col("toks"), x => length(x)), lit(0), (a, b) => a + b) * lit(1.0) / nTok)
           .as("avg_word_len"),
-        (lit(0.3) * least(lit(1.0), col("n_chars") / 500.0) + lit(0.4) * ttr + lit(0.3) * stopRatio)
-          .as("quality_score"))
+        qualityScoreExpr.as("quality_score"))
       .orderBy(col("doc_id"))
   }
 

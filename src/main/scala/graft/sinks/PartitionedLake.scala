@@ -150,16 +150,24 @@ object PartitionedLake {
     hits.foreach { f =>
       val orig = java.nio.file.Paths.get(new java.net.URI(f))
       val scratch = java.nio.file.Files.createTempDirectory("graft-delete").toFile
-      spark.read.parquet(f)
-        .filter(!col(keyCol).isin(keys: _*))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(scratch.toString)
+      val before = spark.read.parquet(f)
+      // NULL keys are never victims: a bare !isin() is NULL (dropped)
+      // for NULL-key rows, which would silently destroy them
+      val kept = before.filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+      val keptCount = kept.count()
+      kept.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
       val part = scratch.listFiles().find(_.getName.endsWith(".parquet"))
-      java.nio.file.Files.delete(orig)
+      // replacement lands FIRST (fresh name, same dir), the original
+      // goes second — a crash between the two duplicates survivors
+      // (repairable) instead of losing them; a missing scratch part
+      // with survivors expected fails loudly before anything is deleted
+      require(part.isDefined || keptCount == 0L,
+        s"deleteKeys: scratch write for $f produced no parquet part but $keptCount rows survive")
       part.foreach { p =>
         java.nio.file.Files.move(p.toPath,
           orig.getParent.resolve(s"part-del-${java.util.UUID.randomUUID()}.parquet"))
       }
+      java.nio.file.Files.delete(orig)
     }
     (hits.length.toLong, total)
   }

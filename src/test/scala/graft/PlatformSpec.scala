@@ -54,6 +54,20 @@ class PlatformSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(native.length > 0 && native.sameElements(sql),
       s"native=${native.length} sessions, sql=${sql.length}")
+    // boundary semantics AGREE: session_window's gap is inclusive
+    // (next event at exactly t+gap extends the session), matching
+    // q_session's `ts > prev + gap` split condition — pin it so a
+    // Spark behavior change can't silently break the parity above
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val atGap = Seq((1L, t0), (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+      .toDF("user_id", "ts")
+    assert(atGap.groupBy(col("user_id"), session_window(col("ts"), gap)).count().count() === 1L,
+      "session_window must MERGE an exactly-gap pair (inclusive gap, like q_session)")
+    val pastGap = Seq((1L, t0), (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:01")))
+      .toDF("user_id", "ts")
+    assert(pastGap.groupBy(col("user_id"), session_window(col("ts"), gap)).count().count() === 2L,
+      "session_window must SPLIT past the gap")
   }
 
   test("observe(): ETL metrics ride the action for free (no second scan)") {

@@ -179,7 +179,7 @@ class SketchLawsSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark
     val plan = graft.operators.EventsAnalytics.bitmapRollup
       .run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
-    assert(plan.contains("partial_bitmap_agg") || plan.contains("partial_"),
-      s"expected partial aggregation in plan:\n$plan")
+    assert(plan.contains("partial_bitmap_agg"),
+      s"expected partial_bitmap_agg in plan (complete-mode fallback would mean no map-side state):\n$plan")
   }
 }
