@@ -133,5 +133,48 @@ object AffinityOps {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase, rfm)
+  /** Open-order backlog curve by SWEEP LINE — "how many orders were
+    * open on each day" (placed, not yet first-shipped): the interval-
+    * counting question naive plans answer with an O(|orders|·|days|)
+    * day-spine join. The sweep compresses each interval to ±1 deltas
+    * at its endpoints, aggregates deltas per day (one fact-sized
+    * shuffle), and cumulative-sums the |days|-row delta table — the
+    * global window runs over the DAY SPINE (thousands of rows at any
+    * corpus size), never the orders, which is what makes the
+    * unpartitioned window safe here. All-integer state: counts can't
+    * drift. */
+  val backlog: GraftOp = GraftOp(
+    "q_backlog",
+    """WITH fs AS (
+      |  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+      |  FROM lineitem GROUP BY 1),
+      |iv AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS open_d, first_ship
+      |  FROM orders JOIN fs ON o_orderkey = l_orderkey
+      |  WHERE first_ship > CAST(o_orderdate AS DATE)),
+      |ev AS (
+      |  SELECT open_d AS day, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT first_ship AS day, -1 AS delta FROM iv),
+      |agg AS (SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM ev GROUP BY 1)
+      |SELECT day, CAST(sum(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+      |FROM agg ORDER BY day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val fs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val iv = Tables.orders(s, d)
+      .join(fs, col("o_orderkey") === col("l_orderkey"))
+      .select(to_date(col("o_orderdate")).as("open_d"), col("first_ship"))
+      .filter(col("first_ship") > col("open_d"))
+    val ev = iv.select(col("open_d").as("day"), lit(1).as("delta"))
+      .unionAll(iv.select(col("first_ship").as("day"), lit(-1).as("delta")))
+    val agg = ev.groupBy(col("day")).agg(sum(col("delta")).cast("long").as("d"))
+    // spine-sized frame: the window input is |distinct days| rows
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.select(col("day"), sum(col("d")).over(w).cast("long").as("backlog"))
+      .orderBy(col("day"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog)
 }
