@@ -19,7 +19,12 @@ object ExplainCheck {
     val intendedBnl =
       Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute", "text_tfidf",
         "knn_classify", "q_gap_fill", "lake_zorder", "q11_value_share", "q_interpolate",
-        "q_trailing_active", "q_hll_trailing", "knn_filtered")
+        "q_trailing_active", "q_hll_trailing", "knn_filtered",
+        // r4c single-row scalar-aggregate broadcasts (corpus totals,
+        // percentile cuts, census minima, max-ts anchors) — each BNL's
+        // build side is exactly one row, the free scalar-subquery shape
+        "q_chi_square", "q_copurchase", "q_cusum", "q_decay", "q_rfm",
+        "q_stickiness", "sample_temperature", "text_bm25", "text_pmi")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString
