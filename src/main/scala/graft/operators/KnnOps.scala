@@ -307,5 +307,47 @@ object KnnOps {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc)
+  /** Hard-negative mining for contrastive training (the dense-
+    * retrieval data-prep step: negatives that are CLOSE to the anchor
+    * but differently labeled teach the margin; random negatives are
+    * trivially separable and waste batch slots). Per anchor, the top-5
+    * highest-cosine corpus vectors whose label differs — exactly the
+    * brute-force scan shape (anchors broadcast, corpus never
+    * shuffled) with the label-mismatch predicate fused into the scan,
+    * then the per-anchor top-k window (TopKPerKeyExec after the
+    * rewrite). */
+  val hardNegatives: GraftOp = GraftOp(
+    "knn_hard_negatives",
+    s"""WITH raw AS (SELECT vec_id, label, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |v AS (SELECT vec_id, label, ${Exprs.sqlUnit("e")} AS u FROM raw),
+       |q AS (SELECT vec_id, label, u FROM v WHERE vec_id < 20),
+       |s AS (
+       |  SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id, c.label AS neg_label,
+       |    ${Exprs.sqlDot("q.u", "c.u")} AS cos
+       |  FROM q JOIN v c ON c.vec_id <> q.vec_id AND c.label <> q.label),
+       |r AS (
+       |  SELECT anchor_id, negative_id, neg_label, cos,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, negative_id) AS rn
+       |  FROM s)
+       |SELECT anchor_id, negative_id, neg_label, round(cos, 6) AS cos_sim, rn
+       |FROM r WHERE rn <= 5 ORDER BY anchor_id, rn""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val q = v.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("label").as("alabel"), col("u").as("qu"))
+    val byAnchor = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("negative_id"))
+    v.join(broadcast(q),
+        col("vec_id") =!= col("anchor_id") && col("label") =!= col("alabel"))
+      .select(col("anchor_id"), col("vec_id").as("negative_id"),
+        col("label").as("neg_label"), Exprs.dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rn", row_number().over(byAnchor))
+      .filter(col("rn") <= 5)
+      .select(col("anchor_id"), col("negative_id"), col("neg_label"),
+        round(col("cos"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("anchor_id"), col("rn"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives)
 }

@@ -302,6 +302,41 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum tiers: documents bucketed into quality quartiles —
+    * the curriculum-learning prep step (train easy/clean tiers first,
+    * or weight tiers differently in the mix). Same ntile-free quantile
+    * assignment as q_rfm: one exact-percentile aggregate over the
+    * corpus quality score (the shared text_quality expression),
+    * broadcast back, tier = CASE-sum of boundary compares — pure map,
+    * no global sort. Parity: the score is the hash-green quality
+    * expression and the cuts are the same interpolated doubles. */
+  val curriculum: GraftOp = GraftOp(
+    "text_curriculum",
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.3 * least(1.0, n_chars / 500.0)
+       |      + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+       |      + 0.3 * (len(list_filter(toks, x -> list_contains($sqlStopList, x))) * 1.0 / len(toks)) AS quality
+       |  FROM t),
+       |cuts AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS c FROM q)
+       |SELECT doc_id, round(quality, 6) AS quality,
+       |  1 + (CASE WHEN quality > c[1] THEN 1 ELSE 0 END)
+       |    + (CASE WHEN quality > c[2] THEN 1 ELSE 0 END)
+       |    + (CASE WHEN quality > c[3] THEN 1 ELSE 0 END) AS tier
+       |FROM q CROSS JOIN cuts ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), tokens.as("toks"))
+      .select(col("doc_id"), qualityScoreExpr.as("quality"))
+    val cuts = q.agg(percentile(col("quality"), typedLit(Seq(0.25, 0.5, 0.75))).as("c"))
+    val tier = (1 to 3).map(i => when(col("quality") > col("c")(i - 1), 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    q.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"), tier.as("tier"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene/
     * Elasticsearch default scorer) for a keyword query — the text-
     * SEARCH member of the text family: score(d) = Σ_t idf_t ·
@@ -532,6 +567,6 @@ object TextOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, tfidf,
+    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, tfidf,
       decontam, piiRedact, normalize, chunks)
 }
