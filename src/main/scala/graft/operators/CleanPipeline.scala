@@ -82,5 +82,56 @@ object CleanPipeline {
     withQuality(docs)
       .filter(col("quality_score") >= 0.38 && col("en_ratio") >= 0.05)
 
-  val ops: Seq[GraftOp] = Seq(clean)
+  /** The full corpus-PREP composition: clean (quality + language +
+    * exact-dup + near-dup, the pipeline above) → deterministic
+    * train/val/test split → per-split volume report (doc count, total
+    * chars, mean quality) — the one-op answer to "what does my
+    * training mix look like after curation", built entirely from
+    * oracle-green stages so the composition itself is hash-checked.
+    * The split is the sample_split hash contract (append-stable: a
+    * corpus refresh never moves a surviving doc across splits). */
+  val prepare: GraftOp = GraftOp(
+    "pipeline_prepare",
+    s"""WITH RECURSIVE ${DedupOps.sqlMinhashVerified},
+       |${DedupOps.sqlClusterWalk},
+       |noncanon AS (SELECT doc FROM walk GROUP BY doc HAVING min(label) <> doc),
+       |q AS (
+       |  SELECT d.doc_id, d.n_chars, t.toks,
+       |    row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+       |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_chars, rn,
+       |    len(list_filter(toks, x -> list_contains(${TextOps.sqlStopList}, x))) * 1.0 / len(toks) AS en_ratio,
+       |    0.3 * least(1.0, n_chars / 500.0)
+       |      + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+       |      + 0.3 * (len(list_filter(toks, x -> list_contains(${TextOps.sqlStopList}, x))) * 1.0 / len(toks)) AS quality_score
+       |  FROM q),
+       |kept AS (
+       |  SELECT doc_id, n_chars, quality_score FROM scored
+       |  WHERE quality_score >= 0.38 AND en_ratio >= 0.05 AND rn = 1
+       |    AND doc_id NOT IN (SELECT doc FROM noncanon)),
+       |labeled AS (
+       |  SELECT n_chars, quality_score,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |         WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM kept)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  round(CAST(sum(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mean_quality
+       |FROM labeled GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val bucket = graft.functions.Exprs.md5Long(
+      col("doc_id").cast(org.apache.spark.sql.types.StringType)) % 100
+    clean.run(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("n_chars"),
+        col("quality_score").cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("q"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 6).as("mean_quality"))
+      .orderBy(col("split"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(clean, prepare)
 }
