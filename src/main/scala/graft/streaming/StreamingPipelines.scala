@@ -438,6 +438,29 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming FIRST-SEEN detection — emit each user exactly once, on
+    * their first event (the new-user signal feeding acquisition
+    * dashboards; the streaming half of batch q_new_returning's
+    * first-day split). State is ONE BOOLEAN per user; re-delivered or
+    * later events emit nothing, so the output stream is
+    * replay-idempotent BY CONSTRUCTION — at-least-once upstream
+    * delivery cannot double-count a signup. */
+  def firstSeenStream(events: Dataset[UpsertRow])(
+      implicit spark: SparkSession): Dataset[(Long, java.sql.Timestamp)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, (Long, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = it.minBy(e => (e.ts.getTime, e.event_id))
+            Iterator((uid, first.ts))
+          }
+      }
+  }
+
   final case class EwmaState(n: Long, ewma: Double)
 
   /** Streaming per-user EWMA — incremental twin of batch `q_ewma`,

@@ -70,6 +70,41 @@ class PlatformSpec extends AnyFunSuite {
       "session_window must SPLIT past the gap")
   }
 
+  test("CSV malformed-record routing: corrupt rows quarantined, clean rows typed") {
+    // source-boundary dirty routing — the reference quarantines records
+    // failing the field check AFTER parse (MyKafkaDeserializationSchema);
+    // PERMISSIVE + columnNameOfCorruptRecord is the same contract at the
+    // file-source boundary: bad lines land in a quarantine column
+    // instead of killing the job or silently vanishing
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("data.csv"),
+      """id,amount,label
+        |1,10.5,ok
+        |2,notanumber,bad-amount
+        |3,30.25,ok
+        |garbage line with no commas at all extra
+        |5,50.0,ok
+        |""".stripMargin)
+    val schema = "id INT, amount DOUBLE, label STRING, _corrupt STRING"
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema)
+      .csv(dir.toString)
+      .cache() // corrupt-column reads need the parsed batch materialized
+    try {
+      val clean = df.filter(col("_corrupt").isNull)
+      val dirty = df.filter(col("_corrupt").isNotNull)
+      assert(clean.count() === 3)
+      assert(dirty.count() === 2, "both malformed lines must be quarantined")
+      assert(clean.agg(sum(col("amount"))).head.getDouble(0) === 90.75)
+      // the quarantine column preserves the raw line for replay/debug
+      val rawLines = dirty.select(col("_corrupt")).collect().map(_.getString(0))
+      assert(rawLines.exists(_.contains("notanumber")))
+    } finally df.unpersist()
+  }
+
   test("observe(): ETL metrics ride the action for free (no second scan)") {
     val obs = new org.apache.spark.sql.Observation("etl")
     val df = graft.sources.Tables.events(spark, sf)

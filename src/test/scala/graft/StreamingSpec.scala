@@ -530,6 +530,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming first-seen emits each user once; replay emits nothing") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.firstSeenStream(mem.toDS())
+      .toDF("user_id", "first_ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("firstseen_out").start()
+    try {
+      mem.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      // at-least-once replay: re-deliver the whole second half
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("firstseen_out")
+        .collect().map(r => r.getLong(0) -> r.getTimestamp(1))
+      assert(got.map(_._1).distinct.length === got.length,
+        "a user must be emitted exactly once across triggers AND replays")
+      // matches the batch first-event per user (ordered arrival)
+      val batch = rows.groupBy(_.user_id)
+        .map { case (u, es) => u -> es.minBy(e => (e.ts.getTime, e.event_id)).ts }
+      assert(got.toMap === batch)
+    } finally q.stop()
+  }
+
   test("streaming EWMA equals batch q_ewma under event-time-ordered arrival") {
     implicit val s = spark
     import s.implicits._
