@@ -241,6 +241,42 @@ object EventsAnalytics {
       .orderBy(col("day_idx"))
   }
 
+  /** Week-over-week growth per event type — the dashboard staple
+    * "how did this week compare": weekly counts (integer week index =
+    * day_idx div 7 from the fixed epoch — no ISO-week conventions to
+    * disagree on), lag(1) over the per-type weekly series, growth =
+    * exact-integer delta and a 6dp-snapped ratio. The window runs over
+    * the |types|×|weeks| aggregate (spine-sized), never the events. */
+  val wowGrowth: GraftOp = GraftOp(
+    "q_wow_growth",
+    """WITH w AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INT) AS week_idx,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, week_idx, n,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev_n
+      |  FROM w)
+      |SELECT event_type, week_idx, n, CAST(n - prev_n AS BIGINT) AS delta,
+      |  round(CAST(n AS DOUBLE) / prev_n - 1.0, 6) AS growth
+      |FROM l WHERE prev_n IS NOT NULL
+      |ORDER BY event_type, week_idx""".stripMargin) { (s, d) =>
+    val w = Tables.events(s, d)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)) / 7)
+          .cast(IntegerType).as("week_idx"))
+      .groupBy(col("event_type"), col("week_idx"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("week_idx"))
+    w.withColumn("prev_n", lag(col("n"), 1).over(byType))
+      .filter(col("prev_n").isNotNull)
+      .select(col("event_type"), col("week_idx"), col("n"),
+        (col("n") - col("prev_n")).cast(LongType).as("delta"),
+        round(col("n").cast(DoubleType) / col("prev_n") - 1.0, 6).as("growth"))
+      .orderBy(col("event_type"), col("week_idx"))
+  }
+
   /** Gap-filled daily series: per-type daily counts left-joined onto a
     * dense (type × day) spine so silent days appear as zeros —
     * the step dashboards/downsamplers assume and plain GROUP BY can't
@@ -994,7 +1030,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)
