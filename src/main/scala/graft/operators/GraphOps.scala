@@ -22,6 +22,7 @@ object GraphOps {
   private val Damping = 0.85
   private val Iters = 10
   private val HitsIters = 8
+  private val LpaRounds = 6
 
   /** PageRank over the nation trade graph (supplier nation → customer
     * nation edges derived from lineitem⋈orders⋈supplier⋈customer).
@@ -363,6 +364,77 @@ object GraphOps {
       .orderBy(col("jaccard").desc, col("pa"), col("pb"))
   }
 
+  /** Label-propagation communities (Raghavan et al. 2007) over the
+    * sparsified trade graph — the near-linear community detector
+    * (PageRank ranks, k-core filters, LPA PARTITIONS). SYNCHRONOUS
+    * rounds with a total-order tie-break ((count desc, label asc) —
+    * asynchronous/random LPA is non-deterministic and could never be
+    * oracle-checked), fixed 6 rounds: each round is one adjacency ⋈
+    * labels join + a per-node majority argmax — the same
+    * co-partitioned join-aggregate shape as the PageRank loop, with
+    * the same snapshot/release generation lifecycle. The oracle
+    * unrolls the 6 rounds as MATERIALIZED CTEs. */
+  val lpa: GraftOp = GraftOp(
+    "graph_lpa", {
+      val base = s"""WITH e0 AS (
+        |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |    AND o_custkey = c_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND n1.n_nationkey <> n2.n_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+        |e AS MATERIALIZED (SELECT u, v FROM und
+        |  WHERE ${graft.functions.Exprs.sqlMd5Long("concat(u, '|', v)")} % 4 = 0),
+        |nb AS MATERIALIZED (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS MATERIALIZED (
+        |  SELECT DISTINCT x AS node, x AS lbl FROM nb)""".stripMargin
+      val rounds = (1 to LpaRounds).map { k =>
+        s"""l$k AS MATERIALIZED (
+           |  SELECT node, lbl FROM (
+           |    SELECT t.node, t.lbl,
+           |      row_number() OVER (PARTITION BY t.node ORDER BY t.c DESC, t.lbl) AS rn
+           |    FROM (
+           |      SELECT nb.x AS node, l.lbl, count(*) AS c
+           |      FROM nb JOIN l${k - 1} l ON l.node = nb.y
+           |      GROUP BY 1, 2) t)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"""$base$rounds
+         |SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node""".stripMargin
+    }) { (s, d) =>
+    val e = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    lpaFrom(e, LpaRounds).orderBy(col("node"))
+  }
+
+  /** The synchronous LPA loop over an undirected (u, v) edge frame. */
+  private[graft] def lpaFrom(rawEdges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val edges = ConnectedComponents.snapshot(rawEdges)
+    val nb = ConnectedComponents.snapshot(
+      edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y"))))
+    var labels: DataFrame = ConnectedComponents.snapshot(
+      nb.select(col("x").as("node")).distinct().withColumn("lbl", col("node")))
+    val byNode = W.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
+    (1 to rounds).foreach { _ =>
+      val next = ConnectedComponents.snapshot(
+        nb.join(labels.select(col("node").as("y"), col("lbl")), Seq("y"))
+          .groupBy(col("x").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(byNode))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("lbl")))
+      ConnectedComponents.release(labels)
+      labels = next
+    }
+    Seq(edges, nb).foreach(ConnectedComponents.release)
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** k-core decomposition (k=4) by iterative peeling over the
     * deterministically sparsified trade graph — the community-density /
     * graph-cleaning primitive (keep only nodes with ≥k neighbors that
@@ -448,5 +520,5 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank, hits, triangles, kcore, jaccard)
+  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard)
 }

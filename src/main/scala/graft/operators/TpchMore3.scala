@@ -80,38 +80,47 @@ object TpchMore3 {
   val q2MinCost: GraftOp = GraftOp(
     "q2_min_cost",
     """WITH cost AS (
-      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+      |        // CAST(l_quantity AS BIGINT)) AS unit_e4
       |  FROM lineitem GROUP BY 1, 2),
       |rsupp AS (
       |  SELECT s_suppkey, s_name, n_name FROM supplier, nation, region
       |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |    AND r_name = 'EUROPE'),
       |c2 AS (
-      |  SELECT l_partkey, unit_cost, s_name, n_name
+      |  SELECT l_partkey, unit_e4, s_name, n_name
       |  FROM cost JOIN rsupp ON l_suppkey = s_suppkey),
-      |m AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM c2 GROUP BY 1)
-      |SELECT p_partkey, p_name, s_name, n_name, round(unit_cost, 4) AS unit_cost
+      |m AS (SELECT l_partkey, min(unit_e4) AS min_e4 FROM c2 GROUP BY 1)
+      |SELECT p_partkey, p_name, s_name, n_name, unit_e4 / 10000.0 AS unit_cost
       |FROM c2
-      |JOIN m ON c2.l_partkey = m.l_partkey AND c2.unit_cost = m.min_cost
+      |JOIN m ON c2.l_partkey = m.l_partkey AND c2.unit_e4 = m.min_e4
       |JOIN part ON p_partkey = c2.l_partkey
       |WHERE p_size <= 10
       |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin) { (s, d) =>
+    // unit cost in EXACT 1e-4-dollar integer units (price-cents·100 div
+    // integer quantity): min/tie/equality all run on integers, and the
+    // one float op left is an exact-int /10000 at emit — a round(x, 4)
+    // of the double quotient was caught landing one step apart across
+    // engines at sf0.1 (the §6 round() midpoint gotcha)
     val cost = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .agg(min(expr(
+        "cast(round(l_extendedprice * 100) as bigint) * 100 div cast(l_quantity as bigint)"))
+        .as("unit_e4"))
     val rsupp = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
     val c2 = cost.join(broadcast(rsupp), col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_partkey"), col("unit_cost"), col("s_name"), col("n_name"))
-    val m = c2.groupBy(col("l_partkey").as("m_partkey")).agg(min(col("unit_cost")).as("min_cost"))
-    c2.join(m, col("l_partkey") === col("m_partkey") && col("unit_cost") === col("min_cost"))
+      .select(col("l_partkey"), col("unit_e4"), col("s_name"), col("n_name"))
+    val m = c2.groupBy(col("l_partkey").as("m_partkey")).agg(min(col("unit_e4")).as("min_e4"))
+    c2.join(m, col("l_partkey") === col("m_partkey") && col("unit_e4") === col("min_e4"))
       .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 10)),
         col("p_partkey") === col("l_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
-        round(col("unit_cost"), 4).as("unit_cost"))
+        (col("unit_e4") / 10000.0).as("unit_cost"))
       .orderBy(col("p_partkey"), col("s_name"))
       .limit(100)
   }
