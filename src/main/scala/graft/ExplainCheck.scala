@@ -24,7 +24,9 @@ object ExplainCheck {
         // percentile cuts, census minima, max-ts anchors) — each BNL's
         // build side is exactly one row, the free scalar-subquery shape
         "q_chi_square", "q_copurchase", "q_cusum", "q_decay", "q_rfm",
-        "q_stickiness", "sample_temperature", "text_bm25", "text_pmi")
+        "q_stickiness", "sample_temperature", "text_bm25", "text_pmi",
+        // broadcast anchor-set scan (knn_brute family) / 1-row cuts
+        "knn_hard_negatives", "text_curriculum")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString

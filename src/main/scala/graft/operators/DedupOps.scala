@@ -334,16 +334,21 @@ object DedupOps {
        |$sqlClusterWalk
        |SELECT doc AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY doc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // star-contraction (default) or propagation — see ConnectedComponents.
-    // The labels are registry-persisted: pipeline_clean re-reads them
-    // without re-running the contraction loop.
-    val labels = graft.CachedPlans.cached(s, s"dedup.clusterLabels:$d") {
+    clusterLabels(s, d)
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registry-persisted near-dup cluster labels (doc, label) — ONE
+    * cache key, shared by dedup_clusters, dedup_representative and
+    * pipeline_clean so no two ops can materialize divergent
+    * labelings. Star-contraction (default) or propagation — see
+    * ConnectedComponents. */
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"dedup.clusterLabels:$d") {
       ConnectedComponents.run(s,
         minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
     }
-    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
-  }
 
   /** Cluster-representative selection BY QUALITY — the curation policy
     * on top of [[clusters]]: instead of "keep the first copy", keep
@@ -380,10 +385,8 @@ object DedupOps {
        |  CAST(n_members AS BIGINT) AS n_members
        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.{Window => W}
-    val labels = graft.CachedPlans.cached(s, s"dedup.clusterLabels:$d") {
-      ConnectedComponents.run(s,
-        minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    }.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    val labels = clusterLabels(s, d)
+      .select(col("doc").as("doc_id"), col("label").as("cluster_id"))
     val quality = TextOps.qualityScoreExpr
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), split(col("text"), "\\s+").as("toks"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftOp
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -63,7 +64,15 @@ object EventsAnalytics {
       |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |         LEFT JOIN s3 USING (user_id))
       |SELECT depth, count(*) AS n_users FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val ev = Tables.events(s, d)
+    funnelDepths(Tables.events(s, d))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
+  /** Per-user funnel depth frame (user_id, depth) — the shared
+    * signup→view→purchase stage construction q_funnel and q_ab_funnel
+    * both aggregate; one definition so the two can't drift. */
+  private def funnelDepths(ev: DataFrame): DataFrame = {
     val u = ev.select(col("user_id")).distinct()
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
@@ -76,13 +85,11 @@ object EventsAnalytics {
     u.join(s1, Seq("user_id"), "left")
       .join(s2, Seq("user_id"), "left")
       .join(s3, Seq("user_id"), "left")
-      .select(
+      .select(col("user_id"),
         when(col("t3").isNotNull, 3)
           .when(col("t2").isNotNull, 2)
           .when(col("t1").isNotNull, 1)
           .otherwise(0).as("depth"))
-      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
-      .orderBy(col("depth"))
   }
 
   /** A/B experiment readout: users assigned to variants by the
@@ -113,28 +120,11 @@ object EventsAnalytics {
        |         LEFT JOIN s3 USING (user_id))
        |SELECT variant, depth, count(*) AS n_users FROM d
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val ev = Tables.events(s, d)
-    val v = ev.select(col("user_id")).distinct()
-      .withColumn("variant",
-        when(graft.functions.Exprs.md5Long(
-          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B"))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.join(s1, Seq("user_id"))
-      .filter(col("event_type") === "view" && col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = ev.join(s2, Seq("user_id"))
-      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    v.join(s1, Seq("user_id"), "left")
-      .join(s2, Seq("user_id"), "left")
-      .join(s3, Seq("user_id"), "left")
-      .select(col("variant"),
-        when(col("t3").isNotNull, 3)
-          .when(col("t2").isNotNull, 2)
-          .when(col("t1").isNotNull, 1)
-          .otherwise(0).as("depth"))
-      .groupBy(col("variant"), col("depth")).agg(count(lit(1)).as("n_users"))
+    val variant =
+      when(graft.functions.Exprs.md5Long(
+        col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B")
+    funnelDepths(Tables.events(s, d))
+      .groupBy(variant.as("variant"), col("depth")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("variant"), col("depth"))
   }
 

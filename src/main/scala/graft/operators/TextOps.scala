@@ -20,16 +20,22 @@ object TextOps {
 
   private def tokens: Column = split(col("text"), "\\s+")
 
-  /** The composite quality score over (toks, n_chars) columns — THE
-    * formula text_quality emits; dedup_representative ranks on the
-    * same expression, so keep exactly one copy. */
-  private[operators] def qualityScoreExpr: Column = {
+  /** The deterministic quality FEATURE columns over (toks, n_chars) —
+    * single source for every consumer: the quality score, the model
+    * gate's features, dedup_representative's ranking. */
+  private[operators] def fLen: Column = least(lit(1.0), col("n_chars") / 500.0)
+  private[operators] def fTtr: Column =
+    size(array_distinct(col("toks"))) * lit(1.0) / size(col("toks"))
+  private[operators] def fStop: Column = {
     val stopArr = array(stopwords.map(lit): _*)
-    val nTok = size(col("toks"))
-    val ttr = size(array_distinct(col("toks"))) * lit(1.0) / nTok
-    val stopRatio = size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / nTok
-    lit(0.3) * least(lit(1.0), col("n_chars") / 500.0) + lit(0.4) * ttr + lit(0.3) * stopRatio
+    size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / size(col("toks"))
   }
+
+  /** The composite quality score — THE formula text_quality emits;
+    * dedup_representative ranks on the same expression, so keep
+    * exactly one copy. */
+  private[operators] def qualityScoreExpr: Column =
+    lit(0.3) * fLen + lit(0.4) * fTtr + lit(0.3) * fStop
 
   /** Quality scoring: length, type-token ratio, stopword ratio, mean
     * word length, and a composite score (identical double-op order on
@@ -286,13 +292,8 @@ object TextOps {
        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS prob,
        |  CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 THEN 1 ELSE 0 END AS keep
        |FROM z ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val stopArr = array(stopwords.map(lit): _*)
-    val nTok = size(col("toks"))
-    val fLen = least(lit(1.0), col("n_chars") / 500.0)
-    val fTtr = size(array_distinct(col("toks"))) * lit(1.0) / nTok
-    val fStop = size(filter(col("toks"), x => array_contains(stopArr, x))) * lit(1.0) / nTok
     val fAwl = aggregate(transform(col("toks"), x => length(x)), lit(0), (a, b) => a + b) *
-      lit(1.0) / nTok / 10.0
+      lit(1.0) / size(col("toks")) / 10.0
     val z = lit(1.2) * fLen + lit(2.0) * fTtr + lit(1.5) * fStop - lit(0.2) * fAwl - 2.0
     val prob = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
     Tables.documents(s, d)
