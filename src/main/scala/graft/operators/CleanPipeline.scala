@@ -117,7 +117,8 @@ object CleanPipeline {
        |         ELSE 'test' END AS split
        |  FROM kept)
        |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       |  round(CAST(sum(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mean_quality
+       |  ((CAST(sum(CAST(quality_score AS DECIMAL(18,9))) * 1000000000 AS BIGINT) * 10
+       |    // (count(*) * 1000) + 5) // 10) / 1000000.0 AS mean_quality
        |FROM labeled GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val bucket = graft.functions.Exprs.md5Long(
       col("doc_id").cast(org.apache.spark.sql.types.StringType)) % 100
@@ -129,7 +130,10 @@ object CleanPipeline {
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),
-        round(sum(col("q")).cast("double") / count(lit(1)), 6).as("mean_quality"))
+        // integer half-up at 6dp of the exact rational Σq/n — a double
+        // round() of an exact rational is the §6 midpoint gotcha
+        (expr("(cast(sum(q) * 1000000000 as bigint) * 10 div (count(1) * 1000) + 5) div 10")
+          / 1000000.0).as("mean_quality"))
       .orderBy(col("split"))
   }
 

@@ -497,8 +497,8 @@ object EventsAnalytics {
       |    CAST(least(greatest(e.value, lo), hi) AS DECIMAL(18,6)) AS w
       |  FROM events e JOIN qs ON e.event_type = qs.event_type)
       |SELECT event_type, count(*) AS n,
-      |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS raw_mean,
-      |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS wins_mean
+      |  ((CAST(sum(v) * 1000000 AS BIGINT) * 10 // count(*) + 5) // 10) / 1000000.0 AS raw_mean,
+      |  ((CAST(sum(w) * 1000000 AS BIGINT) * 10 // count(*) + 5) // 10) / 1000000.0 AS wins_mean
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d).select(col("event_type"), col("value"))
     val qs = e.groupBy(col("event_type"))
@@ -511,8 +511,10 @@ object EventsAnalytics {
           .cast(DecimalType(18, 6)).as("w"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("v")).cast(DoubleType) / count(lit(1)), 6).as("raw_mean"),
-        round(sum(col("w")).cast(DoubleType) / count(lit(1)), 6).as("wins_mean"))
+        (expr("(cast(sum(v) * 1000000 as bigint) * 10 div count(1) + 5) div 10") / 1000000.0)
+          .as("raw_mean"),
+        (expr("(cast(sum(w) * 1000000 as bigint) * 10 div count(1) + 5) div 10") / 1000000.0)
+          .as("wins_mean"))
       .orderBy(col("event_type"))
   }
 
