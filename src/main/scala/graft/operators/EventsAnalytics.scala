@@ -231,6 +231,49 @@ object EventsAnalytics {
       .orderBy(col("day_idx"))
   }
 
+  /** Daily-volume anomaly days — which DAYS were abnormal (incident
+    * detection on the ingest pipeline itself, vs q_outliers' abnormal
+    * EVENTS): per-type daily counts, exact integer moments over the
+    * |types|×|days| aggregate, flag |z| > 2. All counts and moment
+    * sums are exact integers (n·Σx², Σx are longs), the z-score is
+    * assembled from identical doubles and snapped at 6dp — the
+    * q_outliers parity argument one level up. */
+  val anomalyDays: GraftOp = GraftOp(
+    "q_anomaly_days",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day_idx,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS k,
+      |    CAST(sum(n) AS DOUBLE) AS s1, CAST(sum(n * n) AS DOUBLE) AS s2
+      |  FROM c GROUP BY 1),
+      |z AS (
+      |  SELECT c.event_type, day_idx, n,
+      |    (n - s1 / k) / sqrt(s2 / k - (s1 / k) * (s1 / k)) AS zs
+      |  FROM c JOIN st ON c.event_type = st.event_type)
+      |SELECT event_type, day_idx, n, round(zs, 6) AS zscore
+      |FROM z WHERE abs(zs) > 2 ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
+          .cast(IntegerType).as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val st = c.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("n")).cast(DoubleType).as("s1"),
+        sum(col("n") * col("n")).cast(DoubleType).as("s2"))
+    val mean = col("s1") / col("k")
+    val zs = (col("n") - mean) / sqrt(col("s2") / col("k") - mean * mean)
+    c.join(broadcast(st), Seq("event_type"))
+      .select(col("event_type"), col("day_idx"), col("n"), zs.as("zs"))
+      .filter(abs(col("zs")) > 2)
+      .select(col("event_type"), col("day_idx"), col("n"), round(col("zs"), 6).as("zscore"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
   /** Week-over-week growth per event type — the dashboard staple
     * "how did this week compare": weekly counts (integer week index =
     * day_idx div 7 from the fixed epoch — no ISO-week conventions to
@@ -1022,7 +1065,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)

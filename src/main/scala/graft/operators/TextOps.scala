@@ -338,6 +338,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source language-mix Shannon entropy — the corpus DIVERSITY
+    * diagnostic (a source whose mix collapsed to one language is a
+    * crawler bug; curation targets a mix, and entropy is the one
+    * number that tracks it). Counts are exact integers; H = −Σ p·ln p
+    * over ≤|languages| terms, snapped at 6dp (libm-ulp noise only —
+    * the transcendental output is not an exact rational, so the
+    * midpoint gotcha does not apply; the text_tfidf ln contract).
+    * One (source, lang) aggregate + a |sources|-row rollup. */
+  val mixEntropy: GraftOp = GraftOp(
+    "text_mix_entropy",
+    """WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY 1)
+      |SELECT c.source, CAST(count(*) AS INT) AS n_langs,
+      |  round(-sum((n / tot) * ln(n / tot)), 6) AS entropy
+      |FROM c JOIN t ON c.source = t.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("source")).agg(sum(col("n")).cast(DoubleType).as("tot"))
+    val p = col("n") / col("tot")
+    c.join(broadcast(t), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_langs"),
+        round(-sum(p * log(p)), 6).as("entropy"))
+      .orderBy(col("source"))
+  }
+
   /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene/
     * Elasticsearch default scorer) for a keyword query — the text-
     * SEARCH member of the text family: score(d) = Σ_t idf_t ·
@@ -568,6 +595,6 @@ object TextOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, tfidf,
+    Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks)
 }
