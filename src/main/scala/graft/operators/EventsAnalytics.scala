@@ -310,6 +310,61 @@ object EventsAnalytics {
       .orderBy(col("event_type"), col("week_idx"))
   }
 
+  /** Cohort LTV curves: cumulative per-user value by signup cohort and
+    * age — "how much is a week-N user worth", the unit-economics
+    * readout layered on q_retention's cohort machinery. Value
+    * accumulates in exact CENTS (the momentsStream double→DECIMAL
+    * contract), the running sum is integer addition over the
+    * |cohorts|×|offsets| matrix (spine-sized window, never the
+    * events), and the per-user LTV is emitted via pure-integer
+    * half-up rounding of the exact rational cents/(100·users) — the
+    * §6 midpoint-proof emit. */
+  val cohortLtv: GraftOp = GraftOp(
+    "q_cohort_ltv",
+    """WITH a AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day_idx,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (SELECT user_id, min(day_idx) AS cohort_day FROM a GROUP BY 1),
+      |sz AS (SELECT cohort_day, count(*) AS cohort_users FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT c.cohort_day, a.day_idx - c.cohort_day AS offset_day, sum(a.cents) AS day_cents
+      |  FROM a JOIN c ON a.user_id = c.user_id
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT cohort_day, offset_day,
+      |    CAST(sum(day_cents) OVER (PARTITION BY cohort_day ORDER BY offset_day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM d)
+      |SELECT m.cohort_day, CAST(m.offset_day AS INT) AS offset_day,
+      |  cum_cents,
+      |  ((cum_cents * 100000 // cohort_users + 5) // 10) / 1000000.0 AS ltv_per_user
+      |FROM m JOIN sz ON m.cohort_day = sz.cohort_day
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
+          .cast(IntegerType).as("day_idx"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val c = a.groupBy(col("user_id")).agg(min(col("day_idx")).as("cohort_day"))
+    val sz = c.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_users"))
+    val dd = a.join(c, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day_idx") - col("cohort_day")).as("offset_day"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("offset_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd.withColumn("cum_cents", sum(col("day_cents")).over(w).cast(LongType))
+      .join(sz, Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset_day").cast(IntegerType).as("offset_day"),
+        col("cum_cents"),
+        // integer half-up at 6dp of the exact rational cents/(100·users)
+        // — never round() an exact rational (§6 midpoint gotcha)
+        (expr("(cum_cents * 100000 div cohort_users + 5) div 10") / 1000000.0)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort_day"), col("offset_day"))
+  }
+
   /** Gap-filled daily series: per-type daily counts left-joined onto a
     * dense (type × day) spine so silent days appear as zeros —
     * the step dashboards/downsamplers assume and plain GROUP BY can't
@@ -1065,7 +1120,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)
