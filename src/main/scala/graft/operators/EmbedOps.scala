@@ -202,5 +202,49 @@ object EmbedOps {
       u.withColumn("codes", array(codeCols: _*))
     }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode)
+  /** Per-dimension whitening (z-normalization) — the embedding
+    * preprocessing step before PQ/IVF training (unnormalized dims with
+    * larger variance dominate every L2 distance; whitening equalizes
+    * them). Moments per dimension come from exact DECIMAL(18,9) sums
+    * (double→decimal casts agree across engines — the q_outliers
+    * contract lifted to vectors): μ and σ are then the same doubles on
+    * both sides, and the per-value z is a noisy quotient (σ is
+    * irrational), so the 6dp snap is midpoint-safe. One |dim|-row
+    * aggregate broadcast back + a pure map; emitted for vec_id < 100
+    * like emb_quantize. */
+  val whiten: GraftOp = GraftOp(
+    "emb_whiten",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT dim, count(*) AS n,
+      |    CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(v AS DECIMAL(18,9)) * CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS s2
+      |  FROM e GROUP BY 1)
+      |SELECT vec_id, e.dim AS dim,
+      |  round((v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+      |FROM e JOIN st ON e.dim = st.dim
+      |WHERE vec_id < 100
+      |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "v")
+      .withColumn("v", col("v").cast(DoubleType))
+    val dec = col("v").cast(DecimalType(18, 9))
+    val st = e.groupBy(col("dim").as("sdim"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast(DoubleType).as("s1"),
+        sum(dec * dec).cast(DoubleType).as("s2"))
+    val mean = col("s1") / col("n")
+    val z = (col("v") - mean) / sqrt(col("s2") / col("n") - mean * mean)
+    e.join(broadcast(st), col("dim") === col("sdim"))
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("dim"), round(z, 6).as("z"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten)
 }
