@@ -274,6 +274,32 @@ object EventsAnalytics {
       .orderBy(col("event_type"), col("day_idx"))
   }
 
+  /** Daily value-percentile series (p50/p95 per type per day) — the
+    * latency-dashboard shape: a percentile TIME SERIES, not one global
+    * number. One exact-percentile aggregate per (type, day) group —
+    * partial-aggregable percentile state through a single shuffle;
+    * both engines interpolate linearly over the same doubles (the
+    * q_percentile / q_gap_stats contract), 6dp snap on the emit. */
+  val dailyPercentiles: GraftOp = GraftOp(
+    "q_daily_percentiles",
+    """SELECT event_type,
+      |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day_idx,
+      |  count(*) AS n,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
+          .cast(IntegerType).as("day_idx"),
+        col("value"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
   /** Week-over-week growth per event type — the dashboard staple
     * "how did this week compare": weekly counts (integer week index =
     * day_idx div 7 from the fixed epoch — no ISO-week conventions to
@@ -1120,7 +1146,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)
