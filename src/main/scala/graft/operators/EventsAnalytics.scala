@@ -300,6 +300,73 @@ object EventsAnalytics {
       .orderBy(col("event_type"), col("day_idx"))
   }
 
+  /** Time-series similarity search (EDBT'19/SIGMOD'20 family): which
+    * users have the most similar daily-activity PROFILE to a query
+    * user — squared Euclidean distance between daily-count series,
+    * expanded so no series is ever materialized:
+    * ‖u−q‖² = Σu² + Σq² − 2·Σ_matching-days u·q. Every term is an
+    * exact INTEGER aggregate (counts and products of counts), the
+    * cross term is a co-partitioned equi-join on the day key, absent
+    * overlap contributes zero via the left join — ranking on dist²
+    * needs no sqrt and cannot be perturbed. Query users broadcast; the
+    * candidate space is |queries|×|users| score rows, never a series
+    * matrix. */
+  val tsSimilarity: GraftOp = GraftOp(
+    "q_ts_similarity",
+    """WITH ud AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day_idx,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |n2 AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS s2 FROM ud GROUP BY 1),
+      |q AS (SELECT user_id, day_idx, c FROM ud WHERE user_id IN (1, 2, 3)),
+      |cr AS (
+      |  SELECT q.user_id AS query_user, ud.user_id AS other_user,
+      |    CAST(sum(q.c * ud.c) AS BIGINT) AS cross_term
+      |  FROM q JOIN ud ON q.day_idx = ud.day_idx AND ud.user_id <> q.user_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT nq.user_id AS query_user, nc.user_id AS other_user,
+      |    nq.s2 + nc.s2 - 2 * coalesce(cross_term, 0) AS dist2
+      |  FROM (SELECT user_id, s2 FROM n2 WHERE user_id IN (1, 2, 3)) nq
+      |  JOIN n2 nc ON nc.user_id <> nq.user_id
+      |  LEFT JOIN cr ON cr.query_user = nq.user_id AND cr.other_user = nc.user_id),
+      |r AS (
+      |  SELECT query_user, other_user, dist2,
+      |    row_number() OVER (PARTITION BY query_user ORDER BY dist2, other_user) AS rn
+      |  FROM pairs)
+      |SELECT query_user, other_user, dist2, rn FROM r WHERE rn <= 10
+      |ORDER BY query_user, rn""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
+          .cast(IntegerType).as("day_idx"))
+      .groupBy(col("user_id"), col("day_idx"))
+      .agg(count(lit(1)).as("c"))
+    val n2 = ud.groupBy(col("user_id"))
+      .agg(sum(col("c") * col("c")).cast(LongType).as("s2"))
+    val qids = Seq(1L, 2L, 3L)
+    val q = ud.filter(col("user_id").isin(qids: _*))
+      .select(col("user_id").as("query_user"), col("day_idx").as("q_day"),
+        col("c").as("qc"))
+    val cr = ud.join(broadcast(q),
+        col("day_idx") === col("q_day") && col("user_id") =!= col("query_user"))
+      .groupBy(col("query_user"), col("user_id").as("other_user"))
+      .agg(sum(col("qc") * col("c")).cast(LongType).as("cross_term"))
+    val pairs = n2.filter(col("user_id").isin(qids: _*))
+      .select(col("user_id").as("query_user"), col("s2").as("q_s2"))
+      .join(n2.select(col("user_id").as("other_user"), col("s2").as("o_s2")),
+        col("other_user") =!= col("query_user"))
+      .join(cr, Seq("query_user", "other_user"), "left")
+      .select(col("query_user"), col("other_user"),
+        (col("q_s2") + col("o_s2") - lit(2) * coalesce(col("cross_term"), lit(0L)))
+          .as("dist2"))
+    val w = Window.partitionBy(col("query_user")).orderBy(col("dist2"), col("other_user"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy(col("query_user"), col("rn"))
+  }
+
   /** Week-over-week growth per event type — the dashboard staple
     * "how did this week compare": weekly counts (integer week index =
     * day_idx div 7 from the fixed epoch — no ISO-week conventions to
@@ -1146,7 +1213,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)
