@@ -176,5 +176,39 @@ object AffinityOps {
       .orderBy(col("day"))
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog)
+  /** Supplier lead time: mean and p95 days from order date to the
+    * supplier's first shipment, per supplier — the fulfillment-SLA
+    * table. Day deltas are exact integers; the mean is emitted via
+    * pure-integer half-up rounding of the exact rational Σdays/n (the
+    * §6 midpoint-proof emit), the p95 by the shared linear-interp
+    * percentile contract. One co-partitioned orderkey join + one
+    * supplier aggregate. */
+  val leadTime: GraftOp = GraftOp(
+    "q_lead_time",
+    """WITH fs AS (
+      |  SELECT l_orderkey, l_suppkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+      |  FROM lineitem GROUP BY 1, 2),
+      |lt AS (
+      |  SELECT l_suppkey,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE), first_ship) AS BIGINT) AS days
+      |  FROM fs JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT l_suppkey, count(*) AS n_orders,
+      |  ((CAST(sum(days) AS BIGINT) * 10000000 // count(*) + 5) // 10) / 1000000.0 AS mean_days,
+      |  round(quantile_cont(days, 0.95), 6) AS p95_days
+      |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val fs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val lt = fs.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(col("first_ship"), to_date(col("o_orderdate"))).cast("long").as("days"))
+    lt.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (expr("(cast(sum(days) as bigint) * 10000000 div count(1) + 5) div 10") / 1000000.0)
+          .as("mean_days"),
+        round(percentile(col("days"), lit(0.95)), 6).as("p95_days"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime)
 }
