@@ -26,7 +26,9 @@ object ExplainCheck {
         "q_chi_square", "q_copurchase", "q_cusum", "q_decay", "q_rfm",
         "q_stickiness", "sample_temperature", "text_bm25", "text_pmi",
         // broadcast anchor-set scan (knn_brute family) / 1-row cuts
-        "knn_hard_negatives", "text_curriculum")
+        "knn_hard_negatives", "text_curriculum",
+        // 3-row query-user set × user aggregate (knn_brute family)
+        "q_ts_similarity")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString
