@@ -401,6 +401,32 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Cross-source duplication matrix — WHERE the near-dups come from:
+    * verified pairs rolled up by canonical source pair (crawl-overlap
+    * diagnostics: two sources that copy each other get merged or
+    * deprioritized in the mix; a source duplicating ITSELF has a
+    * scraper loop). Reuses the registry-persisted verified-pair frame
+    * (no re-index); the rollup is a |sources|² aggregate. */
+  val crossSource: GraftOp = GraftOp(
+    "dedup_cross_source",
+    s"""WITH $sqlMinhashVerified,
+       |p AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8)
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b, count(*) AS n_pairs
+       |FROM p
+       |JOIN documents da ON doc_a = da.doc_id
+       |JOIN documents db ON doc_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    minhashPairs(s, d).filter(col("jaccard") >= 0.8)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Span-level dedup: repeated W-token spans across (or within)
     * documents — the "deduplicating text spans" op (Lee et al. 2022)
     * that doc-level dedup misses: two mostly-different docs sharing a
@@ -752,6 +778,6 @@ object DedupOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(candidateIndex, exact, ngram, minhash, clusters, representative, spans, spanClean, simhash,
+    Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, simhash,
       embed, containment, semantic)
 }
