@@ -52,6 +52,22 @@ object BitmapImpls {
     out
   }
 
+  /** OR a SERIALIZED bitmap into `dst` in place, growing `dst` only
+    * when the incoming bitmap is wider — the per-row aggregate-update
+    * path. The copying [[or]] per input row would be O(rows × domain)
+    * allocation churn for dense domains; this decodes words straight
+    * out of the byte buffer into the accumulator. */
+  def orBytesInto(dst: Array[Long], bytes: Array[Byte]): Array[Long] = {
+    val n = bytes.length / 8
+    val out =
+      if (n <= dst.length) dst
+      else java.util.Arrays.copyOf(dst, math.max(n, dst.length * 2))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var i = 0
+    while (i < n) { out(i) |= bb.getLong; i += 1 }
+    out
+  }
+
   def cardinality(words: Array[Long]): Long = {
     var n = 0L
     var i = 0
@@ -137,7 +153,7 @@ case class BitmapMergeAgg(
   override def update(b: BitmapBuffer, row: InternalRow): BitmapBuffer = {
     val v = child.eval(row)
     if (v != null) {
-      b.words = BitmapImpls.or(b.words, BitmapImpls.deserialize(v.asInstanceOf[Array[Byte]]))
+      b.words = BitmapImpls.orBytesInto(b.words, v.asInstanceOf[Array[Byte]])
     }
     b
   }

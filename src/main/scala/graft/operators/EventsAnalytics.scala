@@ -389,8 +389,11 @@ object EventsAnalytics {
       |FROM l WHERE prev_n IS NOT NULL
       |ORDER BY event_type, week_idx""".stripMargin) { (s, d) =>
     val w = Tables.events(s, d)
+      // integer `div`, matching the oracle's `//` (floor) for ALL
+      // inputs — double-divide + int cast truncates toward zero, which
+      // only agrees because day_idx >= 0 under the 2024-01-01 epoch
       .select(col("event_type"),
-        (datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)) / 7)
+        expr("datediff(to_date(ts), DATE '2024-01-01') div 7")
           .cast(IntegerType).as("week_idx"))
       .groupBy(col("event_type"), col("week_idx"))
       .agg(count(lit(1)).as("n"))

@@ -106,13 +106,29 @@ object PartitionedLake {
     * key MIGHT be present (false ⇒ definitely absent — pruning can
     * never lose a row), then apply the exact predicate so false
     * positives die before the caller sees them. Returns
-    * (result, filesRead, filesTotal). */
+    * (result, filesRead, filesTotal).
+    *
+    * Staleness is checked loudly: a manifest built before a
+    * [[deleteKeys]] both points at files the delete removed/renamed
+    * AND knows nothing about the replacement parts — reading through
+    * it can silently miss surviving rows, so a missing keep-file fails
+    * with a rebuild instruction instead of a bare FileNotFound (or,
+    * worse, a quietly wrong answer). */
   def readPrunedByKey(spark: SparkSession, path: String, bloomManifestDf: DataFrame,
       keyCol: String, key: Long): (DataFrame, Long, Long) = {
     val total = bloomManifestDf.count()
     val keep = bloomManifestDf
       .filter(graft.functions.bloom_might_contain(col("bloom"), lit(key)))
       .select(col("file")).collect().map(_.getString(0))
+    val hconf = spark.sessionState.newHadoopConf()
+    val missing = keep.filterNot { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).exists(p)
+    }
+    require(missing.isEmpty,
+      s"readPrunedByKey: bloom manifest is STALE — ${missing.length} indexed file(s) no longer " +
+        s"exist (first: ${missing.headOption.getOrElse("")}). A deleteKeys rewrote them; rebuild " +
+        "the manifest from its returned rewrite list before reading through it.")
     val result =
       if (keep.isEmpty)
         spark.read.parquet(path).filter(lit(false))
@@ -121,6 +137,14 @@ object PartitionedLake {
           .filter(col(keyCol) === key)
     (result, keep.length.toLong, total)
   }
+
+  /** Outcome of a [[deleteKeys]]: how many files were rewritten out of
+    * the manifest total, and the old→new file mapping (new = None when
+    * every row of the old file was a victim) — exactly what a caller
+    * needs to invalidate/rebuild the bloom manifest entries the delete
+    * made stale. */
+  final case class DeleteReport(filesRewritten: Long, filesTotal: Long,
+      rewrites: Seq[(String, Option[String])])
 
   /** Targeted key delete (the right-to-be-forgotten / GDPR-erasure
     * primitive): physically rewrite ONLY the files that can contain
@@ -134,42 +158,56 @@ object PartitionedLake {
     * (materializes before the original is removed) → swap into the
     * original's directory under a fresh part name. A file whose rows
     * are ALL deleted is removed without a replacement. Readers see the
-    * directory listing, so the swap is safe for subsequent scans; the
-    * Bloom manifest must be rebuilt for the rewritten files (filters
-    * cannot unlearn keys — the stale entry is merely over-inclusive,
-    * never wrong, but rebuilding restores its pruning power).
-    * Returns (filesRewritten, filesTotal). */
+    * directory listing, so the swap is safe for subsequent scans. The
+    * Bloom manifest becomes STALE in both directions: its entries
+    * point at removed files AND it knows nothing about the replacement
+    * parts, so reading through it could miss surviving rows — the
+    * returned [[DeleteReport.rewrites]] mapping is what a caller needs
+    * to invalidate those entries and re-index the new parts
+    * ([[readPrunedByKey]] refuses stale manifests loudly). */
   def deleteKeys(spark: SparkSession, path: String, bloomManifestDf: DataFrame,
-      keyCol: String, keys: Seq[Long]): (Long, Long) = {
+      keyCol: String, keys: Seq[Long]): DeleteReport = {
     require(keys.nonEmpty, "deleteKeys: empty key set")
     val total = bloomManifestDf.count()
     val hits = bloomManifestDf
       .filter(keys.map(k => graft.functions.bloom_might_contain(col("bloom"), lit(k)))
         .reduce(_ || _))
       .select(col("file")).collect().map(_.getString(0))
-    hits.foreach { f =>
+    val rewrites = hits.toSeq.map { f =>
       val orig = java.nio.file.Paths.get(new java.net.URI(f))
-      val scratch = java.nio.file.Files.createTempDirectory("graft-delete").toFile
-      val before = spark.read.parquet(f)
-      // NULL keys are never victims: a bare !isin() is NULL (dropped)
-      // for NULL-key rows, which would silently destroy them
-      val kept = before.filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
-      val keptCount = kept.count()
-      kept.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = scratch.listFiles().find(_.getName.endsWith(".parquet"))
-      // replacement lands FIRST (fresh name, same dir), the original
-      // goes second — a crash between the two duplicates survivors
-      // (repairable) instead of losing them; a missing scratch part
-      // with survivors expected fails loudly before anything is deleted
-      require(part.isDefined || keptCount == 0L,
-        s"deleteKeys: scratch write for $f produced no parquet part but $keptCount rows survive")
-      part.foreach { p =>
-        java.nio.file.Files.move(p.toPath,
-          orig.getParent.resolve(s"part-del-${java.util.UUID.randomUUID()}.parquet"))
+      // scratch lives NEXT TO the target (same filesystem, so the swap
+      // below is a true atomic-ish rename, never a cross-device copy);
+      // the dot prefix hides it from Spark/Hadoop directory listings
+      // while it exists, and it is removed after the swap
+      val scratch = java.nio.file.Files.createTempDirectory(orig.getParent, ".graft-delete")
+      try {
+        val before = spark.read.parquet(f)
+        // NULL keys are never victims: a bare !isin() is NULL (dropped)
+        // for NULL-key rows, which would silently destroy them
+        val kept = before.filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+        val keptCount = kept.count()
+        kept.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scratch.toFile.listFiles().find(_.getName.endsWith(".parquet"))
+        // replacement lands FIRST (fresh name, same dir), the original
+        // goes second — a crash between the two duplicates survivors
+        // (repairable) instead of losing them; a missing scratch part
+        // with survivors expected fails loudly before anything is deleted
+        require(part.isDefined || keptCount == 0L,
+          s"deleteKeys: scratch write for $f produced no parquet part but $keptCount rows survive")
+        val replacement = part.map { p =>
+          val dest = orig.getParent.resolve(s"part-del-${java.util.UUID.randomUUID()}.parquet")
+          java.nio.file.Files.move(p.toPath, dest)
+          dest.toUri.toString
+        }
+        java.nio.file.Files.delete(orig)
+        f -> replacement
+      } finally {
+        // best-effort scratch cleanup (write-side _SUCCESS/.crc residue)
+        scratch.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(scratch)
       }
-      java.nio.file.Files.delete(orig)
     }
-    (hits.length.toLong, total)
+    DeleteReport(hits.length.toLong, total, rewrites)
   }
 
   /** Z-ordered compaction: rewrite one day laid out along the Morton

@@ -171,8 +171,9 @@ class LakeSpec extends AnyFunSuite {
       expectedPerFile = 10000, fpp = 0.01).persist()
     val filesBefore = listing()
     try {
-      val (rewritten, total) = graft.sinks.PartitionedLake.deleteKeys(
+      val report = graft.sinks.PartitionedLake.deleteKeys(
         spark, dayPath, bman, "event_id", victims)
+      val (rewritten, total) = (report.filesRewritten, report.filesTotal)
       assert(total === filesBefore.size.toLong)
       assert(rewritten < total, s"delete rewrote every file ($rewritten/$total)")
 
@@ -189,6 +190,26 @@ class LakeSpec extends AnyFunSuite {
       untouched.foreach { f =>
         assert(filesBefore(f) === filesAfter(f), s"untouched file $f changed on disk")
       }
+
+      // the report maps every rewritten old file to its live replacement
+      // (the manifest-invalidation contract), old files gone, no scratch
+      // residue left behind in the partition directory
+      assert(report.rewrites.size.toLong === rewritten)
+      report.rewrites.foreach { case (oldF, newF) =>
+        assert(!new java.io.File(new java.net.URI(oldF)).exists(), s"old file $oldF survives")
+        newF.foreach(nf =>
+          assert(new java.io.File(new java.net.URI(nf)).exists(), s"replacement $nf missing"))
+      }
+      assert(!new java.io.File(dayPath).listFiles().exists(_.getName.startsWith(".graft-delete")),
+        "scratch directories must be cleaned up after the swap")
+
+      // a manifest from BEFORE the delete is stale: the pruned reader
+      // must refuse it loudly (silently tolerating missing files would
+      // under-read — replacement parts aren't indexed in it at all)
+      val ex = intercept[IllegalArgumentException] {
+        graft.sinks.PartitionedLake.readPrunedByKey(spark, dayPath, bman, "event_id", victims.head)
+      }
+      assert(ex.getMessage.contains("STALE"), s"unexpected message: ${ex.getMessage}")
     } finally bman.unpersist()
   }
 
