@@ -69,11 +69,86 @@ object Bench {
       rs.map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val delta = reportDeltas(results.toMap, total)
+    val prev = reportPrevRound(results.toMap, sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},""" +
       s""""queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},""" +
-      s""""warmup_sec":$warmupSec,$delta"sf":${JsonUtil.q(sfDir)}}""")
+      s""""warmup_sec":$warmupSec,$delta$prev"sf":${JsonUtil.q(sfDir)}}""")
+    writeSnapshot(sfDir, results, run1, run2, warmupSec)
     CachedPlans.clear(spark)
     spark.stop()
+  }
+
+  /** Snapshot file for round-over-round comparison, one per scale
+    * factor (`bench_prev_sf0.1.json` etc. — per-SF names so a local
+    * sf0.01 dev run can never clobber the driver-scale baseline).
+    * Holds the full per-query data, so the previous round's numbers
+    * stay readable even when the driver artifact truncates stdout. */
+  private def snapshotPath(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_PREV",
+      s"bench_prev_${new java.io.File(sfDir).getName}.json")
+
+  private def writeSnapshot(sfDir: String, results: Seq[(String, Double)],
+      run1: Seq[(String, Double)], run2: Seq[(String, Double)], warmupSec: Double): Unit =
+    try {
+      def qjson(rs: Seq[(String, Double)]): String =
+        rs.map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
+      val json = s"""{"sf":${JsonUtil.q(sfDir)},"warmup_sec":$warmupSec,""" +
+        s""""queries":${qjson(results)},"queries_run1":${qjson(run1)},""" +
+        s""""queries_run2":${qjson(run2)}}""" + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(snapshotPath(sfDir)),
+        json.getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] snapshot write failed: ${e.getMessage}")
+    }
+
+  /** Round-over-round regression guard (vs the last run's snapshot at
+    * the SAME scale factor): a query is flagged when its min exceeds
+    * 1.5× its previous min AFTER normalizing out run-wide drift (the
+    * shared-total ratio — a loaded box slows everything, a plan
+    * regression slows one query relative to the rest). Emits
+    * `"prev_round_ratio":…,"prev_flagged":[…],` JSON fragments and
+    * stderr lines; empty when no same-SF snapshot exists. */
+  private def reportPrevRound(results: Map[String, Double], sfDir: String): String = {
+    val f = new java.io.File(snapshotPath(sfDir))
+    if (!f.exists()) return ""
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val sfRe = """"sf":\s*"([^"]*)"""".r
+      val snapSf = sfRe.findFirstMatchIn(text).map(_.group(1))
+      if (!snapSf.contains(sfDir)) return "" // snapshot from another SF: not comparable
+      val qsec = """"([^"]+)":\s*([0-9.eE+-]+)""".r
+      val inQueries = text.substring(text.indexOf("\"queries\""))
+      val stop = inQueries.indexOf("\"queries_run1\"")
+      val prev = qsec.findAllMatchIn(
+          if (stop > 0) inQueries.substring(0, stop) else inQueries)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+      val shared = (results.keySet intersect prev.keySet)
+        .filter(n => results(n) >= 0 && prev(n) >= 0)
+      val sharedNow = shared.toSeq.map(results).sum
+      val sharedPrev = shared.toSeq.map(prev).sum
+      val ratio = if (sharedPrev > 0) sharedNow / sharedPrev else -1.0
+      val norm = math.max(ratio, 0.1) // guard a degenerate snapshot
+      val flagged = results.toSeq.collect {
+        case (name, sec) if sec >= 0 &&
+            prev.get(name).exists(p => p > 0.3 && sec > p * 1.5 * norm) =>
+          (name, sec, prev(name))
+      }.sortBy { case (_, sec, p) => -(sec / p) }
+      System.err.println(
+        f"[bench] prev-round shared ${shared.size} queries: ${sharedNow}%.1fs vs " +
+          f"${sharedPrev}%.1fs (${ratio}%.2fx)")
+      flagged.foreach { case (name, sec, p) =>
+        System.err.println(
+          f"[bench] PREV-ROUND REGRESSION $name: ${sec}%.2fs vs ${p}%.2fs (${sec / p}%.2fx raw, " +
+            f"norm ${norm}%.2fx)")
+      }
+      if (flagged.isEmpty) System.err.println("[bench] no prev-round regressions > 1.5x normalized")
+      val flaggedJson = flagged.map { case (n, _, _) => JsonUtil.q(n) }.mkString("[", ",", "]")
+      s""""prev_round_ratio":$ratio,"prev_flagged":$flaggedJson,"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] prev-round compare failed: ${e.getMessage}")
+        ""
+    }
   }
 
   /** Per-query regression report vs `bench_baseline.json` (snapshot of

@@ -74,7 +74,7 @@ object GraphOps {
     * itself is tiny), so the frame is registry-persisted and shared by
     * pagerank and triangle counting: one fact scan per session+dir,
     * not one per operator. */
-  private def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  private[operators] def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     graft.CachedPlans.cached(s, s"graph.tradeEdges:$d")(tradeEdgesPlan(s, d))
 
   private def tradeEdgesPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
