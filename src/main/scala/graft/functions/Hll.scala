@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -149,5 +150,23 @@ case class HllMergeAgg(
   override def withNewInputAggBufferOffset(o: Int): HllMergeAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
+    copy(child = newChild)
+}
+
+/** `hll_estimate(sketch)` — distinct-count estimate of ONE serialized
+  * sketch, per row (no re-aggregation). Scalar, codegen'd — the
+  * [[ThetaEstimate]] shape for the HLL tier. */
+case class HllEstimate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_estimate"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hll_estimate expects BINARY sketch, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    HllImpls.estimate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HllImpls.estimate($c)")
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
     copy(child = newChild)
 }

@@ -66,6 +66,10 @@ package object functions {
   def hll_merge_agg(sketch: Column): Column =
     ColumnShim.column(HllMergeAgg(ColumnShim.expression(sketch)).toAggregateExpression())
 
+  /** Per-row distinct-count estimate of ONE HLL sketch (scalar). */
+  def hll_estimate(sketch: Column): Column =
+    ColumnShim.column(HllEstimate(ColumnShim.expression(sketch)))
+
   /** KMV theta sketch over a BIGINT key column → BINARY sketch
     * (map-side build, k-smallest merge). Unlike HLL, supports the
     * full set algebra downstream: [[theta_intersect]] /

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Config-gated exact→sketch routing for distinct-count-heavy plans.
+  *
+  * Ops like `q_trailing_active` / `q_stickiness` are EXACT by default
+  * (their oracle contract), but their exact plans carry a 7×-exploded
+  * fact stream into a wide `countDistinct` shuffle — fine at test
+  * scale, the dominant cost at 100 TB. Each such op has an HLL sketch
+  * twin whose shuffle carries kilobyte day-sketches instead of the
+  * user stream. This gate picks the path from the INPUT SIZE ESTIMATE
+  * (optimizer scan stats — metadata only, no job), so the same query
+  * code serves both regimes: exact under the threshold, sketch above.
+  *
+  * Thresholds are opt-in per family (`spark.graft.approx.<family>.
+  * maxExactBytes`): unset means always exact, so default behavior —
+  * and the driver's oracle gate — is untouched. Setting e.g.
+  * `...maxExactBytes=2e11` on a cluster routes any >200 GB input to
+  * the sketch twin (ApproxRoutingSpec pins the swap point and the
+  * ≤3% agreement between paths).
+  */
+object ApproxRouting {
+
+  /** Optimizer size estimate of `df`'s input — plan metadata, no job. */
+  def inputBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** True when `confKey` is set and `df`'s estimated size exceeds it. */
+  def routeToSketch(s: SparkSession, confKey: String, df: DataFrame): Boolean =
+    s.conf.getOption(confKey).exists { t =>
+      inputBytes(df) > BigInt(new java.math.BigDecimal(t).toBigInteger)
+    }
+}

@@ -20,6 +20,40 @@ import org.apache.spark.sql.types._
   */
 object EventsAnalytics {
 
+  /** Config key gating the exact→HLL route for the trailing-distinct
+    * family (q_stickiness / q_trailing_active): inputs whose scan
+    * estimate exceeds this many bytes take the sketch twin. Unset =
+    * always exact. Declared ABOVE every GraftOp val (object-init
+    * order). */
+  private[graft] val TrailingApproxKey = "spark.graft.approx.trailing.maxExactBytes"
+
+  /** Per-day HLL sketches of the active-user set — the shared build
+    * for every sketch-twin trailing plan: ONE fact scan, |days| 4 KB
+    * sketches out. */
+  private def dailyUserSketches(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"),
+        col("user_id"))
+      .groupBy(col("day_idx"))
+      .agg(graft.functions.hll_sketch_agg(col("user_id")).as("sk"))
+
+  /** Trailing-7-day merged-sketch estimate per day, emitted under
+    * `outName` — each day's SKETCH (not its users) replicates to the 7
+    * windows it serves, so the merge shuffle carries |days|×7 kilobyte
+    * rows independent of user volume. */
+  private def trailingSketch(s: org.apache.spark.sql.SparkSession, d: String,
+      outName: String): DataFrame = {
+    val daily = dailyUserSketches(s, d)
+    val bounds = daily.agg(max(col("day_idx")).as("hi"))
+    daily
+      .select(explode(sequence(col("day_idx"), col("day_idx") + 6)).as("day"), col("sk"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("hi"))
+      .groupBy(col("day").cast(IntegerType).as("day_idx"))
+      .agg(graft.functions.hll_merge_agg(col("sk")).as(outName))
+      .orderBy(col("day_idx"))
+  }
+
   /** Latest event per user — ClickHouse `argMax`/ReplacingMergeTree
     * "current state" semantics. A single hash aggregation with a
     * lexicographic struct max: partial aggregation folds map-side, so
@@ -211,6 +245,13 @@ object EventsAnalytics {
       |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
       |FROM dau JOIN wau ON dau.day_idx = wau.day_idx
       |ORDER BY 1""".stripMargin) { (s, d) =>
+    if (ApproxRouting.routeToSketch(s, TrailingApproxKey, Tables.events(s, d)))
+      stickinessSketchPlan(s, d)
+    else stickinessExactPlan(s, d)
+  }
+
+  private[operators] def stickinessExactPlan(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val a = Tables.events(s, d)
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"))
@@ -225,6 +266,22 @@ object EventsAnalytics {
       .agg(countDistinct(col("user_id")).as("wau"))
     dau.select(col("day_idx").cast(IntegerType).as("day_idx"), col("dau"))
       .join(wau, Seq("day_idx"))
+      .select(col("day_idx"), col("dau").cast(LongType).as("dau"),
+        col("wau").cast(LongType).as("wau"),
+        round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day_idx"))
+  }
+
+  /** Sketch twin of [[stickinessExactPlan]]: DAU and WAU both come
+    * from the per-day sketches (DAU = each day's own estimate, WAU =
+    * the 7-day merge), so ONE fact scan feeds both and the shuffles
+    * carry kilobytes. Same schema; ±1.6% RSE estimates. */
+  private[operators] def stickinessSketchPlan(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val dau = dailyUserSketches(s, d)
+      .select(col("day_idx").cast(IntegerType).as("day_idx"),
+        graft.functions.hll_estimate(col("sk")).as("dau"))
+    dau.join(trailingSketch(s, d, "wau"), Seq("day_idx"))
       .select(col("day_idx"), col("dau").cast(LongType).as("dau"),
         col("wau").cast(LongType).as("wau"),
         round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
@@ -801,6 +858,13 @@ object EventsAnalytics {
       |SELECT CAST(day AS INT) AS day_idx, count(DISTINCT user_id) AS active_7d
       |FROM x WHERE day <= (SELECT hi FROM b)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    if (ApproxRouting.routeToSketch(s, TrailingApproxKey, Tables.events(s, d)))
+      trailingSketch(s, d, "active_7d") // same schema, ±1.6% RSE estimate
+    else trailingActiveExactPlan(s, d)
+  }
+
+  private[operators] def trailingActiveExactPlan(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val a = Tables.events(s, d)
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"))
@@ -1167,19 +1231,7 @@ object EventsAnalytics {
     * bound/filter semantics as the exact op; HllSpec pins per-day
     * estimates within 3% of it. Sketch math → rows-only. */
   val hllTrailing: GraftOp = GraftOp.rowsOnly("q_hll_trailing") { (s, d) =>
-    val daily = Tables.events(s, d)
-      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"),
-        col("user_id"))
-      .groupBy(col("day_idx"))
-      .agg(graft.functions.hll_sketch_agg(col("user_id")).as("sk"))
-    val bounds = daily.agg(max(col("day_idx")).as("hi"))
-    daily
-      .select(explode(sequence(col("day_idx"), col("day_idx") + 6)).as("day"), col("sk"))
-      .crossJoin(broadcast(bounds))
-      .filter(col("day") <= col("hi"))
-      .groupBy(col("day").cast(IntegerType).as("day_idx"))
-      .agg(graft.functions.hll_merge_agg(col("sk")).as("active_7d_est"))
-      .orderBy(col("day_idx"))
+    trailingSketch(s, d, "active_7d_est")
   }
 
   /** Month-over-month audience set algebra from THETA sketches — the

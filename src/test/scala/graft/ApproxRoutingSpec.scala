@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact→sketch auto-routing for the trailing-distinct family
+  * (q_stickiness / q_trailing_active): above the configured input-size
+  * threshold the op plans its HLL sketch twin; below (or unset) the
+  * exact countDistinct plan. Pins the swap point, the plan shape on
+  * each side, and the ≤3% agreement between paths. */
+class ApproxRoutingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+  private val key = graft.operators.EventsAnalytics.TrailingApproxKey
+
+  private def withConf[A](v: Option[String])(body: => A): A = {
+    val prior = spark.conf.getOption(key)
+    v match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
+    try body
+    finally prior match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def trailingPlan(): String =
+    SparkEntry.queries("q_trailing_active")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+
+  test("unset: exact countDistinct plan (the oracle contract)") {
+    withConf(None) {
+      val p = trailingPlan()
+      assert(p.contains("count(distinct"), s"exact distinct missing:\n$p")
+      assert(!p.contains("hll_merge_agg"), s"sketch path planned while unset:\n$p")
+    }
+  }
+
+  test("threshold above input: still exact") {
+    withConf(Some("9e18")) {
+      val p = trailingPlan()
+      assert(p.contains("count(distinct"), s"huge threshold must keep exact:\n$p")
+    }
+  }
+
+  test("threshold below input: sketch twin planned, values within 3% of exact") {
+    val exact = withConf(None) {
+      SparkEntry.queries("q_trailing_active")(spark, sf).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    withConf(Some("1")) {
+      val p = trailingPlan()
+      assert(p.contains("hll_merge_agg"), s"sketch path missing above threshold:\n$p")
+      assert(!p.contains("count(distinct"), s"exact distinct still planned:\n$p")
+      val est = SparkEntry.queries("q_trailing_active")(spark, sf).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(est.keySet === exact.keySet, "sketch path must cover the same days")
+      est.foreach { case (day, e) =>
+        val x = exact(day)
+        assert(math.abs(e - x) <= math.max(3, 0.03 * x),
+          s"day $day: sketch $e vs exact $x beyond 3%")
+      }
+    }
+  }
+
+  test("stickiness routes too: both ratios agree within 3 points") {
+    val exact = withConf(None) {
+      SparkEntry.queries("q_stickiness")(spark, sf).collect()
+        .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    }
+    withConf(Some("1")) {
+      val p = SparkEntry.queries("q_stickiness")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("hll_"), s"stickiness sketch path missing:\n$p")
+      val est = SparkEntry.queries("q_stickiness")(spark, sf).collect()
+        .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+      assert(est.keySet === exact.keySet)
+      est.foreach { case (day, e) =>
+        assert(math.abs(e - exact(day)) <= 0.03,
+          s"day $day: stickiness $e vs exact ${exact(day)} beyond 0.03")
+      }
+    }
+  }
+}
