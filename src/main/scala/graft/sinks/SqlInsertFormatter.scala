@@ -76,8 +76,12 @@ object SqlInsertFormatter {
     coalesce(formatted, lit("NULL"))
   }
 
-  /** True when a ClickHouse-ish declared type takes a quoted literal.
-    * Wrappers (Nullable, LowCardinality) are stripped first. */
+  /** True when a declared target type takes a quoted literal.
+    * ClickHouse wrappers (Nullable, LowCardinality) are stripped
+    * first; both ClickHouse names (`String`, `DateTime`) and ANSI DDL
+    * text as a catalog reports it (`VARCHAR(40) NOT NULL`,
+    * `TIMESTAMP` — what [[JdbcCatalogTypes.derby]] returns) are
+    * understood, so a queried type map drops straight in. */
   private[sinks] def targetIsQuoted(declared: String): Boolean = {
     var t = declared.trim
     var changed = true
@@ -90,8 +94,12 @@ object SqlInsertFormatter {
         }
       }
     }
-    Seq("String", "FixedString", "UUID", "Enum", "IPv4", "IPv6",
+    val ch = Seq("String", "FixedString", "UUID", "Enum", "IPv4", "IPv6",
       "Date", "DateTime").exists(t.startsWith)
+    val up = t.toUpperCase(java.util.Locale.ROOT)
+    val ansi = Seq("VARCHAR", "CHAR", "CLOB", "LONG VARCHAR", "DATE", "TIME", "TIMESTAMP")
+      .exists(up.startsWith)
+    ch || ansi
   }
 
   /** True when the DataFrame type's rendered text can't contain SQL
