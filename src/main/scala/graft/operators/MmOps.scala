@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2g).
   *
-  * Media are opaque `binary` columns with typed metadata. The container
-  * has no image/audio codecs, so the decode kernel is a clearly-marked
-  * deterministic STUB — but the Spark side (schema, binary batching,
-  * partition-wise decode via mapPartitions, output shape) is the real
-  * production plumbing a decoder would drop into.
+  * Media are opaque `binary` columns with typed metadata. IMAGE decode
+  * is REAL — the pure-JVM `javax.imageio` PNG/JPEG codecs run inside
+  * the partition-wise kernel (planted PNGs exercise the round trip) —
+  * while formats this container has no codec for (audio/video) fall
+  * back to a clearly-marked deterministic STUB lane, with the Spark
+  * side (schema, binary batching, mapPartitions decode, output shape)
+  * identical for both.
   */
 object MmOps {
 
@@ -44,37 +46,108 @@ object MmOps {
     StructField("channels", IntegerType),
     StructField("mean_luma", DoubleType)))
 
-  /** Stubbed media decode: partition-wise imperative decode over binary
-    * batches — the `mapPartitions` shape a JNI/codec decoder needs.
-    * STUB: dimensions/luma are derived deterministically from the bytes
-    * instead of a real codec (none in this container). */
-  def decodeStub(spark: SparkSession, dir: String): DataFrame = {
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte
+
+  /** REAL image decode via the pure-JVM `javax.imageio` codecs:
+    * PNG/JPEG blobs decode to their actual raster (width, height,
+    * band count, mean sample value across all bands); anything the
+    * codec can't handle falls back to [[stubKernel]] — the quarantine
+    * lane of a production decode stage. */
+  private[graft] def decodeKernel(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    if (isPng(bytes) || isJpeg(bytes)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img != null) {
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        return (w, h, bands, sum.toDouble / (w.toLong * h * bands))
+      }
+    }
+    stubKernel(bytes)
+  }
+
+  /** Deterministic STUB kernel for non-image blobs — the documented
+    * placeholder for codecs this container lacks (audio/video):
+    * dimensions/luma derive from the bytes, so the pipeline shape
+    * (schema, batching, partitioning) is exercised end-to-end. */
+  private[graft] def stubKernel(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    var h = 1125899906842597L
+    var lumaSum = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + bytes(i); lumaSum += (bytes(i) & 0xFF); i += 1 }
+    val width = 64 + (math.floorMod(h, 512L)).toInt
+    val height = 64 + (math.floorMod(h >>> 9, 512L)).toInt
+    val channels = 1 + math.floorMod(h, 3L).toInt
+    (width, height, channels,
+      if (bytes.length == 0) 0.0 else lumaSum.toDouble / bytes.length)
+  }
+
+  /** Deterministic tiny RGB PNG for `docId` — written by the REAL
+    * `javax.imageio` PNG encoder over an integer pixel pattern, so the
+    * decode path upstream exercises a real codec round-trip (PNG is
+    * lossless: decoded samples equal the pattern exactly). */
+  private[graft] def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + ((docId / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 3 + y * 29) % 256).toInt
+        val b = ((docId * 43 + x * 19 + y * 5) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media decode over binary batches — partition-wise imperative
+    * decode via `mapPartitions` (where a codec genuinely belongs; the
+    * kernel never crosses a shuffle). Every 50th document carries a
+    * REAL planted PNG and decodes through `javax.imageio`; the rest
+    * are text bytes and take the deterministic stub lane — the
+    * route-by-container-format shape of a production multimodal
+    * ingest (cf. mm_sniff). */
+  def decodePipeline(spark: SparkSession, dir: String): DataFrame = {
     val blobs = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
     val enc = RowEncoder.encoderFor(decodedSchema)
     blobs.mapPartitions { rows =>
       rows.map { r =>
         val docId = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        // --- STUB decode kernel: a real implementation would hand
-        // `bytes` to an image/audio codec here. Deterministic fake:
-        var h = 1125899906842597L
-        var lumaSum = 0L
-        var i = 0
-        while (i < bytes.length) { h = h * 31L + bytes(i); lumaSum += (bytes(i) & 0xFF); i += 1 }
-        val width = 64 + (math.floorMod(h, 512L)).toInt
-        val height = 64 + (math.floorMod(h >>> 9, 512L)).toInt
-        val channels = 1 + math.floorMod(h, 3L).toInt
-        Row(docId, bytes.length, width, height, channels,
-          if (bytes.length == 0) 0.0 else lumaSum.toDouble / bytes.length)
+        val bytes =
+          if (docId % 50 == 0) syntheticPng(docId) else r.getAs[Array[Byte]](1)
+        val (w, h, channels, luma) = decodeKernel(bytes)
+        Row(docId, bytes.length, w, h, channels, luma)
       }
     }(enc)
   }
 
-  /** Queries-map wrapper for the decode stub (rows-only: the stub
-    * kernel is imperative JVM code, not SQL-expressible). */
+  /** Queries-map wrapper for the decode pipeline (rows-only: the
+    * decode kernel is imperative JVM code, not SQL-expressible). */
   val decode: GraftOp = GraftOp.rowsOnly("mm_decode") { (s, d) =>
-    decodeStub(s, d).orderBy(col("doc_id"))
+    decodePipeline(s, d).orderBy(col("doc_id"))
   }
 
   /** Fixed-size blob chunking — the frame-sample / shard step before a

@@ -142,21 +142,59 @@ class MmSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("decode stub: deterministic, sane schema and ranges") {
-    val out = MmOps.decodeStub(spark, sf)
+  test("decode pipeline: deterministic, sane schema and ranges; planted PNGs really decode") {
+    val out = MmOps.decodePipeline(spark, sf)
     assert(out.columns.toSeq ===
       Seq("doc_id", "n_bytes", "width", "height", "channels", "mean_luma"))
     val rows = out.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      val planted = r.getLong(0) % 50 == 0
       assert(r.getInt(1) > 0)
-      assert(r.getInt(2) >= 64 && r.getInt(2) < 576)
-      assert(r.getInt(3) >= 64 && r.getInt(3) < 576)
-      assert(r.getInt(4) >= 1 && r.getInt(4) <= 3)
+      if (planted) {
+        // real javax.imageio decode of the planted PNG: dimensions are
+        // the synthesis formula's, channels exactly 3 (RGB)
+        assert(r.getInt(2) === 8 + (r.getLong(0) % 16).toInt, s"png width for $r")
+        assert(r.getInt(3) === 8 + ((r.getLong(0) / 16) % 16).toInt, s"png height for $r")
+        assert(r.getInt(4) === 3, s"png channels for $r")
+      } else {
+        assert(r.getInt(2) >= 64 && r.getInt(2) < 576)
+        assert(r.getInt(3) >= 64 && r.getInt(3) < 576)
+        assert(r.getInt(4) >= 1 && r.getInt(4) <= 3)
+      }
       assert(r.getDouble(5) > 0)
     }
     // determinism: two runs agree
-    val again = MmOps.decodeStub(spark, sf).collect()
+    val again = MmOps.decodePipeline(spark, sf).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("decode kernel: real PNG round-trip hits pinned raster stats; non-image falls back to stub") {
+    // PNG is lossless, so the decoded mean is the pixel formula's mean —
+    // computed independently here, pinned against the codec's output
+    val docId = 100L
+    val (w, h) = (8 + (docId % 16).toInt, 8 + ((docId / 16) % 16).toInt)
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sum += ((docId * 31 + x * 7 + y * 13) % 256) +
+        ((docId * 17 + x * 3 + y * 29) % 256) +
+        ((docId * 43 + x * 19 + y * 5) % 256)
+    }
+    val expectMean = sum.toDouble / (w.toLong * h * 3)
+    val (dw, dh, dc, dm) = MmOps.decodeKernel(MmOps.syntheticPng(docId))
+    assert((dw, dh, dc) === ((w, h, 3)))
+    assert(dm === expectMean, s"decoded mean $dm != pixel-formula mean $expectMean")
+
+    // a 1x1 handcrafted white PNG via the codec itself
+    val img = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(MmOps.decodeKernel(bos.toByteArray) === ((1, 1, 3, 255.0)))
+
+    // non-image bytes: stub lane, identical to calling the stub directly
+    val text = "not an image".getBytes("UTF-8")
+    assert(MmOps.decodeKernel(text) === MmOps.stubKernel(text))
   }
 }
