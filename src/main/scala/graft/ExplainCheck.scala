@@ -1,52 +1,119 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
 /** Diagnostic main: join-strategy audit across every registered query.
   * Prints a line per query with join/exchange node counts and flags
-  * plans containing nested-loop or cartesian joins — those are
-  * intentional ONLY where a single-row side makes them free (scalar
-  * subquery broadcasts). */
+  * plans containing cartesian joins, or nested-loop joins whose BUILD
+  * side is not PROVABLY small.
+  *
+  * "Provably small" is STRUCTURAL, not a name allowlist: the build
+  * subtree must contain a grand (no-grouping) aggregate — ≤1 row by
+  * construction, the scalar-subquery broadcast shape — or declare
+  * `maxRows ≤ K` on its logical plan (literal relations, LIMITs), or,
+  * failing both, actually COUNT ≤ K rows when executed against the
+  * audit's scale factor (the knn_brute family: a filtered query SET
+  * that is small by data, broadcast against a corpus scan that IS the
+  * brute force). The count runs the tiny build side only, never the
+  * probe side.
+  *
+  * AQE is disabled for the audit session so the pre-execution tree is
+  * concrete (AdaptiveSparkPlanExec hides children until runtime);
+  * strategy choice itself is identical either way at plan time.
+  */
 object ExplainCheck {
+
+  private val MaxBuildRows = 1000L
+
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("local[8]", 8).config("spark.ui.enabled","false").getOrCreate()
+    val spark = GraftSession.builder("local[8]", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    // intended BNLs: single-row scalar-aggregate broadcasts (free), and
-    // knn_brute, where corpus × broadcast-query-set IS the brute force
-    // knn_classify: corpus × broadcast-query-set is the brute-force
-    // scan; q_gap_fill: types × single-row min/max bounds spine
-    // lake_zorder / q11_value_share / q_interpolate: single-row
-    // min-max/total scalar-aggregate broadcast, same family as q_gap_fill
-    val intendedBnl =
-      Set("q22_wealthy", "q15_top_supp", "pipeline_clean", "knn_brute", "text_tfidf",
-        "knn_classify", "q_gap_fill", "lake_zorder", "q11_value_share", "q_interpolate",
-        "q_trailing_active", "q_hll_trailing", "knn_filtered",
-        // r4c single-row scalar-aggregate broadcasts (corpus totals,
-        // percentile cuts, census minima, max-ts anchors) — each BNL's
-        // build side is exactly one row, the free scalar-subquery shape
-        "q_chi_square", "q_copurchase", "q_cusum", "q_decay", "q_rfm",
-        "q_stickiness", "sample_temperature", "text_bm25", "text_pmi",
-        // broadcast anchor-set scan (knn_brute family) / 1-row cuts
-        "knn_hard_negatives", "text_curriculum",
-        // 3-row query-user set × user aggregate (knn_brute family)
-        "q_ts_similarity")
+    var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, d).queryExecution.executedPlan.toString
-        val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
-        val smj = "SortMergeJoin".r.findAllIn(plan).size
-        val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-        val cart = "CartesianProduct".r.findAllIn(plan).size
-        val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+        val plan = fn(spark, d).queryExecution.executedPlan
+        val planStr = plan.toString
+        val bhj = "BroadcastHashJoin".r.findAllIn(planStr).size
+        val smj = "SortMergeJoin".r.findAllIn(planStr).size
+        val ex = "Exchange hashpartitioning".r.findAllIn(planStr).size
+        val cart = plan.collect { case c: CartesianProductExec => c }
+        val bnls = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+        val offenders = bnls.filterNot(b => buildSideProvablySmall(spark, b))
+        if (offenders.nonEmpty && sys.env.contains("GRAFT_EXPLAIN_DEBUG"))
+          offenders.foreach(o => System.err.println(
+            s"[explain-debug] $name offender build side (${o.buildSide}):\n" +
+              (o.buildSide match { case BuildLeft => o.left; case BuildRight => o.right })))
         val flag =
-          if (cart > 0) "  <-- CARTESIAN"
-          else if (bnl > 0 && !intendedBnl.contains(name)) "  <-- NESTED LOOP"
+          if (cart.nonEmpty) "  <-- CARTESIAN"
+          else if (offenders.nonEmpty) "  <-- NESTED LOOP (build side not provably small)"
           else ""
-        System.err.println(s"[explain] $name: bhj=$bhj smj=$smj bnl=$bnl cart=$cart hashEx=$ex$flag")
+        if (flag.nonEmpty) flagged += 1
+        System.err.println(
+          s"[explain] $name: bhj=$bhj smj=$smj bnl=${bnls.size} cart=${cart.size} hashEx=$ex$flag")
       } catch {
         case e: Throwable => System.err.println(s"[explain] $name: FAILED ${e.getMessage}")
       }
     }
+    System.err.println(s"[explain] flagged=$flagged")
     CachedPlans.clear(spark)
     spark.stop()
+    if (flagged > 0) sys.exit(1)
+  }
+
+  /** Subtree traversal that follows ReusedExchangeExec to the exchange
+    * it reuses — a reused broadcast is a LEAF in the tree, so the
+    * scalar aggregate it wraps would otherwise be invisible. */
+  private def subtreeExists(p: SparkPlan)(f: SparkPlan => Boolean): Boolean =
+    f(p) || (p match {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        subtreeExists(r.child)(f)
+      case _ => p.children.exists(subtreeExists(_)(f))
+    })
+
+  private def firstLogical(p: SparkPlan): Option[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    p.logicalLink.orElse(p match {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        firstLogical(r.child)
+      case _ => p.children.view.flatMap(firstLogical).headOption
+    })
+
+  /** Structural smallness proof for a BNL's build side (see object
+    * doc): grand aggregate in the subtree, maxRows bound, or an actual
+    * ≤K count of the build side alone. */
+  private def buildSideProvablySmall(
+      spark: SparkSession, b: BroadcastNestedLoopJoinExec): Boolean = {
+    val build: SparkPlan = b.buildSide match {
+      case BuildLeft => b.left
+      case BuildRight => b.right
+    }
+    val scalarAgg = subtreeExists(build) {
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+      case s: SortAggregateExec => s.groupingExpressions.isEmpty
+      case _ => false
+    }
+    if (scalarAgg) return true
+    val logical = firstLogical(build)
+    logical match {
+      case Some(l) =>
+        l.maxRows.exists(_ <= MaxBuildRows) || {
+          // last resort: run the BUILD side only and count — the audit
+          // runs at a small SF, and a genuinely-broadcast side is tiny
+          // by definition or the plan deserves its flag
+          try org.apache.spark.sql.graft.ColumnShim.ofRows(spark, l)
+            .limit((MaxBuildRows + 1).toInt).count() <= MaxBuildRows
+          catch { case _: Throwable => false }
+        }
+      case None => false
+    }
   }
 }
