@@ -1243,10 +1243,37 @@ object EventsAnalytics {
     * 100 TB the alternative — a month-to-month FULL OUTER self-join on
     * customer — shuffles the fact table twice per month pair; this
     * shuffles kilobytes. KMV sketches are EXACT below K=4096 retained
-    * keys and ≈1.6% RSE above (ThetaSpec pins both, plus the lossless
-    * union-rollup law). Hash-set math isn't expressible in DuckDB SQL
-    * → rows-only + determinism-gated. */
-  val thetaMonths: GraftOp = GraftOp.rowsOnly("q_theta_months") { (s, d) =>
+    * keys (ThetaSpec pins the ≈1.6% RSE above, plus the lossless
+    * union-rollup law) — and TPC-H's per-month customer sets sit far
+    * below K at every test SF (~1.8k/month at sf0.1), so the sketch
+    * numbers EQUAL exact set algebra and the op is fully
+    * oracle-checked against DuckDB's exact per-month set operations
+    * (the hash match is the proof that the sketch path is exact in
+    * its exact regime). */
+  val thetaMonths: GraftOp = GraftOp(
+    "q_theta_months",
+    """WITH cm AS (
+      |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month, o_custkey FROM orders),
+      |mm AS (SELECT DISTINCT month FROM cm),
+      |ok AS (
+      |  SELECT a.month,
+      |    strftime(CAST(a.month || '-01' AS DATE) - INTERVAL 1 MONTH, '%Y-%m') AS pm
+      |  FROM mm a
+      |  WHERE strftime(CAST(a.month || '-01' AS DATE) - INTERVAL 1 MONTH, '%Y-%m')
+      |    IN (SELECT month FROM mm))
+      |SELECT o.month,
+      |  CAST((SELECT count(*) FROM cm WHERE cm.month = o.pm) AS BIGINT) AS prev_customers,
+      |  CAST((SELECT count(*) FROM cm WHERE cm.month = o.month) AS BIGINT) AS customers,
+      |  CAST((SELECT count(*) FROM cm a WHERE a.month = o.month
+      |    AND EXISTS (SELECT 1 FROM cm b WHERE b.month = o.pm AND b.o_custkey = a.o_custkey))
+      |    AS BIGINT) AS retained,
+      |  CAST((SELECT count(*) FROM cm a WHERE a.month = o.month
+      |    AND NOT EXISTS (SELECT 1 FROM cm b WHERE b.month = o.pm AND b.o_custkey = a.o_custkey))
+      |    AS BIGINT) AS new_customers,
+      |  CAST((SELECT count(*) FROM cm a WHERE a.month = o.pm
+      |    AND NOT EXISTS (SELECT 1 FROM cm b WHERE b.month = o.month AND b.o_custkey = a.o_custkey))
+      |    AS BIGINT) AS churned
+      |FROM ok o ORDER BY month""".stripMargin) { (s, d) =>
     val monthly = Tables.orders(s, d)
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_custkey"))
       .groupBy(col("month"))

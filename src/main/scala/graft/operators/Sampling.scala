@@ -13,19 +13,42 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  val uniform: GraftOp = GraftOp.rowsOnly("sample_uniform") { (s, d) =>
+  /** Uniform 10% sample via a SALTED portable hash (salt `u42#` keeps
+    * the stream independent of sample_hash's): the keep decision is a
+    * pure function of the row key, so the sample is reproducible
+    * across engines, runs, AND corpus growth (append-stable) — and
+    * therefore fully oracle-checkable, unlike an RNG Bernoulli draw
+    * (Spark's seeded `.sample()` stream is engine-private; that path
+    * stays exercised in SamplingSpec). Partition-local, no shuffle. */
+  val uniform: GraftOp = GraftOp(
+    "sample_uniform",
+    s"""SELECT event_id, user_id, event_type FROM events
+       |WHERE ${graft.functions.Exprs.sqlMd5Long("concat('u42#', CAST(event_id AS VARCHAR))")} % 10 = 0
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
     Tables.events(s, d)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(graft.functions.Exprs.md5Long(
+        concat(lit("u42#"), col("event_id").cast(org.apache.spark.sql.types.StringType)))
+        % 10 === 0)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("event_id"))
   }
 
-  /** Per-language stratified sample: downsample the dominant stratum,
-    * keep the rest (the rebalancing move behind most corpus mixes). */
-  val stratified: GraftOp = GraftOp.rowsOnly("sample_stratified") { (s, d) =>
-    val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
+  /** Per-language stratified sample: downsample the dominant stratum
+    * (en → 25%), keep the rest (the rebalancing move behind most
+    * corpus mixes). Same salted-hash keep rule as [[uniform]] (salt
+    * `s42#`) so the per-stratum draw is portable and oracle-checked;
+    * the RNG `sampleBy` path stays exercised in SamplingSpec. */
+  val stratified: GraftOp = GraftOp(
+    "sample_stratified",
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE lang IN ('de', 'es', 'fr', 'zh')
+       |   OR (lang = 'en' AND ${graft.functions.Exprs.sqlMd5Long("concat('s42#', CAST(doc_id AS VARCHAR))")} % 100 < 25)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .stat.sampleBy("lang", fractions, 42L)
+      .filter(col("lang").isin("de", "es", "fr", "zh") ||
+        (col("lang") === "en" && graft.functions.Exprs.md5Long(
+          concat(lit("s42#"), col("doc_id").cast(org.apache.spark.sql.types.StringType)))
+          % 100 < 25))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }

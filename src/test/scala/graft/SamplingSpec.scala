@@ -18,6 +18,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(frac > 0.07 && frac < 0.13, s"fraction $frac out of bounds")
   }
 
+  test("native RNG sampling: seeded sample()/sampleBy() deterministic, fractions in bounds") {
+    // the Spark-native Bernoulli path (engine-private RNG stream → not
+    // oracle-expressible; the driver queries use the portable-hash
+    // twins, this keeps the native API covered)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val s1 = ev.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    val s2 = ev.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2), "same seed must give the same native sample")
+    assert(s1.length / 10000.0 > 0.07 && s1.length / 10000.0 < 0.13)
+
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
+    val by = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("de") === total("de"))
+    val enFrac = by("en").toDouble / total("en")
+    assert(enFrac > 0.1 && enFrac < 0.4, s"native en fraction $enFrac not ~0.25")
+  }
+
   test("stratified sample: dominant stratum downsampled, others kept") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val total = docs.groupBy("lang").count().collect()
