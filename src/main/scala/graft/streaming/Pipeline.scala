@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.config.PipelineConfig
 import graft.ingest.JsonIngest
-import graft.sinks.{BatchedRetrySink, StatementWriter}
+import graft.sinks.{BatchedRetrySink, SqlDialect, StatementWriter}
 import graft.sources.KafkaIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,7 +40,12 @@ object Pipeline {
       tsField: String,
       keyField: String,
       checkpoint: String,
-      dirtySink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
+      dirtySink: Option[(DataFrame, Long) => Unit] = None,
+      // evaluated ONCE at sink open — the reference's system.columns
+      // lookup slot (pass e.g. () => JdbcCatalogTypes.derby(...));
+      // default keeps the supplied-map behavior
+      targetTypes: () => Map[String, String] = () => Map.empty,
+      dialect: SqlDialect = SqlDialect.ClickHouseLike): StreamingQuery = {
     // config-selected state store provider (reference state.backend):
     // a streaming query captures the session's SQLConf at start(), so
     // the settings are applied just before start() and RESTORED right
@@ -56,8 +61,10 @@ object Pipeline {
     cfg.sparkConfs.foreach { case (k, v) => conf.set(k, v) }
     try {
       val sink = new BatchedRetrySink(writer, cfg.sinkMaxRetries, cfg.sinkRetryBackoffMs)
+      val types = targetTypes() // sink open: one catalog round-trip
       val write = sink.writeBatch(
-        s"${cfg.sinkDatabase}.${cfg.sinkTable}", col(keyField), cfg.windowSize) _
+        s"${cfg.sinkDatabase}.${cfg.sinkTable}", col(keyField), cfg.windowSize,
+        types, dialect) _
       kafkaShaped.writeStream
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.ProcessingTime(cfg.triggerIntervalMs))

@@ -85,4 +85,56 @@ class PipelineSpec extends AnyFunSuite {
     // statements carry the enriched dayOfYear column
     assert(graft.sinks.TestWriter.statements.head.contains("dayOfYear"))
   }
+
+  test("full reference flow lands in embedded Derby: catalog-typed failover sink, dead first replica") {
+    // the reference end-to-end: stream → parse/validate/enrich → keyed
+    // batches → INSERTs executed against a LIVE SQL engine, with the
+    // type map QUERIED from the target catalog at sink open and the
+    // first replica URL dead (BalancedClickhouseDataSource semantics)
+    val url = "jdbc:derby:memory:graftpipe;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(
+        """CREATE TABLE PIPE (
+          |  event_id BIGINT, user_id BIGINT, ts VARCHAR(19), event_type VARCHAR(30),
+          |  value DOUBLE, topicName VARCHAR(20), topicPartition INTEGER,
+          |  topicOffset BIGINT, topicGroupId VARCHAR(30),
+          |  dayOfYear VARCHAR(10), sTime VARCHAR(19))""".stripMargin)
+      finally st.close()
+    } finally conn.close()
+
+    val srcDir = Files.createTempDirectory("graft-pipe2-src")
+    val ckpt = Files.createTempDirectory("graft-pipe2-ckpt").toString
+    val all = kafkaShapedBatch().filter(col("offset") < 300).cache()
+    writeSlice(srcDir, all, "a")
+
+    val cfg = PipelineConfig(requiredFields = Seq("user_id", "ts"), windowSize = 25,
+      sinkRetryBackoffMs = 1L, sinkDatabase = "APP", sinkTable = "PIPE")
+    val writer = new graft.sinks.FailoverStatementWriter(
+      Seq("jdbc:derby:memory:pipedead", url)) // first replica dead
+    val q = Pipeline.runFromSource(
+      spark.readStream.schema(all.schema).parquet(srcDir.toString),
+      payloadSchema, cfg, writer,
+      tsField = "ts", keyField = "user_id", checkpoint = ckpt,
+      targetTypes = () => graft.sinks.JdbcCatalogTypes.derby(url, "APP", "PIPE"),
+      dialect = graft.sinks.SqlDialect.Ansi)
+    q.processAllAvailable(); q.stop()
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "PIPE")
+      .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      .load()
+    val expectedValid = all.count() - all.filter(isDirty).count()
+    assert(back.count() === expectedValid,
+      "every valid record must land in Derby exactly once")
+    // values survive the full trip (spot check one clean row)
+    val sample = all.filter(!isDirty).orderBy(col("offset")).limit(1)
+      .select(col("offset")).collect().head.getLong(0)
+    val row = back.filter(col("event_id") === sample).collect()
+    assert(row.length === 1)
+    // Derby folds unquoted identifiers to upper case
+    assert(row.head.getAs[String]("TOPICNAME") === "events")
+    assert(row.head.getAs[String]("DAYOFYEAR").matches("\\d{4}-\\d{2}-\\d{2}"))
+  }
 }
