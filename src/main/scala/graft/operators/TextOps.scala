@@ -594,7 +594,59 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Token-rarity tiers — the unigram-LM perplexity PROXY (CCNet-style
+    * LM filtering without the LM): a doc whose tokens are mostly
+    * corpus-rare is gibberish/OCR noise, one whose tokens are all
+    * corpus-common is boilerplate; curation keeps the middle. Score =
+    * mean corpus frequency of the doc's tokens — the integer-exact
+    * stand-in for mean unigram log-prob (monotone in it for the
+    * rank-tier decision, with ZERO transcendentals: a per-doc Σln over
+    * hundreds of fold-ordered doubles could never hash-match).
+    *
+    * Shape: one token explode builds the corpus dictionary (|vocab|
+    * rows), tokens re-join it on the hash-partitioned token key, the
+    * per-doc aggregate is exact-integer (Σc, n), and the emitted mean
+    * is the §6 pure-integer half-up at 6dp. Tiers cut at the exact
+    * p25/p75 of the rounded means (one 1-row aggregate broadcast —
+    * the q_rfm ntile-free shape): ≥p75 'head' (common-token docs),
+    * ≥p25 'middle', else 'tail'. */
+  val rarityTiers: GraftOp = GraftOp(
+    "text_rarity_tiers",
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+      |pd AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS sum_c, CAST(count(*) AS BIGINT) AS n_toks
+      |  FROM t JOIN f USING (tok) GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, n_toks,
+      |    ((sum_c * 10000000) // n_toks + 5) // 10 / 1e6 AS mean_tok_freq
+      |  FROM pd),
+      |cuts AS (SELECT quantile_cont(mean_tok_freq, [0.25, 0.75]) AS q FROM sc)
+      |SELECT doc_id, n_toks, mean_tok_freq,
+      |  CASE WHEN mean_tok_freq >= q[2] THEN 'head'
+      |       WHEN mean_tok_freq >= q[1] THEN 'middle'
+      |       ELSE 'tail' END AS tier
+      |FROM sc CROSS JOIN cuts ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"), explode(tokens).as("tok"))
+    val f = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pd = t.join(f, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_toks"))
+    // integer half-up at 6dp, then ONE exact power-of-ten divide —
+    // Σc·10⁷ stays far under Long range at test SFs (≤ ~5e16)
+    val sc = pd.select(col("doc_id"), col("n_toks"),
+      (expr("(sum_c * 10000000L div n_toks + 5) div 10") / 1e6).as("mean_tok_freq"))
+    val cuts = sc.agg(percentile(col("mean_tok_freq"), typedLit(Seq(0.25, 0.75))).as("q"))
+    sc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_toks"), col("mean_tok_freq"),
+        when(col("mean_tok_freq") >= col("q")(1), "head")
+          .when(col("mean_tok_freq") >= col("q")(0), "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
-      decontam, piiRedact, normalize, chunks)
+      decontam, piiRedact, normalize, chunks, rarityTiers)
 }
