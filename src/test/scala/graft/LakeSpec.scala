@@ -31,6 +31,56 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === total)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact day-partitions at runtime") {
+    // THE 100-TB fact-dim pattern: the fact lake is day-partitioned,
+    // the filter lives on a dimension table — static planning cannot
+    // prune (the fact predicate is only known after the dim filter
+    // runs), DPP turns the broadcast dim into a runtime partition
+    // filter so the fact scan never opens the other days' files.
+    val path = Files.createTempDirectory("graft-dpp").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, sf)
+    PartitionedLake.writeByDay(ev, "ts", path)
+    // partition inference types `day` as DATE — read it back as string
+    val allDays = spark.read.parquet(path).select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(allDays.length > 3, "test premise: multiple day partitions")
+    val wanted = allDays.take(2)
+
+    import spark.implicits._
+    // the dim must be a real table (a LocalRelation constant-folds its
+    // filter away) and the predicate an attr=literal equality (DPP's
+    // isLikelySelective heuristic; a bare boolean column is not)
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString + "/days"
+    allDays.map(d => (d, if (wanted.contains(d)) "peak" else "offpeak")).toSeq
+      .toDF("d", "season")
+      .select(to_date(col("d")).as("day"), col("season"))
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+
+    // AQE off for a concrete pre-execution tree (strategy identical)
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = spark.read.parquet(path)
+      val joined = fact.join(dim.filter(col("season") === "peak"), Seq("day"))
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.contains("dynamicpruning"),
+        s"DPP subquery missing from the fact scan:\n${plan.toString.take(1200)}")
+      val expected = ev.filter(
+        date_format(col("ts"), "yyyy-MM-dd").isin(wanted.toSeq: _*)).count()
+      // collect() executes THIS queryExecution (count() would plan a
+      // fresh one and leave the captured scan's metrics untouched)
+      assert(joined.collect().length.toLong === expected)
+      // runtime proof: the fact scan opened only the kept partitions
+      val scan = plan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metrics.contains("numPartitions") => f
+      }.getOrElse(fail("no partitioned file scan in the plan"))
+      assert(scan.metrics("numPartitions").value === wanted.length.toLong,
+        s"scan read ${scan.metrics("numPartitions").value} partitions, wanted ${wanted.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("compaction: small files collapse, rows and other days untouched") {
     val path = Files.createTempDirectory("graft-compact").toString + "/events"
     val ev = graft.sources.Tables.events(spark, sf)
