@@ -349,5 +349,36 @@ object KnnOps {
       .orderBy(col("anchor_id"), col("rn"))
   }
 
-  val ops: Seq[GraftOp] = Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives)
+  /** Range search — ALL corpus vectors within cosine ≥ τ of each
+    * query (FAISS/Milvus `range_search`), the dedup/recall-audit
+    * complement of top-k: top-k bounds the RESULT size, range search
+    * bounds the SIMILARITY, and callers that need "everything this
+    * close" (near-dup audit, radius-based label propagation) get
+    * wrong answers from a k cutoff. Same scan shape as [[brute]]
+    * (queries broadcast, corpus never shuffled, predicate fused into
+    * the scan); result size is data-dependent by design. */
+  val rangeSearch: GraftOp = GraftOp(
+    "knn_range_search",
+    s"""WITH raw AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |v AS (SELECT vec_id, ${Exprs.sqlUnit("e")} AS u FROM raw),
+       |q AS (SELECT vec_id, u FROM v WHERE vec_id < 8)
+       |SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |  round(${Exprs.sqlDot("q.u", "c.u")}, 6) AS cos_sim
+       |FROM q JOIN v c ON c.vec_id <> q.vec_id
+       |WHERE ${Exprs.sqlDot("q.u", "c.u")} >= 0.3
+       |ORDER BY query_id, corpus_id""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val q = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val cos = Exprs.dot(col("qu"), col("u"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"), cos.as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("corpus_id"))
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch)
 }

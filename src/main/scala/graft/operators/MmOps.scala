@@ -264,5 +264,88 @@ object MmOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample)
+  /** Build a canonical 44-byte PCM WAV header (RIFF little-endian)
+    * for the given audio parameters — the real container format, so
+    * the parser opposite is exercised against genuine bytes. */
+  private[graft] def wavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * (bitsPerSample / 8)
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort) // PCM
+    bb.putShort(channels.toShort).putInt(sampleRate)
+    bb.putInt(sampleRate * channels * (bitsPerSample / 8)) // byte rate
+    bb.putShort((channels * (bitsPerSample / 8)).toShort)  // block align
+    bb.putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** Parse a PCM WAV header: (sampleRate, channels, bits, nSamples),
+    * or None when the magic bytes don't check out (quarantine lane). */
+  private[graft] def parseWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = { val b = new Array[Byte](n); bb.get(b); new String(b, "US-ASCII") }
+    if (ascii(4) != "RIFF") return None
+    bb.getInt // riff size
+    if (ascii(4) != "WAVE" || ascii(4) != "fmt ") return None
+    bb.getInt // fmt size
+    val fmt = bb.getShort
+    val channels = bb.getShort.toInt
+    val rate = bb.getInt
+    bb.getInt; bb.getShort // byte rate, block align
+    val bits = bb.getShort.toInt
+    if (ascii(4) != "data" || fmt != 1) return None
+    val dataLen = bb.getInt
+    Some((rate, channels, bits, dataLen / (channels * (bits / 8))))
+  }
+
+  /** Audio-container metadata — the audio twin of [[meta]]/[[sniff]]:
+    * each doc carries a REAL planted PCM WAV header (hash-derived
+    * parameters through the genuine RIFF byte layout) and the kernel
+    * parses the little-endian container fields back; duration is
+    * integer math on the parsed values. The oracle replays the hash
+    * arithmetic, so the hash match proves the build→parse round trip
+    * preserves every field. mapPartitions kernel (where a real audio
+    * demuxer belongs), zero shuffle. */
+  val wavMeta: GraftOp = GraftOp(
+    "mm_wav_meta",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(8000 + (${Exprs.sqlMd5Long("text")} % 8) * 4000 AS INT) AS sample_rate,
+       |    CAST(1 + (${Exprs.sqlMd5Long("text")} >> 3) % 2 AS INT) AS channels,
+       |    CAST(1000 + (${Exprs.sqlMd5Long("text")} >> 4) % 9000 AS INT) AS n_samples
+       |  FROM documents)
+       |SELECT doc_id, sample_rate, channels, 16 AS bits, n_samples,
+       |  CAST(n_samples AS BIGINT) * 1000 // sample_rate AS duration_ms
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h = Exprs.md5Long(col("text"))
+    val params = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(8000) + (h % 8) * 4000).cast(IntegerType).as("sample_rate"),
+        (lit(1) + shiftright(h, 3) % 2).cast(IntegerType).as("channels"),
+        (lit(1000) + shiftright(h, 4) % 9000).cast(IntegerType).as("n_samples"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("duration_ms", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    params.mapPartitions { rows =>
+      rows.map { r =>
+        // REAL round trip: hash params → genuine RIFF bytes → parse
+        val header = wavHeader(r.getInt(1), r.getInt(2), 16, r.getInt(3))
+        val (rate, ch, bits, n) = parseWavHeader(header).getOrElse(
+          throw new IllegalStateException(s"unparseable planted WAV for doc ${r.getLong(0)}"))
+        Row(r.getLong(0), rate, ch, bits, n, n.toLong * 1000 / rate)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta)
 }

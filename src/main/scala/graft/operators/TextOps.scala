@@ -646,7 +646,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature hashing (HashingTF / the "hashing trick"): token →
+    * fixed-size bucket via the portable hash, per-doc bucket counts —
+    * the vocabulary-free featurizer for linear classifiers/quality
+    * gates at corpus scale (no dictionary to build, broadcast, or
+    * keep consistent across corpus refreshes; collisions are the
+    * accepted trade). 1024 buckets, emitted sparse (only non-zero
+    * buckets, the classifier-input shape); doc_id < 100 bounds the
+    * emitted sample like mm_chunk. Pure map + one (doc, bucket)
+    * aggregate — the hash replaces the dictionary JOIN text_tfidf
+    * needs. */
+  val hashingTf: GraftOp = GraftOp(
+    "text_hashing_tf",
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents WHERE doc_id < 100)
+       |SELECT doc_id,
+       |  CAST(${graft.functions.Exprs.sqlMd5Long("tok")} % 1024 AS INT) AS bucket,
+       |  count(*) AS tf
+       |FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy(col("doc_id"),
+        (graft.functions.Exprs.md5Long(col("tok")) % 1024).cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
-      decontam, piiRedact, normalize, chunks, rarityTiers)
+      decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf)
 }

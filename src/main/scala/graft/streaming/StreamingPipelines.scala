@@ -373,6 +373,35 @@ object StreamingPipelines {
       }
   }
 
+  /** Streaming per-month audience THETA sketch — the set-algebra
+    * sketch tier's streaming half (HLL stream above answers "how
+    * many"; theta state additionally feeds month-vs-month
+    * retained/new/churned downstream, the q_theta_months serve path).
+    * State = the serialized KMV sketch (≤ 32 KB per month); adding a
+    * key is a set insert and merging keeps the K smallest hashes, so
+    * the state is a CRDT — at-least-once replay is a no-op BY
+    * CONSTRUCTION, and the final state is byte-identical to the batch
+    * `theta_sketch_agg` over the same rows (set semantics: order
+    * never matters). Emits (month, estimate) per trigger. */
+  def audienceSketchStream(events: Dataset[UpsertRow])(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    import spark.implicits._
+    import graft.functions.ThetaImpls
+    events
+      .select(date_format(col("ts"), "yyyy-MM").as("month"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Long)](GroupStateTimeout.NoTimeout) {
+        (month, rows, state) =>
+          val set = ThetaImpls.newSet()
+          state.getOption.foreach(b => ThetaImpls.mergeInto(set, b))
+          rows.foreach(r => ThetaImpls.add(set, r._2))
+          val bytes = ThetaImpls.serialize(set)
+          state.update(bytes)
+          (month, ThetaImpls.estimate(bytes))
+      }
+  }
+
   final case class MomentsState(n: Long, s1_cents: Long, s2_cents4: Long)
 
   /** Streaming per-key moments (n, Σv, Σv²) via exact INTEGER state —

@@ -439,6 +439,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming theta audience sketch: CRDT state, replay no-op, == batch sketch") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.audienceSketchStream(mem.toDS())
+      .toDF("month", "approx_users")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("theta_out").start()
+    def estimates(): Map[String, Long] = {
+      q.processAllAvailable()
+      spark.table("theta_out").groupBy("month")
+        .agg(last(col("approx_users")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    try {
+      mem.addData(half1.toIndexedSeq)
+      mem.addData(half2.toIndexedSeq)
+      val full = estimates()
+      // KMV adds are set inserts ⇒ replaying a whole half changes nothing
+      mem.addData(half2.toIndexedSeq)
+      assert(estimates() === full, "replay must be a state no-op (CRDT)")
+      // incremental estimates equal the batch sketch aggregate exactly
+      val batch = graft.sources.Tables.events(spark, sf)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(graft.functions.theta_estimate(
+          graft.functions.theta_sketch_agg(col("user_id"))).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(full === batch, s"stream=$full batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming HLL distinct: CRDT state, replay no-op, == batch sketch") {
     implicit val s = spark
     import s.implicits._
