@@ -379,6 +379,52 @@ object KnnOps {
       .orderBy(col("query_id"), col("corpus_id"))
   }
 
+  /** kNN-distance outlier scoring — embedding-space noise detection
+    * for curation (a vector far from its 10 nearest neighbors is OCR
+    * garbage, wrong-language leakage, or adversarial junk; the
+    * classic kNN-distance outlier definition). Score = 1 − mean
+    * top-10 cosine, but the mean is assembled INTEGER-exactly: each
+    * neighbor cosine rounds to BIGINT micros first (the same 6dp-snap
+    * contract every cos emit uses), the 10-value sum is integer, and
+    * the single final divide by 1e7 is one correctly-rounded op — a
+    * Σ of raw doubles over a fold-ordered aggregate could land 1 ulp
+    * apart across engines. Brute scan shape on the audited sample
+    * (vec_id < 50 broadcast); corpus never shuffled. */
+  val outlierScore: GraftOp = GraftOp(
+    "knn_outlier_score",
+    s"""WITH raw AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |v AS (SELECT vec_id, ${Exprs.sqlUnit("e")} AS u FROM raw),
+       |q AS (SELECT vec_id, u FROM v WHERE vec_id < 50),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    CAST(round(${Exprs.sqlDot("q.u", "c.u")} * 1000000) AS BIGINT) AS cos_micros
+       |  FROM q JOIN v c ON c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, cos_micros,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, corpus_id) AS rn
+       |  FROM s)
+       |SELECT query_id, CAST(sum(cos_micros) AS BIGINT) AS knn_sum_micros,
+       |  1.0 - sum(cos_micros) / 1e7 AS outlier_score
+       |FROM r WHERE rn <= $K GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val q = v.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micros").desc, col("corpus_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        round(Exprs.dot(col("qu"), col("u")) * 1000000).cast(LongType).as("cos_micros"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .groupBy(col("query_id"))
+      .agg(sum(col("cos_micros")).cast(LongType).as("knn_sum_micros"))
+      .select(col("query_id"), col("knn_sum_micros"),
+        (lit(1.0) - col("knn_sum_micros") / 1e7).as("outlier_score"))
+      .orderBy(col("query_id"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch)
+    Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
+      outlierScore)
 }

@@ -347,5 +347,82 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta)
+  /** dHash perceptual hash of a decoded raster: the image is reduced
+    * to a 9×8 luma grid (integer block sums; adjacent-cell compares
+    * use cross-multiplication so averages never touch floating
+    * point), each bit = "is this cell brighter than its right
+    * neighbor". Gradient-based ⇒ invariant to uniform brightness
+    * shifts and compression noise — the property that makes it the
+    * standard near-dup key for image corpora. */
+  private[graft] def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val sums = Array.ofDim[Long](8, 9) // [row][col] luma sums
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(8, x * 9 / w)
+        var b = 0
+        var luma = 0L
+        while (b < bands) { luma += raster.getSample(x, y, b); b += 1 }
+        sums(gy)(gx) += luma
+        counts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var bit = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        // avg(gx) > avg(gx+1) without division: cross-multiply counts
+        if (sums(gy)(gx) * counts(gy)(gx + 1) > sums(gy)(gx + 1) * counts(gy)(gx))
+          hash |= 1L << bit
+        bit += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Image perceptual hashing — the multimodal dedup primitive: every
+    * 50th doc's planted PNG decodes through javax.imageio and hashes
+    * via [[dhash64]]; non-image blobs take the byte-hash stub lane
+    * (flagged by is_image so downstream image-dedup joins only hash-
+    * comparable rows). Wrapping-Long bit math isn't DuckDB-portable →
+    * rows-only; MmSpec pins determinism, brightness invariance, and
+    * locality. */
+  val imagePhash: GraftOp = GraftOp.rowsOnly("mm_image_phash") { (s, d) =>
+    val blobs = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("is_image", BooleanType),
+      StructField("phash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    blobs.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        if (docId % 50 == 0) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(syntheticPng(docId)))
+          Row(docId, true, dhash64(img))
+        } else {
+          val bytes = r.getAs[Array[Byte]](1)
+          var h = 1125899906842597L
+          var i = 0
+          while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+          Row(docId, false, h)
+        }
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash)
 }

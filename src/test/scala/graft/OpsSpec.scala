@@ -169,6 +169,39 @@ class MmSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("image dHash: deterministic, brightness-invariant, locality-sensitive") {
+    def mk(w: Int, h: Int)(luma: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = luma(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // a smooth horizontal gradient, values well inside [0, 255]
+    val base = mk(18, 16)((x, _) => 20 + x * 10)
+    val h0 = MmOps.dhash64(base)
+    assert(h0 === MmOps.dhash64(mk(18, 16)((x, _) => 20 + x * 10)), "determinism")
+    // uniform brightness shift: every gradient direction unchanged
+    val brighter = mk(18, 16)((x, _) => 50 + x * 10)
+    assert(MmOps.dhash64(brighter) === h0, "dHash must be brightness-invariant")
+    // a small local perturbation moves FEW bits; an inverted gradient flips most
+    val dented = mk(18, 16)((x, y) => if (x == 4 && y == 3) 250 else 20 + x * 10)
+    val inverted = mk(18, 16)((x, _) => 200 - x * 10)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(MmOps.dhash64(dented), h0) <= 8,
+      s"local dent moved ${hamming(MmOps.dhash64(dented), h0)} bits")
+    assert(hamming(MmOps.dhash64(inverted), h0) >= 40,
+      s"inverted gradient only moved ${hamming(MmOps.dhash64(inverted), h0)} bits")
+    // the op itself: planted-PNG rows flagged as images, all rows hashed
+    val out = MmOps.imagePhash.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(1) === (r.getLong(0) % 50 == 0), s"is_image wrong for $r")
+    }
+  }
+
   test("decode kernel: real PNG round-trip hits pinned raster stats; non-image falls back to stub") {
     // PNG is lossless, so the decoded mean is the pixel formula's mean —
     // computed independently here, pinned against the codec's output
