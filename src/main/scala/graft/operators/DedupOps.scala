@@ -834,7 +834,44 @@ object DedupOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Corpus duplication report — the per-source summary a curation run
+    * emits before committing a clean: how much of each source is
+    * exact-duplicate bulk and how many characters a keep-one pass
+    * would reclaim. One content-hash groupBy (the dedup_exact shuffle,
+    * partial-aggregated map-side) then a source-level rollup of
+    * per-group counts — the second shuffle carries one row per
+    * DISTINCT (source, content) pair, never documents. Every output
+    * is an exact integer: `chars div n` is exact because identical
+    * text ⇒ identical n_chars within a group, so the report
+    * hash-matches the oracle at any SF. */
+  val report: GraftOp = GraftOp(
+    "dedup_report",
+    """WITH g AS (
+      |  SELECT source, md5(text) AS h, count(*) AS n, sum(n_chars) AS chars
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(n) AS BIGINT) AS n_docs,
+      |  count(*) AS n_distinct,
+      |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+      |  max(n) AS max_group,
+      |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_in_dup_groups,
+      |  CAST(sum(chars - chars // n) AS BIGINT) AS reclaimable_chars
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    g.groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("n")) - count(lit(1))).as("n_dup_docs"),
+        max(col("n")).as("max_group"),
+        sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).as("docs_in_dup_groups"),
+        sum(col("chars") - expr("chars div n")).as("reclaimable_chars"))
+      .orderBy(col("source"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, simhash,
-      embed, containment, semantic)
+      embed, containment, semantic, report)
 }

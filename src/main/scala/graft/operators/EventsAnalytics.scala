@@ -905,6 +905,60 @@ object EventsAnalytics {
       .limit(20)
   }
 
+  /** Stage-to-stage funnel latency — the "where does the funnel
+    * stall" readout next to q_funnel's "how deep do users get": for
+    * users who completed a transition, how long signup→view and
+    * view→purchase took. Same first-qualifying-event stage frames as
+    * q_funnel (min-ts per stage, strictly increasing), diffed to
+    * integer seconds (exact — the values the percentile sorts carry no
+    * float drift) through the q_gap_stats percentile contract, summed
+    * as a BIGINT instead of a round(avg) (midpoint-proof; mean =
+    * sum_sec/n_users is the caller's one division). Three narrow
+    * per-user aggregates shuffled on the one possible key, a 2-row
+    * rollup at the end — the q_funnel plan plus two broadcast-sized
+    * joins. */
+  val funnelLatency: GraftOp = GraftOp(
+    "q_funnel_latency",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+      |l AS (
+      |  SELECT 'signup->view' AS transition, date_diff('second', t1, t2) AS sec
+      |  FROM s1 JOIN s2 USING (user_id)
+      |  UNION ALL
+      |  SELECT 'view->purchase', date_diff('second', t2, t3)
+      |  FROM s2 JOIN s3 USING (user_id))
+      |SELECT transition, count(*) AS n_users,
+      |  CAST(sum(sec) AS BIGINT) AS sum_sec,
+      |  round(quantile_cont(sec, 0.5), 6) AS p50_sec,
+      |  round(quantile_cont(sec, 0.95), 6) AS p95_sec
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .filter(col("event_type") === "view" && col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val l12 = s1.join(s2, Seq("user_id"))
+      .select(lit("signup->view").as("transition"),
+        (unix_timestamp(col("t2")) - unix_timestamp(col("t1"))).as("sec"))
+    val l23 = s2.join(s3, Seq("user_id"))
+      .select(lit("view->purchase").as("transition"),
+        (unix_timestamp(col("t3")) - unix_timestamp(col("t2"))).as("sec"))
+    l12.unionAll(l23)
+      .groupBy(col("transition"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("sec")).as("sum_sec"),
+        round(percentile(col("sec"), lit(0.5)), 6).as("p50_sec"),
+        round(percentile(col("sec"), lit(0.95)), 6).as("p95_sec"))
+      .orderBy(col("transition"))
+  }
+
   /** Inter-event gap percentiles per type: lag() over each user's
     * event-time order gives the gap to the previous same-user event in
     * integer seconds (exact — no float drift in the ORDER the
@@ -1295,7 +1349,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, abFunnel, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, funnelLatency, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)

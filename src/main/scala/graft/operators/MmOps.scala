@@ -424,5 +424,69 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash)
+  /** Candidate-pair finder over (doc_id, phash) frames: the 64-bit
+    * hash is cut into four 16-bit bands and pairs meet through a band
+    * equi-join — the simhash/LSH pigeonhole guarantee that any pair
+    * within hamming ≤ 3 shares at least one identical band, so the
+    * join can only miss pairs ≥ 4 bits apart (and in practice far
+    * beyond — 4 spread bits must land in 4 distinct bands). Candidates
+    * are then verified with an exact popcount on the XOR. Same
+    * banded shape as DedupOps.simhash: the shuffle carries
+    * (band, 16-bit value) keys, never an all-pairs product. */
+  private[graft] def nearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("doc_id"), col("phash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val l = banded.select(col("band"), col("v"),
+      col("doc_id").as("da"), col("phash").as("pa"))
+    val r = banded.select(col("band"), col("v"),
+      col("doc_id").as("db"), col("phash").as("pb"))
+    l.join(r, Seq("band", "v")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("pa"), col("pb")).distinct()
+      .select(col("da"), col("db"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Image near-duplicate scan — the perceptual-hash analogue of
+    * simhash text dedup, over the REAL image lane only (every 50th
+    * doc decodes its planted PNG through javax.imageio; dHash bits
+    * of non-images are not comparable, so the stub lane stays out by
+    * construction). [[nearDupPairs]] generates banded candidates,
+    * hamming ≤ 6 confirms, and the result rolls up per image
+    * (n_neardup / min_hamming, isolated images kept at 0 / −1), so
+    * cardinality is exactly the image count. Wrapping-Long bit math
+    * isn't DuckDB-portable → rows-only; MmSpec pins the pigeonhole
+    * guarantee and the planted-corpus roll-up. */
+  val imageNearDup: GraftOp = GraftOp.rowsOnly("mm_image_neardup") { (s, d) =>
+    val imgIds = Tables.documents(s, d)
+      .filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("phash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val hashes = imgIds.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(syntheticPng(docId)))
+        Row(docId, dhash64(img))
+      }
+    }(enc)
+    val pairs = nearDupPairs(hashes, maxHamming = 6).persist()
+    val perImage = pairs.select(col("da").as("doc_id"), col("hamming"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("hamming")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_neardup"), min(col("hamming")).as("min_hamming"))
+    hashes.join(perImage, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("min_hamming"), lit(-1)).as("min_hamming"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup)
 }

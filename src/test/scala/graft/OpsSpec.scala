@@ -202,6 +202,38 @@ class MmSpec extends AnyFunSuite {
     }
   }
 
+  test("image near-dup: banded pair-finder honors the pigeonhole guarantee; op rolls up per image") {
+    import spark.implicits._
+    // h2 = 1 bit off h1 (same band); h3 = 3 bits off h1 spread over 3
+    // bands (pigeonhole: MUST still share one untouched band); h4 =
+    // complement (64 bits off — no shared band, and verification would
+    // reject anyway); h5 = 8 bits off, 2 per band (candidate via no
+    // band ⇒ never surfaced, the LSH miss-case by design).
+    val h1 = 0x123456789ABCDEF0L
+    val h2 = h1 ^ 1L
+    val h3 = h1 ^ ((1L << 2) | (1L << 17) | (1L << 33))
+    val h4 = ~h1
+    val h5 = h1 ^ ((3L << 1) | (3L << 20) | (3L << 36) | (3L << 50))
+    val hashes = Seq((1L, h1), (2L, h2), (3L, h3), (4L, h4), (5L, h5))
+      .toDF("doc_id", "phash")
+    val pairs = MmOps.nearDupPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(1), s"hamming-1 pair missed: $pairs")
+    assert(pairs.get((1L, 3L)).contains(3), s"hamming-3 pair missed (pigeonhole): $pairs")
+    assert(pairs.get((2L, 3L)).contains(4), s"hamming-4 shared-band pair missed: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L), "complement must not pair")
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L),
+      "4-band-spread 8-bit pair must not surface (no shared band)")
+    // the op: exactly one row per planted image, isolated rows at 0 / -1
+    val nImages = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 50 = 0").count()
+    val op = MmOps.imageNearDup.run(spark, sf).collect()
+    assert(op.length.toLong === nImages)
+    op.foreach { r =>
+      assert((r.getLong(1) == 0L) === (r.getInt(2) == -1), s"rollup inconsistent: $r")
+    }
+  }
+
   test("decode kernel: real PNG round-trip hits pinned raster stats; non-image falls back to stub") {
     // PNG is lossless, so the decoded mean is the pixel formula's mean —
     // computed independently here, pinned against the codec's output
