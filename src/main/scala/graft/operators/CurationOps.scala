@@ -409,7 +409,64 @@ object CurationOps {
       .orderBy(col("rule"))
   }
 
+  /** Corpus datasheet — the "Datasheets for Datasets" one-op answer:
+    * volume, language mix, source mix, length distribution and exact-
+    * dup bulk in one long-format (section, key, value) table, the
+    * card a training corpus ships with. Five narrow aggregates, each
+    * scanning only the columns it needs (lang/source tallies prune to
+    * one column; the dup count is the dedup_exact shuffle); values
+    * are exact counts CAST to one uniform DOUBLE column (exact to
+    * 2^53) except the two length percentiles, which follow the
+    * q_percentile round-6 contract. */
+  val datasheet: GraftOp = GraftOp(
+    "corpus_datasheet",
+    """SELECT 'volume' AS section, 'n_docs' AS key, CAST(count(*) AS DOUBLE) AS value FROM documents
+      |UNION ALL SELECT 'volume', 'total_chars', CAST(sum(n_chars) AS DOUBLE) FROM documents
+      |UNION ALL SELECT 'volume', 'total_ws_tokens',
+      |  CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) FROM documents
+      |UNION ALL SELECT 'volume', 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+      |UNION ALL SELECT 'volume', 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+      |UNION ALL SELECT 'lang', lang, CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
+      |UNION ALL SELECT 'source', source, CAST(count(*) AS DOUBLE) FROM documents GROUP BY source
+      |UNION ALL SELECT 'length', 'p50_chars', round(quantile_cont(n_chars, 0.5), 6) FROM documents
+      |UNION ALL SELECT 'length', 'p95_chars', round(quantile_cont(n_chars, 0.95), 6) FROM documents
+      |UNION ALL SELECT 'dup', 'exact_dup_docs',
+      |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) FROM documents
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def row(section: String, key: Column, value: Column): Column =
+      struct(lit(section).as("section"), key.as("key"), value.cast(DoubleType).as("value"))
+    val volume = docs
+      .select(col("n_chars"), size(split(col("text"), "\\s+")).as("n_toks"),
+        col("source"), col("lang"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_ws_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("exact_dup_docs"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.95)), 6).as("p95_chars"))
+      .select(explode(array(
+        row("volume", lit("n_docs"), col("n_docs")),
+        row("volume", lit("total_chars"), col("total_chars")),
+        row("volume", lit("total_ws_tokens"), col("total_ws_tokens")),
+        row("volume", lit("n_sources"), col("n_sources")),
+        row("volume", lit("n_langs"), col("n_langs")),
+        row("length", lit("p50_chars"), col("p50_chars")),
+        row("length", lit("p95_chars"), col("p95_chars")),
+        row("dup", lit("exact_dup_docs"), col("exact_dup_docs")))).as("r"))
+      .select(col("r.section").as("section"), col("r.key").as("key"), col("r.value").as("value"))
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).cast(DoubleType).as("value"))
+      .select(lit("lang").as("section"), col("lang").as("key"), col("value"))
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast(DoubleType).as("value"))
+      .select(lit("source").as("section"), col("source").as("key"), col("value"))
+    volume.unionAll(byLang).unionAll(bySource)
+      .orderBy(col("section"), col("key"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
-      aggIncremental, tableChecksum, scd2History, expectations)
+      aggIncremental, tableChecksum, scd2History, expectations, datasheet)
 }

@@ -424,6 +424,102 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
+  /** Build a complete PCM WAV blob: [[wavHeader]] followed by the
+    * 16-bit little-endian samples — the genuine byte layout an audio
+    * decoder reads. */
+  private[graft] def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val header = wavHeader(sampleRate, 1, 16, samples.length)
+    val bb = java.nio.ByteBuffer.allocate(header.length + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(header)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Deterministic planted waveform for a doc: a square wave (period
+    * and amplitude hash-derived) whose final quarter is silent — the
+    * shape gives every DSP feature a non-trivial, analytically
+    * checkable value. */
+  private[graft] def syntheticWave(h: Long): (Int, Array[Short]) = {
+    val n = 256 + math.floorMod(h, 256).toInt
+    val period = 4 + math.floorMod(h >> 5, 12).toInt
+    val amp = (1000 + math.floorMod(h >> 8, 20000)).toInt
+    val silentFrom = n - n / 4
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < silentFrom) {
+      samples(i) = (if ((i / (period / 2)) % 2 == 0) amp else -amp).toShort
+      i += 1
+    }
+    (8000 + math.floorMod(h, 8).toInt * 4000, samples)
+  }
+
+  /** Parse a full PCM WAV blob and extract integer DSP features:
+    * peak |amplitude|, energy (Σ s² as a BIGINT), zero crossings
+    * (strict sign flips), and 64-sample frame silence (max |s| < 100)
+    * — the language-/float-free audio stats a filtering pipeline cuts
+    * on (silence-heavy and clipped clips are dropped before
+    * transcription). Returns None on a malformed container. */
+  private[graft] def audioFeatures(bytes: Array[Byte]): Option[(Int, Int, Long, Int, Int, Int)] =
+    parseWavHeader(bytes).map { case (_, channels, bits, nSamples) =>
+      val bb = java.nio.ByteBuffer.wrap(bytes, 44, bytes.length - 44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var peak = 0
+      var sumSq = 0L
+      var zc = 0
+      var frames = 0
+      var silentFrames = 0
+      var frameMax = 0
+      var prev = 0
+      val n = nSamples * channels // total 16-bit samples (bits == 16 here)
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        if (a > frameMax) frameMax = a
+        sumSq += s.toLong * s
+        if (prev * s < 0) zc += 1
+        if (s != 0) prev = s
+        i += 1
+        if (i % 64 == 0 || i == n) {
+          frames += 1
+          if (frameMax < 100) silentFrames += 1
+          frameMax = 0
+        }
+      }
+      (n, peak, sumSq, zc, frames, silentFrames)
+    }
+
+  /** Audio energy / silence profiling — the audio lane's decode→
+    * feature-extract twin of [[imageNearDup]]'s image lane: every doc
+    * plants a COMPLETE deterministic WAV (genuine RIFF header + square
+    * -wave PCM with a silent tail), and the kernel re-reads it as any
+    * decoder would — container parse, then sample-level integer DSP
+    * ([[audioFeatures]]). All-integer outputs; wrapping-hash sample
+    * synthesis isn't DuckDB-portable → rows-only; MmSpec pins the
+    * analytic feature values of known waveforms and the op rollup. */
+  val audioEnergy: GraftOp = GraftOp.rowsOnly("mm_audio_energy") { (s, d) =>
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), Exprs.md5Long(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_samples", IntegerType),
+      StructField("peak", IntegerType), StructField("sum_sq", LongType),
+      StructField("zero_crossings", IntegerType), StructField("n_frames", IntegerType),
+      StructField("n_silent_frames", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, samples) = syntheticWave(r.getLong(1))
+        val (n, peak, sumSq, zc, frames, silent) =
+          audioFeatures(wavBytes(rate, samples)).getOrElse(
+            throw new IllegalStateException(s"unparseable planted WAV for doc ${r.getLong(0)}"))
+        Row(r.getLong(0), n, peak, sumSq, zc, frames, silent)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
   /** Candidate-pair finder over (doc_id, phash) frames: the 64-bit
     * hash is cut into four 16-bit bands and pairs meet through a band
     * equi-join — the simhash/LSH pigeonhole guarantee that any pair
@@ -488,5 +584,5 @@ object MmOps {
       .orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup)
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy)
 }

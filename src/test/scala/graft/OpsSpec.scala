@@ -234,6 +234,34 @@ class MmSpec extends AnyFunSuite {
     }
   }
 
+  test("audio energy kernel: analytic features of known waveforms; op emits one row per doc") {
+    def sq(amp: Int, halfPeriod: Int, n: Int, silentFrom: Int): Array[Short] =
+      Array.tabulate[Short](n)(i =>
+        if (i >= silentFrom) 0
+        else (if ((i / halfPeriod) % 2 == 0) amp else -amp).toShort)
+    // silence: every feature zero, both 64-sample frames silent
+    assert(MmOps.audioFeatures(MmOps.wavBytes(8000, new Array[Short](128)))
+      .contains((128, 0, 0L, 0, 2, 2)))
+    // full square wave (amp 1000, half-period 2): sign flips at every
+    // 2nd sample from i=2 -> 63 crossings; energy = n * amp^2
+    assert(MmOps.audioFeatures(MmOps.wavBytes(8000, sq(1000, 2, 128, 128)))
+      .contains((128, 1000, 128L * 1000 * 1000, 63, 2, 0)))
+    // half-silent: only the live half crosses (31 flips), one silent frame
+    assert(MmOps.audioFeatures(MmOps.wavBytes(8000, sq(2000, 2, 128, 64)))
+      .contains((128, 2000, 64L * 2000 * 2000, 31, 2, 1)))
+    // malformed container -> quarantine lane, not a crash
+    assert(MmOps.audioFeatures(Array.fill[Byte](50)(7)).isEmpty)
+    // the op: one row per doc; every planted wave has a live section
+    // (peak >= 1000) and a silent tail >= 64 samples (>= 1 silent frame)
+    val out = MmOps.audioEnergy.run(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length.toLong === nDocs)
+    out.foreach { r =>
+      assert(r.getInt(2) >= 1000 && r.getInt(6) >= 1, s"bad features: $r")
+      assert(r.getInt(5) === (r.getInt(1) + 63) / 64, s"frame count wrong: $r")
+    }
+  }
+
   test("decode kernel: real PNG round-trip hits pinned raster stats; non-image falls back to stub") {
     // PNG is lossless, so the decoded mean is the pixel formula's mean —
     // computed independently here, pinned against the codec's output
