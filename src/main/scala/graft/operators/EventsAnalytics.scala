@@ -959,6 +959,40 @@ object EventsAnalytics {
       .orderBy(col("transition"))
   }
 
+  /** Last-touch conversion attribution — which event type gets credit
+    * for each purchase: the latest strictly-preceding same-user
+    * non-purchase event (ties broken by event_id in both engines),
+    * 'direct' when the purchase is the user's first event. ONE
+    * user-partitioned window pass (last IGNORE NULLS over an
+    * UNBOUNDED..1 PRECEDING frame — no self-join against the purchase
+    * set), then a |event-types|-row rollup; purchase value snapped to
+    * integer cents through the cohort-LTV DECIMAL(18,2) contract. */
+  val attribution: GraftOp = GraftOp(
+    "q_attribution",
+    """WITH a AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      |  FROM events)
+      |SELECT coalesce(channel, 'direct') AS channel,
+      |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM a WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"),
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w).as("channel"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+      .orderBy(col("channel"))
+  }
+
   /** Inter-event gap percentiles per type: lag() over each user's
     * event-time order gives the gap to the previous same-user event in
     * integer seconds (exact — no float drift in the ORDER the
@@ -1349,7 +1383,7 @@ object EventsAnalytics {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(latestPerKey, funnel, abFunnel, funnelLatency, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
+    Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths)

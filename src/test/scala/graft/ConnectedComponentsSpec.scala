@@ -127,6 +127,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+class BfsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("bfs: path distances exact, cycle handled, early stop at eccentricity+1") {
+    import spark.implicits._
+    // directed path a->b->c->d plus a back edge d->a (cycle must not
+    // re-visit) and an unreachable island x->y
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "y"))
+      .toDF("src", "dst")
+    val dist = graft.operators.GraphOps.bfsFrom(edges, "a", maxIters = 30)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dist === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3),
+      s"path distances wrong: $dist")
+    // eccentricity 3 -> 3 productive rounds + 1 empty probe, not 30
+    assert(graft.operators.GraphOps.lastBfsIterations === 4,
+      s"ran ${graft.operators.GraphOps.lastBfsIterations} rounds")
+    // isolated source: just itself, one probing round
+    val solo = graft.operators.GraphOps.bfsFrom(edges, "y", maxIters = 30)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(solo === Map("y" -> 0))
+  }
+}
+
 class KCoreSpec extends org.scalatest.funsuite.AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
