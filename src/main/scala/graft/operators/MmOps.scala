@@ -424,6 +424,112 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
+  /** Build a minimal genuine ISO-BMFF (MP4) container: ftyp + a
+    * 16-byte free box (so the walker has to SKIP, not assume offsets)
+    * + moov/mvhd carrying timescale and duration — big-endian
+    * throughout, the real byte layout (contrast WAV's little-endian
+    * RIFF). */
+  private[graft] def mp4Bytes(brand: String, timescale: Int, duration: Int): Array[Byte] = {
+    require(brand.length == 4)
+    val bb = java.nio.ByteBuffer.allocate(24 + 16 + 116)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    bb.putInt(24); fourcc("ftyp"); fourcc(brand); bb.putInt(0)
+    fourcc("isom"); fourcc("mp41")
+    bb.putInt(16); fourcc("free"); bb.putLong(0L)
+    bb.putInt(116); fourcc("moov")
+    bb.putInt(108); fourcc("mvhd")
+    bb.putInt(0)                     // version 0 + flags
+    bb.putInt(0).putInt(0)           // creation / modification time
+    bb.putInt(timescale).putInt(duration)
+    bb.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    bb.put(new Array[Byte](10))      // reserved
+    // unity matrix
+    bb.putInt(0x00010000).putInt(0).putInt(0)
+    bb.putInt(0).putInt(0x00010000).putInt(0)
+    bb.putInt(0).putInt(0).putInt(0x40000000)
+    bb.put(new Array[Byte](24))      // pre_defined
+    bb.putInt(1)                     // next_track_ID
+    bb.array()
+  }
+
+  /** Walk an ISO-BMFF box tree: top-level boxes by (size32, fourcc),
+    * ftyp yields the major brand, moov's children are walked for
+    * mvhd's (timescale, duration). Returns None on any malformed box
+    * (size < 8, overruns the buffer) — the quarantine lane. A real
+    * demuxer's first loop. */
+  private[graft] def parseMp4Meta(bytes: Array[Byte]): Option[(String, Int, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    var brand: String = null
+    var ts = -1
+    var dur = -1L
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      val size = bb.getInt(pos)
+      if (size < 8 || pos + size > bytes.length) return None
+      cc(pos + 4) match {
+        case "ftyp" if size >= 12 => brand = cc(pos + 8)
+        case "moov" =>
+          var cpos = pos + 8
+          while (cpos + 8 <= pos + size) {
+            val csize = bb.getInt(cpos)
+            if (csize < 8 || cpos + csize > pos + size) return None
+            if (cc(cpos + 4) == "mvhd" && csize >= 32 && bytes(cpos + 8) == 0) {
+              ts = bb.getInt(cpos + 20)       // after version/flags + 2 times
+              dur = bb.getInt(cpos + 24).toLong
+            }
+            cpos += csize
+          }
+        case _ => ()
+      }
+      pos += size
+    }
+    if (brand != null && ts > 0 && dur >= 0) Some((brand, ts, dur)) else None
+  }
+
+  /** Video-container metadata — the ISO-BMFF twin of [[wavMeta]]:
+    * hash-derived parameters are laid out as a GENUINE MP4 box tree
+    * (big-endian ftyp/free/moov/mvhd) and the kernel re-walks the
+    * boxes like a demuxer (skipping the planted free box), recovering
+    * brand, timescale, duration and integer duration_ms. The oracle
+    * replays the hash arithmetic, so the hash match proves the
+    * build→walk round trip preserves every field. mapPartitions,
+    * zero shuffle. */
+  val mp4Meta: GraftOp = GraftOp(
+    "mm_mp4_meta",
+    s"""WITH m AS (SELECT doc_id, ${Exprs.sqlMd5Long("text")} AS h FROM documents)
+       |SELECT doc_id,
+       |  CASE (h >> 2) % 2 WHEN 0 THEN 'isom' ELSE 'mp42' END AS brand,
+       |  CAST(CASE h % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 24000
+       |       ELSE 90000 END AS INT) AS timescale,
+       |  CAST(1000 + (h >> 4) % 100000 AS BIGINT) AS duration_units,
+       |  CAST((1000 + (h >> 4) % 100000) * 1000
+       |    // (CASE h % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 24000
+       |        ELSE 90000 END) AS BIGINT) AS duration_ms
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), Exprs.md5Long(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("brand", StringType),
+      StructField("timescale", IntegerType), StructField("duration_units", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val h = r.getLong(1)
+        val brand = if (((h >> 2) % 2) == 0) "isom" else "mp42"
+        val ts = (h % 4) match {
+          case 0 => 600; case 1 => 1000; case 2 => 24000; case _ => 90000
+        }
+        val dur = (1000 + (h >> 4) % 100000).toInt
+        val (pBrand, pTs, pDur) = parseMp4Meta(mp4Bytes(brand, ts, dur)).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted MP4 for doc ${r.getLong(0)}"))
+        Row(r.getLong(0), pBrand, pTs, pDur, pDur * 1000L / pTs)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
   /** Build a complete PCM WAV blob: [[wavHeader]] followed by the
     * 16-bit little-endian samples — the genuine byte layout an audio
     * decoder reads. */
@@ -584,5 +690,5 @@ object MmOps {
       .orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy)
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta)
 }

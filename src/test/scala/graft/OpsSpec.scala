@@ -234,6 +234,26 @@ class MmSpec extends AnyFunSuite {
     }
   }
 
+  test("mp4 box walk: round-trips planted params, skips free box, rejects malformed trees") {
+    assert(MmOps.parseMp4Meta(MmOps.mp4Bytes("mp42", 90000, 123456))
+      .contains(("mp42", 90000, 123456L)))
+    // walker must skip the free box by SIZE, not by fixed offset:
+    // corrupting the free box's type must not change the result
+    val b = MmOps.mp4Bytes("isom", 600, 42)
+    b(28) = 'x'.toByte // free box fourcc first char
+    assert(MmOps.parseMp4Meta(b).contains(("isom", 600, 42L)))
+    // box size overrunning the buffer -> quarantine, not a crash
+    val overrun = MmOps.mp4Bytes("isom", 600, 42)
+    overrun(0) = 0x7F.toByte // ftyp size becomes huge
+    assert(MmOps.parseMp4Meta(overrun).isEmpty)
+    // box size < 8 -> malformed
+    val tiny = MmOps.mp4Bytes("isom", 600, 42)
+    tiny(3) = 4 // ftyp size = 4
+    assert(MmOps.parseMp4Meta(tiny).isEmpty)
+    // garbage bytes -> None
+    assert(MmOps.parseMp4Meta(Array.fill[Byte](64)(9)).isEmpty)
+  }
+
   test("audio energy kernel: analytic features of known waveforms; op emits one row per doc") {
     def sq(amp: Int, halfPeriod: Int, n: Int, silentFrom: Int): Array[Short] =
       Array.tabulate[Short](n)(i =>
