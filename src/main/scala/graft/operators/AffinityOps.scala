@@ -210,5 +210,67 @@ object AffinityOps {
       .orderBy(col("l_suppkey"))
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime)
+  /** Directional association rules a→b — q_copurchase's symmetric
+    * pair affinity turned into the Apriori level-1 rule readout:
+    * confidence(a→b) = support/count(a) differs per direction, so
+    * each surviving pair emits both orientations. Confidence is an
+    * exact integer (ppm floor — BIGINT products, both engines floor
+    * positive division identically); lift reuses the copurchase
+    * contract (ratio of exact integer products, one
+    * correctly-rounded double divide). Same plan skeleton:
+    * basket-keyed self-join for pairs, dimension-sized part
+    * frequencies broadcast back, scalar order count as a broadcast
+    * cross join. */
+  val basketRules: GraftOp = GraftOp(
+    "q_basket_rules",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM items),
+      |pc AS (SELECT l_partkey, count(*) AS pc FROM items GROUP BY 1),
+      |p0 AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pairs AS (
+      |  SELECT pa AS antecedent, pb AS consequent, support FROM p0
+      |  UNION ALL
+      |  SELECT pb, pa, support FROM p0),
+      |sc AS (
+      |  SELECT antecedent, consequent, support,
+      |    support * 1000000 // ca.pc AS conf_ppm,
+      |    support * n_orders / (ca.pc * cb.pc) AS lift
+      |  FROM pairs
+      |  JOIN pc ca ON antecedent = ca.l_partkey
+      |  JOIN pc cb ON consequent = cb.l_partkey
+      |  CROSS JOIN n)
+      |SELECT antecedent, consequent, support, conf_ppm, lift FROM sc
+      |ORDER BY conf_ppm DESC, antecedent, consequent LIMIT 100""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val p0 = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    val pairs = p0.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("support"))
+      .unionAll(p0.select(col("pb"), col("pa"), col("support")))
+    val partCounts = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
+    val nOrders = items.agg(
+      countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
+    pairs
+      .join(broadcast(partCounts.select(col("l_partkey").as("antecedent"), col("pc").as("pc_a"))),
+        Seq("antecedent"))
+      .join(broadcast(partCounts.select(col("l_partkey").as("consequent"), col("pc").as("pc_b"))),
+        Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("support * 1000000 div pc_a").as("conf_ppm"),
+        (col("support") * col("n_orders") / (col("pc_a") * col("pc_b"))).as("lift"))
+      .orderBy(col("conf_ppm").desc, col("antecedent"), col("consequent"))
+      .limit(100)
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules)
 }
