@@ -308,6 +308,58 @@ object StreamingPipelines {
       }
   }
 
+  /** Per-user attribution state: the latest non-purchase touch, the
+    * high-water mark of folded events (replay guard), and the running
+    * per-channel credit tallies — bounded by |event types|, not stream
+    * length. */
+  final case class AttribState(lastTs: Long, lastId: Long, lastChannel: String,
+      seenTs: Long, seenId: Long, credits: Map[String, (Long, Long)])
+
+  /** Streaming last-touch attribution (twin of batch `q_attribution`):
+    * each purchase credits the user's latest preceding non-purchase
+    * event type ('direct' when none), maintained incrementally — state
+    * is one touch + one watermark + ≤|event-types| tally cells per
+    * user. Value snaps to integer cents through the SAME
+    * BigDecimal.valueOf → HALF_UP(2) semantics as the batch
+    * DECIMAL(18,2) cast, so tallies are exactly comparable.
+    *
+    * Each trigger folds its group's events in (ts, event_id) order;
+    * events at or below the per-user high-water mark are SKIPPED, so
+    * re-delivery of an already-folded prefix is a no-op (same
+    * replay-idempotence contract as the window-funnel twin; under
+    * cross-trigger disorder a late touch attributes like the batch op
+    * only when arrival respects event-time order — the family's
+    * documented condition). Emits the user's full tallies each
+    * trigger; the LATEST emission is the user's current truth. */
+  def attributionStream(events: Dataset[UpsertRow])(
+      implicit spark: SparkSession): Dataset[(Long, Seq[(String, Long, Long)])] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[AttribState, (Long, Seq[(String, Long, Long)])](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        var st = state.getOption.getOrElse(
+          AttribState(-1L, -1L, null, Long.MinValue, Long.MinValue, Map.empty))
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val t = e.ts.getTime
+          if (t > st.seenTs || (t == st.seenTs && e.event_id > st.seenId)) {
+            if (e.event_type == "purchase") {
+              val ch = if (st.lastChannel == null) "direct" else st.lastChannel
+              val cents = java.math.BigDecimal.valueOf(e.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+              val (n0, c0) = st.credits.getOrElse(ch, (0L, 0L))
+              st = st.copy(credits = st.credits.updated(ch, (n0 + 1, c0 + cents)))
+            } else {
+              st = st.copy(lastTs = t, lastId = e.event_id, lastChannel = e.event_type)
+            }
+            st = st.copy(seenTs = t, seenId = e.event_id)
+          }
+        }
+        state.update(st)
+        (uid, st.credits.toSeq.map { case (ch, (n, c)) => (ch, n, c) }.sortBy(_._1))
+      }
+  }
+
   /** Streaming CDC upsert / latest-per-key (streaming twin of the
     * batch `q_latest_per_key` argMax and `merge_upsert`): one state row
     * per key holding the current (ts, event_id)-max version; each

@@ -385,6 +385,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming attribution: cross-batch touches, replay-idempotent, == batch") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def latestCredits(table: String): Map[String, (Long, Long)] =
+      spark.table(table).groupBy(col("_1"))
+        .agg(last(col("_2")).as("credits")) // single-partition test table
+        .select(explode(col("credits")).as("c"))
+        .groupBy(col("c._1")).agg(sum(col("c._2")), sum(col("c._3")))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.attributionStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("attrib_out").start()
+    try {
+      // view at t0, purchase at t5 -> 'view' credited; a first-event
+      // purchase by user 2 -> 'direct'
+      mem.addData(UpsertRow(1L, ts(0), 1L, "view", 0),
+        UpsertRow(2L, ts(0), 2L, "purchase", 4.005)) // HALF_UP -> 401 cents
+      mem.addData(UpsertRow(1L, ts(5), 3L, "purchase", 10.0))
+      q.processAllAvailable()
+      assert(latestCredits("attrib_out") ===
+        Map("view" -> ((1L, 1000L)), "direct" -> ((1L, 401L))))
+      // cross-trigger touch update: click at t6 wins over view for the
+      // t7 purchase
+      mem.addData(UpsertRow(1L, ts(6), 4L, "click", 0))
+      mem.addData(UpsertRow(1L, ts(7), 5L, "purchase", 2.0))
+      q.processAllAvailable()
+      assert(latestCredits("attrib_out") === Map(
+        "view" -> ((1L, 1000L)), "click" -> ((1L, 200L)), "direct" -> ((1L, 401L))))
+      // replay an already-folded purchase: tallies must not change
+      mem.addData(UpsertRow(1L, ts(5), 3L, "purchase", 10.0))
+      q.processAllAvailable()
+      assert(latestCredits("attrib_out") === Map(
+        "view" -> ((1L, 1000L)), "click" -> ((1L, 200L)), "direct" -> ((1L, 401L))))
+    } finally q.stop()
+
+    // equivalence over real data: ordered replay == batch q_attribution
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem2 = MemoryStream[UpsertRow]
+    val q2 = StreamingPipelines.attributionStream(mem2.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("attrib_out2").start()
+    try {
+      mem2.addData(rows.toIndexedSeq)
+      q2.processAllAvailable()
+      val got = latestCredits("attrib_out2")
+      val want = graft.operators.EventsAnalytics.attribution.run(spark, sf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === want, s"stream=$got batch=$want")
+    } finally q2.stop()
+  }
+
   test("count-batcher flushes a batch every N records per key") {
     implicit val s = spark
     import s.implicits._
