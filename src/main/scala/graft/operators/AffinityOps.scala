@@ -272,5 +272,38 @@ object AffinityOps {
       .limit(100)
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules)
+  /** Order-sprawl distribution — the fulfillment-complexity readout:
+    * per order, how many lines, whether it spans multiple suppliers,
+    * and the whole-day spread between first and last ship date; rolled
+    * up by basket size. All-integer (counts, a day diff summed as
+    * BIGINT — mean span is the caller's one divide). Plan: ONE
+    * partial-agg shuffle on the natural order key (count-distinct of
+    * suppliers inside baskets of ≤7 lines is cheap map-side), then a
+    * ≤|basket sizes|-row rollup. */
+  val orderSprawl: GraftOp = GraftOp(
+    "q_order_sprawl",
+    """WITH o AS (
+      |  SELECT l_orderkey, count(*) AS n_items,
+      |    count(DISTINCT l_suppkey) AS n_supps,
+      |    date_diff('day', CAST(min(l_shipdate) AS DATE), CAST(max(l_shipdate) AS DATE)) AS span_days
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(span_days) AS BIGINT) AS sum_span_days,
+      |  CAST(sum(CASE WHEN n_supps > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi_supplier
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        datediff(to_date(max(col("l_shipdate"))), to_date(min(col("l_shipdate"))))
+          .as("span_days"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("span_days")).as("sum_span_days"),
+        sum(when(col("n_supps") > 1, 1).otherwise(0)).as("multi_supplier"))
+      .orderBy(col("n_items"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl)
 }

@@ -1382,9 +1382,132 @@ object EventsAnalytics {
       .orderBy(col("month"))
   }
 
+  /** Kaplan-Meier-shaped user-lifetime survival curve: lifetime =
+    * whole days between a user's first and last event; S(d) = share of
+    * users whose lifetime reaches day d, emitted only at OBSERVED
+    * lifetimes (no day spine to generate or disagree on). survivors(d)
+    * is a descending cumulative sum over the per-lifetime counts —
+    * an unpartitioned window, but over AT MOST one row per distinct
+    * lifetime (bounded by the corpus's day span, ~10^2-10^3 at any
+    * scale), after the heavy per-user agg shuffled on the only
+    * possible key. survival_ppm = floor(survivors·10^6 / total):
+    * positive integer division floors identically in both engines. */
+  val survival: GraftOp = GraftOp(
+    "q_survival",
+    """WITH l AS (
+      |  SELECT user_id,
+      |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS life
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT life, count(*) AS n FROM l GROUP BY 1)
+      |SELECT life AS day,
+      |  CAST(sum(n) OVER (ORDER BY life DESC) AS BIGINT) AS survivors,
+      |  CAST(sum(n) OVER (ORDER BY life DESC) * 1000000
+      |    // (SELECT count(*) FROM l) AS BIGINT) AS survival_ppm
+      |FROM d ORDER BY day""".stripMargin) { (s, d) =>
+    val life = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("life"))
+    val dist = life.groupBy(col("life")).agg(count(lit(1)).as("n"))
+    // bounded unpartitioned window: |rows| = distinct lifetimes ≤ day span
+    val wDesc = Window.orderBy(col("life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("survivors", sum(col("n")).over(wDesc))
+      .crossJoin(broadcast(life.agg(count(lit(1)).as("total"))))
+      .select(col("life").cast(LongType).as("day"),
+        col("survivors"),
+        expr("survivors * 1000000 div total").as("survival_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** Top session-path trigrams — the "what do users DO" navigation
+    * readout: sessionize on the q_session 30-minute-gap contract, then
+    * slide a 3-event window (two lead()s inside the session) and count
+    * ordered event-type trigrams. concat is NULL-absorbing in both
+    * engines, so windows that run off a session's end drop out without
+    * an explicit length check. Plan: the one per-user window pass
+    * q_session already pays (session ids fall out of the same sorted
+    * run), a second window keyed (user, session) that REUSES that sort
+    * order, and a tiny trigram rollup. */
+  val eventPaths: GraftOp = GraftOp(
+    "q_event_paths",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM y),
+      |p AS (
+      |  SELECT event_type || '>'
+      |      || lead(event_type, 1) OVER ws || '>'
+      |      || lead(event_type, 2) OVER ws AS path
+      |  FROM z
+      |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+      |SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessioned = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sessioned
+      .select(concat(col("event_type"), lit(">"),
+        lead(col("event_type"), 1).over(ws), lit(">"),
+        lead(col("event_type"), 2).over(ws)).as("path"))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(15)
+  }
+
+  /** Day-of-week seasonal index per event type — the weekly-rhythm
+    * readout a warehouse dashboard bakes into capacity planning. dow =
+    * day_idx % 7 under the fixed 2024-01-01 epoch (convention-free:
+    * no locale week-start or tz to disagree on; day_idx ≥ 0 on this
+    * corpus so % and floor-mod agree). index_ppm = floor(n·7·10^6 /
+    * type total) — 10^6 ≡ flat. ONE fact scan into one (type, dow)
+    * partial agg; the per-type total is a window over the ≤|types|·7
+    * aggregate, never a second scan. */
+  val seasonality: GraftOp = GraftOp(
+    "q_seasonality",
+    """WITH d AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 7 * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS index_ppm
+      |FROM d ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+    val agg = Tables.events(s, d)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)) % 7).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    agg
+      .withColumn("total", sum(col("n")).over(byType))
+      .select(col("event_type"), col("dow").cast(LongType).as("dow"), col("n"),
+        expr("n * 7 * 1000000 div total").as("index_ppm"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
-      hllTrailing, thetaMonths)
+      hllTrailing, thetaMonths, survival, eventPaths, seasonality)
 }
