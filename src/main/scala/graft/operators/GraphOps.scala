@@ -598,5 +598,72 @@ object GraphOps {
     bfsFrom(edges, source).orderBy(col("node"))
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs)
+  /** Max route legs for [[cheapestRoute]] — a "max stops" routing
+    * constraint, and what keeps the oracle's recursive expansion
+    * bounded. Bellman-Ford with k rounds is EXACTLY min-cost over
+    * paths of ≤ k edges, so both engines state the same semantics. */
+  private val RouteLegs = 4
+
+  /** Cheapest ≤4-leg trade route from the lexicographically-first
+    * nation — graph_bfs upgraded to weighted min-plus: lane cost =
+    * floor(mean ship-delay days) per (src,dst) nation pair (integer:
+    * BIGINT day-diff sum div line count; delays are non-negative so
+    * div and // agree), route cost = sum of lane costs, minimized over
+    * routes with at most [[RouteLegs]] legs. Engine shape: k rounds of
+    * (dist ⋈ edges) + min-aggregate — the distance frame never exceeds
+    * |nations| rows while the oracle enumerates whole paths; weights
+    * stay exact BIGINTs end to end. */
+  val cheapestRoute: GraftOp = GraftOp(
+    "graph_cheapest_route",
+    """WITH RECURSIVE edges AS (
+      |  SELECT n1.n_name AS src, n2.n_name AS dst,
+      |    CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)))
+      |      * 1 // count(*) AS BIGINT) AS w
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |r AS (
+      |  SELECT (SELECT min(node) FROM nodes) AS node, CAST(0 AS BIGINT) AS cost, 0 AS legs
+      |  UNION
+      |  SELECT e.dst, r.cost + e.w, r.legs + 1
+      |  FROM r JOIN edges e ON e.src = r.node WHERE r.legs < 4)
+      |SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM r
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("src"))),
+        col("s_nationkey") === col("nk1"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("dst"))),
+        col("c_nationkey") === col("nk2"))
+      .filter(col("nk1") =!= col("nk2"))
+      .groupBy(col("src"), col("dst"))
+      .agg(expr("sum(datediff(to_date(l_shipdate), to_date(o_orderdate))) div count(*)").as("w"))
+    // 25-nation node set: a one-row aggregate, bounded by schema
+    val source = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst")))
+      .agg(min(col("node"))).head.getString(0)
+    val e = ConnectedComponents.snapshot(edges)
+    var dist = ConnectedComponents.snapshot(
+      e.sparkSession.range(1).select(lit(source).as("node"), lit(0L).as("cost")))
+    for (_ <- 1 to RouteLegs) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("cost") + e("w")).as("cost"))
+      val merged = ConnectedComponents.snapshot(
+        dist.unionAll(relaxed).groupBy(col("node")).agg(min(col("cost")).as("cost")))
+      ConnectedComponents.release(dist)
+      dist = merged
+    }
+    ConnectedComponents.release(e)
+    dist.orderBy(col("node"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute)
 }

@@ -674,7 +674,63 @@ object TextOps {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
+  /** Bigram-LM fluency scoring — the CCNet-style "does this read like
+    * the corpus" filter one tier up from text_rarity_tiers' unigram
+    * model: train P(w2|w1) on the corpus itself, score each document
+    * by its mean bigram conditional probability, surface the 25 least
+    * model-like documents (the filter's actual use: what to drop or
+    * down-weight). All integer: cond_ppm = floor(n_xy·10^6 / c_w1)
+    * with c_w1 = Σ n_xy over the LM table (dictionary-sized — never a
+    * second corpus pass), per-doc mean as floor(Σ cond_ppm / n
+    * bigrams). No transcendentals, no smoothing needed — the LM is
+    * trained on the scored corpus, so every scored bigram is in it.
+    *
+    * Scale shape: one lead()-paired bigram stream feeds (a) the
+    * (w1,w2) hash agg — the exchange carries bigrams, not text — and
+    * (b) the doc-side join against the conditional table; the context
+    * totals aggregate the LM table itself (Heaps-law sublinear). */
+  val lmScore: GraftOp = GraftOp(
+    "text_lm_score",
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |bgl AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+      |  FROM t WHERE len(toks) >= 2),
+      |b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bgl),
+      |lm AS (SELECT w1, w2, count(*) AS n_xy FROM b GROUP BY 1, 2),
+      |ctx AS (SELECT w1, sum(n_xy) AS c_w1 FROM lm GROUP BY 1),
+      |cond AS (
+      |  SELECT w1, w2, CAST(n_xy * 1000000 // c_w1 AS BIGINT) AS cond_ppm
+      |  FROM lm JOIN ctx USING (w1)),
+      |ds AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, sum(cond_ppm) AS sum_ppm
+      |  FROM b JOIN cond USING (w1, w2) GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(sum_ppm // n_bigrams AS BIGINT) AS lm_score_ppm
+      |FROM ds ORDER BY lm_score_ppm, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+    val tokPos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val b = tokPos
+      .withColumn("w2", lead(col("tok"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val lm = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+    val cond = lm
+      .withColumn("c_w1", sum(col("n_xy"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .select(col("w1"), col("w2"), expr("n_xy * 1000000 div c_w1").as("cond_ppm"))
+    b.join(cond, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm div n_bigrams").as("lm_score_ppm"))
+      .orderBy(col("lm_score_ppm"), col("doc_id"))
+      .limit(25)
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
-      decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf)
+      decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore)
 }
