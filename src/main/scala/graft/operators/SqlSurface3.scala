@@ -221,5 +221,57 @@ object SqlSurface3 {
       .orderBy(col("l_partkey"))
   }
 
-  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline, qPareto)
+  /** Exact weighted median — revenue-weighted "typical price" (each
+    * line counts l_quantity times): the element at weighted rank
+    * ⌈W/2⌉ of the weight-expanded sorted multiset, computed WITHOUT
+    * expansion and WITHOUT a global sort. q_equidepth's exact-rank
+    * discipline adapted to weights: range-repartition on the value
+    * (equal values share a partition, so a per-partition RANGE-frame
+    * running weight + driver-side partition offsets (≤P rows
+    * collected) IS the global value-level cumulative weight — the
+    * same ties-as-peers semantics the oracle's default RANGE window
+    * states), then one min() over rows at/past the target. Weights
+    * are integral quantities (1..50) carried as BIGINT, so the target
+    * rank and every cumulative sum are exact. */
+  val qWeightedMedian: GraftOp = GraftOp(
+    "q_weighted_median",
+    """WITH w AS (
+      |  SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+      |t AS (SELECT (sum(wt) + 1) // 2 AS target, sum(wt) AS total FROM w),
+      |c AS (SELECT v, sum(wt) OVER (ORDER BY v) AS cw FROM w)
+      |SELECT min(v) AS weighted_median,
+      |  (SELECT CAST(total AS BIGINT) FROM t) AS total_weight
+      |FROM c, t WHERE cw >= target""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // cached: pass 2 must see the SAME sampled range boundaries the
+    // offsets were computed for (q_equidepth discipline)
+    val ranged = graft.CachedPlans.cached(s, s"wmedian.ranged:$d") {
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("wt"))
+        .repartitionByRange(parts, col("v"))
+        .withColumn("__pid", spark_partition_id())
+    }
+    // pass 1: per-partition weight sums → driver prefix offsets (≤ P rows)
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col("wt")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = sums.map(_._2).sum
+    val target = (total + 1) / 2 // positive, so / and // agree
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      sums.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    // pass 2: global value-level cumulative weight = offset + local
+    // RANGE-frame running sum (ties are peers, matching the oracle)
+    val cw = element_at(typedLit(offsets), col("__pid")) +
+      sum(col("wt")).over(Window.partitionBy(col("__pid")).orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    ranged
+      .withColumn("__cw", cw)
+      .filter(col("__cw") >= target)
+      .agg(min(col("v")).as("weighted_median"))
+      .withColumn("total_weight", lit(total))
+  }
+
+  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline, qPareto, qWeightedMedian)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.SnapshotLake
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotLakeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = graft.sources.Tables.documents(spark, sf)
+    .select(col("doc_id"), col("source"), col("n_chars"))
+
+  test("append commits are additive and versioned; reads are snapshot-isolated") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+
+    assert(SnapshotLake.currentVersion(path) === 0)
+    val v1 = SnapshotLake.commitAppend(a, path)
+    val v2 = SnapshotLake.commitAppend(b, path)
+    assert((v1, v2) === (1, 2))
+
+    assert(SnapshotLake.readAt(spark, path, 1).count() === a.count())
+    assert(SnapshotLake.read(spark, path).count() === a.count() + b.count())
+    // v1 re-read AFTER the v2 commit is bit-identical to v1 before it:
+    // readers plan from the manifest, not the directory
+    val v1ids = SnapshotLake.readAt(spark, path, 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(v1ids.toSeq === a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("copy-on-write delete: current loses the rows, time travel still sees them") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotLake.commitAppend(docs, path)
+    val before = docs.count()
+    val doomed = docs.filter(col("source") === "src1").count()
+    assert(doomed > 0, "fixture needs src1-source docs")
+
+    val v2 = SnapshotLake.commitDelete(spark, path, "source = 'src1'")
+    assert(v2 === 2)
+    val cur = SnapshotLake.read(spark, path)
+    assert(cur.count() === before - doomed)
+    assert(cur.filter(col("source") === "src1").count() === 0)
+    // time travel: v1 still serves the pre-delete table in full
+    val v1 = SnapshotLake.readAt(spark, path, 1)
+    assert(v1.count() === before)
+    assert(v1.filter(col("source") === "src1").count() === doomed)
+  }
+
+  test("delete rewrites only the files containing hits; clean files are shared by reference") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    // two commits → at least two file sets; delete targets only commit 1 rows
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    SnapshotLake.commitAppend(a, path)
+    SnapshotLake.commitAppend(b, path)
+    SnapshotLake.commitDelete(spark, path, "doc_id % 2 = 0 AND source = 'src1'")
+    import scala.jdk.CollectionConverters._
+    val v2Files = Files.readAllLines(Paths.get(path, "_snapshots", "v2.txt")).asScala.toSet
+    val v3Files = Files.readAllLines(Paths.get(path, "_snapshots", "v3.txt")).asScala.toSet
+    // every odd-commit (c2) file survives into v3 by reference
+    val c2 = v2Files.filter(_.contains("/c2/"))
+    assert(c2.nonEmpty && c2.subsetOf(v3Files))
+  }
+
+  test("vacuum expires old snapshots and reclaims unreferenced files only") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotLake.commitAppend(docs, path)
+    val keepCount = docs.filter(col("source") =!= "src1").count()
+    SnapshotLake.commitDelete(spark, path, "source = 'src1'")
+
+    val (expired, deleted) = SnapshotLake.vacuum(path, keepVersions = 1)
+    assert(expired === 1)
+    assert(deleted > 0, "the rewritten-away originals should be reclaimed")
+    // current version unharmed
+    assert(SnapshotLake.read(spark, path).count() === keepCount)
+    // the expired snapshot is gone (manifest deleted)
+    assertThrows[IllegalArgumentException](SnapshotLake.readAt(spark, path, 1))
+  }
+}
