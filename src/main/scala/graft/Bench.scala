@@ -105,7 +105,11 @@ object Bench {
     * the SAME scale factor): a query is flagged when its min exceeds
     * 1.5× its previous min AFTER normalizing out run-wide drift (the
     * shared-total ratio — a loaded box slows everything, a plan
-    * regression slows one query relative to the rest). Emits
+    * regression slows one query relative to the rest) AND the
+    * normalized absolute delta exceeds 0.5 s — sub-second queries
+    * carry high relative variance (JIT/codegen-cache state across a
+    * ~190-plan session), so a ratio alone false-flags them while a
+    * genuine 2s→4s regression clears both bars. Emits
     * `"prev_round_ratio":…,"prev_flagged":[…],` JSON fragments and
     * stderr lines; empty when no same-SF snapshot exists. */
   private def reportPrevRound(results: Map[String, Double], sfDir: String): String = {
@@ -130,7 +134,8 @@ object Bench {
       val norm = math.max(ratio, 0.1) // guard a degenerate snapshot
       val flagged = results.toSeq.collect {
         case (name, sec) if sec >= 0 &&
-            prev.get(name).exists(p => p > 0.3 && sec > p * 1.5 * norm) =>
+            prev.get(name).exists(p =>
+              p > 0.3 && sec > p * 1.5 * norm && sec - p * norm > 0.5) =>
           (name, sec, prev(name))
       }.sortBy { case (_, sec, p) => -(sec / p) }
       System.err.println(

@@ -96,6 +96,22 @@ package object functions {
   def theta_a_not_b(a: Column, b: Column): Column =
     ColumnShim.column(ThetaANotB(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Count-Min sketch over a BIGINT key column → 64 KB BINARY
+    * (map-side build, counter-wise-add merge). The frequency
+    * point-query tier: probe with [[cm_estimate]]. */
+  def cm_sketch_agg(key: Column): Column =
+    ColumnShim.column(CmSketchAgg(ColumnShim.expression(key)).toAggregateExpression())
+
+  /** Counter-wise-add persisted CM sketches to a coarser grouping →
+    * merged sketch (BINARY, lossless vs direct build). */
+  def cm_merge_agg(sketch: Column): Column =
+    ColumnShim.column(CmMergeAgg(ColumnShim.expression(sketch)).toAggregateExpression())
+
+  /** Frequency point query against a serialized CM sketch:
+    * overestimates only, by ≤ ⌈e·N/W⌉ w.p. ≥ 1−e^−D. */
+  def cm_estimate(sketch: Column, key: Column): Column =
+    ColumnShim.column(CmEstimate(ColumnShim.expression(sketch), ColumnShim.expression(key)))
+
   /** Mergeable t-digest quantiles (TypedImperativeAggregate): partial
     * digests are built map-side and merged after the shuffle — the
     * distributed shape of ClickHouse's quantilesTDigest. */

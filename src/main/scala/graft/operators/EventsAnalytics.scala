@@ -1382,6 +1382,29 @@ object EventsAnalytics {
       .orderBy(col("month"))
   }
 
+  /** Count-Min frequency serving — build per-day 64 KB CM sketches of
+    * the user activity stream, counter-wise-add them to a corpus
+    * sketch ([[graft.functions.CmMergeAgg]] — lossless vs a direct
+    * build, CountMinSpec pins byte equality), probe the 10 most-active
+    * users. The frequency-point-query member of the sketch tier
+    * (SpaceSaving = which keys are big, HLL/bitmap = how many distinct,
+    * CM = how often is THIS key): at 100 TB the per-day sketch table is
+    * kilobytes/day and any key's activity over any day range is a
+    * merge + probe, never a fact rescan. Estimates are one-sided
+    * (≥ exact, CountMinSpec pins the bound) → rows-only. */
+  val cmsFreq: GraftOp = GraftOp.rowsOnly("q_cms_freq") { (s, d) =>
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+    val corpus = ev.groupBy(col("day"))
+      .agg(graft.functions.cm_sketch_agg(col("user_id")).as("sk"))
+      .agg(graft.functions.cm_merge_agg(col("sk")).as("sk"))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_freq"))
+      .orderBy(col("exact_freq").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(corpus)) // one 64 KB row
+      .select(col("user_id"), col("exact_freq"),
+        graft.functions.cm_estimate(col("sk"), col("user_id")).as("est_freq"))
+      .orderBy(col("exact_freq").desc, col("user_id"))
+  }
+
   /** Kaplan-Meier-shaped user-lifetime survival curve: lifetime =
     * whole days between a user's first and last event; S(d) = share of
     * users whose lifetime reaches day d, emitted only at OBSERVED
@@ -1509,5 +1532,5 @@ object EventsAnalytics {
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
-      hllTrailing, thetaMonths, survival, eventPaths, seasonality)
+      hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq)
 }

@@ -544,6 +544,43 @@ object StreamingPipelines {
 
   final case class EwmaState(n: Long, ewma: Double)
 
+  final case class CusumState(acc: Long, n: Long, seenTs: Long, seenId: Long)
+
+  /** Streaming CUSUM changepoint score (mapGroupsWithState twin of the
+    * batch `q_cusum`): per key, the one-sided cumulative-sum fold
+    * acc ← max(acc + x·n − sc, 0) over cents-integer values against a
+    * FIXED reference mean supplied as (targetSumCents, targetN) —
+    * streaming CUSUM monitors drift against a target, it cannot peek
+    * at the corpus mean the batch query computes in one pass. State is
+    * ALL-INTEGER (the windowFunnel/sequenceCount discipline): the
+    * accumulator in cents·n units plus a (ts, event_id) high-water
+    * mark, so replaying an already-folded prefix is a no-op and the
+    * final score equals the batch fold bit for bit — the emit does the
+    * single `acc div n / 100` divide the batch does. */
+  def cusumStream(events: Dataset[UpsertRow], targetSumCents: Long, targetN: Long)(
+      implicit spark: SparkSession): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CusumState, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0L, Long.MinValue, Long.MinValue))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (t > st.seenTs || (t == st.seenTs && e.event_id > st.seenId)) {
+              val cents = java.math.BigDecimal.valueOf(e.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+              st = CusumState(
+                math.max(st.acc + cents * targetN - targetSumCents, 0L),
+                st.n + 1, t, e.event_id)
+            }
+          }
+          state.update(st)
+          (uid, st.n, (st.acc / targetN) / 100.0)
+      }
+  }
+
   /** Streaming per-user EWMA — incremental twin of batch `q_ewma`,
     * same recurrence (α=0.3, per-step 1e-10 grid snap) folded over
     * each trigger's rows in (ts, event_id) order. State is TWO FIELDS

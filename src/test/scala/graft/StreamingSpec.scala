@@ -703,6 +703,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: integer state equals batch fold exactly; replay is a no-op") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the stream monitors against a FIXED reference mean — here the
+    // corpus mean the batch query computes, so the folds must agree
+    val m = graft.sources.Tables.events(spark, sf)
+      .agg(sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("sc"), count(lit(1)).as("n")).head
+    val (sc, n) = (m.getLong(0), m.getLong(1))
+    // CUSUM is a fold — cross-trigger order must be event-time order
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect().sortBy(r => (r.ts.getTime, r.event_id))
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.cusumStream(mem.toDS(), sc, n)
+      .toDF("user_id", "n_events", "cusum")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cusum_out").start()
+    try {
+      mem.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      def readOut() = spark.table("cusum_out")
+        .groupBy("user_id")
+        .agg(last(col("n_events")).as("n_events"), last(col("cusum")).as("cusum"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val streamed = readOut()
+      val batch = graft.operators.EventsAnalytics.cusum.run(spark, sf)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed === batch, "final streaming state must equal the batch fold exactly")
+      // at-least-once replay: the high-water mark makes re-folding a no-op
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      assert(readOut() === batch, "replaying an already-folded suffix must not move state")
+    } finally q.stop()
+  }
+
   test("streaming t-digest quantiles: bounded state, rank error within 2% of exact") {
     implicit val s = spark
     import s.implicits._
