@@ -1382,6 +1382,48 @@ object EventsAnalytics {
       .orderBy(col("month"))
   }
 
+  /** Cart/browse abandonment — per day, the share of views NOT
+    * followed by the same user's purchase within 30 minutes (the
+    * funnel's operational complement: q_attribution credits
+    * conversions, this measures the leak). q_attribution's window
+    * trick time-reversed: next_purchase = first IGNORE NULLS over the
+    * 1 FOLLOWING..UNBOUNDED frame of the user's (ts, event_id) order —
+    * ONE window pass, never a view×purchase self-join; the 30-minute
+    * deadline compares exact epoch micros; rate as a ppm floor. */
+  val abandonment: GraftOp = GraftOp(
+    "q_abandonment",
+    """WITH a AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase
+      |  FROM events),
+      |v AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CASE WHEN next_purchase IS NULL
+      |      OR epoch_us(next_purchase) - epoch_us(ts) > 1800000000 THEN 1 ELSE 0 END AS ab
+      |  FROM a WHERE event_type = 'view')
+      |SELECT day, count(*) AS n_views, CAST(sum(ab) AS BIGINT) AS n_abandoned,
+      |  CAST(sum(ab) * 1000000 // count(*) AS BIGINT) AS abandon_ppm
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"),
+        first(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true)
+          .over(w).as("next_purchase"))
+      .filter(col("event_type") === "view")
+      .select(to_date(col("ts")).as("day"),
+        when(col("next_purchase").isNull ||
+          unix_micros(col("next_purchase").cast("timestamp")) -
+            unix_micros(col("ts").cast("timestamp")) > 1800000000L, 1).otherwise(0).as("ab"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_views"), sum(col("ab")).as("n_abandoned"))
+      .select(col("day"), col("n_views"), col("n_abandoned"),
+        expr("n_abandoned * 1000000 div n_views").as("abandon_ppm"))
+      .orderBy(col("day"))
+  }
+
   /** Count-Min frequency serving — build per-day 64 KB CM sketches of
     * the user activity stream, counter-wise-add them to a corpus
     * sketch ([[graft.functions.CmMergeAgg]] — lossless vs a direct
@@ -1532,5 +1574,5 @@ object EventsAnalytics {
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
-      hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq)
+      hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment)
 }

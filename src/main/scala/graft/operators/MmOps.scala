@@ -690,5 +690,89 @@ object MmOps {
       .orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta)
+  /** Encode a hash-patterned raster as a REAL baseline JPEG through
+    * the JDK's `javax.imageio` writer — the planted input for the
+    * segment walk (dimensions hash-derived, so the oracle can predict
+    * them without running Java). */
+  private[graft] def syntheticJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 37 + y * 11) % 256 << 16) | ((x + y) % 256 << 8) | (x * y % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Walk a JPEG's marker segments like a metadata scanner (no pixel
+    * decode): SOI, then FF-marker / 2-byte big-endian length frames
+    * until a start-of-frame (SOF0 baseline / SOF2 progressive) yields
+    * precision, height, width, component count. Returns
+    * (sofMarker, width, height, nComponents, nSegmentsBeforeSof). */
+  private[graft] def parseJpegMeta(bytes: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var i = 2
+    var segs = 0
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xc0 || marker == 0xc2) {
+        // SOF frame: len(2) precision(1) height(2) width(2) ncomp(1)
+        val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+        val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
+        val nc = bytes(i + 9) & 0xff
+        val sof = if (marker == 0xc0) "SOF0" else "SOF2"
+        return Some((sof, w, h, nc, segs))
+      }
+      val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      i += 2 + len
+      segs += 1
+    }
+    None
+  }
+
+  /** JPEG structural metadata via a genuine marker-segment walk — the
+    * third leg of the container story (PNG full decode, RIFF/WAV
+    * parse, ISO-BMFF box tree): a metadata pass reads dimensions from
+    * the SOF header in O(header) bytes, never running the entropy
+    * decoder. Planted JPEGs are REAL `javax.imageio` encodes at
+    * hash-derived dimensions, re-walked demuxer-style; the oracle
+    * predicts (marker, dims, components) from the same hash math —
+    * matching proves the walk reads the real encoder's byte layout.
+    * The JDK writer emits baseline SOF0 with 3 components for RGB
+    * input (public JFIF behavior). */
+  val jpegMeta: GraftOp = GraftOp(
+    "mm_jpeg_meta",
+    s"""WITH m AS (SELECT doc_id, ${Exprs.sqlMd5Long("text")} AS h FROM documents)
+       |SELECT doc_id, 'SOF0' AS sof_marker,
+       |  CAST(8 + h % 48 AS INT) AS width,
+       |  CAST(8 + (h >> 6) % 48 AS INT) AS height,
+       |  CAST(3 AS INT) AS n_components
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), Exprs.md5Long(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sof_marker", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_components", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val h = r.getLong(1)
+        val (w0, h0) = ((8 + h % 48).toInt, (8 + (h >> 6) % 48).toInt)
+        val (sof, w, ht, nc, _) = parseJpegMeta(syntheticJpeg(w0, h0)).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted JPEG for doc ${r.getLong(0)}"))
+        Row(r.getLong(0), sof, w, ht, nc)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta)
 }
