@@ -466,7 +466,46 @@ object CurationOps {
       .orderBy(col("section"), col("key"))
   }
 
+  /** Benford first-digit audit — the classic anomaly screen on a
+    * financial column (fabricated figures flunk it): observed
+    * first-digit distribution of ⌊o_totalprice⌋ as exact counts and
+    * ppm-floor shares next to the Benford expectation log₁₀(1+1/d),
+    * pre-computed as integer ppm CONSTANTS (no runtime transcendental
+    * to disagree on). First digit via the decimal string of an exact
+    * BIGINT — no log₁₀ magnitude math, so engines can't diverge on
+    * boundaries. One tiny (≤9-group) aggregate; the total re-enters as
+    * a window over those 9 rows, never a second scan. */
+  val benford: GraftOp = GraftOp(
+    "q_benford",
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS obs_ppm,
+      |  CAST(CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+      |    WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+      |    WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+      |    ELSE 45757 END AS BIGINT) AS benford_ppm
+      |FROM g ORDER BY digit""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val expected = Map("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+      "4" -> 96910L, "5" -> 79181L, "6" -> 66947L, "7" -> 57992L,
+      "8" -> 51153L, "9" -> 45757L)
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast(LongType).cast(StringType), 1, 1)
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      // ≤9 rows past this point: the empty-frame window is bounded
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("obs_ppm"),
+        element_at(typedLit(expected), col("digit")).as("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
-      aggIncremental, tableChecksum, scd2History, expectations, datasheet)
+      aggIncremental, tableChecksum, scd2History, expectations, datasheet, benford)
 }

@@ -246,5 +246,58 @@ object EmbedOps {
       .orderBy(col("vec_id"), col("dim"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten)
+  /** Power-iteration rounds for [[pca]]: with any spectral gap γ the
+    * misalignment decays like (λ₂/λ₁)^k — 8 rounds is plenty for the
+    * documented "dominant direction" use, and the cost is 8 dim-bounded
+    * aggregates, not convergence-dependent. */
+  private val PcaIters = 8
+
+  /** Top principal component by distributed power iteration — the
+    * covariance direction a curation stack reads before whitening or
+    * Matryoshka-truncating: each round computes w = Σᵢ (xᵢ·v)xᵢ as ONE
+    * dim-bounded aggregate (per-row dot against the broadcast v, then
+    * posexplode + per-dimension partial sums — the emb_centroids
+    * shuffle shape: |dim| groups, never a d×d covariance matrix, never
+    * a collect of X), normalizes on the driver (d doubles — the IVF
+    * centroid discipline), and the Rayleigh quotient (v·w)/n is the
+    * variance along v. Sign-canonicalized (first nonzero loading
+    * positive — eigenvectors are sign-ambiguous). Float noise across
+    * fold orders → rows-only; PcaSpec pins recovery of a planted
+    * dominant direction and the eigenvalue. */
+  val pca: GraftOp = GraftOp.rowsOnly("emb_pca") { (s, d) =>
+    pcaTop(Tables.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("x")))
+  }
+
+  private[graft] def pcaTop(xs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = xs.sparkSession
+    val cached = xs.localCheckpoint(true) // 8 passes over one narrow column
+    val dim = cached.select(size(col("x"))).head.getInt(0)
+    val n = cached.count()
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 1 to PcaIters) {
+      val w = new Array[Double](dim)
+      cached
+        .select(graft.functions.vec_dot(col("x"), typedLit(v.toSeq)).as("s"),
+          posexplode(col("x")))
+        .toDF("s", "dim", "xv")
+        .groupBy(col("dim"))
+        .agg(sum(col("s") * col("xv")).as("w"))
+        .collect() // |dim| rows
+        .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      lambda = v.indices.map(i => v(i) * w(i)).sum / n
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = if (norm == 0.0) v else w.map(_ / norm)
+    }
+    val flip = v.find(_ != 0.0).exists(_ < 0)
+    val canon = if (flip) v.map(-_) else v
+    import spark.implicits._
+    canon.zipWithIndex.toSeq
+      .map { case (l, i) => (i, BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(lambda).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("dim", "loading", "eigenvalue")
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca)
 }

@@ -665,5 +665,37 @@ object GraphOps {
     dist.orderBy(col("node"))
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute)
+  /** Directed-graph reciprocity — what share of trade lanes flow both
+    * ways (the symmetry diagnostic read before choosing directed vs
+    * undirected algorithms; near-1 means HITS ≈ PageRank here): one
+    * self-equi-join of the dimension-bounded edge set on the swapped
+    * key pair, three exact integers + a ppm floor in one row. */
+  val reciprocity: GraftOp = GraftOp(
+    "graph_reciprocity",
+    """WITH edges AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(sum(CASE WHEN EXISTS (
+      |    SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated,
+      |  CAST(sum(CASE WHEN EXISTS (
+      |    SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+      |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS reciprocity_ppm
+      |FROM edges e""".stripMargin) { (s, d) =>
+    val e = tradeEdges(s, d)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val marked = e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocated"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(marked) // two one-row aggregates
+      .select(col("n_edges"), col("n_reciprocated"),
+        expr("n_reciprocated * 1000000 div n_edges").as("reciprocity_ppm"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity)
 }
