@@ -331,6 +331,57 @@ object EventsAnalytics {
       .orderBy(col("event_type"), col("day_idx"))
   }
 
+  /** Seasonality-adjusted volume anomalies — q_anomaly_days with the
+    * weekly rhythm removed by STRATIFICATION, not subtraction: each
+    * day's count is z-scored against its own (event_type, weekday)
+    * stratum (Mondays against Mondays), so a busy-Monday pattern stops
+    * masquerading as five anomalies a month. Subtracting a dow-mean
+    * first would put FRACTIONAL residuals into the variance sums
+    * (fold-order doubles — unhashable); stratifying keeps every sum an
+    * exact integer and reuses the q_anomaly_days contract verbatim
+    * (deterministic double z from exact sums, 6dp emit). dow =
+    * day_idx % 7 under the fixed epoch (convention-free). Plan: one
+    * (type, day) partial agg, a ≤|types|·7-row broadcast of stratum
+    * moments, threshold filter. */
+  val seasonalAnomaly: GraftOp = GraftOp(
+    "q_seasonal_anomaly",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day_idx,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT event_type, day_idx, day_idx % 7 AS dow, n FROM c),
+      |st AS (
+      |  SELECT event_type, dow, count(*) AS k,
+      |    CAST(sum(n) AS DOUBLE) AS s1, CAST(sum(n * n) AS DOUBLE) AS s2
+      |  FROM d GROUP BY 1, 2),
+      |z AS (
+      |  SELECT d.event_type, day_idx, dow, n,
+      |    (n - s1 / k) / sqrt(s2 / k - (s1 / k) * (s1 / k)) AS zs
+      |  FROM d JOIN st USING (event_type, dow))
+      |SELECT event_type, day_idx, CAST(dow AS BIGINT) AS dow, n, round(zs, 6) AS zscore
+      |FROM z WHERE abs(zs) > 2 ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
+          .cast(IntegerType).as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day_idx") % 7)
+    val st = c.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("n")).cast(DoubleType).as("s1"),
+        sum(col("n") * col("n")).cast(DoubleType).as("s2"))
+    val mean = col("s1") / col("k")
+    val zs = (col("n") - mean) / sqrt(col("s2") / col("k") - mean * mean)
+    c.join(broadcast(st), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day_idx"), col("dow"), col("n"), zs.as("zs"))
+      .filter(abs(col("zs")) > 2)
+      .select(col("event_type"), col("day_idx"), col("dow").cast(LongType).as("dow"),
+        col("n"), round(col("zs"), 6).as("zscore"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
   /** Daily value-percentile series (p50/p95 per type per day) — the
     * latency-dashboard shape: a percentile TIME SERIES, not one global
     * number. One exact-percentile aggregate per (type, day) group —
@@ -1574,5 +1625,6 @@ object EventsAnalytics {
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
-      hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment)
+      hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment,
+      seasonalAnomaly)
 }

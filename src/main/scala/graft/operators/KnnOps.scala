@@ -424,7 +424,59 @@ object KnnOps {
       .orderBy(col("query_id"))
   }
 
+  /** IVF recall-vs-nprobe tuning curve — the table a serving team
+    * reads to pick its latency/recall point: for nprobe ∈ {1,2,4,8},
+    * recall@K of the IVF serve path against the exact brute-force
+    * ground truth over the same unit-normalized corpus, as integer
+    * hit counts + a ppm floor. Each rung reuses the ONE persisted
+    * index (same no-refit discipline IvfSpec pins) and probes
+    * nprobe/k of the corpus; the ground truth is one broadcast-query
+    * brute scan. Driver loops the 4 rungs — a tuning op runs rarely
+    * and each rung is a tiny counted join. Approximate path under
+    * audit → rows-only; KnnSpec pins monotonicity in nprobe. */
+  val ivfRecallCurve: GraftOp = GraftOp.rowsOnly("knn_ivf_recall_curve") { (s, d) =>
+    val assigned = IvfIndex.assigned(s, d)
+    val centroids = IvfIndex.centroidsOf(s, d)
+    val queries = IvfIndex.corpus(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("u")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qDf = s.createDataFrame(queries.toIndexedSeq).toDF("query_id", "qu")
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    def topK(corpusSide: DataFrame): DataFrame = corpusSide
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        Exprs.dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("corpus_id"))
+    val truth = topK(IvfIndex.corpus(s, d).crossJoin(broadcast(qDf)))
+      .localCheckpoint(true) // K·|queries| rows, reused by every rung
+    val rungs = Seq(1, 2, 4, 8).map { nprobe =>
+      val probes = queries.flatMap { case (qid, qu) =>
+        centroids.zipWithIndex
+          .map { case (c, ci) =>
+            var dist = 0.0
+            var i = 0
+            while (i < qu.length) { val dd = qu(i) - c(i); dist += dd * dd; i += 1 }
+            (ci, dist)
+          }
+          .sortBy(_._2).take(nprobe)
+          .map { case (ci, _) => (qid, ci) }
+      }
+      val probeDf = s.createDataFrame(probes.toIndexedSeq).toDF("query_id", "cell")
+      val got = topK(assigned.join(broadcast(probeDf), "cell")
+        .join(broadcast(qDf), "query_id"))
+      val hits = got.join(truth, Seq("query_id", "corpus_id"), "left_semi").count()
+      (nprobe, hits, K.toLong * queries.length)
+    }
+    import s.implicits._
+    rungs.toDF("nprobe", "hits", "possible")
+      .select(col("nprobe"), col("hits"), col("possible"),
+        expr("hits * 1000000 div possible").as("recall_ppm"))
+      .orderBy(col("nprobe"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
-      outlierScore)
+      outlierScore, ivfRecallCurve)
 }

@@ -38,6 +38,18 @@ class KnnSpec extends AnyFunSuite {
     info(s"ivf recall@10 = $recall")
   }
 
+  test("ivf recall curve: monotone non-decreasing in nprobe, top rung beats bottom") {
+    val rows = KnnOps.ivfRecallCurve.run(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    rows.sliding(2).foreach { case Array((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, s"recall must not drop as probes widen: nprobe $n1→$n2 gave $r1→$r2")
+    }
+    assert(rows.last._2 > rows.head._2,
+      "widening 1→8 probes should strictly improve recall on this corpus")
+    info(s"recall_ppm by nprobe: ${rows.mkString(", ")}")
+  }
+
   test("pq ADC recall@10 vs brute force; corpus codes shared across runs") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "corpus_id").collect()
