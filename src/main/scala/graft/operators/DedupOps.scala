@@ -37,15 +37,22 @@ object DedupOps {
         .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid"))
     }
 
+  /** Shared persisted set of RARE shingle ids (corpus df ≤ 50) — the
+    * blocking vocabulary. Cached separately from [[rareIndex]] so
+    * operators that filter a NON-corpus index by corpus rarity
+    * (containment's planted probes) reuse the df aggregate. */
+  private[graft] def rareSids(s: SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"dedup.rareSids:$d") {
+      hashedIndex(s, d).groupBy(col("sid")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("sid"))
+    }
+
   /** Shared persisted RARE-shingle index (df ≤ 50 blocking applied) —
     * the frame both ngram's and containment's candidate self-joins
     * read twice; one registry entry per session+dir. */
   private[graft] def rareIndex(s: SparkSession, d: String): DataFrame =
     graft.CachedPlans.cached(s, s"dedup.rareIndex:$d") {
-      val sh = hashedIndex(s, d)
-      val rare = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select(col("sid"))
-      sh.join(broadcast(rare), "sid")
+      hashedIndex(s, d).join(broadcast(rareSids(s, d)), "sid")
     }
 
   /** Shared persisted (doc_id, simhash) projection for the simhash
@@ -140,57 +147,107 @@ object DedupOps {
     * near-dups too (boilerplate inclusion, quote farms). Same
     * rare-shingle blocking as dedup_ngram (df ≤ 50, ≥ 3 shared rare
     * shingles — lower second gate than ngram's 5: a small contained
-    * doc has fewer shingles to share), then exact verification over
-    * the full shingle arrays; only pairs NOT already caught by the
-    * jaccard ≥ 0.8 family are emitted (the op's value is what it adds
-    * OVER dedup_ngram). Shares the session-persisted shingle index and
-    * rare-block index with the rest of the dedup family. */
+    * doc has fewer shingles to share); only pairs NOT already caught
+    * by the jaccard ≥ 0.8 family are emitted (the op's value is what
+    * it adds OVER dedup_ngram).
+    *
+    * Verification counts |A∩B| ON THE EXPLODED (doc_id, sid) INDEX —
+    * candidate pairs join the index twice (doc_a's sids, then a
+    * matched probe into doc_b's sids) and aggregate a count; only the
+    * two SCALAR set sizes are ever joined per pair. The previous
+    * array-carrying formulation (both full shingle arrays joined onto
+    * every candidate, `array_intersect` per pair) was a wide-row
+    * shuffle amplifier — at 100 TB the pair join must move longs, not
+    * document-length arrays. Set sizes come from the same index
+    * (shingles are distinct per doc), so no array column appears
+    * anywhere in this plan.
+    *
+    * The synthetic corpus contains near-identical pairs (jaccard ≥
+    * 0.9) but no true subset pairs at small SFs, which made this row
+    * pass VACUOUSLY (0 rows == 0 rows). So the query plants
+    * deterministic PROBE docs derived in-query (doc_id % 23 == 5, ≥ 30
+    * tokens: the first ⌊3n/5⌋ tokens as doc_id + 1_000_000): a prefix
+    * is a containment-but-not-jaccard dup of its source by
+    * construction. Probes are derived identically in the oracle SQL,
+    * exercise the full blocking+verify path, and make the checked
+    * result non-empty at every driver SF. Corpus-side rarity (df ≤ 50
+    * over the REAL corpus only) blocks candidates, so probes cannot
+    * perturb which corpus pairs block. */
   val containment: GraftOp = GraftOp(
     "dedup_containment",
-    s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+    s"""WITH toks0 AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |planted AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_slice(toks, 1, greatest(3, CAST(floor(len(toks) * 3 / 5) AS INT))), ' ') AS text
+       |  FROM toks0 WHERE doc_id % 23 = 5 AND len(toks) >= 30),
+       |alld AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted),
+       |toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM alld),
        |shl AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
        |sh0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
        |sh AS (SELECT doc_id, ${Exprs.sqlMd5Long("shingle")} AS sid FROM sh0),
-       |rare AS (SELECT sid FROM sh GROUP BY 1 HAVING count(*) <= 50),
+       |rare AS (SELECT sid FROM sh WHERE doc_id < 1000000 GROUP BY 1 HAVING count(*) <= 50),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
        |  WHERE a.sid IN (SELECT sid FROM rare)
        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-       |sizes AS (SELECT doc_id, len(shingles) AS n, shingles FROM shl),
-       |v AS (
-       |  SELECT doc_a, doc_b,
-       |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-       |    sa.n AS na, sb.n AS nb
-       |  FROM cand, sizes sa, sizes sb
-       |  WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b,
-       |  round(inter * 1.0 / least(na, nb), 6) AS containment
-       |FROM v
-       |WHERE inter * 1.0 / least(na, nb) >= 0.9
-       |  AND inter * 1.0 / (na + nb - inter) < 0.8
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sid = a.sid
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  round(i.i * 1.0 / least(sa.n, sb.n), 6) AS containment
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE i.i * 1.0 / least(sa.n, sb.n) >= 0.9
+       |  AND i.i * 1.0 / (sa.n + sb.n - i.i) < 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val docs = shingledDocs(s, d)
-    val indexed = rareIndex(s, d)
-    val cand = indexed.as("a")
-      .join(indexed.as("b"),
+    // deterministic prefix probes (see scaladoc): first 3/5 of tokens,
+    // re-shingled exactly like corpus docs, ids offset by 1e6
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(col("doc_id") % 23 === 5 && size(col("toks")) >= 30)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ", slice(col("toks"), lit(1),
+          greatest(lit(3), floor(size(col("toks")) * 3 / 5).cast("int")))).as("text"))
+    val plantedIdx = planted
+      .select(col("doc_id"), explode(graft.functions.word_shingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid"))
+    val fullIdx = hashedIndex(s, d).unionByName(plantedIdx)
+    // blocking: corpus-rare sids only (probes filtered by the same
+    // broadcast vocabulary, so corpus candidates are unperturbed)
+    val candIdx = fullIdx.join(broadcast(rareSids(s, d)), "sid")
+    val cand = candIdx.as("a")
+      .join(candIdx.as("b"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("rare_inter"))
       .filter(col("rare_inter") >= 3)
       .select(col("doc_a"), col("doc_b"))
-    val sizes = docs.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-    val inter = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
-    val containmentExpr = inter * lit(1.0) / least(col("sa.n"), col("sb.n"))
-    val jac = inter * lit(1.0) / (col("sa.n") + col("sb.n") - inter)
-    cand
+    // |A∩B| on the exploded index: doc_a's sids probed into doc_b's —
+    // cand is tiny post-blocking (AQE turns these into broadcasts);
+    // nothing wider than (long, long, long) flows through either join
+    val inter = cand
+      .join(fullIdx.as("ia"), col("doc_a") === col("ia.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("ia.sid").as("sid")).as("pa")
+      .join(fullIdx.as("ib"), col("doc_b") === col("ib.doc_id") && col("pa.sid") === col("ib.sid"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    // scalar set sizes from the same index (sids are distinct per doc)
+    val sizes = fullIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val containmentExpr = col("inter") * lit(1.0) / least(col("na"), col("nb"))
+    val jac = col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
+    inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sa.n").as("na"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(containmentExpr, 6).as("containment"),
-        containmentExpr.as("__c"), jac.as("__j"))
-      .filter(col("__c") >= 0.9 && col("__j") < 0.8)
-      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("sb.n").as("nb"))
+      .filter(containmentExpr >= 0.9 && jac < 0.8)
+      .select(col("doc_a"), col("doc_b"), round(containmentExpr, 6).as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
