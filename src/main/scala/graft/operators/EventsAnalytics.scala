@@ -342,7 +342,15 @@ object EventsAnalytics {
     * (deterministic double z from exact sums, 6dp emit). dow =
     * day_idx % 7 under the fixed epoch (convention-free). Plan: one
     * (type, day) partial agg, a ≤|types|·7-row broadcast of stratum
-    * moments, threshold filter. */
+    * moments, threshold filter.
+    *
+    * Threshold |z| > 1.5, NOT q_anomaly_days' 2: a population z-score
+    * computed within its own stratum of k points is bounded by
+    * (k−1)/√k — with a ~30-day history each weekday stratum has k≈4-5,
+    * capping |z| at ~1.5-1.79, so a 2 threshold can NEVER fire and the
+    * oracle row passed vacuously (0 rows == 0 rows). 1.5 sits just
+    * inside the attainable range and flags only days at the extreme
+    * tail of their stratum (~25 of 150 type-days at the driver SFs). */
   val seasonalAnomaly: GraftOp = GraftOp(
     "q_seasonal_anomaly",
     """WITH c AS (
@@ -360,7 +368,7 @@ object EventsAnalytics {
       |    (n - s1 / k) / sqrt(s2 / k - (s1 / k) * (s1 / k)) AS zs
       |  FROM d JOIN st USING (event_type, dow))
       |SELECT event_type, day_idx, CAST(dow AS BIGINT) AS dow, n, round(zs, 6) AS zscore
-      |FROM z WHERE abs(zs) > 2 ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      |FROM z WHERE abs(zs) > 1.5 ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
     val c = Tables.events(s, d)
       .select(col("event_type"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
@@ -376,7 +384,7 @@ object EventsAnalytics {
     val zs = (col("n") - mean) / sqrt(col("s2") / col("k") - mean * mean)
     c.join(broadcast(st), Seq("event_type", "dow"))
       .select(col("event_type"), col("day_idx"), col("dow"), col("n"), zs.as("zs"))
-      .filter(abs(col("zs")) > 2)
+      .filter(abs(col("zs")) > 1.5)
       .select(col("event_type"), col("day_idx"), col("dow").cast(LongType).as("dow"),
         col("n"), round(col("zs"), 6).as("zscore"))
       .orderBy(col("event_type"), col("day_idx"))
