@@ -52,7 +52,17 @@ object CmImpls {
     while (i < a.length) { a(i) += b(i); i += 1 }
   }
 
+  /** A CM sketch wire form is exactly D×W longs; anything else (a
+    * truncated buffer, or an HLL/theta BINARY passed by mistake) must
+    * fail with a diagnosable error, not a raw buffer exception — and an
+    * oversized buffer must not be silently accepted with its tail
+    * ignored. */
+  def checkWire(bytes: Array[Byte]): Unit =
+    require(bytes.length == Bytes,
+      s"not a cm sketch: expected $Bytes bytes (D=$D × W=$W longs), got ${bytes.length}")
+
   def estimate(bytes: Array[Byte], value: Long): Long = {
+    checkWire(bytes)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     var est = Long.MaxValue
     var r = 0
@@ -72,6 +82,7 @@ object CmImpls {
   }
 
   def deserialize(bytes: Array[Byte]): Array[Long] = {
+    checkWire(bytes)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val out = new Array[Long](D * W)
     var i = 0
@@ -138,6 +149,7 @@ case class CmMergeAgg(
     val v = child.eval(row)
     if (v != null) {
       val bytes = v.asInstanceOf[Array[Byte]]
+      CmImpls.checkWire(bytes)
       // in-place add against the wire form: no intermediate array
       val bb = java.nio.ByteBuffer.wrap(bytes)
       var i = 0

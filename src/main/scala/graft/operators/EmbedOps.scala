@@ -252,50 +252,112 @@ object EmbedOps {
     * aggregates, not convergence-dependent. */
   private val PcaIters = 8
 
-  /** Top principal component by distributed power iteration — the
-    * covariance direction a curation stack reads before whitening or
-    * Matryoshka-truncating: each round computes w = Σᵢ (xᵢ·v)xᵢ as ONE
-    * dim-bounded aggregate (per-row dot against the broadcast v, then
-    * posexplode + per-dimension partial sums — the emb_centroids
-    * shuffle shape: |dim| groups, never a d×d covariance matrix, never
-    * a collect of X), normalizes on the driver (d doubles — the IVF
-    * centroid discipline), and the Rayleigh quotient (v·w)/n is the
-    * variance along v. Sign-canonicalized (first nonzero loading
-    * positive — eigenvectors are sign-ambiguous). Float noise across
-    * fold orders → rows-only; PcaSpec pins recovery of a planted
-    * dominant direction and the eigenvalue. */
-  val pca: GraftOp = GraftOp.rowsOnly("emb_pca") { (s, d) =>
+  /** Top principal component by distributed power iteration over the
+    * CENTERED data — the true top covariance eigenvector (on non-zero-
+    * mean corpora the uncentered Gram iteration just recovers the mean
+    * direction). Centering without materializing x−μ: w =
+    * Σᵢ((xᵢ−μ)·v)(xᵢ−μ) expands to Σᵢ(xᵢ·v)xᵢ − (Σᵢ xᵢ·v)·μ, so each
+    * round is still ONE dim-bounded aggregate (per-row dot against the
+    * broadcast v, posexplode + per-dimension partial sums — the
+    * emb_centroids shuffle shape: |dim| groups, never a d×d covariance
+    * matrix, never a collect of X) plus a scalar Σs riding the same
+    * shuffle; μ is one up-front aggregate. Normalization is driver-side
+    * (d doubles — the IVF centroid discipline) and the Rayleigh
+    * quotient (v·wc)/n is the variance along v.
+    *
+    * Oracle parity (the PageRank contract lifted to numerics with a
+    * DATA-dependent aggregate): the cross-row sums fold in exact
+    * DECIMAL(18,9) on both engines (order-free), the per-row dot and
+    * driver arithmetic are identical left-folds, and every iteration
+    * snaps v to the 1e-10 grid, so per-round state is bit-identical and
+    * the oracle unrolls the fixed 8 rounds as chained CTEs. Early stop
+    * at an EXACT grid fixpoint is the identity from then on.
+    * Sign-canonicalized (first nonzero loading positive); `+ 0.0`
+    * normalizes -0.0 on both sides. */
+  val pca: GraftOp = GraftOp(
+    "emb_pca", {
+      def dot(a: String, b: String) = graft.functions.Exprs.sqlDot(a, b)
+      def nsq(a: String) = graft.functions.Exprs.sqlNormSq(a)
+      val base = s"""WITH e AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |vl AS (SELECT vec_id, list(x ORDER BY dim) AS xv FROM e GROUP BY vec_id),
+        |nn AS (SELECT count(*) AS n FROM vl),
+        |mu AS (
+        |  SELECT dim, CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / (SELECT n FROM nn) AS m
+        |  FROM e GROUP BY dim),
+        |v0 AS (SELECT list_transform(range(1, 65), i -> round(1.0 / sqrt(64), 10) + 0.0) AS v)""".stripMargin
+      val rounds = (1 to PcaIters).map { k =>
+        s"""s$k AS (SELECT vec_id, ${dot("xv", "v")} AS s FROM vl, v${k - 1}),
+           |w$k AS (
+           |  SELECT e.dim,
+           |    CAST(sum(CAST(s$k.s * e.x AS DECIMAL(18,9))) AS DOUBLE) AS w,
+           |    CAST(sum(CAST(s$k.s AS DECIMAL(18,9))) AS DOUBLE) AS ssum
+           |  FROM e JOIN s$k USING (vec_id) GROUP BY e.dim),
+           |c$k AS (SELECT w$k.dim, w$k.w - w$k.ssum * mu.m AS wc FROM w$k JOIN mu USING (dim)),
+           |wl$k AS (SELECT list(wc ORDER BY dim) AS wl FROM c$k),
+           |v$k AS (SELECT list_transform(wl, x -> round(x / sqrt(${nsq("wl")}), 10) + 0.0) AS v FROM wl$k)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val fin = s""",
+        |lam AS (SELECT round(${dot("pv.v", "wl.wl")} / (SELECT n FROM nn), 10) + 0.0 AS ev
+        |        FROM v${PcaIters - 1} pv, wl$PcaIters wl),
+        |vf AS (SELECT CASE WHEN coalesce(list_filter(v, x -> x <> 0)[1], 0) < 0
+        |              THEN list_transform(v, x -> -x + 0.0) ELSE v END AS cv FROM v$PcaIters)
+        |SELECT CAST(i - 1 AS INT) AS dim, cv[i] AS loading, (SELECT ev FROM lam) AS eigenvalue
+        |FROM vf, unnest(range(1, 65)) AS t(i)
+        |ORDER BY dim""".stripMargin
+      base + rounds + fin
+    }) { (s, d) =>
     pcaTop(Tables.embeddings(s, d)
       .select(col("embedding").cast("array<double>").as("x")))
   }
 
+  private def snap10(x: Double): Double =
+    BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
   private[graft] def pcaTop(xs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = xs.sparkSession
-    val cached = xs.localCheckpoint(true) // 8 passes over one narrow column
+    val cached = xs.localCheckpoint(true) // ≤8 passes over one narrow column
     val dim = cached.select(size(col("x"))).head.getInt(0)
     val n = cached.count()
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    val dec = DecimalType(18, 9)
+    val mu = new Array[Double](dim)
+    cached.select(posexplode(col("x"))).toDF("dim", "xv")
+      .groupBy(col("dim"))
+      .agg(sum(col("xv").cast(dec)).cast(DoubleType).as("m1"))
+      .collect() // |dim| rows
+      .foreach(r => mu(r.getInt(0)) = r.getDouble(1) / n)
+    var v = Array.fill(dim)(snap10(1.0 / math.sqrt(dim)))
     var lambda = 0.0
-    for (_ <- 1 to PcaIters) {
+    var iter = 0
+    var fixpoint = false
+    while (iter < PcaIters && !fixpoint) {
       val w = new Array[Double](dim)
+      var ssum = 0.0
       cached
         .select(graft.functions.vec_dot(col("x"), typedLit(v.toSeq)).as("s"),
           posexplode(col("x")))
         .toDF("s", "dim", "xv")
         .groupBy(col("dim"))
-        .agg(sum(col("s") * col("xv")).as("w"))
+        .agg(sum((col("s") * col("xv")).cast(dec)).cast(DoubleType).as("w"),
+          sum(col("s").cast(dec)).cast(DoubleType).as("ssum"))
         .collect() // |dim| rows
-        .foreach(r => w(r.getInt(0)) = r.getDouble(1))
-      lambda = v.indices.map(i => v(i) * w(i)).sum / n
-      val norm = math.sqrt(w.map(x => x * x).sum)
-      v = if (norm == 0.0) v else w.map(_ / norm)
+        .foreach { r => w(r.getInt(0)) = r.getDouble(1); ssum = r.getDouble(2) }
+      val wc = Array.tabulate(dim)(i => w(i) - ssum * mu(i))
+      lambda = snap10(v.indices.map(i => v(i) * wc(i)).sum / n)
+      val norm = math.sqrt(wc.map(x => x * x).sum)
+      val next = if (norm == 0.0) v else wc.map(x => snap10(x / norm))
+      fixpoint = next.sameElements(v)
+      v = next
+      iter += 1
     }
     val flip = v.find(_ != 0.0).exists(_ < 0)
-    val canon = if (flip) v.map(-_) else v
+    val canon = if (flip) v.map(x => -x + 0.0) else v
     import spark.implicits._
     canon.zipWithIndex.toSeq
-      .map { case (l, i) => (i, BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(lambda).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .map { case (l, i) => (i, l, lambda) }
       .toDF("dim", "loading", "eigenvalue")
   }
 

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Snapshot-versioned parquet table — Iceberg-shaped time travel on a
   * plain directory (reference row §2h lake sinks; the public snapshot
@@ -36,11 +37,13 @@ object SnapshotLake {
   def currentVersion(path: String): Int = {
     val d = snapDir(path)
     if (!Files.isDirectory(d)) 0
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
-        s.stripPrefix("v").stripSuffix(".txt").toInt }
-      .maxOption.getOrElse(0)
+    else Using.resource(Files.list(d)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+          n.stripPrefix("v").stripSuffix(".txt").toInt }
+        .maxOption.getOrElse(0)
+    }
   }
 
   private def filesOf(path: String, version: Int): Seq[String] = {
@@ -49,34 +52,58 @@ object SnapshotLake {
     Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
   }
 
+  /** Publishes a manifest with CREATE_NEW so a concurrent committer that
+    * raced to the same version FAILS (FileAlreadyExistsException) instead
+    * of silently overwriting the earlier manifest — the loser re-reads
+    * currentVersion and retries on top of the winner's snapshot. */
   private def writeSnapshot(path: String, version: Int, files: Seq[String]): Unit = {
     Files.createDirectories(snapDir(path))
     Files.write(snapDir(path).resolve(s"v$version.txt"),
-      files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
   }
 
   private def listParquet(dir: Path): Seq[String] =
-    Files.walk(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq
+    Using.resource(Files.walk(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq
+    }
 
   /** Append `df` as a new commit; returns the new version. The commit's
     * files land in their own `data/c<N>/` directory (unique names by
     * construction — no clash with any other commit's files). */
   def commitAppend(df: DataFrame, path: String): Int = {
-    val v = currentVersion(path) + 1
-    val commitDir = Paths.get(path, "data", s"c$v")
-    df.write.mode("errorifexists").parquet(commitDir.toString)
-    val prev = if (v == 1) Seq.empty else filesOf(path, v - 1)
-    writeSnapshot(path, v, prev ++ listParquet(commitDir))
-    v
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      val v = currentVersion(path) + 1
+      // Suffix the data dir with the attempt so a retry after losing the
+      // manifest race never collides with its own orphaned first write
+      // (unreferenced dirs are reclaimed by vacuum).
+      val commitDir = Paths.get(path, "data", if (attempt == 0) s"c$v" else s"c$v-r$attempt")
+      df.write.mode("errorifexists").parquet(commitDir.toString)
+      val prev = if (v == 1) Seq.empty else filesOf(path, v - 1)
+      try { writeSnapshot(path, v, prev ++ listParquet(commitDir)); committed = v }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt < 16, s"lost the commit race $attempt times under $path")
+      }
+    }
+    committed
   }
 
   /** Copy-on-write delete: rewrite only the files that CONTAIN matching
     * rows (planned via one pruning scan over the current snapshot, the
     * per-file-Bloom discipline of PartitionedLake.deleteKeys), keep
     * every clean file by reference. Old versions still see the deleted
-    * rows — that is the feature, not a leak. Returns the new version. */
+    * rows — that is the feature, not a leak. Returns the new version.
+    *
+    * Deletes assume a single writer: a concurrent commit that takes the
+    * version first makes this call FAIL (CREATE_NEW manifest publish)
+    * rather than silently dropping either commit — re-run the delete
+    * against the new current snapshot. */
   def commitDelete(spark: SparkSession, path: String, predicate: String): Int = {
     val v = currentVersion(path)
     require(v > 0, s"no snapshot to delete from under $path")

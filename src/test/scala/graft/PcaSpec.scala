@@ -30,6 +30,24 @@ class PcaSpec extends AnyFunSuite {
     assert(loadings.find(_ != 0.0).exists(_ > 0))
   }
 
+  test("non-zero-mean corpus: centering recovers the covariance direction, not the mean") {
+    import spark.implicits._
+    // Every row carries a HUGE constant offset along e2 (mean = 100·e2)
+    // while the actual variance lives along e0 (±10). The uncentered
+    // Gram iteration would lock onto e2; the covariance eigenvector is e0.
+    val rows = (0 until 4000).map { i =>
+      val a = if (i % 2 == 0) 10.0 else -10.0
+      Seq(a, 0.0, 100.0, 0.0, 0.0, 0.0)
+    }
+    val out = operators.EmbedOps.pcaTop(rows.toDF("x"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val loadings = out.map(_._2)
+    assert(math.abs(loadings(0) - 1.0) < 1e-9, s"e0 loading ${loadings(0)}")
+    assert(math.abs(loadings(2)) < 1e-6, s"mean-direction loading ${loadings(2)}")
+    assert(math.abs(out.head._3 - 100.0) < 1e-6, s"eigenvalue ${out.head._3}")
+  }
+
   test("embeddings table: unit loading vector, positive variance, |dim| rows") {
     val out = operators.EmbedOps.pcaTop(
       graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
