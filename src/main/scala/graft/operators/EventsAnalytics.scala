@@ -1492,8 +1492,49 @@ object EventsAnalytics {
     * CM = how often is THIS key): at 100 TB the per-day sketch table is
     * kilobytes/day and any key's activity over any day range is a
     * merge + probe, never a fact rescan. Estimates are one-sided
-    * (≥ exact, CountMinSpec pins the bound) → rows-only. */
-  val cmsFreq: GraftOp = GraftOp.rowsOnly("q_cms_freq") { (s, d) =>
+    * (≥ exact, CountMinSpec pins the bound).
+    *
+    * Oracle: a CM estimate is min over the D hash rows of the EXACT
+    * bucket count on that row — integers, so the only cross-engine
+    * question is the bucket hash. The splitmix64 finalizer is
+    * replicated in DuckDB on unsigned-64 HUGEINT arithmetic (wrapping
+    * multiply split at 2^32 so intermediates stay under 2^127; xor
+    * through signed BIGINT round trips), per (user, row) — users are
+    * pre-aggregated so the hash runs |users|×D times, not per event. */
+  val cmsFreq: GraftOp = GraftOp(
+    "q_cms_freq", {
+      val M = "18446744073709551616" // 2^64
+      val toS = (x: String) =>
+        s"CAST($x - CASE WHEN $x >= 9223372036854775808 THEN $M ELSE 0 END AS BIGINT)"
+      val toU = (x: String) =>
+        s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN $M ELSE 0 END)"
+      def mulmod(y: String, c: String) =
+        s"((($y % 4294967296) * $c + (($y // 4294967296) * $c % 4294967296) * 4294967296) % $M)"
+      // signed two's-complement forms of CmImpls.Seeds
+      s"""WITH u AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         |sd AS (SELECT * FROM (VALUES (0, -7046029254386353131), (1, -4417276706812531889),
+         |                             (2, 1609587929392839161), (3, 2870177450012600261)) s(r, seed)),
+         |e0 AS (SELECT user_id, cnt, r, xor(user_id, seed) AS sx FROM u CROSS JOIN sd),
+         |m1 AS (SELECT user_id, cnt, r,
+         |       (${toU("sx")} + 11400714819323198485) % $M AS x FROM e0),
+         |m2 AS (SELECT user_id, cnt, r, ${toS("x")} AS sa, CAST(x // 1073741824 AS BIGINT) AS sb FROM m1),
+         |m3 AS (SELECT user_id, cnt, r, ${toU("xor(sa, sb)")} AS y FROM m2),
+         |m4 AS (SELECT user_id, cnt, r, ${mulmod("y", "13787848793156543929")} AS x FROM m3),
+         |m5 AS (SELECT user_id, cnt, r, ${toS("x")} AS sa, CAST(x // 134217728 AS BIGINT) AS sb FROM m4),
+         |m6 AS (SELECT user_id, cnt, r, ${toU("xor(sa, sb)")} AS y FROM m5),
+         |m7 AS (SELECT user_id, cnt, r, ${mulmod("y", "10723151780598845931")} AS x FROM m6),
+         |m8 AS (SELECT user_id, cnt, r, ${toS("x")} AS sa, CAST(x // 2147483648 AS BIGINT) AS sb FROM m7),
+         |bk AS (SELECT user_id, cnt, r,
+         |       CAST((${toU("xor(sa, sb)")} // 2) % 2048 AS INT) AS b FROM m8),
+         |bc AS (SELECT r, b, CAST(sum(cnt) AS BIGINT) AS bucket_cnt FROM bk GROUP BY 1, 2),
+         |top AS (SELECT user_id, cnt AS exact_freq FROM u ORDER BY cnt DESC, user_id LIMIT 10),
+         |pe AS (SELECT t.user_id, t.exact_freq, min(bc.bucket_cnt) AS est_freq
+         |       FROM top t JOIN bk ON bk.user_id = t.user_id
+         |       JOIN bc ON bc.r = bk.r AND bc.b = bk.b
+         |       GROUP BY 1, 2)
+         |SELECT user_id, exact_freq, est_freq FROM pe
+         |ORDER BY exact_freq DESC, user_id""".stripMargin
+    }) { (s, d) =>
     val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
     val corpus = ev.groupBy(col("day"))
       .agg(graft.functions.cm_sketch_agg(col("user_id")).as("sk"))
