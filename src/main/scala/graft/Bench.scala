@@ -70,7 +70,20 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val delta = reportDeltas(results.toMap, total)
     val prev = reportPrevRound(results.toMap, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},""" +
+    // HARD GATE: the artifact self-declares. "green" requires zero
+    // failed queries AND empty baseline_flagged AND empty prev_flagged —
+    // a scoreboard/narrative may claim green ONLY by quoting this field,
+    // so a flagged regression can never ship under a green banner.
+    val failed = results.exists(_._2 < 0)
+    val anyFlagged = (delta + prev).contains(":[\"") // a non-empty flagged list
+    val status =
+      if (failed) "failed_queries"
+      else if (anyFlagged) "perf_regressed"
+      else "green"
+    if (status != "green")
+      System.err.println(s"[bench] STATUS $status — do NOT claim green this round")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","status":${JsonUtil.q(status)},""" +
+      s""""queries":${qjson(results)},""" +
       s""""queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},""" +
       s""""warmup_sec":$warmupSec,$delta$prev"sf":${JsonUtil.q(sfDir)}}""")
     writeSnapshot(sfDir, results, run1, run2, warmupSec)

@@ -22,6 +22,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ApproxRouting {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Last path taken per op name ("exact" | "sketch") — the
+    * test-visible half of the decision surface. */
+  val lastDecision = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Optimizer size estimate of `df`'s input — plan metadata, no job. */
   def inputBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -31,4 +37,23 @@ object ApproxRouting {
     s.conf.getOption(confKey).exists { t =>
       inputBytes(df) > BigInt(new java.math.BigDecimal(t).toBigInteger)
     }
+
+  /** Pick the exact or sketch plan for `op` and make the decision
+    * OBSERVABLE (the ClickHouse `SETTINGS`-visibility discipline): one
+    * INFO line with the size estimate vs threshold, [[lastDecision]]
+    * for programmatic checks, and a `graft_route_<path>_<op>`
+    * SubqueryAlias tag on the plan root — `df.queryExecution.analyzed`
+    * / `explain(extended=true)` shows WHICH path served the query (the
+    * alias is semantics-free and optimized away, so results and
+    * oracles are untouched). */
+  def route(s: SparkSession, confKey: String, op: String, input: DataFrame)(
+      exact: => DataFrame)(sketch: => DataFrame): DataFrame = {
+    val bytes = inputBytes(input)
+    val thr = s.conf.getOption(confKey)
+    val useSketch = thr.exists(t => bytes > BigInt(new java.math.BigDecimal(t).toBigInteger))
+    val path = if (useSketch) "sketch" else "exact"
+    log.info(s"graft.route $op -> $path (input estimate $bytes B, $confKey=${thr.getOrElse("unset")})")
+    lastDecision.put(op, path)
+    (if (useSketch) sketch else exact).as(s"graft_route_${path}_$op")
+  }
 }

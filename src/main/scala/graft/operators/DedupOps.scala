@@ -664,9 +664,8 @@ object DedupOps {
        |FROM v a JOIN v b ON a.vec_id < b.vec_id
        |WHERE ${Exprs.sqlDot("a.u", "b.u")} >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    if (ApproxRouting.routeToSketch(s, EmbedApproxKey, Tables.embeddings(s, d)))
-      embedPairsBucketed(0.45)(s, d)
-    else embedPairs(0.45)(s, d)
+    ApproxRouting.route(s, EmbedApproxKey, "dedup_embed", Tables.embeddings(s, d))(
+      embedPairs(0.45)(s, d))(embedPairsBucketed(0.45)(s, d))
   }
 
   /** Bucketed candidate generation + exact verification — the scale

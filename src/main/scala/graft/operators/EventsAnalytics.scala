@@ -245,9 +245,8 @@ object EventsAnalytics {
       |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
       |FROM dau JOIN wau ON dau.day_idx = wau.day_idx
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    if (ApproxRouting.routeToSketch(s, TrailingApproxKey, Tables.events(s, d)))
-      stickinessSketchPlan(s, d)
-    else stickinessExactPlan(s, d)
+    ApproxRouting.route(s, TrailingApproxKey, "q_stickiness", Tables.events(s, d))(
+      stickinessExactPlan(s, d))(stickinessSketchPlan(s, d))
   }
 
   private[operators] def stickinessExactPlan(
@@ -917,9 +916,9 @@ object EventsAnalytics {
       |SELECT CAST(day AS INT) AS day_idx, count(DISTINCT user_id) AS active_7d
       |FROM x WHERE day <= (SELECT hi FROM b)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    if (ApproxRouting.routeToSketch(s, TrailingApproxKey, Tables.events(s, d)))
-      trailingSketch(s, d, "active_7d") // same schema, ±1.6% RSE estimate
-    else trailingActiveExactPlan(s, d)
+    ApproxRouting.route(s, TrailingApproxKey, "q_trailing_active", Tables.events(s, d))(
+      trailingActiveExactPlan(s, d))(
+      trailingSketch(s, d, "active_7d")) // same schema, ±1.6% RSE estimate
   }
 
   private[operators] def trailingActiveExactPlan(

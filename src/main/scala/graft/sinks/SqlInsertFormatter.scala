@@ -71,18 +71,23 @@ object SqlInsertFormatter {
     val formatted = dt match {
       case StringType | TimestampType | TimestampNTZType | DateType =>
         quoted(rendered(c, dt), dialect)
+      case at: ArrayType =>
+        // schema-driven array literal: element rules from the element type
+        val elemDeclared = at.elementType match {
+          case StringType | TimestampType | TimestampNTZType | DateType => "String"
+          case _ => "Int64"
+        }
+        arrayLiteral(c, at, elemDeclared, dialect)
       case _ => rendered(c, dt)
     }
     coalesce(formatted, lit("NULL"))
   }
 
-  /** True when a declared target type takes a quoted literal.
-    * ClickHouse wrappers (Nullable, LowCardinality) are stripped
-    * first; both ClickHouse names (`String`, `DateTime`) and ANSI DDL
-    * text as a catalog reports it (`VARCHAR(40) NOT NULL`,
-    * `TIMESTAMP` — what [[JdbcCatalogTypes.derby]] returns) are
-    * understood, so a queried type map drops straight in. */
-  private[sinks] def targetIsQuoted(declared: String): Boolean = {
+  /** Strip ClickHouse transparent wrappers — `Nullable(T)` /
+    * `LowCardinality(T)` (in any nesting order) → `T`. What a real
+    * `system.columns` reports is almost always wrapped; literal rules
+    * follow the inner type. */
+  private[graft] def unwrap(declared: String): String = {
     var t = declared.trim
     var changed = true
     while (changed) {
@@ -94,6 +99,34 @@ object SqlInsertFormatter {
         }
       }
     }
+    t
+  }
+
+  /** `Array(T)` → Some(T) (unwrapped element type), None otherwise. */
+  private[graft] def arrayElementType(declared: String): Option[String] = {
+    val t = unwrap(declared)
+    if (t.startsWith("Array(") && t.endsWith(")"))
+      Some(unwrap(t.substring("Array(".length, t.length - 1)))
+    else None
+  }
+
+  /** `DateTime64(p[, 'tz'])` → Some(p) clamped to [0, 6] (Spark's
+    * date_format fraction ceiling — ClickHouse allows up to 9). */
+  private[graft] def dateTime64Precision(declared: String): Option[Int] = {
+    val t = unwrap(declared)
+    if (!t.startsWith("DateTime64")) None
+    else "[0-9]+".r.findFirstIn(t.stripPrefix("DateTime64"))
+      .map(_.toInt.min(6).max(0)).orElse(Some(3)) // CH default precision 3
+  }
+
+  /** True when a declared target type takes a quoted literal.
+    * ClickHouse wrappers (Nullable, LowCardinality) are stripped
+    * first; both ClickHouse names (`String`, `DateTime`) and ANSI DDL
+    * text as a catalog reports it (`VARCHAR(40) NOT NULL`,
+    * `TIMESTAMP` — what [[JdbcCatalogTypes.derby]] returns) are
+    * understood, so a queried type map drops straight in. */
+  private[graft] def targetIsQuoted(declared: String): Boolean = {
+    val t = unwrap(declared)
     val ch = Seq("String", "FixedString", "UUID", "Enum", "IPv4", "IPv6",
       "Date", "DateTime").exists(t.startsWith)
     val up = t.toUpperCase(java.util.Locale.ROOT)
@@ -112,8 +145,32 @@ object SqlInsertFormatter {
   /** Numeric-literal shape accepted on the unquoted emission path. */
   private[sinks] val NumericLiteral = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
 
+  /** ClickHouse array literal `['a','b',...]` from an ArrayType
+    * DataFrame column: elements are formatted per the declared element
+    * type (quoted+escaped string-ish, numeric-shape-checked raw
+    * otherwise — the same splice-safety contract as scalars), NULL
+    * elements render as NULL inside the brackets. */
+  private def arrayLiteral(c: Column, dt: ArrayType, elemDeclared: String,
+      dialect: SqlDialect): Column = {
+    val elems = transform(c, e => {
+      val text = rendered(e, dt.elementType)
+      val f =
+        if (targetIsQuoted(elemDeclared)) quoted(text, dialect)
+        else if (rendersNumericSafe(dt.elementType)) text
+        else when(text.rlike(NumericLiteral), text)
+      coalesce(f, lit("NULL"))
+    })
+    concat(lit("["), concat_ws(",", elems), lit("]"))
+  }
+
   /** Literal-format driven by the TARGET column's declared type; the
     * DataFrame type only controls rendering (timestamp formats).
+    *
+    * `Nullable(T)`/`LowCardinality(T)` unwrap to T; `DateTime64(p)`
+    * renders p fractional-second digits; `Array(T)` takes an array
+    * literal with per-element T rules (a non-array DataFrame column
+    * bound to an Array target degrades to NULL — malformed shape, the
+    * reference's missing-field contract).
     *
     * The unquoted (numeric-target) path never emits raw text straight
     * from a string-typed DataFrame column: a value like `1),(999` or
@@ -123,12 +180,22 @@ object SqlInsertFormatter {
     * the reference applies to missing fields. */
   def literalForTarget(c: Column, dt: DataType, declaredTargetType: String,
       dialect: SqlDialect = SqlDialect.ClickHouseLike): Column = {
-    val text = rendered(c, dt)
-    val formatted =
-      if (targetIsQuoted(declaredTargetType)) quoted(text, dialect)
-      else if (rendersNumericSafe(dt)) text
-      else when(text.rlike(NumericLiteral), text) // else null → NULL below
-    coalesce(formatted, lit("NULL"))
+    (arrayElementType(declaredTargetType), dt) match {
+      case (Some(elemT), at: ArrayType) =>
+        coalesce(arrayLiteral(c, at, elemT, dialect), lit("NULL"))
+      case (Some(_), _) => lit("NULL") // array target, scalar column: malformed
+      case (None, _) =>
+        val text = dateTime64Precision(declaredTargetType) match {
+          case Some(p) if p > 0 && Seq(TimestampType, TimestampNTZType).contains(dt) =>
+            date_format(c, "yyyy-MM-dd HH:mm:ss." + "S" * p)
+          case _ => rendered(c, dt)
+        }
+        val formatted =
+          if (targetIsQuoted(declaredTargetType)) quoted(text, dialect)
+          else if (rendersNumericSafe(dt)) text
+          else when(text.rlike(NumericLiteral), text) // else null → NULL below
+        coalesce(formatted, lit("NULL"))
+    }
   }
 
   /** Per-row `(v1,v2,...)` tuple column for the given DataFrame.

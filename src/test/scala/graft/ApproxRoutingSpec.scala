@@ -64,6 +64,23 @@ class ApproxRoutingSpec extends AnyFunSuite {
     }
   }
 
+  test("decision is observable: analyzed-plan tag + lastDecision name the served path") {
+    withConf(None) {
+      val df = SparkEntry.queries("q_trailing_active")(spark, sf)
+      assert(df.queryExecution.analyzed.toString.contains("graft_route_exact_q_trailing_active"),
+        "exact-path tag missing from analyzed plan")
+      assert(graft.operators.ApproxRouting.lastDecision.get("q_trailing_active") === "exact")
+    }
+    withConf(Some("1")) {
+      val df = SparkEntry.queries("q_trailing_active")(spark, sf)
+      assert(df.queryExecution.analyzed.toString.contains("graft_route_sketch_q_trailing_active"),
+        "sketch-path tag missing from analyzed plan")
+      assert(graft.operators.ApproxRouting.lastDecision.get("q_trailing_active") === "sketch")
+      // the tag is semantics-free: it does not survive into the optimized plan
+      assert(!df.queryExecution.optimizedPlan.toString.contains("graft_route_"))
+    }
+  }
+
   test("stickiness routes too: both ratios agree within 3 points") {
     val exact = withConf(None) {
       SparkEntry.queries("q_stickiness")(spark, sf).collect()

@@ -57,6 +57,42 @@ class CatalogSinkSpec extends AnyFunSuite {
       (2L, "plain", "2024-02-03 04:05:06.0", -2.25)))
   }
 
+  test("ClickHouse wrapped types: Nullable/LowCardinality unwrap, DateTime64 precision, Array literals") {
+    import graft.sinks.SqlInsertFormatter._
+    import spark.implicits._
+    // unwrap rules on what a real system.columns reports
+    assert(targetIsQuoted("Nullable(String)"))
+    assert(targetIsQuoted("LowCardinality(Nullable(String))"))
+    assert(targetIsQuoted("Nullable(DateTime64(3))"))
+    assert(!targetIsQuoted("Nullable(Int64)"))
+    assert(!targetIsQuoted("Nullable(Float64)"))
+    assert(dateTime64Precision("DateTime64(6)") === Some(6))
+    assert(dateTime64Precision("Nullable(DateTime64(3, 'UTC'))") === Some(3))
+    assert(dateTime64Precision("DateTime64") === Some(3)) // CH default
+    assert(dateTime64Precision("DateTime") === None)
+    assert(arrayElementType("Array(String)") === Some("String"))
+    assert(arrayElementType("Array(Nullable(String))") === Some("String"))
+    assert(arrayElementType("Nullable(Array(Int64))") === Some("Int64"))
+    assert(arrayElementType("String") === None)
+
+    // rendered statement text: the shapes ClickHouse accepts
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+        Seq("a'b", "plain"), Seq(1, 2, 3)))
+      .toDF("ID", "TS", "TAGS", "NUMS")
+    val tuple = df.select(valuesTuple(df, Map(
+      "ID" -> "Nullable(Int64)",
+      "TS" -> "Nullable(DateTime64(3))",
+      "TAGS" -> "Array(Nullable(String))",
+      "NUMS" -> "Array(Int64)")).as("t")).head.getString(0)
+    assert(tuple === raw"(1,'2024-01-02 03:04:05.123',['a\'b','plain'],[1,2,3])", tuple)
+
+    // array target bound to a scalar column degrades to NULL, never splices
+    val bad = df.select(valuesTuple(df.select(col("ID")), Map("ID" -> "Array(Int64)")).as("t"))
+      .head.getString(0)
+    assert(bad === "(NULL)", bad)
+  }
+
   test("failover writer: dead first replica skipped, write lands via the second") {
     import spark.implicits._
     exec("CREATE TABLE FO (ID BIGINT, NAME VARCHAR(60))")
