@@ -17,24 +17,43 @@ import org.apache.spark.sql.types._
   */
 object DedupOps {
 
+  /** Times each shared index's BUILD lambda actually ran this JVM —
+    * the zero-rebuild proof for [[DedupIndexStore]]: after save → wipe
+    * → load, serving queries must leave every counter untouched. */
+  private[graft] val buildCount =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def counted(name: String)(df: => DataFrame): DataFrame = {
+    buildCount.merge(name, 1, (a, b) => a + b)
+    df
+  }
+
   /** documents → (doc_id, shingles): native WordShingles expression —
     * a `transform(sequence, i -> element_at(split(...)))` formulation
     * gets its split() re-inlined into the lambda by CollapseProject and
     * re-evaluated per element (O(len²) per doc); the one-pass kernel is
     * ~20× faster and semantically identical to the oracle's list_
-    * transform over string_split_regex. */
-  private def shingledDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), graft.functions.word_shingles(col("text"), 3).as("shingles"))
+    * transform over string_split_regex. Registry-persisted: the
+    * shingling kernel runs once per session+dir (hashedIndex builds
+    * from it AND ngram/minhash verify against its arrays). */
+  private[graft] def shingledDocs(s: SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"dedup.shingled:$d") {
+      counted("shingled") {
+        Tables.documents(s, d)
+          .select(col("doc_id"), graft.functions.word_shingles(col("text"), 3).as("shingles"))
+      }
+    }
 
   /** Shared persisted inverted index (doc_id, sid) on the 60-bit
     * shingle hash — one registry entry per session+dir, shared by
     * ngram and minhash; released via [[clearCache]]. */
   private[graft] def hashedIndex(s: SparkSession, d: String): DataFrame =
     graft.CachedPlans.cached(s, s"dedup.hashedIndex:$d") {
-      shingledDocs(s, d)
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid"))
+      counted("hashed_index") {
+        shingledDocs(s, d)
+          .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+          .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid"))
+      }
     }
 
   /** Shared persisted set of RARE shingle ids (corpus df ≤ 50) — the
@@ -43,8 +62,10 @@ object DedupOps {
     * (containment's planted probes) reuse the df aggregate. */
   private[graft] def rareSids(s: SparkSession, d: String): DataFrame =
     graft.CachedPlans.cached(s, s"dedup.rareSids:$d") {
-      hashedIndex(s, d).groupBy(col("sid")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select(col("sid"))
+      counted("rare_sids") {
+        hashedIndex(s, d).groupBy(col("sid")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50).select(col("sid"))
+      }
     }
 
   /** Shared persisted RARE-shingle index (df ≤ 50 blocking applied) —
@@ -52,15 +73,19 @@ object DedupOps {
     * read twice; one registry entry per session+dir. */
   private[graft] def rareIndex(s: SparkSession, d: String): DataFrame =
     graft.CachedPlans.cached(s, s"dedup.rareIndex:$d") {
-      hashedIndex(s, d).join(broadcast(rareSids(s, d)), "sid")
+      counted("rare_index") {
+        hashedIndex(s, d).join(broadcast(rareSids(s, d)), "sid")
+      }
     }
 
   /** Shared persisted (doc_id, simhash) projection for the simhash
     * band join — one registry entry per session+dir. */
   private[graft] def simhashDocs(s: SparkSession, d: String): DataFrame =
     graft.CachedPlans.cached(s, s"dedup.simhashDocs:$d") {
-      Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(split(col("text"), "\\s+")).as("sh"))
+      counted("simhash_docs") {
+        Tables.documents(s, d)
+          .select(col("doc_id"), simhash64(split(col("text"), "\\s+")).as("sh"))
+      }
     }
 
   /** Unpersist the shared dedup/ANN indexes this session built. */
@@ -283,7 +308,8 @@ object DedupOps {
     * Registry-persisted: dedup_minhash and dedup_clusters share one
     * materialization of the band-join + exact-verify chain. */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    graft.CachedPlans.cached(s, s"dedup.minhashPairs:$d")(minhashPairsPlan(s, d))
+    graft.CachedPlans.cached(s, s"dedup.minhashPairs:$d")(
+      counted("minhash_pairs")(minhashPairsPlan(s, d)))
 
   private def minhashPairsPlan(s: SparkSession, d: String): DataFrame =
     verifiedPairChain(shingledDocs(s, d), hashedIndex(s, d)) // shared cache with dedup_ngram
@@ -411,8 +437,10 @@ object DedupOps {
     * ConnectedComponents. */
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
     graft.CachedPlans.cached(s, s"dedup.clusterLabels:$d") {
-      ConnectedComponents.run(s,
-        minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      counted("cluster_labels") {
+        ConnectedComponents.run(s,
+          minhashPairs(s, d).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      }
     }
 
   /** Cluster-representative selection BY QUALITY — the curation policy

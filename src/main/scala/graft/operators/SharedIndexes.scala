@@ -24,6 +24,7 @@ object SharedIndexes {
   /** (name, builder) for every cross-operator shared index. Builders
     * return the registry-persisted frame (building it on first use). */
   def entries(s: SparkSession, d: String): Seq[(String, () => DataFrame)] = Seq(
+    "dedup_shingled" -> (() => DedupOps.shingledDocs(s, d)),
     "dedup_hashed_index" -> (() => DedupOps.hashedIndex(s, d)),
     "dedup_rare_index" -> (() => DedupOps.rareIndex(s, d)),
     "dedup_minhash_pairs" -> (() => DedupOps.minhashPairs(s, d)),
