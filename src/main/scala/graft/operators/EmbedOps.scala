@@ -266,14 +266,18 @@ object EmbedOps {
     * quotient (v·wc)/n is the variance along v.
     *
     * Oracle parity (the PageRank contract lifted to numerics with a
-    * DATA-dependent aggregate): the cross-row sums fold in exact
-    * DECIMAL(18,9) on both engines (order-free), the per-row dot and
-    * driver arithmetic are identical left-folds, and every iteration
-    * snaps v to the 1e-10 grid, so per-round state is bit-identical and
-    * the oracle unrolls the fixed 8 rounds as chained CTEs. Early stop
-    * at an EXACT grid fixpoint is the identity from then on.
-    * Sign-canonicalized (first nonzero loading positive); `+ 0.0`
-    * normalizes -0.0 on both sides. */
+    * DATA-dependent aggregate): every cross-row term snaps to BIGINT
+    * micros (the knn_outlier_score discipline — integer sums are
+    * order-free and ~6× cheaper than decimal casts in the hot
+    * aggregate; the micro perturbation is identical on both engines,
+    * so the iteration operates on the SAME slightly-perturbed operator
+    * and parity is exact), the per-row dot and driver arithmetic are
+    * identical left-folds, and every iteration snaps v to the 1e-10
+    * grid, so per-round state is bit-identical and the oracle unrolls
+    * the fixed 8 rounds as chained CTEs. Early stop at an EXACT grid
+    * fixpoint is the identity from then on. Sign-canonicalized (first
+    * nonzero loading positive); `+ 0.0` normalizes -0.0 on both
+    * sides. */
   val pca: GraftOp = GraftOp(
     "emb_pca", {
       def dot(a: String, b: String) = graft.functions.Exprs.sqlDot(a, b)
@@ -286,15 +290,17 @@ object EmbedOps {
         |vl AS (SELECT vec_id, list(x ORDER BY dim) AS xv FROM e GROUP BY vec_id),
         |nn AS (SELECT count(*) AS n FROM vl),
         |mu AS (
-        |  SELECT dim, CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / (SELECT n FROM nn) AS m
+        |  SELECT dim,
+        |    CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+        |      / (SELECT n FROM nn) AS m
         |  FROM e GROUP BY dim),
         |v0 AS (SELECT list_transform(range(1, 65), i -> round(1.0 / sqrt(64), 10) + 0.0) AS v)""".stripMargin
       val rounds = (1 to PcaIters).map { k =>
         s"""s$k AS (SELECT vec_id, ${dot("xv", "v")} AS s FROM vl, v${k - 1}),
            |w$k AS (
            |  SELECT e.dim,
-           |    CAST(sum(CAST(s$k.s * e.x AS DECIMAL(18,9))) AS DOUBLE) AS w,
-           |    CAST(sum(CAST(s$k.s AS DECIMAL(18,9))) AS DOUBLE) AS ssum
+           |    CAST(sum(CAST(round(s$k.s * e.x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS w,
+           |    CAST(sum(CAST(round(s$k.s * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ssum
            |  FROM e JOIN s$k USING (vec_id) GROUP BY e.dim),
            |c$k AS (SELECT w$k.dim, w$k.w - w$k.ssum * mu.m AS wc FROM w$k JOIN mu USING (dim)),
            |wl$k AS (SELECT list(wc ORDER BY dim) AS wl FROM c$k),
@@ -322,13 +328,12 @@ object EmbedOps {
     val cached = xs.localCheckpoint(true) // ≤8 passes over one narrow column
     val dim = cached.select(size(col("x"))).head.getInt(0)
     val n = cached.count()
-    val dec = DecimalType(18, 9)
     val mu = new Array[Double](dim)
     cached.select(posexplode(col("x"))).toDF("dim", "xv")
       .groupBy(col("dim"))
-      .agg(sum(col("xv").cast(dec)).cast(DoubleType).as("m1"))
+      .agg(sum(round(col("xv") * 1e6).cast(LongType)).as("m1"))
       .collect() // |dim| rows
-      .foreach(r => mu(r.getInt(0)) = r.getDouble(1) / n)
+      .foreach(r => mu(r.getInt(0)) = r.getLong(1).toDouble / 1000000.0 / n)
     var v = Array.fill(dim)(snap10(1.0 / math.sqrt(dim)))
     var lambda = 0.0
     var iter = 0
@@ -341,10 +346,13 @@ object EmbedOps {
           posexplode(col("x")))
         .toDF("s", "dim", "xv")
         .groupBy(col("dim"))
-        .agg(sum((col("s") * col("xv")).cast(dec)).cast(DoubleType).as("w"),
-          sum(col("s").cast(dec)).cast(DoubleType).as("ssum"))
+        .agg(sum(round(col("s") * col("xv") * 1e6).cast(LongType)).as("w"),
+          sum(round(col("s") * 1e6).cast(LongType)).as("ssum"))
         .collect() // |dim| rows
-        .foreach { r => w(r.getInt(0)) = r.getDouble(1); ssum = r.getDouble(2) }
+        .foreach { r =>
+          w(r.getInt(0)) = r.getLong(1).toDouble / 1000000.0
+          ssum = r.getLong(2).toDouble / 1000000.0
+        }
       val wc = Array.tabulate(dim)(i => w(i) - ssum * mu(i))
       lambda = snap10(v.indices.map(i => v(i) * wc(i)).sum / n)
       val norm = math.sqrt(wc.map(x => x * x).sum)
