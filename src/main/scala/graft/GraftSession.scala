@@ -23,6 +23,12 @@ object GraftSession {
       // config override from silently turning them off
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // static conf, read once at first-session bring-up: the default
+      // 100-entry generated-class cache thrashes on a 200+-query
+      // surface (every pass evicts everything, so every query repays
+      // Janino compilation — pure driver-side latency that grows with
+      // the library, not the data); size it to hold the whole surface
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -323,17 +323,57 @@ object EmbedOps {
   private def snap10(x: Double): Double =
     BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
 
+  /** Spark's `round(double)` semantics for the micro-grid snap:
+    * BigDecimal.valueOf + HALF_UP — the local path must round exactly
+    * like the codegen'd Round or the two routes diverge. */
+  private def roundMicrosLong(x: Double): Long =
+    java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP)
+      .doubleValue().toLong
+
   private[graft] def pcaTop(xs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = xs.sparkSession
-    val cached = xs.localCheckpoint(true) // ≤8 passes over one narrow column
-    val dim = cached.select(size(col("x"))).head.getInt(0)
-    val n = cached.count()
-    val mu = new Array[Double](dim)
-    cached.select(posexplode(col("x"))).toDF("dim", "xv")
-      .groupBy(col("dim"))
-      .agg(sum(round(col("xv") * 1e6).cast(LongType)).as("m1"))
-      .collect() // |dim| rows
-      .foreach(r => mu(r.getInt(0)) = r.getLong(1).toDouble / 1000000.0 / n)
+    // Route on the optimizer size estimate (metadata, no job): the
+    // iteration is 8 dependent job rounds, so below the threshold it is
+    // strictly faster to pull the (narrow, projected) matrix once and
+    // iterate driver-side. Both paths run the SAME integer-micros
+    // arithmetic — per-dim sums of HALF_UP(·×1e6) longs are order-free,
+    // so the routes are bit-identical (PcaSpec pins it) and the oracle
+    // is route-agnostic.
+    val localMax = spark.conf.getOption("spark.graft.pca.localMaxBytes")
+      .map(BigInt(_)).getOrElse(BigInt(64L << 20))
+    val local = ApproxRouting.inputBytes(xs) <= localMax
+    ApproxRouting.lastDecision.put("emb_pca", if (local) "local" else "distributed")
+
+    var n = 0L
+    var dim = 0
+    var mu: Array[Double] = null
+    var rows: Array[Array[Double]] = null // local route only
+    var cached: org.apache.spark.sql.DataFrame = null // distributed route only
+    if (local) {
+      rows = xs.select(col("x")).collect().map(_.getSeq[Double](0).toArray)
+      n = rows.length.toLong
+      dim = if (rows.nonEmpty) rows(0).length else 0
+      val m1 = new Array[Long](dim)
+      rows.foreach { x =>
+        var j = 0
+        while (j < dim) { m1(j) += roundMicrosLong(x(j) * 1e6); j += 1 }
+      }
+      mu = Array.tabulate(dim)(j => m1(j).toDouble / 1000000.0 / n)
+    } else {
+      cached = xs.localCheckpoint(true) // ≤8 passes over one narrow column
+      // ONE prep aggregate: per-dim micro-sums carry the mean, the
+      // per-dim count is n (every row has every dim), and the group
+      // count is the dimensionality — no separate size()/count() jobs.
+      val prep = cached.select(posexplode(col("x"))).toDF("dim", "xv")
+        .groupBy(col("dim"))
+        .agg(sum(round(col("xv") * 1e6).cast(LongType)).as("m1"),
+          count(lit(1)).as("n"))
+        .collect() // |dim| rows
+      dim = prep.length
+      n = if (prep.nonEmpty) prep(0).getLong(2) else 0L
+      mu = new Array[Double](dim)
+      prep.foreach(r => mu(r.getInt(0)) = r.getLong(1).toDouble / 1000000.0 / n)
+    }
     var v = Array.fill(dim)(snap10(1.0 / math.sqrt(dim)))
     var lambda = 0.0
     var iter = 0
@@ -341,18 +381,35 @@ object EmbedOps {
     while (iter < PcaIters && !fixpoint) {
       val w = new Array[Double](dim)
       var ssum = 0.0
-      cached
-        .select(graft.functions.vec_dot(col("x"), typedLit(v.toSeq)).as("s"),
-          posexplode(col("x")))
-        .toDF("s", "dim", "xv")
-        .groupBy(col("dim"))
-        .agg(sum(round(col("s") * col("xv") * 1e6).cast(LongType)).as("w"),
-          sum(round(col("s") * 1e6).cast(LongType)).as("ssum"))
-        .collect() // |dim| rows
-        .foreach { r =>
-          w(r.getInt(0)) = r.getLong(1).toDouble / 1000000.0
-          ssum = r.getLong(2).toDouble / 1000000.0
+      if (local) {
+        val wl = new Array[Long](dim)
+        var sl = 0L
+        rows.foreach { x =>
+          // same left-fold as the VecDot kernel
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += x(j) * v(j); j += 1 }
+          sl += roundMicrosLong(s * 1e6)
+          j = 0
+          while (j < dim) { wl(j) += roundMicrosLong(s * x(j) * 1e6); j += 1 }
         }
+        var j = 0
+        while (j < dim) { w(j) = wl(j).toDouble / 1000000.0; j += 1 }
+        ssum = sl.toDouble / 1000000.0
+      } else {
+        cached
+          .select(graft.functions.vec_dot(col("x"), typedLit(v.toSeq)).as("s"),
+            posexplode(col("x")))
+          .toDF("s", "dim", "xv")
+          .groupBy(col("dim"))
+          .agg(sum(round(col("s") * col("xv") * 1e6).cast(LongType)).as("w"),
+            sum(round(col("s") * 1e6).cast(LongType)).as("ssum"))
+          .collect() // |dim| rows
+          .foreach { r =>
+            w(r.getInt(0)) = r.getLong(1).toDouble / 1000000.0
+            ssum = r.getLong(2).toDouble / 1000000.0
+          }
+      }
       val wc = Array.tabulate(dim)(i => w(i) - ssum * mu(i))
       lambda = snap10(v.indices.map(i => v(i) * wc(i)).sum / n)
       val norm = math.sqrt(wc.map(x => x * x).sum)

@@ -87,35 +87,55 @@ object SqlSurface3 {
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val b = 10
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = graft.CachedPlans.cached(s, s"equidepth.ranged:$d") {
-      Tables.events(s, d).select(col("value"), col("event_id"))
-        .repartitionByRange(parts, col("value"), col("event_id"))
-        .withColumn("__pid", spark_partition_id())
+    // Size-gated local route: below the threshold a single-partition
+    // ntile IS the right plan (one shuffle, no sampling/offset passes);
+    // the distributed rank path below it exists for the regime where a
+    // global sort into one task would not fit. Identical buckets: ntile
+    // assigns ⌈n/b⌉ to the first n%b buckets — the same split the
+    // offset formula computes — over the same (value, event_id) order.
+    val input = Tables.events(s, d).select(col("value"), col("event_id"))
+    val localMax = s.conf.getOption("spark.graft.equidepth.localMaxBytes")
+      .map(BigInt(_)).getOrElse(BigInt(256L << 20))
+    if (ApproxRouting.inputBytes(input) <= localMax) {
+      ApproxRouting.lastDecision.put("q_equidepth", "local")
+      input
+        .withColumn("bucket",
+          ntile(b).over(Window.orderBy(col("value"), col("event_id"))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("bucket"))
+    } else {
+      ApproxRouting.lastDecision.put("q_equidepth", "distributed")
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ranged = graft.CachedPlans.cached(s, s"equidepth.ranged:$d") {
+        input
+          .repartitionByRange(parts, col("value"), col("event_id"))
+          .withColumn("__pid", spark_partition_id())
+      }
+      // pass 1: per-partition counts → driver-side prefix sums (≤ P rows)
+      val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val total = counts.map(_._2).sum
+      var acc = 0L
+      val offsets: Map[Int, Long] =
+        counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+      val big = total / b + 1 // size of the first (total % b) buckets
+      val cut = (total % b) * big // rank where bucket size drops to ⌊n/b⌋
+      val small = math.max(total / b, 1L) // guard: unreachable branch when n < b
+      // pass 2: exact global rank = partition offset + local row_number
+      val r0 = element_at(typedLit(offsets), col("__pid")) +
+        row_number().over(Window.partitionBy(col("__pid"))
+          .orderBy(col("value"), col("event_id"))) - 1
+      ranged
+        .withColumn("__r0", r0)
+        .withColumn("bucket",
+          (when(col("__r0") < cut, expr(s"__r0 div ${big}L"))
+            .otherwise(lit(total % b) + expr(s"(__r0 - ${cut}L) div ${small}L"))
+            + 1).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("bucket"))
     }
-    // pass 1: per-partition counts → driver-side prefix sums (≤ P rows)
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
-    val big = total / b + 1 // size of the first (total % b) buckets
-    val cut = (total % b) * big // rank where bucket size drops to ⌊n/b⌋
-    val small = math.max(total / b, 1L) // guard: unreachable branch when n < b
-    // pass 2: exact global rank = partition offset + local row_number
-    val r0 = element_at(typedLit(offsets), col("__pid")) +
-      row_number().over(Window.partitionBy(col("__pid"))
-        .orderBy(col("value"), col("event_id"))) - 1
-    ranged
-      .withColumn("__r0", r0)
-      .withColumn("bucket",
-        (when(col("__r0") < cut, expr(s"__r0 div ${big}L"))
-          .otherwise(lit(total % b) + expr(s"(__r0 - ${cut}L) div ${small}L"))
-          + 1).cast("int"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
-      .orderBy(col("bucket"))
   }
 
   /** 2-D skyline (Pareto frontier): parts not dominated on

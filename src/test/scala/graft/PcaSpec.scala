@@ -48,6 +48,19 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(out.head._3 - 100.0) < 1e-6, s"eigenvalue ${out.head._3}")
   }
 
+  test("local and distributed routes are bit-identical (integer-micros sums are order-free)") {
+    val xs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("x"))
+    val local = operators.EmbedOps.pcaTop(xs).collect().toSeq
+    assert(operators.ApproxRouting.lastDecision.get("emb_pca") === "local")
+    spark.conf.set("spark.graft.pca.localMaxBytes", "0")
+    val dist =
+      try operators.EmbedOps.pcaTop(xs).collect().toSeq
+      finally spark.conf.unset("spark.graft.pca.localMaxBytes")
+    assert(operators.ApproxRouting.lastDecision.get("emb_pca") === "distributed")
+    assert(local === dist)
+  }
+
   test("embeddings table: unit loading vector, positive variance, |dim| rows") {
     val out = operators.EmbedOps.pcaTop(
       graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -54,23 +54,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
   }
 
-  test("q_equidepth: no unpartitioned window (single-reducer global sort)") {
+  test("q_equidepth: distributed route has no unpartitioned window; local route matches it") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val df = graft.operators.SqlSurface3.qEquidepth.run(spark, sf)
+    // force the scale path regardless of test-SF size
+    spark.conf.set("spark.graft.equidepth.localMaxBytes", "0")
+    val df =
+      try graft.operators.SqlSurface3.qEquidepth.run(spark, sf)
+      finally spark.conf.unset("spark.graft.equidepth.localMaxBytes")
+    assert(graft.operators.ApproxRouting.lastDecision.get("q_equidepth") === "distributed")
     val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty, "expected a partition-local rank window")
     val bad = wins.filter(_.partitionSpec.isEmpty)
     assert(bad.isEmpty,
       s"unpartitioned Window moves the whole table to one reducer:\n${bad.mkString("\n")}")
-    // exactness: the distributed two-pass rank reproduces ntile bit-for-bit
-    import org.apache.spark.sql.expressions.{Window => W}
-    import org.apache.spark.sql.functions._
-    val ntiled = graft.sources.Tables.events(spark, sf)
-      .select(col("value"),
-        ntile(10).over(W.orderBy(col("value"), col("event_id"))).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
-    assert(df.collect().toSeq === ntiled.orderBy(col("bucket")).collect().toSeq)
+    val distributed = df.collect().toSeq
+    // the small-input route (default gate at test SF) is bit-identical
+    val local = graft.operators.SqlSurface3.qEquidepth.run(spark, sf)
+    assert(graft.operators.ApproxRouting.lastDecision.get("q_equidepth") === "local")
+    assert(local.collect().toSeq === distributed)
   }
 
   test("SQL surface: vec_dot / vec_normalize / word_shingles registered") {

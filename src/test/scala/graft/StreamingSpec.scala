@@ -199,8 +199,10 @@ class StreamingSpec extends AnyFunSuite {
       StreamingPipelines.streamStreamJoin(eventsStream()), "append", "ssj_out")
       .orderBy("purchase_id", "signup_id").collect()
     val ev = eventsStream() // batch twin over the same frame shape
-    val batch = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val batch = if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
     val p = batch.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("value"))
     val su = batch.filter(col("event_type") === "signup")
