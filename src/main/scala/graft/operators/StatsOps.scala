@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical / econometric rollups over the fact tables: inequality
+  * (Gini), time-series memory (autocorrelation), experiment
+  * significance (two-proportion z), and trend smoothing (Holt) — the
+  * analyst-facing statistics tier ClickHouse ships as dedicated
+  * aggregate combinators.
+  *
+  * Oracle parity follows the house rules (SURVEY.md §6): every
+  * cross-row aggregate folds EXACT integers (cents, counts, or
+  * N-scaled centered values), so only the FINAL scalar formula runs in
+  * doubles — identical expression text on both engines over identical
+  * integers gives identical doubles. Sequential recurrences (Holt)
+  * use the q_ewma contract: one shuffle to the key, a linear in-order
+  * fold with a per-step 10dp grid snap, identical on both engines.
+  */
+object StatsOps {
+
+  /** Gini coefficient of customer order revenue per market segment —
+    * the revenue-concentration audit ("do 20% of customers drive 80%
+    * of revenue") behind q_pareto's ABC cut, emitted as the standard
+    * scalar. Rank-based form: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over ascending per-customer cents. One fact groupBy, a
+    * SEGMENT-partitioned rank window (never a global sort), and a
+    * 3-integer final formula. Per-customer spend is exact cents
+    * (decimal sum → ×100 → BIGINT), so Σ i·xᵢ and Σx are exact and
+    * < 2⁵³ — the double division is bit-identical cross-engine. */
+  val gini: GraftOp = GraftOp(
+    "q_gini",
+    """WITH s AS (
+      |  SELECT c_mktsegment AS segment, o_custkey AS cust,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT segment, cents,
+      |    row_number() OVER (PARTITION BY segment ORDER BY cents, cust) AS rk
+      |  FROM s),
+      |g AS (
+      |  SELECT segment, count(*) AS n_cust,
+      |    sum(cents) AS tot, sum(rk * cents) AS a
+      |  FROM r GROUP BY 1)
+      |SELECT segment, n_cust,
+      |  round((2.0 * a - (n_cust + 1.0) * tot) / (CAST(n_cust AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+      |FROM g ORDER BY segment""".stripMargin) { (s, d) =>
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey").as("cust"))
+      .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+        .cast(LongType).as("cents"))
+    spend
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("segment")).orderBy(col("cents"), col("cust"))))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).as("tot"),
+        sum(col("rk") * col("cents")).as("a"))
+      .select(col("segment"), col("n_cust"),
+        expr("round((2.0 * a - (n_cust + 1.0) * tot) / (CAST(n_cust AS DOUBLE) * CAST(tot AS DOUBLE)), 6)")
+          .as("gini"))
+      .orderBy(col("segment"))
+  }
+
+  /** Sample autocorrelation of the daily event-count series at lags
+    * 1..7 — the "does today predict tomorrow / is there a weekly
+    * echo" diagnostic (pairs with q_seasonality's dow index and
+    * q_anomaly_days' z-scores). EXACT integer core: with N days and
+    * total S, the N-scaled centered value x = N·n − S is an integer,
+    * so r_k = Σ x_t·x_{t−k} / Σ x² folds exact BIGINTs; the one
+    * double division is identical cross-engine. The daily frame is
+    * date-bounded (≤ |days| rows regardless of corpus size), so the
+    * lag join explodes 7 tiny rows per day — never the fact table. */
+  val acf: GraftOp = GraftOp(
+    "q_acf",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
+      |              min(day) AS mind FROM d),
+      |c AS (
+      |  SELECT CAST(date_diff('day', st.mind, d.day) AS BIGINT) AS i,
+      |    st.nd * d.n - st.s AS x
+      |  FROM d, st),
+      |den AS (SELECT sum(x * x) AS den FROM c),
+      |p AS (
+      |  SELECT a.i - b.i AS lag_d, a.x * b.x AS xy
+      |  FROM c a JOIN c b ON a.i - b.i BETWEEN 1 AND 7)
+      |SELECT CAST(lag_d AS INT) AS lag_d, count(*) AS n_pairs,
+      |  round(CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+      |FROM p, den GROUP BY lag_d, den ORDER BY lag_d""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val st = daily.agg(count(lit(1)).as("nd"), sum(col("n")).as("s"),
+      min(col("day")).as("mind"))
+    val c = daily.crossJoin(broadcast(st))
+      .select(datediff(col("day"), col("mind")).cast(LongType).as("i"),
+        (col("nd") * col("n") - col("s")).as("x"))
+    val den = broadcast(c.agg(sum(col("x") * col("x")).as("den")))
+    // equi-join form of the lag join: the right side pre-explodes its
+    // 7 shifted copies, so no nested-loop range join appears in the plan
+    val shifted = c.select(explode(sequence(lit(1L), lit(7L))).as("lag_d"),
+      col("i").as("ib"), col("x").as("xb"))
+      .select(col("lag_d"), (col("ib") + col("lag_d")).as("ia"), col("xb"))
+    c.join(shifted, col("i") === col("ia"))
+      .select(col("lag_d"), (col("x") * col("xb")).as("xy"))
+      .groupBy(col("lag_d"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("xy")).as("sxy"))
+      .crossJoin(den)
+      .select(col("lag_d").cast(IntegerType).as("lag_d"), col("n_pairs"),
+        expr("round(CAST(sxy AS DOUBLE) / CAST(den AS DOUBLE), 6)").as("acf"))
+      .orderBy(col("lag_d"))
+  }
+
+  /** Two-proportion z-test on experiment conversion — the
+    * significance readout next to q_ab_funnel's depth table: variants
+    * by the portable-hash bucketing (same assignment as q_ab_funnel),
+    * conversion = "user has a big-ticket purchase" (value ≥ 150 —
+    * a plain has-any-purchase saturates to p=1 on the synthetic
+    * corpus, making the pooled variance 0), pooled-variance z.
+    * One per-user aggregate then four integers; every double in the
+    * final formula derives from those integers through identical
+    * expression text, so the statistic is bit-identical. */
+  val twoProp: GraftOp = GraftOp(
+    "q_two_prop",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS variant,
+       |    max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+       |    CAST(sum(conv) FILTER (WHERE variant = 'A') AS BIGINT) AS c_a,
+       |    CAST(sum(conv) FILTER (WHERE variant = 'B') AS BIGINT) AS c_b
+       |  FROM u)
+       |SELECT n_a, n_b, c_a, c_b,
+       |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS p_a,
+       |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS p_b,
+       |  round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+       |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+       |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+       |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+       |FROM g""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"),
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150, 1)
+        .otherwise(0)).as("conv"))
+    u.agg(
+      count(when(col("variant") === "A", 1)).as("n_a"),
+      count(when(col("variant") === "B", 1)).as("n_b"),
+      sum(when(col("variant") === "A", col("conv"))).cast(LongType).as("c_a"),
+      sum(when(col("variant") === "B", col("conv"))).cast(LongType).as("c_b"))
+      .select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        expr("round(CAST(c_a AS DOUBLE) / n_a, 6)").as("p_a"),
+        expr("round(CAST(c_b AS DOUBLE) / n_b, 6)").as("p_b"),
+        expr("""round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+          | / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+          |   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+          |   * (1.0 / n_a + 1.0 / n_b)), 6)""".stripMargin).as("z"))
+  }
+
+  /** Holt linear-trend smoothing (α=0.5, β=0.3) of each event type's
+    * daily-count series, with the 7-day-ahead linear forecast — the
+    * capacity-planning / trend readout one step past q_ewma's level-
+    * only smoothing. Inherently sequential (q_ewma contract): one
+    * shuffle to the key, a linear fold over the date-ordered counts
+    * (Spark `aggregate` HOF / DuckDB recursive CTE — identical step
+    * expression text with a 10dp per-step grid snap, so the state
+    * sequence is bit-identical), initialized l₁=y₁, b₁=y₂−y₁. The
+    * per-key series is date-bounded, so state stays O(|days|). */
+  val holt: GraftOp = GraftOp(
+    "q_holt",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily),
+      |n AS (SELECT event_type, max(i) AS nd FROM d GROUP BY 1),
+      |r(event_type, t, l, b) AS (
+      |  SELECT a.event_type, 1 AS t,
+      |    CAST(a.y AS DOUBLE) AS l, CAST(b.y - a.y AS DOUBLE) AS b
+      |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.i = 1 AND b.i = 2
+      |  UNION ALL
+      |  SELECT r.event_type, r.t + 1,
+      |    round(0.5 * d.y + 0.5 * (r.l + r.b), 10),
+      |    round(0.3 * (round(0.5 * d.y + 0.5 * (r.l + r.b), 10) - r.l) + 0.7 * r.b, 10)
+      |  FROM r JOIN d ON d.event_type = r.event_type AND d.i = r.t + 1),
+      |fin AS (
+      |  SELECT r.event_type, r.l, r.b, n.nd
+      |  FROM r JOIN n ON r.event_type = n.event_type AND r.t = n.nd)
+      |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+      |  round(l, 6) AS level, round(b, 6) AS trend,
+      |  round(l + 7 * b, 6) AS forecast_7d
+      |FROM fin ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, y))), r -> r.y)").as("ys"))
+      .filter(size(col("ys")) >= 2)
+      .select(col("event_type"),
+        size(col("ys")).cast(LongType).as("n_days"),
+        expr("""aggregate(slice(ys, 2, size(ys) - 1),
+          | named_struct('l', CAST(element_at(ys, 1) AS DOUBLE),
+          |              'b', CAST(element_at(ys, 2) - element_at(ys, 1) AS DOUBLE)),
+          | (acc, x) -> named_struct(
+          |   'l', round(0.5D * x + 0.5D * (acc.l + acc.b), 10),
+          |   'b', round(0.3D * (round(0.5D * x + 0.5D * (acc.l + acc.b), 10) - acc.l) + 0.7D * acc.b, 10)))""".stripMargin)
+          .as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + lit(7) * col("st.b"), 6).as("forecast_7d"))
+      .orderBy(col("event_type"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt)
+}

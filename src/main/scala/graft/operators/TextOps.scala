@@ -730,7 +730,50 @@ object TextOps {
       .limit(25)
   }
 
+  /** Zipf-law fit over the corpus frequency spectrum: OLS slope of
+    * ln(freq) on ln(rank) for the top 200 tokens — the "is this a
+    * natural-language corpus" sanity check (natural text sits near
+    * slope −1; templated/machine output flattens or cliffs). The rank
+    * frame is a TakeOrdered top-k (never a global sort), so the OLS
+    * runs over exactly 200 (rank, count) integer pairs; ln/× noise
+    * over a 200-row fold is ~1e-13 relative, absorbed by the 6dp
+    * snap (the text_lm_score transcendental contract). */
+  val zipf: GraftOp = GraftOp(
+    "text_zipf",
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok),
+      |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 200),
+      |r AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rk, n
+      |  FROM top),
+      |f AS (
+      |  SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM r),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM f)
+      |SELECT m AS n_terms,
+      |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+      |  round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6) AS intercept
+      |FROM g""".stripMargin) { (s, d) =>
+    val top = Tables.documents(s, d)
+      .select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(200)
+    val f = top
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))).cast(LongType))
+      .select(expr("ln(CAST(rk AS DOUBLE))").as("x"), expr("ln(CAST(n AS DOUBLE))").as("y"))
+    f.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("m").as("n_terms"),
+        expr("round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)").as("slope"),
+        expr("round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)").as("intercept"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
-      decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore)
+      decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf)
 }
