@@ -305,5 +305,42 @@ object AffinityOps {
       .orderBy(col("n_items"))
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl)
+  /** Customer reorder cadence per market segment — "how often do they
+    * come back": gaps between a customer's consecutive orders in EXACT
+    * integer days (lag over the per-customer (date, orderkey) order —
+    * no float drift in what the percentile sorts), then count / p50 /
+    * p95 per segment on the q_gap_stats percentile contract. One
+    * customer-partitioned window pass + one segment aggregate; the
+    * repeat-purchase health metric behind q_rfm's recency cut. */
+  val reorderCadence: GraftOp = GraftOp(
+    "q_reorder_cadence",
+    """WITH g AS (
+      |  SELECT c_mktsegment AS segment,
+      |    date_diff('day',
+      |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |                             ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) AS gap_days
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT segment, count(*) AS n_gaps,
+      |  round(quantile_cont(gap_days, 0.5), 6) AS p50_days,
+      |  round(quantile_cont(gap_days, 0.95), 6) AS p95_days
+      |FROM g WHERE gap_days IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))).as("gap_days"))
+      .filter(col("gap_days").isNotNull)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap_days"), lit(0.5)), 6).as("p50_days"),
+        round(percentile(col("gap_days"), lit(0.95)), 6).as("p95_days"))
+      .orderBy(col("segment"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence)
 }

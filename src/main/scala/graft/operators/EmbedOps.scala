@@ -426,5 +426,46 @@ object EmbedOps {
       .toDF("dim", "loading", "eigenvalue")
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca)
+  /** Pairwise cosine similarity between per-label centroids — the
+    * class-geometry readout (which classes crowd each other; the
+    * confusion-risk map before training a classifier on the labels).
+    * Parity without fold-order risk: the centroid VECTORS are rebuilt
+    * from emb_centroids' 6dp-ROUNDED per-dim values (hash-identical on
+    * both engines by that op's contract), assembled in dim order, and
+    * compared with the shared left-fold dot/norm kernel — identical
+    * inputs through identical fold order ⇒ identical cosines, snapped
+    * to 6dp. |labels|² pairs of |dim| doubles — dimension-table sized,
+    * broadcast join, regardless of corpus size. */
+  val centroidSim: GraftOp = GraftOp(
+    "emb_centroid_sim", {
+      val cos = graft.functions.Exprs.sqlCosine("a.cv", "b.cv")
+      s"""WITH e AS (
+         |  SELECT label,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    unnest(embedding) AS v
+         |  FROM embeddings),
+         |c AS (SELECT label, dim, round(avg(v), 6) AS m FROM e GROUP BY 1, 2),
+         |vecs AS (
+         |  SELECT label, list(m ORDER BY dim) AS cv FROM c GROUP BY 1)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  round($cos, 6) AS cos_sim
+         |FROM vecs a JOIN vecs b ON a.label < b.label
+         |ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    val c = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "dim", "v")
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("m"))
+    val vecs = c.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), r -> r.m)").as("cv"))
+    val a = vecs.select(col("label").as("label_a"), col("cv").as("cva"))
+    val b = vecs.select(col("label").as("label_b"), col("cv").as("cvb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(graft.functions.Exprs.cosine(col("cva"), col("cvb")), 6).as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim)
 }

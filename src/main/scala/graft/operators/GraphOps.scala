@@ -697,5 +697,41 @@ object GraphOps {
         expr("n_reciprocated * 1000000 div n_edges").as("reciprocity_ppm"))
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity)
+  /** Log₂-binned degree distribution of the customer↔part purchase
+    * graph — the first diagnostic run on ANY large graph (is it
+    * power-law? where does the heavy tail start? what hub size must
+    * the skew-join planning survive?). Bipartite degrees: distinct
+    * parts per customer and distinct customers per part. The bin is
+    * length(bin(deg)) = ⌊log₂ deg⌋+1 — INTEGER via the binary-string
+    * length, no runtime log to diverge on. One distinct pair shuffle
+    * + two key-local aggregates; output is ≤2·64 bins regardless of
+    * corpus size. */
+  val degreeDist: GraftOp = GraftOp(
+    "graph_degree_dist",
+    """WITH cp AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |d AS (
+      |  SELECT 'customer' AS side, c AS node, count(*) AS deg FROM cp GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'part' AS side, p AS node, count(*) AS deg FROM cp GROUP BY 1, 2)
+      |SELECT side, CAST(length(bin(deg)) AS INT) AS log2_bin,
+      |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val cp = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      .select(lit("customer").as("side"), col("deg"))
+      .unionAll(cp.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+        .select(lit("part").as("side"), col("deg")))
+    deg
+      .groupBy(col("side"), length(bin(col("deg"))).cast("int").as("log2_bin"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy(col("side"), col("log2_bin"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist)
 }
