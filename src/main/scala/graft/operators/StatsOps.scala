@@ -227,5 +227,110 @@ object StatsOps {
       .orderBy(col("event_type"))
   }
 
-  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt)
+  /** Join-key skew report over the fact tables' shuffle keys — the
+    * input to every salting / AQE-skew-split decision at 100 TB: per
+    * key column, the distinct-key count, row count, the heaviest
+    * key's ppm share (integer floor), and the p50/p99 of per-key
+    * multiplicity (exact-percentile contract). A key whose top-1
+    * share or p99/p50 ratio is extreme is the key that needs salting
+    * before its shuffle. One groupBy per audited column; the skew
+    * aggregate itself folds ≤|keys| rows. */
+  val keySkew: GraftOp = GraftOp(
+    "q_key_skew", {
+      def branch(table: String, key: String): String =
+        s"""SELECT '$table.$key' AS key_name,
+           |  CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+           |  CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top1_ppm,
+           |  round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+           |  round(quantile_cont(c, 0.99), 6) AS p99_cnt,
+           |  CAST(max(c) AS BIGINT) AS max_cnt
+           |FROM (SELECT $key, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1)""".stripMargin
+      Seq(branch("orders", "o_custkey"), branch("lineitem", "l_partkey"),
+        branch("lineitem", "l_suppkey"), branch("events", "user_id"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+    }) { (s, d) =>
+    def branch(df: org.apache.spark.sql.DataFrame, table: String, key: String) =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          expr("max(c) * 1000000 div sum(c)").as("top1_ppm"),
+          round(percentile(col("c"), lit(0.5)), 6).as("p50_cnt"),
+          round(percentile(col("c"), lit(0.99)), 6).as("p99_cnt"),
+          max(col("c")).as("max_cnt"))
+        .select(lit(s"$table.$key").as("key_name"), col("n_keys"), col("n_rows"),
+          col("top1_ppm"), col("p50_cnt"), col("p99_cnt"), col("max_cnt"))
+    branch(Tables.orders(s, d), "orders", "o_custkey")
+      .unionAll(branch(Tables.lineitem(s, d), "lineitem", "l_partkey"))
+      .unionAll(branch(Tables.lineitem(s, d), "lineitem", "l_suppkey"))
+      .unionAll(branch(Tables.events(s, d), "events", "user_id"))
+      .orderBy(col("key_name"))
+  }
+
+  /** Two-feature OLS with intercept: order revenue (exact cents)
+    * regressed on basket size and total quantity — the normal-
+    * equations fit every feature-engineering pipeline sanity-checks
+    * before training ("is price ≈ linear in volume"). ALL seven
+    * cross-row sums are exact integers (cents, counts, integer
+    * quantities and their products, each < 2⁶³ at the driver SFs; at
+    * larger scale the sums would move to DOUBLE and accept the 6dp
+    * snap); the 3×3 Cramer solve then runs in doubles over those
+    * identical integers with identical expression text — bit-identical
+    * coefficients, snapped to 6dp. One co-partitioned orderkey join +
+    * one grand aggregate. */
+  val ols2: GraftOp = GraftOp(
+    "q_ols2",
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+      |    CAST(count(*) AS BIGINT) AS x1,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+      |  FROM o),
+      |m AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c,
+      |    CAST(s11 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f, CAST(s22 AS DOUBLE) AS i,
+      |    CAST(sy AS DOUBLE) AS ry, CAST(s1y AS DOUBLE) AS r1, CAST(s2y AS DOUBLE) AS r2
+      |  FROM g),
+      |dets AS (
+      |  SELECT n, ry, r1, r2, a, b, c, e, f, i,
+      |    a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c) AS det
+      |  FROM m)
+      |SELECT n AS n_orders,
+      |  round((ry * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2)) / det, 6) AS b0,
+      |  round((a * (r1 * i - f * r2) - ry * (b * i - c * f) + c * (b * r2 - c * r1)) / det, 6) AS b1,
+      |  round((a * (e * r2 - r1 * f) - b * (b * r2 - c * r1) + ry * (b * f - c * e)) / det, 6) AS b2
+      |FROM dets""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        (graft.functions.Exprs.dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
+      .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast(LongType)).as("x2"))
+    val g = o.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+    g.select(col("n"),
+        col("n").cast(DoubleType).as("a"), col("s1").cast(DoubleType).as("b"),
+        col("s2").cast(DoubleType).as("c"), col("s11").cast(DoubleType).as("e"),
+        col("s12").cast(DoubleType).as("f"), col("s22").cast(DoubleType).as("i"),
+        col("sy").cast(DoubleType).as("ry"), col("s1y").cast(DoubleType).as("r1"),
+        col("s2y").cast(DoubleType).as("r2"))
+      .withColumn("det",
+        expr("a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c)"))
+      .select(col("n").as("n_orders"),
+        expr("round((ry * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2)) / det, 6)").as("b0"),
+        expr("round((a * (r1 * i - f * r2) - ry * (b * i - c * f) + c * (b * r2 - c * r1)) / det, 6)").as("b1"),
+        expr("round((a * (e * r2 - r1 * f) - b * (b * r2 - c * r1) + ry * (b * f - c * e)) / det, 6)").as("b2"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2)
 }
