@@ -46,6 +46,43 @@ object SnapshotLake {
     }
   }
 
+  /** Schema committed with `version` (Iceberg-style: schema rides the
+    * snapshot metadata, so readers NEVER merge parquet footers — and a
+    * column added in commit N reads as NULL from pre-N files via plain
+    * schema projection). Absent for tables written before schema
+    * tracking; readers then fall back to a mergeSchema read. */
+  def schemaOf(path: String, version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val f = snapDir(path).resolve(s"s$version.json")
+    if (!Files.exists(f)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Additive schema evolution: prior fields keep their position and
+    * type (same-name re-adds must type-match — evolving a column's
+    * TYPE is rewrite territory, not metadata); new fields append. */
+  private def mergedSchema(prior: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    prior match {
+      case None => next
+      case Some(p) =>
+        next.fields.foreach { f =>
+          p.fields.find(_.name == f.name).foreach { old =>
+            require(old.dataType == f.dataType,
+              s"schema evolution is additive: column ${f.name} cannot change " +
+                s"${old.dataType.simpleString} -> ${f.dataType.simpleString}")
+          }
+        }
+        org.apache.spark.sql.types.StructType(
+          p.fields ++ next.fields.filterNot(f => p.fieldNames.contains(f.name)))
+    }
+
+  private def writeSchema(path: String, version: Int,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    Files.write(snapDir(path).resolve(s"s$version.json"),
+      schema.json.getBytes(StandardCharsets.UTF_8))
+
   private def filesOf(path: String, version: Int): Seq[String] = {
     val f = snapDir(path).resolve(s"v$version.txt")
     require(Files.exists(f), s"snapshot v$version does not exist under $path")
@@ -84,7 +121,15 @@ object SnapshotLake {
       val commitDir = Paths.get(path, "data", if (attempt == 0) s"c$v" else s"c$v-r$attempt")
       df.write.mode("errorifexists").parquet(commitDir.toString)
       val prev = if (v == 1) Seq.empty else filesOf(path, v - 1)
-      try { writeSnapshot(path, v, prev ++ listParquet(commitDir)); committed = v }
+      val schema = mergedSchema(
+        if (v == 1) None else schemaOf(path, v - 1), df.schema)
+      try {
+        writeSnapshot(path, v, prev ++ listParquet(commitDir))
+        // we own version v now; the schema file follows the manifest
+        // (a reader racing the microsecond gap falls back to merge)
+        writeSchema(path, v, schema)
+        committed = v
+      }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
@@ -121,19 +166,32 @@ object SnapshotLake {
       if (hitPlain.isEmpty) Seq.empty
       else {
         val commitDir = Paths.get(path, "data", s"c$newV")
-        spark.read.parquet(hitPlain: _*)
+        // rewrite under the SNAPSHOT schema: hit files from before an
+        // added column would otherwise lose it to a single-footer read
+        val rd = schemaOf(path, v) match {
+          case Some(sc) => spark.read.schema(sc)
+          case None => spark.read.option("mergeSchema", "true")
+        }
+        rd.parquet(hitPlain: _*)
           .filter(not(expr(predicate)))
           .write.mode("errorifexists").parquet(commitDir.toString)
         listParquet(commitDir)
       }
     writeSnapshot(path, newV, keep ++ rewritten)
+    schemaOf(path, v).foreach(writeSchema(path, newV, _)) // delete never evolves
     newV
   }
 
-  /** Read the table exactly as of `version`. */
+  /** Read the table exactly as of `version`, under that version's
+    * committed schema: files from before an added column project it
+    * as NULL (plain parquet schema projection — no footer merging). */
   def readAt(spark: SparkSession, path: String, version: Int): DataFrame = {
     val fs = filesOf(path, version)
-    if (fs.isEmpty) spark.emptyDataFrame else spark.read.parquet(fs: _*)
+    if (fs.isEmpty) spark.emptyDataFrame
+    else schemaOf(path, version) match {
+      case Some(sc) => spark.read.schema(sc).parquet(fs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(fs: _*)
+    }
   }
 
   /** Read the latest version. */
@@ -149,7 +207,10 @@ object SnapshotLake {
     val keepVs = ((v - keepVersions + 1) max 1) to v
     val referenced = keepVs.flatMap(filesOf(path, _)).toSet
     val expired = (1 until keepVs.start).toList
-    expired.foreach(e => Files.deleteIfExists(snapDir(path).resolve(s"v$e.txt")))
+    expired.foreach { e =>
+      Files.deleteIfExists(snapDir(path).resolve(s"v$e.txt"))
+      Files.deleteIfExists(snapDir(path).resolve(s"s$e.json"))
+    }
     val dataDir = Paths.get(path, "data")
     val orphans =
       if (!Files.isDirectory(dataDir)) Seq.empty

@@ -66,6 +66,37 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(c2.nonEmpty && c2.subsetOf(v3Files))
   }
 
+  test("additive schema evolution: new column reads as NULL from old files, time travel keeps the old schema") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    val v1df = docs
+    SnapshotLake.commitAppend(v1df, path)
+    val v2df = docs.withColumn("lang_guess", lit("en"))
+    SnapshotLake.commitAppend(v2df, path)
+
+    // current read carries the evolved schema; pre-evolution files
+    // project the added column as NULL (schema from the manifest, not
+    // from merging footers)
+    val cur = SnapshotLake.read(spark, path)
+    assert(cur.columns.toSeq === Seq("doc_id", "source", "n_chars", "lang_guess"))
+    assert(cur.filter(col("lang_guess").isNull).count() === v1df.count())
+    assert(cur.filter(col("lang_guess") === "en").count() === v2df.count())
+    // time travel serves v1 under v1's OWN schema
+    assert(SnapshotLake.readAt(spark, path, 1).columns.toSeq ===
+      Seq("doc_id", "source", "n_chars"))
+
+    // a delete after evolution preserves the evolved schema, including
+    // on rewritten pre-evolution files
+    val v3 = SnapshotLake.commitDelete(spark, path, "source = 'src1'")
+    val afterDelete = SnapshotLake.readAt(spark, path, v3)
+    assert(afterDelete.columns.toSeq === Seq("doc_id", "source", "n_chars", "lang_guess"))
+    assert(afterDelete.filter(col("source") === "src1").count() === 0)
+
+    // type changes are rejected as non-additive
+    val bad = docs.withColumn("lang_guess", lit(7))
+    val err = intercept[IllegalArgumentException](SnapshotLake.commitAppend(bad, path))
+    assert(err.getMessage.contains("additive"))
+  }
+
   test("vacuum expires old snapshots and reclaims unreferenced files only") {
     val path = Files.createTempDirectory("graft-snap").toString + "/t"
     SnapshotLake.commitAppend(docs, path)
