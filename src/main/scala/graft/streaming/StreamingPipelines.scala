@@ -693,4 +693,45 @@ object StreamingPipelines {
           out.iterator
       }
   }
+
+  final case class ConvState(counted: Boolean, converted: Boolean)
+
+  final case class ConvDelta(variant: String, d_users: Int, d_conv: Int)
+
+  /** Streaming experiment monitor — the live twin of batch
+    * `q_two_prop`: per-user keyed state emits a DELTA row the first
+    * time a user is seen (+1 exposed) and the first time they convert
+    * (+1 big-ticket purchase, the batch op's value≥150 definition).
+    * State transitions are MONOTONE booleans, so every delta is
+    * emitted exactly once — at-least-once redelivery folds to zero new
+    * deltas and summing the output stream per variant reproduces the
+    * batch (n, conversions) integers exactly; the dashboard computes
+    * the same z the batch emits. Variant assignment replicates the
+    * portable-hash bucketing (md5-prefix long, the Exprs.md5Long
+    * convention) byte-for-byte on the JVM side. */
+  def conversionStream(events: Dataset[UpsertRow], bigTicket: Double = 150.0)(
+      implicit spark: SparkSession): Dataset[ConvDelta] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, ConvDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val st = state.getOption.getOrElse(ConvState(false, false))
+          val sawConv = it.exists(e => e.event_type == "purchase" && e.value >= bigTicket)
+          val du = if (!st.counted) 1 else 0
+          val dc = if (!st.converted && sawConv) 1 else 0
+          state.update(ConvState(counted = true, converted = st.converted || sawConv))
+          if (du == 0 && dc == 0) Iterator.empty
+          else Iterator(ConvDelta(variantOf(uid), du, dc))
+      }
+  }
+
+  /** JVM twin of `Exprs.md5Long(CAST(user_id AS STRING)) % 2`:
+    * first 15 hex chars of the md5 as a long, even → A. */
+  private[graft] def variantOf(uid: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(uid.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
+  }
 }

@@ -666,6 +666,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming conversion monitor: delta sums equal batch q_two_prop integers; replay adds nothing") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.conversionStream(mem.toDS())
+      .toDF("variant", "d_users", "d_conv")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("conv_out").start()
+    try {
+      mem.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      val afterAll = spark.table("conv_out")
+        .groupBy("variant").agg(sum("d_users").as("u"), sum("d_conv").as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // at-least-once replay of the whole second half: monotone state
+      // makes every replayed transition a no-op
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      val afterReplay = spark.table("conv_out")
+        .groupBy("variant").agg(sum("d_users").as("u"), sum("d_conv").as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(afterReplay === afterAll, "replay must add zero deltas")
+      // batch parity: the summed deltas ARE q_two_prop's four integers
+      val batch = graft.operators.StatsOps.twoProp.run(spark, sf).head()
+      assert(afterAll("A") === ((batch.getLong(0), batch.getLong(2))))
+      assert(afterAll("B") === ((batch.getLong(1), batch.getLong(3))))
+    } finally q.stop()
+  }
+
   test("streaming EWMA equals batch q_ewma under event-time-ordered arrival") {
     implicit val s = spark
     import s.implicits._
