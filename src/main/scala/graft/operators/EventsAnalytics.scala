@@ -26,6 +26,7 @@ object EventsAnalytics {
     * always exact. Declared ABOVE every GraftOp val (object-init
     * order). */
   private[graft] val TrailingApproxKey = "spark.graft.approx.trailing.maxExactBytes"
+  private[graft] val PercentileApproxKey = "spark.graft.approx.percentile.maxExactBytes"
 
   /** Per-day HLL sketches of the active-user set — the shared build
     * for every sketch-twin trailing plan: ONE fact scan, |days| 4 KB
@@ -1069,19 +1070,45 @@ object EventsAnalytics {
       |  round(quantile_cont(gap_sec, 0.95), 6) AS p95_sec
       |FROM o WHERE gap_sec IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+    // exact percentile buffers EVERY group value on one reducer — the
+    // oracle contract at test scale, an OOM at 100 TB; above the size
+    // gate the same query serves its t-digest twin (bounded KB state
+    // per group, mergeable, rank error ≤1% — TDigestSpec's gauge) with
+    // the identical output schema.
+    ApproxRouting.route(s, PercentileApproxKey, "q_gap_stats", Tables.events(s, d))(
+      gapStatsExactPlan(s, d))(gapStatsSketchPlan(s, d))
+  }
+
+  private def gapFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
       .select(col("event_type"),
         (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
           .as("gap_sec"))
       .filter(col("gap_sec").isNotNull)
+  }
+
+  private[operators] def gapStatsExactPlan(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    gapFrame(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
         round(percentile(col("gap_sec"), lit(0.5)), 6).as("p50_sec"),
         round(percentile(col("gap_sec"), lit(0.95)), 6).as("p95_sec"))
       .orderBy(col("event_type"))
-  }
+
+  private[operators] def gapStatsSketchPlan(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    gapFrame(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        graft.functions.tdigest_quantiles(
+          col("gap_sec").cast(org.apache.spark.sql.types.DoubleType),
+          Seq(0.5, 0.95)).as("qs"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("qs").getItem(0), 6).as("p50_sec"),
+        round(col("qs").getItem(1), 6).as("p95_sec"))
+      .orderBy(col("event_type"))
 
   /** WINDOW-constrained funnel (ClickHouse `windowFunnel(W)` — the
     * reference's target engine ships this as a native aggregate):

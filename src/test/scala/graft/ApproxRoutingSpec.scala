@@ -99,4 +99,40 @@ class ApproxRoutingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("percentile family routes: q_gap_stats swaps exact percentile for the t-digest twin") {
+    val pkey = graft.operators.EventsAnalytics.PercentileApproxKey
+    def withP[A](v: Option[String])(body: => A): A = {
+      val prior = spark.conf.getOption(pkey)
+      v match { case Some(x) => spark.conf.set(pkey, x); case None => spark.conf.unset(pkey) }
+      try body
+      finally prior match {
+        case Some(p) => spark.conf.set(pkey, p); case None => spark.conf.unset(pkey)
+      }
+    }
+    val exact = withP(None) {
+      val df = SparkEntry.queries("q_gap_stats")(spark, sf)
+      assert(df.queryExecution.optimizedPlan.toString.contains("percentile"),
+        "unset: the exact percentile (oracle contract) must plan")
+      assert(graft.operators.ApproxRouting.lastDecision.get("q_gap_stats") === "exact")
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    }
+    withP(Some("1")) {
+      val df = SparkEntry.queries("q_gap_stats")(spark, sf)
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("tdigest_quantiles"), s"t-digest twin missing above threshold:\n$p")
+      assert(graft.operators.ApproxRouting.lastDecision.get("q_gap_stats") === "sketch")
+      val est = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(est.keySet === exact.keySet)
+      est.foreach { case (t, (n, p50, p95)) =>
+        val (nx, x50, x95) = exact(t)
+        assert(n === nx, s"$t: counts must match exactly on both paths")
+        // t-digest contract is RANK accuracy; value tolerance on these
+        // smooth gap distributions: 5% relative
+        assert(math.abs(p50 - x50) <= 0.05 * math.max(1.0, x50), s"$t p50 $p50 vs $x50")
+        assert(math.abs(p95 - x95) <= 0.05 * math.max(1.0, x95), s"$t p95 $p95 vs $x95")
+      }
+    }
+  }
 }
