@@ -144,7 +144,12 @@ object Bench {
       val sharedNow = shared.toSeq.map(results).sum
       val sharedPrev = shared.toSeq.map(prev).sum
       val ratio = if (sharedPrev > 0) sharedNow / sharedPrev else -1.0
-      val norm = math.max(ratio, 0.1) // guard a degenerate snapshot
+      // Normalization protects against a LOADED box (ratio > 1: don't
+      // flag everything) but must not manufacture flags when the run
+      // got globally FASTER (ratio < 1): a query flat in raw seconds
+      // is not a regression just because its neighbors sped up — so
+      // the flag threshold never normalizes below 1.0.
+      val norm = math.max(ratio, 1.0)
       val flagged = results.toSeq.collect {
         case (name, sec) if sec >= 0 &&
             prev.get(name).exists(p =>

@@ -898,17 +898,25 @@ object DedupOps {
     val asg = dots.withColumn("rn", row_number().over(byVec))
       .filter(col("rn") <= 3)
       .select(col("vec_id"), col("j").as("cluster"))
-    val cand = asg.as("a")
-      .join(asg.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      .distinct()
-    val cos = Exprs.dot(col("ua"), col("ub"))
-    val pairs = cand
-      .join(u.select(col("vec_id").as("va"), col("u").as("ua")), "va")
-      .join(u.select(col("vec_id").as("vb"), col("u").as("ub")), "vb")
-      .withColumn("cos", cos)
+    // Pair enumeration INSIDE the cluster-keyed join: both sides carry
+    // their vector through the one cluster shuffle (≤probe·n rows), the
+    // dot runs where the pair is born, and everything downstream is
+    // scalar (va, vb, cos) rows. The old shape — candidate-pair
+    // distinct, then TWO joins pulling full arrays onto the pair
+    // stream — shuffled 64-double payloads per pair (the wide-row
+    // amplifier dedup_containment was cured of). A pair sharing
+    // several probe clusters is computed per cluster and collapsed by
+    // the scalar (va, vb) aggregate; every copy is the same dot, so
+    // max() is a deterministic dedupe.
+    val withVec = asg.join(u, "vec_id")
+    val pairs = withVec
+      .select(col("cluster"), col("vec_id").as("va"), col("u").as("ua"))
+      .join(withVec.select(col("cluster"), col("vec_id").as("vb"), col("u").as("ub")),
+        Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", Exprs.dot(col("ua"), col("ub")))
       .filter(col("cos") >= 0.45)
+      .groupBy(col("va"), col("vb")).agg(max(col("cos")).as("cos"))
     val byDropped = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vb")).orderBy(col("va"))
     pairs.withColumn("rn", row_number().over(byDropped))
