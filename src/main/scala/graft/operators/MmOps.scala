@@ -841,5 +841,91 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks)
+  /** Deterministic GIF for `docId` via the REAL JDK GIF encoder
+    * (palette quantization and LZW are the encoder's own). */
+  private[graft] def syntheticGif(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + ((docId / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((docId + x) % 256).toInt << 16) | (((x * y) % 256) << 8)
+          | ((docId % 256).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  /** Walk a GIF's block stream: header+version, little-endian logical
+    * screen descriptor, global color table skip, then extension /
+    * image-descriptor / trailer blocks with sub-block chains skipped
+    * size-first (never decoded). Returns (version, width, height,
+    * nFrames, sawTrailer). */
+  private[graft] def parseGifMeta(bytes: Array[Byte]): Option[(String, Int, Int, Int, Boolean)] = {
+    if (bytes.length < 13 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return None
+    val version = new String(bytes, 3, 3, "US-ASCII")
+    def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    val w = le16(6)
+    val h = le16(8)
+    val packed = bytes(10) & 0xff
+    var i = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    var frames = 0
+    var trailer = false
+    def skipSubBlocks(): Unit = {
+      while (i < bytes.length && (bytes(i) & 0xff) != 0) i += 1 + (bytes(i) & 0xff)
+      i += 1 // terminator
+    }
+    while (!trailer && i < bytes.length) {
+      (bytes(i) & 0xff) match {
+        case 0x21 => // extension: label byte then sub-blocks
+          i += 2; skipSubBlocks()
+        case 0x2c => // image descriptor
+          frames += 1
+          val lp = bytes(i + 9) & 0xff
+          i += 10 + (if ((lp & 0x80) != 0) 3 * (1 << ((lp & 7) + 1)) else 0)
+          i += 1 // LZW minimum code size
+          skipSubBlocks()
+        case 0x3b => trailer = true
+        case _ => return None // unknown block: malformed
+      }
+    }
+    Some((version, w, h, frames, trailer))
+  }
+
+  /** GIF structural metadata — fifth container leg: the block walk
+    * skips LZW sub-block chains size-first exactly like a demuxer,
+    * counts image descriptors and requires the trailer. Planted GIFs
+    * are REAL JDK encodes at id-derived dimensions; the oracle
+    * predicts version/dims/frame-count from the same id math. */
+  val gifMeta: GraftOp = GraftOp(
+    "mm_gif_meta",
+    """SELECT doc_id, '89a' AS version,
+      |  CAST(8 + doc_id % 16 AS INT) AS width,
+      |  CAST(8 + (doc_id // 16) % 16 AS INT) AS height,
+      |  CAST(1 AS INT) AS n_frames, CAST(1 AS INT) AS has_trailer
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("version", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_frames", IntegerType), StructField("has_trailer", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val (v, w, h, nf, tr) = parseGifMeta(syntheticGif(docId)).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted GIF for doc $docId"))
+        Row(docId, v, w, h, nf, if (tr) 1 else 0)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta)
 }

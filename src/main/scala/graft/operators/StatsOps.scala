@@ -332,5 +332,67 @@ object StatsOps {
         expr("round((a * (e * r2 - r1 * f) - b * (b * r2 - c * r1) + ry * (b * f - c * e)) / det, 6)").as("b2"))
   }
 
-  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2)
+  /** Mann-Whitney U (Wilcoxon rank-sum) on purchase value between the
+    * hash variants — the NONPARAMETRIC sibling of q_two_prop (compares
+    * whole distributions, no normality assumption; the robust check
+    * when revenue is heavy-tailed). EXACT integer rank algebra with
+    * ties: per distinct cents value, start = 1 + Σ counts below (one
+    * bounded window over ≤|distinct prices| rows — the q_survival
+    * discipline; the VALUE domain bounds it, not the corpus), average
+    * rank carried DOUBLED (2·start + c − 1, integer — no .5s), so
+    * u2_a = 2·U_A and the tie term T = Σ(t³−t) are exact BIGINTs; the
+    * normal-approximation z with tie correction is one double formula
+    * over those integers, identical text both engines. */
+  val mannWhitney: GraftOp = GraftOp(
+    "q_mann_whitney",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT cents, CAST(count(*) AS BIGINT) AS cv,
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS ca
+       |  FROM p GROUP BY 1),
+       |s AS (
+       |  SELECT cents, cv, ca,
+       |    CAST(1 + coalesce(sum(cv) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM c),
+       |g AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cv - ca) AS BIGINT) AS n_b,
+       |    CAST(sum(ca * (2 * start + cv - 1)) AS BIGINT) AS r2_a,
+       |    CAST(sum(cv * cv * cv - cv) AS BIGINT) AS t
+       |  FROM s)
+       |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a,
+       |  round(((r2_a - n_a * (n_a + 1)) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+       |    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+       |      * ((n_a + n_b + 1.0) - CAST(t AS DOUBLE)
+       |        / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z
+       |FROM g""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val c = p.groupBy(col("cents"))
+      .agg(count(lit(1)).as("cv"),
+        count(when(col("variant") === "A", 1)).as("ca"))
+    val byVal = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val st = c.withColumn("start", lit(1L) + coalesce(sum(col("cv")).over(byVal), lit(0L)))
+    st.agg(sum(col("ca")).as("n_a"), sum(col("cv") - col("ca")).as("n_b"),
+        sum(col("ca") * (lit(2) * col("start") + col("cv") - 1)).as("r2_a"),
+        sum(col("cv") * col("cv") * col("cv") - col("cv")).as("t"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        expr("""round(((r2_a - n_a * (n_a + 1)) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+          | / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+          |   * ((n_a + n_b + 1.0) - CAST(t AS DOUBLE)
+          |     / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)""".stripMargin).as("z"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney)
 }
