@@ -394,5 +394,57 @@ object StatsOps {
           |     / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)""".stripMargin).as("z"))
   }
 
-  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney)
+  /** Two-sample Kolmogorov-Smirnov statistic on purchase value between
+    * the hash variants — completes the distribution-test family
+    * (parametric z → rank U → full-CDF KS): D = max |F_A − F_B| over
+    * the value domain. EXACT: cumulative counts per distinct cents
+    * value ride one domain-bounded window, and the sup runs over the
+    * INTEGER cross-scaled gap |cumA·n_b − cumB·n_a| — D is that exact
+    * max over exact n_a·n_b, one double division at emit. */
+  val ks: GraftOp = GraftOp(
+    "q_ks_test",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT cents,
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS ca,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS cb
+       |  FROM p GROUP BY 1),
+       |s AS (
+       |  SELECT cents,
+       |    CAST(sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+       |    CAST(sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+       |  FROM c),
+       |g AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+       |d AS (SELECT CAST(max(abs(cum_a * g.n_b - cum_b * g.n_a)) AS BIGINT) AS d2
+       |      FROM s, g)
+       |SELECT g.n_a, g.n_b, d.d2 AS d_scaled,
+       |  round(CAST(d.d2 AS DOUBLE) / (CAST(g.n_a AS DOUBLE) * CAST(g.n_b AS DOUBLE)), 6) AS ks_d
+       |FROM g, d""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val c = p.groupBy(col("cents"))
+      .agg(count(when(col("variant") === "A", 1)).as("ca"),
+        count(when(col("variant") === "B", 1)).as("cb"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = c.select(sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"))
+    val g = broadcast(c.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b")))
+    cum.crossJoin(g)
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d2"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"), col("d2").as("d_scaled"),
+        expr("round(CAST(d2 AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)")
+          .as("ks_d"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks)
 }
