@@ -82,10 +82,18 @@ object Bench {
       else "green"
     if (status != "green")
       System.err.println(s"[bench] STATUS $status — do NOT claim green this round")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","status":${JsonUtil.q(status)},""" +
+    // Headline fields LAST: the driver archives only the final ~2000
+    // chars of stdout, and with a 200+-query surface the per-query maps
+    // alone exceed that — fields printed before them are truncated away.
+    // Ordering the object {big maps → guards → headline} keeps
+    // status/total/counts readable in the archived tail (the full line
+    // is also mirrored into the per-SF snapshot file).
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},""" +
       s""""queries":${qjson(results)},""" +
-      s""""queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},""" +
-      s""""warmup_sec":$warmupSec,$delta$prev"sf":${JsonUtil.q(sfDir)}}""")
+      s""""warmup_sec":$warmupSec,$delta$prev"sf":${JsonUtil.q(sfDir)},""" +
+      s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+      s""""metric":"total","value":$total,"unit":"sec","status":${JsonUtil.q(status)}}""")
     writeSnapshot(sfDir, results, run1, run2, warmupSec)
     CachedPlans.clear(spark)
     spark.stop()

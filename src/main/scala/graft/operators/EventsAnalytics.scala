@@ -1696,10 +1696,104 @@ object EventsAnalytics {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** First-order Markov model of the event stream: the full
+    * row-normalized transition matrix P(next | current) — q_transitions
+    * keeps the top-20 raw counts; this emits EVERY cell with its
+    * probability, the object a next-event predictor or a journey
+    * simulator consumes. Same single user-partitioned window pass; the
+    * matrix is |types|²-bounded, the per-row total joins back
+    * broadcast, and the probability is the one double division over
+    * two exact counts. */
+  val markov: GraftOp = GraftOp(
+    "q_markov",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) / tot, 6) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = Tables.events(s, d)
+      .select(col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(t), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("round(CAST(n AS DOUBLE) / tot, 6)").as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Power-user curve: how many users were active on exactly k
+    * distinct days, with the reverse-cumulative count (users active on
+    * ≥ k days) — the engagement-depth histogram behind "power user"
+    * cuts (pairs with q_stickiness's single-ratio view). One distinct
+    * (user, day) pass, one per-user aggregate; the cumulative runs
+    * over the ≤|days| histogram rows, not users. */
+  val powerCurve: GraftOp = GraftOp(
+    "q_power_curve",
+    """WITH a AS (
+      |  SELECT user_id, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+      |  FROM events GROUP BY 1),
+      |h AS (SELECT days, CAST(count(*) AS BIGINT) AS n_users FROM a GROUP BY 1)
+      |SELECT CAST(days AS INT) AS active_days, n_users,
+      |  CAST(sum(n_users) OVER (ORDER BY days DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS users_at_least
+      |FROM h ORDER BY active_days""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("days"))
+      .groupBy(col("days")).agg(count(lit(1)).as("n_users"))
+    val cum = Window.orderBy(col("days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.select(col("days").cast(IntegerType).as("active_days"), col("n_users"),
+        sum(col("n_users")).over(cum).as("users_at_least"))
+      .orderBy(col("active_days"))
+  }
+
+  /** Weekday × hour activity heatmap with each cell's ppm share of its
+    * weekday — the "when is our traffic" calendar view (q_seasonality
+    * gives the weekday axis; this is the full 7×24 grid). The share is
+    * EXACT integer ppm (n·10⁶ ÷ weekday total, floor) — no double
+    * division to disagree on; the grid is 168-bounded. */
+  val hourHeatmap: GraftOp = GraftOp(
+    "q_hour_heatmap",
+    """WITH c AS (
+      |  SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+      |    CAST(date_part('hour', ts) AS INT) AS hr,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT dow, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT dow, hr, n, n * 1000000 // tot AS dow_share_ppm
+      |FROM c JOIN t USING (dow)
+      |ORDER BY dow, hr""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select((dayofweek(col("ts")) - 1).cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hr"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("dow")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(t), Seq("dow"))
+      .select(col("dow"), col("hr"), col("n"),
+        expr("n * 1000000 div tot").as("dow_share_ppm"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment,
-      seasonalAnomaly)
+      seasonalAnomaly, markov, powerCurve, hourHeatmap)
 }

@@ -733,5 +733,215 @@ object GraphOps {
       .orderBy(col("side"), col("log2_bin"))
   }
 
-  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist)
+  /** Local clustering coefficient per node — "how clique-like is each
+    * node's neighborhood" (2·T(v) / deg(v)·(deg(v)−1)), the standard
+    * small-world / community-structure readout next to
+    * [[triangles]]'s raw counts. Same degree-oriented wedge join (work
+    * ∝ Σ deg², never all-pairs); the coefficient is one double
+    * division over two exact integers. Nodes of degree < 2 are
+    * excluded (coefficient undefined). */
+  val clustering: GraftOp = GraftOp(
+    "graph_clustering",
+    """WITH e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |und AS (SELECT u, v FROM und0
+      |  WHERE CAST(concat('0x', substring(md5(concat(u, '|', v)), 1, 15)) AS BIGINT) % 4 = 0),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY 1),
+      |tri AS (
+      |  SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM und a JOIN und b ON a.v = b.u JOIN und c ON c.u = a.u AND c.v = b.v),
+      |t AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+      |  FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1)
+      |SELECT deg.node, deg.deg, coalesce(t.n_tri, 0) AS n_triangles,
+      |  round(2.0 * coalesce(t.n_tri, 0) / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6)
+      |    AS clustering
+      |FROM deg LEFT JOIN t ON deg.node = t.node
+      |WHERE deg.deg >= 2 ORDER BY deg.node""".stripMargin) { (s, d) =>
+    val und = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val t = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(t, Seq("node"), "left")
+      .filter(col("deg") >= 2)
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        expr("round(2.0 * coalesce(n_tri, 0) / (CAST(deg AS DOUBLE) * (deg - 1)), 6)")
+          .as("clustering"))
+      .orderBy(col("node"))
+  }
+
+  /** Degree assortativity of the undirected trade graph — does a
+    * well-connected market trade with other hubs (r > 0) or with the
+    * periphery (r < 0)? Newman's edge-end Pearson over both
+    * orientations of every edge: all five cross-row sums are exact
+    * BIGINTs (degrees are node-bounded; at web scale the sums widen to
+    * DECIMAL(38) the q_anova way), the coefficient is one double
+    * formula. Degrees join onto edges broadcast — one pass, no
+    * iteration. */
+  val assortativity: GraftOp = GraftOp(
+    "graph_assortativity",
+    """WITH e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |und AS (SELECT u, v FROM und0
+      |  WHERE CAST(concat('0x', substring(md5(concat(u, '|', v)), 1, 15)) AS BIGINT) % 4 = 0),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+      |jk AS (
+      |  SELECT da.deg AS j, db.deg AS k
+      |  FROM pairs JOIN deg da ON pairs.a = da.node JOIN deg db ON pairs.b = db.node),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m2,
+      |    CAST(sum(j) AS BIGINT) AS sj, CAST(sum(j * k) AS BIGINT) AS sjk,
+      |    CAST(sum(j * j) AS BIGINT) AS sjj
+      |  FROM jk)
+      |SELECT m2 // 2 AS n_edges,
+      |  round((CAST(m2 AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
+      |    / (CAST(m2 AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj), 6) AS assortativity
+      |FROM g""".stripMargin) { (s, d) =>
+    val und = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v"), col("u")))
+    val jk = pairs
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("j"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("k"))), Seq("b"))
+    jk.agg(count(lit(1)).as("m2"), sum(col("j")).as("sj"),
+        sum(col("j") * col("k")).as("sjk"), sum(col("j") * col("j")).as("sjj"))
+      .select(expr("m2 div 2").as("n_edges"),
+        expr("""round((CAST(m2 AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
+          | / (CAST(m2 AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj), 6)""".stripMargin)
+          .as("assortativity"))
+  }
+
+  /** Closeness centrality of every node — (reachable−1) / Σ hops with
+    * the standard connected-component normalization ((r−1)/(n−1)
+    * scaling), via ALL-SOURCES BFS: the single-source frontier loop
+    * run with a (root, node) composite frontier, so one round expands
+    * EVERY root's frontier in the same co-partitioned join (rounds =
+    * graph diameter, not diameter × |roots|). Runs on the
+    * hash-sparsified UNDIRECTED graph (the [[jaccard]] discipline —
+    * the full trade graph is complete, every closeness would be the
+    * vacuous 1.0). The oracle states the same semantics as a recursive
+    * closure with min(hops) per (root, node). Node-bounded on the
+    * nation graph; on a billion-node graph the same loop runs
+    * landmark-sampled roots. */
+  val closeness: GraftOp = GraftOp(
+    "graph_closeness",
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |und AS (SELECT u, v FROM und0
+      |  WHERE CAST(concat('0x', substring(md5(concat(u, '|', v)), 1, 15)) AS BIGINT) % 4 = 0),
+      |edges AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |nc AS (SELECT CAST(count(DISTINCT node) AS BIGINT) AS n FROM nodes),
+      |walk AS (
+      |  SELECT node AS root, node, 0 AS hops FROM nodes
+      |  UNION
+      |  SELECT w.root, e.dst, w.hops + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.hops < 30),
+      |d AS (
+      |  SELECT root, node, CAST(min(hops) AS BIGINT) AS hops
+      |  FROM walk GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT root, CAST(count(*) - 1 AS BIGINT) AS reached,
+      |    CAST(sum(hops) AS BIGINT) AS tot
+      |  FROM d GROUP BY 1)
+      |SELECT root AS node, reached, tot AS sum_hops,
+      |  round(CAST(reached AS DOUBLE) * reached / (tot * (CAST(n AS DOUBLE) - 1)), 6)
+      |    AS closeness
+      |FROM agg, nc WHERE tot > 0 ORDER BY node""".stripMargin) { (s, d) =>
+    val und = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val edges = ConnectedComponents.snapshot(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v"), col("u"))))
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst"))).distinct()
+    // materialize |V| NOW — the final select runs after release(edges),
+    // when a lazy plan over the checkpointed edge frame can no longer read
+    val nGraph = nodes.count()
+    var dist = ConnectedComponents.snapshot(
+      nodes.select(col("node").as("root"), col("node"), lit(0L).as("hops")))
+    var frontier = dist
+    var iter = 0
+    var done = false
+    while (iter < 30 && !done) {
+      iter += 1
+      val next = ConnectedComponents.snapshot(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("root"), col("dst").as("node")).distinct()
+          .join(dist.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+          .select(col("root"), col("node"), lit(iter.toLong).as("hops")))
+      if (next.isEmpty) {
+        done = true
+        ConnectedComponents.release(next)
+      } else {
+        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
+        ConnectedComponents.release(dist)
+        if (frontier ne merged) ConnectedComponents.release(frontier)
+        dist = merged
+        frontier = next
+      }
+    }
+    ConnectedComponents.release(edges)
+    dist.groupBy(col("root"))
+      .agg((count(lit(1)) - 1).as("reached"), sum(col("hops")).as("tot"))
+      .filter(col("tot") > 0)
+      .withColumn("n", lit(nGraph))
+      .select(col("root").as("node"), col("reached"), col("tot").as("sum_hops"),
+        expr("round(CAST(reached AS DOUBLE) * reached / (tot * (CAST(n AS DOUBLE) - 1)), 6)")
+          .as("closeness"))
+      .orderBy(col("node"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
+    clustering, assortativity, closeness)
 }

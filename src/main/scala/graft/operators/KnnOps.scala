@@ -476,7 +476,128 @@ object KnnOps {
       .orderBy(col("nprobe"))
   }
 
+  /** MMR rounds / pool size / trade-off for [[mmr]] — fixed so the
+    * oracle can unroll the greedy exactly. */
+  private val MmrK = 5
+  private val MmrPool = 10
+  private val MmrLambda = "0.7"
+
+  /** Maximal Marginal Relevance diversified re-rank (Carbonell &
+    * Goldstein 1998) — the standard "don't return five near-copies"
+    * pass every retrieval stack runs on its ANN candidates: greedily
+    * pick argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s) for 5
+    * rounds over the brute-force top-10 pool.
+    *
+    * Scale shape: the pool bounds everything — pairwise sims are
+    * pool²·|queries| rows, each greedy round is one bounded join +
+    * per-query argmax window, and rounds parallelize across QUERIES
+    * (the corpus is touched once, by candidate generation). Parity:
+    * rel and sims are fold-order dot products on unit vectors
+    * (bit-identical, and dot(a,b)=dot(b,a) exactly — IEEE multiply
+    * commutes), the MMR score is one double formula, argmax ties break
+    * on corpus_id; the oracle unrolls the 5 rounds as chained CTEs
+    * (the PageRank discipline). */
+  val mmr: GraftOp = GraftOp(
+    "knn_mmr", {
+      val base =
+        s"""WITH raw AS (SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+           |v AS (SELECT vec_id, ${Exprs.sqlUnit("e")} AS u FROM raw),
+           |q AS (SELECT vec_id, u FROM v WHERE vec_id < 5),
+           |s0 AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |    ${Exprs.sqlDot("q.u", "c.u")} AS rel
+           |  FROM q JOIN v c ON c.vec_id <> q.vec_id),
+           |c AS (
+           |  SELECT query_id, corpus_id, rel FROM (
+           |    SELECT query_id, corpus_id, rel,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, corpus_id) AS rn
+           |    FROM s0) WHERE rn <= $MmrPool),
+           |p AS (
+           |  SELECT a.query_id, a.corpus_id AS ca, b.corpus_id AS cb,
+           |    ${Exprs.sqlDot("va.u", "vb.u")} AS sim
+           |  FROM c a JOIN c b ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+           |  JOIN v va ON va.vec_id = a.corpus_id JOIN v vb ON vb.vec_id = b.corpus_id),
+           |sel1 AS (
+           |  SELECT query_id, corpus_id, 1 AS rank, $MmrLambda * rel - 0.3 * 0.0 AS mmr
+           |  FROM (SELECT query_id, corpus_id, rel,
+           |          row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, corpus_id) AS rn
+           |        FROM c) WHERE rn = 1),
+           |selu1 AS (SELECT * FROM sel1)""".stripMargin
+      val rounds = (2 to MmrK).map { k =>
+        s"""pen$k AS (
+           |  SELECT p.query_id, p.ca AS corpus_id, max(p.sim) AS pen
+           |  FROM p JOIN selu${k - 1} s ON p.query_id = s.query_id AND p.cb = s.corpus_id
+           |  GROUP BY 1, 2),
+           |cand$k AS (
+           |  SELECT c.query_id, c.corpus_id,
+           |    $MmrLambda * c.rel - 0.3 * coalesce(pen$k.pen, 0.0) AS mmr
+           |  FROM c LEFT JOIN pen$k
+           |    ON c.query_id = pen$k.query_id AND c.corpus_id = pen$k.corpus_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} s
+           |                    WHERE s.query_id = c.query_id AND s.corpus_id = c.corpus_id)),
+           |sel$k AS (
+           |  SELECT query_id, corpus_id, $k AS rank, mmr FROM (
+           |    SELECT query_id, corpus_id, mmr,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, corpus_id) AS rn
+           |    FROM cand$k) WHERE rn = 1),
+           |selu$k AS (SELECT * FROM selu${k - 1} UNION ALL SELECT * FROM sel$k)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      base + rounds +
+        s"""
+           |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id,
+           |  round(mmr, 6) AS mmr_score
+           |FROM selu$MmrK ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val byQuery = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("corpus_id"))
+    val cand = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        Exprs.dot(col("qu"), col("u")).as("rel"), col("u"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= MmrPool)
+      .select(col("query_id"), col("corpus_id"), col("rel"), col("u"))
+    // pool²-bounded pairwise sims; dot(a,b) = dot(b,a) bit-exactly
+    val pairs = cand.select(col("query_id"), col("corpus_id").as("ca"), col("u").as("ua"))
+      .join(cand.select(col("query_id"), col("corpus_id").as("cb"), col("u").as("ub")),
+        Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"), Exprs.dot(col("ua"), col("ub")).as("sim"))
+    val pool = cand.select(col("query_id"), col("corpus_id"), col("rel"))
+    val lam = lit(0.7)
+    var selected = pool
+      .withColumn("mmr", lam * col("rel") - lit(0.3) * lit(0.0))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("rank"), col("mmr"))
+    for (k <- 2 to MmrK) {
+      val pen = pairs
+        .join(selected.select(col("query_id"), col("corpus_id").as("cb")), Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("corpus_id"))
+        .agg(max(col("sim")).as("pen"))
+        .select(col("query_id"), col("corpus_id"), col("pen"))
+      val scored = pool
+        .join(selected.select(col("query_id"), col("corpus_id")), Seq("query_id", "corpus_id"),
+          "left_anti")
+        .join(pen, Seq("query_id", "corpus_id"), "left")
+        .withColumn("mmr", lam * col("rel") - lit(0.3) * coalesce(col("pen"), lit(0.0)))
+      val pick = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("corpus_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("corpus_id"), lit(k).as("rank"), col("mmr"))
+      selected = selected.unionAll(pick)
+    }
+    selected
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"), col("corpus_id"),
+        round(col("mmr"), 6).as("mmr_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
-      outlierScore, ivfRecallCurve)
+      outlierScore, ivfRecallCurve, mmr)
 }

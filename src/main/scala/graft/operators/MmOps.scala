@@ -927,5 +927,209 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta)
+  /** Build a POSIX ustar archive: one 512-byte header per entry (octal
+    * size/mtime fields, checksum computed over the header with the
+    * checksum field blanked to spaces, `ustar` magic), payload padded
+    * to the 512 boundary, two zero blocks at the end. */
+  private[graft] def tarBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      val h = new Array[Byte](512)
+      def putStr(off: Int, v: String): Unit = {
+        val b = v.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
+      }
+      putStr(0, name)
+      putStr(100, "0000644"); putStr(108, "0000000"); putStr(116, "0000000")
+      putStr(124, f"${data.length}%011o")
+      putStr(136, "00000000000")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      h(156) = '0'
+      putStr(257, "ustar"); putStr(263, "00")
+      var sum = 0L; var j = 0
+      while (j < 512) { sum += (h(j) & 0xff); j += 1 }
+      putStr(148, f"$sum%06o"); h(154) = 0; h(155) = ' '
+      bos.write(h); bos.write(data)
+      bos.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+
+  /** Walk a ustar archive header-first (the WebDataset reader loop):
+    * per entry verify the `ustar` magic and the header checksum
+    * (space-blanked sum), read the octal size, skip the padded payload
+    * — stop at the first zero block. Returns (nEntries, payloadBytes,
+    * headersOk, firstName); None when the terminator is missing or a
+    * header is unwalkable. */
+  private[graft] def parseTar(bytes: Array[Byte]): Option[(Int, Long, Int, String)] = {
+    var i = 0; var entries = 0; var payload = 0L; var okChk = 0; var first = ""
+    while (i + 512 <= bytes.length) {
+      if (bytes(i) == 0) return Some((entries, payload, okChk, first))
+      if (new String(bytes, i + 257, 5, "US-ASCII") != "ustar") return None
+      var e = i
+      while (e < i + 100 && bytes(e) != 0) e += 1
+      val name = new String(bytes, i, e - i, "US-ASCII")
+      val stored = java.lang.Long.parseLong(
+        new String(bytes, i + 148, 6, "US-ASCII").trim, 8)
+      var sum = 0L; var j = 0
+      while (j < 512) { sum += (if (j >= 148 && j < 156) 32 else bytes(i + j) & 0xff); j += 1 }
+      if (sum == stored) okChk += 1
+      val size = java.lang.Long.parseLong(
+        new String(bytes, i + 124, 11, "US-ASCII").trim, 8)
+      if (entries == 0) first = name
+      entries += 1; payload += size
+      i += 512 + ((size + 511) / 512 * 512).toInt
+    }
+    None
+  }
+
+  /** TAR / WebDataset sample metadata — sixth container leg, and the
+    * container LLM training shards actually ship in: each document
+    * becomes a WebDataset-style sample tar (`<key>.txt` payload +
+    * `<key>.cls` label), built as a REAL ustar archive (octal fields,
+    * blanked-checksum sum, zero-block terminator) and walked back
+    * header-first with checksum verification. The oracle predicts
+    * entry count, payload bytes, 512-block count and first member name
+    * from the same id/text math (strlen = byte length both sides —
+    * the corpus is ASCII; hash-match proves the build→parse round
+    * trip). Build+walk live in one mapPartitions — zero shuffle. */
+  val tarMeta: GraftOp = GraftOp(
+    "mm_tar_meta",
+    """SELECT doc_id,
+      |  CAST(2 AS INT) AS n_entries,
+      |  CAST(strlen(text) + strlen(lang) AS BIGINT) AS payload_bytes,
+      |  CAST(4 + (strlen(text) + 511) // 512 + (strlen(lang) + 511) // 512 AS BIGINT)
+      |    AS n_blocks,
+      |  CAST(2 AS INT) AS headers_ok,
+      |  concat(CAST(doc_id AS VARCHAR), '.txt') AS first_name
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_entries", IntegerType),
+      StructField("payload_bytes", LongType), StructField("n_blocks", LongType),
+      StructField("headers_ok", IntegerType), StructField("first_name", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val tar = tarBytes(Seq(
+          s"$docId.txt" -> r.getString(1).getBytes("UTF-8"),
+          s"$docId.cls" -> r.getString(2).getBytes("UTF-8")))
+        val (n, payload, ok, first) = parseTar(tar).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted tar for doc $docId"))
+        Row(docId, n, payload, tar.length.toLong / 512, ok, first)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  /** Build a store-method (no compression) ZIP: local file headers +
+    * payloads, then the central directory, then the end-of-central-
+    * directory record — real CRC-32s via java.util.zip. */
+  private[graft] def zipBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bos = new java.io.ByteArrayOutputStream()
+    val cds = entries.map { case (name, data) =>
+      val off = bos.size()
+      val crcCalc = new java.util.zip.CRC32(); crcCalc.update(data)
+      val crc = crcCalc.getValue
+      val nb = name.getBytes("US-ASCII")
+      val bb = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x04034b50); bb.putShort(20); bb.putShort(0); bb.putShort(0)
+      bb.putShort(0); bb.putShort(0)
+      bb.putInt(crc.toInt); bb.putInt(data.length); bb.putInt(data.length)
+      bb.putShort(nb.length.toShort); bb.putShort(0)
+      bos.write(bb.array()); bos.write(nb); bos.write(data)
+      (name, crc, data.length, off)
+    }
+    val cdStart = bos.size()
+    cds.foreach { case (name, crc, size, off) =>
+      val nb = name.getBytes("US-ASCII")
+      val bb = ByteBuffer.allocate(46).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x02014b50); bb.putShort(20); bb.putShort(20); bb.putShort(0)
+      bb.putShort(0); bb.putShort(0); bb.putShort(0)
+      bb.putInt(crc.toInt); bb.putInt(size); bb.putInt(size)
+      bb.putShort(nb.length.toShort); bb.putShort(0); bb.putShort(0)
+      bb.putShort(0); bb.putShort(0); bb.putInt(0); bb.putInt(off)
+      bos.write(bb.array()); bos.write(nb)
+    }
+    val cdSize = bos.size() - cdStart
+    val bb = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x06054b50); bb.putShort(0); bb.putShort(0)
+    bb.putShort(cds.size.toShort); bb.putShort(cds.size.toShort)
+    bb.putInt(cdSize); bb.putInt(cdStart); bb.putShort(0)
+    bos.write(bb.array())
+    bos.toByteArray
+  }
+
+  /** Read a ZIP the way unzip does: find the EOCD signature from the
+    * end, jump to the central directory, walk its entries, and verify
+    * each member by recomputing CRC-32 over the stored payload reached
+    * through its local header. Returns (nEntries, totalUncompressed,
+    * cdSize, crcOk). */
+  private[graft] def parseZip(bytes: Array[Byte]): Option[(Int, Long, Int, Int)] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le32(i: Int): Int = ByteBuffer.wrap(bytes, i, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    def le16(i: Int): Int =
+      ByteBuffer.wrap(bytes, i, 2).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+    var e = bytes.length - 22
+    while (e >= 0 && le32(e) != 0x06054b50) e -= 1
+    if (e < 0) return None
+    val n = le16(e + 10)
+    val cdSize = le32(e + 12)
+    var i = le32(e + 16)
+    var total = 0L; var crcOk = 0; var k = 0
+    while (k < n) {
+      if (le32(i) != 0x02014b50) return None
+      val crc = le32(i + 16).toLong & 0xffffffffL
+      val size = le32(i + 24)
+      val nameLen = le16(i + 28)
+      val extraLen = le16(i + 30); val cmtLen = le16(i + 32)
+      val lho = le32(i + 42)
+      // local header: fixed 30 bytes + its own name/extra lengths
+      val dataOff = lho + 30 + le16(lho + 26) + le16(lho + 28)
+      val calc = new java.util.zip.CRC32()
+      calc.update(bytes, dataOff, size)
+      if (calc.getValue == crc) crcOk += 1
+      total += size
+      i += 46 + nameLen + extraLen + cmtLen
+      k += 1
+    }
+    Some((n, total, cdSize, crcOk))
+  }
+
+  /** ZIP central-directory walk — seventh container leg (the docx /
+    * epub / apk family): per document a REAL store-method zip of the
+    * same two WebDataset members, read back EOCD-first with per-member
+    * CRC-32 re-verification against the stored payload. The oracle
+    * predicts entry count, byte totals and the central-directory size
+    * from name/text length math; crc_ok = 2 asserts the JVM-side
+    * round trip. One mapPartitions, zero shuffle. */
+  val zipMeta: GraftOp = GraftOp(
+    "mm_zip_meta",
+    """SELECT doc_id,
+      |  CAST(2 AS INT) AS n_entries,
+      |  CAST(strlen(text) + strlen(lang) AS BIGINT) AS total_bytes,
+      |  CAST(92 + 2 * (strlen(CAST(doc_id AS VARCHAR)) + 4) AS INT) AS cd_size,
+      |  CAST(2 AS INT) AS crc_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_entries", IntegerType),
+      StructField("total_bytes", LongType), StructField("cd_size", IntegerType),
+      StructField("crc_ok", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val zip = zipBytes(Seq(
+          s"$docId.txt" -> r.getString(1).getBytes("UTF-8"),
+          s"$docId.cls" -> r.getString(2).getBytes("UTF-8")))
+        val (n, total, cdSize, crcOk) = parseZip(zip).getOrElse(
+          throw new IllegalStateException(s"unreadable planted zip for doc $docId"))
+        Row(docId, n, total, cdSize, crcOk)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta)
 }

@@ -258,7 +258,37 @@ object Sampling {
       .orderBy(col("vec_id"))
   }
 
+  /** Deterministic training-shard assignment + per-shard manifest:
+    * every document lands in one of 16 shards by portable hash (the
+    * [[hashSample]] rule — reproducible across engines, runs and
+    * parallelism, append-stable), and the op emits the shard manifest
+    * a WebDataset-style writer would record: doc count, total payload
+    * chars, id range per shard. The balance check ("are shards even")
+    * IS this output. Partition-local assignment, one 16-key
+    * aggregate — no sort, no repartition of the corpus itself (a
+    * writer would `repartition($"shard")` on exactly this column). */
+  val shard: GraftOp = GraftOp(
+    "sample_shard",
+    s"""WITH a AS (
+       |  SELECT ${graft.functions.Exprs.sqlMd5Long("concat('sh42#', CAST(doc_id AS VARCHAR))")} % 16 AS shard,
+       |    doc_id, n_chars
+       |  FROM documents)
+       |SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select((graft.functions.Exprs.md5Long(
+          concat(lit("sh42#"), col("doc_id").cast(org.apache.spark.sql.types.StringType)))
+          % 16).cast(org.apache.spark.sql.types.IntegerType).as("shard"),
+        col("doc_id"), col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced)
+      balanced, shard)
 }

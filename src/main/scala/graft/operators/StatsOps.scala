@@ -446,5 +446,297 @@ object StatsOps {
           .as("ks_d"))
   }
 
-  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks)
+  /** Spearman rank correlation between basket size (lineitems per
+    * order) and the order's summed line revenue — the monotone-
+    * association readout q_ols2 can't give (OLS assumes linearity;
+    * Spearman only order); positive by construction, which the spec
+    * pins. Average
+    * ranks with ties carried DOUBLED (2·Σbelow + c + 1, integer — the
+    * q_mann_whitney discipline), assigned per DISTINCT value over a
+    * domain-bounded window of (value, count) rows, then joined back —
+    * never a global per-row sort. All six cross-row sums are exact
+    * BIGINTs (dx ≤ 2n, Σdx·dy ≤ 4n³ < 2⁶³ at driver SFs); Pearson over
+    * the doubled ranks (the doubling cancels) is one double formula. */
+  val spearman: GraftOp = GraftOp(
+    "q_spearman",
+    """WITH t AS (
+      |  SELECT l_orderkey,
+      |    CAST(count(*) AS BIGINT) AS x,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      |  FROM lineitem
+      |  GROUP BY 1),
+      |cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |dx AS (
+      |  SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS dx
+      |  FROM cx),
+      |cy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |dy AS (
+      |  SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS dy
+      |  FROM cy),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+      |    CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
+      |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+      |  FROM t JOIN dx USING (x) JOIN dy USING (y))
+      |SELECT n,
+      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS spearman_rho
+      |FROM g""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x"),
+        (sum(graft.functions.Exprs.dec2(col("l_extendedprice"))) * 100)
+          .cast(LongType).as("y"))
+    def doubledRank(valCol: String, outCol: String) = {
+      val below = Window.orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.groupBy(col(valCol)).agg(count(lit(1)).as("c"))
+        .select(col(valCol),
+          (lit(2L) * coalesce(sum(col("c")).over(below), lit(0L)) + col("c") + 1)
+            .as(outCol))
+    }
+    val g = t
+      .join(doubledRank("x", "dx"), Seq("x"))
+      .join(doubledRank("y", "dy"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"), sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+    g.select(col("n"),
+      expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        | / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)""".stripMargin)
+        .as("spearman_rho"))
+  }
+
+  /** Welch's unequal-variance t-test on purchase value between the
+    * hash variants — the parametric mean-difference test between
+    * q_two_prop (proportions) and q_mann_whitney (ranks). Per-variant
+    * state is three exact BIGINTs (n, Σcents, Σcents² — cents² sums
+    * < 2⁶³ at any SF whose purchase count < 4·10⁹); mean, Welch t and
+    * the Welch–Satterthwaite df are one double formula each over those
+    * six integers, identical text both engines. */
+  val welchT: GraftOp = GraftOp(
+    "q_welch_t",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |g AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+       |    CAST(sum(cents) FILTER (WHERE variant = 'A') AS BIGINT) AS s_a,
+       |    CAST(sum(cents) FILTER (WHERE variant = 'B') AS BIGINT) AS s_b,
+       |    CAST(sum(cents * cents) FILTER (WHERE variant = 'A') AS BIGINT) AS ss_a,
+       |    CAST(sum(cents * cents) FILTER (WHERE variant = 'B') AS BIGINT) AS ss_b
+       |  FROM p),
+       |v AS (
+       |  SELECT n_a, n_b, s_a, s_b,
+       |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1.0) / n_a AS va,
+       |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1.0) / n_b AS vb
+       |  FROM g)
+       |SELECT n_a, n_b,
+       |  round(CAST(s_a AS DOUBLE) / n_a / 100.0, 6) AS mean_a,
+       |  round(CAST(s_b AS DOUBLE) / n_b / 100.0, 6) AS mean_b,
+       |  round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+       |    / (100.0 * sqrt(va + vb)), 6) AS t,
+       |  round((va + vb) * (va + vb)
+       |    / (va * va / (n_a - 1.0) + vb * vb / (n_b - 1.0)), 6) AS df
+       |FROM v""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    p.agg(
+        count(when(col("variant") === "A", 1)).as("n_a"),
+        count(when(col("variant") === "B", 1)).as("n_b"),
+        sum(when(col("variant") === "A", col("cents"))).cast(LongType).as("s_a"),
+        sum(when(col("variant") === "B", col("cents"))).cast(LongType).as("s_b"),
+        sum(when(col("variant") === "A", col("cents") * col("cents")))
+          .cast(LongType).as("ss_a"),
+        sum(when(col("variant") === "B", col("cents") * col("cents")))
+          .cast(LongType).as("ss_b"))
+      .withColumn("va",
+        expr("(CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1.0) / n_a"))
+      .withColumn("vb",
+        expr("(CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1.0) / n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("round(CAST(s_a AS DOUBLE) / n_a / 100.0, 6)").as("mean_a"),
+        expr("round(CAST(s_b AS DOUBLE) / n_b / 100.0, 6)").as("mean_b"),
+        expr("""round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+          | / (100.0 * sqrt(va + vb)), 6)""".stripMargin).as("t"),
+        expr("""round((va + vb) * (va + vb)
+          | / (va * va / (n_a - 1.0) + vb * vb / (n_b - 1.0)), 6)""".stripMargin).as("df"))
+  }
+
+  /** One-way ANOVA decomposition of per-customer spend across market
+    * segments, emitted PER GROUP (the q_chi_square discipline: every
+    * number is a function of exact integers — no cross-engine double
+    * fold; the caller sums k rows for F). Per segment: n_i, Σcents,
+    * Σcents² fold exact (Σcents² is ~10²¹ already at sf0.1, so it
+    * folds in DECIMAL(38,0)/HUGEINT, not BIGINT), then between-term
+    * n_i·(m_i−m)² and within-term ss_i−s_i²/n_i are double formulas
+    * over the group's integers plus the two grand integers. */
+  val anova: GraftOp = GraftOp(
+    "q_anova",
+    """WITH u AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, o_custkey),
+      |g AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n_i,
+      |    CAST(sum(cents) AS BIGINT) AS s_i,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS ss_i
+      |  FROM u GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(s_i) AS BIGINT) AS s FROM g)
+      |SELECT segment, n_i,
+      |  round(CAST(s_i AS DOUBLE) / n_i / 100.0, 6) AS mean_spend,
+      |  round(n_i * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n)
+      |            * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n) / 10000.0, 6)
+      |    AS between_term,
+      |  round((CAST(ss_i AS DOUBLE) - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000.0, 6)
+      |    AS within_term
+      |FROM g, t ORDER BY segment""".stripMargin) { (s, d) =>
+    val u = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+        .cast(LongType).as("cents"))
+    // Σcents² exceeds 2⁶³ already at sf0.1 (~10²¹) — fold it in
+    // DECIMAL(38,0) (DuckDB side: HUGEINT), never BIGINT
+    val g = u.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_i"), sum(col("cents")).as("s_i"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("cents")).as("ss_i"))
+    val t = broadcast(g.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s")))
+    g.crossJoin(t)
+      .select(col("segment"), col("n_i"),
+        expr("round(CAST(s_i AS DOUBLE) / n_i / 100.0, 6)").as("mean_spend"),
+        expr("""round(n_i * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n)
+          |          * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n) / 10000.0, 6)""".stripMargin)
+          .as("between_term"),
+        expr("round((CAST(ss_i AS DOUBLE) - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000.0, 6)")
+          .as("within_term"))
+      .orderBy(col("segment"))
+  }
+
+  /** Cramér's V effect size for the event-type × weekday contingency —
+    * the bounded-[0,1] companion to q_chi_square's raw statistic. The
+    * global χ² needs a cross-row SUM, which doubles can't fold
+    * order-stably — so each cell is FLOOR-SNAPPED to exact micro units
+    * via pure integer arithmetic: cell·10⁶ = (o·n − rt·ct)²·10⁶ ÷
+    * (n·rt·ct) under integral division (numerator in DECIMAL(38) /
+    * HUGEINT — ~30 digits at sf0.1), then Σ over cells is an exact
+    * BIGINT and V = sqrt(χ²/(n·(min(r,c)−1))) one double formula. */
+  val cramersV: GraftOp = GraftOp(
+    "q_cramers_v",
+    """WITH c AS (
+      |  SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+      |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |             CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+      |             CAST(count(DISTINCT dow) AS BIGINT) AS nc FROM c),
+      |cells AS (
+      |  SELECT CAST(
+      |      CAST(o * n.n - rt.rt * ct.ct AS HUGEINT)
+      |        * (o * n.n - rt.rt * ct.ct) * 1000000
+      |      // (CAST(n.n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT) AS cell_micro
+      |  FROM c JOIN rt ON c.event_type = rt.event_type JOIN ct ON c.dow = ct.dow
+      |  CROSS JOIN n)
+      |SELECT n.n AS n_events, n.nr AS n_rows_dim, n.nc AS n_cols_dim,
+      |  round(CAST(sum(cell_micro) AS DOUBLE) / 1000000.0, 6) AS chi2,
+      |  round(sqrt(CAST(sum(cell_micro) AS DOUBLE) / 1000000.0
+      |    / (CAST(n.n AS DOUBLE) * (least(n.nr, n.nc) - 1))), 6) AS cramers_v
+      |FROM cells, n GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("int").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rt = c.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val ct = c.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val n = c.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("nr"), countDistinct(col("dow")).as("nc"))
+    c.join(broadcast(rt), Seq("event_type"))
+      .join(broadcast(ct), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .withColumn("dmc", col("o") * col("n") - col("rt") * col("ct"))
+      .withColumn("cell_micro",
+        expr("CAST(CAST(dmc AS DECIMAL(38,0)) * dmc * 1000000 div (CAST(n AS DECIMAL(38,0)) * rt * ct) AS BIGINT)"))
+      .groupBy(col("n").as("n_events"), col("nr").as("n_rows_dim"),
+        col("nc").as("n_cols_dim"))
+      .agg(sum(col("cell_micro")).as("cm"))
+      .select(col("n_events"), col("n_rows_dim"), col("n_cols_dim"),
+        expr("round(CAST(cm AS DOUBLE) / 1000000.0, 6)").as("chi2"),
+        expr("""round(sqrt(CAST(cm AS DOUBLE) / 1000000.0
+          | / (CAST(n_events AS DOUBLE) * (least(n_rows_dim, n_cols_dim) - 1))), 6)""".stripMargin)
+          .as("cramers_v"))
+  }
+
+  /** Bollinger bands on each event type's daily-count series: 7-day
+    * trailing mean ± 2σ with an outside-the-band flag — the rolling-
+    * volatility anomaly view next to q_anomaly_days' global z-scores
+    * (local regime vs whole-history). The window sums Σy and Σy² are
+    * exact BIGINTs over ROWS 6 PRECEDING (date-bounded per key);
+    * mean/σ/bands are double formulas over those integers, and the
+    * flag compares y against bands both engines compute bit-
+    * identically. Rows before a full 7-day window are warm-up and
+    * dropped. */
+  val bollinger: GraftOp = GraftOp(
+    "q_bollinger",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, y,
+      |    CAST(sum(y) OVER win AS BIGINT) AS s,
+      |    CAST(sum(y * y) OVER win AS BIGINT) AS ss,
+      |    CAST(count(*) OVER win AS BIGINT) AS wn
+      |  FROM d
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, y,
+      |  round(CAST(s AS DOUBLE) / 7, 6) AS mean7,
+      |  round(sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0), 6) AS sigma7,
+      |  CAST(CASE WHEN y > CAST(s AS DOUBLE) / 7
+      |        + 2 * sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0)
+      |      OR y < CAST(s AS DOUBLE) / 7
+      |        - 2 * sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0)
+      |    THEN 1 ELSE 0 END AS INT) AS outside
+      |FROM w WHERE wn = 7 ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"), col("day"), col("y"),
+        sum(col("y")).over(win).as("s"),
+        sum(col("y") * col("y")).over(win).as("ss"),
+        count(lit(1)).over(win).as("wn"))
+      .filter(col("wn") === 7)
+      .select(col("event_type"), col("day"), col("y"),
+        expr("round(CAST(s AS DOUBLE) / 7, 6)").as("mean7"),
+        expr("round(sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0), 6)").as("sigma7"),
+        expr("""CAST(CASE WHEN y > CAST(s AS DOUBLE) / 7
+          |     + 2 * sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0)
+          |   OR y < CAST(s AS DOUBLE) / 7
+          |     - 2 * sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0)
+          | THEN 1 ELSE 0 END AS INT)""".stripMargin).as("outside"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
+    spearman, welchT, anova, cramersV, bollinger)
 }

@@ -773,7 +773,93 @@ object TextOps {
         expr("round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)").as("intercept"))
   }
 
+  /** Flesch reading-ease + Flesch-Kincaid grade with a deterministic
+    * vowel-group syllable proxy (each maximal [aeiou]+ run = one
+    * syllable — the standard dictionary-free approximation) and
+    * sentences = max(1, [.!?]+ runs). All three counts are exact
+    * integers from the SAME regex semantics both engines (counting
+    * whole-text vowel runs ≡ per-word sum — tokens split on
+    * whitespace, which never carries a vowel); the two scores are one
+    * double formula each. Linear per-doc work, zero shuffle. */
+  val readability: GraftOp = GraftOp(
+    "text_readability",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS syl,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sent
+      |  FROM documents)
+      |SELECT doc_id, w AS n_words, syl AS n_syllables, sent AS n_sentences,
+      |  round(206.835 - 1.015 * (CAST(w AS DOUBLE) / sent)
+      |    - 84.6 * (CAST(syl AS DOUBLE) / w), 6) AS flesch_ease,
+      |  round(0.39 * (CAST(w AS DOUBLE) / sent)
+      |    + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 6) AS fk_grade
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("w"),
+        size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")).cast(LongType).as("syl"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast(LongType)).as("sent"))
+      .select(col("doc_id"), col("w").as("n_words"), col("syl").as("n_syllables"),
+        col("sent").as("n_sentences"),
+        expr("""round(206.835 - 1.015 * (CAST(w AS DOUBLE) / sent)
+          | - 84.6 * (CAST(syl AS DOUBLE) / w), 6)""".stripMargin).as("flesch_ease"),
+        expr("""round(0.39 * (CAST(w AS DOUBLE) / sent)
+          | + 11.8 * (CAST(syl AS DOUBLE) / w) - 15.59, 6)""".stripMargin).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Jensen-Shannon divergence of each source's token distribution
+    * from the corpus mixture — the drift/contamination readout a
+    * curation pipeline runs per crawl source ("is this source's
+    * vocabulary unlike the rest"). The zero-count tail is NEVER
+    * materialized: for tokens absent from a source, P=0 and the term
+    * collapses to Q·ln2, so JS = ½[Σ_{t∈s}(P·ln(2P/(P+Q)) +
+    * Q·ln(2Q/(P+Q))) + ln2·(1−Σ_{t∈s}Q)] over only the source's own
+    * (source, token) rows. Counts are exact integers; the transcendental
+    * fold follows the text_tfidf/mix-entropy ln contract (6dp emit).
+    * One token-key equi join of the per-source counts against the
+    * corpus dictionary — hash-partitioned, no broadcast of the vocab. */
+  val jsDivergence: GraftOp = GraftOp(
+    "text_js_div",
+    """WITH st AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+      |terms AS (
+      |  SELECT st.source,
+      |    (CAST(st.c AS DOUBLE) / ns.n_s) AS p,
+      |    (CAST(ct.ctot AS DOUBLE) / n.n) AS q
+      |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n)
+      |SELECT source,
+      |  round(0.5 * (sum(p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))
+      |    + ln(2) * (1 - sum(q))), 6) AS js_div
+      |FROM terms GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("c")).as("ctot"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val n = st.agg(sum(col("c")).as("n"))
+    st.join(ct, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"),
+        (col("c").cast(DoubleType) / col("n_s")).as("p"),
+        (col("ctot").cast(DoubleType) / col("n")).as("q"))
+      .groupBy(col("source"))
+      .agg(expr("""round(0.5 * (sum(p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))
+        | + ln(2) * (1 - sum(q))), 6)""".stripMargin).as("js_div"))
+      .orderBy(col("source"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
-      decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf)
+      decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
+      readability, jsDivergence)
 }
