@@ -505,7 +505,72 @@ object CurationOps {
       .orderBy(col("digit"))
   }
 
+  /** Pairwise Pearson correlation matrix over the fact table's numeric
+    * columns (quantity, extendedprice, discount, tax) — the profiling
+    * step after [[profileColumns]]' univariate stats: which measures
+    * co-move (the multicollinearity check before any model fit, and
+    * the redundant-column signal before storage tiering). ONE grand
+    * aggregate folds every moment exactly — integer units (units,
+    * cents, hundredths) summed in DECIMAL(38,0)/HUGEINT because the
+    * cents² products pass 2⁶³ at sf0.1 — then each of the 6 pair rows
+    * is one double formula over those integers; the formula TEXT is
+    * generated once and embedded in both engines, so it cannot drift. */
+  val profileCorrelation: GraftOp = {
+    val vars = Seq("q", "p", "d2", "t2")
+    val pairs = for (i <- vars.indices; j <- vars.indices if i < j) yield (vars(i), vars(j))
+    def corrExpr(x: String, y: String): String =
+      s"""round((CAST(n AS DOUBLE) * CAST(s_${x}_$y AS DOUBLE)
+         | - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE))
+         | / sqrt((CAST(n AS DOUBLE) * CAST(s_${x}_$x AS DOUBLE)
+         |     - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
+         |   * (CAST(n AS DOUBLE) * CAST(s_${y}_$y AS DOUBLE)
+         |     - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))), 6)""".stripMargin
+    val colNames = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d2" -> "l_discount", "t2" -> "l_tax")
+    val sqlBranches = pairs.map { case (x, y) =>
+      s"SELECT '${colNames(x)}' AS x_col, '${colNames(y)}' AS y_col, ${corrExpr(x, y)} AS corr FROM g"
+    }.mkString("\nUNION ALL\n")
+    val prodSums = (for (i <- vars.indices; j <- vars.indices if i <= j)
+      yield (vars(i), vars(j)))
+    GraftOp(
+      "profile_correlation",
+      s"""WITH b AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+         |    CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT) AS d2,
+         |    CAST(CAST(l_tax AS DECIMAL(3,2)) * 100 AS BIGINT) AS t2
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${vars.map(v => s"sum(CAST($v AS HUGEINT)) AS s_$v").mkString(", ")},
+         |    ${prodSums.map { case (x, y) => s"sum(CAST($x AS HUGEINT) * $y) AS s_${x}_$y" }.mkString(", ")}
+         |  FROM b)
+         |SELECT * FROM (
+         |$sqlBranches
+         |) ORDER BY x_col, y_col""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val b = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast(LongType).as("q"),
+          (graft.functions.Exprs.dec2(col("l_extendedprice")) * 100).cast(LongType).as("p"),
+          (col("l_discount").cast(DecimalType(3, 2)) * 100).cast(LongType).as("d2"),
+          (col("l_tax").cast(DecimalType(3, 2)) * 100).cast(LongType).as("t2"))
+      val aggs =
+        vars.map(v => sum(col(v).cast(DecimalType(38, 0))).as(s"s_$v")) ++
+          prodSums.map { case (x, y) =>
+            sum(col(x).cast(DecimalType(38, 0)) * col(y)).as(s"s_${x}_$y")
+          }
+      val g = b.agg(count(lit(1)).as("n"), aggs: _*)
+      // stack() fans the 6 pair formulas out of the ONE aggregate row —
+      // a per-pair union would recompute the fact scan 6 times
+      val stacked = pairs.map { case (x, y) =>
+        s"'${colNames(x)}', '${colNames(y)}', ${corrExpr(x, y)}"
+      }.mkString(s"stack(${pairs.size}, ", ", ", ") AS (x_col, y_col, corr)")
+      g.selectExpr(stacked).orderBy(col("x_col"), col("y_col"))
+    }
+  }
+
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
-      aggIncremental, tableChecksum, scd2History, expectations, datasheet, benford)
+      aggIncremental, tableChecksum, scd2History, expectations, datasheet, benford,
+      profileCorrelation)
 }

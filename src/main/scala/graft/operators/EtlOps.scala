@@ -186,6 +186,41 @@ object EtlOps {
       .orderBy(col("user_id"), col("day"), col("event_type"))
   }
 
+  /** Per-stream arrival-spacing audit — the consumer-side gap monitor
+    * an at-least-once ingest runs per key (reference: the Kafka
+    * consumer's offset stream per topic): for each event type, the
+    * distribution of OFFSET GAPS between its consecutive records in
+    * the global sequence (n, max gap, mean gap in exact ppm, p95). A
+    * type whose max gap spikes stopped flowing — the silence signal
+    * at per-offset resolution. One key-partitioned lag window + a
+    * per-key fold over ≤\|gap domain\| values; mean is an integer ppm
+    * floor, p95 on the exact-percentile contract. */
+  val gapProfile: GraftOp = GraftOp(
+    "etl_gap_profile",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    event_id - lag(event_id) OVER (PARTITION BY event_type ORDER BY event_id)
+      |      AS gap
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(max(gap) AS BIGINT) AS max_gap,
+      |  CAST(sum(gap) * 1000000 // count(*) AS BIGINT) AS mean_gap_ppm,
+      |  round(quantile_cont(gap, 0.95), 6) AS p95_gap
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (col("event_id") - lag(col("event_id"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_gap"),
+        expr("sum(gap) * 1000000 div count(*)").as("mean_gap_ppm"),
+        round(percentile(col("gap"), lit(0.95)), 6).as("p95_gap"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(
-    jsonExtract, validate, dirty, enrich, countBatch, batchSql, keyDedup)
+    jsonExtract, validate, dirty, enrich, countBatch, batchSql, keyDedup, gapProfile)
 }

@@ -553,12 +553,16 @@ object KnnOps {
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("corpus_id"))
-    val cand = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("corpus_id"),
-        Exprs.dot(col("qu"), col("u")).as("rel"), col("u"))
-      .withColumn("rn", row_number().over(byQuery))
-      .filter(col("rn") <= MmrPool)
-      .select(col("query_id"), col("corpus_id"), col("rel"), col("u"))
+    // materialize the pool ONCE (pool·|queries| rows): every greedy
+    // round references it, and a lazy plan would re-run the corpus
+    // top-k scan in each of the ~2k round subtrees (30s -> sub-second)
+    val cand = ConnectedComponents.snapshot(
+      v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("corpus_id"),
+          Exprs.dot(col("qu"), col("u")).as("rel"), col("u"))
+        .withColumn("rn", row_number().over(byQuery))
+        .filter(col("rn") <= MmrPool)
+        .select(col("query_id"), col("corpus_id"), col("rel"), col("u")))
     // pool²-bounded pairwise sims; dot(a,b) = dot(b,a) bit-exactly
     val pairs = cand.select(col("query_id"), col("corpus_id").as("ca"), col("u").as("ua"))
       .join(cand.select(col("query_id"), col("corpus_id").as("cb"), col("u").as("ub")),
@@ -567,12 +571,15 @@ object KnnOps {
       .select(col("query_id"), col("ca"), col("cb"), Exprs.dot(col("ua"), col("ub")).as("sim"))
     val pool = cand.select(col("query_id"), col("corpus_id"), col("rel"))
     val lam = lit(0.7)
-    var selected = pool
+    // each round's state is snapshotted: selected_k feeds round k+1 in
+    // THREE places (anti-join, penalty, union) — left lazy, round-1
+    // work re-evaluates ~3^k times through the chain
+    var selected = ConnectedComponents.snapshot(pool
       .withColumn("mmr", lam * col("rel") - lit(0.3) * lit(0.0))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("corpus_id"))))
       .filter(col("rn") === 1)
-      .select(col("query_id"), col("corpus_id"), lit(1).as("rank"), col("mmr"))
+      .select(col("query_id"), col("corpus_id"), lit(1).as("rank"), col("mmr")))
     for (k <- 2 to MmrK) {
       val pen = pairs
         .join(selected.select(col("query_id"), col("corpus_id").as("cb")), Seq("query_id", "cb"))
@@ -589,7 +596,9 @@ object KnnOps {
           Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("corpus_id"))))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("corpus_id"), lit(k).as("rank"), col("mmr"))
-      selected = selected.unionAll(pick)
+      val merged = ConnectedComponents.snapshot(selected.unionAll(pick))
+      ConnectedComponents.release(selected)
+      selected = merged
     }
     selected
       .select(col("query_id"), col("rank").cast(IntegerType).as("rank"), col("corpus_id"),
