@@ -737,6 +737,148 @@ object StatsOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Sample-ratio mismatch check — the FIRST gate on any experiment
+    * readout (a skewed split invalidates q_two_prop/q_welch_t before
+    * they run): χ² goodness-of-fit of the variant user counts against
+    * the designed 50/50. For two cells the statistic collapses to
+    * (n_a−n_b)²/(n_a+n_b), so the op is ALL-INTEGER: χ² emitted as an
+    * exact ppm floor and the α=0.05 flag (critical value 3.841) as a
+    * cross-multiplied integer inequality — the first float draft lost
+    * a ULP to the §6 round() midpoint gotcha at two SFs. */
+  val srm: GraftOp = GraftOp(
+    "q_srm",
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS variant
+       |  FROM events),
+       |g AS (
+       |  SELECT CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b
+       |  FROM u)
+       |SELECT n_a, n_b,
+       |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS chi2_ppm,
+       |  CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
+       |    THEN 1 ELSE 0 END AS INT) AS srm_flag
+       |FROM g""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"))
+      .distinct()
+      .agg(count(when(col("variant") === "A", 1)).as("n_a"),
+        count(when(col("variant") === "B", 1)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)").as("chi2_ppm"),
+        expr("""CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
+          | THEN 1 ELSE 0 END AS INT)""".stripMargin).as("srm_flag"))
+  }
+
+  /** CUPED variance-reduced experiment means (Deng et al. 2013, the
+    * industry-standard pre-period adjustment): per user, pre-period
+    * (Jan 1–15) and post-period purchase cents; θ = cov(X,Y)/var(X)
+    * over ALL users, each variant's adjusted mean = ȳ_v − θ·(x̄_v −
+    * x̄). Every cross-row sum is exact (ΣXY/ΣX² in DECIMAL(38)/
+    * HUGEINT — cents products pass 2⁶³ beyond driver SFs); θ and the
+    * adjusted means are double formulas over those integers. One
+    * per-user aggregate, one grand + one per-variant rollup. */
+  val cuped: GraftOp = GraftOp(
+    "q_cuped",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+       |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS x,
+       |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+       |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM u),
+       |t AS (
+       |  SELECT n, sx,
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS theta
+       |  FROM g),
+       |v AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
+       |    CAST(sum(x) AS BIGINT) AS sx_v, CAST(sum(y) AS BIGINT) AS sy_v
+       |  FROM u GROUP BY 1)
+       |SELECT variant, n_v, round(theta, 6) AS theta,
+       |  round(CAST(sy_v AS DOUBLE) / n_v / 100.0, 6) AS mean_post,
+       |  round((CAST(sy_v AS DOUBLE) / n_v - theta
+       |    * (CAST(sx_v AS DOUBLE) / n_v - CAST(t.sx AS DOUBLE) / t.n)) / 100.0, 6)
+       |    AS mean_post_adj
+       |FROM v, t ORDER BY variant""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"),
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"))
+      .agg(
+        (coalesce(sum(when(col("event_type") === "purchase" &&
+            col("ts") < lit("2024-01-16").cast(TimestampType),
+          col("value").cast(DecimalType(18, 2)))), lit(0)) * 100).cast(LongType).as("x"),
+        (coalesce(sum(when(col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-16").cast(TimestampType),
+          col("value").cast(DecimalType(18, 2)))), lit(0)) * 100).cast(LongType).as("y"))
+    val g = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+      sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+    val t = broadcast(g.select(col("n"), col("sx"),
+      expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        | / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)""".stripMargin)
+        .as("theta")))
+    val v = u.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"), sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+    v.crossJoin(t)
+      .select(col("variant"), col("n_v"),
+        round(col("theta"), 6).as("theta"),
+        expr("round(CAST(sy_v AS DOUBLE) / n_v / 100.0, 6)").as("mean_post"),
+        expr("""round((CAST(sy_v AS DOUBLE) / n_v - theta
+          | * (CAST(sx_v AS DOUBLE) / n_v - CAST(sx AS DOUBLE) / n)) / 100.0, 6)""".stripMargin)
+          .as("mean_post_adj"))
+      .orderBy(col("variant"))
+  }
+
+  /** Theil-Sen robust trend of the daily event-count series — the
+    * median of all pairwise slopes, immune to the outlier days that
+    * drag q_regression's least-squares line. The daily frame is
+    * date-bounded, so the pair join is ≤ |days|²/2 rows regardless of
+    * corpus size; slopes are doubles from exact integer (Δcount,
+    * Δday) pairs and the median follows the exact-percentile
+    * interpolation contract both engines share. */
+  val theilSen: GraftOp = GraftOp(
+    "q_theil_sen",
+    """WITH d AS (
+      |  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS i,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(b.y - a.y AS DOUBLE) / (b.i - a.i) AS slope
+      |  FROM d a JOIN d b ON a.i < b.i)
+      |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(quantile_cont(slope, 0.5), 6) AS slope_per_day
+      |FROM p""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
+        .cast(LongType).as("i"))
+      .agg(count(lit(1)).as("y"))
+    val nDays = broadcast(daily.agg(count(lit(1)).as("n_days")))
+    val a = daily.select(col("i").as("ia"), col("y").as("ya"))
+    val b = daily.select(col("i").as("ib"), col("y").as("yb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(((col("yb") - col("ya")).cast(DoubleType) / (col("ib") - col("ia"))).as("slope"))
+      .crossJoin(nDays)
+      .groupBy(col("n_days"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(percentile(col("slope"), lit(0.5)), 6).as("slope_per_day"))
+      .select(col("n_days"), col("n_pairs"), col("slope_per_day"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
-    spearman, welchT, anova, cramersV, bollinger)
+    spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen)
 }

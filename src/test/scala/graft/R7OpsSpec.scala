@@ -50,6 +50,30 @@ class R7OpsSpec extends AnyFunSuite {
       s"chi2 ${r.getDouble(3)} vs cell sum $cellSum")
   }
 
+  test("q_srm: flag agrees with the exact chi2 against 3.841") {
+    val r = operators.StatsOps.srm.run(spark, sf).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val chi2 = (na - nb).toDouble * (na - nb) / (na + nb)
+    assert((r.getInt(3) == 1) === (chi2 > 3.841))
+    assert(r.getLong(2) === (na - nb) * (na - nb) * 1000000L / (na + nb))
+  }
+
+  test("q_cuped: adjustment preserves the overall mean (theta-weighted identity)") {
+    val rows = operators.StatsOps.cuped.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("A", "B"))
+    // Σ n_v·(adj_v − y_v) = −θ·Σ n_v·(x̄_v − x̄) = 0: the adjustment
+    // only moves variance between variants, never the grand mean
+    val shift = rows.map(r => r.getLong(1) * (r.getDouble(4) - r.getDouble(3))).sum
+    val total = rows.map(_.getLong(1)).sum
+    assert(math.abs(shift / total) < 1e-4, s"grand-mean shift $shift over $total users")
+  }
+
+  test("q_theil_sen: pair count is n(n-1)/2 over the day domain") {
+    val r = operators.StatsOps.theilSen.run(spark, sf).head()
+    val n = r.getLong(0)
+    assert(r.getLong(1) === n * (n - 1) / 2)
+  }
+
   // ---- journey analytics ----
 
   test("q_markov: each row of the transition matrix sums to ~1") {
