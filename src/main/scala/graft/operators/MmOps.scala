@@ -1131,5 +1131,112 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta)
+  /** Build a minimal REAL PDF: header, catalog → pages → N page
+    * objects with id-derived MediaBox, a byte-exact xref table, and
+    * the trailer/startxref tail a conforming reader seeks first. */
+  private[graft] def pdfBytes(nPages: Int, w: Int, h: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    sb.append("%PDF-1.4\n")
+    def obj(body: String): Unit = { offsets += sb.length; sb.append(body) }
+    obj("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    obj(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
+    (0 until nPages).foreach { i =>
+      obj(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 $w $h] >> endobj\n")
+    }
+    val xrefOff = sb.length
+    sb.append(f"xref\n0 ${offsets.length + 1}%d\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer << /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  /** Read a PDF the way a conforming reader starts: the startxref
+    * pointer in the tail, the xref table at that offset, per-object
+    * offset validation ("<id> 0 obj" must sit at every claimed
+    * offset), then trailer /Root → catalog → /Pages → /Count and the
+    * first page's /MediaBox. Returns (version, nObjects, nPages,
+    * width, height, xrefOk); None when the tail/table is malformed. */
+  private[graft] def parsePdf(bytes: Array[Byte]): Option[(String, Int, Int, Int, Int, Boolean)] = {
+    val s = new String(bytes, "US-ASCII")
+    if (!s.startsWith("%PDF-")) return None
+    val version = s.substring(5, 8)
+    val sx = s.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val xrefOff = s.substring(sx + 9).trim.takeWhile(_.isDigit).toInt
+    if (xrefOff >= s.length || !s.startsWith("xref", xrefOff)) return None
+    val afterXref = s.indexOf('\n', xrefOff) + 1
+    val header = s.substring(afterXref, s.indexOf('\n', afterXref)).trim.split(" ")
+    val size = header(1).toInt
+    val entries0 = s.indexOf('\n', afterXref) + 1
+    var xrefOk = true
+    var i = 1 // entry 0 is the free head
+    while (i < size) {
+      val e = s.substring(entries0 + i * 20, entries0 + i * 20 + 20)
+      val off = e.substring(0, 10).toInt
+      if (e.charAt(17) != 'n' || !s.startsWith(s"$i 0 obj", off)) xrefOk = false
+      i += 1
+    }
+    val trailer = s.indexOf("trailer", entries0)
+    if (trailer < 0) return None
+    val root = """/Root (\d+) 0 R""".r.findFirstMatchIn(s.substring(trailer))
+      .map(_.group(1).toInt).getOrElse(return None)
+    def objBody(id: Int): String = {
+      val start = s.indexOf(s"$id 0 obj")
+      if (start < 0) return ""
+      s.substring(start, s.indexOf("endobj", start))
+    }
+    val pagesRef = """/Pages (\d+) 0 R""".r.findFirstMatchIn(objBody(root))
+      .map(_.group(1).toInt).getOrElse(return None)
+    val pagesObj = objBody(pagesRef)
+    val count = """/Count (\d+)""".r.findFirstMatchIn(pagesObj)
+      .map(_.group(1).toInt).getOrElse(return None)
+    val firstKid = """/Kids \[(\d+) 0 R""".r.findFirstMatchIn(pagesObj)
+      .map(_.group(1).toInt).getOrElse(return None)
+    val mb = """/MediaBox \[0 0 (\d+) (\d+)\]""".r.findFirstMatchIn(objBody(firstKid))
+      .getOrElse(return None)
+    Some((version, size - 1, count, mb.group(1).toInt, mb.group(2).toInt, xrefOk))
+  }
+
+  /** PDF xref walk — eighth container leg, the DOCUMENT container a
+    * text-extraction pipeline meets first: per doc a REAL minimal PDF
+    * (catalog → pages → id-derived page objects, byte-exact xref,
+    * trailer/startxref tail) read back reader-style — startxref seek,
+    * xref parse with per-object OFFSET VALIDATION, trailer /Root
+    * chase to /Count and the first MediaBox. Oracle predicts every
+    * field from the id math; xref_ok = 1 pins that the builder's
+    * byte offsets are the parser's truth. mapPartitions, zero
+    * shuffle. */
+  val pdfMeta: GraftOp = GraftOp(
+    "mm_pdf_meta",
+    """SELECT doc_id, '1.4' AS version,
+      |  CAST(2 + 1 + doc_id % 4 AS INT) AS n_objects,
+      |  CAST(1 + doc_id % 4 AS INT) AS n_pages,
+      |  CAST(400 + doc_id % 200 AS INT) AS width,
+      |  CAST(500 + (doc_id // 7) % 300 AS INT) AS height,
+      |  CAST(1 AS INT) AS xref_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("version", StringType),
+      StructField("n_objects", IntegerType), StructField("n_pages", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("xref_ok", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val pdf = pdfBytes((1 + docId % 4).toInt, (400 + docId % 200).toInt,
+          (500 + (docId / 7) % 300).toInt)
+        val (v, no, np, w, h, ok) = parsePdf(pdf).getOrElse(
+          throw new IllegalStateException(s"unreadable planted PDF for doc $docId"))
+        Row(docId, v, no, np, w, h, if (ok) 1 else 0)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta, pdfMeta)
 }

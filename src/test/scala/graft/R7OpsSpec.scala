@@ -159,6 +159,24 @@ class R7OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseZip(zip.take(8)).isEmpty)
   }
 
+  test("pdf kernel: round trip, xref offset corruption detected, no tail -> None") {
+    val pdf = operators.MmOps.pdfBytes(3, 612, 792)
+    val Some((v, no, np, w, h, ok)) = operators.MmOps.parsePdf(pdf)
+    assert(v === "1.4" && no === 5 && np === 3 && w === 612 && h === 792 && ok)
+    // corrupt one xref offset digit: validation must catch the lie
+    val s = new String(pdf, "US-ASCII")
+    // locate the table through the startxref pointer (lastIndexOf("xref")
+    // would land inside "startxref" itself)
+    val xrefOff = s.substring(s.lastIndexOf("startxref") + 9).trim.takeWhile(_.isDigit).toInt
+    val entries0 = s.indexOf('\n', s.indexOf('\n', xrefOff) + 1) + 1
+    val bad = pdf.clone()
+    bad(entries0 + 20 + 8) = (if (bad(entries0 + 20 + 8) == '0') '1' else '0').toByte
+    assert(operators.MmOps.parsePdf(bad).exists(!_._6), "corrupt xref offset must flag")
+    // strip the startxref tail: a reader cannot even start
+    assert(operators.MmOps.parsePdf(
+      s.substring(0, s.lastIndexOf("startxref")).getBytes("US-ASCII")).isEmpty)
+  }
+
   // ---- text + sharding ----
 
   test("text_readability: syllable proxy bounded by word and char counts") {
