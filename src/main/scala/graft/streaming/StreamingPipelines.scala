@@ -581,6 +581,40 @@ object StreamingPipelines {
       }
   }
 
+  final case class GapState(lastId: Long, nGaps: Long, maxGap: Long, sumGap: Long)
+
+  /** Streaming offset-gap monitor — live twin of batch
+    * `etl_gap_profile`, and the reference's at-least-once story told
+    * on OFFSETS: per stream key, track the gap distribution between
+    * consecutive record ids with FOUR longs of state (high-water id,
+    * n, max, Σ). The monotone high-water mark makes redelivery a
+    * no-op (an id ≤ lastId folds to nothing), so at-least-once input
+    * yields effectively-once gap statistics; in-trigger rows fold in
+    * id order. Emits the updated profile per key per trigger; the
+    * exact-ppm mean uses the batch op's integer floor. p95 is
+    * deliberately absent — bounded state; the batch op serves it. */
+  def gapMonitorStream(events: Dataset[UpsertRow])(
+      implicit spark: SparkSession): Dataset[(String, Long, Long, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[GapState, (String, Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L, 0L, 0L))
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            if (e.event_id > st.lastId) {
+              if (st.lastId != Long.MinValue) {
+                val gap = e.event_id - st.lastId
+                st = GapState(e.event_id, st.nGaps + 1, math.max(st.maxGap, gap),
+                  st.sumGap + gap)
+              } else st = st.copy(lastId = e.event_id)
+            }
+          }
+          state.update(st)
+          (key, st.nGaps, st.maxGap,
+            if (st.nGaps > 0) st.sumGap * 1000000L / st.nGaps else 0L)
+      }
+  }
+
   /** Streaming per-user EWMA — incremental twin of batch `q_ewma`,
     * same recurrence (α=0.3, per-step 1e-10 grid snap) folded over
     * each trigger's rows in (ts, event_id) order. State is TWO FIELDS

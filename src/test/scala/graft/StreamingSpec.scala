@@ -826,6 +826,43 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming gap monitor: final state equals batch etl_gap_profile; replay is a no-op") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect().sortBy(_.event_id)
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.gapMonitorStream(mem.toDS())
+      .toDF("event_type", "n_gaps", "max_gap", "mean_gap_ppm")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("gap_out").start()
+    try {
+      mem.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      def readOut() = spark.table("gap_out")
+        .groupBy("event_type")
+        .agg(last(col("n_gaps")).as("n"), last(col("max_gap")).as("mx"),
+          last(col("mean_gap_ppm")).as("mp"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.operators.EtlOps.gapProfile.run(spark, sf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(readOut() === batch,
+        "final streaming gap state must equal the batch profile exactly")
+      // at-least-once redelivery: the high-water id folds replays to nothing
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      assert(readOut() === batch, "replaying a delivered suffix must not move the profile")
+    } finally q.stop()
+  }
 }
 
 class SinkSpec extends AnyFunSuite {
