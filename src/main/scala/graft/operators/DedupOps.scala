@@ -963,7 +963,47 @@ object DedupOps {
       .orderBy(col("source"))
   }
 
+  /** Threshold-sensitivity sweep for embedding dedup — the analysis a
+    * team runs BEFORE committing to dedup_embed's τ: the pairwise-
+    * cosine histogram in 0.05 bins over a deterministic quarter-sample
+    * (portable-hash keep, append-stable), with the reverse cumulative
+    * "pairs you would merge at τ ≥ bin" count. The hash sample bounds
+    * the quadratic at ANY corpus size (sample² pairs, a policy knob —
+    * the production dedup itself runs the gated exact/bucketed route);
+    * bin = floor(cos·20) on bit-identical doubles, so edges agree. */
+  val thresholdSweep: GraftOp = GraftOp(
+    "dedup_threshold_sweep",
+    s"""WITH raw AS (
+       |  SELECT vec_id, ${Exprs.sqlVecAsDouble("embedding")} AS e FROM embeddings
+       |  WHERE ${Exprs.sqlMd5Long("concat('ts42#', CAST(vec_id AS VARCHAR))")} % 4 = 0),
+       |v AS (SELECT vec_id, ${Exprs.sqlUnit("e")} AS u FROM raw),
+       |p AS (
+       |  SELECT CAST(floor(${Exprs.sqlDot("a.u", "b.u")} * 20) AS BIGINT) AS bin
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |  WHERE ${Exprs.sqlDot("a.u", "b.u")} >= 0.2),
+       |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1)
+       |SELECT round(bin / 20.0, 2) AS cos_lo, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pairs_at_tau
+       |FROM h ORDER BY cos_lo""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(s, d)
+      .filter(Exprs.md5Long(concat(lit("ts42#"),
+        col("vec_id").cast(org.apache.spark.sql.types.StringType))) % 4 === 0)
+      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val cos = Exprs.dot(col("a.u"), col("b.u"))
+    val h = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= 0.2)
+      .select(floor(cos * 20).cast(org.apache.spark.sql.types.LongType).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    val cum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.select(round(col("bin") / 20.0, 2).as("cos_lo"), col("n_pairs"),
+        sum(col("n_pairs")).over(cum).as("pairs_at_tau"))
+      .orderBy(col("cos_lo"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, simhash,
-      embed, containment, semantic, report)
+      embed, containment, semantic, report, thresholdSweep)
 }

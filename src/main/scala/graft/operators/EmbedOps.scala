@@ -467,5 +467,53 @@ object EmbedOps {
       .orderBy(col("label_a"), col("label_b"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim)
+  /** Embedding drift monitor: per label, the cosine between the
+    * centroids of two deterministic corpus halves (vec_id parity —
+    * the stand-in for train-time vs serve-time batches). A drift_cos
+    * falling from ~1 is the "your embedding distribution moved"
+    * alarm run before any index rebuild. Per-dim means are snapped to
+    * 6dp BEFORE the cosine (making both engines' inputs exactly
+    * equal), then the cosine is the shared left-fold contract; the
+    * shuffle carries |labels|×dim×2 groups, map-side combined. */
+  val drift: GraftOp = GraftOp(
+    "emb_drift",
+    s"""WITH e AS (
+       |  SELECT label, vec_id % 2 AS half,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |c AS (SELECT label, half, dim, round(avg(v), 6) AS c FROM e GROUP BY 1, 2, 3),
+       |arr AS (SELECT label, half, list(c ORDER BY dim) AS ca FROM c GROUP BY 1, 2),
+       |n AS (SELECT label, vec_id % 2 AS half, CAST(count(*) AS BIGINT) AS n
+       |      FROM embeddings GROUP BY 1, 2)
+       |SELECT a.label, na.n AS n_even, nb.n AS n_odd,
+       |  round(${graft.functions.Exprs.sqlCosine("a.ca", "b.ca")}, 6) AS drift_cos
+       |FROM arr a JOIN arr b ON a.label = b.label AND a.half = 0 AND b.half = 1
+       |JOIN n na ON na.label = a.label AND na.half = 0
+       |JOIN n nb ON nb.label = a.label AND nb.half = 1
+       |ORDER BY a.label""".stripMargin) { (s, d) =>
+    import graft.functions.Exprs
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("half"), posexplode(col("embedding")))
+      .toDF("label", "half", "dim", "v")
+    val c = e.groupBy(col("label"), col("half"), col("dim"))
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("c"))
+    val arr = c.groupBy(col("label"), col("half"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), r -> r.c)").as("ca"))
+    val n = Tables.embeddings(s, d)
+      .groupBy(col("label"), (col("vec_id") % 2).as("half"))
+      .agg(count(lit(1)).as("n"))
+    arr.filter(col("half") === 0).select(col("label"), col("ca").as("ca0"))
+      .join(arr.filter(col("half") === 1).select(col("label"), col("ca").as("ca1")),
+        Seq("label"))
+      .join(n.filter(col("half") === 0).select(col("label"), col("n").as("n_even")),
+        Seq("label"))
+      .join(n.filter(col("half") === 1).select(col("label"), col("n").as("n_odd")),
+        Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(Exprs.cosine(col("ca0"), col("ca1")), 6).as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift)
 }
