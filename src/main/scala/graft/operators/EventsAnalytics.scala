@@ -1696,6 +1696,50 @@ object EventsAnalytics {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Burstiness index per event type (Goh & Barabási): B = (σ−μ)/
+    * (σ+μ) over the inter-arrival gaps of each type's corpus-wide
+    * stream — B→−1 periodic, B≈0 Poisson, B→1 bursty; the traffic-
+    * shape diagnostic behind q_gap_stats' raw percentiles (capacity
+    * planning needs the SHAPE, not just the quantiles). Gaps are
+    * exact whole seconds (epoch-micros diff under integer division),
+    * Σg and Σg² fold as exact BIGINTs; σ, μ and B are one double
+    * formula over three integers. One key-partitioned lag window. */
+  val burstiness: GraftOp = GraftOp(
+    "q_burstiness",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id))) // 1000000 AS gap
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap * gap) AS BIGINT) AS ss
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(CAST(s AS DOUBLE) / n, 6) AS mean_gap_s,
+      |  round((sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)) / n
+      |      - CAST(s AS DOUBLE) / n)
+      |    / (sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)) / n
+      |      + CAST(s AS DOUBLE) / n), 6) AS burstiness
+      |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("""(unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(lag(ts) OVER (
+          | PARTITION BY event_type ORDER BY ts, event_id) AS TIMESTAMP))) div 1000000"""
+          .stripMargin).as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"),
+        sum(col("gap") * col("gap")).as("ss"))
+      .select(col("event_type"), col("n"),
+        expr("round(CAST(s AS DOUBLE) / n, 6)").as("mean_gap_s"),
+        expr("""round((sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)) / n
+          |   - CAST(s AS DOUBLE) / n)
+          | / (sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)) / n
+          |   + CAST(s AS DOUBLE) / n), 6)""".stripMargin).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
   /** First-order Markov model of the event stream: the full
     * row-normalized transition matrix P(next | current) — q_transitions
     * keeps the top-20 raw counts; this emits EVERY cell with its
@@ -1795,5 +1839,5 @@ object EventsAnalytics {
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment,
-      seasonalAnomaly, markov, powerCurve, hourHeatmap)
+      seasonalAnomaly, markov, powerCurve, hourHeatmap, burstiness)
 }

@@ -1238,5 +1238,54 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta, pdfMeta)
+  /** Mixed-corpus container census — the composition op over ALL
+    * EIGHT container legs: each doc plants the format its id selects
+    * (png/gif/jpeg/wav/mp4/tar/zip/pdf), the matching walker parses it
+    * back, and the rollup reports per-format doc counts and parse
+    * successes — the "what is actually in this crawl bucket and how
+    * much of it opens" inventory a multimodal ingest runs first. The
+    * oracle predicts counts from id arithmetic; parsed_ok = n_docs
+    * hash-pins every builder→walker pair in one row each. Kernels in
+    * mapPartitions, one 8-group aggregate. */
+  val containerCensus: GraftOp = GraftOp(
+    "mm_container_census",
+    """WITH f AS (
+      |  SELECT CASE CAST(doc_id % 8 AS INT)
+      |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+      |    WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4' WHEN 5 THEN 'tar'
+      |    WHEN 6 THEN 'zip' ELSE 'pdf' END AS format
+      |  FROM documents)
+      |SELECT format, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS parsed_ok
+      |FROM f GROUP BY 1 ORDER BY format""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("format", StringType),
+      StructField("ok", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (fmt, ok) = (id % 8) match {
+          case 0 => "png" -> parsePngChunks(syntheticPng(id)).isDefined
+          case 1 => "gif" -> parseGifMeta(syntheticGif(id)).isDefined
+          case 2 => "jpeg" -> parseJpegMeta(syntheticJpeg((8 + id % 8).toInt, 8)).isDefined
+          case 3 => "wav" -> parseWavHeader(wavBytes(8000,
+            Array.tabulate(16)(i => ((id + i) % 256).toShort))).isDefined
+          case 4 => "mp4" -> parseMp4Meta(mp4Bytes("isom", 1000, (id % 5000).toInt)).isDefined
+          case 5 => "tar" -> parseTar(tarBytes(Seq(
+            s"$id.txt" -> s"doc $id".getBytes("UTF-8")))).isDefined
+          case 6 => "zip" -> parseZip(zipBytes(Seq(
+            s"$id.txt" -> s"doc $id".getBytes("UTF-8")))).isDefined
+          case _ => "pdf" -> parsePdf(pdfBytes((1 + id % 3).toInt, 612, 792)).isDefined
+        }
+        Row(id, fmt, if (ok) 1 else 0)
+      }
+    }(enc)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).cast(LongType).as("parsed_ok"))
+      .orderBy(col("format"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta, pdfMeta, containerCensus)
 }

@@ -879,6 +879,54 @@ object StatsOps {
       .select(col("n_days"), col("n_pairs"), col("slope_per_day"))
   }
 
+  /** Lorenz curve deciles of customer revenue — the plotted companion
+    * to [[gini]]'s scalar: customers ranked by exact spend cents into
+    * ntile(10) deciles, each with its head-count, revenue and the
+    * cumulative revenue share as an EXACT ppm floor ("the top decile
+    * holds X% of revenue"). One per-customer aggregate, one rank
+    * window over customer-bounded rows, a 10-row cumulative. */
+  val lorenz: GraftOp = GraftOp(
+    "q_lorenz",
+    """WITH s AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT cents, ntile(10) OVER (ORDER BY cents, cust) AS decile FROM s),
+      |g AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM g)
+      |SELECT decile, n_cust, cents,
+      |  CAST(sum(cents) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // tot AS BIGINT)
+      |    AS cum_share_ppm
+      |FROM g, t ORDER BY decile""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+        .cast(LongType).as("cents"))
+    val g = spend
+      .withColumn("decile", ntile(10).over(Window.orderBy(col("cents"), col("cust"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
+    val t = broadcast(g.agg(sum(col("cents")).as("tot")))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(t)
+      // cumulative × 10⁶ widened to DECIMAL(38): Σcents·10⁶ passes 2⁶³
+      // one SF above the driver scale (DuckDB widens to HUGEINT itself)
+      .select(col("decile"), col("n_cust"), col("cents"),
+        expr("""CAST(sum(cents) OVER (ORDER BY decile
+          | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) * 1000000"""
+          .stripMargin).as("cum_scaled"), col("tot"))
+      .select(col("decile"), col("n_cust"), col("cents"),
+        expr("cum_scaled div tot").as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
-    spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen)
+    spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz)
 }
