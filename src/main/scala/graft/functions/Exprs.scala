@@ -116,4 +116,66 @@ object Exprs {
   def sqlPqPlane(j: Int, c: Int, k: Int, sub: Int): String =
     sqlSeededPlane(1000 + j * k + c, sub)
 
+  // ---- wrapping-64 arithmetic on DuckDB HUGEINT (oracle side) ----
+  // The engine's hash kernels (HashImpls.rollingHash / mix64) run on
+  // wrapping JVM Longs. DuckDB replicates them on unsigned-64 HUGEINT:
+  // multiplies split at 2^32 so intermediates stay below 2^127, xor
+  // round-trips through signed BIGINT. First used by the q_cms_freq
+  // oracle (EventsAnalytics.scala); shared here for the fingerprint /
+  // simhash oracles.
+
+  /** 2^64 as a DuckDB literal. */
+  val sqlM64 = "18446744073709551616"
+
+  /** unsigned HUGEINT in [0, 2^64) → signed two's-complement BIGINT. */
+  def sqlU2S(x: String): String =
+    s"CAST($x - CASE WHEN $x >= 9223372036854775808 THEN $sqlM64 ELSE 0 END AS BIGINT)"
+
+  /** signed BIGINT → unsigned HUGEINT in [0, 2^64). */
+  def sqlS2U(x: String): String =
+    s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN $sqlM64 ELSE 0 END)"
+
+  /** (y * c) mod 2^64 with y unsigned HUGEINT, c an unsigned literal;
+    * split at 2^32 keeps every intermediate below 2^127. */
+  def sqlMulMod(y: String, c: String): String =
+    s"((($y % 4294967296) * $c + (($y // 4294967296) * $c % 4294967296) * 4294967296) % $sqlM64)"
+
+  /** DuckDB: the UTF-8 bytes of string column `src` as a HUGEINT list,
+    * JVM-signed (−128..127) — the exact byte stream
+    * HashImpls.rollingHash folds over. Codepoints come from per-char
+    * regexp split; each expands to its 1–4 UTF-8 bytes. */
+  def sqlUtf8Bytes(src: String): String =
+    s"""flatten(list_transform(list_transform(string_split_regex($src, ''),
+       |      c -> CASE WHEN c = '' THEN -1 ELSE unicode(c) END), p -> CASE
+       |    WHEN p < 0 THEN []
+       |    WHEN p < 128 THEN [CAST(p AS HUGEINT)]
+       |    WHEN p < 2048 THEN [CAST(192 + p // 64 - 256 AS HUGEINT), CAST(128 + p % 64 - 256 AS HUGEINT)]
+       |    WHEN p < 65536 THEN [CAST(224 + p // 4096 - 256 AS HUGEINT), CAST(128 + (p // 64) % 64 - 256 AS HUGEINT), CAST(128 + p % 64 - 256 AS HUGEINT)]
+       |    ELSE [CAST(240 + p // 262144 - 256 AS HUGEINT), CAST(128 + (p // 4096) % 64 - 256 AS HUGEINT), CAST(128 + (p // 64) % 64 - 256 AS HUGEINT), CAST(128 + p % 64 - 256 AS HUGEINT)] END))""".stripMargin
+
+  /** DuckDB: HashImpls.rollingHash over string column `src` —
+    * h = h·31 + byte (mod 2^64) from seed 1125899906842597 — as an
+    * unsigned HUGEINT. */
+  def sqlRollingHashU(src: String): String =
+    s"list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), ${sqlUtf8Bytes(src)}), " +
+      s"(h, b) -> ((h * 31 + b) % $sqlM64 + $sqlM64) % $sqlM64)"
+
+  /** DuckDB CTE chain replicating HashImpls.mix64 (the splitmix64
+    * finalizer) on an unsigned HUGEINT column: reads `$inCol` from CTE
+    * `$in`, carries `$carry` through, and ends with CTE `$out` holding
+    * carry + `hs` (the mixed hash as a SIGNED BIGINT). Caller splices
+    * this between two other CTE definitions. */
+  def sqlMix64Ctes(carry: Seq[String], in: String, inCol: String, out: String): String = {
+    val cs = carry.mkString(", ")
+    s"""${out}_m1 AS (SELECT $cs, ($inCol + 11400714819323198485) % $sqlM64 AS x FROM $in),
+       |${out}_m2 AS (SELECT $cs, ${sqlU2S("x")} AS sa, CAST(x // 1073741824 AS BIGINT) AS sb FROM ${out}_m1),
+       |${out}_m3 AS (SELECT $cs, ${sqlS2U("xor(sa, sb)")} AS y FROM ${out}_m2),
+       |${out}_m4 AS (SELECT $cs, ${sqlMulMod("y", "13787848793156543929")} AS x FROM ${out}_m3),
+       |${out}_m5 AS (SELECT $cs, ${sqlU2S("x")} AS sa, CAST(x // 134217728 AS BIGINT) AS sb FROM ${out}_m4),
+       |${out}_m6 AS (SELECT $cs, ${sqlS2U("xor(sa, sb)")} AS y FROM ${out}_m5),
+       |${out}_m7 AS (SELECT $cs, ${sqlMulMod("y", "10723151780598845931")} AS x FROM ${out}_m6),
+       |${out}_m8 AS (SELECT $cs, ${sqlU2S("x")} AS sa, CAST(x // 2147483648 AS BIGINT) AS sb FROM ${out}_m7),
+       |$out AS (SELECT $cs, xor(sa, sb) AS hs FROM ${out}_m8)""".stripMargin
+  }
+
 }

@@ -642,9 +642,39 @@ object DedupOps {
 
   /** SimHash near-dup: 64-bit simhash (native Catalyst expression),
     * 4×16-bit LSH bands for candidates, Hamming ≤ 6 verification via
-    * bit_count(xor). Wrapping-Long simhash isn't portable to DuckDB →
-    * rows-only; semantics spec'd in DedupSpec. */
-  val simhash: GraftOp = GraftOp.rowsOnly("dedup_simhash") { (s, d) =>
+    * bit_count(xor). The wrapping-Long kernel (per-token rollingHash →
+    * splitmix64 finalizer → 64-bit voting) is replicated in DuckDB on
+    * the Exprs HUGEINT idiom — the oracle hashes DISTINCT tokens once
+    * (the vote sum only needs each instance's hash, so instances join
+    * back by token), votes via signed arithmetic shifts ((hs>>b)&1 is
+    * bit b regardless of sign fill), and reruns the full band join +
+    * Hamming verify independently. */
+  val simhash: GraftOp = GraftOp(
+    "dedup_simhash",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+       |dtok AS (SELECT DISTINCT t FROM tok),
+       |rh AS (SELECT t, ${Exprs.sqlRollingHashU("t")} AS th FROM dtok),
+       |${Exprs.sqlMix64Ctes(Seq("t"), "rh", "th", "hh")},
+       |inst AS (SELECT tok.doc_id, hh.hs FROM tok JOIN hh USING (t)),
+       |vote AS (
+       |  SELECT doc_id, b, sum(CASE WHEN ((hs >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM inst CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT)
+       |                             ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS shu
+       |  FROM vote GROUP BY 1),
+       |d AS (SELECT doc_id, ${Exprs.sqlU2S("shu")} AS sh, shu FROM sh),
+       |band AS (
+       |  SELECT doc_id, sh, b AS band,
+       |    CAST((shu // CAST(power(2, b * 16) AS HUGEINT)) % 65536 AS INT) AS bucket
+       |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = simhashDocs(s, d)
     val banded = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 to 3).map(b =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.GraftOp
+import graft.functions.Exprs
 import graft.sources.Tables
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -116,10 +117,17 @@ object TextOps {
   }
 
   /** Document fingerprint via the native RollingHash64 Catalyst
-    * expression (codegen'd 64-bit polynomial hash). Wraparound Long
-    * arithmetic isn't expressible in DuckDB SQL → rows-only; values are
-    * pinned in RollingHashSpec. */
-  val fingerprint: GraftOp = GraftOp.rowsOnly("text_fingerprint") { (s, d) =>
+    * expression (codegen'd 64-bit polynomial hash). The wrapping-Long
+    * fold is replicated in DuckDB on unsigned HUGEINT (Exprs.sqlM64
+    * idiom): per-char UTF-8 byte expansion, then the identical
+    * h·31+byte fold — so the custom codegen kernel is cross-checked
+    * bit-for-bit by an independent engine, not just the spec pin. */
+  val fingerprint: GraftOp = GraftOp(
+    "text_fingerprint",
+    s"""WITH f AS (
+       |  SELECT doc_id, ${Exprs.sqlRollingHashU("text")} AS fpu FROM documents)
+       |SELECT doc_id, ${Exprs.sqlU2S("fpu")} AS fp64
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.rolling_hash(col("text")).as("fp64"))
       .orderBy(col("doc_id"))
