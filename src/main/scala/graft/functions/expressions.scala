@@ -113,6 +113,23 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Mix64(bigint) — the splitmix64 finalizer as a native expression:
+  * the engine's deterministic pseudo-shuffle key (epoch reshuffles,
+  * salting). Codegen'd; DuckDB twin is Exprs.sqlMix64Ctes. */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.mix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.mix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
 /** SimHash64(array<string>) — native Catalyst expression: 64-bit
   * SimHash over a token array (per-token splitmix64, per-bit voting).
   */

@@ -13,6 +13,11 @@ package object functions {
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
 
+  /** splitmix64 finalizer over a BIGINT column (HashImpls.mix64) —
+    * the deterministic shuffle key; DuckDB twin: Exprs.sqlMix64Ctes. */
+  def mix64(c: Column): Column =
+    ColumnShim.column(Mix64(ColumnShim.expression(c)))
+
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 

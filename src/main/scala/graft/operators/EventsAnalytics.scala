@@ -1834,10 +1834,74 @@ object EventsAnalytics {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /** Daily peak concurrent sessions — the capacity-planning sweep
+    * line: +1 at each session start, −1 at its end, running sum, max.
+    * Sessions come from the standard 30-min-gap sessionization
+    * (q_session's CTE); each session counts in its START day (stated
+    * semantics — no midnight clipping, identical both engines). Ties
+    * at the same instant process starts before ends (inclusive
+    * endpoints), and the day's MAX of the running sum is invariant to
+    * the ordering of same-timestamp deltas, so the emitted peak is
+    * deterministic even though intermediate prefix sums are not.
+    * Scale shape: the sweep window partitions by DAY — per-reducer
+    * work is bounded by a day's session count, the same bound every
+    * daily rollup here already carries. */
+  val peakConcurrency: GraftOp = GraftOp(
+    "q_peak_concurrency",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM y),
+      |se AS (
+      |  SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+      |  FROM z GROUP BY 1, 2),
+      |dl AS (
+      |  SELECT CAST(st AS DATE) AS day, st AS ts, 1 AS delta FROM se
+      |  UNION ALL
+      |  SELECT CAST(st AS DATE) AS day, en AS ts, -1 AS delta FROM se),
+      |r AS (
+      |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+      |    ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM dl),
+      |pk AS (SELECT day, CAST(max(c) AS BIGINT) AS peak_concurrency FROM r GROUP BY 1),
+      |ns AS (SELECT CAST(st AS DATE) AS day, count(*) AS n_sessions FROM se GROUP BY 1)
+      |SELECT pk.day AS day, ns.n_sessions, pk.peak_concurrency
+      |FROM pk JOIN ns ON pk.day = ns.day
+      |ORDER BY pk.day""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val se = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val dl = se.select(col("st").cast(DateType).as("day"), col("st").as("ts"), lit(1).as("delta"))
+      .unionAll(se.select(col("st").cast(DateType).as("day"), col("en").as("ts"), lit(-1).as("delta")))
+    val r = dl.withColumn("c",
+      sum(col("delta")).over(Window.partitionBy(col("day"))
+        .orderBy(col("ts"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pk = r.groupBy(col("day")).agg(max(col("c")).cast(LongType).as("peak_concurrency"))
+    val ns = se.groupBy(col("st").cast(DateType).as("day")).agg(count(lit(1)).as("n_sessions"))
+    pk.join(ns, "day").select(col("day"), col("n_sessions"), col("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment,
-      seasonalAnomaly, markov, powerCurve, hourHeatmap, burstiness)
+      seasonalAnomaly, markov, powerCurve, hourHeatmap, burstiness, peakConcurrency)
 }

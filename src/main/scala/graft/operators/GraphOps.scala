@@ -942,6 +942,75 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Personalized PageRank from a single seed nation (teleport mass
+    * returns to the SEED instead of spreading uniformly) — the
+    * "influence relative to X" / seeded-recommendation variant.
+    * Identical loop shape to [[pagerank]] (ranks ⋈ edges on src,
+    * groupBy dst, one shuffle per round, 1e-10 grid snap per round →
+    * exact-fixpoint early stop stays bit-identical to the fixed
+    * 10-round oracle); only the teleport vector changes, so the
+    * 100-TB story is the same join-aggregate round. Dangling mass is
+    * dropped, matching [[pagerank]]'s stated semantics. */
+  val ppr: GraftOp = GraftOp(
+    "graph_ppr",
+    {
+      val seed = "NATION_0"
+      val base = s"""WITH edges AS (
+        |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |    AND o_custkey = c_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND n1.n_nationkey <> n2.n_nationkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |p0 AS (SELECT node,
+        |  CASE WHEN node = '$seed' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank
+        |  FROM nodes)""".stripMargin
+      val iters = (1 to Iters).map { k =>
+        s"""p$k AS (
+           |  SELECT n.node,
+           |    round(CASE WHEN n.node = '$seed' THEN CAST(${1 - Damping} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+           |      + CAST($Damping AS DOUBLE) * coalesce(sum(p.rank / d.outdeg), 0), 10) AS rank
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN p${k - 1} p ON p.node = e.src
+           |  LEFT JOIN deg d ON d.src = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"$base$iters\nSELECT node, rank FROM p$Iters ORDER BY rank DESC, node"
+    }) { (s, d) =>
+    val seed = "NATION_0"
+    val edges = ConnectedComponents.snapshot(tradeEdges(s, d))
+    val nodes = ConnectedComponents.snapshot(
+      edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct())
+    val deg = ConnectedComponents.snapshot(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val teleport = when(col("node") === seed, lit(1.0 - Damping)).otherwise(lit(0.0))
+    var ranks: DataFrame = ConnectedComponents.snapshot(
+      nodes.select(col("node"),
+        when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)).as("rank")))
+    var iter = 0
+    var fixpoint = false
+    while (iter < Iters && !fixpoint) {
+      val next = ConnectedComponents.snapshot(nodes
+        .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"), "left")
+        .join(deg, Seq("src"), "left")
+        .groupBy(col("node"))
+        .agg(round(max(teleport) +
+          lit(Damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank")))
+      val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+        .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
+      fixpoint = delta == 0.0
+      ConnectedComponents.release(ranks)
+      ranks = next
+      iter += 1
+    }
+    Seq(edges, nodes, deg).foreach(ConnectedComponents.release)
+    ranks.orderBy(col("rank").desc, col("node"))
+  }
+
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
-    clustering, assortativity, closeness)
+    clustering, assortativity, closeness, ppr)
 }

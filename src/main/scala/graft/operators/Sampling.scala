@@ -288,7 +288,44 @@ object Sampling {
       .orderBy(col("shard"))
   }
 
+  /** Deterministic per-epoch reshuffle for training-data ordering:
+    * every epoch visits every document exactly once in a different
+    * pseudo-random order, reproducible from (doc_id, epoch) alone —
+    * no RNG state, no materialized permutation table. The shuffle key
+    * is the codegen'd mix64 (splitmix64 finalizer) of
+    * doc_id + epoch·1000003; documents are then SHARDED by the key
+    * (8 here) and ordered within (epoch, shard), so the per-reducer
+    * sort is bounded by corpus/shards — at 100 TB each shard becomes
+    * one sorted output file and no single reducer ever sees the whole
+    * epoch. The oracle replicates mix64 on HUGEINT (Exprs idiom) and
+    * re-derives the identical order. */
+  val epochShuffle: GraftOp = GraftOp(
+    "sample_epoch_shuffle", {
+      val E = graft.functions.Exprs
+      s"""WITH e AS (
+         |  SELECT doc_id, ep FROM documents
+         |  CROSS JOIN (SELECT unnest(range(2)) AS ep)),
+         |inb AS (
+         |  SELECT doc_id, ep, CAST(doc_id + ep * 1000003 AS HUGEINT) AS ku FROM e),
+         |${E.sqlMix64Ctes(Seq("doc_id", "ep"), "inb", "ku", "mx")}
+         |SELECT ep AS epoch, ((hs % 8) + 8) % 8 AS shard,
+         |  row_number() OVER (PARTITION BY ep, ((hs % 8) + 8) % 8
+         |                     ORDER BY hs, doc_id) AS pos,
+         |  doc_id
+         |FROM mx ORDER BY epoch, shard, pos""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.documents(s, d).select(col("doc_id"))
+      .crossJoin(s.range(2).toDF("epoch"))
+      .withColumn("k", graft.functions.mix64(col("doc_id") + col("epoch") * 1000003L))
+      .withColumn("shard", pmod(col("k"), lit(8L)))
+    e.withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard")).orderBy(col("k"), col("doc_id"))))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced, shard)
+      balanced, shard, epochShuffle)
 }

@@ -927,6 +927,170 @@ object StatsOps {
       .orderBy(col("decile"))
   }
 
+  /** Benjamini-Hochberg FDR control over the per-event-type family of
+    * A/B trigger-rate tests — the multiple-comparisons step every
+    * experiment readout with more than one metric needs. Per segment
+    * (event_type): two-proportion z on "user triggered this event
+    * type", exact four-integer state per segment (one shuffle). The
+    * two-sided p comes from the Abramowitz-Stegun 7.1.26 erf
+    * polynomial — IDENTICAL formula text in both engines, fed the
+    * 6dp-SNAPPED z so both engines evaluate the same input; the BH
+    * step-up (reject all ranks ≤ k* = max{i : p_i ≤ α·i/m}) then
+    * compares 6dp-snapped p to thresholds that are exact functions of
+    * integers, so the decision is deterministic, not knife-edge. m is
+    * the segment count — a handful of rows after the heavy agg, so
+    * the ranking window is trivially bounded. */
+  val fdrBh: GraftOp = GraftOp(
+    "q_fdr_bh", {
+      val erfc = (x: String) =>
+        s"""(0.254829592 * (1.0 / (1.0 + 0.3275911 * $x))
+           |  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * $x), 2)
+           |  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * $x), 3)
+           |  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * $x), 4)
+           |  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * $x), 5))
+           | * exp(-($x) * ($x))""".stripMargin
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS variant
+         |  FROM events GROUP BY 1, 2),
+         |seg AS (
+         |  SELECT e.event_type AS segment, u.user_id, u.variant
+         |  FROM events e JOIN u ON e.user_id = u.user_id
+         |  GROUP BY 1, 2, 3),
+         |base AS (
+         |  SELECT variant, count(*) AS n FROM u GROUP BY 1),
+         |g AS (
+         |  SELECT segment,
+         |    (SELECT n FROM base WHERE variant = 'A') AS n_a,
+         |    (SELECT n FROM base WHERE variant = 'B') AS n_b,
+         |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS c_a,
+         |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS c_b
+         |  FROM seg GROUP BY 1),
+         |z AS (
+         |  SELECT segment, n_a, n_b, c_a, c_b,
+         |    CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+         |         ELSE round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+         |      / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+         |        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+         |        * (1.0 / n_a + 1.0 / n_b)), 6) END AS zv
+         |  FROM g),
+         |p AS (
+         |  SELECT segment, n_a, n_b, c_a, c_b, zv,
+         |    round(${erfc("abs(zv) / sqrt(2.0)")}, 6) AS pv
+         |  FROM z),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY pv, segment) AS rnk,
+         |    count(*) OVER () AS m
+         |  FROM p),
+         |k AS (
+         |  SELECT *, max(CASE WHEN pv <= 0.05 * rnk / m THEN rnk ELSE 0 END) OVER () AS kstar
+         |  FROM r)
+         |SELECT segment, n_a, n_b, c_a, c_b, zv AS z, pv AS p,
+         |  CAST(rnk AS BIGINT) AS rank,
+         |  CASE WHEN rnk <= kstar THEN 1 ELSE 0 END AS significant
+         |FROM k ORDER BY rank""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val u = ev.select(col("user_id")).distinct()
+      .withColumn("variant",
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B"))
+    val seg = ev.select(col("event_type").as("segment"), col("user_id")).distinct()
+      .join(u, "user_id")
+    val base = u.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+      .groupBy().pivot("variant", Seq("A", "B")).agg(first(col("n")))
+      .toDF("n_a", "n_b")
+    val g = seg.groupBy(col("segment"))
+      .agg(
+        count(when(col("variant") === "A", 1)).as("c_a"),
+        count(when(col("variant") === "B", 1)).as("c_b"))
+      .crossJoin(broadcast(base))
+    val z = g.withColumn("z",
+      expr("""CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+        | ELSE round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        | / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |   * (1.0 / n_a + 1.0 / n_b)), 6) END""".stripMargin))
+    val p = z.withColumn("p", expr(
+      """round((0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+        |  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 2)
+        |  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 3)
+        |  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 4)
+        |  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 5))
+        | * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))), 6)""".stripMargin))
+    val r = p
+      .withColumn("rank", row_number().over(Window.orderBy(col("p"), col("segment"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+    val k = r.withColumn("kstar",
+      max(when(col("p") <= lit(0.05) * col("rank") / col("m"), col("rank")).otherwise(0L))
+        .over(Window.partitionBy()))
+    k.select(col("segment"), col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        col("z"), col("p"), col("rank"),
+        when(col("rank") <= col("kstar"), 1).otherwise(0).as("significant"))
+      .orderBy(col("rank"))
+  }
+
+  /** Population Stability Index — THE production drift gate for
+    * feature/score distributions between a reference and a current
+    * period. Reference = 1992-94 orders, current = 1995+; 10
+    * equal-width bins over the reference's exact cent range (bin
+    * edges are pure integer arithmetic, so binning is
+    * engine-exact; current-period outliers clamp into the edge
+    * bins), +1 Laplace smoothing so empty bins stay finite. The one
+    * double formula (q2−q1)·ln(q2/q1) runs per bin over exact
+    * integers with a 6dp snap. One pass per period for the range, one
+    * for the histogram — no sort, no percentile machinery; at 100 TB
+    * this is two scans and a 10-row reduce. */
+  val psi: GraftOp = GraftOp(
+    "q_psi",
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 2 END AS period
+      |  FROM orders),
+      |rng AS (
+      |  SELECT min(cents) AS lo, max(cents) AS hi FROM o WHERE period = 1),
+      |b AS (
+      |  SELECT period,
+      |    greatest(0, least(9, CAST((cents - (SELECT lo FROM rng)) * 10
+      |      // ((SELECT hi FROM rng) - (SELECT lo FROM rng) + 1) AS BIGINT))) AS bin
+      |  FROM o),
+      |h AS (
+      |  SELECT bin,
+      |    CAST(count(*) FILTER (WHERE period = 1) AS BIGINT) AS n1,
+      |    CAST(count(*) FILTER (WHERE period = 2) AS BIGINT) AS n2
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM h)
+      |SELECT bin, n1, n2,
+      |  round((CAST(n2 + 1 AS DOUBLE) / ((SELECT t2 FROM t) + 10)
+      |        - CAST(n1 + 1 AS DOUBLE) / ((SELECT t1 FROM t) + 10))
+      |    * ln((CAST(n2 + 1 AS DOUBLE) / ((SELECT t2 FROM t) + 10))
+      |       / (CAST(n1 + 1 AS DOUBLE) / ((SELECT t1 FROM t) + 10))), 6) AS psi_contrib
+      |FROM h ORDER BY bin""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"),
+      when(col("o_orderdate") < "1998-01-01 00:00:00", 1).otherwise(2).as("period"))
+    val rng = o.filter(col("period") === 1)
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val b = o.crossJoin(broadcast(rng))
+      .select(col("period"),
+        greatest(lit(0L), least(lit(9L),
+          expr("(cents - lo) * 10 div (hi - lo + 1)"))).as("bin"))
+    val h = b.groupBy(col("bin"))
+      .agg(
+        count(when(col("period") === 1, 1)).as("n1"),
+        count(when(col("period") === 2, 1)).as("n2"))
+    val t = h.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    h.crossJoin(broadcast(t))
+      .select(col("bin"), col("n1"), col("n2"),
+        round(((col("n2") + 1).cast("double") / (col("t2") + 10)
+          - (col("n1") + 1).cast("double") / (col("t1") + 10))
+          * log(((col("n2") + 1).cast("double") / (col("t2") + 10))
+            / ((col("n1") + 1).cast("double") / (col("t1") + 10))), 6).as("psi_contrib"))
+      .orderBy(col("bin"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
-    spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz)
+    spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi)
 }

@@ -866,8 +866,46 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Lexical-diversity profile per source: type-token ratio (distinct
+    * tokens / tokens) and hapax share (tokens occurring once in the
+    * source / distinct tokens) — the corpus-health gauges that flag
+    * templated or boilerplate-heavy slices (low TTR = dedup/filter
+    * candidates; the synthetic slices here score low by construction).
+    * One explode + two bounded aggregates; all counts exact BIGINTs,
+    * the two ratios are one double division each with a 6dp snap. At
+    * 100 TB the (source, token) agg is the only wide shuffle and it is
+    * the same shape text_top_tokens already carries. */
+  val ttr: GraftOp = GraftOp(
+    "text_ttr",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |tc AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source,
+      |    CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax
+      |  FROM tc GROUP BY 1)
+      |SELECT source, n_tokens, n_types, n_hapax,
+      |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+      |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+    val tc = t.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    tc.groupBy(col("source"))
+      .agg(
+        sum(col("n")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("n") === 1, 1)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_share"))
+      .orderBy(col("source"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
-      readability, jsDivergence)
+      readability, jsDivergence, ttr)
 }
