@@ -1287,5 +1287,190 @@ object MmOps {
       .orderBy(col("format"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta, pdfMeta, containerCensus)
+  /** MPEG-1 Layer III bitrate table (kbps), index 1..14 (0 = free, 15
+    * = bad — neither planted). Public constants from ISO/IEC 11172-3. */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Build a REAL MPEG-1 Layer III stream: `nFrames` frames, each a
+    * genuine 4-byte header (sync, version, layer, bitrate index,
+    * sample-rate index, padding 0) plus a zero payload of the exact
+    * spec frame length ⌊144000·kbps/rate⌋. */
+  private[graft] def mp3Stream(bitrateIdx: Int, rateIdx: Int, nFrames: Int): Array[Byte] = {
+    val frameLen = 144000 * Mp3Bitrates(bitrateIdx) / Mp3Rates(rateIdx)
+    val out = new Array[Byte](frameLen * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte // MPEG-1, Layer III, no CRC
+      out(o + 2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte
+      out(o + 3) = 0 // stereo, no emphasis
+      f += 1
+    }
+    out
+  }
+
+  /** Walk an MP3 stream frame-by-frame using each header's OWN length
+    * field (the real parser discipline — no trust in caller-known
+    * frame counts): (bitrate_kbps, sample_rate, n_frames), or None on
+    * a bad sync / inconsistent parameters. */
+  private[graft] def parseMp3(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    var o = 0
+    var n = 0
+    var kbps = -1
+    var rate = -1
+    while (o + 4 <= bytes.length) {
+      if (bytes(o) != 0xFF.toByte || (bytes(o + 1) & 0xFE) != 0xFA) return None
+      val bIdx = (bytes(o + 2) >> 4) & 0xF
+      val rIdx = (bytes(o + 2) >> 2) & 0x3
+      if (bIdx == 0 || bIdx == 15 || rIdx == 3) return None
+      val k = Mp3Bitrates(bIdx)
+      val r = Mp3Rates(rIdx)
+      if (kbps == -1) { kbps = k; rate = r }
+      else if (kbps != k || rate != r) return None
+      val frameLen = 144000 * k / r + ((bytes(o + 2) >> 1) & 1)
+      if (frameLen < 4) return None
+      o += frameLen
+      n += 1
+    }
+    if (n == 0 || o != bytes.length) None else Some((kbps, rate, n))
+  }
+
+  /** MP3 frame-sync walk — the ninth container leg (compressed-audio
+    * metadata next to WAV's PCM): hash-derived parameters → a genuine
+    * MPEG-1 Layer III stream → the kernel re-derives bitrate/rate/
+    * frame count by walking sync words and per-header frame lengths.
+    * Duration is exact integer math: each Layer III frame spans 1152
+    * samples. The oracle replays the hash-derived parameters and the
+    * spec arithmetic analytically. */
+  val mp3Meta: GraftOp = GraftOp(
+    "mm_mp3_meta",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(1 + ${Exprs.sqlMd5Long("text")} % 14 AS INT) AS b_idx,
+       |    CAST((${Exprs.sqlMd5Long("text")} >> 4) % 3 AS INT) AS r_idx,
+       |    CAST(50 + (${Exprs.sqlMd5Long("text")} >> 6) % 200 AS INT) AS n_frames
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |    list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320], b_idx) AS bitrate_kbps,
+       |    list_extract([44100, 48000, 32000], r_idx + 1) AS sample_rate,
+       |    n_frames
+       |  FROM m)
+       |SELECT doc_id, CAST(bitrate_kbps AS INT) AS bitrate_kbps,
+       |  CAST(sample_rate AS INT) AS sample_rate, n_frames,
+       |  CAST(n_frames AS BIGINT) * 1152 * 1000 // sample_rate AS duration_ms
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h = Exprs.md5Long(col("text"))
+    val params = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(1) + h % 14).cast(IntegerType).as("b_idx"),
+        (shiftright(h, 4) % 3).cast(IntegerType).as("r_idx"),
+        (lit(50) + shiftright(h, 6) % 200).cast(IntegerType).as("n_frames"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("bitrate_kbps", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    params.mapPartitions { rows =>
+      rows.map { r =>
+        val stream = mp3Stream(r.getInt(1), r.getInt(2), r.getInt(3))
+        val (kbps, rate, n) = parseMp3(stream).getOrElse(
+          throw new IllegalStateException(s"unparseable planted MP3 for doc ${r.getLong(0)}"))
+        Row(r.getLong(0), kbps, rate, n, n.toLong * 1152 * 1000 / rate)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  /** Build a REAL FLAC header: "fLaC" magic + a last-flagged
+    * STREAMINFO metadata block with the genuine big-endian bit
+    * packing (16+16 blocksizes, 24+24 framesizes, then the 64-bit
+    * rate(20)|channels-1(3)|bps-1(5)|totalSamples(36) group, 16-byte
+    * zero MD5). */
+  private[graft] def flacHeader(sampleRate: Int, channels: Int, bps: Int,
+      totalSamples: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+    bb.put("fLaC".getBytes("US-ASCII"))
+    bb.put((0x80).toByte) // last-metadata-block | type 0 (STREAMINFO)
+    bb.put(0.toByte).put(0.toByte).put(34.toByte) // 24-bit length
+    bb.putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // min framesize (unknown)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // max framesize (unknown)
+    val group = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | (totalSamples & 0xFFFFFFFFFL)
+    bb.putLong(group)
+    bb.put(new Array[Byte](16)) // md5 of raw audio (zeros: unknown)
+    bb.array()
+  }
+
+  /** Parse a FLAC STREAMINFO header: (sampleRate, channels, bps,
+    * totalSamples), or None when magic/type/length don't check out. */
+  private[graft] def parseFlacHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length < 42) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (new String(magic, "US-ASCII") != "fLaC") return None
+    val header = bb.get()
+    if ((header & 0x7F) != 0) return None // STREAMINFO must be type 0
+    val len = ((bb.get() & 0xFF) << 16) | ((bb.get() & 0xFF) << 8) | (bb.get() & 0xFF)
+    if (len != 34) return None
+    bb.getShort; bb.getShort // blocksizes
+    bb.position(bb.position() + 6) // framesizes
+    val group = bb.getLong
+    val rate = (group >>> 44).toInt
+    val channels = ((group >>> 41) & 0x7).toInt + 1
+    val bps = ((group >>> 36) & 0x1F).toInt + 1
+    val total = group & 0xFFFFFFFFFL
+    Some((rate, channels, bps, total))
+  }
+
+  /** FLAC STREAMINFO walk — the tenth container leg (lossless-audio
+    * metadata): hash-derived parameters → genuine fLaC magic +
+    * bit-packed STREAMINFO → parsed back field by field. The 20/3/5/36
+    * bit group exercises sub-byte big-endian packing no other leg
+    * does. Oracle replays the parameters analytically. */
+  val flacMeta: GraftOp = GraftOp(
+    "mm_flac_meta",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(list_extract([8000, 16000, 22050, 44100, 48000, 96000],
+       |      CAST(1 + ${Exprs.sqlMd5Long("text")} % 6 AS INT)) AS INT) AS sample_rate,
+       |    CAST(1 + (${Exprs.sqlMd5Long("text")} >> 3) % 2 AS INT) AS channels,
+       |    CAST(CASE WHEN (${Exprs.sqlMd5Long("text")} >> 5) % 2 = 0 THEN 16 ELSE 24 END AS INT) AS bps,
+       |    CAST(10000 + (${Exprs.sqlMd5Long("text")} >> 7) % 100000 AS BIGINT) AS total_samples
+       |  FROM documents)
+       |SELECT doc_id, sample_rate, channels, bps, total_samples,
+       |  total_samples * 1000 // sample_rate AS duration_ms
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h = Exprs.md5Long(col("text"))
+    val rates = Array(8000, 16000, 22050, 44100, 48000, 96000)
+    val params = Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(lit(rates), (lit(1) + h % 6).cast(IntegerType)).as("sample_rate"),
+        (lit(1) + shiftright(h, 3) % 2).cast(IntegerType).as("channels"),
+        when(shiftright(h, 5) % 2 === 0, 16).otherwise(24).as("bps"),
+        (lit(10000L) + shiftright(h, 7) % 100000).cast(LongType).as("total_samples"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bps", IntegerType),
+      StructField("total_samples", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    params.mapPartitions { rows =>
+      rows.map { r =>
+        val header = flacHeader(r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+        val (rate, ch, bps, total) = parseFlacHeader(header).getOrElse(
+          throw new IllegalStateException(s"unparseable planted FLAC for doc ${r.getLong(0)}"))
+        Row(r.getLong(0), rate, ch, bps, total, total * 1000 / rate)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta)
 }
