@@ -20,6 +20,15 @@ import org.apache.spark.sql.types._
   */
 object MmOps {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // ImageIO.read/write round-trips a temp FILE, so a per-row codec
+  // kernel pays an fsync'd create/delete per image — with 32 threads
+  // that is tmp-dir contention, not decoding. Blobs here are small
+  // in-memory byte arrays; the memory cache is strictly better. Class
+  // init runs wherever the kernel lambdas first call into this object
+  // (driver and every executor JVM alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Binary ingest + metadata: text bytes stand in for media blobs. */
   val meta: GraftOp = GraftOp(
     "mm_meta",

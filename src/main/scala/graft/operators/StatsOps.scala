@@ -1091,6 +1091,64 @@ object StatsOps {
       .orderBy(col("bin"))
   }
 
+  /** Deterministic Poisson bootstrap of the mean purchase value — the
+    * scale-out way to put an uncertainty band on a metric: resample
+    * weights are Poisson(1) draws (the standard big-data bootstrap
+    * approximation — no resample materialization, one pass), and the
+    * "randomness" is the engine's mix64 of (event_id·64+b), so all B
+    * resamples are REPRODUCIBLE across engines, runs, and partitions
+    * — which is what makes the whole thing oracle-checkable. The draw
+    * maps the hash to u ∈ [0,10⁶) and inverts the Poisson(1) CDF via
+    * fixed integer thresholds (identical CASE text both engines);
+    * Σw·cents / Σw folds exact BIGINTs, one double division per
+    * resample at the end. One scan of purchases × B cheap hashes, a
+    * B-row reduce — no resample shuffle, no driver loop. */
+  val bootstrapCi: GraftOp = GraftOp(
+    "q_bootstrap_ci", {
+      val E = graft.functions.Exprs
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |x AS (
+         |  SELECT cents, b, CAST(event_id * 64 + b AS HUGEINT) AS ku
+         |  FROM p CROSS JOIN (SELECT unnest(range(30)) AS b)),
+         |${E.sqlMix64Ctes(Seq("cents", "b"), "x", "ku", "mx")},
+         |w AS (
+         |  SELECT cents, b, CASE
+         |    WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+         |    WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+         |    WHEN u < 999917 THEN 6 ELSE 7 END AS wt
+         |  FROM (SELECT cents, b, (${E.sqlS2U("hs")} // 2) % 1000000 AS u FROM mx)),
+         |g AS (
+         |  SELECT b, CAST(sum(wt) AS BIGINT) AS n_eff,
+         |    CAST(sum(wt * cents) AS BIGINT) AS s_cents
+         |  FROM w GROUP BY 1)
+         |SELECT b, n_eff,
+         |  round(CAST(s_cents AS DOUBLE) / n_eff / 100.0, 6) AS mean_value
+         |FROM g ORDER BY b""".stripMargin
+    }) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    p.crossJoin(broadcast(s.range(30).toDF("b")))
+      .withColumn("u",
+        shiftrightunsigned(graft.functions.mix64(col("event_id") * 64 + col("b")), 1) % 1000000)
+      .withColumn("wt", expr(
+        """CASE
+          | WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+          | WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+          | WHEN u < 999917 THEN 6 ELSE 7 END""".stripMargin))
+      .groupBy(col("b"))
+      .agg(sum(col("wt")).cast(LongType).as("n_eff"),
+        sum(col("wt") * col("cents")).cast(LongType).as("s_cents"))
+      .select(col("b"), col("n_eff"),
+        expr("round(CAST(s_cents AS DOUBLE) / n_eff / 100.0, 6)").as("mean_value"))
+      .orderBy(col("b"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
-    spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi)
+    spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
+    bootstrapCi)
 }

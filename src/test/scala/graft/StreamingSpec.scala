@@ -863,6 +863,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(readOut() === batch, "replaying a delivered suffix must not move the profile")
     } finally q.stop()
   }
+
+  test("streaming drift monitor: replay adds zero, histogram matches batch, PSI is the q_psi formula") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val purchases = rows.filter(_.event_type == "purchase")
+    def cents(v: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+    val (lo, hi) = (purchases.map(e => cents(e.value)).min, purchases.map(e => cents(e.value)).max)
+    def binOf(c: Long): Int = math.max(0L, math.min(9L, (c - lo) * 10 / (hi - lo + 1))).toInt
+    // reference histogram: distinct users per bin over the FIRST half
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val ref = half1.filter(_.event_type == "purchase")
+      .map(e => (binOf(cents(e.value)), e.user_id)).distinct
+      .groupBy(_._1).map { case (b, xs) => b -> xs.length.toLong }
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.driftStream(mem.toDS(), lo, hi)
+      .toDF("bin", "d_users")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_out").start()
+    try {
+      mem.addData(half1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      def hist(): Map[Int, Long] = spark.table("drift_out")
+        .groupBy("bin").agg(sum("d_users").as("u"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val afterAll = hist()
+      // at-least-once replay of the whole second half: the per-user
+      // bin bitmask makes every replayed touch a no-op
+      mem.addData(half2.toIndexedSeq)
+      q.processAllAvailable()
+      assert(hist() === afterAll, "replay must add zero bin deltas")
+      // batch parity: distinct users per bin over the whole stream
+      val batch = purchases.map(e => (binOf(cents(e.value)), e.user_id)).distinct
+        .groupBy(_._1).map { case (b, xs) => b -> xs.length.toLong }
+      assert(afterAll === batch)
+      // PSI against the first-half reference is finite, deterministic,
+      // and equals the same formula applied to the batch histograms
+      val psi = StreamingPipelines.psiOf(ref, afterAll)
+      assert(psi === StreamingPipelines.psiOf(ref, batch))
+      assert(psi >= 0.0 && java.lang.Double.isFinite(psi))
+    } finally q.stop()
+  }
 }
 
 class SinkSpec extends AnyFunSuite {
@@ -925,4 +978,5 @@ class SinkSpec extends AnyFunSuite {
       .head.getString(0)
     assert(stmt === raw"INSERT INTO t (amount,code,tag) VALUES (42,'7','x\'y')")
   }
+
 }
