@@ -1481,5 +1481,129 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta)
+  /** Build a REAL Exif APP1 segment inside a minimal JPEG: SOI, APP1
+    * ("Exif\0\0" + TIFF header in the REQUESTED byte order + IFD0 with
+    * Orientation/PixelXDimension/PixelYDimension entries), EOI. SHORT
+    * values are left-justified in their 4-byte field per the TIFF
+    * spec — the byte-order-dependent detail the parser must honor. */
+  private[graft] def exifJpeg(littleEndian: Boolean, orientation: Int,
+      pixX: Int, pixY: Int): Array[Byte] = {
+    val order = if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+                else java.nio.ByteOrder.BIG_ENDIAN
+    val tiff = java.nio.ByteBuffer.allocate(8 + 2 + 3 * 12 + 4).order(order)
+    tiff.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    tiff.putShort(42.toShort)
+    tiff.putInt(8) // IFD0 right after the header
+    tiff.putShort(3.toShort) // entry count
+    // entries must be tag-sorted: 0x0112 < 0xA002 < 0xA003
+    tiff.putShort(0x0112.toShort).putShort(3.toShort).putInt(1) // Orientation SHORT
+    tiff.putShort(orientation.toShort).putShort(0.toShort)      // left-justified value
+    tiff.putShort(0xA002.toShort).putShort(4.toShort).putInt(1).putInt(pixX) // LONG
+    tiff.putShort(0xA003.toShort).putShort(4.toShort).putInt(1).putInt(pixY) // LONG
+    tiff.putInt(0) // no next IFD
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff.array()
+    val out = java.nio.ByteBuffer.allocate(2 + 4 + payload.length + 2)
+    out.put(0xFF.toByte).put(0xD8.toByte) // SOI
+    out.put(0xFF.toByte).put(0xE1.toByte) // APP1
+    out.putShort((payload.length + 2).toShort) // segment length incl. itself (BE)
+    out.put(payload)
+    out.put(0xFF.toByte).put(0xD9.toByte) // EOI
+    out.array()
+  }
+
+  /** Parse Exif out of a JPEG marker stream: find APP1/"Exif", read
+    * the TIFF header's byte order, walk IFD0, return
+    * (byteOrder, orientation, pixX, pixY) — SHORT reads honor the
+    * left-justified value-field rule. */
+  private[graft] def parseExif(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    var i = 2
+    while (i + 4 <= bytes.length) {
+      if ((bytes(i) & 0xFF) != 0xFF) return None
+      val marker = bytes(i + 1) & 0xFF
+      if (marker == 0xD9) return None // EOI before APP1
+      val segLen = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+      if (marker == 0xE1 && segLen >= 8 &&
+          new String(bytes, i + 4, 4, "US-ASCII") == "Exif") {
+        val t0 = i + 10 // TIFF header start (skip Exif\0\0)
+        val bo = new String(bytes, t0, 2, "US-ASCII")
+        val le = bo match {
+          case "II" => true
+          case "MM" => false
+          case _ => return None
+        }
+        def u16(o: Int): Int =
+          if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+          else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+        def u32(o: Int): Int =
+          if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+            ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+          else ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+            ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+        if (u16(t0 + 2) != 42) return None
+        val ifd = t0 + u32(t0 + 4)
+        val n = u16(ifd)
+        var (ori, px, py) = (-1, -1, -1)
+        var e = 0
+        while (e < n) {
+          val eo = ifd + 2 + e * 12
+          val tag = u16(eo)
+          val typ = u16(eo + 2)
+          val vo = eo + 8
+          tag match {
+            case 0x0112 if typ == 3 => ori = u16(vo) // SHORT, left-justified
+            case 0xA002 if typ == 4 => px = u32(vo)
+            case 0xA003 if typ == 4 => py = u32(vo)
+            case _ =>
+          }
+          e += 1
+        }
+        if (ori < 0 || px < 0 || py < 0) return None
+        return Some((bo, ori, px, py))
+      }
+      i += 2 + segLen
+    }
+    None
+  }
+
+  /** EXIF orientation + pixel dimensions — the eleventh container
+    * leg, and the only one where BYTE ORDER is data-dependent: half
+    * the corpus plants "II" TIFF headers, half "MM", and the IFD
+    * walker must honor each (including the left-justified SHORT
+    * value-field rule). This is the metadata image pipelines actually
+    * read before any decode (auto-rotation, thumbnail sizing). */
+  val exifMeta: GraftOp = GraftOp(
+    "mm_exif_meta",
+    s"""WITH m AS (SELECT doc_id, ${Exprs.sqlMd5Long("text")} AS h FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN h % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       |  CAST(1 + (h >> 1) % 8 AS INT) AS orientation,
+       |  CAST(16 + (h >> 4) % 1024 AS INT) AS pix_x,
+       |  CAST(16 + (h >> 14) % 1024 AS INT) AS pix_y
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h = Exprs.md5Long(col("text"))
+    val params = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (h % 2 === 0).as("le"),
+        (lit(1) + shiftright(h, 1) % 8).cast(IntegerType).as("orientation"),
+        (lit(16) + shiftright(h, 4) % 1024).cast(IntegerType).as("pix_x"),
+        (lit(16) + shiftright(h, 14) % 1024).cast(IntegerType).as("pix_y"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("byte_order", StringType),
+      StructField("orientation", IntegerType),
+      StructField("pix_x", IntegerType),
+      StructField("pix_y", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    params.mapPartitions { rows =>
+      rows.map { r =>
+        val jpeg = exifJpeg(r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        val (bo, ori, px, py) = parseExif(jpeg).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted Exif for doc ${r.getLong(0)}"))
+        Row(r.getLong(0), bo, ori, px, py)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta)
 }

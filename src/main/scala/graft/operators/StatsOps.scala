@@ -1148,7 +1148,114 @@ object StatsOps {
       .orderBy(col("b"))
   }
 
+  /** Split-conformal prediction interval for the q_ols2 price
+    * predictor — the distribution-free uncertainty wrapper every
+    * deployed regressor needs: fit on a hash-split train half (the
+    * SAME exact-integer normal equations as q_ols2), score absolute
+    * residuals on the held-out calibration half FROM THE 6dp-SNAPPED
+    * coefficients (so both engines evaluate identical doubles), snap
+    * residuals to the cent grid, and take the ⌈(n+1)·0.9⌉-th smallest
+    * as the 90% interval half-width. The order statistic comes from a
+    * cumulative count over DISTINCT residual cents (value-domain
+    * bounded — the mann-whitney/survival window discipline, never a
+    * corpus-wide row_number), and the empirical coverage is an exact
+    * ppm floor. */
+  val conformal: GraftOp = GraftOp(
+    "q_conformal", {
+      val split = graft.functions.Exprs.sqlMd5Long("concat('cf#', CAST(o_orderkey AS VARCHAR))")
+      s"""WITH o AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+         |    CAST(count(*) AS BIGINT) AS x1,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |t AS (SELECT * FROM o WHERE $split % 2 = 0),
+         |c AS (SELECT * FROM o WHERE $split % 2 = 1),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |  FROM t),
+         |m AS (
+         |  SELECT n,
+         |    CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c2,
+         |    CAST(s11 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f, CAST(s22 AS DOUBLE) AS i,
+         |    CAST(sy AS DOUBLE) AS ry, CAST(s1y AS DOUBLE) AS r1, CAST(s2y AS DOUBLE) AS r2
+         |  FROM g),
+         |dets AS (
+         |  SELECT n, ry, r1, r2, a, b, c2, e, f, i,
+         |    a * (e * i - f * f) - b * (b * i - f * c2) + c2 * (b * f - e * c2) AS det
+         |  FROM m),
+         |coef AS (
+         |  SELECT n AS n_train,
+         |    round((ry * (e * i - f * f) - b * (r1 * i - f * r2) + c2 * (r1 * f - e * r2)) / det / 100.0, 6) AS b0,
+         |    round((a * (r1 * i - f * r2) - ry * (b * i - c2 * f) + c2 * (b * r2 - c2 * r1)) / det / 100.0, 6) AS b1,
+         |    round((a * (e * r2 - r1 * f) - b * (b * r2 - c2 * r1) + ry * (b * f - c2 * e)) / det / 100.0, 6) AS b2
+         |  FROM dets),
+         |r AS (
+         |  SELECT CAST(round(abs(CAST(y AS DOUBLE) / 100.0
+         |    - (b0 + b1 * x1 + b2 * x2)) * 100.0, 0) AS BIGINT) AS rc
+         |  FROM c CROSS JOIN coef),
+         |h AS (SELECT rc, count(*) AS cnt FROM r GROUP BY 1),
+         |cum AS (SELECT rc, CAST(sum(cnt) OVER (ORDER BY rc) AS BIGINT) AS cum FROM h),
+         |kk AS (SELECT CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k,
+         |              CAST(count(*) AS BIGINT) AS n_cal FROM r),
+         |q AS (SELECT min(rc) AS q_hat_cents FROM cum CROSS JOIN kk WHERE cum >= k)
+         |SELECT coef.n_train, kk.n_cal, coef.b0, coef.b1, coef.b2, q.q_hat_cents,
+         |  (SELECT count(*) FROM r WHERE rc <= q.q_hat_cents) * 1000000 // kk.n_cal AS coverage_ppm
+         |FROM coef CROSS JOIN kk CROSS JOIN q""".stripMargin
+    }) { (s, d) =>
+    val split = graft.functions.Exprs.md5Long(
+      concat(lit("cf#"), col("o_orderkey").cast(StringType)))
+    val o = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        (graft.functions.Exprs.dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
+      .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast(LongType)).as("x2"))
+    val train = o.filter(split % 2 === 0)
+    val cal = o.filter(split % 2 === 1)
+    val g = train.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+    val coef = g.select(col("n").as("n_train"),
+        col("n").cast(DoubleType).as("a"), col("s1").cast(DoubleType).as("b"),
+        col("s2").cast(DoubleType).as("c2"), col("s11").cast(DoubleType).as("e"),
+        col("s12").cast(DoubleType).as("f"), col("s22").cast(DoubleType).as("i"),
+        col("sy").cast(DoubleType).as("ry"), col("s1y").cast(DoubleType).as("r1"),
+        col("s2y").cast(DoubleType).as("r2"))
+      .withColumn("det",
+        expr("a * (e * i - f * f) - b * (b * i - f * c2) + c2 * (b * f - e * c2)"))
+      .select(col("n_train"),
+        expr("round((ry * (e * i - f * f) - b * (r1 * i - f * r2) + c2 * (r1 * f - e * r2)) / det / 100.0, 6)").as("b0"),
+        expr("round((a * (r1 * i - f * r2) - ry * (b * i - c2 * f) + c2 * (b * r2 - c2 * r1)) / det / 100.0, 6)").as("b1"),
+        expr("round((a * (e * r2 - r1 * f) - b * (b * r2 - c2 * r1) + ry * (b * f - c2 * e)) / det / 100.0, 6)").as("b2"))
+    val r = cal.crossJoin(broadcast(coef))
+      .select(col("n_train"), col("b0"), col("b1"), col("b2"),
+        expr("CAST(round(abs(CAST(y AS DOUBLE) / 100.0 - (b0 + b1 * x1 + b2 * x2)) * 100.0, 0) AS BIGINT)").as("rc"))
+    val h = r.groupBy(col("rc")).agg(count(lit(1)).as("cnt"))
+    val cum = h.withColumn("cum",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.orderBy(col("rc"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast(LongType))
+    val kk = r.agg(ceil((count(lit(1)) + 1) * 0.9).cast(LongType).as("k"),
+      count(lit(1)).as("n_cal"))
+    val q = cum.crossJoin(broadcast(kk)).filter(col("cum") >= col("k"))
+      .agg(min(col("rc")).as("q_hat_cents"))
+    val cov = r.crossJoin(broadcast(q))
+      .agg((count(when(col("rc") <= col("q_hat_cents"), 1)) * 1000000).as("covnum"))
+    coef.select(col("n_train"), col("b0"), col("b1"), col("b2"))
+      .crossJoin(broadcast(kk)).crossJoin(broadcast(q)).crossJoin(broadcast(cov))
+      .select(col("n_train"), col("n_cal"), col("b0"), col("b1"), col("b2"),
+        col("q_hat_cents"), expr("covnum div n_cal").as("coverage_ppm"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
-    bootstrapCi)
+    bootstrapCi, conformal)
 }
