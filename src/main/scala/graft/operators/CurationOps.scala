@@ -569,8 +569,35 @@ object CurationOps {
     }
   }
 
+  /** k-anonymity audit over quasi-identifiers — the privacy gate
+    * BEFORE a release/training export (the complement of the targeted
+    * GDPR erasure the lake already does): group customers by the
+    * (nation, market-segment) quasi-identifier tuple and flag every
+    * equivalence class smaller than k=5 — those rows are
+    * re-identifiable by the QI combination alone and need suppression
+    * or generalization. Emits every class with its size and risk flag
+    * so the suppression step is one semi-join away. One |QI-domain|-
+    * bounded aggregate; at 100 TB this is a groupBy on low-cardinality
+    * keys — the cheapest shuffle in the book. */
+  val kAnonymity: GraftOp = GraftOp(
+    "privacy_k_anon",
+    """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+      |  count(*) AS class_size,
+      |  CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS at_risk
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY nation, segment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("class_size"))
+      .select(col("nation"), col("segment"), col("class_size"),
+        when(col("class_size") < 5, 1).otherwise(0).as("at_risk"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
       aggIncremental, tableChecksum, scd2History, expectations, datasheet, benford,
-      profileCorrelation)
+      profileCorrelation, kAnonymity)
 }

@@ -221,6 +221,54 @@ object EtlOps {
       .orderBy(col("event_type"))
   }
 
+  /** CSV ingest with dirty-record quarantine — the delimiter-format
+    * sibling of [[jsonExtract]]/[[validate]] (the reference's
+    * validate-and-route discipline applied to the other wire format
+    * every ingest pipeline meets). Each event renders to a CSV line; a
+    * hash-selected 5% carries a corrupted numeric field. `from_csv`
+    * (Catalyst's native CSV expression — PERMISSIVE, no UDF) parses
+    * them back; rows whose typed field comes back NULL route to the
+    * dirty lane, clean rows aggregate per type with exact decimal
+    * money. The oracle replays the corruption rule analytically —
+    * checking that parse-and-route loses exactly the planted rows and
+    * nothing else. */
+  val csvExtract: GraftOp = GraftOp(
+    "etl_csv_extract",
+    s"""WITH e AS (
+       |  SELECT event_type, value,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("concat('csv#', CAST(event_id AS VARCHAR))")} % 20 = 0
+       |         THEN 1 ELSE 0 END AS corrupt
+       |  FROM events)
+       |SELECT event_type,
+       |  CAST(count(*) FILTER (WHERE corrupt = 0) AS BIGINT) AS n_ok,
+       |  CAST(count(*) FILTER (WHERE corrupt = 1) AS BIGINT) AS n_dirty,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE corrupt = 0) AS DOUBLE) AS sum_value
+       |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val corrupt = graft.functions.Exprs.md5Long(
+      concat(lit("csv#"), col("event_id").cast(StringType))) % 20 === 0
+    val lines = Tables.events(s, d)
+      .select(col("event_type").as("orig_type"),
+        concat_ws(",", col("event_id"),
+          col("event_type"),
+          when(corrupt, lit("not-a-number")).otherwise(col("value").cast(StringType)))
+          .as("line"))
+    val parsed = lines.select(col("orig_type"),
+      from_csv(col("line"),
+        org.apache.spark.sql.types.StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))),
+        Map.empty[String, String]).as("r"))
+    parsed.groupBy(col("orig_type").as("event_type"))
+      .agg(
+        count(when(col("r.value").isNotNull, 1)).as("n_ok"),
+        count(when(col("r.value").isNull, 1)).as("n_dirty"),
+        sum(when(col("r.value").isNotNull, col("r.value").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(
-    jsonExtract, validate, dirty, enrich, countBatch, batchSql, keyDedup, gapProfile)
+    jsonExtract, validate, dirty, enrich, countBatch, batchSql, keyDedup, gapProfile,
+    csvExtract)
 }

@@ -165,7 +165,42 @@ object SqlSurface2 {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Trailing-7-day rolling revenue per event type via a RANGE frame
+    * over integer day numbers — the frame variant [[qWindowFrames]]
+    * doesn't cover, and semantically different from a ROWS frame
+    * whenever days are MISSING: RANGE looks back 6 calendar days, not
+    * 6 rows, so gaps shrink the window instead of silently widening
+    * it. Day numbers are exact integers (epoch-day datediff), so both
+    * engines agree on frame membership; money folds in exact DECIMAL
+    * inside the frame. One shuffle to the type key; per-key window
+    * bounded by the date span. */
+  val qRolling7d: GraftOp = GraftOp(
+    "q_rolling_7d",
+    """WITH dly AS (
+      |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+      |    min(CAST(ts AS DATE)) AS day,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS rev
+      |  FROM events WHERE event_type IN ('purchase', 'click')
+      |  GROUP BY 1, 2)
+      |SELECT event_type, day, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(sum(rev) OVER (PARTITION BY event_type ORDER BY day_num
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+      |FROM dly ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val dly = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType)).as("day_num"))
+      .agg(min(col("ts").cast(DateType)).as("day"),
+        sum(col("value").cast(DecimalType(18, 2))).as("rev"))
+    dly.select(col("event_type"), col("day"), col("rev").cast(DoubleType).as("revenue"),
+        sum(col("rev")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+            .rangeBetween(-6, Window.currentRow))
+          .cast(DoubleType).as("rolling_7d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(qGroupingSets, qWindowFrames, qJoinTypes, qUnpivot, qNullFuncs,
-      qRankFuncs, qStringAgg)
+      qRankFuncs, qStringAgg, qRolling7d)
 }
