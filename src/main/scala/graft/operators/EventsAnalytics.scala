@@ -1898,10 +1898,81 @@ object EventsAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Kaplan-Meier survival with RIGHT-CENSORING — the estimator
+    * [[survival]] approximates only when everyone's story has ended:
+    * users whose last event falls in the corpus's final 7 days are
+    * still alive (censored), and counting them as deaths biases
+    * lifetime down. Per observed lifetime t: d_t deaths, c_t
+    * censorings, risk set n_t = total − prefix(d+c) — all exact
+    * BIGINTs over a value-domain-bounded window (≤ one row per
+    * distinct lifetime, the q_survival discipline). The product-limit
+    * S(t) = Π(1−d/n) runs as exp(Σ ln(...)) with IDENTICAL formula
+    * text both engines and a 6dp emit; a d=n row (everyone at risk
+    * dies) would send ln to −∞ where the engines disagree (null vs
+    * -inf), so a prefix flag pins S to exactly 0.0 from there on —
+    * same CASE text both sides. */
+  val kmCensored: GraftOp = GraftOp(
+    "q_km_censored",
+    """WITH mx AS (SELECT max(ts) AS mt FROM events),
+      |l AS (
+      |  SELECT user_id,
+      |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS life,
+      |    CASE WHEN max(ts) >= (SELECT mt FROM mx) - INTERVAL '7 days' THEN 1 ELSE 0 END AS censored
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT life,
+      |    CAST(count(*) FILTER (WHERE censored = 0) AS BIGINT) AS d,
+      |    CAST(count(*) FILTER (WHERE censored = 1) AS BIGINT) AS c
+      |  FROM l GROUP BY 1),
+      |r AS (
+      |  SELECT life, d, c,
+      |    CAST((SELECT count(*) FROM l) - coalesce(sum(d + c) OVER (ORDER BY life
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |  FROM d),
+      |f AS (
+      |  SELECT life, d, c, n_risk,
+      |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dies_out,
+      |    CASE WHEN d = n_risk OR d = 0 THEN 0.0
+      |         ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END AS lnf
+      |  FROM r)
+      |SELECT life AS day, d AS deaths, c AS censored, n_risk,
+      |  CASE WHEN max(dies_out) OVER (ORDER BY life
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+      |       ELSE round(exp(sum(lnf) OVER (ORDER BY life
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS survival
+      |FROM f ORDER BY day""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(col("ts")).as("mt"))
+    val l = ev.groupBy(col("user_id"))
+      .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("life"),
+        max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(mx))
+      .select(col("life"),
+        when(col("last_ts") >= col("mt") - expr("INTERVAL 7 DAYS"), 1).otherwise(0).as("censored"))
+    val dd = l.groupBy(col("life"))
+      .agg(count(when(col("censored") === 0, 1)).as("d"),
+        count(when(col("censored") === 1, 1)).as("c"))
+    val total = l.agg(count(lit(1)).as("n_total"))
+    val byLife = Window.orderBy(col("life")).rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.orderBy(col("life")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        (col("n_total") - coalesce(sum(col("d") + col("c")).over(byLife), lit(0L))).cast(LongType))
+      .withColumn("dies_out", when(col("d") === col("n_risk"), 1).otherwise(0))
+      .withColumn("lnf",
+        expr("""CASE WHEN d = n_risk OR d = 0 THEN 0.0
+          | ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END""".stripMargin))
+      .select(col("life").as("day"), col("d").as("deaths"), col("c").as("censored"),
+        col("n_risk"),
+        when(max(col("dies_out")).over(run) === 1, 0.0)
+          .otherwise(round(exp(sum(col("lnf")).over(run)), 6)).as("survival"))
+      .orderBy(col("day"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment,
-      seasonalAnomaly, markov, powerCurve, hourHeatmap, burstiness, peakConcurrency)
+      seasonalAnomaly, markov, powerCurve, hourHeatmap, burstiness, peakConcurrency, kmCensored)
 }

@@ -1255,7 +1255,57 @@ object StatsOps {
         col("q_hat_cents"), expr("covnum div n_cal").as("coverage_ppm"))
   }
 
+  /** Exact ROC-AUC of "does event value separate purchases from
+    * clicks" — the model-evaluation metric every ranking/scoring
+    * pipeline reports, computed EXACTLY at any scale: AUC is the
+    * Mann-Whitney U of the positive class normalized by n₁·n₀
+    * (ties counted half), so the same doubled-rank integer algebra
+    * q_mann_whitney runs — per distinct score, counts and a
+    * value-domain-bounded cumulative — yields 2U as an exact BIGINT
+    * and AUC as ONE double division at the end. No per-row sort
+    * rank, no threshold sweep. */
+  val auc: GraftOp = GraftOp(
+    "q_auc",
+    """WITH p AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |c AS (
+      |  SELECT cents, CAST(count(*) AS BIGINT) AS cv,
+      |    CAST(count(*) FILTER (WHERE label = 1) AS BIGINT) AS cp
+      |  FROM p GROUP BY 1),
+      |s AS (
+      |  SELECT cents, cv, cp,
+      |    CAST(1 + coalesce(sum(cv) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM c),
+      |g AS (
+      |  SELECT CAST(sum(cp) AS BIGINT) AS n_pos, CAST(sum(cv - cp) AS BIGINT) AS n_neg,
+      |    CAST(sum(cp * (2 * start + cv - 1)) AS BIGINT) AS r2_pos
+      |  FROM s)
+      |SELECT n_pos, n_neg, r2_pos - n_pos * (n_pos + 1) AS u2,
+      |  round((r2_pos - n_pos * (n_pos + 1))
+      |    / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+      |FROM g""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(when(col("event_type") === "purchase", 1).otherwise(0).as("label"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val c = p.groupBy(col("cents"))
+      .agg(count(lit(1)).as("cv"), count(when(col("label") === 1, 1)).as("cp"))
+    val byVal = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val st = c.withColumn("start", lit(1L) + coalesce(sum(col("cv")).over(byVal), lit(0L)))
+    st.agg(sum(col("cp")).as("n_pos"), sum(col("cv") - col("cp")).as("n_neg"),
+        sum(col("cp") * (lit(2) * col("start") + col("cv") - 1)).as("r2_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2_pos") - col("n_pos") * (col("n_pos") + 1)).as("u2"),
+        expr("""round((r2_pos - n_pos * (n_pos + 1))
+          | / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6)""".stripMargin).as("auc"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
-    bootstrapCi, conformal)
+    bootstrapCi, conformal, auc)
 }
