@@ -51,6 +51,29 @@ object CachedPlans {
     }
   }
 
+  // Session-scoped side-effect artifacts (temp-dir rewrites like the
+  // ORC interchange copy): one materialization per (session, key),
+  // same weak-session lifecycle as the plan registry.
+  private val paths =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]()
+
+  /** Get-or-build a session-scoped materialized PATH for `key` (e.g. a
+    * format-converted copy of a table) — the build runs at most once
+    * per session+key; racing builders reuse the winner's path. */
+  def cachedPath(s: SparkSession, key: String)(build: => String): String = {
+    val m = paths.synchronized {
+      var x = paths.get(s)
+      if (x == null) { x = scala.collection.mutable.Map.empty[String, String]; paths.put(s, x) }
+      x
+    }
+    m.synchronized(m.get(key)) match {
+      case Some(p) => p
+      case None =>
+        val built = build
+        m.synchronized(m.getOrElseUpdate(key, built))
+    }
+  }
+
   /** Unpersist and drop ONE plan (no-op when absent) — the rebuild
     * path for registry entries that can go stale (e.g. an ANN index
     * after corpus growth). */

@@ -596,8 +596,38 @@ object CurationOps {
       .orderBy(col("nation"), col("segment"))
   }
 
+  /** ORC interchange round trip — format breadth beyond parquet:
+    * the documents table is rewritten through Spark's native ORC
+    * writer into a session-scoped temp dir, read BACK through the ORC
+    * reader, and proven byte-faithful by the order-independent
+    * checksum discipline of [[tableChecksum]] (xor of portable row
+    * hashes survives any file/row reordering the rewrite introduces).
+    * The oracle computes the same checksum from the parquet original —
+    * so a pass means parquet → ORC → scan lost nothing. The rewrite
+    * is cached per (session, dir): one write, not one per run. */
+  val orcRoundtrip: GraftOp = GraftOp(
+    "lake_orc_roundtrip",
+    s"""WITH r AS (
+       |  SELECT concat_ws('|', doc_id, lang, source, n_chars,
+       |    ${graft.functions.Exprs.sqlMd5Long("text")}) AS row_str
+       |  FROM documents)
+       |SELECT count(*) AS n_rows,
+       |  bit_xor(${graft.functions.Exprs.sqlMd5Long("row_str")}) AS checksum
+       |FROM r""".stripMargin) { (s, d) =>
+    val orcDir = graft.CachedPlans.cachedPath(s, s"curation.orcCopy:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      Tables.documents(s, d).write.mode("overwrite").orc(dir)
+      dir
+    }
+    s.read.orc(orcDir)
+      .select(concat_ws("|", col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        graft.functions.Exprs.md5Long(col("text"))).as("row_str"))
+      .select(graft.functions.Exprs.md5Long(col("row_str")).as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
       aggIncremental, tableChecksum, scd2History, expectations, datasheet, benford,
-      profileCorrelation, kAnonymity)
+      profileCorrelation, kAnonymity, orcRoundtrip)
 }
