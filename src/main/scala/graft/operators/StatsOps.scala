@@ -1305,7 +1305,98 @@ object StatsOps {
           | / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6)""".stripMargin).as("auc"))
   }
 
+  /** Holt-Winters additive seasonal smoothing (α=0.5, β=0.3, γ=0.4,
+    * weekly period 7) of each type's daily counts — the step past
+    * [[holt]] that a weekday-seasonal series (q_seasonality proved the
+    * pattern) actually needs: the forecast adds the day-of-week
+    * component back. Init from the first two weeks (level = week-1
+    * mean, trend = (week-2 − week-1 mean)/7, seasonals = week-1
+    * deviations — all exact-integer sums under one double division),
+    * then the classic three-equation fold over days 8..n with a 10dp
+    * grid snap per state per step (the holt/ewma parity contract:
+    * snapped state sequences are bit-identical, errors cannot
+    * compound). Spark folds a 9-field struct through `aggregate`
+    * (seasonal vector updated via indexed `transform`); the oracle
+    * unrolls the SAME step as a recursive CTE carrying s0..s6 as
+    * columns. Sequential by nature; per-key state is O(period), the
+    * series is date-bounded — the q_holt scale shape. */
+  val holtWinters: GraftOp = GraftOp(
+    "q_holt_winters", {
+      // S = seasonal of the phase being consumed (day i = r.t + 1)
+      val S = "(CASE r.t % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)"
+      val Lp = s"round(0.5 * (d.y - $S) + 0.5 * (r.l + r.b), 10)"
+      val Bp = s"round(0.3 * ($Lp - r.l) + 0.7 * r.b, 10)"
+      def Sj(j: Int) =
+        s"CASE WHEN r.t % 7 = $j THEN round(0.4 * (d.y - $Lp) + 0.6 * r.s$j, 10) ELSE r.s$j END"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT event_type, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+         |  FROM daily),
+         |n AS (SELECT event_type, max(i) AS nd FROM d GROUP BY 1 HAVING max(i) >= 15),
+         |w AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN i <= 7 THEN y ELSE 0 END) AS BIGINT) AS w1,
+         |    CAST(sum(CASE WHEN i > 7 AND i <= 14 THEN y ELSE 0 END) AS BIGINT) AS w2
+         |  FROM d WHERE i <= 14 GROUP BY 1),
+         |init AS (
+         |  SELECT w.event_type,
+         |    round(CAST(w1 AS DOUBLE) / 7.0, 10) AS l0,
+         |    round(CAST(w2 - w1 AS DOUBLE) / 49.0, 10) AS b0
+         |  FROM w JOIN n ON w.event_type = n.event_type),
+         |r(event_type, t, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+         |  SELECT i.event_type, 7, i.l0, i.b0,
+         |    ${(1 to 7).map(k => s"round(CAST(d$k.y AS DOUBLE) - i.l0, 10)").mkString(", ")}
+         |  FROM init i
+         |    ${(1 to 7).map(k => s"JOIN d d$k ON d$k.event_type = i.event_type AND d$k.i = $k").mkString("\n|    ")}
+         |  UNION ALL
+         |  SELECT r.event_type, r.t + 1, $Lp, $Bp,
+         |    ${(0 to 6).map(Sj).mkString(",\n|    ")}
+         |  FROM r JOIN d ON d.event_type = r.event_type AND d.i = r.t + 1),
+         |fin AS (
+         |  SELECT r.*, n.nd FROM r JOIN n ON r.event_type = n.event_type AND r.t = n.nd)
+         |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+         |  round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + 7 * b + (CASE (nd + 6) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END), 6) AS forecast_7d
+         |FROM fin ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+    val S = "element_at(acc.s, CAST((acc.t - 1) % 7 AS INT) + 1)"
+    val Lp = s"round(0.5D * (x - $S) + 0.5D * (acc.l + acc.b), 10)"
+    val Bp = s"round(0.3D * ($Lp - acc.l) + 0.7D * acc.b, 10)"
+    val Sup = s"transform(acc.s, (v, j) -> IF(j = CAST((acc.t - 1) % 7 AS INT), " +
+      s"round(0.4D * (x - $Lp) + 0.6D * v, 10), v))"
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(day, y))), r -> r.y)").as("ys"))
+      .filter(size(col("ys")) >= 15)
+      .select(col("event_type"), size(col("ys")).cast(LongType).as("n_days"),
+        expr(s"""aggregate(slice(ys, 8, size(ys) - 7),
+          | named_struct(
+          |   'l', round(CAST(aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) AS DOUBLE) / 7.0, 10),
+          |   'b', round(CAST(aggregate(slice(ys, 8, 7), 0L, (a, x) -> a + x)
+          |        - aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) AS DOUBLE) / 49.0, 10),
+          |   's', transform(slice(ys, 1, 7), v ->
+          |        round(CAST(v AS DOUBLE) - round(CAST(aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) AS DOUBLE) / 7.0, 10), 10)),
+          |   't', 8),
+          | (acc, x) -> named_struct(
+          |   'l', $Lp,
+          |   'b', $Bp,
+          |   's', $Sup,
+          |   't', acc.t + 1))""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.l") + lit(7) * col("st.b")
+          + element_at(col("st.s"), ((col("n_days") + 6) % 7).cast(IntegerType) + 1), 6)
+          .as("forecast_7d"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
-    bootstrapCi, conformal, auc)
+    bootstrapCi, conformal, auc, holtWinters)
 }
