@@ -190,4 +190,24 @@ object HashImpls {
     }
     sim
   }
+  // Per-thread Deflater (zlib level 6, raw): allocating a native
+  // deflater per row would dominate the kernel; reset() reuses it.
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
+  /** Deflated (zlib level 6, raw) byte count of the string's UTF-8
+    * bytes — the compressibility quality signal (boilerplate and
+    * near-repetition compress far below natural prose). */
+  def deflatedSize(s: UTF8String): Int = {
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = new Array[Byte](4096)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
 }

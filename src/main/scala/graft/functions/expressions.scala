@@ -130,6 +130,24 @@ case class Mix64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** DeflateSize(text) — deflated byte count of the string's UTF-8
+  * bytes (zlib level 6): the compressibility quality signal, as a
+  * codegen'd expression so the per-row native kernel stays inside the
+  * whole-stage span. Engine-private byte count → rows-only ops. */
+case class DeflateSize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "deflate_size"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.deflatedSize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.deflatedSize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+}
+
 /** SimHash64(array<string>) — native Catalyst expression: 64-bit
   * SimHash over a token array (per-token splitmix64, per-bit voting).
   */

@@ -18,6 +18,11 @@ package object functions {
   def mix64(c: Column): Column =
     ColumnShim.column(Mix64(ColumnShim.expression(c)))
 
+  /** Deflated byte count of a string's UTF-8 bytes (zlib level 6) —
+    * the compressibility quality signal. */
+  def deflate_size(c: Column): Column =
+    ColumnShim.column(DeflateSize(ColumnShim.expression(c)))
+
   def vec_dot(a: Column, b: Column): Column =
     ColumnShim.column(VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 

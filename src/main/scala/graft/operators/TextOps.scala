@@ -904,8 +904,28 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Compressibility quality signal: deflated/original byte ratio per
+    * doc (zlib level 6 through the codegen'd DeflateSize expression —
+    * kernel stays inside the whole-stage span). Boilerplate and
+    * near-repetition compress far below natural prose, so a low
+    * ratio_ppm is the cheap first-pass filter big corpus cleans run
+    * before any model scoring (RefinedWeb/Gopher use exactly this
+    * signal). zlib output bytes are engine-private → rows-only;
+    * DeterminismSpec double-run covers it, R7bOpsSpec pins the
+    * monotonicity (repetitive < prose). Partition-local, zero
+    * shuffle. */
+  val compressionRatio: GraftOp = GraftOp.rowsOnly("text_compression_ratio") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        graft.functions.deflate_size(col("text")).as("deflated_bytes"))
+      .withColumn("ratio_ppm",
+        (col("deflated_bytes").cast(LongType) * 1000000L / col("n_bytes")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
-      readability, jsDivergence, ttr)
+      readability, jsDivergence, ttr, compressionRatio)
 }

@@ -120,6 +120,27 @@ class R7bOpsSpec extends AnyFunSuite {
     assert(again.map(_.toString).sorted.sameElements(out.map(_.toString).sorted))
   }
 
+  // ---- compression ratio ----
+
+  test("text_compression_ratio: repetition compresses below prose, ratios sane") {
+    import spark.implicits._
+    val rows = operators.TextOps.compressionRatio.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getLong(3)
+      assert(ppm > 0L && ppm < 2000000L, s"doc ${r.getLong(0)}: $ppm")
+    }
+    // direct kernel check: a highly repetitive string must compress far
+    // below a same-length high-entropy one
+    val rep = "the same phrase again and again " * 40
+    val rnd = (0 until rep.length).map(i =>
+      (math.floorMod(functions.HashImpls.mix64(i.toLong), 26) + 97).toChar).mkString
+    val two = Seq(("a", rep), ("b", rnd)).toDF("id", "t")
+      .select(col("id"), functions.deflate_size(col("t")).as("dz")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(two("a") * 4 < two("b"), s"repetitive ${two("a")} vs random ${two("b")}")
+  }
+
   // ---- peak concurrency ----
 
   test("q_peak_concurrency: peak is at least 1, at most that day's session count") {
