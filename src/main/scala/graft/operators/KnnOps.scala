@@ -56,15 +56,17 @@ object KnnOps {
   private[operators] val B = 4
   private[operators] val DIM = 64
 
-  /** Deterministic ±1 plane coefficients, [table][bit] → DIM array.
-    * Same rng stream as round 1's planesDf, so buckets (and KnnSpec's
-    * pinned recall) are unchanged. */
-  private[operators] lazy val planeArrays: IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val rng = new scala.util.Random(42)
-    IndexedSeq.tabulate(L)(_ =>
-      IndexedSeq.tabulate(B)(_ =>
-        Array.fill(DIM)(if (rng.nextBoolean()) 1.0 else -1.0)))
-  }
+  /** Deterministic ±1 plane coefficients, [table][bit] → DIM array —
+    * md5-seeded in the 2000+ plane-id namespace (disjoint from
+    * emb_project's 0..15 and PQ's 1000+), so the ORACLE regenerates
+    * the identical planes from the same strings and the whole LSH
+    * path becomes hash-checkable (r7b; previously a private
+    * Random(42) stream no other engine could replay). */
+  private[operators] lazy val planeArrays: IndexedSeq[IndexedSeq[Array[Double]]] =
+    IndexedSeq.tabulate(L)(t =>
+      IndexedSeq.tabulate(B)(b =>
+        (0 until DIM).map(i =>
+          if (Exprs.md5Long15(s"${2000 + t * B + b}#$i") % 2 == 0) 1.0 else -1.0).toArray))
 
   /** LSH-bucketed approximate top-k (random hyperplane signatures).
     *
@@ -74,10 +76,43 @@ object KnnOps {
     * did both). The only exchanges left are over the small candidate
     * set: query buckets broadcast into the corpus bucket stream, the
     * deduped candidates broadcast back into the corpus scan for
-    * vectors, and the final per-query top-k window. Approximate by
-    * construction → rows-only; KnnSpec pins recall vs brute force and
-    * asserts the shuffle-free corpus path. */
-  val lsh: GraftOp = GraftOp.rowsOnly("knn_lsh") { (s, d) =>
+    * vectors, and the final per-query top-k window. Approximate vs
+    * brute force — but fully DETERMINISTIC given the md5-seeded
+    * planes, so the oracle regenerates the planes from the same
+    * strings, folds the same left-order dots, and replays bucketing +
+    * candidate join + exact top-k independently (r7b; KnnSpec still
+    * pins recall vs brute force and the shuffle-free corpus path). */
+  val lsh: GraftOp = GraftOp(
+    "knn_lsh", {
+      val E = Exprs
+      s"""WITH raw AS (
+         |  SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |pl AS (
+         |  SELECT t, b,
+         |    list_transform(range($DIM), i -> CASE WHEN ${E.sqlMd5Long(s"concat(CAST(2000 + t * $B + b AS VARCHAR), '#', CAST(i AS VARCHAR))")} % 2 = 0
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS w
+         |  FROM (SELECT unnest(range($L)) AS t) CROSS JOIN (SELECT unnest(range($B)) AS b)),
+         |sig AS (
+         |  SELECT r.vec_id, p.t,
+         |    CAST(sum(CASE WHEN ${E.sqlDot("r.e", "p.w")} > 0
+         |      THEN CAST(1 << p.b AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM raw r CROSS JOIN pl p GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS query_id, t, bucket FROM sig WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, s.vec_id AS corpus_id
+         |  FROM sig s JOIN q ON s.t = q.t AND s.bucket = q.bucket AND s.vec_id <> q.query_id),
+         |cs AS (
+         |  SELECT c.query_id, c.corpus_id, ${E.sqlCosine("a.e", "b.e")} AS cos
+         |  FROM cand c
+         |  JOIN raw a ON a.vec_id = c.query_id
+         |  JOIN raw b ON b.vec_id = c.corpus_id),
+         |rk AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+         |  FROM cs)
+         |SELECT query_id, corpus_id, round(cos, 6) AS cos_sim, CAST(rn AS INT) AS rn
+         |FROM rk WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
     // bucket for table t = Σ_b [dot(e, plane_tb) > 0]·2^b — a pure
