@@ -298,9 +298,61 @@ object KnnOps {
     * only the (query, corpus, approx) triples flow into the per-query
     * top-`Pool` window (TopKPerKeyExec after the rewrite), and only
     * the ≤ Pool·|queries| shortlist joins vectors back (broadcast)
-    * for the exact cosine rerank. Approximate → rows-only; KnnSpec
-    * pins recall vs brute force. */
-  val pqAdc: GraftOp = GraftOp.rowsOnly("knn_pq_adc") { (s, d) =>
+    * for the exact cosine rerank. Approximate vs brute force — but
+    * deterministic end to end (seeded codebook, argmax encode, ordered
+    * multiply-add folds), so the oracle replays encode → ADC shortlist
+    * → exact rerank independently (r7b); KnnSpec still pins recall vs
+    * brute force. */
+  val pqAdc: GraftOp = GraftOp(
+    "knn_pq_adc", {
+      import EmbedOps.{PqK, PqM, PqSub}
+      val E = Exprs
+      // corpus codes: same argmax-of-seeded-codeword-dots CTE text as
+      // the emb_pq_encode oracle, aggregated to a subspace-ordered list
+      val perSub = (0 until PqM).map { j =>
+        val lo = j * PqSub + 1
+        val hi = (j + 1) * PqSub
+        val scores = (0 until PqK)
+          .map(c => E.sqlDot(s"u[$lo:$hi]", E.sqlPqPlane(j, c, PqK, PqSub)))
+          .mkString("[", ", ", "]")
+        s"""SELECT vec_id, $j AS subspace,
+           |  CAST(list_position($scores, list_max($scores)) - 1 AS INT) AS code FROM v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      // ADC term for (query u, subspace j, code c): the SAME ascending-i
+      // multiply-add fold the Spark LUT builds driver-side
+      def lutTerm(j: Int): String = {
+        val planeElem = (c: String, i: String) =>
+          s"CASE WHEN ${E.sqlMd5Long(s"concat(CAST(${1000 + j * PqK} + $c AS VARCHAR), '#', CAST($i AS VARCHAR))")} % 2 = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range($PqSub), i -> q.u[${j * PqSub} + i + 1] * (${planeElem(s"cd.codes[${j + 1}]", "i")}))),
+           |  (acc, x) -> acc + x)""".stripMargin
+      }
+      val approx = (0 until PqM).map(lutTerm).mkString("(", "\n + ", ")")
+      s"""WITH raw AS (SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |v AS (SELECT vec_id, ${E.sqlUnit("e")} AS u FROM raw),
+         |cl AS (SELECT vec_id, subspace, code FROM ($perSub)),
+         |cd AS (SELECT vec_id, list(code ORDER BY subspace) AS codes FROM cl GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, u FROM v WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT q.query_id, cd.vec_id AS corpus_id, $approx AS approx
+         |  FROM cd CROSS JOIN q WHERE cd.vec_id <> q.query_id),
+         |pool AS (
+         |  SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, corpus_id) AS prn
+         |  FROM sc),
+         |short AS (SELECT query_id, corpus_id FROM pool WHERE prn <= 100),
+         |cs AS (
+         |  SELECT s.query_id, s.corpus_id, ${E.sqlDot("a.u", "b.u")} AS cos
+         |  FROM short s
+         |  JOIN v a ON a.vec_id = s.query_id
+         |  JOIN v b ON b.vec_id = s.corpus_id),
+         |rk AS (
+         |  SELECT query_id, corpus_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+         |  FROM cs)
+         |SELECT query_id, corpus_id, round(cos, 6) AS cos_sim, CAST(rn AS INT) AS rn
+         |FROM rk WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+    }) { (s, d) =>
     import EmbedOps.{PqK, PqM, PqSub}
     val pool = 100
     val cb = graft.functions.Exprs.pqCodebook(PqM, PqK, PqSub)
