@@ -1011,6 +1011,52 @@ object GraphOps {
     ranks.orderBy(col("rank").desc, col("node"))
   }
 
+  /** Strongly-connected component of a pivot node (forward-backward /
+    * FW-BW): SCC(pivot) = forward-reachable ∩ backward-reachable —
+    * the DIRECTED-cycle membership question the undirected CC family
+    * can't answer (mutual trade dependency, not mere contact). Two
+    * [[bfsFrom]] frontier loops (the second over reversed edges — a
+    * projection, not a new derivation), one |V|-bounded join; rounds =
+    * diameter each. Emits each member with both hop distances. The
+    * oracle runs the two recursive closures with min(hops) per node
+    * (min is dedup-insensitive — the §6 WITH RECURSIVE UNION gotcha)
+    * and joins them. */
+  val sccPivot: GraftOp = GraftOp(
+    "graph_scc_pivot",
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |fwd AS (
+      |  SELECT (SELECT min(node) FROM nodes) AS node, 0 AS hops
+      |  UNION
+      |  SELECT e.dst, f.hops + 1 FROM fwd f JOIN edges e ON e.src = f.node
+      |  WHERE f.hops < 30),
+      |bwd AS (
+      |  SELECT (SELECT min(node) FROM nodes) AS node, 0 AS hops
+      |  UNION
+      |  SELECT e.src, b.hops + 1 FROM bwd b JOIN edges e ON e.dst = b.node
+      |  WHERE b.hops < 30),
+      |f2 AS (SELECT node, CAST(min(hops) AS INT) AS fwd_hops FROM fwd GROUP BY 1),
+      |b2 AS (SELECT node, CAST(min(hops) AS INT) AS bwd_hops FROM bwd GROUP BY 1)
+      |SELECT f2.node AS node, f2.fwd_hops, b2.bwd_hops
+      |FROM f2 JOIN b2 ON f2.node = b2.node
+      |ORDER BY node""".stripMargin) { (s, d) =>
+    val edges = tradeEdges(s, d)
+    val pivot = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst")))
+      .agg(min(col("node"))).head.getString(0)
+    val fwd = bfsFrom(edges, pivot)
+      .select(col("node"), col("hops").cast(org.apache.spark.sql.types.IntegerType).as("fwd_hops"))
+    val bwd = bfsFrom(edges.select(col("dst").as("src"), col("src").as("dst")), pivot)
+      .select(col("node"), col("hops").cast(org.apache.spark.sql.types.IntegerType).as("bwd_hops"))
+    fwd.join(bwd, "node").orderBy(col("node"))
+  }
+
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
-    clustering, assortativity, closeness, ppr)
+    clustering, assortativity, closeness, ppr, sccPivot)
 }
