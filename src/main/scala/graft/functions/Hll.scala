@@ -52,21 +52,44 @@ object HllImpls {
     while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
   }
 
-  /** Raw HLL estimate with the linear-counting switch below 2.5m. */
+  /** Raw HLL estimate with the linear-counting switch below 2.5m.
+    *
+    * Cross-engine deterministic by construction (this is what makes the
+    * HLL family ORACLE-checkable in DuckDB, not just spec-covered):
+    * Σ 2^-reg is accumulated EXACTLY as the 128-bit integer
+    * Σ 2^(65-reg) in (hi·2^32 + lo) form — an order-free integer sum,
+    * not a float fold — then converted to double with a single IEEE
+    * rounding (hi exact ≤2^45, ×2^32 exact scaling, +lo<2^32 is one
+    * correctly-rounded add; DuckDB's `hi*2^32 + lo` does the identical
+    * operation on the identical integers). Every later step is one
+    * shared-text double formula (`Alpha·16777216/inv`, the 10240
+    * branch test, `4096·ln(4096/z)`), and the final `floor(est+0.5)`
+    * absorbs the only libm divergence: Java `Math.log` and glibc/DuckDB
+    * `ln` differ by 1 ulp on 4 of the 4096 possible linear-counting
+    * inputs, while the closest any `4096·ln(4096/z)` gets to a
+    * half-integer is 1.07e-4 (exhaustive, pinned in HllSpec) — eleven
+    * orders of magnitude of margin. */
   def estimate(regs: Array[Byte]): Long = {
-    var invSum = 0.0
+    var hi = 0L // units of 2^32, holds terms 2^(65-reg) for reg ≤ 33
+    var lo = 0L // units of 1,    holds terms 2^(65-reg) for reg ≥ 34
     var zeros = 0
     var i = 0
     while (i < M) {
-      invSum += java.lang.Double.longBitsToDouble((1023L - regs(i)) << 52) // 2^-reg
-      if (regs(i) == 0) zeros += 1
+      val r = regs(i)
+      if (r == 0) { zeros += 1; hi += 1L << 33 }
+      else if (r <= 33) hi += 1L << (33 - r)
+      else lo += 1L << (65 - r)
       i += 1
     }
-    val raw = Alpha * M * M / invSum
+    hi += lo >>> 32
+    lo &= 0xffffffffL
+    // ÷ 2^65 is exact scaling; the literal parses to exactly 2^65.
+    val inv = (hi.toDouble * 4294967296.0 + lo.toDouble) / 36893488147419103232.0
+    val raw = Alpha * 16777216.0 / inv // α · m², m² spelled as a literal (oracle parity)
     val est =
-      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) // linear counting
+      if (raw <= 10240.0 && zeros > 0) M * math.log(M.toDouble / zeros) // linear counting
       else raw
-    math.rint(est).toLong
+    math.floor(est + 0.5).toLong
   }
 }
 

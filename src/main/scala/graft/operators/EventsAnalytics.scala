@@ -1351,18 +1351,35 @@ object EventsAnalytics {
     * is a merge over kilobyte sketches. Sketch-merge is lossless
     * (element-wise max), so the rollup estimate is byte-identical to
     * sketching the coarse group directly — HllSpec pins that equality,
-    * the ±2% accuracy vs exact, and the map-side partial build.
-    * Wraparound splitmix64 hashing isn't expressible in DuckDB SQL →
-    * rows-only + determinism-gated. */
-  val hllRollup: GraftOp = GraftOp.rowsOnly("q_hll_rollup") { (s, d) =>
+    * the ±2% accuracy vs exact, and the map-side partial build; it is
+    * also why the ORACLE can skip the daily stage and compute registers
+    * straight over each type's user set ([[HllOracle]] replicates the
+    * hash→register→estimate math exactly in DuckDB). */
+  val hllRollup: GraftOp = GraftOp(
+    "q_hll_rollup",
+    s"""WITH hsrc AS (SELECT event_type, user_id AS v FROM events),
+       |${HllOracle.cte("event_type")},
+       |esrc AS (SELECT event_type, event_id AS v FROM events),
+       |${HllOracle.cte("event_type", "e")},
+       |nd AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
+       |       FROM events GROUP BY 1)
+       |SELECT h.event_type, nd.n_days, h.approx AS approx_users,
+       |       ev.approx AS approx_events
+       |FROM hest h JOIN eest ev USING (event_type) JOIN nd USING (event_type)
+       |ORDER BY h.event_type""".stripMargin) { (s, d) =>
     val daily = Tables.events(s, d)
       .select(col("event_type"), to_date(col("ts").cast("timestamp")).as("day"),
-        col("user_id"))
+        col("user_id"), col("event_id"))
       .groupBy(col("event_type"), col("day"))
-      .agg(graft.functions.hll_sketch_agg(col("user_id")).as("sketch"))
+      .agg(graft.functions.hll_sketch_agg(col("user_id")).as("sketch"),
+        // second sketch column: event_id is ~13× the user cardinality, so
+        // at sf0.1 its estimate leaves linear counting and exercises the
+        // RAW α·m²/Σ2^-reg branch against the oracle (users stay linear)
+        graft.functions.hll_sketch_agg(col("event_id")).as("esketch"))
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
-        graft.functions.hll_merge_agg(col("sketch")).as("approx_users"))
+        graft.functions.hll_merge_agg(col("sketch")).as("approx_users"),
+        graft.functions.hll_merge_agg(col("esketch")).as("approx_events"))
       .orderBy(col("event_type"))
   }
 
@@ -1402,8 +1419,24 @@ object EventsAnalytics {
     * replicates to the 7 windows it serves: the merge shuffle carries
     * |days|×7 kilobyte rows, independent of user volume. Same
     * bound/filter semantics as the exact op; HllSpec pins per-day
-    * estimates within 3% of it. Sketch math → rows-only. */
-  val hllTrailing: GraftOp = GraftOp.rowsOnly("q_hll_trailing") { (s, d) =>
+    * estimates within 3% of it. Oracle: merge losslessness means each
+    * window's merged sketch equals the sketch of its day-range's user
+    * set, so [[HllOracle]] computes registers per window directly. */
+  val hllTrailing: GraftOp = GraftOp(
+    "q_hll_trailing",
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id,
+       |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+       |  FROM events),
+       |b AS (SELECT max(day_idx) AS hi FROM a),
+       |x AS (
+       |  SELECT user_id, unnest(generate_series(day_idx, day_idx + 6)) AS day
+       |  FROM a),
+       |hsrc AS (SELECT CAST(day AS INT) AS day_idx, user_id AS v
+       |         FROM x WHERE day <= (SELECT hi FROM b)),
+       |${HllOracle.cte("day_idx")}
+       |SELECT day_idx, approx AS active_7d_est
+       |FROM hest ORDER BY day_idx""".stripMargin) { (s, d) =>
     trailingSketch(s, d, "active_7d_est")
   }
 

@@ -174,12 +174,23 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
-  /** HLL approximate distinct — algorithm-specific, so rows-only check;
-    * the spec asserts ±5% of exact. */
-  val qApproxDistinct: GraftOp = GraftOp.rowsOnly("q_approx_distinct") { (s, d) =>
+  /** HLL approximate distinct via the engine's own deterministic sketch
+    * tier (seedless splitmix64 + exact-integer register sum), which is
+    * what makes it ORACLE-checkable: [[HllOracle]] replicates the full
+    * hash→register→estimate math in DuckDB. Spark's built-in
+    * `approx_count_distinct` would be rows-only (its HLL++ bias tables
+    * aren't SQL-expressible); the graft sketch is also what the rollup/
+    * trailing/auto-route family already standardizes on. */
+  val qApproxDistinct: GraftOp = GraftOp(
+    "q_approx_distinct",
+    s"""WITH hsrc AS (SELECT event_type, user_id AS v FROM events),
+       |${HllOracle.cte("event_type")}
+       |SELECT event_type, approx AS n_users_approx
+       |FROM hest ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .agg(graft.functions.hll_estimate(
+        graft.functions.hll_sketch_agg(col("user_id"))).as("n_users_approx"))
       .orderBy(col("event_type"))
   }
 

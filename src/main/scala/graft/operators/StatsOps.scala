@@ -1396,7 +1396,121 @@ object StatsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Kruskal-Wallis H across the three return-flag populations of line
+    * quantity — the k-group extension of q_mann_whitney (parametric
+    * q_anova ↔ nonparametric KW, same pairing as two_prop ↔ U). Ranks
+    * ride the doubled-rank discipline over the DOMAIN-BOUNDED
+    * (value, count) contingency (l_quantity has ≤50 distinct values —
+    * the window never sees a per-row sort), so every per-group rank sum
+    * R2_i = 2·R_i and the tie term Σ(t³−t) are exact BIGINTs. The
+    * cross-group Σ R_i²/n_i — which doubles can't fold order-stably —
+    * is FLOOR-SNAPPED to exact deci units per group (the q_cramers_v
+    * trick: R2_i²·10 ÷ (4·n_i) under integral division, numerator in
+    * DECIMAL(38)/HUGEINT), Σ is then an exact BIGINT and the
+    * tie-corrected H is one shared-text double formula. */
+  val kruskal: GraftOp = GraftOp(
+    "q_kruskal",
+    """WITH c AS (
+      |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(count(*) AS BIGINT) AS cg
+      |  FROM lineitem GROUP BY 1, 2),
+      |v AS (SELECT q, CAST(sum(cg) AS BIGINT) AS cv FROM c GROUP BY 1),
+      |s AS (
+      |  SELECT q, cv,
+      |    CAST(1 + coalesce(sum(cv) OVER (ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM v),
+      |r AS (
+      |  SELECT c.grp, CAST(sum(c.cg) AS BIGINT) AS n_i,
+      |    CAST(sum(c.cg * (2 * s.start + s.cv - 1)) AS BIGINT) AS r2_i
+      |  FROM c JOIN s ON c.q = s.q GROUP BY 1),
+      |t AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS ties FROM v),
+      |n AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM r),
+      |sc AS (SELECT CAST(sum(CAST(r2_i AS HUGEINT) * r2_i * 10 // (4 * n_i)) AS BIGINT) AS s2
+      |       FROM r)
+      |SELECT n.n AS n, n.k AS k,
+      |  round(((12.0 / (CAST(n.n AS DOUBLE) * (n.n + 1.0))) * (CAST(sc.s2 AS DOUBLE) / 10.0)
+      |      - 3.0 * (n.n + 1.0))
+      |    / (1.0 - CAST(t.ties AS DOUBLE) / (CAST(n.n AS DOUBLE) * n.n * n.n - n.n)), 6) AS h
+      |FROM n, sc, t""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"), col("l_quantity").cast(LongType).as("q"))
+      .groupBy(col("grp"), col("q")).agg(count(lit(1)).as("cg"))
+    val v = c.groupBy(col("q")).agg(sum(col("cg")).as("cv"))
+    val byVal = Window.orderBy(col("q")).rowsBetween(Window.unboundedPreceding, -1)
+    val st = v.withColumn("start", lit(1L) + coalesce(sum(col("cv")).over(byVal), lit(0L)))
+    val r = c.join(st, "q")
+      .groupBy(col("grp"))
+      .agg(sum(col("cg")).as("n_i"),
+        sum(col("cg") * (lit(2) * col("start") + col("cv") - 1)).as("r2_i"))
+    val ties = broadcast(v.agg(sum(col("cv") * col("cv") * col("cv") - col("cv")).as("ties")))
+    val nk = broadcast(r.agg(sum(col("n_i")).as("n"), count(lit(1)).as("k")))
+    val sc = r
+      .select(expr("CAST(CAST(r2_i AS DECIMAL(38,0)) * r2_i * 10 div (4 * n_i) AS DECIMAL(38,0))")
+        .as("term"))
+      .agg(sum(col("term")).cast(LongType).as("s2"))
+    sc.crossJoin(nk).crossJoin(ties)
+      .select(col("n"), col("k"),
+        expr("""round(((12.0 / (CAST(n AS DOUBLE) * (n + 1.0))) * (CAST(s2 AS DOUBLE) / 10.0)
+          |    - 3.0 * (n + 1.0))
+          |  / (1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6)""".stripMargin)
+          .as("h"))
+  }
+
+  /** Kendall tau-b rank correlation between line quantity and discount
+    * — completes the correlation ladder (Pearson q_ols2 → Spearman →
+    * Kendall, each weaker in assumptions). Concordant/discordant pairs
+    * are counted on the DOMAIN-BOUNDED contingency (≤50 quantities ×
+    * ≤11 discounts = ≤550 cells; the cell-pair join is 550², bounded by
+    * the DOMAIN not the data — at 100 TB it is the same 300k
+    * combinations): C and D are exact BIGINT Σ n₁·n₂ over cell pairs,
+    * tie terms come from the margins, and tau-b is one shared-text
+    * double formula over five exact integers. */
+  val kendall: GraftOp = GraftOp(
+    "q_kendall",
+    """WITH c AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS y,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM lineitem GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y) THEN a.m * b.m ELSE 0 END) AS BIGINT) AS conc,
+      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y) THEN a.m * b.m ELSE 0 END) AS BIGINT) AS disc
+      |  FROM c a JOIN c b ON a.x < b.x),
+      |mx AS (SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT) AS tx
+      |       FROM (SELECT sum(m) AS s FROM c GROUP BY x)),
+      |my AS (SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT) AS ty
+      |       FROM (SELECT sum(m) AS s FROM c GROUP BY y)),
+      |n AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM c)
+      |SELECT n.n AS n, pairs.conc, pairs.disc,
+      |  round((CAST(conc AS DOUBLE) - disc)
+      |    / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0 - tx)
+      |         * (CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0 - ty)), 6) AS tau_b
+      |FROM n, pairs, mx, my""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast(LongType).as("x"),
+        (col("l_discount").cast(DecimalType(4, 2)) * 100).cast(LongType).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("m"))
+    val a = c.select(col("x").as("ax"), col("y").as("ay"), col("m").as("am"))
+    val b = c.select(col("x").as("bx"), col("y").as("by"), col("m").as("bm"))
+    val pairs = a.join(broadcast(b), col("ax") < col("bx"))
+      .agg(
+        sum(when(col("ay") < col("by"), col("am") * col("bm")).otherwise(0L)).as("conc"),
+        sum(when(col("ay") > col("by"), col("am") * col("bm")).otherwise(0L)).as("disc"))
+    val tx = c.groupBy(col("x")).agg(sum(col("m")).as("s"))
+      .agg(sum(col("s") * (col("s") - 1) / 2).cast(LongType).as("tx"))
+    val ty = c.groupBy(col("y")).agg(sum(col("m")).as("s"))
+      .agg(sum(col("s") * (col("s") - 1) / 2).cast(LongType).as("ty"))
+    val n = c.agg(sum(col("m")).as("n"))
+    pairs.crossJoin(broadcast(n)).crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n"), col("conc"), col("disc"),
+        expr("""round((CAST(conc AS DOUBLE) - disc)
+          |  / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2.0 - tx)
+          |       * (CAST(n AS DOUBLE) * (n - 1) / 2.0 - ty)), 6)""".stripMargin).as("tau_b"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
-    bootstrapCi, conformal, auc, holtWinters)
+    bootstrapCi, conformal, auc, holtWinters, kruskal, kendall)
 }

@@ -179,6 +179,21 @@ class HllSpec extends AnyFunSuite {
       s"hll $big vs exact $bigExact (n=$bigExact)")
   }
 
+  test("linear-counting estimates clear half-integer boundaries by >=1e-4 (oracle-parity proof)") {
+    // The HLL oracle's only libm call is ln(): Java Math.log and
+    // glibc/DuckDB ln differ by <=1 ulp on 4 of the 4096 reachable
+    // linear-counting inputs (~4e-12 absolute at this magnitude). The
+    // shared floor(est+0.5) emit absorbs that iff no reachable estimate
+    // sits near a half-integer — the branch's input domain is EXACTLY
+    // zeros ∈ [1, 4096], so check all of it: min margin is 1.07e-4,
+    // eight orders of magnitude above the ulp divergence.
+    val minMargin = (1 to 4096).map { z =>
+      val est = graft.functions.HllImpls.M * math.log(graft.functions.HllImpls.M.toDouble / z)
+      math.abs((est - math.floor(est)) - 0.5)
+    }.min
+    assert(minMargin > 1e-4, s"margin $minMargin")
+  }
+
   test("sketch rollup is lossless: merged fine sketches == direct coarse sketch") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_type"), to_date(col("ts").cast("timestamp")).as("day"),

@@ -74,4 +74,22 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r.getLong(0) >= 10L && r.getLong(0) <= 200L)
     assert(r.getDouble(1) < 0, s"slope ${r.getDouble(1)} should be negative")
   }
+
+  test("q_kruskal: H is non-negative, n covers lineitem, k = 3 return flags") {
+    val r = operators.StatsOps.kruskal.run(spark, sf).head()
+    val n = sources.Tables.lineitem(spark, sf).count()
+    assert(r.getLong(0) === n, "rank test must cover every line item")
+    assert(r.getLong(1) === 3L, "three return-flag populations")
+    // H is a scaled variance of mean ranks — negative only on a math error
+    assert(r.getDouble(2) >= 0.0, s"H ${r.getDouble(2)}")
+  }
+
+  test("q_kendall: tau-b in [-1,1]; C+D bounded by n-choose-2; independent columns near 0") {
+    val r = operators.StatsOps.kendall.run(spark, sf).head()
+    val (n, conc, disc, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(conc >= 0 && disc >= 0 && conc + disc <= n * (n - 1) / 2)
+    assert(tau >= -1.0 && tau <= 1.0, s"tau_b $tau")
+    // quantity and discount are drawn independently in TPC-H-shaped data
+    assert(math.abs(tau) < 0.05, s"tau_b $tau should be near zero")
+  }
 }
