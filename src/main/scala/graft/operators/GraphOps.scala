@@ -1057,6 +1057,64 @@ object GraphOps {
     fwd.join(bwd, "node").orderBy(col("node"))
   }
 
+  /** Adamic-Adar link prediction on the sampled undirected trade graph
+    * — the frequency-weighted refinement of graph_jaccard: a shared
+    * RARE partner (low degree) is stronger evidence of a future link
+    * than a shared hub, so each common neighbor w contributes
+    * 1/ln(deg(w)) instead of 1. Cross-engine determinism: the per-
+    * neighbor weight is FLOOR-SNAPPED to exact micro units
+    * (⌊10⁶/ln(d)⌋ — d is a small integer and 10⁶/ln(d) is irrational,
+    * so the 1-ulp Java-vs-glibc ln divergence can never straddle the
+    * floor), making the per-pair score an exact BIGINT sum — order-free
+    * — with one division at emit. deg(w) ≥ 2 for every common neighbor
+    * by construction, so ln never sees 1. Same wedge shuffle as
+    * jaccard: pairs are born grouped, never enumerated per-edge. */
+  val adamicAdar: GraftOp = GraftOp(
+    "graph_adamic_adar", {
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+         |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+         |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |    AND o_custkey = c_custkey
+         |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |    AND n1.n_nationkey <> n2.n_nationkey),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+         |e AS (SELECT u, v FROM und
+         |  WHERE ${graft.functions.Exprs.sqlMd5Long("concat(u, '|', v)")} % 4 = 0),
+         |nb AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY 1),
+         |wedge AS (
+         |  SELECT a.x AS pa, b.x AS pb,
+         |    CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(CAST(floor(1000000.0 / ln(CAST(dw.d AS DOUBLE))) AS BIGINT)) AS BIGINT)
+         |      AS aa_micro
+         |  FROM nb a JOIN nb b ON a.y = b.y AND a.x < b.x
+         |  JOIN deg dw ON dw.x = a.y
+         |  GROUP BY 1, 2)
+         |SELECT pa, pb, n_common,
+         |  round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6) AS adamic_adar
+         |FROM wedge ORDER BY adamic_adar DESC, pa, pb""".stripMargin
+    }) { (s, d) =>
+    val e = tradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val nb = e.select(col("u").as("x"), col("v").as("y"))
+      .union(e.select(col("v").as("x"), col("u").as("y")))
+    val deg = nb.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    nb.as("a")
+      .join(nb.as("b"), col("a.y") === col("b.y") && col("a.x") < col("b.x"))
+      .join(broadcast(deg.select(col("x").as("w"), col("d").as("dw"))),
+        col("a.y") === col("w"))
+      .groupBy(col("a.x").as("pa"), col("b.x").as("pb"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("CAST(floor(1000000.0 / ln(CAST(dw AS DOUBLE))) AS BIGINT)"))
+          .cast("long").as("aa_micro"))
+      .select(col("pa"), col("pb"), col("n_common"),
+        expr("round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6)").as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("pa"), col("pb"))
+  }
+
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
-    clustering, assortativity, closeness, ppr, sccPivot)
+    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar)
 }

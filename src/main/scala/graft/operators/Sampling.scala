@@ -325,7 +325,50 @@ object Sampling {
       .orderBy(col("epoch"), col("shard"), col("pos"))
   }
 
+  /** Greedy token-budget subset selection — the "best data under a
+    * compute budget" primitive of training-set curation: rank documents
+    * by lexical diversity (distinct-token ppm — an exact integer, no
+    * float score anywhere), admit in rank order until the cumulative
+    * token count exceeds 25% of the corpus (budget derived from the
+    * data, so the op is SF-independent). Ties break on doc_id, the
+    * running total is a window prefix sum, and every emitted column is
+    * an exact integer. The global ORDER BY window is over |docs| rows
+    * (documents, not tokens); at 100 TB the same selection runs as the
+    * two-phase partition-prefix-sum q_equidepth already demonstrates. */
+  val tokenBudget: GraftOp = GraftOp(
+    "sample_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) AS n_dist
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_tok, n_dist,
+      |        CAST(n_dist * 1000000 // n_tok AS BIGINT) AS ttr_ppm FROM t),
+      |b AS (SELECT CAST(sum(n_tok) // 4 AS BIGINT) AS budget FROM s),
+      |c AS (
+      |  SELECT doc_id, n_tok, ttr_ppm,
+      |    CAST(sum(n_tok) OVER (ORDER BY ttr_ppm DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |  FROM s)
+      |SELECT doc_id, n_tok, ttr_ppm, cum_tok
+      |FROM c, b WHERE cum_tok <= b.budget ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+    val sdf = t.withColumn("ttr_ppm", expr("n_dist * 1000000 div n_tok"))
+    val b = broadcast(sdf.agg(expr("CAST(sum(n_tok) div 4 AS BIGINT)").as("budget")))
+    val w = Window.orderBy(col("ttr_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sdf.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .crossJoin(b)
+      .filter(col("cum_tok") <= col("budget"))
+      .select(col("doc_id"), col("n_tok"), col("ttr_ppm"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced, shard, epochShuffle)
+      balanced, shard, epochShuffle, tokenBudget)
 }

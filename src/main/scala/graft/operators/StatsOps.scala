@@ -1510,7 +1510,121 @@ object StatsOps {
           |       * (CAST(n AS DOUBLE) * (n - 1) / 2.0 - ty)), 6)""".stripMargin).as("tau_b"))
   }
 
+  /** Cross-correlation between the daily purchase and click series at
+    * lags −3..+3 — the LEAD-LAG readout q_acf (one series vs itself)
+    * cannot give: does click volume lead purchase volume, and by how
+    * many days? Per lag, the Pearson r over aligned (x_d, y_{d+L})
+    * pairs folds six exact BIGINTs (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    * lag join is the q_acf equi-join trick (the y side pre-explodes
+    * its 7 shifted copies; no range join) — and r is one shared-text
+    * double formula. Day alignment keys on a shared day-0. */
+  val xcorr: GraftOp = GraftOp(
+    "q_xcorr",
+    """WITH st AS (SELECT min(CAST(ts AS DATE)) AS mind FROM events),
+      |px AS (
+      |  SELECT CAST(date_diff('day', st.mind, CAST(ts AS DATE)) AS BIGINT) AS i,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events, st WHERE event_type = 'purchase' GROUP BY 1),
+      |cy AS (
+      |  SELECT CAST(date_diff('day', st.mind, CAST(ts AS DATE)) AS BIGINT) AS i,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events, st WHERE event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(s.lag_d AS INT) AS lag_d, px.x, cy.y
+      |  FROM cy CROSS JOIN unnest(generate_series(-3, 3)) s(lag_d)
+      |  JOIN px ON px.i = cy.i + s.lag_d),
+      |g AS (
+      |  SELECT lag_d, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT lag_d, n_pairs,
+      |  round((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r
+      |FROM g ORDER BY lag_d""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("event_type"))
+    val st = broadcast(ev.agg(min(col("day")).as("mind")))
+    def daily(t: String, out: String) = ev.filter(col("event_type") === t)
+      .crossJoin(st)
+      .groupBy(datediff(col("day"), col("mind")).cast(LongType).as("i"))
+      .agg(count(lit(1)).as(out))
+    val px = daily("purchase", "x")
+    val cy = daily("click", "y")
+      .select(explode(sequence(lit(-3L), lit(3L))).as("lag_d"), col("i"), col("y"))
+      .select(col("lag_d"), (col("i") + col("lag_d")).as("ia"), col("y"))
+    px.join(cy, col("i") === col("ia"))
+      .groupBy(col("lag_d").cast(IntegerType).as("lag_d"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag_d"), col("n_pairs"),
+        expr("""round((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          |  / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          |       * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)""".stripMargin)
+          .as("r"))
+      .orderBy(col("lag_d"))
+  }
+
+  /** Classical additive decomposition of daily purchase revenue into
+    * trend + weekday seasonal + residual — the structural view behind
+    * q_seasonality's weekday means and q_holt_winters' forecast.
+    * EXACT CORE: the 7-day centered trend window sums integer cents
+    * (full windows only), the detrended value rides ×7-scaled so
+    * 7·cents − Σ₇ stays an exact BIGINT, and each weekday's seasonal
+    * component is ONE double division of two exact integers
+    * Σ(detr7)/(7·n_w). Seasonal is left un-normalized (mean-of-
+    * detrended per weekday); the residual is defined against exactly
+    * these trend/seasonal values, so the three parts re-add to the
+    * observed series bit-for-bit. */
+  val stlDecompose: GraftOp = GraftOp(
+    "q_stl_decompose",
+    """WITH dd AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |w AS (
+      |  SELECT day, CAST(date_part('dow', day) AS INT) AS dow, cents,
+      |    CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+      |    CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7
+      |  FROM dd),
+      |i AS (SELECT day, dow, cents, t7, 7 * cents - t7 AS d7 FROM w WHERE n7 = 7),
+      |sw AS (SELECT dow, CAST(sum(d7) AS BIGINT) AS snum, CAST(count(*) AS BIGINT) AS n_w
+      |       FROM i GROUP BY 1)
+      |SELECT i.day, i.dow,
+      |  round(CAST(i.cents AS DOUBLE) / 100.0, 6) AS revenue,
+      |  round(CAST(i.t7 AS DOUBLE) / 7.0 / 100.0, 6) AS trend,
+      |  round(CAST(sw.snum AS DOUBLE) / (7.0 * sw.n_w) / 100.0, 6) AS seasonal,
+      |  round(CAST(i.cents AS DOUBLE) / 100.0
+      |      - CAST(i.t7 AS DOUBLE) / 7.0 / 100.0
+      |      - CAST(sw.snum AS DOUBLE) / (7.0 * sw.n_w) / 100.0, 6) AS residual
+      |FROM i JOIN sw ON i.dow = sw.dow ORDER BY i.day""".stripMargin) { (s, d) =>
+    val dd = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .cast(LongType).as("cents"))
+    val win = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val i = dd
+      .select(col("day"), (dayofweek(col("day")) - 1).cast(IntegerType).as("dow"),
+        col("cents"),
+        sum(col("cents")).over(win).as("t7"), count(lit(1)).over(win).as("n7"))
+      .filter(col("n7") === 7)
+      .withColumn("d7", lit(7) * col("cents") - col("t7"))
+    val sw = i.groupBy(col("dow")).agg(sum(col("d7")).as("snum"), count(lit(1)).as("n_w"))
+    i.join(broadcast(sw), "dow")
+      .select(col("day"), col("dow"),
+        expr("round(CAST(cents AS DOUBLE) / 100.0, 6)").as("revenue"),
+        expr("round(CAST(t7 AS DOUBLE) / 7.0 / 100.0, 6)").as("trend"),
+        expr("round(CAST(snum AS DOUBLE) / (7.0 * n_w) / 100.0, 6)").as("seasonal"),
+        expr("""round(CAST(cents AS DOUBLE) / 100.0
+          |    - CAST(t7 AS DOUBLE) / 7.0 / 100.0
+          |    - CAST(snum AS DOUBLE) / (7.0 * n_w) / 100.0, 6)""".stripMargin).as("residual"))
+      .orderBy(col("day"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
-    bootstrapCi, conformal, auc, holtWinters, kruskal, kendall)
+    bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose)
 }

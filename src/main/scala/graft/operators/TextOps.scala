@@ -924,8 +924,102 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** First-seen trigram novelty per document — the data-freshness
+    * readout a crawl-ordered corpus needs (how much of each new doc is
+    * text the corpus has never produced before?). Each trigram
+    * occurrence checks whether its trigram's GLOBAL first appearance
+    * (min doc_id) is this doc; novelty is emitted as an exact ppm
+    * integer (floor division), so there is no float anywhere. Scale
+    * shape: trigrams shuffle ONCE as portable 64-bit hashes (never the
+    * strings) through a window-min partitioned by hash — at 100 TB the
+    * exchange carries 3 longs/row; no join-back materializes the
+    * trigram dictionary. */
+  val novelty: GraftOp = GraftOp(
+    "text_novelty",
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS tri
+       |  FROM toks WHERE len(toks) >= 3),
+       |h AS (SELECT doc_id, ${graft.functions.Exprs.sqlMd5Long("tri")} AS th FROM tri),
+       |f AS (SELECT doc_id, th, min(doc_id) OVER (PARTITION BY th) AS first_doc FROM h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+       |  CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT) AS n_novel,
+       |  CAST(count(*) FILTER (WHERE first_doc = doc_id) * 1000000
+       |       // count(*) AS BIGINT) AS novelty_ppm
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tokPos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = tokPos
+      .withColumn("t2", lead(col("tok"), 1).over(byDoc))
+      .withColumn("t3", lead(col("tok"), 2).over(byDoc))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        Exprs.md5Long(concat_ws(" ", col("tok"), col("t2"), col("t3"))).as("th"))
+    val f = tri.withColumn("first_doc",
+      min(col("doc_id")).over(Window.partitionBy(col("th"))))
+    f.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heaps-law vocabulary growth per source — the corpus-health twin
+    * of text_zipf (rank-frequency): V ≈ K·N^β, with β read off two
+    * checkpoints (the doc_id-midpoint half vs the full source — ids
+    * are block-assigned per source, so parity would select all-or-
+    * nothing; 2·doc_id ≤ min+max is an exact integer split that always
+    * strictly nests). All four inputs are exact integers (token
+    * occurrences + distinct tokens, per subset); β = ln(V/V₁)/ln(N/N₁)
+    * is one shared-text double formula. A β near 0 means the source's
+    * vocabulary has saturated
+    * (more data adds no new tokens — a TTR-collapse signal at corpus
+    * granularity); natural text sits around 0.4-0.6. */
+  val heaps: GraftOp = GraftOp(
+    "text_heaps",
+    """WITH t AS (
+      |  SELECT source, doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |  FROM documents),
+      |full_c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |  FROM t GROUP BY 1),
+      |m AS (SELECT source, CAST(min(doc_id) + max(doc_id) AS BIGINT) AS mid2
+      |      FROM documents GROUP BY 1),
+      |half_c AS (
+      |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_tok_half,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS vocab_half
+      |  FROM t JOIN m ON t.source = m.source
+      |  WHERE 2 * t.doc_id <= m.mid2 GROUP BY 1)
+      |SELECT f.source, f.n_tok, f.vocab, h.n_tok_half, h.vocab_half,
+      |  round(ln(CAST(f.vocab AS DOUBLE) / h.vocab_half)
+      |      / ln(CAST(f.n_tok AS DOUBLE) / h.n_tok_half), 6) AS beta
+      |FROM full_c f JOIN half_c h ON f.source = h.source
+      |ORDER BY f.source""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+    val fullC = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("vocab"))
+    val m = Tables.documents(s, d).groupBy(col("source"))
+      .agg((min(col("doc_id")) + max(col("doc_id"))).cast("long").as("mid2"))
+    val halfC = t.join(broadcast(m), "source")
+      .filter(col("doc_id") * 2 <= col("mid2")).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok_half"), countDistinct(col("tok")).as("vocab_half"))
+    fullC.join(halfC, "source")
+      .select(col("source"), col("n_tok"), col("vocab"), col("n_tok_half"),
+        col("vocab_half"),
+        expr("""round(ln(CAST(vocab AS DOUBLE) / vocab_half)
+          |    / ln(CAST(n_tok AS DOUBLE) / n_tok_half), 6)""".stripMargin).as("beta"))
+      .orderBy(col("source"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
-      readability, jsDivergence, ttr, compressionRatio)
+      readability, jsDivergence, ttr, compressionRatio, novelty, heaps)
 }

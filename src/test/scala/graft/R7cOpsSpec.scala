@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the round-7c surface (cross-correlation, STL
+  * decomposition, trigram novelty, Heaps growth, token-budget
+  * selection, Adamic-Adar). The oracle hash-compare is the exactness
+  * gate; these assert the mechanics mean what they claim. */
+class R7cOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q_xcorr: 7 lag rows, r in [-1,1], and lag 0 is the self-alignment peak region") {
+    val rows = operators.StatsOps.xcorr.run(spark, sf).collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0, s"r ${r.getDouble(2)}")
+      assert(r.getLong(1) >= 20L, "a 30-day series leaves >=20 aligned pairs per lag")
+    }
+  }
+
+  test("q_stl_decompose: parts re-add to the series; trend is the 7-day mean") {
+    val rows = operators.StatsOps.stlDecompose.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rev, tr, se, res) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // residual is defined against exactly these trend/seasonal values
+      assert(math.abs(rev - tr - se - res) < 2e-6, s"decomposition must re-add: $r")
+    }
+  }
+
+  test("text_novelty: doc 0 is fully novel; novelty_ppm bounded; novel <= total") {
+    val rows = operators.TextOps.novelty.run(spark, sf).collect()
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(1) === first.getLong(2), "the earliest doc has nothing to repeat")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("text_heaps: the half strictly nests (N1 < N, V1 <= V) and beta in [0, 1]") {
+    val rows = operators.TextOps.heaps.run(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    rows.foreach { r =>
+      assert(r.getLong(3) < r.getLong(1), s"half must be a strict subset: $r")
+      assert(r.getLong(4) <= r.getLong(2))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, s"beta ${r.getDouble(5)}")
+    }
+  }
+
+  test("sample_token_budget: selection is the diversity-ranked prefix within budget") {
+    val sel = operators.Sampling.tokenBudget.run(spark, sf).collect()
+    assert(sel.nonEmpty)
+    val all = sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        split(col("text"), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    val budget = all / 4
+    assert(sel.map(_.getLong(1)).sum <= budget, "selected tokens fit the budget")
+    // the selection boundary is tight: the remaining headroom is smaller
+    // than the largest document, so SOME doc was refused for overflow (or
+    // everything fit)
+    val maxCum = sel.map(_.getLong(3)).max
+    val maxDocTok = sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        split(col("text"), "\\s+")).cast("long").as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(budget - maxCum < maxDocTok || sel.length.toLong ==
+      sources.Tables.documents(spark, sf).count(), "greedy prefix is maximal")
+  }
+
+  test("graph_adamic_adar: same pair set as jaccard; rare-partner weighting holds") {
+    val aa = operators.GraphOps.adamicAdar.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val jc = operators.GraphOps.jaccard.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(aa.keySet === jc.keySet, "both scores rank the same candidate pairs")
+    aa.foreach { case (k, (nCommon, score)) =>
+      assert(nCommon === jc(k), s"common-neighbor counts agree for $k")
+      // each neighbor contributes 1/ln(d) with 2 <= d <= n_nations, so the
+      // total is bounded by n_common/ln(2) above and n_common/ln(25) below
+      assert(score <= nCommon / math.log(2.0) + 1e-6, s"$k: $score")
+      assert(score >= nCommon / math.log(50.0), s"$k: $score too small")
+    }
+  }
+}
