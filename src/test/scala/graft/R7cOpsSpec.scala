@@ -71,6 +71,21 @@ class R7cOpsSpec extends AnyFunSuite {
       sources.Tables.documents(spark, sf).count(), "greedy prefix is maximal")
   }
 
+  test("emb_kmeans: clusters partition the corpus and beat random label purity") {
+    val rows = operators.EmbedOps.kmeans.run(spark, sf).collect()
+    assert(rows.length === 4, "k = 4 clusters, none empty on this corpus")
+    val total = sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "every vector is assigned exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L, "inertia is a sum of squared integers")
+      assert(r.getLong(4) <= r.getLong(1), "majority count bounded by cluster size")
+    }
+    // the synthetic corpus embeds only mild label structure at k=4 over
+    // 10 labels; purity must still clear the ~0.10 random baseline
+    val purity = rows.map(_.getLong(4)).sum.toDouble / total
+    assert(purity > 0.12, s"purity $purity")
+  }
+
   test("graph_adamic_adar: same pair set as jaccard; rare-partner weighting holds") {
     val aa = operators.GraphOps.adamicAdar.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
