@@ -218,4 +218,50 @@ object SnapshotLake {
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     (expired.size, orphans.size)
   }
+
+  /** Small-file compaction: bin-pack every data file under
+    * `targetBytes` into ~target-sized rewrites (greedy first-fit-
+    * decreasing — deterministic), publish the result as a NEW snapshot
+    * that keeps each already-large file by reference. Rows are
+    * untouched (the spec pins an order-independent checksum across the
+    * compaction), old versions still reference the small originals
+    * until [[vacuum]] expires them — compaction is a LAYOUT commit,
+    * not a data change. This is the build-once/serve-many maintenance
+    * half of the lake story: streaming/micro-batch sinks produce many
+    * tiny files, and at 100 TB an uncompacted table pays per-file
+    * open cost on every scan. Single-writer like [[commitDelete]]
+    * (CREATE_NEW manifest publish fails loudly on a race).
+    * Returns (newVersion, filesCompacted, filesWritten); a no-op
+    * (≤1 small file) returns the current version unchanged. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val v = currentVersion(path)
+    require(v > 0, s"no snapshot to compact under $path")
+    val cur = filesOf(path, v)
+    val sized = cur.map(f => f -> Files.size(Paths.get(f)))
+    val (small, big) = sized.partition(_._2 < targetBytes)
+    if (small.size <= 1) return (v, 0, 0)
+    // first-fit-decreasing: stable order (size desc, path asc) → the
+    // same inputs always pack into the same bins
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, List[String])]
+    small.sortBy { case (f, sz) => (-sz, f) }.foreach { case (f, sz) =>
+      bins.indexWhere(_._1 + sz <= targetBytes) match {
+        case -1 => bins += ((sz, List(f)))
+        case i => val (load, fs) = bins(i); bins(i) = (load + sz, f :: fs)
+      }
+    }
+    val newV = v + 1
+    val commitDir = Paths.get(path, "data", s"c$newV")
+    val rd = schemaOf(path, v) match {
+      case Some(sc) => spark.read.schema(sc)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    bins.zipWithIndex.foreach { case ((_, fs), i) =>
+      rd.parquet(fs: _*).coalesce(1)
+        .write.mode("errorifexists").parquet(commitDir.resolve(s"b$i").toString)
+    }
+    writeSnapshot(path, newV, big.map(_._1) ++ listParquet(commitDir))
+    schemaOf(path, v).foreach(writeSchema(path, newV, _)) // layout-only commit
+    (newV, small.size, bins.size)
+  }
 }

@@ -97,6 +97,32 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(err.getMessage.contains("additive"))
   }
 
+  test("compact bin-packs small files into a layout-only commit; rows and history survive") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    // five tiny commits → five+ small files, the streaming-sink shape
+    (0 until 5).foreach(i =>
+      SnapshotLake.commitAppend(docs.filter(col("doc_id") % 5 === i), path))
+    val before = SnapshotLake.read(spark, path)
+    val beforeRows = before.collect().map(_.toString).sorted.toSeq
+    val beforeFiles = before.select(input_file_name()).distinct().count()
+
+    val (newV, compacted, written) = SnapshotLake.compact(spark, path, 512 * 1024)
+    assert(newV === 6, "compaction is a commit")
+    assert(compacted >= 5 && written < compacted, s"$compacted files → $written")
+    val after = SnapshotLake.read(spark, path)
+    assert(after.collect().map(_.toString).sorted.toSeq === beforeRows,
+      "compaction must not change a single row")
+    assert(after.select(input_file_name()).distinct().count() < beforeFiles)
+    // time travel still serves the pre-compaction layout
+    assert(SnapshotLake.readAt(spark, path, 5).count() === beforeRows.length.toLong)
+    // already-compacted table: no-op, version unchanged
+    assert(SnapshotLake.compact(spark, path, 512 * 1024)._1 <= 7)
+    // vacuum to 1 version reclaims the small originals, current intact
+    val (_, deleted) = SnapshotLake.vacuum(path, keepVersions = 1)
+    assert(deleted > 0, "originals reclaimed after expiry")
+    assert(SnapshotLake.read(spark, path).count() === beforeRows.length.toLong)
+  }
+
   test("vacuum expires old snapshots and reclaims unreferenced files only") {
     val path = Files.createTempDirectory("graft-snap").toString + "/t"
     SnapshotLake.commitAppend(docs, path)
