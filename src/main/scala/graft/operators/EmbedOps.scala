@@ -515,8 +515,93 @@ object EmbedOps {
       .orderBy(col("label"))
   }
 
-  private val KmK = 4
+  private[operators] val KmK = 4
   private val KmAssignRounds = 3 // assignments; updates happen after the first two
+
+  /** Corpus scaled once to integer micros — the exact substrate both
+    * [[kmeans]] and KnnOps.ivfExact cluster on. */
+  private[graft] def kmScaled(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("xs"))
+
+  /** Exact assignment of every vector to its nearest centroid (argmin
+    * ties to the smaller k — mirrors the oracle's ORDER BY dist, k).
+    * Adds d0..d3, k, dist columns; all arithmetic is BIGINT. */
+  private[operators] def kmAssign(xs: org.apache.spark.sql.DataFrame,
+      cents: Array[Array[Long]]): org.apache.spark.sql.DataFrame = {
+    val distCols = cents.zipWithIndex.map { case (c, k) =>
+      val lits = c.mkString("array(", "L,", "L)")
+      expr(s"aggregate(zip_with(xs, $lits, (a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)")
+        .as(s"d$k")
+    }
+    val ds = (0 until KmK).map(k => col(s"d$k"))
+    val kCol = (0 until KmK - 1).foldRight(lit(KmK - 1)) { (k, rest) =>
+      when((k + 1 until KmK).map(j => ds(k) <= ds(j)).reduce(_ && _), k).otherwise(rest)
+    }
+    xs.select((col("vec_id") +: col("xs") +: distCols.toSeq): _*)
+      .withColumn("k", kCol)
+      .withColumn("dist", least(ds: _*))
+  }
+
+  /** The Lloyd loop: seeds = vec_id 0..3, two floor-snapped mean
+    * updates (truncating division — identical in Spark div, DuckDB //
+    * and this driver loop); an empty cluster keeps its centroid. */
+  private[operators] def kmLloyd(
+      xs: org.apache.spark.sql.DataFrame): Array[Array[Long]] = {
+    val cents: Array[Array[Long]] = xs.filter(col("vec_id") < KmK)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Long](1).toArray)
+    for (_ <- 1 until KmAssignRounds) {
+      val upd = kmAssign(xs, cents)
+        .select(col("k"), posexplode(col("xs")))
+        .toDF("k", "j", "xj")
+        .groupBy(col("k"), col("j"))
+        .agg(sum(col("xj")).as("sj"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      (0 until KmK).foreach(k => cents(k) = next(k))
+    }
+    cents
+  }
+
+  /** Shared oracle prefix: CTEs `e` (dims), `vl` (scaled vectors),
+    * `c0`..`c2` (centroids) and `g1`..`g3` (assignments) replicating
+    * [[kmLloyd]]/[[kmAssign]] exactly; enders compose FROM g3/c2/vl. */
+  private[operators] def kmCtes: String = {
+    def round(r: Int, prev: String): String =
+      s"""a$r AS (
+         |  SELECT v.vec_id, v.xs, c.k,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (v.xs[i] - c.cs[i]) * (v.xs[i] - c.cs[i]))) AS BIGINT) AS dist
+         |  FROM vl v CROSS JOIN $prev c),
+         |s$r AS (SELECT vec_id, k, dist,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM a$r),
+         |g$r AS (SELECT vec_id, k, dist FROM s$r WHERE rn = 1)""".stripMargin
+    def update(r: Int, prev: String): String =
+      s"""u$r AS (SELECT g.k, e2.j, CAST(sum(e2.xj) AS BIGINT) AS sj,
+         |        CAST(count(*) AS BIGINT) AS n
+         |        FROM g$r g JOIN e e2 USING (vec_id) GROUP BY 1, 2),
+         |c$r AS (SELECT k, list(sj // n ORDER BY j) AS cs FROM u$r GROUP BY 1
+         |        UNION ALL
+         |        SELECT k, cs FROM $prev
+         |        WHERE k NOT IN (SELECT DISTINCT k FROM u$r))""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS j,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xj
+       |  FROM embeddings),
+       |vl AS (SELECT vec_id, list(xj ORDER BY j) AS xs FROM e GROUP BY 1),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS k, xs AS cs FROM vl WHERE vec_id < $KmK),
+       |${round(1, "c0")},
+       |${update(1, "c0")},
+       |${round(2, "c1")},
+       |${update(2, "c1")},
+       |${round(3, "c2")}""".stripMargin
+  }
 
   /** Exact-arithmetic Lloyd k-means over the embedding corpus — the
     * engine's own deterministic clustering op (knn_ivf's Spark-ML
@@ -535,85 +620,23 @@ object EmbedOps {
     * centroids; each update is ONE narrow (k, dim) shuffle of integer
     * sums — the canonical distributed-k-means plan. */
   val kmeans: GraftOp = GraftOp(
-    "emb_kmeans", {
-      def round(r: Int, prev: String): String =
-        s"""a$r AS (
-           |  SELECT v.vec_id, v.xs, c.k,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      i -> (v.xs[i] - c.cs[i]) * (v.xs[i] - c.cs[i]))) AS BIGINT) AS dist
-           |  FROM vl v CROSS JOIN $prev c),
-           |s$r AS (SELECT vec_id, k, dist,
-           |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM a$r),
-           |g$r AS (SELECT vec_id, k, dist FROM s$r WHERE rn = 1)""".stripMargin
-      def update(r: Int, prev: String): String =
-        s"""u$r AS (SELECT g.k, e2.j, CAST(sum(e2.xj) AS BIGINT) AS sj,
-           |        CAST(count(*) AS BIGINT) AS n
-           |        FROM g$r g JOIN e e2 USING (vec_id) GROUP BY 1, 2),
-           |c$r AS (SELECT k, list(sj // n ORDER BY j) AS cs FROM u$r GROUP BY 1
-           |        UNION ALL
-           |        SELECT k, cs FROM $prev
-           |        WHERE k NOT IN (SELECT DISTINCT k FROM u$r))""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS j,
-         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xj
-         |  FROM embeddings),
-         |vl AS (SELECT vec_id, list(xj ORDER BY j) AS xs FROM e GROUP BY 1),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS k, xs AS cs FROM vl WHERE vec_id < $KmK),
-         |${round(1, "c0")},
-         |${update(1, "c0")},
-         |${round(2, "c1")},
-         |${update(2, "c1")},
-         |${round(3, "c2")},
-         |gg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_vectors,
-         |       CAST(sum(dist) AS BIGINT) AS inertia FROM g3 GROUP BY 1),
-         |lab AS (SELECT g.k, em.label, CAST(count(*) AS BIGINT) AS c
-         |        FROM g3 g JOIN embeddings em USING (vec_id) GROUP BY 1, 2),
-         |top AS (SELECT k, label, c,
-         |        row_number() OVER (PARTITION BY k ORDER BY c DESC, label) AS rn FROM lab)
-         |SELECT gg.k AS cluster, gg.n_vectors, gg.inertia,
-         |  top.label AS top_label, top.c AS top_label_n
-         |FROM gg JOIN top ON gg.k = top.k AND top.rn = 1
-         |ORDER BY cluster""".stripMargin
-    }) { (s, d) =>
+    "emb_kmeans",
+    s"""WITH $kmCtes,
+       |gg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_vectors,
+       |       CAST(sum(dist) AS BIGINT) AS inertia FROM g3 GROUP BY 1),
+       |lab AS (SELECT g.k, em.label, CAST(count(*) AS BIGINT) AS c
+       |        FROM g3 g JOIN embeddings em USING (vec_id) GROUP BY 1, 2),
+       |top AS (SELECT k, label, c,
+       |        row_number() OVER (PARTITION BY k ORDER BY c DESC, label) AS rn FROM lab)
+       |SELECT gg.k AS cluster, gg.n_vectors, gg.inertia,
+       |  top.label AS top_label, top.c AS top_label_n
+       |FROM gg JOIN top ON gg.k = top.k AND top.rn = 1
+       |ORDER BY cluster""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val xs = emb.select(col("vec_id"),
-      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("xs"))
-      .persist()
+    val xs = kmScaled(s, d).persist()
     try {
-      val dim = 64
-      val cents: Array[Array[Long]] = xs.filter(col("vec_id") < KmK)
-        .orderBy(col("vec_id")).collect()
-        .map(_.getSeq[Long](1).toArray)
-      def assigned(): org.apache.spark.sql.DataFrame = {
-        val distCols = cents.zipWithIndex.map { case (c, k) =>
-          val lits = c.mkString("array(", "L,", "L)")
-          expr(s"aggregate(zip_with(xs, $lits, (a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)")
-            .as(s"d$k")
-        }
-        val ds = (0 until KmK).map(k => col(s"d$k"))
-        // argmin with ties to the smaller k — mirrors ORDER BY dist, k
-        val kCol = (0 until KmK - 1).foldRight(lit(KmK - 1)) { (k, rest) =>
-          when((k + 1 until KmK).map(j => ds(k) <= ds(j)).reduce(_ && _), k).otherwise(rest)
-        }
-        xs.select((col("vec_id") +: col("xs") +: distCols.toSeq): _*)
-          .withColumn("k", kCol)
-          .withColumn("dist", least(ds: _*))
-      }
-      for (_ <- 1 until KmAssignRounds) {
-        val upd = assigned()
-          .select(col("k"), posexplode(col("xs")))
-          .toDF("k", "j", "xj")
-          .groupBy(col("k"), col("j"))
-          .agg(sum(col("xj")).as("sj"), count(lit(1)).as("n"))
-          .collect()
-        val next = cents.map(_.clone()) // empty cluster keeps its centroid
-        upd.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
-        }
-        (0 until KmK).foreach(k => cents(k) = next(k))
-      }
-      val fin = assigned().select(col("vec_id"), col("k"), col("dist"))
+      val cents = kmLloyd(xs)
+      val fin = kmAssign(xs, cents).select(col("vec_id"), col("k"), col("dist"))
       val gg = fin.groupBy(col("k"))
         .agg(count(lit(1)).as("n_vectors"), sum(col("dist")).as("inertia"))
       val lab = fin.join(emb.select(col("vec_id"), col("label")), "vec_id")

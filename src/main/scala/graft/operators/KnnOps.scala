@@ -693,7 +693,70 @@ object KnnOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ORACLE-CHECKED IVF: inverted-file ANN whose every step is exact
+    * integer arithmetic — the hash-green counterpart of [[ivf]] (whose
+    * MLlib KMeans quantizer keeps it rows-only). Cells come from
+    * EmbedOps' exact-arithmetic Lloyd clustering (micros-snapped
+    * vectors, floor-snapped centroids); each query probes its
+    * nprobe=2 nearest cells by exact L2-micros distance and ranks the
+    * probed cells' members by the same integer metric, ties to the
+    * smaller id — so the full index→probe→rank path hash-matches
+    * DuckDB. Scale shape: the corpus is scanned once to assign cells
+    * (map-side vs 4 broadcast literal centroids); a probe touches
+    * nprobe/k of the corpus through one equi join on cell id —
+    * exactly the IVF serving plan, with none of the float
+    * nondeterminism that usually makes ANN untestable cross-engine. */
+  val ivfExact: GraftOp = GraftOp(
+    "knn_ivf_exact",
+    s"""WITH ${EmbedOps.kmCtes},
+       |q AS (SELECT vec_id AS query_id, xs AS qs FROM vl WHERE vec_id < 5),
+       |pd AS (
+       |  SELECT q.query_id, q.qs, c.k,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (q.qs[i] - c.cs[i]) * (q.qs[i] - c.cs[i]))) AS BIGINT) AS cdist
+       |  FROM q CROSS JOIN c2 c),
+       |pr AS (SELECT query_id, qs, k,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY cdist, k) AS cr FROM pd),
+       |probe AS (SELECT query_id, qs, k FROM pr WHERE cr <= 2),
+       |cand AS (
+       |  SELECT p.query_id, p.qs, g.vec_id AS corpus_id
+       |  FROM probe p JOIN g3 g ON g.k = p.k AND g.vec_id <> p.query_id),
+       |dd AS (
+       |  SELECT c.query_id, c.corpus_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (c.qs[i] - v.xs[i]) * (c.qs[i] - v.xs[i]))) AS BIGINT) AS dist2
+       |  FROM cand c JOIN vl v ON v.vec_id = c.corpus_id),
+       |rr AS (SELECT query_id, corpus_id, dist2,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY dist2, corpus_id) AS rn
+       |       FROM dd)
+       |SELECT query_id, corpus_id, dist2, rn
+       |FROM rr WHERE rn <= $K ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val xs = EmbedOps.kmScaled(s, d).persist()
+    try {
+      val cents = EmbedOps.kmLloyd(xs)
+      val assign = EmbedOps.kmAssign(xs, cents).select(col("vec_id"), col("xs"), col("k"))
+      // per-query probe cells: sort the 4 (cdist, k) pairs, take 2 —
+      // same (dist, k) tie order as the oracle's row_number
+      val q = EmbedOps.kmAssign(xs.filter(col("vec_id") < 5), cents)
+      val cellStructs = (0 until EmbedOps.KmK)
+        .map(k => struct(col(s"d$k").as("cd"), lit(k).as("k")))
+      val probe = q.select(col("vec_id").as("query_id"), col("xs").as("qs"),
+          explode(slice(array_sort(array(cellStructs: _*)), 1, 2)).as("p"))
+        .select(col("query_id"), col("qs"), col("p.k").as("k"))
+      val byQuery = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist2"), col("corpus_id"))
+      assign.join(broadcast(probe), Seq("k"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("corpus_id"),
+          expr("aggregate(zip_with(qs, xs, (a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)")
+            .as("dist2"))
+        .withColumn("rn", row_number().over(byQuery))
+        .filter(col("rn") <= K)
+        .orderBy(col("query_id"), col("rn"))
+    } finally xs.unpersist(blocking = false)
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
-      outlierScore, ivfRecallCurve, mmr)
+      outlierScore, ivfRecallCurve, mmr, ivfExact)
 }

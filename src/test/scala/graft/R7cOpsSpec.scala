@@ -86,6 +86,29 @@ class R7cOpsSpec extends AnyFunSuite {
     assert(purity > 0.12, s"purity $purity")
   }
 
+  test("knn_ivf_exact: k results per query, ranked by exact distance, recall>=0.5 vs integer brute force") {
+    val res = operators.KnnOps.ivfExact.run(spark, sf).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length === 10)
+      val ds = rows.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(ds.sameElements(ds.sorted), "ranked ascending by exact distance")
+    }
+    // recall vs exact integer-L2 brute force over the same micros grid
+    val xs = operators.EmbedOps.kmScaled(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val recalls = byQ.map { case (q, rows) =>
+      val truth = xs.keys.filter(_ != q).toSeq
+        .sortBy(c => (d2(xs(q), xs(c)), c)).take(10).toSet
+      rows.map(_.getLong(1)).count(truth.contains) / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean (nprobe=2 of 4 cells)")
+  }
+
   test("graph_adamic_adar: same pair set as jaccard; rare-partner weighting holds") {
     val aa = operators.GraphOps.adamicAdar.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
