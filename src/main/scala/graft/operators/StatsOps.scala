@@ -1624,7 +1624,99 @@ object StatsOps {
       .orderBy(col("day"))
   }
 
+  /** Granger-style lead-lag significance: does yesterday's CLICK volume
+    * predict today's PURCHASE volume beyond what yesterday's purchases
+    * already explain? The causal-flavored readout on top of q_xcorr's
+    * symmetric correlation: restricted AR(1) y_t ~ y_{t−1} vs the full
+    * model adding x_{t−1}, compared by the incremental F statistic.
+    * Both regressions solve in closed form from TEN exact BIGINT cross
+    * sums over (t−1, t) day pairs (the q_ols2 determinant discipline
+    * plus Σy² for residual sums); RSS_r, RSS_f and F are one
+    * shared-text double chain over those integers. */
+  val granger: GraftOp = GraftOp(
+    "q_granger",
+    """WITH st AS (SELECT min(CAST(ts AS DATE)) AS mind FROM events),
+      |d AS (
+      |  SELECT CAST(date_diff('day', st.mind, CAST(ts AS DATE)) AS BIGINT) AS i,
+      |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y,
+      |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x
+      |  FROM events, st GROUP BY 1),
+      |p AS (
+      |  SELECT cur.y AS y, prev.y AS x1, prev.x AS x2
+      |  FROM d cur JOIN d prev ON cur.i = prev.i + 1),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+      |  FROM p),
+      |m AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c,
+      |    CAST(s11 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f, CAST(s22 AS DOUBLE) AS i,
+      |    CAST(sy AS DOUBLE) AS ry, CAST(syy AS DOUBLE) AS ryy,
+      |    CAST(s1y AS DOUBLE) AS r1, CAST(s2y AS DOUBLE) AS r2
+      |  FROM g),
+      |fm AS (
+      |  SELECT n, ry, ryy, r1, r2, a, b, c, e, f, i,
+      |    a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c) AS det
+      |  FROM m),
+      |co AS (
+      |  SELECT n, ry, ryy, r1, r2, a, b, e,
+      |    (ry * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2)) / det AS b0,
+      |    (a * (r1 * i - f * r2) - ry * (b * i - c * f) + c * (b * r2 - c * r1)) / det AS b1,
+      |    (a * (e * r2 - r1 * f) - b * (b * r2 - c * r1) + ry * (b * f - c * e)) / det AS b2
+      |  FROM fm),
+      |rs AS (
+      |  SELECT n, b1, b2,
+      |    ryy - (b0 * ry + b1 * r1 + b2 * r2) AS rss_f,
+      |    ryy - ((ry - ((a * r1 - b * ry) / (a * e - b * b)) * b) / a) * ry
+      |        - ((a * r1 - b * ry) / (a * e - b * b)) * r1 AS rss_r
+      |  FROM co)
+      |SELECT n AS n_pairs, round(b1, 6) AS b_ylag, round(b2, 6) AS b_xlag,
+      |  round((rss_r - rss_f) / (rss_f / (n - 3.0)), 6) AS f_stat
+      |FROM rs""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("event_type"))
+    val st = broadcast(ev.agg(min(col("day")).as("mind")))
+    val daily = ev.crossJoin(st)
+      .groupBy(datediff(col("day"), col("mind")).cast(LongType).as("i"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("y"),
+        count(when(col("event_type") === "click", 1)).as("x"))
+    val prev = daily.select((col("i") + 1).as("ip"), col("y").as("x1"), col("x").as("x2"))
+    val p = daily.join(prev, col("i") === col("ip"))
+      .select(col("y"), col("x1"), col("x2"))
+    val g = p.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+    g.select(col("n"),
+        col("n").cast(DoubleType).as("a"), col("s1").cast(DoubleType).as("b"),
+        col("s2").cast(DoubleType).as("c"), col("s11").cast(DoubleType).as("e"),
+        col("s12").cast(DoubleType).as("f"), col("s22").cast(DoubleType).as("i"),
+        col("sy").cast(DoubleType).as("ry"), col("syy").cast(DoubleType).as("ryy"),
+        col("s1y").cast(DoubleType).as("r1"), col("s2y").cast(DoubleType).as("r2"))
+      .withColumn("det",
+        expr("a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c)"))
+      .withColumn("b0",
+        expr("(ry * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2)) / det"))
+      .withColumn("b1",
+        expr("(a * (r1 * i - f * r2) - ry * (b * i - c * f) + c * (b * r2 - c * r1)) / det"))
+      .withColumn("b2",
+        expr("(a * (e * r2 - r1 * f) - b * (b * r2 - c * r1) + ry * (b * f - c * e)) / det"))
+      .withColumn("rss_f", expr("ryy - (b0 * ry + b1 * r1 + b2 * r2)"))
+      .withColumn("rss_r", expr(
+        """ryy - ((ry - ((a * r1 - b * ry) / (a * e - b * b)) * b) / a) * ry
+          |    - ((a * r1 - b * ry) / (a * e - b * b)) * r1""".stripMargin))
+      .select(col("n").as("n_pairs"),
+        expr("round(b1, 6)").as("b_ylag"), expr("round(b2, 6)").as("b_xlag"),
+        expr("round((rss_r - rss_f) / (rss_f / (n - 3.0)), 6)").as("f_stat"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
-    bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose)
+    bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose, granger)
 }

@@ -219,6 +219,14 @@ object SnapshotLake {
     (expired.size, orphans.size)
   }
 
+  /** Number of current-snapshot files below `targetBytes` — the
+    * compaction-trigger input a streaming sink polls per batch. */
+  def smallFileCount(path: String, targetBytes: Long): Int = {
+    val v = currentVersion(path)
+    if (v == 0) 0
+    else filesOf(path, v).count(f => Files.size(Paths.get(f)) < targetBytes)
+  }
+
   /** Small-file compaction: bin-pack every data file under
     * `targetBytes` into ~target-sized rewrites (greedy first-fit-
     * decreasing — deterministic), publish the result as a NEW snapshot

@@ -825,4 +825,30 @@ object StreamingPipelines {
       .map(b => f"$b%02x").mkString.substring(0, 15)
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
   }
+
+  /** Streaming sink into a [[graft.sinks.SnapshotLake]] table with an
+    * AUTO-COMPACTION trigger: each micro-batch lands as its own
+    * snapshot commit (tiny files — the shape that slowly poisons a
+    * lake), and whenever the current snapshot references more than
+    * `maxSmallFiles` files below `targetBytes`, the same batch also
+    * publishes a layout-only compaction commit. The maintenance loop a
+    * streaming-fed 100-TB table needs, wired where the problem is
+    * created instead of left to an offline janitor. Delivery is
+    * at-least-once ACROSS RESTARTS (a batch replayed after a crash
+    * between commit and checkpoint re-appends — same as any external
+    * non-transactional sink; key-dedup downstream or the etl_key_dedup
+    * op restores effectively-once); within a run each batch commits
+    * exactly once, which the spec pins row-for-row. */
+  def snapshotLakeStream(rows: DataFrame, path: String,
+      targetBytes: Long, maxSmallFiles: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sinks.SnapshotLake.commitAppend(batch, path)
+          if (graft.sinks.SnapshotLake.smallFileCount(path, targetBytes) > maxSmallFiles)
+            graft.sinks.SnapshotLake.compact(batch.sparkSession, path, targetBytes)
+        }
+        ()
+      }
 }

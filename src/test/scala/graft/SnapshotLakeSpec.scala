@@ -123,6 +123,35 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(SnapshotLake.read(spark, path).count() === beforeRows.length.toLong)
   }
 
+  test("streaming sink auto-compacts: commits per batch, layout commit fires, rows exact") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipelines.snapshotLakeStream(
+      mem.toDF().toDF("doc_id", "source"), path,
+      targetBytes = 512 * 1024, maxSmallFiles = 3)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ck").toString)
+      .start()
+    try {
+      (0 until 6).foreach { b =>
+        mem.addData((0L until 10L).map(i => (b * 10L + i, s"src$b")))
+        q.processAllAvailable()
+      }
+      val v = SnapshotLake.currentVersion(path)
+      assert(v > 6, s"6 appends + at least one compaction commit, got v$v")
+      val rows = SnapshotLake.read(spark, path).collect()
+      assert(rows.length === 60, "no loss, no duplication within the run")
+      assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 60L).toSeq)
+      // compaction actually consolidated: current layout has fewer files
+      // than the 6+ the appends wrote
+      assert(SnapshotLake.read(spark, path)
+        .select(input_file_name()).distinct().count() < 6)
+    } finally q.stop()
+  }
+
   test("vacuum expires old snapshots and reclaims unreferenced files only") {
     val path = Files.createTempDirectory("graft-snap").toString + "/t"
     SnapshotLake.commitAppend(docs, path)
