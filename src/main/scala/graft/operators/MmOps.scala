@@ -852,6 +852,46 @@ object MmOps {
 
   /** Deterministic GIF for `docId` via the REAL JDK GIF encoder
     * (palette quantization and LZW are the encoder's own). */
+  private[graft] def syntheticBmp(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + ((docId / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((docId + x) % 256).toInt << 16) | (((x * y) % 256) << 8)
+          | ((docId % 256).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Walk a BMP's two fixed headers: BITMAPFILEHEADER ('BM', LE u32
+    * file size, LE u32 pixel-data offset) then BITMAPINFOHEADER (LE
+    * sizes/dims/planes/bpp/compression). Returns (width, height, bpp,
+    * compression, fileSize, dataOffset); None on bad magic, a non-40
+    * DIB header, or a declared size disagreeing with the buffer. */
+  private[graft] def parseBmpMeta(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    def le32(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    val fileSize = le32(2)
+    val dataOffset = le32(10)
+    if (fileSize != bytes.length || dataOffset > bytes.length) return None
+    if (le32(14) != 40) return None // only BITMAPINFOHEADER walked
+    val (w, h) = (le32(18), le32(22))
+    if (le16(26) != 1) return None // planes
+    Some((w, h, le16(28), le32(30), fileSize, dataOffset))
+  }
+
   private[graft] def syntheticGif(docId: Long): Array[Byte] = {
     val w = 8 + (docId % 16).toInt
     val h = 8 + ((docId / 16) % 16).toInt
@@ -913,6 +953,38 @@ object MmOps {
     * counts image descriptors and requires the trailer. Planted GIFs
     * are REAL JDK encodes at id-derived dimensions; the oracle
     * predicts version/dims/frame-count from the same id math. */
+  /** Tenth container leg: BMP fixed-header walk over REAL JDK encodes
+    * (TYPE_INT_RGB → 24-bpp uncompressed BITMAPINFOHEADER at offset
+    * 54). The oracle predicts every field from id math alone — width/
+    * height from the planted dims, pixel bytes from the 4-byte row
+    * padding rule ⌈3w/4⌉·4·h — so a hash match proves the encoder and
+    * the walker agree on the whole layout, padding included. Kernel in
+    * mapPartitions like every codec. */
+  val bmpMeta: GraftOp = GraftOp(
+    "mm_bmp_meta",
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 16 AS INT) AS width,
+      |  CAST(8 + (doc_id // 16) % 16 AS INT) AS height,
+      |  CAST(24 AS INT) AS bpp, CAST(0 AS INT) AS compression,
+      |  CAST((((8 + doc_id % 16) * 3 + 3) // 4) * 4
+      |       * (8 + (doc_id // 16) % 16) AS INT) AS pixel_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("bpp", IntegerType),
+      StructField("compression", IntegerType), StructField("pixel_bytes", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val (w, h, bpp, comp, fileSize, off) = parseBmpMeta(syntheticBmp(docId)).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted BMP for doc $docId"))
+        Row(docId, w, h, bpp, comp, fileSize - off)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
   val gifMeta: GraftOp = GraftOp(
     "mm_gif_meta",
     """SELECT doc_id, '89a' AS version,
@@ -1605,5 +1677,5 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta)
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta)
 }

@@ -293,5 +293,34 @@ object SqlSurface3 {
       .withColumn("total_weight", lit(total))
   }
 
-  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline, qPareto, qWeightedMedian)
+  /** Per-group MODE (most frequent value, ties to the smallest) — the
+    * categorical central-tendency member next to q_percentile (median)
+    * and q_weighted_median. Deterministic by construction: the
+    * frequency table groups (key, value), and the winner is picked by
+    * an explicit (count DESC, value ASC) rank — never an engine's
+    * unspecified native mode() tie order, which is exactly why this is
+    * written as groupBy+rank instead of a builtin. One key shuffle,
+    * |keys|×|values| intermediate (domain-bounded: 3 flags × 50
+    * quantities). */
+  val qMode: GraftOp = GraftOp(
+    "q_mode",
+    """WITH f AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, q, n,
+      |      row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rn FROM f)
+      |SELECT l_returnflag, q AS mode_quantity, n AS mode_count
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"), col("q")).agg(count(lit(1)).as("n"))
+    val byFlag = Window.partitionBy(col("l_returnflag")).orderBy(col("n").desc, col("q"))
+    f.withColumn("rn", row_number().over(byFlag)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("q").as("mode_quantity"), col("n").as("mode_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline, qPareto, qWeightedMedian, qMode)
 }

@@ -1716,7 +1716,64 @@ object StatsOps {
         expr("round((rss_r - rss_f) / (rss_f / (n - 3.0)), 6)").as("f_stat"))
   }
 
+  /** Wald SPRT on the experiment conversion stream — ALWAYS-VALID
+    * sequential inference next to q_two_prop's fixed-horizon z (peek
+    * daily without inflating α): each big-ticket conversion is a
+    * Bernoulli draw of "converter sits in variant B" (fair split under
+    * H0 — the q_srm gate's guarantee), tested at p₁ = 0.55 with
+    * α = β = 0.05. The daily log-likelihood ratio is
+    * cb·ln(1.1) + ca·ln(0.9) over EXACT cumulative integer counts (one
+    * date-bounded window), and the ±ln(19) decision boundaries share
+    * formula text — the statistic is a 2-term product of integers and
+    * constants, nothing folds in floats. */
+  val sprt: GraftOp = GraftOp(
+    "q_sprt",
+    s"""WITH conv AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS variant
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND CAST(value AS DECIMAL(18,2)) >= 150),
+       |d AS (
+       |  SELECT day,
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS da,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS db
+       |  FROM conv GROUP BY 1),
+       |c AS (
+       |  SELECT day,
+       |    CAST(sum(da) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+       |    CAST(sum(db) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+       |  FROM d),
+       |l AS (SELECT day, ca, cb,
+       |      cb * ln(0.55 / 0.5) + ca * ln(0.45 / 0.5) AS llr FROM c)
+       |SELECT day, ca, cb, round(llr, 6) AS llr,
+       |  CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+       |       WHEN llr <= -ln(19.0) THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM l ORDER BY day""".stripMargin) { (s, d) =>
+    val conv = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" &&
+        col("value").cast(DecimalType(18, 2)) >= 150)
+      .select(to_date(col("ts")).as("day"),
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"))
+    val daily = conv.groupBy(col("day"))
+      .agg(count(when(col("variant") === "A", 1)).as("da"),
+        count(when(col("variant") === "B", 1)).as("db"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .select(col("day"), sum(col("da")).over(w).as("ca"), sum(col("db")).over(w).as("cb"))
+      .withColumn("llr", expr("cb * ln(0.55 / 0.5) + ca * ln(0.45 / 0.5)"))
+      .select(col("day"), col("ca"), col("cb"),
+        expr("round(llr, 6)").as("llr"),
+        expr("""CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+          |     WHEN llr <= -ln(19.0) THEN 'accept_h0'
+          |     ELSE 'continue' END""".stripMargin).as("decision"))
+      .orderBy(col("day"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
-    bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose, granger)
+    bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose, granger,
+    sprt)
 }

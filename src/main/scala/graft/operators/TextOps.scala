@@ -1018,8 +1018,64 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** MOSS winnowing (Schleimer et al. 2003): from each document's
+    * char-8-gram hash sequence, every window of 8 consecutive grams
+    * contributes its minimal hash (rightmost on ties) and the selected
+    * positions form the document's fingerprint set — the guarantee the
+    * plain `text_fingerprint` rolling hash cannot give (any shared
+    * substring ≥ 15 chars yields a shared fingerprint, with expected
+    * density 2/(w+1)). Everything is integers and portable md5-64
+    * hashes; the winner per window is an explicit (hash ASC, pos DESC)
+    * rank, so the whole selection hash-matches DuckDB. Emits per-doc
+    * fingerprint counts + density (exact ppm). */
+  val winnowing: GraftOp = GraftOp(
+    "text_winnowing",
+    s"""WITH g AS (
+       |  SELECT doc_id, m, p,
+       |    ${Exprs.sqlMd5Long("substr(text, CAST(p AS INT), 8)")} AS h
+       |  FROM (SELECT doc_id, text, length(text) - 7 AS m,
+       |          unnest(generate_series(1, length(text) - 7)) AS p
+       |        FROM documents WHERE length(text) >= 15)),
+       |wdw AS (
+       |  SELECT doc_id, h, p,
+       |    unnest(generate_series(greatest(1, p - 7), least(p, m - 7))) AS t
+       |  FROM g),
+       |ch AS (SELECT doc_id, t, p,
+       |       row_number() OVER (PARTITION BY doc_id, t ORDER BY h, p DESC) AS rn
+       |       FROM wdw),
+       |sel AS (SELECT DISTINCT doc_id, p FROM ch WHERE rn = 1),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected FROM sel GROUP BY 1),
+       |meta AS (SELECT DISTINCT doc_id, m FROM g)
+       |SELECT meta.doc_id, CAST(meta.m AS BIGINT) AS n_grams,
+       |  CAST(meta.m - 7 AS BIGINT) AS n_windows, agg.n_selected,
+       |  CAST(agg.n_selected * 1000000 // (meta.m - 7) AS BIGINT) AS density_ppm
+       |FROM meta JOIN agg USING (doc_id) ORDER BY meta.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, d)
+      .filter(length(col("text")) >= 15)
+      .select(col("doc_id"), col("text"), (length(col("text")) - 7).as("m"))
+      .select(col("doc_id"), col("text"), col("m"),
+        explode(sequence(lit(1), col("m"))).as("p"))
+      .select(col("doc_id"), col("m"), col("p"),
+        Exprs.md5Long(expr("substring(text, p, 8)")).as("h"))
+    val wdw = g.select(col("doc_id"), col("h"), col("p"),
+      explode(sequence(greatest(lit(1), col("p") - 7),
+        least(col("p"), col("m") - 7))).as("t"))
+    val byWindow = Window.partitionBy(col("doc_id"), col("t"))
+      .orderBy(col("h"), col("p").desc)
+    val sel = wdw.withColumn("rn", row_number().over(byWindow)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("p")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_selected"))
+    val meta = g.select(col("doc_id"), col("m")).distinct()
+    meta.join(sel, "doc_id")
+      .select(col("doc_id"), col("m").cast("long").as("n_grams"),
+        (col("m") - 7).cast("long").as("n_windows"), col("n_selected"),
+        expr("CAST(n_selected * 1000000 div (m - 7) AS BIGINT)").as("density_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
-      readability, jsDivergence, ttr, compressionRatio, novelty, heaps)
+      readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing)
 }

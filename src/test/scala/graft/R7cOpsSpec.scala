@@ -109,6 +109,32 @@ class R7cOpsSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall $mean (nprobe=2 of 4 cells)")
   }
 
+  test("text_winnowing: coverage lower bound holds and density sits near 2/(w+1)") {
+    val rows = operators.TextOps.winnowing.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nsel) = (r.getLong(2), r.getLong(3))
+      // every window contributes a fingerprint and one fingerprint can
+      // serve at most w=8 windows → nsel >= ceil(nw/8); and never more
+      // fingerprints than windows
+      assert(nsel >= (nw + 7) / 8 && nsel <= nw, s"$r")
+    }
+    val meanDensity = rows.map(_.getLong(4)).sum.toDouble / rows.length / 1e6
+    assert(meanDensity > 0.12 && meanDensity < 0.40,
+      s"mean density $meanDensity should sit near the theoretical 2/(w+1) = 0.22")
+  }
+
+  test("mm_bmp: walker rejects bad magic, non-40 DIB header, and a lying file size") {
+    val good = operators.MmOps.syntheticBmp(42L)
+    assert(operators.MmOps.parseBmpMeta(good).isDefined)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(operators.MmOps.parseBmpMeta(badMagic).isEmpty)
+    val badDib = good.clone(); badDib(14) = 12 // BITMAPCOREHEADER size
+    assert(operators.MmOps.parseBmpMeta(badDib).isEmpty)
+    assert(operators.MmOps.parseBmpMeta(good.take(good.length - 1)).isEmpty,
+      "declared file size must match the buffer")
+  }
+
   test("graph_adamic_adar: same pair set as jaccard; rare-partner weighting holds") {
     val aa = operators.GraphOps.adamicAdar.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
