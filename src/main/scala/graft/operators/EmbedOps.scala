@@ -651,5 +651,48 @@ object EmbedOps {
     } finally xs.unpersist(blocking = false)
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans)
+  /** Simplified (centroid-based) silhouette for [[kmeans]] — the
+    * cluster-quality readout that closes the clustering loop (how
+    * separated are the cells the IVF probe relies on?). Per vector,
+    * a² = squared micro-distance to its own centroid and b² = the
+    * smallest other-centroid distance — both already exact BIGINTs
+    * from the assignment — and the per-vector score floor-snaps to
+    * ppm via integral division in DECIMAL(38)/HUGEINT ((b²−a²)·10⁶
+    * can reach ~10¹⁹), so the per-cluster mean is one double division
+    * of two exact integers. Uses squared distances (documented —
+    * monotone in the classic score's ordering for centroid
+    * silhouettes). */
+  val silhouette: GraftOp = GraftOp(
+    "emb_silhouette",
+    s"""WITH $kmCtes,
+       |sil AS (
+       |  SELECT a.vec_id, g.k AS cluster,
+       |    max(CASE WHEN a.k = g.k THEN a.dist END) AS a2,
+       |    min(CASE WHEN a.k <> g.k THEN a.dist END) AS b2
+       |  FROM a3 a JOIN g3 g USING (vec_id) GROUP BY 1, 2),
+       |sp AS (SELECT cluster,
+       |       CAST(CAST(b2 - a2 AS HUGEINT) * 1000000 // greatest(a2, b2) AS BIGINT) AS s_ppm
+       |       FROM sil WHERE greatest(a2, b2) > 0)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+       |  round(CAST(sum(s_ppm) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_silhouette
+       |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
+    val xs = kmScaled(s, d).persist()
+    try {
+      val cents = kmLloyd(xs)
+      kmAssign(xs, cents)
+        .withColumn("b2", expr("element_at(array_sort(array(d0, d1, d2, d3)), 2)"))
+        .select(col("k").as("cluster"), col("dist").as("a2"), col("b2"))
+        .filter(expr("greatest(a2, b2) > 0"))
+        .withColumn("s_ppm",
+          expr("CAST(CAST(b2 - a2 AS DECIMAL(38,0)) * 1000000 div greatest(a2, b2) AS BIGINT)"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("sum_s_ppm"))
+        .select(col("cluster"), col("n"), col("sum_s_ppm"),
+          expr("round(CAST(sum_s_ppm AS DOUBLE) / n / 1000000.0, 6)").as("mean_silhouette"))
+        .orderBy(col("cluster"))
+    } finally xs.unpersist(blocking = false)
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette)
 }

@@ -1772,8 +1772,96 @@ object StatsOps {
       .orderBy(col("day"))
   }
 
+  /** Difference-in-differences on purchase spend: variant B's
+    * pre→post change net of variant A's — the quasi-experimental
+    * estimator for a mid-experiment feature launch (period split at
+    * the series midpoint, variants by the standard hash bucketing).
+    * Four cells of exact BIGINT (n, Σcents); every mean and the DiD
+    * itself are shared-text double formulas over those eight
+    * integers. */
+  val did: GraftOp = GraftOp(
+    "q_did",
+    s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+       |           FROM events),
+       |p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CASE WHEN date_diff('day', b.lo, CAST(ts AS DATE))
+       |              * 2 <= date_diff('day', b.lo, b.hi) THEN 0 ELSE 1 END AS post,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events, b WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT variant, post, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS s
+       |  FROM p GROUP BY 1, 2)
+       |SELECT
+       |  CAST(sum(n) AS BIGINT) AS n_purchases,
+       |  round(max(CASE WHEN variant = 'B' AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+       |      - max(CASE WHEN variant = 'B' AND post = 0 THEN CAST(s AS DOUBLE) / n END)
+       |      - (max(CASE WHEN variant = 'A' AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+       |       - max(CASE WHEN variant = 'A' AND post = 0 THEN CAST(s AS DOUBLE) / n END)), 6)
+       |    AS did_cents
+       |FROM c""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val b = broadcast(ev.agg(min(to_date(col("ts"))).as("lo"),
+      max(to_date(col("ts"))).as("hi")))
+    val p = ev.filter(col("event_type") === "purchase").crossJoin(b)
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        when(datediff(to_date(col("ts")), col("lo")) * 2 <=
+          datediff(col("hi"), col("lo")), 0).otherwise(1).as("post"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    p.groupBy(col("variant"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .agg(sum(col("n")).as("n_purchases"),
+        expr("""round(max(CASE WHEN variant = 'B' AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+          |    - max(CASE WHEN variant = 'B' AND post = 0 THEN CAST(s AS DOUBLE) / n END)
+          |    - (max(CASE WHEN variant = 'A' AND post = 1 THEN CAST(s AS DOUBLE) / n END)
+          |     - max(CASE WHEN variant = 'A' AND post = 0 THEN CAST(s AS DOUBLE) / n END)), 6)""".stripMargin)
+          .as("did_cents"))
+  }
+
+  /** Wilson score interval on each event type's big-ticket conversion
+    * share — the small-sample-safe CI the normal approximation gets
+    * wrong near 0 or 1 (and the per-segment companion to q_sprt's
+    * global trajectory). (k, n) are exact BIGINTs per type; the
+    * z=1.96 interval is one shared-text double formula over the two
+    * integers, clamped into [0,1] by construction. */
+  val wilsonCi: GraftOp = GraftOp(
+    "q_wilson_ci",
+    """WITH c AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (WHERE CAST(value AS DECIMAL(18,2)) >= 150) AS BIGINT) AS k
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n, k,
+      |  round((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+      |    - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+      |        + 1.96 * 1.96 / (4.0 * n * n)))
+      |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+      |  round((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+      |    + 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+      |        + 1.96 * 1.96 / (4.0 * n * n)))
+      |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+      |FROM c ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value").cast(DecimalType(18, 2)) >= 150, 1)).as("k"))
+      .select(col("event_type"), col("n"), col("k"),
+        expr("""round((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+          |  - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+          |      + 1.96 * 1.96 / (4.0 * n * n)))
+          |  / (1.0 + 1.96 * 1.96 / n), 6)""".stripMargin).as("wilson_lo"),
+        expr("""round((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+          |  + 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+          |      + 1.96 * 1.96 / (4.0 * n * n)))
+          |  / (1.0 + 1.96 * 1.96 / n), 6)""".stripMargin).as("wilson_hi"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
     bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose, granger,
-    sprt)
+    sprt, did, wilsonCi)
 }
