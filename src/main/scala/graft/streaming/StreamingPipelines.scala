@@ -826,6 +826,41 @@ object StreamingPipelines {
     if (java.lang.Long.parseLong(hex, 16) % 2 == 0) "A" else "B"
   }
 
+  final case class SprtDraw(variant: String, n: Long)
+  final case class SprtSeen(seen: Boolean)
+
+  /** Streaming twin of `q_sprt`: every big-ticket purchase EVENT is one
+    * Bernoulli draw of "converter sits in variant B", emitted as a
+    * replay-proof delta. State keys on event_id (a seen flag — the
+    * etl_key_dedup discipline applied to draws), so at-least-once
+    * redelivery adds exactly zero and the summed deltas equal the
+    * batch op's cumulative (ca, cb) integers — the spec pins that
+    * equality after a deliberate replay. The big-ticket gate rounds to
+    * cents HALF_UP first, replicating the batch op's DECIMAL(18,2)
+    * cast byte-for-byte. In production the per-event state is bounded
+    * by a watermark-scoped dedup window upstream. */
+  def sprtStream(events: Dataset[UpsertRow], bigTicketCents: Long = 15000L)(
+      implicit spark: SparkSession): Dataset[SprtDraw] = {
+    import spark.implicits._
+    events
+      .filter { e =>
+        e.event_type == "purchase" &&
+          java.math.BigDecimal.valueOf(e.value)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact() >= bigTicketCents
+      }
+      .groupByKey(_.event_id)
+      .flatMapGroupsWithState[SprtSeen, SprtDraw](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          if (state.exists) Iterator.empty // replayed draw: adds zero
+          else {
+            state.update(SprtSeen(true))
+            Iterator(SprtDraw(variantOf(it.next().user_id), 1L))
+          }
+      }
+  }
+
   /** Streaming sink into a [[graft.sinks.SnapshotLake]] table with an
     * AUTO-COMPACTION trigger: each micro-batch lands as its own
     * snapshot commit (tiny files — the shape that slowly poisons a

@@ -135,6 +135,36 @@ class R7cOpsSpec extends AnyFunSuite {
       "declared file size must match the buffer")
   }
 
+  test("sprtStream: replayed draws add zero; totals equal the batch trajectory's last row") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipelines
+    import graft.streaming.StreamingPipelines.UpsertRow
+    val rows = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[UpsertRow].collect().toIndexedSeq
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[UpsertRow]
+    val out = StreamingPipelines.sprtStream(mem.toDS()).toDF()
+    val q = out.writeStream.format("memory").queryName("sprt_draws")
+      .outputMode("append").start()
+    try {
+      mem.addData(half1); q.processAllAvailable()
+      mem.addData(half2); q.processAllAvailable()
+      mem.addData(half1); q.processAllAvailable() // deliberate replay
+      val got = spark.sql(
+        "SELECT variant, sum(n) FROM sprt_draws GROUP BY 1").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val last = operators.StatsOps.sprt.run(spark, sf)
+        .orderBy(col("day").desc).limit(1).head()
+      assert(got.getOrElse("A", 0L) === last.getLong(1), "ca equals batch cumulative")
+      assert(got.getOrElse("B", 0L) === last.getLong(2), "cb equals batch cumulative")
+    } finally q.stop()
+  }
+
   test("graph_adamic_adar: same pair set as jaccard; rare-partner weighting holds") {
     val aa = operators.GraphOps.adamicAdar.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
