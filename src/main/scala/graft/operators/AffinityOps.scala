@@ -342,5 +342,42 @@ object AffinityOps {
       .orderBy(col("segment"))
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence)
+  /** Monthly unit-value price index vs the first month — the
+    * economics readout of the order book (is revenue growth price or
+    * volume?). Index_m = (Σext_m/Σqty_m)/(Σext₀/Σqty₀), computed as
+    * the exact cross product Σext_m·Σqty₀ / (Σqty_m·Σext₀): the four
+    * sums are exact BIGINT cents/units, the cross products ride
+    * DECIMAL(38)/HUGEINT (~10²⁰ at sf0.1), and the index is one
+    * double division of two exact integers — no per-part rational
+    * arithmetic anywhere. */
+  val priceIndex: GraftOp = GraftOp(
+    "q_price_index",
+    """WITH m AS (
+      |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS ext,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |b AS (SELECT ext AS ext0, qty AS qty0 FROM m ORDER BY month LIMIT 1)
+      |SELECT month, ext AS ext_cents, qty,
+      |  round(CAST(CAST(ext AS HUGEINT) * b.qty0 AS DOUBLE)
+      |      / CAST(CAST(qty AS HUGEINT) * b.ext0 AS DOUBLE), 6) AS unit_value_index
+      |FROM m, b ORDER BY month""".stripMargin) { (s, d) =>
+    val m = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate").cast("date"), "yyyy-MM").as("month"))
+      .agg(sum((graft.functions.Exprs.dec2(col("l_extendedprice")) * 100)
+          .cast(org.apache.spark.sql.types.LongType)).cast("long").as("ext"),
+        sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+    val b = broadcast(m.orderBy(col("month")).limit(1)
+      .select(col("ext").as("ext0"), col("qty").as("qty0")))
+    m.crossJoin(b)
+      .select(col("month"), col("ext").as("ext_cents"), col("qty"),
+        expr("""round(CAST(CAST(ext AS DECIMAL(38,0)) * qty0 AS DOUBLE)
+          |    / CAST(CAST(qty AS DECIMAL(38,0)) * ext0 AS DOUBLE), 6)""".stripMargin)
+          .as("unit_value_index"))
+      .orderBy(col("month"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence, priceIndex)
 }

@@ -694,5 +694,41 @@ object EmbedOps {
     } finally xs.unpersist(blocking = false)
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette)
+  /** Per-label embedding-norm profile — the vector-pipeline health
+    * check (collapsed or exploding norms per class signal a broken
+    * encoder long before retrieval metrics move). Norms stay SQUARED
+    * in exact micro² integers (Σx² per vector is a BIGINT on the
+    * micros grid; sums of those are DECIMAL(38)/HUGEINT), so min/mean/
+    * max need no per-row sqrt and no double folds — three order-free
+    * aggregates and one division at emit. */
+  val normStats: GraftOp = GraftOp(
+    "emb_norm_stats",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    CAST(unnest(list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+      |           * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS sq
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, CAST(sum(sq) AS BIGINT) AS norm2 FROM e GROUP BY 1, 2)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(norm2) AS BIGINT) AS min_norm2_micro2,
+      |  CAST(max(norm2) AS BIGINT) AS max_norm2_micro2,
+      |  round(CAST(sum(CAST(norm2 AS HUGEINT)) // count(*) AS DOUBLE) / 1000000000000.0, 6)
+      |    AS mean_norm2
+      |FROM n GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("""aggregate(transform(embedding,
+          |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)),
+          |  0L, (acc, x) -> acc + x * x)""".stripMargin).as("norm2"))
+    n.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("norm2")).as("min_norm2_micro2"),
+        max(col("norm2")).as("max_norm2_micro2"),
+        expr("""round(CAST(sum(CAST(norm2 AS DECIMAL(38,0))) div count(*) AS DOUBLE)
+          | / 1000000000000.0, 6)""".stripMargin).as("mean_norm2"))
+      .orderBy(col("label"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats)
 }

@@ -268,7 +268,43 @@ object EtlOps {
       .orderBy(col("event_type"))
   }
 
+  /** Dead-letter REPLAY: the recoverable half of the dirty route,
+    * repaired and re-emitted (the reference only printlns its dirty
+    * records; a production pipeline replays what it can). Reason-code
+    * driven: `value_range` clamps into [0, maxValid] at 2dp,
+    * `missing_k` substitutes the documented default k=0 — both repairs
+    * are deterministic column edits; `missing_field`/`bad_type` are
+    * terminal (no invented identities) and stay in the dead-letter
+    * table, which is the etl_dirty op itself. Same complement-filter
+    * scan as etl_dirty — no extra pass over the clean stream. */
+  val dirtyReplay: GraftOp = GraftOp(
+    "etl_dirty_replay",
+    s"""SELECT event_id, user_id, event_type,
+       |  CASE WHEN NOT regexp_matches(props, '"k"\\s*:') THEN 'missing_k'
+       |       ELSE 'value_range' END AS reason,
+       |  CAST(CASE WHEN value < 0 THEN 0
+       |       WHEN value > $maxValid THEN $maxValid
+       |       ELSE value END AS DECIMAL(18,2)) AS value_repaired,
+       |  CAST(coalesce(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(\\d+)', 1), ''), '0') AS INT) AS k_repaired
+       |FROM events
+       |WHERE NOT ($sqlIsValid)
+       |  AND user_id IS NOT NULL AND ts IS NOT NULL
+       |  AND event_type IN ('click','error','purchase','signup','view')
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(!isValid)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin("click", "error", "purchase", "signup", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(!expr(reqK), "missing_k").otherwise("value_range").as("reason"),
+        when(col("value") < 0, 0.0).when(col("value") > maxValid, maxValid)
+          .otherwise(col("value")).cast(DecimalType(18, 2)).as("value_repaired"),
+        coalesce(nullif(regexp_extract(col("props"), "\"k\"\\s*:\\s*(\\d+)", 1),
+          lit("")), lit("0")).cast(IntegerType).as("k_repaired"))
+      .orderBy(col("event_id"))
+  }
+
   val ops: Seq[GraftOp] = Seq(
     jsonExtract, validate, dirty, enrich, countBatch, batchSql, keyDedup, gapProfile,
-    csvExtract)
+    csvExtract, dirtyReplay)
 }
