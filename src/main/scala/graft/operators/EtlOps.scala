@@ -276,15 +276,23 @@ object EtlOps {
     * are deterministic column edits; `missing_field`/`bad_type` are
     * terminal (no invented identities) and stay in the dead-letter
     * table, which is the etl_dirty op itself. Same complement-filter
-    * scan as etl_dirty — no extra pass over the clean stream. */
+    * scan as etl_dirty — no extra pass over the clean stream.
+    *
+    * The repaired value is constructed in INTEGER CENTS — half-up via
+    * `floor(value*100 + 0.5)`, every step an exact IEEE op identical
+    * across engines — then divided once by 100.0 (single rounding).
+    * A `CAST(double AS DECIMAL(18,2))` here (the r7 emit) depends on
+    * each engine's decimal-cast rounding of off-grid doubles, which
+    * diverged across DuckDB VERSIONS (r7's one red row; SURVEY §6). */
   val dirtyReplay: GraftOp = GraftOp(
     "etl_dirty_replay",
     s"""SELECT event_id, user_id, event_type,
        |  CASE WHEN NOT regexp_matches(props, '"k"\\s*:') THEN 'missing_k'
        |       ELSE 'value_range' END AS reason,
        |  CAST(CASE WHEN value < 0 THEN 0
-       |       WHEN value > $maxValid THEN $maxValid
-       |       ELSE value END AS DECIMAL(18,2)) AS value_repaired,
+       |       WHEN value > $maxValid THEN ${(maxValid * 100).toLong}
+       |       ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS BIGINT) / 100.0
+       |    AS value_repaired,
        |  CAST(coalesce(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(\\d+)', 1), ''), '0') AS INT) AS k_repaired
        |FROM events
        |WHERE NOT ($sqlIsValid)
@@ -297,8 +305,10 @@ object EtlOps {
         col("event_type").isin("click", "error", "purchase", "signup", "view"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         when(!expr(reqK), "missing_k").otherwise("value_range").as("reason"),
-        when(col("value") < 0, 0.0).when(col("value") > maxValid, maxValid)
-          .otherwise(col("value")).cast(DecimalType(18, 2)).as("value_repaired"),
+        (when(col("value") < 0, lit(0L))
+          .when(col("value") > maxValid, lit((maxValid * 100).toLong))
+          .otherwise(floor(col("value") * 100 + 0.5).cast(LongType)) / lit(100.0))
+          .as("value_repaired"),
         coalesce(nullif(regexp_extract(col("props"), "\"k\"\\s*:\\s*(\\d+)", 1),
           lit("")), lit("0")).cast(IntegerType).as("k_repaired"))
       .orderBy(col("event_id"))
