@@ -94,6 +94,27 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** LshBuckets(array<double>) — all `tables` random-hyperplane LSH
+  * bucket ids in one vector scan (bit-packed ±1 plane masks; per-plane
+  * dot fold order identical to VecDot against the literal plane, so
+  * the md5-seeded DuckDB oracle replays the exact signatures). */
+case class LshBuckets(child: Expression, seedBase: Int, tables: Int, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.lshBuckets(input.asInstanceOf[ArrayData], seedBase, tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpls.lshBuckets($c, $seedBase, $tables, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
 /** JaroWinkler(left, right) — native Jaro-Winkler similarity,
   * bit-identical to DuckDB's `jaro_winkler_similarity` (see the
   * kernel's contract notes). Codegen'd, so blocked fuzzy joins keep

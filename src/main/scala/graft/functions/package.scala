@@ -32,6 +32,11 @@ package object functions {
   def vec_normalize(a: Column): Column =
     ColumnShim.column(VecNormalize(ColumnShim.expression(a)))
 
+  /** All `tables` md5-seeded random-hyperplane LSH bucket ids of a
+    * double vector in one scan (see HashImpls.lshBuckets). */
+  def lsh_buckets(a: Column, seedBase: Int, tables: Int, bits: Int): Column =
+    ColumnShim.column(LshBuckets(ColumnShim.expression(a), seedBase, tables, bits))
+
   /** Unicode NFC composition (DuckDB nfc_normalize twin). */
   def nfc_normalize(c: Column): Column =
     ColumnShim.column(NfcNormalize(ColumnShim.expression(c)))

