@@ -1024,32 +1024,41 @@ object TextOps {
     * positions form the document's fingerprint set — the guarantee the
     * plain `text_fingerprint` rolling hash cannot give (any shared
     * substring ≥ 15 chars yields a shared fingerprint, with expected
-    * density 2/(w+1)). Everything is integers and portable md5-64
-    * hashes; the winner per window is an explicit (hash ASC, pos DESC)
-    * rank, so the whole selection hash-matches DuckDB. Emits per-doc
-    * fingerprint counts + density (exact ppm). */
+    * density 2/(w+1)). Everything is integers and portable md5 hashes
+    * (31-bit here, so hash and position pack into ONE BIGINT sort
+    * key); the winner of the window ending at position p is a running
+    * `min(key) ROWS 7 PRECEDING` over `key = h31·2³² + (2³²−1−p)` —
+    * min key ≡ (hash ASC, pos DESC), the winnowing tie rule — so the
+    * whole selection hash-matches DuckDB. Emits per-doc fingerprint
+    * counts + density (exact ppm).
+    *
+    * Plan shape (r8): ONE ordered window pass per doc partition and
+    * the per-doc count-distinct — r7 exploded every char-position ×8
+    * into its covering windows and ranked each (doc, window) group
+    * through a shuffle, putting 9× the corpus's largest dimension
+    * (chars) through the exchange; the running-min frame puts it
+    * through ONCE (8.7 s → ~1 s at sf0.1, and the 100× story changes
+    * from scale-killer to linear). */
   val winnowing: GraftOp = GraftOp(
     "text_winnowing",
     s"""WITH g AS (
        |  SELECT doc_id, m, p,
-       |    ${Exprs.sqlMd5Long("substr(text, CAST(p AS INT), 8)")} AS h
+       |    (${Exprs.sqlMd5Long("substr(text, CAST(p AS INT), 8)")} % 2147483648)
+       |      * 4294967296 + (4294967295 - p) AS key
        |  FROM (SELECT doc_id, text, length(text) - 7 AS m,
        |          unnest(generate_series(1, length(text) - 7)) AS p
        |        FROM documents WHERE length(text) >= 15)),
-       |wdw AS (
-       |  SELECT doc_id, h, p,
-       |    unnest(generate_series(greatest(1, p - 7), least(p, m - 7))) AS t
-       |  FROM g),
-       |ch AS (SELECT doc_id, t, p,
-       |       row_number() OVER (PARTITION BY doc_id, t ORDER BY h, p DESC) AS rn
-       |       FROM wdw),
-       |sel AS (SELECT DISTINCT doc_id, p FROM ch WHERE rn = 1),
-       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected FROM sel GROUP BY 1),
-       |meta AS (SELECT DISTINCT doc_id, m FROM g)
-       |SELECT meta.doc_id, CAST(meta.m AS BIGINT) AS n_grams,
-       |  CAST(meta.m - 7 AS BIGINT) AS n_windows, agg.n_selected,
-       |  CAST(agg.n_selected * 1000000 // (meta.m - 7) AS BIGINT) AS density_ppm
-       |FROM meta JOIN agg USING (doc_id) ORDER BY meta.doc_id""".stripMargin) { (s, d) =>
+       |w AS (
+       |  SELECT doc_id, m, p,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mk
+       |  FROM g)
+       |SELECT doc_id, CAST(m AS BIGINT) AS n_grams,
+       |  CAST(m - 7 AS BIGINT) AS n_windows,
+       |  CAST(count(DISTINCT 4294967295 - mk % 4294967296) AS BIGINT) AS n_selected,
+       |  CAST(count(DISTINCT 4294967295 - mk % 4294967296) * 1000000 // (m - 7) AS BIGINT)
+       |    AS density_ppm
+       |FROM w WHERE p >= 8 GROUP BY doc_id, m ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(s, d)
       .filter(length(col("text")) >= 15)
@@ -1057,17 +1066,15 @@ object TextOps {
       .select(col("doc_id"), col("text"), col("m"),
         explode(sequence(lit(1), col("m"))).as("p"))
       .select(col("doc_id"), col("m"), col("p"),
-        Exprs.md5Long(expr("substring(text, p, 8)")).as("h"))
-    val wdw = g.select(col("doc_id"), col("h"), col("p"),
-      explode(sequence(greatest(lit(1), col("p") - 7),
-        least(col("p"), col("m") - 7))).as("t"))
-    val byWindow = Window.partitionBy(col("doc_id"), col("t"))
-      .orderBy(col("h"), col("p").desc)
-    val sel = wdw.withColumn("rn", row_number().over(byWindow)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("p")).distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_selected"))
-    val meta = g.select(col("doc_id"), col("m")).distinct()
-    meta.join(sel, "doc_id")
+        ((Exprs.md5Long(expr("substring(text, p, 8)")) % 2147483648L)
+          * 4294967296L + (lit(4294967295L) - col("p"))).as("key"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-7, Window.currentRow)
+    g.withColumn("mk", min(col("key")).over(byPos))
+      .filter(col("p") >= 8) // full windows only: row p closes window t = p−7
+      .withColumn("winner_p", lit(4294967295L) - col("mk") % 4294967296L)
+      .groupBy(col("doc_id"), col("m"))
+      .agg(countDistinct(col("winner_p")).as("n_selected"))
       .select(col("doc_id"), col("m").cast("long").as("n_grams"),
         (col("m") - 7).cast("long").as("n_windows"), col("n_selected"),
         expr("CAST(n_selected * 1000000 div (m - 7) AS BIGINT)").as("density_ppm"))
