@@ -569,6 +569,44 @@ object EmbedOps {
     cents
   }
 
+  // Exact-Lloyd centroids per (session → dir): the schedule is fully
+  // deterministic, so caching changes nothing but cost — without it,
+  // every consumer (emb_kmeans / emb_silhouette / knn_ivf_exact) re-ran
+  // the 2-update collect loop over the corpus (the r7 bench's 21 s
+  // knn_ivf_exact cold pass). Same weak-session registry discipline as
+  // IvfIndex's MLlib quantizer.
+  private val kmCentroidReg =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, Array[Array[Long]]]]()
+
+  /** Registry-persisted scaled corpus (the Lloyd loop scans it twice,
+    * the assignment once — persist beats three parquet re-reads). */
+  private[operators] def kmScaledShared(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.CachedPlans.cached(s, s"emb.kmScaled:$d")(kmScaled(s, d))
+
+  /** Get-or-run the exact Lloyd schedule's final centroids. */
+  private[operators] def kmCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Array[Long]] = {
+    val m = kmCentroidReg.synchronized {
+      var x = kmCentroidReg.get(s)
+      if (x == null) {
+        x = scala.collection.mutable.Map.empty[String, Array[Array[Long]]]
+        kmCentroidReg.put(s, x)
+      }
+      x
+    }
+    m.synchronized(m.getOrElseUpdate(d, kmLloyd(kmScaledShared(s, d))))
+  }
+
+  /** Registry-persisted exact cell assignment (vec_id, xs, d0..d3, k,
+    * dist) — the build-once/serve-many frame all exact-k-means
+    * consumers read; forced by SharedIndexes.materializeAll. */
+  private[graft] def kmAssigned(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.CachedPlans.cached(s, s"emb.kmAssigned:$d")(
+      kmAssign(kmScaledShared(s, d), kmCentroids(s, d)))
+
   /** Shared oracle prefix: CTEs `e` (dims), `vl` (scaled vectors),
     * `c0`..`c2` (centroids) and `g1`..`g3` (assignments) replicating
     * [[kmLloyd]]/[[kmAssign]] exactly; enders compose FROM g3/c2/vl. */
@@ -633,22 +671,18 @@ object EmbedOps {
        |FROM gg JOIN top ON gg.k = top.k AND top.rn = 1
        |ORDER BY cluster""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val xs = kmScaled(s, d).persist()
-    try {
-      val cents = kmLloyd(xs)
-      val fin = kmAssign(xs, cents).select(col("vec_id"), col("k"), col("dist"))
-      val gg = fin.groupBy(col("k"))
-        .agg(count(lit(1)).as("n_vectors"), sum(col("dist")).as("inertia"))
-      val lab = fin.join(emb.select(col("vec_id"), col("label")), "vec_id")
-        .groupBy(col("k"), col("label")).agg(count(lit(1)).as("c"))
-      val byCluster = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("k")).orderBy(col("c").desc, col("label"))
-      val top = lab.withColumn("rn", row_number().over(byCluster)).filter(col("rn") === 1)
-      gg.join(top, "k")
-        .select(col("k").as("cluster"), col("n_vectors"), col("inertia"),
-          col("label").as("top_label"), col("c").as("top_label_n"))
-        .orderBy(col("cluster"))
-    } finally xs.unpersist(blocking = false)
+    val fin = kmAssigned(s, d).select(col("vec_id"), col("k"), col("dist"))
+    val gg = fin.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dist")).as("inertia"))
+    val lab = fin.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("k"), col("label")).agg(count(lit(1)).as("c"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("c").desc, col("label"))
+    val top = lab.withColumn("rn", row_number().over(byCluster)).filter(col("rn") === 1)
+    gg.join(top, "k")
+      .select(col("k").as("cluster"), col("n_vectors"), col("inertia"),
+        col("label").as("top_label"), col("c").as("top_label_n"))
+      .orderBy(col("cluster"))
   }
 
   /** Simplified (centroid-based) silhouette for [[kmeans]] — the
@@ -677,21 +711,17 @@ object EmbedOps {
        |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
        |  round(CAST(sum(s_ppm) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_silhouette
        |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
-    val xs = kmScaled(s, d).persist()
-    try {
-      val cents = kmLloyd(xs)
-      kmAssign(xs, cents)
-        .withColumn("b2", expr("element_at(array_sort(array(d0, d1, d2, d3)), 2)"))
-        .select(col("k").as("cluster"), col("dist").as("a2"), col("b2"))
-        .filter(expr("greatest(a2, b2) > 0"))
-        .withColumn("s_ppm",
-          expr("CAST(CAST(b2 - a2 AS DECIMAL(38,0)) * 1000000 div greatest(a2, b2) AS BIGINT)"))
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("sum_s_ppm"))
-        .select(col("cluster"), col("n"), col("sum_s_ppm"),
-          expr("round(CAST(sum_s_ppm AS DOUBLE) / n / 1000000.0, 6)").as("mean_silhouette"))
-        .orderBy(col("cluster"))
-    } finally xs.unpersist(blocking = false)
+    kmAssigned(s, d)
+      .withColumn("b2", expr("element_at(array_sort(array(d0, d1, d2, d3)), 2)"))
+      .select(col("k").as("cluster"), col("dist").as("a2"), col("b2"))
+      .filter(expr("greatest(a2, b2) > 0"))
+      .withColumn("s_ppm",
+        expr("CAST(CAST(b2 - a2 AS DECIMAL(38,0)) * 1000000 div greatest(a2, b2) AS BIGINT)"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("sum_s_ppm"))
+      .select(col("cluster"), col("n"), col("sum_s_ppm"),
+        expr("round(CAST(sum_s_ppm AS DOUBLE) / n / 1000000.0, 6)").as("mean_silhouette"))
+      .orderBy(col("cluster"))
   }
 
   /** Per-label embedding-norm profile — the vector-pipeline health

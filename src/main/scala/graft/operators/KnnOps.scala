@@ -726,29 +726,27 @@ object KnnOps {
        |       FROM dd)
        |SELECT query_id, corpus_id, dist2, rn
        |FROM rr WHERE rn <= $K ORDER BY query_id, rn""".stripMargin) { (s, d) =>
-    val xs = EmbedOps.kmScaled(s, d).persist()
-    try {
-      val cents = EmbedOps.kmLloyd(xs)
-      val assign = EmbedOps.kmAssign(xs, cents).select(col("vec_id"), col("xs"), col("k"))
-      // per-query probe cells: sort the 4 (cdist, k) pairs, take 2 —
-      // same (dist, k) tie order as the oracle's row_number
-      val q = EmbedOps.kmAssign(xs.filter(col("vec_id") < 5), cents)
-      val cellStructs = (0 until EmbedOps.KmK)
-        .map(k => struct(col(s"d$k").as("cd"), lit(k).as("k")))
-      val probe = q.select(col("vec_id").as("query_id"), col("xs").as("qs"),
-          explode(slice(array_sort(array(cellStructs: _*)), 1, 2)).as("p"))
-        .select(col("query_id"), col("qs"), col("p.k").as("k"))
-      val byQuery = Window.partitionBy(col("query_id"))
-        .orderBy(col("dist2"), col("corpus_id"))
-      assign.join(broadcast(probe), Seq("k"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("corpus_id"),
-          expr("aggregate(zip_with(qs, xs, (a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)")
-            .as("dist2"))
-        .withColumn("rn", row_number().over(byQuery))
-        .filter(col("rn") <= K)
-        .orderBy(col("query_id"), col("rn"))
-    } finally xs.unpersist(blocking = false)
+    val cents = EmbedOps.kmCentroids(s, d)
+    val assign = EmbedOps.kmAssigned(s, d).select(col("vec_id"), col("xs"), col("k"))
+    // per-query probe cells: sort the 4 (cdist, k) pairs, take 2 —
+    // same (dist, k) tie order as the oracle's row_number
+    val q = EmbedOps.kmAssign(
+      EmbedOps.kmScaledShared(s, d).filter(col("vec_id") < 5), cents)
+    val cellStructs = (0 until EmbedOps.KmK)
+      .map(k => struct(col(s"d$k").as("cd"), lit(k).as("k")))
+    val probe = q.select(col("vec_id").as("query_id"), col("xs").as("qs"),
+        explode(slice(array_sort(array(cellStructs: _*)), 1, 2)).as("p"))
+      .select(col("query_id"), col("qs"), col("p.k").as("k"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2"), col("corpus_id"))
+    assign.join(broadcast(probe), Seq("k"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("corpus_id"),
+        expr("aggregate(zip_with(qs, xs, (a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)")
+          .as("dist2"))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= K)
+      .orderBy(col("query_id"), col("rn"))
   }
 
   val ops: Seq[GraftOp] =

@@ -31,6 +31,7 @@ object SharedIndexes {
     "dedup_cluster_labels" -> (() => DedupOps.clusterLabels(s, d)),
     "dedup_simhash_docs" -> (() => DedupOps.simhashDocs(s, d)),
     "knn_ivf_assigned" -> (() => IvfIndex.assigned(s, d)), // forces corpus + KMeans fit
+    "emb_km_assigned" -> (() => EmbedOps.kmAssigned(s, d)), // forces exact-Lloyd loop
     "emb_pq_codes" -> (() => EmbedOps.pqCodes(s, d)),
     "graph_trade_edges" -> (() => GraphOps.tradeEdges(s, d)))
 
