@@ -91,6 +91,20 @@ object GraphOps {
       .filter(col("nk1") =!= col("nk2"))
       .select(col("src"), col("dst")).distinct()
 
+  /** Distinct undirected trade edges (u = lexicographic min endpoint)
+    * — ten graph ops consume this exact frame, and each was re-paying
+    * the distinct exchange on top of the shared [[tradeEdges]]; the
+    * persisted copy makes the per-op plan start at the (tiny) edge
+    * list. The `% 4` sparsifier several ops then apply is a map over
+    * this frame, not worth its own registry entry. */
+  private[operators] def undirectedTradeEdges(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"graph.undTradeEdges:$d")(
+      tradeEdges(s, d)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+
   /** Iterations the last [[pagerankFrom]] actually ran — test-visible
     * (the early-stop spec pins it below the requested bound). */
   @volatile private[graft] var lastIterations = 0
@@ -282,10 +296,7 @@ object GraphOps {
       |  FROM und a JOIN und b ON a.v = b.u JOIN und c ON c.u = a.u AND c.v = b.v),
       |m AS (SELECT unnest([x, y, z]) AS node FROM tri)
       |SELECT node, count(*) AS n_triangles FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val raw = tradeEdges(s, d)
-    val und = raw
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = undirectedTradeEdges(s, d)
     val deg = und.select(col("u").as("node")).union(und.select(col("v")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient each edge toward the (deg, name)-larger endpoint
@@ -343,9 +354,7 @@ object GraphOps {
          |  round(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard
          |FROM j ORDER BY jaccard DESC, pa, pb""".stripMargin
     }) { (s, d) =>
-    val e = tradeEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val e = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
     val nb = e.select(col("u").as("x"), col("v").as("y"))
       .union(e.select(col("v").as("x"), col("u").as("y")))
@@ -410,9 +419,7 @@ object GraphOps {
     "graph_lpa",
     s"""WITH $lpaCtes
        |SELECT node, lbl AS community FROM l$LpaRounds ORDER BY node""".stripMargin) { (s, d) =>
-    val e = tradeEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val e = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
     lpaFrom(e, LpaRounds).orderBy(col("node"))
   }
@@ -491,9 +498,7 @@ object GraphOps {
          |    ${induced("r12")})
          |GROUP BY node ORDER BY node""".stripMargin
     }) { (s, d) =>
-    val und = tradeEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
     kcoreFrom(und, 4)
   }
@@ -773,9 +778,7 @@ object GraphOps {
       |    AS clustering
       |FROM deg LEFT JOIN t ON deg.node = t.node
       |WHERE deg.deg >= 2 ORDER BY deg.node""".stripMargin) { (s, d) =>
-    val und = tradeEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
     val deg = und.select(col("u").as("node")).unionAll(und.select(col("v")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -839,9 +842,7 @@ object GraphOps {
       |  round((CAST(m2 AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
       |    / (CAST(m2 AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj), 6) AS assortativity
       |FROM g""".stripMargin) { (s, d) =>
-    val und = tradeEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
     val deg = und.select(col("u").as("node")).unionAll(und.select(col("v")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -902,9 +903,7 @@ object GraphOps {
       |  round(CAST(reached AS DOUBLE) * reached / (tot * (CAST(n AS DOUBLE) - 1)), 6)
       |    AS closeness
       |FROM agg, nc WHERE tot > 0 ORDER BY node""".stripMargin) { (s, d) =>
-    val und = tradeEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
     val edges = ConnectedComponents.snapshot(
       und.select(col("u").as("src"), col("v").as("dst"))
@@ -1101,9 +1100,7 @@ object GraphOps {
          |  round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6) AS adamic_adar
          |FROM wedge ORDER BY adamic_adar DESC, pa, pb""".stripMargin
     }) { (s, d) =>
-    val e = tradeEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val e = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
     val nb = e.select(col("u").as("x"), col("v").as("y"))
       .union(e.select(col("v").as("x"), col("u").as("y")))
@@ -1152,9 +1149,7 @@ object GraphOps {
        |      * (CAST(dc.degree_sum AS DOUBLE) / (2.0 * m.m)), 6) AS q_term
        |FROM dc LEFT JOIN ie USING (community), m
        |ORDER BY dc.community""".stripMargin) { (s, d) =>
-    val e = tradeEdges(s, d)
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val e = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
     val lab = lpaFrom(e, LpaRounds)
     val nb = e.select(col("u").as("x")).union(e.select(col("v").as("x")))

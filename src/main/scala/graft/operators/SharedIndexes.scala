@@ -33,7 +33,8 @@ object SharedIndexes {
     "knn_ivf_assigned" -> (() => IvfIndex.assigned(s, d)), // forces corpus + KMeans fit
     "emb_km_assigned" -> (() => EmbedOps.kmAssigned(s, d)), // forces exact-Lloyd loop
     "emb_pq_codes" -> (() => EmbedOps.pqCodes(s, d)),
-    "graph_trade_edges" -> (() => GraphOps.tradeEdges(s, d)))
+    "graph_trade_edges" -> (() => GraphOps.tradeEdges(s, d)),
+    "graph_und_edges" -> (() => GraphOps.undirectedTradeEdges(s, d)))
 
   /** Force-build and materialize every shared index; returns each
     * index's name and row count (all deterministic corpus statistics). */
