@@ -48,12 +48,21 @@ object IvfIndex {
       m
     }
 
+  /** Unit-normalized corpus WITH labels — the one normalization pass
+    * every serve-path consumer (brute / classify / filtered / MMR /
+    * range / outlier / hard-negative) reads; registry-persisted so the
+    * per-query cost is the scan, not a parquet re-read + re-normalize
+    * (the r7 bench's cold-pass spread across the knn family). */
+  private[operators] def corpusLabeled(s: SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"knn.corpusLabeled:$d") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    }
+
   /** Unit-normalized corpus projection shared by build and serve. */
   private[operators] def corpus(s: SparkSession, d: String): DataFrame =
-    graft.CachedPlans.cached(s, s"knn.ivf.corpus:$d") {
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
-    }
+    corpusLabeled(s, d).select(col("vec_id"), col("u"))
 
   /** Get-or-train the coarse quantizer's centroids for this corpus.
     * The fit runs under the registry lock: check-then-fit-then-insert

@@ -37,8 +37,7 @@ object KnnOps {
        |  FROM s)
        |SELECT query_id, corpus_id, round(cos, 6) AS cos_sim, rn
        |FROM r WHERE rn <= $K ORDER BY query_id, rn""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val v = IvfIndex.corpus(s, d)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val cos = Exprs.dot(col("qu"), col("u"))
@@ -223,9 +222,7 @@ object KnnOps {
        |  FROM vote)
        |SELECT query_id, label AS pred_label, n_votes
        |FROM w WHERE wr = 1 ORDER BY query_id""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val v = IvfIndex.corpusLabeled(s, d)
     val q = v.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val c = v.filter(col("vec_id") >= 50)
@@ -266,9 +263,7 @@ object KnnOps {
        |  FROM s)
        |SELECT query_id, corpus_id, round(cos, 6) AS cos_sim, rn
        |FROM r WHERE rn <= $K ORDER BY query_id, rn""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val v = IvfIndex.corpusLabeled(s, d)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
@@ -413,9 +408,7 @@ object KnnOps {
        |  FROM s)
        |SELECT anchor_id, negative_id, neg_label, round(cos, 6) AS cos_sim, rn
        |FROM r WHERE rn <= 5 ORDER BY anchor_id, rn""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val v = IvfIndex.corpusLabeled(s, d)
     val q = v.filter(col("vec_id") < 20)
       .select(col("vec_id").as("anchor_id"), col("label").as("alabel"), col("u").as("qu"))
     val byAnchor = Window.partitionBy(col("anchor_id"))
@@ -449,8 +442,7 @@ object KnnOps {
        |FROM q JOIN v c ON c.vec_id <> q.vec_id
        |WHERE ${Exprs.sqlDot("q.u", "c.u")} >= 0.3
        |ORDER BY query_id, corpus_id""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val v = IvfIndex.corpus(s, d)
     val q = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val cos = Exprs.dot(col("qu"), col("u"))
@@ -488,8 +480,7 @@ object KnnOps {
        |SELECT query_id, CAST(sum(cos_micros) AS BIGINT) AS knn_sum_micros,
        |  1.0 - sum(cos_micros) / 1e7 AS outlier_score
        |FROM r WHERE rn <= $K GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val v = IvfIndex.corpus(s, d)
     val q = v.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val byQuery = Window.partitionBy(col("query_id"))
@@ -630,8 +621,7 @@ object KnnOps {
            |  round(mmr, 6) AS mmr_score
            |FROM selu$MmrK ORDER BY query_id, rank""".stripMargin
     }) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"))
+    val v = IvfIndex.corpus(s, d)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("corpus_id"))
