@@ -739,7 +739,77 @@ object KnnOps {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** ORACLE-CHECKED LSH recall@10 audit — the per-query hit count of
+    * [[lsh]] against the exact [[brute]] top-10 as EXACT integers.
+    * knn_ivf_recall_curve stays rows-only (its MLlib quantizer isn't
+    * SQL-expressible); this leg closes the ANN-audit family with a
+    * hash-checkable recall number, possible since r7b made the LSH
+    * path fully deterministic (md5-seeded planes) and r8 kept its
+    * signatures bit-identical through the native kernel. Cost is the
+    * two serve paths it audits (both corpus-scan shaped) plus a
+    * K·|queries|-row join. */
+  val lshRecall: GraftOp = GraftOp(
+    "knn_lsh_recall", {
+      val E = Exprs
+      s"""WITH raw AS (
+         |  SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |vv AS (SELECT vec_id, ${E.sqlUnit("e")} AS u FROM raw),
+         |bq AS (SELECT vec_id, u FROM vv WHERE vec_id < 5),
+         |bs AS (
+         |  SELECT bq.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    ${E.sqlDot("bq.u", "c.u")} AS cos
+         |  FROM bq JOIN vv c ON c.vec_id <> bq.vec_id),
+         |bt AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+         |    FROM bs) WHERE rn <= $K),
+         |pl AS (
+         |  SELECT t, b,
+         |    list_transform(range($DIM), i -> CASE WHEN ${E.sqlMd5Long(s"concat(CAST(2000 + t * $B + b AS VARCHAR), '#', CAST(i AS VARCHAR))")} % 2 = 0
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS w
+         |  FROM (SELECT unnest(range($L)) AS t) CROSS JOIN (SELECT unnest(range($B)) AS b)),
+         |sig AS (
+         |  SELECT r.vec_id, p.t,
+         |    CAST(sum(CASE WHEN ${E.sqlDot("r.e", "p.w")} > 0
+         |      THEN CAST(1 << p.b AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM raw r CROSS JOIN pl p GROUP BY 1, 2),
+         |lq AS (SELECT vec_id AS query_id, t, bucket FROM sig WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT lq.query_id, s2.vec_id AS corpus_id
+         |  FROM sig s2 JOIN lq ON s2.t = lq.t AND s2.bucket = lq.bucket AND s2.vec_id <> lq.query_id),
+         |cs AS (
+         |  SELECT c.query_id, c.corpus_id, ${E.sqlCosine("a.e", "b.e")} AS cos
+         |  FROM cand c
+         |  JOIN raw a ON a.vec_id = c.query_id
+         |  JOIN raw b ON b.vec_id = c.corpus_id),
+         |lt AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+         |    FROM cs) WHERE rn <= $K),
+         |h AS (
+         |  SELECT bt.query_id, CAST(count(*) AS BIGINT) AS hh
+         |  FROM bt JOIN lt ON bt.query_id = lt.query_id AND bt.corpus_id = lt.corpus_id
+         |  GROUP BY 1)
+         |SELECT q2.query_id, CAST(coalesce(h.hh, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.hh, 0) * 1000000 // $K AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM bt) q2 LEFT JOIN h USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+    val bt = brute.run(s, d).select(col("query_id"), col("corpus_id"))
+    val lt = lsh.run(s, d).select(col("query_id"), col("corpus_id"))
+    val hits = bt.join(lt, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hh"))
+    bt.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hh"), lit(0L)).cast(LongType).as("n_hits"),
+        expr(s"CAST(coalesce(hh, 0) * 1000000 div $K AS BIGINT)").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
-      outlierScore, ivfRecallCurve, mmr, ivfExact)
+      outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall)
 }

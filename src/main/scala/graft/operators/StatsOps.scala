@@ -1860,8 +1860,71 @@ object StatsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Mann-Kendall trend test on each event type's daily revenue series
+    * — the NON-parametric "is this metric trending" gate (q_theil_sen
+    * estimates the slope; MK decides significance without assuming
+    * linearity or normality; together they are the standard
+    * trend-audit pair). S = Σ_{i<j} sgn(cⱼ − cᵢ) is an exact BIGINT
+    * over the DOMAIN-BOUNDED day-pair join (|days|² pairs per type —
+    * at 100 TB the series is still one row per day; the fact scan is
+    * the one daily-cents groupBy), the tie term Σt(t−1)(2t+5) comes
+    * from the per-value margins, and z = (S − sgn S)/√(var18/18) is
+    * one shared-text double formula over three exact integers,
+    * guarded NULL when the variance is zero. */
+  val mannKendall: GraftOp = GraftOp(
+    "q_mann_kendall",
+    """WITH dly AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM dly a JOIN dly b ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT event_type,
+      |    CAST(coalesce(sum(tt * (tt - 1) * (2 * tt + 5)), 0) AS BIGINT) AS ties
+      |  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS tt FROM dly GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM dly GROUP BY 1)
+      |SELECT n.event_type, n.n, s.s_stat,
+      |  CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.ties AS BIGINT) AS var18,
+      |  CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.ties > 0 THEN
+      |    round((CAST(s_stat AS DOUBLE)
+      |        - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+      |      / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5) - t.ties) / 18.0), 6)
+      |  END AS z
+      |FROM n JOIN s USING (event_type) JOIN t USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dly = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .cast(LongType).as("c"))
+    val a = dly.select(col("event_type"), col("day").as("ad"), col("c").as("ac"))
+    val b = dly.select(col("event_type"), col("day").as("bd"), col("c").as("bc"))
+    val sStat = a.join(b, Seq("event_type")).filter(col("ad") < col("bd"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("bc") > col("ac"), 1L).when(col("bc") < col("ac"), -1L)
+        .otherwise(0L)).cast(LongType).as("s_stat"))
+    val ties = dly.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("tt"))
+      .groupBy(col("event_type"))
+      .agg(coalesce(sum(col("tt") * (col("tt") - 1) * (col("tt") * 2 + 5)), lit(0L))
+        .cast(LongType).as("ties"))
+    val n = dly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    n.join(sStat, "event_type").join(ties, "event_type")
+      .select(col("event_type"), col("n"), col("s_stat"),
+        expr("CAST(n * (n - 1) * (2 * n + 5) - ties AS BIGINT)").as("var18"),
+        expr("""CASE WHEN n * (n - 1) * (2 * n + 5) - ties > 0 THEN
+          |  round((CAST(s_stat AS DOUBLE)
+          |      - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+          |    / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - ties) / 18.0), 6)
+          |END""".stripMargin).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
     bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose, granger,
-    sprt, did, wilsonCi)
+    sprt, did, wilsonCi, mannKendall)
 }

@@ -1081,8 +1081,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Chao1 species-richness + Good-Turing unseen mass per source — the
+    * "how much vocabulary have we NOT crawled yet" readout that closes
+    * the corpus-coverage loop text_heaps opens (Heaps says how fast
+    * vocabulary grows; Chao1 estimates where it tops out; the
+    * Good-Turing f1/N is the probability the NEXT token is unseen).
+    * All four inputs (V, f1, f2, N) are exact integer aggregates of
+    * the per-(source, token) frequency frame; the Chao1 estimate is
+    * assembled as an exact ppm integer (V·10⁶ + f1(f1−1)·10⁶ floor-div
+    * 2(f2+1) — the bias-corrected form, never 0/0) and divided once by
+    * 10⁶, so no double arithmetic precedes the single final division.
+    * One token shuffle, margins from the same frame — linear at
+    * 100 TB. */
+  val chao1: GraftOp = GraftOp(
+    "text_chao1",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+      |g AS (SELECT source,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(c) AS BIGINT) AS n_tok,
+      |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+      |    CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+      |  FROM f GROUP BY 1)
+      |SELECT source, n_tok, vocab, f1, f2,
+      |  CAST(vocab * 1000000 + f1 * (f1 - 1) * 1000000 // (2 * (f2 + 1)) AS BIGINT)
+      |    / 1000000.0 AS chao1,
+      |  CAST(f1 * 1000000 // n_tok AS BIGINT) AS unseen_mass_ppm
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tok"),
+        count(when(col("c") === 1, 1)).as("f1"),
+        count(when(col("c") === 2, 1)).as("f2"))
+      .select(col("source"), col("n_tok"), col("vocab"), col("f1"), col("f2"),
+        (expr("CAST(vocab * 1000000 + f1 * (f1 - 1) * 1000000 div (2 * (f2 + 1)) AS BIGINT)")
+          / lit(1000000.0)).as("chao1"),
+        expr("CAST(f1 * 1000000 div n_tok AS BIGINT)").as("unseen_mass_ppm"))
+      .orderBy(col("source"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
-      readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing)
+      readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing, chao1)
 }

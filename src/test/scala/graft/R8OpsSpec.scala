@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the round-8 additions (Mann-Kendall trend,
+  * Chao1/Good-Turing richness, LSH recall audit). The oracle
+  * hash-compare is the exactness gate; these assert the mechanics
+  * mean what they claim. */
+class R8OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q_mann_kendall: S bounded by pair count, z sign follows S, variance positive") {
+    val rows = operators.StatsOps.mannKendall.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, s, var18) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val maxPairs = n * (n - 1) / 2
+      assert(math.abs(s) <= maxPairs, s"|S|=$s exceeds C(n,2)=$maxPairs: $r")
+      assert(var18 > 0, s"daily cent totals should not be fully tied: $r")
+      val z = r.getDouble(4)
+      if (s > 0) assert(z > 0, s"z must carry S's sign: $r")
+      if (s < 0) assert(z < 0, s"z must carry S's sign: $r")
+    }
+  }
+
+  test("text_chao1: estimate dominates observed vocabulary; unseen mass is a proper ppm") {
+    val rows = operators.TextOps.chao1.run(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (nTok, vocab, f1, _, chao1, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))
+      assert(f1 <= vocab && vocab <= nTok, s"margins must nest: $r")
+      assert(chao1 >= vocab.toDouble, s"Chao1 can only add unseen species: $r")
+      assert(ppm >= 0 && ppm <= 1000000, s"unseen mass must be a ppm: $r")
+      assert(ppm.toDouble / 1e6 <= f1.toDouble / (nTok - 1).max(1),
+        s"Good-Turing mass is f1/N floor-divided: $r")
+    }
+  }
+
+  test("knn_lsh_recall: per-query hits within [0, K] and mean recall matches KnnSpec's floor") {
+    val rows = operators.KnnOps.lshRecall.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10, s"hits out of range: $r")
+      assert(r.getLong(2) === r.getLong(1) * 1000000 / 10, s"ppm must be hits/K: $r")
+    }
+    val mean = rows.map(_.getLong(1)).sum.toDouble / (rows.length * 10)
+    assert(mean >= 0.9, s"mean recall $mean below the 0.9 floor KnnSpec pins")
+  }
+}
