@@ -16,7 +16,7 @@ driver's pandas row sort throws on them).
 
 Dev tool only — the Scala engine does not depend on this.
 """
-import json, sys, math
+import decimal, json, sys, math
 from pathlib import Path
 
 import duckdb
@@ -42,6 +42,14 @@ def norm(v):
         return "i:" + str(int(v))
     if isinstance(v, (np.ndarray, list, tuple)):
         raise TypeError("array-typed value (driver-incompatible)")
+    if isinstance(v, decimal.Decimal):
+        # DuckDB versions differ in whether .df() materializes DECIMAL
+        # as decimal.Decimal objects or float64 — a decimal-typed EMIT
+        # therefore hashes differently across driver versions even when
+        # the values agree (the r7 etl_dirty_replay red row). House
+        # rule: decimals are intermediates only; emit DOUBLE/BIGINT.
+        raise TypeError("decimal-typed value (emit DOUBLE or BIGINT instead; "
+                        "DuckDB-version-sensitive in the driver compare)")
     if isinstance(v, pd.Timestamp):
         return "t:" + v.isoformat()
     if v is pd.NaT:
