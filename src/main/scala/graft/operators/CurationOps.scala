@@ -596,6 +596,53 @@ object CurationOps {
       .orderBy(col("nation"), col("segment"))
   }
 
+  /** l-diversity audit — the homogeneity-attack complement of
+    * [[kAnonymity]]: a class can be k-large yet still leak if every
+    * member shares the SENSITIVE value (here the account-balance band;
+    * thresholds compared in exact cents so banding is engine-stable).
+    * Per (nation, segment) class: distinct sensitive bands l, the
+    * dominant band's share (exact ppm), and the risk flag l < 3 OR
+    * share > 90%. Same |QI-domain|-bounded aggregate shape as the
+    * k-anonymity gate — the margins come from one low-cardinality
+    * groupBy at any corpus size. */
+  val lDiversity: GraftOp = GraftOp(
+    "privacy_l_diversity",
+    """WITH b AS (
+      |  SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+      |    CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0 THEN 'debt'
+      |         WHEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 300000 THEN 'low'
+      |         WHEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 700000 THEN 'mid'
+      |         ELSE 'high' END AS band
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |g AS (SELECT nation, segment, band, CAST(count(*) AS BIGINT) AS bn
+      |      FROM b GROUP BY 1, 2, 3)
+      |SELECT nation, segment,
+      |  CAST(sum(bn) AS BIGINT) AS class_size,
+      |  CAST(count(*) AS BIGINT) AS l_distinct,
+      |  CAST(max(bn) * 1000000 // sum(bn) AS BIGINT) AS top_share_ppm,
+      |  CASE WHEN count(*) < 3 OR max(bn) * 1000000 // sum(bn) > 900000
+      |       THEN 1 ELSE 0 END AS at_risk
+      |FROM g GROUP BY 1, 2
+      |ORDER BY nation, segment""".stripMargin) { (s, d) =>
+    val cents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType)
+    val b = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("segment"),
+        when(cents < 0, "debt").when(cents < 300000L, "low")
+          .when(cents < 700000L, "mid").otherwise("high").as("band"))
+    b.groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(sum(col("bn")).cast(LongType).as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        expr("CAST(max(bn) * 1000000 div sum(bn) AS BIGINT)").as("top_share_ppm"))
+      .select(col("nation"), col("segment"), col("class_size"), col("l_distinct"),
+        col("top_share_ppm"),
+        when(col("l_distinct") < 3 || col("top_share_ppm") > 900000, 1)
+          .otherwise(0).as("at_risk"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
   /** ORC interchange round trip — format breadth beyond parquet:
     * the documents table is rewritten through Spark's native ORC
     * writer into a session-scoped temp dir, read BACK through the ORC
@@ -629,5 +676,5 @@ object CurationOps {
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
       aggIncremental, tableChecksum, scd2History, expectations, datasheet, benford,
-      profileCorrelation, kAnonymity, orcRoundtrip)
+      profileCorrelation, kAnonymity, lDiversity, orcRoundtrip)
 }

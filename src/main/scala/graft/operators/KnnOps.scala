@@ -809,7 +809,37 @@ object KnnOps {
       .orderBy(col("query_id"))
   }
 
+  /** ORACLE-CHECKED PQ-ADC recall@10 audit — [[lshRecall]]'s twin for
+    * the product-quantization serve path. The oracle COMPOSES the two
+    * audited ops' own oracle SQL verbatim as subqueries (brute truth ∩
+    * ADC result), so the audit can never drift from what the audited
+    * ops actually state; the Spark side composes the same two plans.
+    * Exact integer hits + ppm. */
+  val pqRecall: GraftOp = GraftOp(
+    "knn_pq_recall",
+    s"""WITH bt AS (SELECT query_id, corpus_id FROM (${brute.oracle.get}) b0),
+       |lt AS (SELECT query_id, corpus_id FROM (${pqAdc.oracle.get}) l0),
+       |h AS (
+       |  SELECT bt.query_id, CAST(count(*) AS BIGINT) AS hh
+       |  FROM bt JOIN lt ON bt.query_id = lt.query_id AND bt.corpus_id = lt.corpus_id
+       |  GROUP BY 1)
+       |SELECT q2.query_id, CAST(coalesce(h.hh, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.hh, 0) * 1000000 // $K AS BIGINT) AS recall_ppm
+       |FROM (SELECT DISTINCT query_id FROM bt) q2 LEFT JOIN h USING (query_id)
+       |ORDER BY query_id""".stripMargin) { (s, d) =>
+    val bt = brute.run(s, d).select(col("query_id"), col("corpus_id"))
+    val lt = pqAdc.run(s, d).select(col("query_id"), col("corpus_id"))
+    val hits = bt.join(lt, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hh"))
+    bt.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hh"), lit(0L)).cast(LongType).as("n_hits"),
+        expr(s"CAST(coalesce(hh, 0) * 1000000 div $K AS BIGINT)").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
-      outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall)
+      outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall, pqRecall)
 }

@@ -38,6 +38,29 @@ class R8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_pq_recall: hits within [0, K]; ADC shortlist+rerank clears the PQ floor") {
+    val rows = operators.KnnOps.pqRecall.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10, s"hits out of range: $r")
+      assert(r.getLong(2) === r.getLong(1) * 1000000 / 10, s"ppm must be hits/K: $r")
+    }
+    val mean = rows.map(_.getLong(1)).sum.toDouble / (rows.length * 10)
+    assert(mean >= 0.6, s"mean recall $mean below the 0.6 floor KnnSpec pins for PQ")
+  }
+
+  test("privacy_l_diversity: margins consistent and the risk rule is what it claims") {
+    val rows = operators.CurationOps.lDiversity.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (size, l, share, risk) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))
+      assert(l >= 1 && l <= 4, s"band domain has 4 values: $r")
+      assert(l <= size, s"distinct bands cannot exceed members: $r")
+      assert(share >= 1000000 / 4 / 2 && share <= 1000000, s"dominant share bounds: $r")
+      assert(risk === (if (l < 3 || share > 900000) 1 else 0), s"risk rule mismatch: $r")
+    }
+  }
+
   test("knn_lsh_recall: per-query hits within [0, K] and mean recall matches KnnSpec's floor") {
     val rows = operators.KnnOps.lshRecall.run(spark, sf).collect()
     assert(rows.length === 5)
