@@ -1467,6 +1467,112 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
+  /** Build a REAL ID3v2.3 tag (10-byte header with a SYNCSAFE 28-bit
+    * body size — four 7-bit bytes, the encoding no other leg
+    * exercises — plus one TIT2 text frame with a plain big-endian
+    * v2.3 frame size and an ISO-8859-1 title) prepended to a genuine
+    * MPEG-1 Layer III stream from [[mp3Stream]]. */
+  private[graft] def id3Mp3Stream(titleLen: Int, bitrateIdx: Int, rateIdx: Int,
+      nFrames: Int): Array[Byte] = {
+    val frameBody = 1 + titleLen // encoding byte + latin-1 title
+    val tagBody = 10 + frameBody // one TIT2 frame header + body
+    val tag = new Array[Byte](10 + tagBody)
+    tag(0) = 'I'; tag(1) = 'D'; tag(2) = '3'
+    tag(3) = 3; tag(4) = 0 // v2.3.0
+    tag(5) = 0 // no unsync/extended-header/experimental flags
+    tag(6) = ((tagBody >> 21) & 0x7F).toByte
+    tag(7) = ((tagBody >> 14) & 0x7F).toByte
+    tag(8) = ((tagBody >> 7) & 0x7F).toByte
+    tag(9) = (tagBody & 0x7F).toByte
+    tag(10) = 'T'; tag(11) = 'I'; tag(12) = 'T'; tag(13) = '2'
+    tag(14) = ((frameBody >>> 24) & 0xFF).toByte
+    tag(15) = ((frameBody >>> 16) & 0xFF).toByte
+    tag(16) = ((frameBody >>> 8) & 0xFF).toByte
+    tag(17) = (frameBody & 0xFF).toByte
+    tag(18) = 0; tag(19) = 0 // frame flags
+    tag(20) = 0 // ISO-8859-1 text encoding
+    var i = 0
+    while (i < titleLen) { tag(21 + i) = ('A' + (titleLen + i) % 26).toByte; i += 1 }
+    tag ++ mp3Stream(bitrateIdx, rateIdx, nFrames)
+  }
+
+  /** Walk an ID3v2-tagged MP3: validate the ID3 header, decode the
+    * syncsafe size (REJECTING any size byte with its high bit set —
+    * the corruption the 7-bit encoding exists to make detectable),
+    * validate the single TIT2 frame fills the tag body exactly, then
+    * hand the remainder to [[parseMp3]]'s sync walk. Returns
+    * (tag_bytes, title_len, bitrate_kbps, sample_rate, n_frames). */
+  private[graft] def parseId3Mp3(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (bytes.length < 21) return None
+    if (bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3') return None
+    if (bytes(3) != 3 || bytes(4) != 0 || bytes(5) != 0) return None
+    var size = 0
+    var i = 6
+    while (i < 10) {
+      val b = bytes(i) & 0xFF
+      if ((b & 0x80) != 0) return None // syncsafe bytes carry 7 bits
+      size = (size << 7) | b
+      i += 1
+    }
+    val tagEnd = 10 + size
+    if (tagEnd > bytes.length) return None
+    if (bytes(10) != 'T' || bytes(11) != 'I' || bytes(12) != 'T' || bytes(13) != '2')
+      return None
+    val frameBody = ((bytes(14) & 0xFF) << 24) | ((bytes(15) & 0xFF) << 16) |
+      ((bytes(16) & 0xFF) << 8) | (bytes(17) & 0xFF)
+    if (bytes(18) != 0 || bytes(19) != 0) return None
+    if (10 + frameBody != size) return None // the one frame fills the body
+    if (bytes(20) != 0) return None // ISO-8859-1 only
+    parseMp3(java.util.Arrays.copyOfRange(bytes, tagEnd, bytes.length))
+      .map { case (kbps, rate, n) => (tagEnd, frameBody - 1, kbps, rate, n) }
+  }
+
+  /** ID3v2 tag walk over tagged MP3s — the twelfth container leg, and
+    * the only one exercising SYNCSAFE integers (ID3's 7-bit size
+    * bytes): hash-derived title/stream parameters → a real v2.3 tag +
+    * Layer III stream → the walker re-derives tag size, title length
+    * and audio parameters from the bytes alone. The oracle replays the
+    * parameters and the 21+titleLen tag arithmetic analytically. */
+  val id3Meta: GraftOp = GraftOp(
+    "mm_id3_meta",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(5 + ${Exprs.sqlMd5Long("text")} % 20 AS INT) AS title_len,
+       |    CAST(1 + (${Exprs.sqlMd5Long("text")} >> 2) % 14 AS INT) AS b_idx,
+       |    CAST((${Exprs.sqlMd5Long("text")} >> 4) % 3 AS INT) AS r_idx,
+       |    CAST(20 + (${Exprs.sqlMd5Long("text")} >> 6) % 100 AS INT) AS n_frames
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(21 + title_len AS INT) AS tag_bytes, title_len,
+       |  CAST(list_extract([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320], b_idx) AS INT) AS bitrate_kbps,
+       |  CAST(list_extract([44100, 48000, 32000], r_idx + 1) AS INT) AS sample_rate,
+       |  n_frames
+       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h = Exprs.md5Long(col("text"))
+    val params = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(5) + h % 20).cast(IntegerType).as("title_len"),
+        (lit(1) + shiftright(h, 2) % 14).cast(IntegerType).as("b_idx"),
+        (shiftright(h, 4) % 3).cast(IntegerType).as("r_idx"),
+        (lit(20) + shiftright(h, 6) % 100).cast(IntegerType).as("n_frames"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("tag_bytes", IntegerType),
+      StructField("title_len", IntegerType),
+      StructField("bitrate_kbps", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    params.mapPartitions { rows =>
+      rows.map { r =>
+        val stream = id3Mp3Stream(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        val (tagBytes, titleLen, kbps, rate, n) = parseId3Mp3(stream).getOrElse(
+          throw new IllegalStateException(s"unparseable planted ID3 MP3 for doc ${r.getLong(0)}"))
+        Row(r.getLong(0), tagBytes, titleLen, kbps, rate, n)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
   /** Build a REAL FLAC header: "fLaC" magic + a last-flagged
     * STREAMINFO metadata block with the genuine big-endian bit
     * packing (16+16 blocksizes, 24+24 framesizes, then the 64-bit
@@ -1677,5 +1783,5 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta)
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta, id3Meta)
 }

@@ -61,6 +61,19 @@ class R8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_id3: walker rejects bad magic, non-syncsafe size bytes, and a lying frame size") {
+    val good = operators.MmOps.id3Mp3Stream(12, 5, 1, 30)
+    assert(operators.MmOps.parseId3Mp3(good).contains((33, 12, 64, 48000, 30)))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(operators.MmOps.parseId3Mp3(badMagic).isEmpty)
+    val badSyncsafe = good.clone(); badSyncsafe(9) = (badSyncsafe(9) | 0x80).toByte
+    assert(operators.MmOps.parseId3Mp3(badSyncsafe).isEmpty,
+      "a size byte with its high bit set must be rejected")
+    val badFrame = good.clone(); badFrame(17) = (badFrame(17) + 1).toByte
+    assert(operators.MmOps.parseId3Mp3(badFrame).isEmpty,
+      "a frame that does not fill the tag body must be rejected")
+  }
+
   test("knn_lsh_recall: per-query hits within [0, K] and mean recall matches KnnSpec's floor") {
     val rows = operators.KnnOps.lshRecall.run(spark, sf).collect()
     assert(rows.length === 5)
