@@ -100,6 +100,59 @@ object SnapshotLake {
       StandardOpenOption.CREATE_NEW)
   }
 
+  // Commit type rides the snapshot metadata (t<N>.txt): appends ADD
+  // rows; delete/compact commits only remove or repack existing ones.
+  // The incremental reader needs the distinction — a compaction's
+  // rewrite files would otherwise read as "new rows". Tables written
+  // before type tracking read as all-append (their only writer was
+  // commitAppend then).
+  private def writeCommitType(path: String, version: Int, t: String): Unit =
+    Files.write(snapDir(path).resolve(s"t$version.txt"),
+      t.getBytes(StandardCharsets.UTF_8))
+
+  /** Commit type of `version`: "append", "delete", or "compact". */
+  def commitTypeOf(path: String, version: Int): String = {
+    val f = snapDir(path).resolve(s"t$version.txt")
+    if (!Files.exists(f)) "append"
+    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim
+  }
+
+  /** Incremental read (CDC-style consumption): exactly the rows
+    * APPENDED by commits in (fromVersion, toVersion] — "give me what's
+    * new since my last checkpoint" for a downstream incremental job,
+    * planned purely from manifests with no table diff. Sound because
+    * data files are immutable and an append commit only ADDS files:
+    * the appended rows ARE the file-set difference vs the previous
+    * snapshot. Delete and compaction commits contribute nothing (their
+    * rewrite files carry pre-existing rows); a consumer that must see
+    * deletions diffs [[readAt]] snapshots instead — stated contract,
+    * matching the append-only changelog every streaming source here
+    * produces. Both endpoint manifests (and each append's predecessor)
+    * must still be retained — [[vacuum]] bounds how far back a
+    * checkpoint may lag. */
+  def changesBetween(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"need 0 <= from <= to, got ($fromVersion, $toVersion]")
+    require(toVersion <= currentVersion(path),
+      s"snapshot v$toVersion does not exist under $path")
+    val newFiles = ((fromVersion + 1) to toVersion).flatMap { w =>
+      if (commitTypeOf(path, w) != "append") Seq.empty
+      else {
+        val prev = if (w == 1) Set.empty[String] else filesOf(path, w - 1).toSet
+        filesOf(path, w).filterNot(prev)
+      }
+    }
+    val schema = schemaOf(path, toVersion)
+    if (newFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
+    else schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(newFiles: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(newFiles: _*)
+    }
+  }
+
   private def listParquet(dir: Path): Seq[String] =
     Using.resource(Files.walk(dir)) { s =>
       s.iterator().asScala
@@ -128,6 +181,7 @@ object SnapshotLake {
         // we own version v now; the schema file follows the manifest
         // (a reader racing the microsecond gap falls back to merge)
         writeSchema(path, v, schema)
+        writeCommitType(path, v, "append")
         committed = v
       }
       catch {
@@ -179,6 +233,7 @@ object SnapshotLake {
       }
     writeSnapshot(path, newV, keep ++ rewritten)
     schemaOf(path, v).foreach(writeSchema(path, newV, _)) // delete never evolves
+    writeCommitType(path, newV, "delete")
     newV
   }
 
@@ -210,6 +265,7 @@ object SnapshotLake {
     expired.foreach { e =>
       Files.deleteIfExists(snapDir(path).resolve(s"v$e.txt"))
       Files.deleteIfExists(snapDir(path).resolve(s"s$e.json"))
+      Files.deleteIfExists(snapDir(path).resolve(s"t$e.txt"))
     }
     val dataDir = Paths.get(path, "data")
     val orphans =
@@ -270,6 +326,7 @@ object SnapshotLake {
     }
     writeSnapshot(path, newV, big.map(_._1) ++ listParquet(commitDir))
     schemaOf(path, v).foreach(writeSchema(path, newV, _)) // layout-only commit
+    writeCommitType(path, newV, "compact")
     (newV, small.size, bins.size)
   }
 }

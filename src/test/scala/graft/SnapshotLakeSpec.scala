@@ -32,6 +32,37 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(v1ids.toSeq === a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("changesBetween serves exactly the appended rows; delete/compact commits add none") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+    val c = docs.filter(col("doc_id") % 3 === 2)
+    SnapshotLake.commitAppend(a, path) // v1
+    SnapshotLake.commitAppend(b, path) // v2
+    SnapshotLake.commitDelete(spark, path, "source = 'src1'") // v3: removes rows
+    SnapshotLake.commitAppend(c, path) // v4
+    val vCompact = SnapshotLake.compact(spark, path, 512L * 1024 * 1024)._1 // v5: layout only
+    assert(SnapshotLake.commitTypeOf(path, 3) === "delete")
+    assert(SnapshotLake.commitTypeOf(path, vCompact) === "compact")
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // a consumer checkpointed at v1 sees the v2 and v4 appends — nothing
+    // from the delete's rewrite files or the compaction's repack
+    assert(ids(SnapshotLake.changesBetween(spark, path, 1, vCompact)) ===
+      ids(b.union(c)))
+    // checkpoint exactly at an append boundary: one commit's worth
+    assert(ids(SnapshotLake.changesBetween(spark, path, 1, 2)) === ids(b))
+    // fully caught up → empty, with the table's schema intact
+    val none = SnapshotLake.changesBetween(spark, path, vCompact, vCompact)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("doc_id", "source", "n_chars"))
+    // from the beginning == every append ever (deletes are snapshot
+    // semantics, not changelog semantics — stated contract)
+    assert(ids(SnapshotLake.changesBetween(spark, path, 0, vCompact)) ===
+      ids(a.union(b).union(c)))
+  }
+
   test("copy-on-write delete: current loses the rows, time travel still sees them") {
     val path = Files.createTempDirectory("graft-snap").toString + "/t"
     SnapshotLake.commitAppend(docs, path)
