@@ -1033,7 +1033,41 @@ object DedupOps {
       .orderBy(col("cos_lo"))
   }
 
+  /** LSH-banding audit — recall AND precision of the MinHash route
+    * against the rare-blocked exact route at the same τ=0.8, as exact
+    * integers (the knn_*_recall discipline applied to dedup: an
+    * operator deploying banded LSH at 100 TB reads THIS row before
+    * trusting it). The oracle composes the two audited ops' own
+    * oracle SQL verbatim as subqueries, so the audit can never drift
+    * from what they state; the Spark side composes the same two
+    * plans. Both routes end in the identical exact verify, so
+    * precision < 10⁶ can only come from pairs the banding surfaces
+    * that rare-blocking missed — worth seeing, which is why precision
+    * is emitted rather than assumed. */
+  val lshAudit: GraftOp = GraftOp(
+    "dedup_lsh_audit",
+    s"""WITH t0 AS (SELECT doc_a, doc_b FROM (${ngram.oracle.get}) x),
+       |f0 AS (SELECT doc_a, doc_b FROM (${minhash.oracle.get}) y),
+       |h AS (SELECT count(*) AS n_hits FROM t0 JOIN f0 USING (doc_a, doc_b)),
+       |tc AS (SELECT count(*) AS n_truth FROM t0),
+       |fc AS (SELECT count(*) AS n_found FROM f0)
+       |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_found AS BIGINT) AS n_found,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits * 1000000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_ppm,
+       |  CAST(n_hits * 1000000 // NULLIF(n_found, 0) AS BIGINT) AS precision_ppm
+       |FROM tc, fc, h""".stripMargin) { (s, d) =>
+    val t = ngram.run(s, d).select(col("doc_a"), col("doc_b"))
+    val f = minhash.run(s, d).select(col("doc_a"), col("doc_b"))
+    val hits = t.join(f, Seq("doc_a", "doc_b"), "left_semi").agg(count(lit(1)).as("n_hits"))
+    val tc = t.agg(count(lit(1)).as("n_truth"))
+    val fc = f.agg(count(lit(1)).as("n_found"))
+    tc.crossJoin(fc).crossJoin(hits)
+      .select(col("n_truth"), col("n_found"), col("n_hits"),
+        expr("CAST(n_hits * 1000000 div NULLIF(n_truth, 0) AS BIGINT)").as("recall_ppm"),
+        expr("CAST(n_hits * 1000000 div NULLIF(n_found, 0) AS BIGINT)").as("precision_ppm"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, simhash,
-      embed, containment, semantic, report, thresholdSweep)
+      embed, containment, semantic, report, thresholdSweep, lshAudit)
 }

@@ -61,6 +61,18 @@ class R8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lsh_audit: hits nest inside both routes; ppms follow the counts") {
+    val r = operators.DedupOps.lshAudit.run(spark, sf).collect()
+    assert(r.length === 1)
+    val (truth, found, hits) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(hits <= truth && hits <= found, s"intersection must nest: ${r(0)}")
+    assert(truth > 0, "fixture plants near-dups; truth set cannot be empty")
+    assert(r(0).getLong(3) === hits * 1000000 / truth, s"recall ppm: ${r(0)}")
+    assert(r(0).getLong(4) === hits * 1000000 / found, s"precision ppm: ${r(0)}")
+    assert(r(0).getLong(3) >= 900000,
+      "16x4 banding at tau=0.8 must recall >=90% of the blocked-exact pairs")
+  }
+
   test("mm_id3: walker rejects bad magic, non-syncsafe size bytes, and a lying frame size") {
     val good = operators.MmOps.id3Mp3Stream(12, 5, 1, 30)
     assert(operators.MmOps.parseId3Mp3(good).contains((33, 12, 64, 48000, 30)))
