@@ -1923,8 +1923,65 @@ object StatsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Binary-segmentation changepoint LOCATOR on each event type's
+    * daily revenue series — q_cusum emits the drift trajectory; this
+    * answers "WHERE did the level shift": the split k maximizing the
+    * scaled CUSUM deviation |n·S_k − k·S_n| (the exact-integer form of
+    * max |S_k − (k/n)·S_n| — multiplying through by n keeps every
+    * compared quantity a BIGINT, so the argmax is engine-exact; ties
+    * to the earlier day). One running-sum window per type + a
+    * per-type argmax; before/after means emit via micro-dollar
+    * floor-snap (never round() an exact rational — §6). */
+  val changepoint: GraftOp = GraftOp(
+    "q_changepoint",
+    """WITH dly AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |o AS (
+      |  SELECT event_type, day, c,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk
+      |  FROM dly),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(c) AS BIGINT) AS sn FROM dly GROUP BY 1),
+      |d AS (
+      |  SELECT o.event_type, o.day, o.k, o.sk, t.n, t.sn,
+      |    CAST(abs(t.n * o.sk - o.k * t.sn) AS BIGINT) AS dev
+      |  FROM o JOIN tot t ON o.event_type = t.event_type WHERE o.k < t.n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, k) AS rn
+      |      FROM d)
+      |SELECT event_type, day AS split_day, k AS split_k, n, dev AS scaled_dev,
+      |  CAST(sk * 10000 // k AS BIGINT) / 1000000.0 AS mean_before,
+      |  CAST((sn - sk) * 10000 // (n - k) AS BIGINT) / 1000000.0 AS mean_after
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dly = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .cast(LongType).as("c"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val o = dly
+      .withColumn("k", row_number().over(byDay).cast(LongType))
+      .withColumn("sk", sum(col("c")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(LongType))
+    val tot = dly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).cast(LongType).as("sn"))
+    val byDev = Window.partitionBy(col("event_type")).orderBy(col("dev").desc, col("k"))
+    o.join(tot, "event_type")
+      .filter(col("k") < col("n"))
+      .withColumn("dev", abs(col("n") * col("sk") - col("k") * col("sn")).cast(LongType))
+      .withColumn("rn", row_number().over(byDev))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"), col("k").as("split_k"),
+        col("n"), col("dev").as("scaled_dev"),
+        (expr("CAST(sk * 10000 div k AS BIGINT)") / 1000000.0).as("mean_before"),
+        (expr("CAST((sn - sk) * 10000 div (n - k) AS BIGINT)") / 1000000.0).as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
     bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose, granger,
-    sprt, did, wilsonCi, mannKendall)
+    sprt, did, wilsonCi, mannKendall, changepoint)
 }

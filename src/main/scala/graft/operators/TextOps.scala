@@ -1081,6 +1081,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix — the classifier-eval rollup over
+    * [[langId]]'s per-doc predictions vs the corpus's labeled `lang`
+    * column: per (actual, predicted) cell the exact count plus
+    * row-recall and column-precision ppms, the numbers a filtering
+    * pipeline reads before trusting a language gate at corpus scale.
+    * The oracle composes the audited op's own oracle SQL verbatim as
+    * a subquery (the knn_pq_recall discipline), so matrix and
+    * per-doc op can never drift. All exact integers. */
+  val langConfusion: GraftOp = GraftOp(
+    "text_lang_confusion",
+    s"""WITH p AS (SELECT lang, lang_pred FROM (${langId.oracle.get}) x),
+       |cm AS (SELECT lang AS actual, lang_pred AS predicted,
+       |       CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+       |ra AS (SELECT actual, CAST(sum(n) AS BIGINT) AS row_n FROM cm GROUP BY 1),
+       |ca AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS col_n FROM cm GROUP BY 1)
+       |SELECT cm.actual, cm.predicted, cm.n,
+       |  CAST(cm.n * 1000000 // ra.row_n AS BIGINT) AS recall_ppm,
+       |  CAST(cm.n * 1000000 // ca.col_n AS BIGINT) AS precision_ppm
+       |FROM cm JOIN ra ON cm.actual = ra.actual
+       |JOIN ca ON cm.predicted = ca.predicted
+       |ORDER BY cm.actual, cm.predicted""".stripMargin) { (s, d) =>
+    val p = langId.run(s, d).select(col("lang"), col("lang_pred"))
+    val cm = p.groupBy(col("lang").as("actual"), col("lang_pred").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val ra = cm.groupBy(col("actual")).agg(sum(col("n")).cast(LongType).as("row_n"))
+    val ca = cm.groupBy(col("predicted")).agg(sum(col("n")).cast(LongType).as("col_n"))
+    cm.join(ra, "actual").join(ca, "predicted")
+      .select(col("actual"), col("predicted"), col("n"),
+        expr("CAST(n * 1000000 div row_n AS BIGINT)").as("recall_ppm"),
+        expr("CAST(n * 1000000 div col_n AS BIGINT)").as("precision_ppm"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
   /** Chao1 species-richness + Good-Turing unseen mass per source — the
     * "how much vocabulary have we NOT crawled yet" readout that closes
     * the corpus-coverage loop text_heaps opens (Heaps says how fast
@@ -1126,5 +1159,6 @@ object TextOps {
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
-      readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing, chao1)
+      readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing, chao1,
+      langConfusion)
 }

@@ -61,6 +61,33 @@ class R8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_changepoint: split is interior, deviation positive, means bracket the shift") {
+    val rows = operators.StatsOps.changepoint.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (k, n, dev) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(k >= 1 && k < n, s"split must be interior: $r")
+      assert(dev >= 0, s"|scaled deviation| cannot be negative: $r")
+      assert(r.getDouble(5) > 0 && r.getDouble(6) > 0,
+        s"daily revenue means must be positive: $r")
+    }
+  }
+
+  test("text_lang_confusion: cells sum to the corpus; diagonal recall matches lang_id agreement") {
+    val cm = operators.TextOps.langConfusion.run(spark, sf).collect()
+    val total = cm.map(_.getLong(2)).sum
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(total === docs, "every doc lands in exactly one confusion cell")
+    cm.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000, s"recall ppm: $r")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000, s"precision ppm: $r")
+    }
+    val diagonal = cm.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    val agree = operators.TextOps.langId.run(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("agree")).head.getLong(0)
+    assert(diagonal === agree, "diagonal mass must equal the per-doc agreement count")
+  }
+
   test("dedup_lsh_audit: hits nest inside both routes; ppms follow the counts") {
     val r = operators.DedupOps.lshAudit.run(spark, sf).collect()
     assert(r.length === 1)
