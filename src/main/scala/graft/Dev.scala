@@ -11,15 +11,18 @@ object Dev {
     val spark = GraftSession.builder(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(opName)(spark, sfDir)
-    if (mode == "explain") df.explain("formatted")
+    if (mode == "explain") SparkEntry.queries(opName)(spark, sfDir).explain("formatted")
     else {
-      var last = 0L
+      // Bench parity: noop-sink the FULL plan, and rebuild the frame per
+      // run so driver-loop ops (iterative graph/k-means) pay their loop
+      // inside the timing — count() let Catalyst prune unreferenced
+      // columns (winnowing's whole window once timed as 0.4 s of a 3 s
+      // plan) and a prebuilt frame hid every driver-side loop.
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
-        val n = df.count()
-        last = System.nanoTime() - t0
-        println(f"[dev] $opName run$i: ${last / 1e9}%.2f s, $n rows")
+        val df = SparkEntry.queries(opName)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[dev] $opName run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()

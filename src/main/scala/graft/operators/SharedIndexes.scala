@@ -33,6 +33,7 @@ object SharedIndexes {
     "knn_ivf_assigned" -> (() => IvfIndex.assigned(s, d)), // forces corpus + KMeans fit
     "emb_km_assigned" -> (() => EmbedOps.kmAssigned(s, d)), // forces exact-Lloyd loop
     "emb_pq_codes" -> (() => EmbedOps.pqCodes(s, d)),
+    "affinity_basket_pairs" -> (() => AffinityOps.basketPairs(s, d)),
     "graph_trade_edges" -> (() => GraphOps.tradeEdges(s, d)),
     "graph_und_edges" -> (() => GraphOps.undirectedTradeEdges(s, d)))
 
