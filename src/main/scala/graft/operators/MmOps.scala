@@ -1783,5 +1783,134 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta, id3Meta)
+  /** Build a RIFF/WEBP container: VP8X extended header (24-bit LE
+    * canvas minus-one fields), an optional EXIF chunk, and a VP8L
+    * chunk whose lossless bitstream header (0x2f signature + 14-bit
+    * minus-one dims) REPEATS the canvas size — the redundancy real
+    * demuxers cross-check. Odd-sized chunk payloads get the RIFF pad
+    * byte, which no other container leg exercises. */
+  private[graft] def syntheticWebp(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + ((docId / 16) % 16).toInt
+    val hasExif = docId % 3 == 0
+    val exifLen = 8 + (docId % 8).toInt
+    val vp8lLen = 5 + (docId % 32).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def chunk(cc: String, payload: Array[Byte]): Unit = {
+      fourcc(cc); le32(payload.length); bos.write(payload)
+      if (payload.length % 2 == 1) bos.write(0) // RIFF even-padding rule
+    }
+    val riffSize = 4 + 18 +
+      (if (hasExif) 8 + exifLen + exifLen % 2 else 0) + 8 + vp8lLen + vp8lLen % 2
+    fourcc("RIFF"); le32(riffSize); fourcc("WEBP")
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = (if (hasExif) 0x08 else 0x00).toByte // EXIF flag bit
+    vp8x(4) = ((w - 1) & 0xff).toByte; vp8x(5) = (((w - 1) >> 8) & 0xff).toByte
+    vp8x(6) = (((w - 1) >> 16) & 0xff).toByte
+    vp8x(7) = ((h - 1) & 0xff).toByte; vp8x(8) = (((h - 1) >> 8) & 0xff).toByte
+    vp8x(9) = (((h - 1) >> 16) & 0xff).toByte
+    chunk("VP8X", vp8x)
+    if (hasExif) {
+      val exif = Array.tabulate[Byte](exifLen)(i => ((docId + i) % 251).toByte)
+      chunk("EXIF", exif)
+    }
+    val vp8l = new Array[Byte](vp8lLen)
+    vp8l(0) = 0x2f // VP8L signature
+    val dims = (w - 1) | ((h - 1) << 14) // 14-bit minus-one fields, version 0
+    vp8l(1) = (dims & 0xff).toByte; vp8l(2) = ((dims >> 8) & 0xff).toByte
+    vp8l(3) = ((dims >> 16) & 0xff).toByte; vp8l(4) = ((dims >> 24) & 0xff).toByte
+    var i = 5
+    while (i < vp8lLen) { vp8l(i) = ((docId * 7 + i) % 253).toByte; i += 1 }
+    chunk("VP8L", vp8l)
+    bos.toByteArray
+  }
+
+  /** Walk a RIFF/WEBP container: verify the RIFF magic, the WEBP form
+    * type, and that the declared RIFF size is exactly file−8; iterate
+    * chunks fourCC-first honoring the odd-payload pad byte; require a
+    * leading VP8X, read its 24-bit LE canvas; on VP8L verify the 0x2f
+    * signature and that the bitstream's 14-bit dims REPEAT the canvas.
+    * Returns (width, height, nChunks, hasExif, payloadBytes); None on
+    * any structural lie (bad magic, size mismatch, truncation,
+    * canvas/bitstream disagreement). */
+  private[graft] def parseWebpMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Boolean, Long)] = {
+    if (bytes.length < 30) return None
+    if (new String(bytes, 0, 4, "US-ASCII") != "RIFF") return None
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (le32(4) != bytes.length - 8) return None
+    if (new String(bytes, 8, 4, "US-ASCII") != "WEBP") return None
+    var i = 12
+    var (w, h) = (-1, -1)
+    var nChunks = 0
+    var hasExif = false
+    var payload = 0L
+    while (i < bytes.length) {
+      if (i + 8 > bytes.length) return None // truncated chunk header
+      val cc = new String(bytes, i, 4, "US-ASCII")
+      val len = le32(i + 4)
+      if (len < 0 || i + 8 + len > bytes.length) return None
+      cc match {
+        case "VP8X" =>
+          if (nChunks != 0 || len != 10) return None // must lead, fixed size
+          hasExif = (bytes(i + 8) & 0x08) != 0
+          w = 1 + ((bytes(i + 12) & 0xff) | ((bytes(i + 13) & 0xff) << 8) |
+            ((bytes(i + 14) & 0xff) << 16))
+          h = 1 + ((bytes(i + 15) & 0xff) | ((bytes(i + 16) & 0xff) << 8) |
+            ((bytes(i + 17) & 0xff) << 16))
+        case "VP8L" =>
+          if (len < 5 || bytes(i + 8) != 0x2f) return None
+          val dims = le32(i + 9)
+          if (1 + (dims & 0x3fff) != w || 1 + ((dims >> 14) & 0x3fff) != h) return None
+        case "EXIF" => // presence must match the VP8X flag, checked below
+        case _ => return None // unknown chunk: malformed for this corpus
+      }
+      nChunks += 1
+      payload += len
+      i += 8 + len + len % 2
+    }
+    if (w < 0 || nChunks < 2) return None
+    Some((w, h, nChunks, hasExif, payload))
+  }
+
+  /** WebP/RIFF structural metadata — thirteenth container leg, and the
+    * only RIFF-chunked one (WAV shares the family but mm_wav_meta
+    * walks a flat fmt/data layout): VP8X extended header, conditional
+    * EXIF chunk driven by the id rule, VP8L lossless bitstream whose
+    * 14-bit dims must REPEAT the canvas (the cross-check real demuxers
+    * run), and odd-payload pad bytes that the size arithmetic must
+    * honor. The oracle predicts dims, chunk count, and total payload
+    * bytes from the same id math — hash-match proves the build→walk
+    * round trip including the pad rule. Build+walk in one
+    * mapPartitions, zero shuffle. */
+  val webpMeta: GraftOp = GraftOp(
+    "mm_webp_meta",
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 16 AS INT) AS width,
+      |  CAST(8 + (doc_id // 16) % 16 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT) AS n_chunks,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS has_exif,
+      |  CAST(10 + CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 8 ELSE 0 END
+      |       + 5 + doc_id % 32 AS BIGINT) AS payload_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("n_chunks", IntegerType),
+      StructField("has_exif", IntegerType), StructField("payload_bytes", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val (w, h, nc, exif, payload) = parseWebpMeta(syntheticWebp(docId)).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted WebP for doc $docId"))
+        Row(docId, w, h, nc, if (exif) 1 else 0, payload)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta, id3Meta, webpMeta)
 }

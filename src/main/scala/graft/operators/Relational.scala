@@ -3,6 +3,7 @@ package graft.operators
 import graft.GraftOp
 import graft.functions.Exprs._
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -315,7 +316,51 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** t-digest rank-bound AUDIT (r8) — the oracle-checked leg the
+    * order-dependent digest itself cannot give. q_approx_percentile's
+    * emit is rows-only because centroid positions depend on merge
+    * order; what IS deterministic is the digest's CONTRACT: the
+    * estimate's exact rank interval must intersect [q−ε, q+ε] (ε =
+    * 0.01, the bound TDigestSpec pins at compression 300). This op
+    * replays that contract end-to-end: run the digest, join the 5-row
+    * estimate frame back (broadcast), count `value < est` / `≤ est`
+    * exactly, and emit the containment as integer-ppm comparisons —
+    * `lt·10⁶ ≤ (q+ε)·10⁶·n AND le·10⁶ ≥ (q−ε)·10⁶·n`, every compared
+    * quantity an exact BIGINT (safe to n≈9·10¹², i.e. far past any
+    * per-type row count this engine would aggregate un-sharded). The
+    * DuckDB oracle replays n analytically and asserts TRUE — a digest
+    * that ever broke its rank bound goes hash-red, which makes this
+    * the same audit shape as knn_lsh_recall/knn_pq_recall: exact
+    * integers about an approximate structure. Two scans of events
+    * (digest, then counts), one broadcast join, no extra shuffle. */
+  val qTdigestBounds: GraftOp = GraftOp(
+    "q_tdigest_bounds",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  TRUE AS ok50, TRUE AS ok95
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val est = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.tdigest_quantiles(col("value"), Seq(0.5, 0.95)).as("qs"))
+      .select(col("event_type"), col("qs").getItem(0).as("e50"), col("qs").getItem(1).as("e95"))
+    def contained(lt: Column, le: Column, n: Column, qPpm: Long, epsPpm: Long): Column =
+      (lt * lit(1000000L) <= lit(qPpm + epsPpm) * n) &&
+        (le * lit(1000000L) >= lit(qPpm - epsPpm) * n)
+    Tables.events(s, d)
+      .join(broadcast(est), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") < col("e50"), 1)).as("lt50"),
+        count(when(col("value") <= col("e50"), 1)).as("le50"),
+        count(when(col("value") < col("e95"), 1)).as("lt95"),
+        count(when(col("value") <= col("e95"), 1)).as("le95"))
+      .select(col("event_type"), col("n"),
+        contained(col("lt50"), col("le50"), col("n"), 500000L, 10000L).as("ok50"),
+        contained(col("lt95"), col("le95"), col("n"), 950000L, 10000L).as("ok95"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(
     q1Agg, q6Filter, q3Topk, q5Join, qSemiAnti, qWindow, qDistinct,
-    qApproxDistinct, qApproxPercentile, qRollup, qAsofJoin, qTimeBucket, qSession)
+    qApproxDistinct, qApproxPercentile, qTdigestBounds, qRollup, qAsofJoin, qTimeBucket, qSession)
 }

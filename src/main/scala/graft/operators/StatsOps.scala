@@ -1980,8 +1980,92 @@ object StatsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Brown-Forsythe / Levene variance-homogeneity test terms (r8) —
+    * the gate q_anova silently assumes: ANOVA's F is only meaningful
+    * if the k groups share a variance, and Brown-Forsythe tests
+    * exactly that by running the SAME one-way decomposition on the
+    * absolute deviations from each group's median. Everything is a
+    * function of exact integers (the q_anova/q_chi_square discipline):
+    * cents per event, the group median as the LOWER median (the
+    * ⌈n/2⌉-th order statistic — percentile_disc semantics, so it is an
+    * exact integer cents value found by the q_mann_whitney cumulative
+    * trick: per-(type,cents) counts, one value-domain-bounded running
+    * window, min cents with cum ≥ ⌈n/2⌉), then z = |cents − med| is an
+    * exact BIGINT per row, Σz folds BIGINT, Σz² folds DECIMAL(38)
+    * (HUGEINT in the oracle), and the emitted between/within terms are
+    * each ONE double formula over those integers — the caller forms
+    * F = (N−k)/(k−1) · Σbetween/Σwithin from the k rows. Value-domain
+    * windows stay ≤|distinct cents| regardless of corpus size; the
+    * 5-row median frame broadcasts back — two hash shuffles total. */
+  val levene: GraftOp = GraftOp(
+    "q_levene",
+    """WITH p AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cv
+      |  FROM p GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, cents, cv,
+      |    CAST(sum(cv) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(cv) OVER (PARTITION BY event_type) AS BIGINT) AS n_i
+      |  FROM c),
+      |med AS (
+      |  SELECT event_type, min(cents) AS med
+      |  FROM w WHERE cum * 2 >= n_i GROUP BY 1),
+      |z AS (
+      |  SELECT p.event_type, abs(p.cents - med.med) AS dz
+      |  FROM p JOIN med USING (event_type)),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+      |    CAST(sum(dz) AS BIGINT) AS s_i,
+      |    sum(CAST(dz AS HUGEINT) * dz) AS ss_i
+      |  FROM z GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(s_i) AS BIGINT) AS s FROM g)
+      |SELECT event_type, n_i,
+      |  round(med / 100.0, 6) AS median_value,
+      |  round(CAST(s_i AS DOUBLE) / n_i / 100.0, 6) AS mean_absdev,
+      |  round(n_i * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n)
+      |            * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n) / 10000.0, 6)
+      |    AS between_term,
+      |  round((CAST(ss_i AS DOUBLE) - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000.0, 6)
+      |    AS within_term
+      |FROM g JOIN med USING (event_type) CROSS JOIN t
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val c = p.groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cv"))
+    val byType = Window.partitionBy(col("event_type"))
+    val w = c
+      .withColumn("cum", sum(col("cv")).over(
+        byType.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_i", sum(col("cv")).over(byType))
+    val med = broadcast(
+      w.filter(col("cum") * 2 >= col("n_i"))
+        .groupBy(col("event_type")).agg(min(col("cents")).as("med")))
+    val g = p.join(med, "event_type")
+      .select(col("event_type"), abs(col("cents") - col("med")).as("dz"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_i"), sum(col("dz")).as("s_i"),
+        sum(col("dz").cast(DecimalType(38, 0)) * col("dz")).as("ss_i"))
+    val t = broadcast(g.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s")))
+    g.join(med, "event_type").crossJoin(t)
+      .select(col("event_type"), col("n_i"),
+        expr("round(med / 100.0, 6)").as("median_value"),
+        expr("round(CAST(s_i AS DOUBLE) / n_i / 100.0, 6)").as("mean_absdev"),
+        expr("""round(n_i * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n)
+          |          * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n) / 10000.0, 6)""".stripMargin)
+          .as("between_term"),
+        expr("round((CAST(ss_i AS DOUBLE) - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000.0, 6)")
+          .as("within_term"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(gini, acf, twoProp, holt, keySkew, ols2, mannWhitney, ks,
     spearman, welchT, anova, cramersV, bollinger, srm, cuped, theilSen, lorenz, fdrBh, psi,
     bootstrapCi, conformal, auc, holtWinters, kruskal, kendall, xcorr, stlDecompose, granger,
-    sprt, did, wilsonCi, mannKendall, changepoint)
+    sprt, did, wilsonCi, mannKendall, changepoint, levene)
 }

@@ -1156,9 +1156,117 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Encoding-damage audit (r8): the mojibake / replacement-char /
+    * control-char sweep a web-scale ingest runs before any text op
+    * trusts its bytes (UTF-8-as-Latin1 double-decoding is the single
+    * most common corpus defect class — the 'â€œ' signature). The clean
+    * synthetic corpus carries none of these, so — the etl_csv_extract
+    * discipline — damage is PLANTED by a hash rule both engines replay
+    * (1-in-20 docs each get one of three disjoint damage classes
+    * appended), and the audit must recover exactly the planted set:
+    * per source the doc count, flagged count, per-class char hits
+    * (replacement chars, C0 controls, 'â€' mojibake digraphs — all
+    * counted by literal/class strip length-diffs, no engine-private
+    * behavior), and a clean-ppm via exact integer division. Per-doc
+    * map + one hash aggregate — linear, zero extra shuffle; detection
+    * completeness is spec-pinned (flagged ≡ planted). */
+  val utf8Audit: GraftOp = GraftOp(
+    "text_utf8_audit",
+    s"""WITH dmg AS (
+       |  SELECT source,
+       |    CASE ${Exprs.sqlMd5Long("concat('enc#', CAST(doc_id AS VARCHAR))")} % 20
+       |      WHEN 0 THEN text || ' â€œmojibakeâ€'
+       |      WHEN 1 THEN text || '���'
+       |      WHEN 2 THEN text || chr(1) || chr(2)
+       |      ELSE text END AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT source,
+       |    length(t) - length(replace(t, '�', '')) AS repl_hits,
+       |    length(t) - length(regexp_replace(t, '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS ctrl_hits,
+       |    CAST((length(t) - length(replace(t, 'â€', ''))) // 2 AS BIGINT) AS moji_hits
+       |  FROM dmg)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE repl_hits + ctrl_hits + moji_hits > 0) AS BIGINT) AS n_flagged,
+       |  CAST(sum(repl_hits) AS BIGINT) AS repl_hits,
+       |  CAST(sum(ctrl_hits) AS BIGINT) AS ctrl_hits,
+       |  CAST(sum(moji_hits) AS BIGINT) AS moji_hits,
+       |  CAST((count(*) - count(*) FILTER (WHERE repl_hits + ctrl_hits + moji_hits > 0)) * 1000000 // count(*) AS BIGINT) AS clean_ppm
+       |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    damagedDocs(s, d)
+      .select(col("source"),
+        (length(col("t")) - length(replace(col("t"), lit("�"), lit("")))).cast(LongType).as("repl_hits"),
+        (length(col("t")) - length(regexp_replace(col("t"), "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).cast(LongType).as("ctrl_hits"),
+        ((length(col("t")) - length(replace(col("t"), lit("â€"), lit("")))).cast(LongType) / 2).cast(LongType).as("moji_hits"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("repl_hits") + col("ctrl_hits") + col("moji_hits") > 0, 1)).as("n_flagged"),
+        sum(col("repl_hits")).cast(LongType).as("repl_hits"),
+        sum(col("ctrl_hits")).cast(LongType).as("ctrl_hits"),
+        sum(col("moji_hits")).cast(LongType).as("moji_hits"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("repl_hits"), col("ctrl_hits"), col("moji_hits"),
+        expr("(n_docs - n_flagged) * 1000000 div n_docs").as("clean_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Pairwise source-vocabulary overlap (r8): the corpus-mixing
+    * diagnostic read before weighting sources into a training mix —
+    * two sources with near-identical vocabularies add redundancy, not
+    * coverage (the signal text_js_div gives for unigram FREQUENCIES,
+    * here for vocabulary SETS, which is what dedup actually keys on).
+    * One distinct (source, token) frame, a self-join on token with
+    * src_a < src_b — per-token pair cost is bounded by (#sources)²
+    * = 400 regardless of corpus size, so the shuffle stays
+    * |vocab|-shaped at 100 TB — then |∩| exact BIGINT per pair,
+    * |∪| = v_a + v_b − inter by inclusion-exclusion, and Jaccard as
+    * exact integer ppm division. Symmetry/bounds spec-pinned. */
+  val vocabOverlap: GraftOp = GraftOp(
+    "text_vocab_overlap",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |v AS (SELECT DISTINCT source, tok FROM t),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vs FROM v GROUP BY 1),
+      |pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+      |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, sa.vs AS v_a, sb.vs AS v_b, inter,
+      |  CAST(inter * 1000000 // (sa.vs + sb.vs - inter) AS BIGINT) AS jaccard_ppm
+      |FROM pr JOIN sz sa ON pr.src_a = sa.source JOIN sz sb ON pr.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val v = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .distinct()
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("vs"))
+    v.as("a").join(v.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("vs").as("v_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("vs").as("v_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"), col("inter"),
+        expr("inter * 1000000 div (v_a + v_b - inter)").as("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** The deterministically damaged corpus [[utf8Audit]] sweeps —
+    * exposed for the spec's planted ≡ flagged completeness check. */
+  private[graft] def damagedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sel = Exprs.md5Long(concat(lit("enc#"), col("doc_id").cast(StringType))) % 20
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(sel === 0, concat(col("text"), lit(" â€œmojibakeâ€")))
+          .when(sel === 1, concat(col("text"), lit("���")))
+          .when(sel === 2, concat(col("text"), lit("\u0001\u0002")))
+          .otherwise(col("text")).as("t"),
+        (sel <= 2).as("planted"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
       readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing, chao1,
-      langConfusion)
+      langConfusion, utf8Audit, vocabOverlap)
 }

@@ -123,4 +123,81 @@ class R8OpsSpec extends AnyFunSuite {
     val mean = rows.map(_.getLong(1)).sum.toDouble / (rows.length * 10)
     assert(mean >= 0.9, s"mean recall $mean below the 0.9 floor KnnSpec pins")
   }
+
+  test("text_utf8_audit: flagged docs are exactly the planted set, class counts disjoint") {
+    import org.apache.spark.sql.functions._
+    val dmg = operators.TextOps.damagedDocs(spark, sf)
+      .select(col("doc_id"), col("planted"),
+        (length(col("t")) - length(replace(col("t"), lit("�"), lit("")))).as("repl"),
+        (length(col("t")) - length(regexp_replace(col("t"), "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).as("ctrl"),
+        ((length(col("t")) - length(replace(col("t"), lit("â€"), lit("")))) / 2).as("moji"))
+      .collect()
+    assert(dmg.nonEmpty)
+    dmg.foreach { r =>
+      val hit = r.getInt(2) + r.getInt(3) + r.getDouble(4).toInt > 0
+      assert(hit === r.getBoolean(1), s"audit flag must equal the planted bit: $r")
+    }
+    val audit = operators.TextOps.utf8Audit.run(spark, sf).collect()
+    assert(audit.length === 20)
+    val planted = dmg.count(_.getBoolean(1)).toLong
+    assert(audit.map(_.getLong(2)).sum === planted, "flagged total must equal planted total")
+    assert(audit.map(_.getLong(1)).sum === dmg.length.toLong)
+  }
+
+  test("mm_webp: walker rejects bad magic, a lying RIFF size, and canvas/bitstream disagreement") {
+    val good = operators.MmOps.syntheticWebp(37) // 37%3 != 0: no EXIF chunk
+    val parsed = operators.MmOps.parseWebpMeta(good)
+    assert(parsed.contains((8 + 37 % 16, 8 + (37 / 16) % 16, 2, false, 10L + 5 + 37 % 32)))
+    val withExif = operators.MmOps.syntheticWebp(36) // 36%3 == 0: EXIF present
+    assert(operators.MmOps.parseWebpMeta(withExif).exists(t => t._3 == 3 && t._4))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(operators.MmOps.parseWebpMeta(badMagic).isEmpty)
+    val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte
+    assert(operators.MmOps.parseWebpMeta(badSize).isEmpty,
+      "a RIFF size that is not file-8 must be rejected")
+    val badDims = good.clone(); badDims(24) = (badDims(24) ^ 1).toByte // VP8X canvas width bit
+    assert(operators.MmOps.parseWebpMeta(badDims).isEmpty,
+      "VP8L bitstream dims must repeat the VP8X canvas")
+    val truncated = java.util.Arrays.copyOf(good, good.length - 3)
+    assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
+  }
+
+  test("text_vocab_overlap: all 190 pairs, intersection bounded by both vocabularies") {
+    val rows = operators.TextOps.vocabOverlap.run(spark, sf).collect()
+    assert(rows.length === 20 * 19 / 2, "every source pair must appear")
+    rows.foreach { r =>
+      val (va, vb, inter, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(inter <= math.min(va, vb), s"|A∩B| cannot exceed either side: $r")
+      assert(ppm === inter * 1000000 / (va + vb - inter), s"ppm must be the exact division: $r")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(r.getString(0) < r.getString(1), "pairs are emitted once, ordered")
+    }
+  }
+
+  test("q_levene: terms nonnegative, medians interior, and F assembles finite") {
+    val rows = operators.StatsOps.levene.run(spark, sf).collect()
+    assert(rows.length === 5)
+    var between = 0.0; var within = 0.0; var n = 0L
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0, s"mean |dev| cannot be negative: $r")
+      assert(r.getDouble(4) >= 0, s"between term is a square: $r")
+      assert(r.getDouble(5) >= 0, s"within term is a sum of squares: $r")
+      between += r.getDouble(4); within += r.getDouble(5); n += r.getLong(1)
+    }
+    assert(n === SparkTestSession.spark.read.parquet(s"$sf/events.parquet").count())
+    val f = (n - rows.length).toDouble / (rows.length - 1) * between / within
+    assert(f >= 0 && !f.isNaN && !f.isInfinite, s"F must assemble finite: $f")
+  }
+
+  test("q_tdigest_bounds: every per-type digest estimate sits inside its 1% rank band") {
+    val rows = operators.Relational.qTdigestBounds.run(spark, sf).collect()
+    assert(rows.length === 5)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === SparkTestSession.spark.read
+      .parquet(s"$sf/events.parquet").count(), "per-type n must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"p50 estimate broke its rank bound: $r")
+      assert(r.getBoolean(3), s"p95 estimate broke its rank bound: $r")
+    }
+  }
 }
