@@ -391,5 +391,50 @@ object AffinityOps {
       .orderBy(col("month"))
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence, priceIndex)
+  /** Customer spend-decile MOBILITY matrix (r8) — the longitudinal
+    * companion to q_rfm's static segmentation: rank every repeat
+    * customer into spend deciles in an early and a late period (fixed
+    * split at 1998-01-01) and count the 10×10 transitions. A heavy
+    * diagonal means spend rank is sticky (retention economics); mass
+    * below it means churn of high-value customers — the matrix is what
+    * a "customer movement" dashboard renders. Determinism: per-period
+    * totals are exact cents BIGINTs and NTILE(10) runs over the fully
+    * deterministic (cents, custkey) order, so both engines assign
+    * identical deciles (NTILE's k·⌈n/k⌉ bucket arithmetic is
+    * integer-defined once the order is total). The customer frame
+    * GROWS with the corpus, so the ranking goes through
+    * [[GlobalNtile]] — a one-task window only under the size gate,
+    * the two-phase ranged-rank route above it; two hash aggregates on
+    * o_custkey, one equi self-join, ≤100 result rows either way. */
+  val decileMobility: GraftOp = GraftOp(
+    "q_decile_mobility",
+    """WITH p1 AS (
+      |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01' GROUP BY 1),
+      |p2 AS (
+      |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01' GROUP BY 1),
+      |d1 AS (SELECT o_custkey, ntile(10) OVER (ORDER BY cents, o_custkey) AS dec1 FROM p1),
+      |d2 AS (SELECT o_custkey, ntile(10) OVER (ORDER BY cents, o_custkey) AS dec2 FROM p2)
+      |SELECT CAST(dec1 AS INT) AS dec_early, CAST(dec2 AS INT) AS dec_late,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM d1 JOIN d2 USING (o_custkey)
+      |GROUP BY 1, 2 ORDER BY dec_early, dec_late""".stripMargin) { (s, d) =>
+    def period(pred: org.apache.spark.sql.Column) =
+      Tables.orders(s, d).filter(pred)
+        .groupBy(col("o_custkey"))
+        .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+    val order = Seq(col("cents"), col("o_custkey"))
+    val d1 = GlobalNtile.withBucket(s, period(to_date(col("o_orderdate")) < lit("1998-01-01")),
+        order, 10, "dec1", s"mobility.early:$d").select(col("o_custkey"), col("dec1"))
+    val d2 = GlobalNtile.withBucket(s, period(to_date(col("o_orderdate")) >= lit("1998-01-01")),
+        order, 10, "dec2", s"mobility.late:$d").select(col("o_custkey"), col("dec2"))
+    d1.join(d2, "o_custkey")
+      .groupBy(col("dec1").as("dec_early"), col("dec2").as("dec_late"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("dec_early"), col("dec_late"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence, priceIndex, decileMobility)
 }

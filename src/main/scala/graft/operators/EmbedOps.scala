@@ -760,5 +760,57 @@ object EmbedOps {
       .orderBy(col("label"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats)
+  /** Per-DIMENSION embedding profile (r8) — profile_columns lifted to
+    * the vector schema: per dimension the exact micro-grid min/max,
+    * mean, variance, and a dead/collapsed-dimension flag. The emit
+    * emb_whiten needs internally (per-dim moments) made a first-class
+    * health check: a dimension whose variance collapses is wasted
+    * model capacity (and breaks whitening's 1/σ), and a min==max
+    * column is a dead output unit — the checks run BEFORE any
+    * whitening/PQ/IVF trusts the geometry. Values snap to the
+    * emb_norm_stats micros grid, so Σm folds BIGINT and Σm² folds
+    * DECIMAL(38)/HUGEINT (order-free); mean/variance are one double
+    * formula each over those exact integers, and the low-variance flag
+    * compares the SAME doubles both engines derive from the same
+    * integers (var < 0.01 in value² units). One posexplode +
+    * |dim|-group hash agg — map-side partials, 64 result rows at any
+    * corpus size. */
+  val dimProfile: GraftOp = GraftOp(
+    "emb_dim_profile",
+    """WITH e AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(min(m) AS BIGINT) AS min_micro, CAST(max(m) AS BIGINT) AS max_micro,
+      |    CAST(sum(m) AS BIGINT) AS s, sum(CAST(m AS HUGEINT) * m) AS ss
+      |  FROM e GROUP BY 1)
+      |SELECT dim, n, min_micro, max_micro,
+      |  round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS mean,
+      |  round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n / 1000000000000.0, 6)
+      |    AS variance,
+      |  CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s
+      |    < 10000000000.0 * CAST(n AS DOUBLE) * n AS low_variance
+      |FROM g ORDER BY dim""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")))
+      .toDF("dim", "v")
+      .select(col("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("m"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("m")).as("min_micro"), max(col("m")).as("max_micro"),
+        sum(col("m")).cast(LongType).as("s"),
+        sum(col("m").cast(DecimalType(38, 0)) * col("m")).as("ss"))
+      .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
+        expr("round(CAST(s AS DOUBLE) / n / 1000000.0, 6)").as("mean"),
+        expr("""round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n
+          | / 1000000000000.0, 6)""".stripMargin).as("variance"),
+        expr("""CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s
+          | < 10000000000.0 * CAST(n AS DOUBLE) * n""".stripMargin).as("low_variance"))
+      .orderBy(col("dim"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats, dimProfile)
 }

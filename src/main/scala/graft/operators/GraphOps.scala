@@ -1172,6 +1172,71 @@ object GraphOps {
       .orderBy(col("community"))
   }
 
+  /** Per-EDGE triangle support (r8) — the k-truss primitive
+    * [[triangles]] (per-node counts) cannot give: an edge's support is
+    * the number of triangles that contain it, the quantity truss
+    * decomposition prunes on and the strongest simple signal for
+    * "is this tie embedded in a community or a bridge?" (support 0 on
+    * a well-connected graph is exactly a local bridge — the
+    * complement of [[clustering]]'s node view). Reuses the shared
+    * degree-oriented triangle enumeration (each triangle found once,
+    * O(√m) wedge bound), canonicalizes each triangle's three edges
+    * with least/greatest, and LEFT-joins the full undirected edge
+    * list so zero-support bridges emit too. The edge frame is
+    * nation-level — bounded by |nations|² regardless of corpus size —
+    * so the emit is ≤300 rows at any SF; the oracle enumerates
+    * x<y<z lexicographically (the orientation-invariance contract the
+    * triangles hash already proves). */
+  val edgeSupport: GraftOp = GraftOp(
+    "graph_edge_support",
+    """WITH e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |tri AS (
+      |  SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM und a JOIN und b ON a.v = b.u JOIN und c ON c.u = a.u AND c.v = b.v),
+      |te AS (
+      |  SELECT x AS u, y AS v FROM tri
+      |  UNION ALL SELECT x, z FROM tri
+      |  UNION ALL SELECT y, z FROM tri),
+      |sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM te GROUP BY 1, 2)
+      |SELECT und.u, und.v,
+      |  CAST(coalesce(sup.support, 0) AS BIGINT) AS support,
+      |  coalesce(sup.support, 0) > 0 AS in_triangle
+      |FROM und LEFT JOIN sup USING (u, v) ORDER BY u, v""".stripMargin) { (s, d) =>
+    val und = undirectedTradeEdges(s, d)
+    val deg = und.select(col("u").as("node")).union(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val triEdges = tri.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val sup = triEdges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    und.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).cast(org.apache.spark.sql.types.LongType).as("support"),
+        (coalesce(col("support"), lit(0L)) > 0).as("in_triangle"))
+      .orderBy(col("u"), col("v"))
+  }
+
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
-    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity)
+    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport)
 }

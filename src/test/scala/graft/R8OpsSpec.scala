@@ -144,6 +144,46 @@ class R8OpsSpec extends AnyFunSuite {
     assert(audit.map(_.getLong(1)).sum === dmg.length.toLong)
   }
 
+  test("graph_edge_support: edge supports sum to the node triangle counts (both are 3x triangles)") {
+    val edges = operators.GraphOps.edgeSupport.run(spark, sf).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { r =>
+      assert(r.getLong(2) >= 0)
+      assert((r.getLong(2) > 0) === r.getBoolean(3))
+      assert(r.getString(0) < r.getString(1), "edges are canonical (u < v)")
+    }
+    val nodeSum = operators.GraphOps.triangles.run(spark, sf).collect().map(_.getLong(1)).sum
+    assert(edges.map(_.getLong(2)).sum === nodeSum,
+      "each triangle contributes 3 to edge supports and 3 to node counts")
+  }
+
+  test("q_decile_mobility: two-phase ranked route assigns the same deciles as the one-task ntile") {
+    val local = operators.AffinityOps.decileMobility.run(spark, sf).collect()
+    assert(local.nonEmpty)
+    local.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 10 && r.getInt(1) >= 1 && r.getInt(1) <= 10)
+    }
+    spark.conf.set("spark.graft.ntile.localMaxBytes", "0")
+    try {
+      val dist = operators.AffinityOps.decileMobility.run(spark, sf).collect()
+      assert(dist.map(_.toSeq).toSeq === local.map(_.toSeq).toSeq,
+        "the distributed rank formula must reproduce ntile() bucket-for-bucket")
+    } finally spark.conf.unset("spark.graft.ntile.localMaxBytes")
+  }
+
+  test("emb_dim_profile: 64 dims, moments consistent, variance nonnegative") {
+    val rows = operators.EmbedOps.dimProfile.run(spark, sf).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getLong(2), r.getLong(3))
+      assert(mn <= mx, s"min must not exceed max: $r")
+      val mean = r.getDouble(4)
+      assert(mean * 1e6 >= mn - 1 && mean * 1e6 <= mx + 1, s"mean outside [min,max]: $r")
+      assert(r.getDouble(5) >= 0, s"variance cannot be negative: $r")
+      if (mn == mx) assert(r.getBoolean(6), "a constant dimension must flag low_variance")
+    }
+  }
+
   test("mm_webp: walker rejects bad magic, a lying RIFF size, and canvas/bitstream disagreement") {
     val good = operators.MmOps.syntheticWebp(37) // 37%3 != 0: no EXIF chunk
     val parsed = operators.MmOps.parseWebpMeta(good)
