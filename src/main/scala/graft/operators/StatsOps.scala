@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftOp
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -940,16 +941,22 @@ object StatsOps {
     * integers, so the decision is deterministic, not knife-edge. m is
     * the segment count — a handful of rows after the heavy agg, so
     * the ranking window is trivially bounded. */
-  val fdrBh: GraftOp = GraftOp(
-    "q_fdr_bh", {
-      val erfc = (x: String) =>
-        s"""(0.254829592 * (1.0 / (1.0 + 0.3275911 * $x))
-           |  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * $x), 2)
-           |  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * $x), 3)
-           |  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * $x), 4)
-           |  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * $x), 5))
-           | * exp(-($x) * ($x))""".stripMargin
-      s"""WITH u AS (
+  /** Shared A/B p-value family (oracle side): CTEs `u..p` computing a
+    * two-proportion z and Abramowitz-Stegun two-sided p per event-type
+    * segment — the frame BOTH multiple-comparison procedures
+    * ([[fdrBh]] step-up, StatsOps2.holm step-down) rank. Extracted so
+    * the two procedures can never drift apart on what a "p-value"
+    * means. Text is the body of a `WITH` clause (caller prepends
+    * `WITH RECURSIVE`? no — plain `WITH $segPValueCtes, ...tail`). */
+  private[operators] val segPValueCtes: String = {
+    val erfc = (x: String) =>
+      s"""(0.254829592 * (1.0 / (1.0 + 0.3275911 * $x))
+         |  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * $x), 2)
+         |  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * $x), 3)
+         |  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * $x), 4)
+         |  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * $x), 5))
+         | * exp(-($x) * ($x))""".stripMargin
+    s"""u AS (
          |  SELECT user_id,
          |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
          |         THEN 'A' ELSE 'B' END AS variant
@@ -978,20 +985,15 @@ object StatsOps {
          |p AS (
          |  SELECT segment, n_a, n_b, c_a, c_b, zv,
          |    round(${erfc("abs(zv) / sqrt(2.0)")}, 6) AS pv
-         |  FROM z),
-         |r AS (
-         |  SELECT *, row_number() OVER (ORDER BY pv, segment) AS rnk,
-         |    count(*) OVER () AS m
-         |  FROM p),
-         |k AS (
-         |  SELECT *, max(CASE WHEN pv <= 0.05 * rnk / m THEN rnk ELSE 0 END) OVER () AS kstar
-         |  FROM r)
-         |SELECT segment, n_a, n_b, c_a, c_b, zv AS z, pv AS p,
-         |  CAST(rnk AS BIGINT) AS rank,
-         |  CASE WHEN rnk <= kstar THEN 1 ELSE 0 END AS significant
-         |FROM k ORDER BY rank""".stripMargin
-    }) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+         |  FROM z)""".stripMargin
+  }
+
+  /** Shared A/B p-value family (Spark side): one row per event-type
+    * segment with columns (segment, n_a, n_b, c_a, c_b, z, p) —
+    * exact four-integer state per segment, 6dp-snapped z, A-S 7.1.26
+    * two-sided p over the snapped z. Mirror of [[segPValueCtes]]. */
+  private[operators] def segPValueFrame(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val u = ev.select(col("user_id")).distinct()
       .withColumn("variant",
@@ -1013,13 +1015,33 @@ object StatsOps {
         | / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
         |   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
         |   * (1.0 / n_a + 1.0 / n_b)), 6) END""".stripMargin))
-    val p = z.withColumn("p", expr(
+    z.withColumn("p", expr(
       """round((0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
         |  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 2)
         |  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 3)
         |  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 4)
         |  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 5))
         | * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))), 6)""".stripMargin))
+      .select(col("segment"), col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        col("z"), col("p"))
+  }
+
+  val fdrBh: GraftOp = GraftOp(
+    "q_fdr_bh",
+    s"""WITH $segPValueCtes,
+       |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY pv, segment) AS rnk,
+         |    count(*) OVER () AS m
+         |  FROM p),
+         |k AS (
+         |  SELECT *, max(CASE WHEN pv <= 0.05 * rnk / m THEN rnk ELSE 0 END) OVER () AS kstar
+         |  FROM r)
+         |SELECT segment, n_a, n_b, c_a, c_b, zv AS z, pv AS p,
+         |  CAST(rnk AS BIGINT) AS rank,
+         |  CASE WHEN rnk <= kstar THEN 1 ELSE 0 END AS significant
+         |FROM k ORDER BY rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = segPValueFrame(s, d)
     val r = p
       .withColumn("rank", row_number().over(Window.orderBy(col("p"), col("segment"))).cast("long"))
       .withColumn("m", count(lit(1)).over(Window.partitionBy()))

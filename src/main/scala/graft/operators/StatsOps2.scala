@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second statistics tier (round 8): distribution-shape testing
+  * (Jarque-Bera), drawdown analysis, confounder-adjusted correlation,
+  * and the Holm step-down companion to q_fdr_bh's step-up.
+  *
+  * Same oracle-parity contract as [[StatsOps]]: cross-row folds are
+  * exact integers (cents, counts, basis points) — BIGINT where the
+  * bound proves it fits, DECIMAL(38)/HUGEINT where cubes/quartics
+  * overflow 2⁶³ — and only the final scalar formula runs in doubles,
+  * with identical expression text on both engines.
+  */
+object StatsOps2 {
+
+  /** Jarque-Bera normality screen per event type — the "is this metric
+    * even Gaussian" gate an analyst runs before trusting z-based
+    * monitors (q_anomaly_days, q_bollinger) on the raw values. Moment
+    * folds over exact cents: n, Σc, Σc² fit BIGINT (c ≤ 5.7e4 ⇒
+    * Σc² ≤ 3.3e14 at sf0.1 and grows linearly), Σc³/Σc⁴ exceed 2⁶³
+    * (≈1.8e19 / 1e24) and fold in DECIMAL(38,0) — DuckDB HUGEINT.
+    * Central moments, skewness g₁ = m₃/m₂^1.5 and kurtosis g₂ = m₄/m₂²
+    * are one double formula each over those exact integers — but the
+    * cancellation-heavy central-moment differences amplify 1-ulp pow()
+    * divergence past 6dp, so JB = n/6·(g₁² + (g₂−3)²/4) consumes the
+    * 6dp-SNAPPED g₁/g₂ (identical both engines by construction).
+    * Map-side partial aggregation makes this one 5-row shuffle at any
+    * scale. */
+  val jarqueBera: GraftOp = GraftOp(
+    "q_jarque_bera",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s1,
+      |    CAST(sum(c * c) AS BIGINT) AS s2,
+      |    sum(CAST(c AS HUGEINT) * c * c) AS s3,
+      |    sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+      |  FROM c GROUP BY 1),
+      |m AS (
+      |  SELECT event_type, n,
+      |    CAST(s1 AS DOUBLE) / n AS m1,
+      |    CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+      |    CAST(s3 AS DOUBLE) / n
+      |      - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      |      + 2.0 * pow(CAST(s1 AS DOUBLE) / n, 3) AS m3,
+      |    CAST(s4 AS DOUBLE) / n
+      |      - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+      |      + 6.0 * pow(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
+      |      - 3.0 * pow(CAST(s1 AS DOUBLE) / n, 4) AS m4
+      |  FROM g),
+      |k AS (
+      |  SELECT event_type, n,
+      |    round(m1 / 100.0, 6) AS mean_value,
+      |    round(m3 / pow(m2, 1.5), 6) AS skewness,
+      |    round(m4 / (m2 * m2), 6) AS kurtosis
+      |  FROM m)
+      |SELECT event_type, n, mean_value, skewness, kurtosis,
+      |  round(CAST(n AS DOUBLE) / 6.0 * (skewness * skewness
+      |    + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0), 6) AS jb
+      |FROM k ORDER BY event_type""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .select(col("event_type"),
+        (graft.functions.Exprs.dec2(col("value")) * 100).cast(LongType).as("c"))
+    val g = c.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c") * col("c")).as("s3"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c") * col("c") * col("c")).as("s4"))
+    g.select(col("event_type"), col("n"),
+        expr("CAST(s1 AS DOUBLE) / n").as("m1"),
+        expr("CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)")
+          .as("m2"),
+        expr("""CAST(s3 AS DOUBLE) / n
+          |  - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+          |  + 2.0 * pow(CAST(s1 AS DOUBLE) / n, 3)""".stripMargin).as("m3"),
+        expr("""CAST(s4 AS DOUBLE) / n
+          |  - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+          |  + 6.0 * pow(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
+          |  - 3.0 * pow(CAST(s1 AS DOUBLE) / n, 4)""".stripMargin).as("m4"))
+      .select(col("event_type"), col("n"),
+        expr("round(m1 / 100.0, 6)").as("mean_value"),
+        expr("round(m3 / pow(m2, 1.5), 6)").as("skewness"),
+        expr("round(m4 / (m2 * m2), 6)").as("kurtosis"))
+      .select(col("event_type"), col("n"), col("mean_value"),
+        col("skewness"), col("kurtosis"),
+        expr("""round(CAST(n AS DOUBLE) / 6.0 * (skewness * skewness
+          |  + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0), 6)""".stripMargin).as("jb"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Peak-to-trough drawdown of each event type's DAILY revenue level
+    * — "how far below its best day did this metric fall, and when":
+    * the standard health readout for a level series (DAU, daily GMV).
+    * Running peak via max() OVER (ORDER BY day), gap = peak − today,
+    * max drawdown = the largest gap, trough = the EARLIEST day
+    * achieving it, peak day = the earliest day whose level equals the
+    * peak in force at the trough. Everything is exact BIGINT cents;
+    * the ppm depth is integral division; ties resolve by day order.
+    * One date-bounded window per type + two tiny self-joins — the
+    * frame is |days|-bounded at any corpus size. */
+  val maxDrawdown: GraftOp = GraftOp(
+    "q_max_drawdown",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, day, cents,
+      |    CAST(max(cents) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS peak
+      |  FROM d),
+      |g AS (SELECT *, peak - cents AS gap FROM p),
+      |m AS (SELECT event_type, CAST(max(gap) AS BIGINT) AS dd FROM g GROUP BY 1),
+      |t AS (
+      |  SELECT g.event_type, m.dd, min(g.day) AS trough_day
+      |  FROM g JOIN m ON g.event_type = m.event_type AND g.gap = m.dd
+      |  GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT t.event_type, t.dd, t.trough_day, g.peak AS peak_cents
+      |  FROM t JOIN g ON g.event_type = t.event_type AND g.day = t.trough_day),
+      |pk AS (
+      |  SELECT tr.event_type, min(g.day) AS peak_day
+      |  FROM tr JOIN g ON g.event_type = tr.event_type
+      |    AND g.cents = tr.peak_cents AND g.day <= tr.trough_day
+      |  GROUP BY 1)
+      |SELECT tr.event_type, pk.peak_day, tr.trough_day,
+      |  tr.peak_cents, tr.dd AS drawdown_cents,
+      |  CAST(tr.dd * 1000000 // tr.peak_cents AS BIGINT) AS depth_ppm
+      |FROM tr JOIN pk ON tr.event_type = pk.event_type
+      |ORDER BY tr.event_type""".stripMargin) { (s, d) =>
+    val day = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(graft.functions.Exprs.dec2(col("value"))) * 100)
+        .cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val g = day
+      .withColumn("peak", max(col("cents")).over(w))
+      .withColumn("gap", col("peak") - col("cents"))
+    val m = g.groupBy(col("event_type")).agg(max(col("gap")).as("dd"))
+    val t = g.join(broadcast(m), Seq("event_type"))
+      .filter(col("gap") === col("dd"))
+      .groupBy(col("event_type"), col("dd")).agg(min(col("day")).as("trough_day"))
+    val tr = broadcast(t).join(g, Seq("event_type"))
+      .filter(col("day") === col("trough_day"))
+      .select(col("event_type"), col("dd"), col("trough_day"),
+        col("peak").as("peak_cents"))
+    val pk = broadcast(tr).join(g, Seq("event_type"))
+      .filter(col("cents") === col("peak_cents") && col("day") <= col("trough_day"))
+      .groupBy(col("event_type")).agg(min(col("day")).as("peak_day"))
+    tr.join(broadcast(pk), Seq("event_type"))
+      .select(col("event_type"), col("peak_day"), col("trough_day"),
+        col("peak_cents"), col("dd").as("drawdown_cents"),
+        expr("CAST(dd * 1000000 div peak_cents AS BIGINT)").as("depth_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Partial correlation of quantity and revenue CONTROLLING for
+    * discount — "does the qty↔price relationship survive once the
+    * discount confounder is removed", the causal-sanity companion to
+    * profile_correlation's raw Pearson matrix. All three pairwise
+    * sums fold exact integers: quantity (integral doubles → BIGINT),
+    * extendedprice cents, discount basis points (floor(d·100+0.5) —
+    * exact for IEEE hundredths). Σy² is the one quartic-free overflow
+    * (cents² ≈ 1e14/row) and folds DECIMAL(38)/HUGEINT. The three
+    * Pearson r's are 6dp-SNAPPED before the partial-correlation
+    * formula consumes them, so the final divide sees identical inputs
+    * on both engines. One map-side-combined scan, a 1-row emit. */
+  val partialCorr: GraftOp = GraftOp(
+    "q_partial_corr",
+    """WITH b AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    CAST(sum(z * z) AS BIGINT) AS szz,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * z) AS BIGINT) AS sxz,
+      |    CAST(sum(y * z) AS BIGINT) AS syz
+      |  FROM b),
+      |r AS (
+      |  SELECT n,
+      |    round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+      |      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+      |           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6) AS r_xy,
+      |    round((n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
+      |      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+      |           * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)), 6) AS r_xz,
+      |    round((n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
+      |      / sqrt((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+      |           * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)), 6) AS r_yz
+      |  FROM g)
+      |SELECT n, r_xy, r_xz, r_yz,
+      |  round((r_xy - r_xz * r_yz)
+      |    / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) AS r_xy_given_z
+      |FROM r""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(col("l_quantity").cast(LongType).as("x"),
+        (graft.functions.Exprs.dec2(col("l_extendedprice")) * 100)
+          .cast(LongType).as("y"),
+        floor(col("l_discount") * 100 + 0.5).cast(LongType).as("z"))
+    val g = b.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    g.select(col("n"),
+        expr("""round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+          |  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+          |       * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)""".stripMargin)
+          .as("r_xy"),
+        expr("""round((n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
+          |  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+          |       * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)), 6)""".stripMargin)
+          .as("r_xz"),
+        expr("""round((n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
+          |  / sqrt((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+          |       * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)), 6)""".stripMargin)
+          .as("r_yz"))
+      .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+        expr("""round((r_xy - r_xz * r_yz)
+          |  / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)""".stripMargin)
+          .as("r_xy_given_z"))
+  }
+
+  /** Holm-Bonferroni step-down over the SAME per-segment A/B p-value
+    * family q_fdr_bh steps up — FWER control next to FDR control, the
+    * stricter gate a launch decision uses. Shares StatsOps'
+    * segPValueCtes / segPValueFrame verbatim, so the two procedures
+    * cannot disagree about the p-values, only about the cutoffs.
+    * Adjusted p = running max of min(1, (m−j+1)·p_j) in rank order;
+    * rank k rejects iff EVERY j ≤ k clears α/(m−j+1) (the step-down
+    * rule, computed as a window min over the per-rank indicator).
+    * Both windows run over an m-row frame (m = segment count). */
+  val holm: GraftOp = GraftOp(
+    "q_holm",
+    s"""WITH ${StatsOps.segPValueCtes},
+       |r AS (
+       |  SELECT segment, pv,
+       |    row_number() OVER (ORDER BY pv, segment) AS rnk,
+       |    count(*) OVER () AS m
+       |  FROM p),
+       |a AS (
+       |  SELECT segment, pv, rnk, m,
+       |    round(max(least(1.0, (m - rnk + 1) * pv))
+       |      OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING), 6) AS holm_adj,
+       |    min(CASE WHEN pv <= 0.05 / (m - rnk + 1) THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS all_clear
+       |  FROM r)
+       |SELECT segment, pv AS p, CAST(rnk AS BIGINT) AS rank, holm_adj,
+       |  CAST(all_clear AS INT) AS significant
+       |FROM a ORDER BY rank""".stripMargin) { (s, d) =>
+    val p = StatsOps.segPValueFrame(s, d)
+    val byRank = Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0)
+    p.withColumn("rank", row_number().over(Window.orderBy(col("p"), col("segment"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("holm_adj",
+        round(max(least(lit(1.0), (col("m") - col("rank") + 1) * col("p"))).over(byRank), 6))
+      .withColumn("all_clear",
+        min(when(col("p") <= lit(0.05) / (col("m") - col("rank") + 1), 1).otherwise(0))
+          .over(byRank))
+      .select(col("segment"), col("p"), col("rank"), col("holm_adj"),
+        col("all_clear").cast(IntegerType).as("significant"))
+      .orderBy(col("rank"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(jarqueBera, maxDrawdown, partialCorr, holm)
+}

@@ -240,4 +240,57 @@ class R8OpsSpec extends AnyFunSuite {
       assert(r.getBoolean(3), s"p95 estimate broke its rank bound: $r")
     }
   }
+
+  test("q_jarque_bera: jb reassembles from the snapped moments; positive dispersion shapes") {
+    val rows = operators.StatsOps2.jarqueBera.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, sk, ku, jb) = (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(ku > 0, s"kurtosis of a non-degenerate sample is positive: $r")
+      assert(jb >= 0, s"JB is a sum of squares: $r")
+      val expect = BigDecimal(n / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(jb === expect, s"jb must be exactly n/6(g1^2+(g2-3)^2/4) of the SNAPPED moments: $r")
+    }
+  }
+
+  test("q_max_drawdown: peak precedes trough, depth is the floored ppm of its own integers") {
+    val rows = operators.StatsOps2.maxDrawdown.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (peakDay, troughDay) = (r.getDate(1), r.getDate(2))
+      val (peak, dd, ppm) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(!peakDay.after(troughDay), s"the peak must precede its trough: $r")
+      assert(dd >= 0 && dd <= peak, s"drawdown sits inside [0, peak]: $r")
+      assert(ppm === dd * 1000000L / peak, s"depth is integral-division ppm: $r")
+    }
+  }
+
+  test("q_partial_corr: all four correlations are proper, and removing the confounder moves r") {
+    val rows = operators.StatsOps2.partialCorr.run(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    Seq(1, 2, 3, 4).foreach { i =>
+      assert(math.abs(r.getDouble(i)) <= 1.0, s"correlation out of [-1,1] at col $i: $r")
+    }
+  }
+
+  test("q_holm: step-down is monotone and never rejects beyond BH's step-up") {
+    val rows = operators.StatsOps2.holm.run(spark, sf).collect()
+    assert(rows.length === 5)
+    val byRank = rows.sortBy(_.getLong(2))
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(3) <= b.getDouble(3), "holm_adj must be nondecreasing in rank")
+        assert(a.getInt(4) >= b.getInt(4), "significance is a prefix of the rank order")
+      case _ =>
+    }
+    byRank.foreach { r =>
+      assert(r.getDouble(3) >= r.getDouble(1), s"adjusted p dominates raw p: $r")
+    }
+    val bh = operators.StatsOps.fdrBh.run(spark, sf).collect()
+      .filter(_.getInt(8) == 1).map(_.getString(0)).toSet
+    val holmRejects = byRank.filter(_.getInt(4) == 1).map(_.getString(0)).toSet
+    assert(holmRejects.subsetOf(bh), "FWER step-down must be at most as liberal as BH")
+  }
 }
