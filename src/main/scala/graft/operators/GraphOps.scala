@@ -1237,6 +1237,145 @@ object GraphOps {
       .orderBy(col("u"), col("v"))
   }
 
+  /** Exact shortest-path betweenness centrality — the broker/bridge
+    * ranking closeness and degree cannot give (a node can be central
+    * to FLOW while being neither near everything nor high-degree).
+    * Runs on the hash-sparsified undirected graph (the [[closeness]]
+    * discipline — the full trade graph is near-complete and every
+    * betweenness would be ~0).
+    *
+    * Both engines count shortest paths exactly: the all-sources BFS
+    * of [[closeness]] extended to carry σ (the number of shortest
+    * paths root→node — frontier expansion SUMS σ over same-level
+    * predecessors instead of deduplicating), then the pair-dependency
+    * form BC(v) = Σ_{s<t} σ_sv·σ_vt/σ_st over the triple join with
+    * d(s,v)+d(v,t)=d(s,t). Each term is FLOOR-SNAPPED to exact micro
+    * units via integral division (the q_cramers_v trick: σ products
+    * are small exact BIGINTs), so the cross-pair sum is an exact
+    * BIGINT and the emitted double is one division. The DuckDB replay
+    * enumerates shortest paths as a UNION ALL recursive walk
+    * constrained to the BFS DAG (extend only to nodes exactly one
+    * level deeper), so σ = path count with no explosion beyond the
+    * true number of shortest paths.
+    *
+    * Scale: rounds = diameter; every frame is ≤|V|² on the
+    * nation-bounded graph, and the triple join is |V|³ worst case —
+    * the exact algorithm is for domain-bounded graphs; on a
+    * billion-node graph the same loop runs landmark-sampled roots
+    * (Brandes-pivot approximation), which this op's structure admits
+    * by filtering the root frame. */
+  val betweenness: GraftOp = GraftOp(
+    "graph_betweenness",
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |und AS (SELECT u, v FROM und0
+      |  WHERE CAST(concat('0x', substring(md5(concat(u, '|', v)), 1, 15)) AS BIGINT) % 4 = 0),
+      |edges AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |walk AS (
+      |  SELECT node AS root, node, 0 AS hops FROM nodes
+      |  UNION
+      |  SELECT w.root, e.dst, w.hops + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.hops < 30),
+      |d AS (
+      |  SELECT root, node, CAST(min(hops) AS BIGINT) AS hops
+      |  FROM walk GROUP BY 1, 2),
+      |paths AS (
+      |  SELECT node AS root, node, 0 AS hops FROM nodes
+      |  UNION ALL
+      |  SELECT p.root, e.dst, p.hops + 1
+      |  FROM paths p
+      |  JOIN edges e ON e.src = p.node
+      |  JOIN d ON d.root = p.root AND d.node = e.dst AND d.hops = p.hops + 1),
+      |ds AS (
+      |  SELECT d.root, d.node, d.hops, CAST(count(*) AS BIGINT) AS sigma
+      |  FROM d JOIN paths p ON p.root = d.root AND p.node = d.node
+      |  GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT root AS s, node AS t, hops AS dh, sigma AS sig_st
+      |  FROM ds WHERE root < node AND hops > 0),
+      |mid AS (
+      |  SELECT st.s, st.t, a.node AS v,
+      |    CAST(a.sigma * b.sigma * 1000000 // st.sig_st AS BIGINT) AS c_micro
+      |  FROM st
+      |  JOIN ds a ON a.root = st.s AND a.node <> st.s AND a.node <> st.t
+      |  JOIN ds b ON b.root = a.node AND b.node = st.t
+      |  WHERE a.hops + b.hops = st.dh),
+      |bc AS (
+      |  SELECT v AS node, CAST(count(*) AS BIGINT) AS n_pair_paths,
+      |    CAST(sum(c_micro) AS BIGINT) AS bc_micro
+      |  FROM mid GROUP BY 1)
+      |SELECT n.node, coalesce(bc.n_pair_paths, 0) AS n_pair_paths,
+      |  coalesce(bc.bc_micro, 0) AS bc_micro,
+      |  round(CAST(coalesce(bc.bc_micro, 0) AS DOUBLE) / 1000000.0, 6) AS betweenness
+      |FROM nodes n LEFT JOIN bc ON n.node = bc.node
+      |ORDER BY n.node""".stripMargin) { (s, d) =>
+    val und = undirectedTradeEdges(s, d)
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val edges = ConnectedComponents.snapshot(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v"), col("u"))))
+    // derive nodes from the registry-cached `und`, NOT the snapshotted
+    // edges — the final select runs after release(edges), when a lazy
+    // plan over the checkpointed frame can no longer read
+    val nodes = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v"))).distinct()
+    var dist = ConnectedComponents.snapshot(
+      nodes.select(col("node").as("root"), col("node"),
+        lit(0L).as("hops"), lit(1L).as("sigma")))
+    var frontier = dist
+    var iter = 0
+    var done = false
+    while (iter < 30 && !done) {
+      iter += 1
+      val next = ConnectedComponents.snapshot(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("root"), col("dst").as("node"), col("sigma"))
+          .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
+          .join(dist.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+          .select(col("root"), col("node"), lit(iter.toLong).as("hops"), col("sigma")))
+      if (next.isEmpty) {
+        done = true
+        ConnectedComponents.release(next)
+      } else {
+        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
+        ConnectedComponents.release(dist)
+        if (frontier ne merged) ConnectedComponents.release(frontier)
+        dist = merged
+        frontier = next
+      }
+    }
+    ConnectedComponents.release(edges)
+    val ds = dist
+    val st = ds.filter(col("root") < col("node") && col("hops") > 0)
+      .select(col("root").as("s"), col("node").as("t"),
+        col("hops").as("dh"), col("sigma").as("sig_st"))
+    val a = ds.select(col("root").as("s"), col("node").as("v"),
+      col("hops").as("ha"), col("sigma").as("sig_sv"))
+    val b = ds.select(col("root").as("v"), col("node").as("t"),
+      col("hops").as("hb"), col("sigma").as("sig_vt"))
+    val mid = st.join(a, Seq("s")).filter(col("v") =!= col("s") && col("v") =!= col("t"))
+      .join(b, Seq("v", "t"))
+      .filter(col("ha") + col("hb") === col("dh"))
+      .select(col("v"),
+        expr("CAST(sig_sv * sig_vt * 1000000 div sig_st AS BIGINT)").as("c_micro"))
+    val bc = mid.groupBy(col("v").as("node"))
+      .agg(count(lit(1)).as("n_pair_paths"), sum(col("c_micro")).as("bc_micro"))
+    nodes.join(bc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_pair_paths"), lit(0L)).as("n_pair_paths"),
+        coalesce(col("bc_micro"), lit(0L)).as("bc_micro"),
+        expr("round(CAST(coalesce(bc_micro, 0) AS DOUBLE) / 1000000.0, 6)").as("betweenness"))
+      .orderBy(col("node"))
+  }
+
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
-    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport)
+    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport, betweenness)
 }

@@ -275,6 +275,64 @@ class R8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_betweenness: exact match against an independent in-memory Brandes-style replay") {
+    val rows = operators.GraphOps.betweenness.run(spark, sf).collect()
+    assert(rows.length === 25)
+    // independent replication: collect the SAME sparsified edge list,
+    // run plain-Scala BFS sigma counting + the floor-snapped
+    // pair-dependency sum, compare bc_micro exactly
+    val edges = {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val su = spark.read.parquet(s"$sf/supplier.parquet")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+      val n = spark.read.parquet(s"$sf/nation.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n.select(col("n_nationkey").as("nk1"), col("n_name").as("src")), col("s_nationkey") === col("nk1"))
+        .join(n.select(col("n_nationkey").as("nk2"), col("n_name").as("dst")), col("c_nationkey") === col("nk2"))
+        .filter(col("nk1") =!= col("nk2"))
+        .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    val adj = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) = v :: adj(u); adj(v) = u :: adj(v) }
+    val nodes = adj.keys.toSeq.sorted
+    // BFS from every root carrying (dist, sigma)
+    val state = nodes.map { root =>
+      val dist = scala.collection.mutable.Map(root -> 0)
+      val sigma = scala.collection.mutable.Map(root -> 1L)
+      var frontier = List(root)
+      var h = 0
+      while (frontier.nonEmpty) {
+        h += 1
+        val acc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        frontier.foreach(u => adj(u).foreach { w =>
+          if (!dist.contains(w) || dist(w) == h) acc(w) += sigma(u)
+        })
+        frontier = acc.keys.filter(!dist.contains(_)).toList
+        frontier.foreach { w => dist(w) = h; sigma(w) = acc(w) }
+      }
+      root -> (dist.toMap, sigma.toMap)
+    }.toMap
+    val bcMicro = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      s0 <- nodes; t <- nodes if s0 < t
+      (dS, sigS) = state(s0) if dS.contains(t)
+      v <- nodes if v != s0 && v != t
+      if dS.contains(v) && state(v)._1.contains(t)
+      if dS(v) + state(v)._1(t) == dS(t)
+    } bcMicro(v) += sigS(v) * state(v)._2(t) * 1000000L / sigS(t)
+    rows.foreach { r =>
+      assert(r.getLong(2) === bcMicro(r.getString(0)),
+        s"bc_micro mismatch for ${r.getString(0)}: op=${r.getLong(2)} replay=${bcMicro(r.getString(0))}")
+    }
+  }
+
   test("q_holm: step-down is monotone and never rejects beyond BH's step-up") {
     val rows = operators.StatsOps2.holm.run(spark, sf).collect()
     assert(rows.length === 5)
