@@ -1156,6 +1156,51 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Simpson concentration + Berger-Parker dominance per source — the
+    * "is this source one giant template or a real vocabulary" reading
+    * next to [[chao1]] (richness asks how many species; Simpson asks
+    * how EVENLY the mass spreads over them; Berger-Parker is the
+    * single-token worst case). The unbiased finite-sample form
+    * λ = Σc(c−1)/(N(N−1)) is a pure integer ratio of the same
+    * (source, token) frequency frame — both numerator (≤ N² ≈ 2.5e9
+    * per source) and the ×10⁶ scaling fit BIGINT comfortably — so
+    * both ppms are exact integral divisions and the inverse-Simpson
+    * effective-vocabulary size is the single final double. Shares
+    * chao1's one token shuffle; margins are |sources|-bounded. */
+  val simpson: GraftOp = GraftOp(
+    "text_simpson",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+      |g AS (SELECT source,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(c) AS BIGINT) AS n_tok,
+      |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep2,
+      |    CAST(max(c) AS BIGINT) AS c_max
+      |  FROM f GROUP BY 1)
+      |SELECT source, n_tok, vocab,
+      |  CAST(rep2 * 1000000 // (n_tok * (n_tok - 1)) AS BIGINT) AS simpson_ppm,
+      |  CAST(c_max * 1000000 // n_tok AS BIGINT) AS berger_parker_ppm,
+      |  CASE WHEN rep2 = 0 THEN NULL
+      |       ELSE round(CAST(n_tok AS DOUBLE) * (n_tok - 1) / rep2, 6) END
+      |    AS inv_simpson
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tok"),
+        sum(col("c") * (col("c") - 1)).as("rep2"),
+        max(col("c")).as("c_max"))
+      .select(col("source"), col("n_tok"), col("vocab"),
+        expr("CAST(rep2 * 1000000 div (n_tok * (n_tok - 1)) AS BIGINT)").as("simpson_ppm"),
+        expr("CAST(c_max * 1000000 div n_tok AS BIGINT)").as("berger_parker_ppm"),
+        expr("""CASE WHEN rep2 = 0 THEN NULL
+          |     ELSE round(CAST(n_tok AS DOUBLE) * (n_tok - 1) / rep2, 6) END""".stripMargin)
+          .as("inv_simpson"))
+      .orderBy(col("source"))
+  }
+
   /** Encoding-damage audit (r8): the mojibake / replacement-char /
     * control-char sweep a web-scale ingest runs before any text op
     * trusts its bytes (UTF-8-as-Latin1 double-decoding is the single
@@ -1268,5 +1313,5 @@ object TextOps {
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
       readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing, chao1,
-      langConfusion, utf8Audit, vocabOverlap)
+      langConfusion, utf8Audit, vocabOverlap, simpson)
 }

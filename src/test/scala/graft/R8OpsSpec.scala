@@ -275,6 +275,23 @@ class R8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_simpson: ppms proper, dominance bounds concentration, inverse within [1, vocab]") {
+    val rows = operators.TextOps.simpson.run(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (n, vocab, sp, bp) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sp >= 0 && sp <= 1000000, s"Simpson must be a ppm: $r")
+      assert(bp >= 1000000 / vocab && bp <= 1000000, s"dominance at least the uniform share: $r")
+      assert(sp <= bp + 1, s"concentration cannot exceed the dominant share: $r")
+      if (!r.isNullAt(5)) {
+        // the UNBIASED lambda can undershoot 1/V (c=2-everywhere gives
+        // inv = N-1 ≈ 2V), so only the hard lower bound holds
+        assert(r.getDouble(5) >= 1.0 - 1e-6, s"effective vocabulary is at least 1: $r")
+      }
+      assert(n >= vocab, s"tokens dominate vocabulary: $r")
+    }
+  }
+
   test("graph_betweenness: exact match against an independent in-memory Brandes-style replay") {
     val rows = operators.GraphOps.betweenness.run(spark, sf).collect()
     assert(rows.length === 25)
