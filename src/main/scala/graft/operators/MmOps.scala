@@ -1912,5 +1912,165 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta, id3Meta, webpMeta)
+  /** Ogg page CRC: polynomial 0x04C11DB7, MSB-first (NON-reflected),
+    * init 0, no final xor — deliberately different from zlib's
+    * reflected CRC-32, which is why real demuxers can't reuse their
+    * zlib table here. Computed over the page with the CRC field
+    * zeroed. */
+  private[graft] def oggCrc(bytes: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < bytes.length) {
+      crc = crc ^ ((bytes(i) & 0xff) << 24)
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7 else crc << 1
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Build a 2-page Ogg stream: a BOS page carrying one small packet
+    * and an EOS page whose packet length crosses the 255-byte lacing
+    * boundary — the segment-table encoding (⌊L/255⌋ 255-values + a
+    * (L mod 255) terminator, INCLUDING the 0 terminator when L is an
+    * exact multiple of 255, which docId%300==55 plants) is the one
+    * framing rule no other container leg exercises. Each page carries
+    * the real Ogg CRC; the final granule position repeats the total
+    * packet byte count (this corpus's cross-check, in the VP8L-dims
+    * spirit). */
+  private[graft] def syntheticOgg(docId: Long): Array[Byte] = {
+    val p1 = 30 + (docId % 10).toInt
+    val p2 = 200 + (docId % 300).toInt
+    val serial = (docId % 1000 + 1).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def page(headerType: Int, granule: Long, seq: Int, packetLen: Int): Unit = {
+      val lacing = new java.io.ByteArrayOutputStream()
+      var rest = packetLen
+      while (rest >= 255) { lacing.write(255); rest -= 255 }
+      lacing.write(rest) // terminator, 0 when packetLen % 255 == 0
+      val lac = lacing.toByteArray
+      val head = java.nio.ByteBuffer.allocate(27 + lac.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      head.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+        .put(headerType.toByte).putLong(granule).putInt(serial).putInt(seq)
+        .putInt(0) // CRC placeholder
+        .put(lac.length.toByte).put(lac)
+      val payload = Array.tabulate[Byte](packetLen)(i => ((docId * 11 + i) % 251).toByte)
+      val full = head.array() ++ payload
+      val crc = oggCrc(full)
+      full(22) = (crc & 0xff).toByte; full(23) = ((crc >> 8) & 0xff).toByte
+      full(24) = ((crc >> 16) & 0xff).toByte; full(25) = ((crc >> 24) & 0xff).toByte
+      bos.write(full)
+    }
+    page(0x02, 0L, 0, p1)                   // BOS
+    page(0x04, (p1 + p2).toLong, 1, p2)     // EOS, granule = total bytes
+    bos.toByteArray
+  }
+
+  /** Walk an Ogg stream: verify every page's capture pattern, version
+    * 0, the recomputed CRC (field zeroed), lacing-sum-vs-available
+    * truncation, BOS exactly on the first page, EOS exactly on the
+    * last, a constant serial, and gapless sequence numbers; count
+    * packets by lacing TERMINATORS (values < 255 — a 255 continues
+    * the packet), and require the final granule to repeat the total
+    * packet byte count. Returns (nPages, nPackets, serial,
+    * payloadBytes, granule); None on any structural lie. */
+  private[graft] def parseOggMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    var i = 0
+    var nPages = 0
+    var nPackets = 0
+    var serial = Int.MinValue
+    var payload = 0L
+    var granule = -1L
+    var sawEos = false
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    while (i < bytes.length) {
+      if (sawEos) return None // trailing bytes after the EOS page
+      if (i + 27 > bytes.length) return None
+      if (new String(bytes, i, 4, "US-ASCII") != "OggS") return None
+      if (bytes(i + 4) != 0) return None // stream structure version
+      val headerType = bytes(i + 5) & 0xff
+      var g = 0L
+      var k = 7
+      while (k >= 0) { g = (g << 8) | (bytes(i + 6 + k) & 0xff); k -= 1 }
+      val ser = le32(i + 14)
+      val seq = le32(i + 18)
+      val nSeg = bytes(i + 26) & 0xff
+      if (i + 27 + nSeg > bytes.length) return None
+      var bodyLen = 0
+      var packetsHere = 0
+      var s = 0
+      while (s < nSeg) {
+        val lace = bytes(i + 27 + s) & 0xff
+        bodyLen += lace
+        if (lace < 255) packetsHere += 1
+        s += 1
+      }
+      if (i + 27 + nSeg + bodyLen > bytes.length) return None
+      // CRC check: recompute with the CRC field zeroed
+      val pageLen = 27 + nSeg + bodyLen
+      val copy = java.util.Arrays.copyOfRange(bytes, i, i + pageLen)
+      val stored = le32(i + 22)
+      copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
+      if (oggCrc(copy) != stored) return None
+      if (nPages == 0) {
+        if ((headerType & 0x02) == 0) return None // first page must be BOS
+        serial = ser
+      } else {
+        if ((headerType & 0x02) != 0) return None // BOS only leads
+        if (ser != serial) return None            // single logical stream
+      }
+      if (seq != nPages) return None // gapless page sequence
+      if ((headerType & 0x04) != 0) sawEos = true
+      nPages += 1
+      nPackets += packetsHere
+      payload += bodyLen
+      granule = g
+      i += pageLen
+    }
+    if (nPages == 0 || !sawEos) return None
+    if (granule != payload) return None // corpus rule: granule repeats bytes
+    Some((nPages, nPackets, serial, payload, granule))
+  }
+
+  /** Ogg page walk — fourteenth container leg, and the only one
+    * exercising LACING-VALUE packet framing (255-continuation bytes
+    * with an explicit terminator, including the 0-terminator for
+    * exact multiples) and a NON-reflected CRC-32 the zlib table
+    * cannot serve. The oracle replays page count, packet count,
+    * serial, payload bytes, and the granule cross-check analytically
+    * from the id rule; the walker rejects bad magic, CRC lies, lacing
+    * truncation, sequence gaps, misplaced BOS/EOS, and
+    * granule/byte-count disagreement (spec-pinned). Build+walk in one
+    * mapPartitions, zero shuffle. */
+  val oggMeta: GraftOp = GraftOp(
+    "mm_ogg_meta",
+    """SELECT doc_id,
+      |  CAST(2 AS INT) AS n_pages,
+      |  CAST(2 AS INT) AS n_packets,
+      |  CAST(doc_id % 1000 + 1 AS INT) AS serial,
+      |  CAST(230 + doc_id % 10 + doc_id % 300 AS BIGINT) AS payload_bytes,
+      |  CAST(230 + doc_id % 10 + doc_id % 300 AS BIGINT) AS granule
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pages", IntegerType),
+      StructField("n_packets", IntegerType), StructField("serial", IntegerType),
+      StructField("payload_bytes", LongType), StructField("granule", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val (np, nk, ser, payload, granule) = parseOggMeta(syntheticOgg(docId)).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted Ogg for doc $docId"))
+        Row(docId, np, nk, ser, payload, granule)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta, id3Meta, webpMeta, oggMeta)
 }

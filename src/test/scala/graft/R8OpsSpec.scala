@@ -202,6 +202,33 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("mm_ogg_meta: lacing framing, CRC and structure rules reject every corruption class") {
+    val good = operators.MmOps.syntheticOgg(37) // p2 = 237 < 255: single lacing value
+    assert(operators.MmOps.parseOggMeta(good).contains(
+      (2, 2, 38, 230L + 7 + 37, 230L + 7 + 37)))
+    // docId%300 == 55 ⇒ p2 = 255 exactly: lacing [255, 0] — the
+    // zero-terminator edge a naive walker drops
+    val multiple = operators.MmOps.syntheticOgg(355)
+    assert(operators.MmOps.parseOggMeta(multiple).exists(_._2 == 2),
+      "a 255-multiple packet still counts once via its 0 terminator")
+    val longPacket = operators.MmOps.syntheticOgg(299) // p2 = 499: lacing [255, 244]
+    assert(operators.MmOps.parseOggMeta(longPacket).exists(t => t._2 == 2 && t._4 == 538L))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(operators.MmOps.parseOggMeta(badMagic).isEmpty)
+    val badCrc = good.clone(); badCrc(40) = (badCrc(40) ^ 1).toByte // payload bit flip
+    assert(operators.MmOps.parseOggMeta(badCrc).isEmpty, "CRC must catch a payload flip")
+    val badSeq = good.clone()
+    // second page starts after page1: 27 + 1 lacing + p1 payload
+    val p1 = 30 + 37 % 10
+    val page2 = 27 + 1 + p1
+    badSeq(page2 + 18) = 9 // sequence gap
+    assert(operators.MmOps.parseOggMeta(badSeq).isEmpty, "page sequence must be gapless")
+    val truncated = java.util.Arrays.copyOf(good, good.length - 2)
+    assert(operators.MmOps.parseOggMeta(truncated).isEmpty)
+    val noEos = java.util.Arrays.copyOf(good, page2)
+    assert(operators.MmOps.parseOggMeta(noEos).isEmpty, "a stream without EOS is incomplete")
+  }
+
   test("text_vocab_overlap: all 190 pairs, intersection bounded by both vocabularies") {
     val rows = operators.TextOps.vocabOverlap.run(spark, sf).collect()
     assert(rows.length === 20 * 19 / 2, "every source pair must appear")
