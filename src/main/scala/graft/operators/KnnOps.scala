@@ -839,7 +839,82 @@ object KnnOps {
       .orderBy(col("query_id"))
   }
 
+  private val KnnGraphK = 4
+
+  /** k-NN GRAPH construction — every corpus vector's top-k cosine
+    * neighbors among its LSH-bucket co-residents: the all-nodes
+    * primitive behind SemDeDup clustering, graph-based curation, and
+    * diffusion/label-prop over embedding space ([[brute]]/[[lsh]]
+    * serve a handful of queries; a graph build serves the CORPUS).
+    *
+    * The candidate set is the bucket SELF-JOIN of the same md5-seeded
+    * signatures knn_lsh uses (one native-kernel scan per row, no
+    * broadcast — both sides are the corpus, so the join is a
+    * co-partitioned exchange on (table, bucket) whose cost follows
+    * bucket occupancy, never n²: the 100-TB candidate-generation
+    * shape, with more signature bits as the corpus grows). Exact
+    * cosine + per-node top-k over candidates only. Deterministic
+    * given the seeded planes, so the oracle regenerates signatures,
+    * replays the self-join, and ranks the identical candidates —
+    * approximate-by-construction yet hash-checkable, the knn_lsh
+    * discipline applied corpus-wide. */
+  val knnGraph: GraftOp = GraftOp(
+    "knn_graph", {
+      val E = Exprs
+      s"""WITH raw AS (
+         |  SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |pl AS (
+         |  SELECT t, b,
+         |    list_transform(range($DIM), i -> CASE WHEN ${E.sqlMd5Long(s"concat(CAST(2000 + t * $B + b AS VARCHAR), '#', CAST(i AS VARCHAR))")} % 2 = 0
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS w
+         |  FROM (SELECT unnest(range($L)) AS t) CROSS JOIN (SELECT unnest(range($B)) AS b)),
+         |sig AS (
+         |  SELECT r.vec_id, p.t,
+         |    CAST(sum(CASE WHEN ${E.sqlDot("r.e", "p.w")} > 0
+         |      THEN CAST(1 << p.b AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM raw r CROSS JOIN pl p GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS node_id, s.vec_id AS nbr_id
+         |  FROM sig s JOIN sig a ON s.t = a.t AND s.bucket = a.bucket
+         |    AND s.vec_id <> a.vec_id),
+         |cs AS (
+         |  SELECT c.node_id, c.nbr_id, ${E.sqlCosine("a.e", "b.e")} AS cos
+         |  FROM cand c
+         |  JOIN raw a ON a.vec_id = c.node_id
+         |  JOIN raw b ON b.vec_id = c.nbr_id),
+         |rk AS (
+         |  SELECT node_id, nbr_id, cos,
+         |    row_number() OVER (PARTITION BY node_id ORDER BY cos DESC, nbr_id) AS rn
+         |  FROM cs)
+         |SELECT node_id, nbr_id, round(cos, 6) AS cos_sim, CAST(rn AS INT) AS rn
+         |FROM rk WHERE rn <= $KnnGraphK ORDER BY node_id, rn""".stripMargin
+    }) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
+    def bucketize(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+          posexplode(graft.functions.lsh_buckets(col("e"), PlaneSeedBase, L, B)))
+        .toDF("vec_id", "tbl", "bucket")
+    val b = bucketize(v)
+    val cand = b
+      .join(b.select(col("vec_id").as("nbr_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id").as("node_id"), col("nbr_id"))
+      .distinct()
+    val withVecs = cand
+      .join(v.select(col("vec_id").as("node_id"), col("e").as("ae")), "node_id")
+      .join(v.select(col("vec_id").as("nbr_id"), col("e").as("be")), "nbr_id")
+    val byNode = Window.partitionBy(col("node_id")).orderBy(col("cos").desc, col("nbr_id"))
+    withVecs
+      .select(col("node_id"), col("nbr_id"), Exprs.cosine(col("ae"), col("be")).as("cos"))
+      .withColumn("rn", row_number().over(byNode))
+      .filter(col("rn") <= KnnGraphK)
+      .select(col("node_id"), col("nbr_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+      .orderBy(col("node_id"), col("rn"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
-      outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall, pqRecall)
+      outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall, pqRecall, knnGraph)
 }

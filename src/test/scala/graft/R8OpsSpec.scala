@@ -202,6 +202,42 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("knn_graph: structure sound and bucketed neighbors recall the brute top-4") {
+    val rows = operators.KnnOps.knnGraph.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byNode = rows.groupBy(_.getLong(0))
+    byNode.foreach { case (node, rs) =>
+      val rns = rs.map(_.getInt(3)).sorted
+      assert(rns.toSeq === (1 to rs.length), s"ranks must be dense from 1 for node $node")
+      assert(rs.length <= 4, s"at most k=4 neighbors per node: $node")
+      rs.foreach { r =>
+        assert(r.getLong(1) != node, "no self edges")
+        assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"cosine out of range: $r")
+      }
+    }
+    // recall vs in-memory brute-force top-4 over the same unit vectors
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val unit = vecs.map { case (id, e) =>
+      val n = math.sqrt(e.map(x => x * x).sum); id -> e.map(_ / n)
+    }.toMap
+    val ids = unit.keys.toArray
+    var hits = 0L
+    var total = 0L
+    byNode.foreach { case (node, rs) =>
+      val u = unit(node)
+      val top = ids.filter(_ != node)
+        .map(j => (j, unit(j).zip(u).map { case (a, b) => a * b }.sum))
+        .sortBy { case (j, c) => (-c, j) }.take(4).map(_._1).toSet
+      hits += rs.map(_.getLong(1)).count(top)
+      total += 4
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, s"bucketed k-NN graph recall@4 fell to $recall")
+  }
+
   test("mm_ogg_meta: lacing framing, CRC and structure rules reject every corruption class") {
     val good = operators.MmOps.syntheticOgg(37) // p2 = 237 < 255: single lacing value
     assert(operators.MmOps.parseOggMeta(good).contains(
