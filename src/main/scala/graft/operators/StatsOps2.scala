@@ -279,5 +279,122 @@ object StatsOps2 {
       .orderBy(col("rank"))
   }
 
-  val ops: Seq[GraftOp] = Seq(jarqueBera, maxDrawdown, partialCorr, holm)
+  /** Cochran-Armitage trend-in-proportions test — "does the purchase
+    * share RISE across the week" (ordered exposure groups), the
+    * dose-response reading q_chi_square's unordered independence test
+    * throws away. Groups = day-of-week with its natural 0..6 score;
+    * success = purchase event. The whole statistic reduces to four
+    * exact BIGINT aggregates (N, R, Sn = Σsᵢnᵢ, Sr = Σsᵢrᵢ,
+    * Snn = Σnᵢsᵢ² — all ≤ ~4e11 at sf0.1, linear beyond) and ONE
+    * double formula z = √N·(N·Sr − R·Sn)/√(R(N−R)(N·Snn − Sn²));
+    * the 7-group frame is domain-bounded at any corpus size. */
+  val cochranArmitage: GraftOp = GraftOp(
+    "q_cochran_armitage",
+    """WITH e AS (
+      |  SELECT CAST(date_part('dow', ts) AS BIGINT) AS s,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |g AS (
+      |  SELECT s, CAST(count(*) AS BIGINT) AS n_i, CAST(sum(y) AS BIGINT) AS r_i
+      |  FROM e GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(r_i) AS BIGINT) AS r,
+      |    CAST(sum(s * n_i) AS BIGINT) AS sn, CAST(sum(s * r_i) AS BIGINT) AS sr,
+      |    CAST(sum(s * s * n_i) AS BIGINT) AS snn
+      |  FROM g)
+      |SELECT n, r, sn, sr, snn,
+      |  round(sqrt(CAST(n AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * sr - CAST(r AS DOUBLE) * sn)
+      |    / sqrt(CAST(r AS DOUBLE) * (n - r)
+      |         * (CAST(n AS DOUBLE) * snn - CAST(sn AS DOUBLE) * sn)), 6) AS z
+      |FROM t""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select((dayofweek(col("ts")) - 1).cast(LongType).as("s"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val g = e.groupBy(col("s")).agg(count(lit(1)).as("n_i"), sum(col("y")).as("r_i"))
+    g.agg(sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+        sum(col("s") * col("n_i")).as("sn"), sum(col("s") * col("r_i")).as("sr"),
+        sum(col("s") * col("s") * col("n_i")).as("snn"))
+      .select(col("n"), col("r"), col("sn"), col("sr"), col("snn"),
+        expr("""round(sqrt(CAST(n AS DOUBLE))
+          |  * (CAST(n AS DOUBLE) * sr - CAST(r AS DOUBLE) * sn)
+          |  / sqrt(CAST(r AS DOUBLE) * (n - r)
+          |       * (CAST(n AS DOUBLE) * snn - CAST(sn AS DOUBLE) * sn)), 6)""".stripMargin)
+          .as("z"))
+  }
+
+  /** Wald-Wolfowitz runs test per event type — "is the daily revenue
+    * series RANDOM around its median, or does it streak" (regime
+    * persistence the ACF's linear-correlation view can miss). The
+    * LOWER median of each type's daily cents is picked exactly by a
+    * row_number over the date-bounded per-type frame; equal-to-median
+    * days are dropped (the standard treatment), the run count is
+    * 1 + Σ[sign flips] via one lag() pass, and n₁/n₂/R stay exact
+    * BIGINTs feeding one double formula for the normal z. Windows are
+    * |days|-bounded per type at any corpus size. */
+  val runsTest: GraftOp = GraftOp(
+    "q_runs_test",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, cents AS med FROM (
+      |    SELECT event_type, cents,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY cents, day) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n_days
+      |    FROM d) x
+      |  WHERE rn = (n_days + 1) // 2),
+      |s AS (
+      |  SELECT d.event_type, d.day,
+      |    CASE WHEN d.cents > m.med THEN 1 ELSE 0 END AS above
+      |  FROM d JOIN med m ON d.event_type = m.event_type
+      |  WHERE d.cents <> m.med),
+      |f AS (
+      |  SELECT event_type, above,
+      |    CASE WHEN lag(above) OVER (PARTITION BY event_type ORDER BY day)
+      |              IS DISTINCT FROM above THEN 1 ELSE 0 END AS flip
+      |  FROM s),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(sum(above) AS BIGINT) AS n1,
+      |    CAST(count(*) - sum(above) AS BIGINT) AS n2,
+      |    CAST(sum(flip) AS BIGINT) AS runs
+      |  FROM f GROUP BY 1)
+      |SELECT event_type, n1, n2, runs,
+      |  round((CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1.0))
+      |    / sqrt(2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+      |         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    val day = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(graft.functions.Exprs.dec2(col("value"))) * 100)
+        .cast(LongType).as("cents"))
+    val byType = Window.partitionBy(col("event_type"))
+    val med = day
+      .withColumn("rn", row_number().over(byType.orderBy(col("cents"), col("day"))))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med"))
+    val sgn = day.join(broadcast(med), Seq("event_type"))
+      .filter(col("cents") =!= col("med"))
+      .select(col("event_type"), col("day"),
+        when(col("cents") > col("med"), 1L).otherwise(0L).as("above"))
+    val f = sgn.withColumn("flip",
+      when(not(lag(col("above"), 1).over(byType.orderBy(col("day"))) <=> col("above")), 1L)
+        .otherwise(0L))
+    f.groupBy(col("event_type"))
+      .agg(sum(col("above")).as("n1"),
+        (count(lit(1)) - sum(col("above"))).as("n2"),
+        sum(col("flip")).as("runs"))
+      .select(col("event_type"), col("n1"), col("n2"), col("runs"),
+        expr("""round((CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1.0))
+          |  / sqrt(2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+          |       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 6)""".stripMargin)
+          .as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(jarqueBera, maxDrawdown, partialCorr, holm,
+    cochranArmitage, runsTest)
 }

@@ -202,6 +202,34 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("q_cochran_armitage: margins nest and z carries the sign of the integer numerator") {
+    val rows = operators.StatsOps2.cochranArmitage.run(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (n, rr, sn, sr, snn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(rr <= n, "successes cannot exceed trials")
+    assert(sr <= sn, "score-weighted successes bounded by score-weighted trials")
+    assert(snn <= 6 * sn, "scores are 0..6 so s*s*n <= 6*s*n")
+    val num = n.toDouble * sr - rr.toDouble * sn
+    val z = r.getDouble(5)
+    if (num > 0) assert(z > 0, s"z must carry the numerator's sign: $r")
+    if (num < 0) assert(z < 0, s"z must carry the numerator's sign: $r")
+  }
+
+  test("q_runs_test: run count sits in [1, n1+n2] and the tie-dropped margins are positive") {
+    val rows = operators.StatsOps2.runsTest.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n1, n2, runs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n1 > 0 && n2 > 0, s"both sides of the median must be populated: $r")
+      assert(math.abs(n1 - n2) <= 1,
+        s"dropping exactly the median day leaves near-balanced sides: $r")
+      assert(runs >= 1 && runs <= n1 + n2, s"runs bounded by observations: $r")
+      assert(!r.getDouble(4).isNaN, s"z must be finite: $r")
+    }
+  }
+
   test("knn_graph: structure sound and bucketed neighbors recall the brute top-4") {
     val rows = operators.KnnOps.knnGraph.run(spark, sf).collect()
     assert(rows.nonEmpty)
