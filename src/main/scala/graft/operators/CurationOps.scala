@@ -643,6 +643,96 @@ object CurationOps {
       .orderBy(col("nation"), col("segment"))
   }
 
+  /** t-closeness audit — the third leg of the privacy triad
+    * ([[kAnonymity]]: classes big enough; [[lDiversity]]: sensitive
+    * values varied enough; THIS: the class's sensitive DISTRIBUTION
+    * close enough to the global one that membership leaks nothing
+    * distributional — a class can be large and 4-diverse yet still
+    * scream "all rich" relative to the corpus). Distance is the
+    * standard ordered-domain EMD: t = (1/(m−1))·Σᵢ|cum_p − cum_q|
+    * over the SAME 4 acctbal bands l-diversity uses, with zero-count
+    * bands materialized per class (a missing band IS distributional
+    * signal). Every |·| term is held as the exact cross-scaled
+    * integer |cumclass·N − cumglobal·cs| (the q_ks_test trick), so
+    * the EMD numerator folds as an exact BIGINT and t is one integral
+    * division to ppm. Frames are |QI-domain|×4-bounded; at corpora
+    * where cs·N overflows 2⁶³ the numerator fold moves to
+    * DECIMAL(38), nothing else changes. */
+  val tCloseness: GraftOp = GraftOp(
+    "privacy_t_closeness",
+    """WITH b AS (
+      |  SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+      |    CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0 THEN 1
+      |         WHEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 300000 THEN 2
+      |         WHEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 700000 THEN 3
+      |         ELSE 4 END AS band_ord
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |g AS (SELECT nation, segment, band_ord, CAST(count(*) AS BIGINT) AS bn
+      |      FROM b GROUP BY 1, 2, 3),
+      |cls AS (SELECT nation, segment, CAST(sum(bn) AS BIGINT) AS cs FROM g GROUP BY 1, 2),
+      |gl AS (SELECT band_ord, CAST(sum(bn) AS BIGINT) AS gn FROM g GROUP BY 1),
+      |tot AS (SELECT CAST(sum(bn) AS BIGINT) AS n FROM g),
+      |dom AS (SELECT unnest([1, 2, 3, 4]) AS band_ord),
+      |filled AS (
+      |  SELECT c.nation, c.segment, c.cs, d.band_ord,
+      |    coalesce(g.bn, 0) AS bn, gl.gn
+      |  FROM cls c CROSS JOIN dom d
+      |  LEFT JOIN g ON g.nation = c.nation AND g.segment = c.segment
+      |    AND g.band_ord = d.band_ord
+      |  JOIN gl ON gl.band_ord = d.band_ord),
+      |cum AS (
+      |  SELECT nation, segment, cs, band_ord,
+      |    CAST(sum(bn) OVER (PARTITION BY nation, segment ORDER BY band_ord
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cbn,
+      |    CAST(sum(gn) OVER (PARTITION BY nation, segment ORDER BY band_ord
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cgn
+      |  FROM filled),
+      |emd AS (
+      |  SELECT nation, segment, cs,
+      |    CAST(sum(CASE WHEN band_ord < 4
+      |      THEN abs(cbn * n - cgn * cs) ELSE 0 END) AS BIGINT) AS num,
+      |    CAST(max(n) AS BIGINT) AS n
+      |  FROM cum, tot GROUP BY 1, 2, 3)
+      |SELECT nation, segment, cs AS class_size,
+      |  CAST(num * 1000000 // (3 * cs * n) AS BIGINT) AS t_ppm,
+      |  CASE WHEN num * 1000000 // (3 * cs * n) > 250000 THEN 1 ELSE 0 END AS at_risk
+      |FROM emd ORDER BY nation, segment""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast(LongType)
+    val b = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("segment"),
+        when(cents < 0, 1).when(cents < 300000L, 2)
+          .when(cents < 700000L, 3).otherwise(4).as("band_ord"))
+    val g = b.groupBy(col("nation"), col("segment"), col("band_ord"))
+      .agg(count(lit(1)).as("bn"))
+    val cls = g.groupBy(col("nation"), col("segment")).agg(sum(col("bn")).as("cs"))
+    val gl = g.groupBy(col("band_ord")).agg(sum(col("bn")).as("gn"))
+    val tot = g.agg(sum(col("bn")).as("n"))
+    val dom = s.range(1, 5).select(col("id").cast(IntegerType).as("band_ord"))
+    val filled = cls.crossJoin(broadcast(dom))
+      .join(g, Seq("nation", "segment", "band_ord"), "left")
+      .join(broadcast(gl), Seq("band_ord"))
+      .select(col("nation"), col("segment"), col("cs"), col("band_ord"),
+        coalesce(col("bn"), lit(0L)).as("bn"), col("gn"))
+    val w = Window.partitionBy(col("nation"), col("segment"))
+      .orderBy(col("band_ord")).rowsBetween(Window.unboundedPreceding, 0)
+    filled
+      .withColumn("cbn", sum(col("bn")).over(w))
+      .withColumn("cgn", sum(col("gn")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("nation"), col("segment"), col("cs"))
+      .agg(sum(when(col("band_ord") < 4,
+          abs(col("cbn") * col("n") - col("cgn") * col("cs"))).otherwise(0L))
+          .cast(LongType).as("num"),
+        max(col("n")).cast(LongType).as("n"))
+      .select(col("nation"), col("segment"), col("cs").as("class_size"),
+        expr("CAST(num * 1000000 div (3 * cs * n) AS BIGINT)").as("t_ppm"),
+        when(expr("num * 1000000 div (3 * cs * n)") > 250000, 1).otherwise(0)
+          .as("at_risk"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
   /** ORC interchange round trip — format breadth beyond parquet:
     * the documents table is rewritten through Spark's native ORC
     * writer into a session-scoped temp dir, read BACK through the ORC
@@ -676,5 +766,5 @@ object CurationOps {
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
       aggIncremental, tableChecksum, scd2History, expectations, datasheet, benford,
-      profileCorrelation, kAnonymity, lDiversity, orcRoundtrip)
+      profileCorrelation, kAnonymity, lDiversity, orcRoundtrip, tCloseness)
 }

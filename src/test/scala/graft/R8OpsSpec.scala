@@ -202,6 +202,23 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("privacy_t_closeness: t is a proper ppm, risk rule exact, classes partition customers") {
+    val rows = operators.CurationOps.tCloseness.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalCustomers = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(_.getLong(2)).sum === totalCustomers,
+      "QI classes must partition the customer table")
+    rows.foreach { r =>
+      val (t, risk) = (r.getLong(3), r.getInt(4))
+      assert(t >= 0 && t <= 1000000, s"t must be a ppm: $r")
+      assert(risk === (if (t > 250000) 1 else 0), s"risk rule mismatch: $r")
+    }
+    // the triad orders: a global-identical class has t=0; sanity that
+    // not every class is flagged (the corpus is not pathological)
+    assert(rows.count(_.getInt(4) == 0) > rows.length / 2,
+      "most classes should track the global distribution")
+  }
+
   test("q_cochran_armitage: margins nest and z carries the sign of the integer numerator") {
     val rows = operators.StatsOps2.cochranArmitage.run(spark, sf).collect()
     assert(rows.length === 1)
