@@ -812,5 +812,68 @@ object EmbedOps {
       .orderBy(col("dim"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats, dimProfile)
+  /** Diagonal-Mahalanobis outlier ranking — the PARAMETRIC outlier
+    * view next to knn_outlier_score's instance-based k-distance (that
+    * one asks "is anything near me", this one asks "am I far from the
+    * population in sigma units, dimension by dimension") using the
+    * same per-dimension moment machinery as [[dimProfile]]. Per-dim
+    * μ/σ² are doubles from exact micro-integer folds; each per-(vec,
+    * dim) term (m−μ)²/σ² is FLOOR-SNAPPED to milli units (the
+    * graph_adamic_adar discipline for engine-identical doubles → exact
+    * integers), so the 64-term per-vector sum folds as an exact BIGINT
+    * in any order and the top-20 ranking is engine-exact. One
+    * posexplode + a broadcast 64-row stats join — linear, no vector
+    * ever compared to another. */
+  val mahalanobis: GraftOp = GraftOp(
+    "emb_mahalanobis",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS m
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(m) AS BIGINT) AS s, sum(CAST(m AS HUGEINT) * m) AS ss
+      |  FROM e GROUP BY 1),
+      |st AS (
+      |  SELECT dim, CAST(s AS DOUBLE) / n AS mu,
+      |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n AS v
+      |  FROM g),
+      |t AS (
+      |  SELECT e.vec_id,
+      |    CAST(floor((e.m - st.mu) * (e.m - st.mu) / st.v * 1000.0) AS BIGINT) AS t_milli
+      |  FROM e JOIN st ON e.dim = st.dim WHERE st.v > 0),
+      |sc AS (SELECT vec_id, CAST(sum(t_milli) AS BIGINT) AS score_milli FROM t GROUP BY 1),
+      |rk AS (
+      |  SELECT vec_id, score_milli,
+      |    row_number() OVER (ORDER BY score_milli DESC, vec_id) AS rn
+      |  FROM sc)
+      |SELECT vec_id, score_milli,
+      |  round(CAST(score_milli AS DOUBLE) / 1000.0, 6) AS maha2, CAST(rn AS INT) AS rn
+      |FROM rk WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("m"))
+    val st = e.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast(LongType).as("s"),
+        sum(col("m").cast(DecimalType(38, 0)) * col("m")).as("ss"))
+      .select(col("dim"),
+        expr("CAST(s AS DOUBLE) / n").as("mu"),
+        expr("(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n").as("v"))
+    val t = e.join(broadcast(st.filter(col("v") > 0)), Seq("dim"))
+      .select(col("vec_id"),
+        expr("CAST(floor((m - mu) * (m - mu) / v * 1000.0) AS BIGINT)").as("t_milli"))
+    t.groupBy(col("vec_id")).agg(sum(col("t_milli")).cast(LongType).as("score_milli"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("score_milli").desc, col("vec_id"))))
+      .filter(col("rn") <= 20)
+      .select(col("vec_id"), col("score_milli"),
+        expr("round(CAST(score_milli AS DOUBLE) / 1000.0, 6)").as("maha2"),
+        col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats, dimProfile, mahalanobis)
 }

@@ -202,6 +202,24 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("emb_mahalanobis: top-20 strictly ranked, scores positive, E[maha2] ~ dim for the bulk") {
+    val rows = operators.EmbedOps.mahalanobis.run(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) > b.getLong(1) ||
+          (a.getLong(1) == b.getLong(1) && a.getLong(0) < b.getLong(0)),
+          "ranking must be (score desc, vec_id) strict")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"a top outlier has positive distance: $r")
+      // under any distribution the per-vector EXPECTED maha2 is exactly
+      // the dimension count (64); the top-20 must sit above it
+      assert(r.getDouble(2) > 64.0, s"an outlier must exceed the population mean: $r")
+    }
+  }
+
   test("privacy_t_closeness: t is a proper ppm, risk rule exact, classes partition customers") {
     val rows = operators.CurationOps.tCloseness.run(spark, sf).collect()
     assert(rows.nonEmpty)
