@@ -1376,6 +1376,90 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Eccentricity / diameter / radius — the worst-case-distance
+    * companion to [[closeness]]'s average-distance view (an SLA
+    * question: "how many hops can a route need", and center/periphery
+    * membership for placement decisions). Reuses the exact
+    * all-sources BFS loop on the same sparsified graph; eccentricity
+    * is the per-root MAX hop, diameter/radius the max/min
+    * eccentricity, and the center/periphery flags compare exact
+    * integers. Rounds = diameter, frames ≤|V|² — same scale shape as
+    * closeness (landmark roots at billion-node scale). */
+  val eccentricity: GraftOp = GraftOp(
+    "graph_eccentricity",
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |und AS (SELECT u, v FROM und0
+      |  WHERE CAST(concat('0x', substring(md5(concat(u, '|', v)), 1, 15)) AS BIGINT) % 4 = 0),
+      |edges AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |walk AS (
+      |  SELECT node AS root, node, 0 AS hops FROM nodes
+      |  UNION
+      |  SELECT w.root, e.dst, w.hops + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.hops < 30),
+      |d AS (
+      |  SELECT root, node, CAST(min(hops) AS BIGINT) AS hops
+      |  FROM walk GROUP BY 1, 2),
+      |ecc AS (
+      |  SELECT root, CAST(count(*) - 1 AS BIGINT) AS reached,
+      |    CAST(max(hops) AS BIGINT) AS ecc
+      |  FROM d GROUP BY 1),
+      |ext AS (SELECT CAST(max(ecc) AS BIGINT) AS diameter,
+      |               CAST(min(ecc) AS BIGINT) AS radius FROM ecc)
+      |SELECT root AS node, reached, ecc, diameter, radius,
+      |  CASE WHEN ecc = radius THEN 1 ELSE 0 END AS is_center,
+      |  CASE WHEN ecc = diameter THEN 1 ELSE 0 END AS is_periphery
+      |FROM ecc, ext ORDER BY node""".stripMargin) { (s, d) =>
+    val und = undirectedTradeEdges(s, d)
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val edges = ConnectedComponents.snapshot(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v"), col("u"))))
+    val nodes = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v"))).distinct()
+    var dist = ConnectedComponents.snapshot(
+      nodes.select(col("node").as("root"), col("node"), lit(0L).as("hops")))
+    var frontier = dist
+    var iter = 0
+    var done = false
+    while (iter < 30 && !done) {
+      iter += 1
+      val next = ConnectedComponents.snapshot(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("root"), col("dst").as("node")).distinct()
+          .join(dist.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+          .select(col("root"), col("node"), lit(iter.toLong).as("hops")))
+      if (next.isEmpty) {
+        done = true
+        ConnectedComponents.release(next)
+      } else {
+        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
+        ConnectedComponents.release(dist)
+        if (frontier ne merged) ConnectedComponents.release(frontier)
+        dist = merged
+        frontier = next
+      }
+    }
+    ConnectedComponents.release(edges)
+    val ecc = dist.groupBy(col("root"))
+      .agg((count(lit(1)) - 1).as("reached"), max(col("hops")).as("ecc"))
+    val ext = broadcast(ecc.agg(max(col("ecc")).as("diameter"), min(col("ecc")).as("radius")))
+    ecc.crossJoin(ext)
+      .select(col("root").as("node"), col("reached"), col("ecc"),
+        col("diameter"), col("radius"),
+        when(col("ecc") === col("radius"), 1).otherwise(0).as("is_center"),
+        when(col("ecc") === col("diameter"), 1).otherwise(0).as("is_periphery"))
+      .orderBy(col("node"))
+  }
+
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
-    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport, betweenness)
+    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport, betweenness, eccentricity)
 }

@@ -395,6 +395,56 @@ object StatsOps2 {
       .orderBy(col("event_type"))
   }
 
+  /** Theil T inequality index per market segment — the DECOMPOSABLE
+    * inequality measure next to q_gini (Gini ranks, Theil adds up:
+    * within + between sums to total, which is why economists report
+    * it). T = (1/n)·Σ(xᵢ/μ)·ln(xᵢ/μ) over per-customer revenue: the
+    * share ratio xᵢ·n/X is a double from three exact integers, each
+    * per-customer term is FLOOR-SNAPPED to micro units (the
+    * graph_adamic_adar ln-snap discipline — identical doubles both
+    * engines, then exact integers), so the per-segment fold is an
+    * order-free BIGINT sum and T is one final division. One fact
+    * groupBy + a broadcast 5-row segment-stats join — linear. */
+  val theilIndex: GraftOp = GraftOp(
+    "q_theil_index",
+    """WITH u AS (
+      |  SELECT c_mktsegment AS segment, o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS x
+      |  FROM u GROUP BY 1),
+      |t AS (
+      |  SELECT u.segment,
+      |    CAST(floor(CAST(u.cents AS DOUBLE) * g.n / g.x
+      |      * ln(CAST(u.cents AS DOUBLE) * g.n / g.x) * 1000000.0) AS BIGINT) AS tm
+      |  FROM u JOIN g ON u.segment = g.segment),
+      |a AS (SELECT segment, CAST(sum(tm) AS BIGINT) AS s FROM t GROUP BY 1)
+      |SELECT a.segment, g.n AS n_customers,
+      |  round(CAST(g.x AS DOUBLE) / g.n / 100.0, 6) AS mean_spend,
+      |  round(CAST(a.s AS DOUBLE) / g.n / 1000000.0, 6) AS theil
+      |FROM a JOIN g ON a.segment = g.segment ORDER BY a.segment""".stripMargin) { (s, d) =>
+    val u = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+        .cast(LongType).as("cents"))
+    val g = u.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).cast(LongType).as("x"))
+    u.join(broadcast(g), Seq("segment"))
+      .select(col("segment"), col("n"), col("x"),
+        expr("""CAST(floor(CAST(cents AS DOUBLE) * n / x
+          |  * ln(CAST(cents AS DOUBLE) * n / x) * 1000000.0) AS BIGINT)""".stripMargin)
+          .as("tm"))
+      .groupBy(col("segment"), col("n"), col("x"))
+      .agg(sum(col("tm")).cast(LongType).as("s"))
+      .select(col("segment"), col("n").as("n_customers"),
+        expr("round(CAST(x AS DOUBLE) / n / 100.0, 6)").as("mean_spend"),
+        expr("round(CAST(s AS DOUBLE) / n / 1000000.0, 6)").as("theil"))
+      .orderBy(col("segment"))
+  }
+
   val ops: Seq[GraftOp] = Seq(jarqueBera, maxDrawdown, partialCorr, holm,
-    cochranArmitage, runsTest)
+    cochranArmitage, runsTest, theilIndex)
 }

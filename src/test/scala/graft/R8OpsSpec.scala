@@ -202,6 +202,34 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("q_theil_index: nonnegative, bounded by ln(n), and zero only under perfect equality") {
+    val rows = operators.StatsOps2.theilIndex.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, t) = (r.getLong(1), r.getDouble(3))
+      // floor-snapping can dip a hair below the mathematical 0 bound
+      assert(t >= -1e-5, s"Theil T is nonnegative: $r")
+      assert(t <= math.log(n.toDouble), s"T is at most ln(n) (one customer holds all): $r")
+      assert(t > 0, s"real revenue data is never perfectly equal: $r")
+    }
+  }
+
+  test("graph_eccentricity: radius <= ecc <= diameter, flags exact, bounds from real extremes") {
+    val rows = operators.GraphOps.eccentricity.run(spark, sf).collect()
+    assert(rows.length === 25)
+    val diameter = rows.head.getLong(3)
+    val radius = rows.head.getLong(4)
+    assert(radius >= 1 && radius <= diameter, s"radius/diameter ordering: $radius/$diameter")
+    assert(rows.exists(_.getInt(5) == 1) && rows.exists(_.getInt(6) == 1),
+      "center and periphery are both nonempty by construction")
+    rows.foreach { r =>
+      val ecc = r.getLong(2)
+      assert(ecc >= radius && ecc <= diameter, s"ecc outside [radius, diameter]: $r")
+      assert(r.getInt(5) === (if (ecc == radius) 1 else 0), s"center flag: $r")
+      assert(r.getInt(6) === (if (ecc == diameter) 1 else 0), s"periphery flag: $r")
+    }
+  }
+
   test("emb_mahalanobis: top-20 strictly ranked, scores positive, E[maha2] ~ dim for the bulk") {
     val rows = operators.EmbedOps.mahalanobis.run(spark, sf).collect()
     assert(rows.length === 20)
