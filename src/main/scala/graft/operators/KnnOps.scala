@@ -914,7 +914,62 @@ object KnnOps {
       .orderBy(col("node_id"), col("rn"))
   }
 
+  /** Corpus-wide recall audit for [[knnGraph]] — the knn_lsh_recall
+    * discipline applied to the GRAPH build: exact integer hit counts
+    * of the bucketed top-4 edges against the brute-force top-4 over
+    * every node, aggregated to one corpus row (per-node rows would be
+    * the graph itself again). The graph half of the oracle is
+    * [[knnGraph]]'s own SQL verbatim (cannot drift); the brute half
+    * is the all-nodes extension of knn_brute's ranking. Hits and the
+    * ppm are exact integers; the number an operator reads before
+    * trusting the bucketed graph at 100 TB. */
+  val knnGraphRecall: GraftOp = GraftOp(
+    "knn_graph_recall", {
+      val E = Exprs
+      s"""WITH raw AS (SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |bs AS (
+         |  SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${E.sqlCosine("a.e", "b.e")} DESC, b.vec_id) AS rn
+         |  FROM raw a JOIN raw b ON a.vec_id <> b.vec_id),
+         |brute AS (SELECT node_id, nbr_id FROM bs WHERE rn <= $KnnGraphK),
+         |g AS (SELECT node_id, nbr_id FROM (${knnGraph.oracle.get}) x),
+         |h AS (
+         |  SELECT b.node_id,
+         |    CAST(count(g.nbr_id) AS BIGINT) AS hits
+         |  FROM brute b LEFT JOIN g ON g.node_id = b.node_id AND g.nbr_id = b.nbr_id
+         |  GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(hits) AS BIGINT) AS hits,
+         |  CAST(count(*) * $KnnGraphK AS BIGINT) AS possible,
+         |  CAST(sum(hits) * 1000000 // (count(*) * $KnnGraphK) AS BIGINT) AS recall_ppm,
+         |  CAST(min(hits) AS BIGINT) AS worst_node_hits
+         |FROM h""".stripMargin
+    }) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
+    val byNode = Window.partitionBy(col("node_id")).orderBy(col("cos").desc, col("nbr_id"))
+    val brute = v.select(col("vec_id").as("node_id"), col("e").as("ae"))
+      .join(broadcast(v.select(col("vec_id").as("nbr_id"), col("e").as("be"))),
+        col("node_id") =!= col("nbr_id"))
+      .select(col("node_id"), col("nbr_id"), Exprs.cosine(col("ae"), col("be")).as("cos"))
+      .withColumn("rn", row_number().over(byNode))
+      .filter(col("rn") <= KnnGraphK)
+      .select(col("node_id"), col("nbr_id"))
+    val g = knnGraph.run(s, d).select(col("node_id"), col("nbr_id"), lit(1).as("hit"))
+    brute.join(g, Seq("node_id", "nbr_id"), "left")
+      .groupBy(col("node_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast(LongType).as("hits"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("hits")).cast(LongType).as("hits"),
+        (count(lit(1)) * KnnGraphK).as("possible"),
+        min(col("hits")).cast(LongType).as("worst"))
+      .select(col("n_nodes"), col("hits"), col("possible"),
+        expr(s"CAST(hits * 1000000 div possible AS BIGINT)").as("recall_ppm"),
+        col("worst").as("worst_node_hits"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
-      outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall, pqRecall, knnGraph)
+      outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall, pqRecall, knnGraph,
+      knnGraphRecall)
 }

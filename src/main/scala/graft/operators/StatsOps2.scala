@@ -445,6 +445,55 @@ object StatsOps2 {
       .orderBy(col("segment"))
   }
 
+  /** Poisson dispersion test per event type — "are daily event counts
+    * actually Poisson, or clumped" (the overdispersion gate an
+    * operator runs before trusting rate-based alerting; q_burstiness
+    * measures inter-arrival clumping, this tests the COUNT model
+    * itself). Daily counts are exact integers, so n, Σy, Σy² fold
+    * BIGINT-exact and both the variance-to-mean ratio D and the
+    * dispersion χ² = (n−1)·s²/ȳ = (n·Σy² − (Σy)²)/Σy are one double
+    * formula each over three integers. D ≈ 1 is Poisson; the flag
+    * marks |χ² − (n−1)| > 3·√(2(n−1)) (a z≈3 normal approximation of
+    * the χ² tail, stated in the emit so the cutoff is auditable).
+    * One |days|-bounded frame per type. */
+  val poissonDispersion: GraftOp = GraftOp(
+    "q_poisson_dispersion",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS s1, CAST(sum(y * y) AS BIGINT) AS s2
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, n, s1 AS n_events,
+      |  round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+      |    / (CAST(n AS DOUBLE) - 1.0) / n / (CAST(s1 AS DOUBLE) / n), 6) AS dispersion,
+      |  round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / CAST(s1 AS DOUBLE), 6)
+      |    AS chi2,
+      |  CASE WHEN abs((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+      |         / CAST(s1 AS DOUBLE) - (n - 1))
+      |       > 3.0 * sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)) THEN 1 ELSE 0 END
+      |    AS not_poisson
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    val day = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    day.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+        sum(col("y") * col("y")).as("s2"))
+      .select(col("event_type"), col("n"), col("s1").as("n_events"),
+        expr("""round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+          |  / (CAST(n AS DOUBLE) - 1.0) / n / (CAST(s1 AS DOUBLE) / n), 6)""".stripMargin)
+          .as("dispersion"),
+        expr("""round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+          |  / CAST(s1 AS DOUBLE), 6)""".stripMargin).as("chi2"),
+        expr("""CASE WHEN abs((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+          |       / CAST(s1 AS DOUBLE) - (n - 1))
+          |     > 3.0 * sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)) THEN 1 ELSE 0 END""".stripMargin)
+          .as("not_poisson"))
+      .orderBy(col("event_type"))
+  }
+
   val ops: Seq[GraftOp] = Seq(jarqueBera, maxDrawdown, partialCorr, holm,
-    cochranArmitage, runsTest, theilIndex)
+    cochranArmitage, runsTest, theilIndex, poissonDispersion)
 }

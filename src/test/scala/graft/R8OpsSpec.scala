@@ -202,6 +202,30 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("q_poisson_dispersion: near-unit dispersion on the synthetic daily counts, flag consistent") {
+    val rows = operators.StatsOps2.poissonDispersion.run(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, disp, chi2, flag) = (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getInt(5))
+      assert(disp > 0, s"dispersion is a ratio of positive quantities: $r")
+      assert(chi2 >= 0, s"chi2 is a scaled sum of squares: $r")
+      val expectFlag = math.abs(chi2 - (n - 1)) > 3.0 * math.sqrt(2.0 * (n - 1))
+      assert(flag === (if (expectFlag) 1 else 0), s"flag must restate its own cutoff: $r")
+    }
+  }
+
+  test("knn_graph_recall: exact integers reassemble, recall clears the graph spec's floor") {
+    val rows = operators.KnnOps.knnGraphRecall.run(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (n, hits, possible, ppm, worst) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(possible === n * 4, "denominator is nodes x k")
+    assert(hits <= possible && worst >= 0 && worst <= 4)
+    assert(ppm === hits * 1000000 / possible, "ppm must be the exact integral division")
+    assert(ppm >= 800000, s"corpus-wide recall fell below the 0.8 floor: $ppm")
+  }
+
   test("q_theil_index: nonnegative, bounded by ln(n), and zero only under perfect equality") {
     val rows = operators.StatsOps2.theilIndex.run(spark, sf).collect()
     assert(rows.length === 5)
