@@ -875,5 +875,59 @@ object EmbedOps {
       .orderBy(col("rn"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats, dimProfile, mahalanobis)
+  /** External cluster-validity scores for [[kmeans]] — purity and the
+    * adjusted Rand index against the corpus's ground-truth labels:
+    * the ML-eval readout that says whether the exact-Lloyd cells MEAN
+    * anything ([[silhouette]] scores geometry; this scores agreement
+    * with labels). Both are pure PAIR/COUNT combinatorics over the
+    * (cluster, label) contingency — C(c,2) products are exact BIGINTs
+    * at test SFs (a·T ≈ 4e12; the DECIMAL(38) fold is the stated
+    * route past ~10⁹ rows) — so purity is an exact ppm and ARI's
+    * rational is assembled ×2-scaled to stay integral until ONE final
+    * double division. Reuses the registry-persisted assignment: the
+    * per-op cost is a |k|×|labels| aggregate. */
+  val clusterPurity: GraftOp = GraftOp(
+    "emb_cluster_purity",
+    s"""WITH $kmCtes,
+       |lab AS (SELECT g.k, em.label, CAST(count(*) AS BIGINT) AS c
+       |        FROM g3 g JOIN embeddings em USING (vec_id) GROUP BY 1, 2),
+       |cells AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS a FROM lab),
+       |rk AS (SELECT k, CAST(sum(c) AS BIGINT) AS nk FROM lab GROUP BY 1),
+       |cl AS (SELECT label, CAST(sum(c) AS BIGINT) AS ml FROM lab GROUP BY 1),
+       |br AS (SELECT CAST(sum(nk * (nk - 1) // 2) AS BIGINT) AS br FROM rk),
+       |bc AS (SELECT CAST(sum(ml * (ml - 1) // 2) AS BIGINT) AS bc FROM cl),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |               CAST(count(DISTINCT label) AS BIGINT) AS n_labels FROM lab),
+       |pur AS (SELECT CAST(sum(mx) AS BIGINT) AS pn
+       |        FROM (SELECT k, max(c) AS mx FROM lab GROUP BY 1) x)
+       |SELECT tot.n AS n_vectors,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rk) AS k_clusters,
+       |  tot.n_labels,
+       |  CAST(pur.pn * 1000000 // tot.n AS BIGINT) AS purity_ppm,
+       |  round(CAST(2 * (cells.a * (tot.n * (tot.n - 1) // 2) - br.br * bc.bc) AS DOUBLE)
+       |    / CAST((br.br + bc.bc) * (tot.n * (tot.n - 1) // 2)
+       |           - 2 * br.br * bc.bc AS DOUBLE), 6) AS ari
+       |FROM cells, br, bc, tot, pur""".stripMargin) { (s, d) =>
+    val lab = kmAssigned(s, d).select(col("vec_id"), col("k"))
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("k"), col("label")).agg(count(lit(1)).as("c"))
+    val cells = lab.agg(sum(expr("c * (c - 1) div 2")).cast(LongType).as("a"),
+      sum(col("c")).cast(LongType).as("n"),
+      countDistinct(col("label")).as("n_labels"))
+    val br = lab.groupBy(col("k")).agg(sum(col("c")).as("nk"))
+      .agg(sum(expr("nk * (nk - 1) div 2")).cast(LongType).as("br"),
+        count(lit(1)).as("k_clusters"))
+    val bc = lab.groupBy(col("label")).agg(sum(col("c")).as("ml"))
+      .agg(sum(expr("ml * (ml - 1) div 2")).cast(LongType).as("bc"))
+    val pur = lab.groupBy(col("k")).agg(max(col("c")).as("mx"))
+      .agg(sum(col("mx")).cast(LongType).as("pn"))
+    cells.crossJoin(broadcast(br)).crossJoin(broadcast(bc)).crossJoin(broadcast(pur))
+      .select(col("n").as("n_vectors"), col("k_clusters"), col("n_labels"),
+        expr("CAST(pn * 1000000 div n AS BIGINT)").as("purity_ppm"),
+        expr("""round(CAST(2 * (a * (n * (n - 1) div 2) - br * bc) AS DOUBLE)
+          |  / CAST((br + bc) * (n * (n - 1) div 2) - 2 * br * bc AS DOUBLE), 6)""".stripMargin)
+          .as("ari"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats, dimProfile, mahalanobis, clusterPurity)
 }

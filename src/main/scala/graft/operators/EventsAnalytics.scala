@@ -2002,10 +2002,45 @@ object EventsAnalytics {
       .orderBy(col("day"))
   }
 
+  /** L28 engagement histogram — the growth-team readout next to
+    * [[stickiness]]'s single DAU/MAU ratio: the full DISTRIBUTION of
+    * days-active per user over the trailing 28 days ("Lness" — a
+    * spike at L1 is drive-by traffic, mass at L20+ is a habit). The
+    * window anchors at the corpus's max day (broadcast 1-row agg);
+    * days-active and the histogram are exact integer counts, the
+    * user-share ppm an integral division. Two hash aggregates, both
+    * map-side combinable — linear at any scale, emit ≤28 rows. */
+  val l28: GraftOp = GraftOp(
+    "q_l28",
+    """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events),
+      |u AS (
+      |  SELECT user_id, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active
+      |  FROM events, mx
+      |  WHERE CAST(ts AS DATE) > mxd - 28
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u)
+      |SELECT days_active, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(*) * 1000000 // t.n_users AS BIGINT) AS share_ppm
+      |FROM u, t GROUP BY 1, t.n_users ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val mx = ev.agg(max(col("day")).as("mxd"))
+    val u = ev.crossJoin(broadcast(mx))
+      .filter(col("day") > date_sub(col("mxd"), 28))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("day")).as("days_active"))
+    val t = broadcast(u.agg(count(lit(1)).as("n_users_total")))
+    u.groupBy(col("days_active")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(t)
+      .select(col("days_active"), col("n_users"),
+        expr("CAST(n_users * 1000000 div n_users_total AS BIGINT)").as("share_ppm"))
+      .orderBy(col("days_active"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment,
-      seasonalAnomaly, markov, powerCurve, hourHeatmap, burstiness, peakConcurrency, kmCensored)
+      seasonalAnomaly, markov, powerCurve, hourHeatmap, burstiness, peakConcurrency, kmCensored,
+      l28)
 }

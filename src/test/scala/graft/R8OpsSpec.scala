@@ -202,6 +202,33 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("emb_cluster_purity: purity bounded below by the dominant label share; ARI in [-1, 1]") {
+    val rows = operators.EmbedOps.clusterPurity.run(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (n, k, nl, purity, ari) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(k >= 1 && k <= 4 && nl >= 2, s"shape: $r")
+    assert(purity >= 1000000 / nl && purity <= 1000000,
+      s"purity can never undershoot the uniform-label floor: $r")
+    assert(ari >= -1.0 && ari <= 1.0, s"ARI range: $r")
+    assert(n === spark.read.parquet(s"$sf/embeddings.parquet").count())
+  }
+
+  test("q_l28: histogram partitions active users, days bounded by window, shares sum to ~1M ppm") {
+    val rows = operators.EventsAnalytics.l28.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalUsers = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 28, s"days-active outside the window: $r")
+      assert(r.getLong(2) === r.getLong(1) * 1000000 / totalUsers,
+        s"share must be the exact integral-division ppm: $r")
+    }
+    val ppmSum = rows.map(_.getLong(2)).sum
+    assert(ppmSum >= 1000000 - rows.length && ppmSum <= 1000000,
+      s"floored shares must sum to within one ulp-per-row of 1M: $ppmSum")
+  }
+
   test("q_poisson_dispersion: near-unit dispersion on the synthetic daily counts, flag consistent") {
     val rows = operators.StatsOps2.poissonDispersion.run(spark, sf).collect()
     assert(rows.length === 5)
