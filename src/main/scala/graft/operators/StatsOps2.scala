@@ -494,6 +494,96 @@ object StatsOps2 {
       .orderBy(col("event_type"))
   }
 
+  /** Partial autocorrelation (lags 1–4) via Durbin-Levinson — the
+    * Box-Jenkins order-selection companion to q_acf (ACF says "is
+    * there memory", PACF says "how many AR terms explain it" — the
+    * lag where PACF cuts off IS the AR order). The ACF inputs r₁..r₄
+    * replay q_acf's exact-integer construction and are 6dp-SNAPPED
+    * before the recursion, so both engines run the identical unrolled
+    * Durbin-Levinson chain (φ_kk = (r_k − Σφ_{k−1,j}r_{k−j}) /
+    * (1 − Σφ_{k−1,j}r_j), coefficient updates in step) on identical
+    * doubles — the same snap-then-recurse contract as q_jarque_bera.
+    * Everything after the |days|-bounded ACF frame is a 1-row
+    * computation. */
+  val pacf: GraftOp = GraftOp(
+    "q_pacf",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
+      |              min(day) AS mind FROM d),
+      |c AS (
+      |  SELECT CAST(date_diff('day', st.mind, d.day) AS BIGINT) AS i,
+      |    st.nd * d.n - st.s AS x
+      |  FROM d, st),
+      |den AS (SELECT sum(x * x) AS den FROM c),
+      |p AS (
+      |  SELECT a.i - b.i AS lag_d, a.x * b.x AS xy
+      |  FROM c a JOIN c b ON a.i - b.i BETWEEN 1 AND 4),
+      |r AS (
+      |  SELECT CAST(lag_d AS INT) AS lag_d,
+      |    round(CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE), 6) AS rv
+      |  FROM p, den GROUP BY lag_d, den),
+      |w AS (
+      |  SELECT max(CASE WHEN lag_d = 1 THEN rv END) AS r1,
+      |         max(CASE WHEN lag_d = 2 THEN rv END) AS r2,
+      |         max(CASE WHEN lag_d = 3 THEN rv END) AS r3,
+      |         max(CASE WHEN lag_d = 4 THEN rv END) AS r4
+      |  FROM r),
+      |p1 AS (SELECT *, r1 AS f11 FROM w),
+      |p2 AS (SELECT *, (r2 - f11 * r1) / (1.0 - f11 * r1) AS f22 FROM p1),
+      |p2b AS (SELECT *, f11 - f22 * f11 AS f21 FROM p2),
+      |p3 AS (SELECT *, (r3 - (f21 * r2 + f22 * r1))
+      |                 / (1.0 - (f21 * r1 + f22 * r2)) AS f33 FROM p2b),
+      |p3b AS (SELECT *, f21 - f33 * f22 AS f31, f22 - f33 * f21 AS f32 FROM p3),
+      |p4 AS (SELECT *, (r4 - (f31 * r3 + f32 * r2 + f33 * r1))
+      |                 / (1.0 - (f31 * r1 + f32 * r2 + f33 * r3)) AS f44 FROM p3b)
+      |SELECT lag_d, acf_r, pacf FROM (
+      |  SELECT 1 AS lag_d, r1 AS acf_r, round(f11, 6) AS pacf FROM p4
+      |  UNION ALL SELECT 2, r2, round(f22, 6) FROM p4
+      |  UNION ALL SELECT 3, r3, round(f33, 6) FROM p4
+      |  UNION ALL SELECT 4, r4, round(f44, 6) FROM p4) x
+      |ORDER BY lag_d""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val st = daily.agg(count(lit(1)).as("nd"), sum(col("n")).as("s"),
+      min(col("day")).as("mind"))
+    val c = daily.crossJoin(broadcast(st))
+      .select(datediff(col("day"), col("mind")).cast(LongType).as("i"),
+        (col("nd") * col("n") - col("s")).as("x"))
+    val den = broadcast(c.agg(sum(col("x") * col("x")).as("den")))
+    val shifted = c.select(explode(sequence(lit(1L), lit(4L))).as("lag_d"),
+      col("i").as("ib"), col("x").as("xb"))
+      .select(col("lag_d"), (col("ib") + col("lag_d")).as("ia"), col("xb"))
+    val r = c.join(shifted, col("i") === col("ia"))
+      .select(col("lag_d"), (col("x") * col("xb")).as("xy"))
+      .groupBy(col("lag_d")).agg(sum(col("xy")).as("sxy"))
+      .crossJoin(den)
+      .select(col("lag_d").cast(IntegerType).as("lag_d"),
+        expr("round(CAST(sxy AS DOUBLE) / CAST(den AS DOUBLE), 6)").as("rv"))
+    val w = r.agg(
+      max(when(col("lag_d") === 1, col("rv"))).as("r1"),
+      max(when(col("lag_d") === 2, col("rv"))).as("r2"),
+      max(when(col("lag_d") === 3, col("rv"))).as("r3"),
+      max(when(col("lag_d") === 4, col("rv"))).as("r4"))
+    val p4 = w
+      .withColumn("f11", expr("r1"))
+      .withColumn("f22", expr("(r2 - f11 * r1) / (1.0 - f11 * r1)"))
+      .withColumn("f21", expr("f11 - f22 * f11"))
+      .withColumn("f33",
+        expr("(r3 - (f21 * r2 + f22 * r1)) / (1.0 - (f21 * r1 + f22 * r2))"))
+      .withColumn("f31", expr("f21 - f33 * f22"))
+      .withColumn("f32", expr("f22 - f33 * f21"))
+      .withColumn("f44",
+        expr("(r4 - (f31 * r3 + f32 * r2 + f33 * r1)) / (1.0 - (f31 * r1 + f32 * r2 + f33 * r3))"))
+    val out = p4.selectExpr("1 AS lag_d", "r1 AS acf_r", "round(f11, 6) AS pacf")
+      .unionAll(p4.selectExpr("2", "r2", "round(f22, 6)"))
+      .unionAll(p4.selectExpr("3", "r3", "round(f33, 6)"))
+      .unionAll(p4.selectExpr("4", "r4", "round(f44, 6)"))
+    out.orderBy(col("lag_d"))
+  }
+
   val ops: Seq[GraftOp] = Seq(jarqueBera, maxDrawdown, partialCorr, holm,
-    cochranArmitage, runsTest, theilIndex, poissonDispersion)
+    cochranArmitage, runsTest, theilIndex, poissonDispersion, pacf)
 }

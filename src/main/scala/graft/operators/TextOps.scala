@@ -1309,9 +1309,69 @@ object TextOps {
         (sel <= 2).as("planted"))
   }
 
+
+  /** Reliability diagram for [[qualityModel]] — the calibration check
+    * a pipeline runs BEFORE trusting the logistic score as a keep
+    * threshold (an uncalibrated 0.8 is not an 80% keep rate; the
+    * diagram says by how much, per decile). Reference policy = the
+    * rule gate `quality_score ≥ 0.55` over [[quality]]'s hash-green
+    * score. Both the predicted probability and the rule score are
+    * 6dp-snapped BEFORE use, the per-doc prob is micro-snapped to an
+    * exact BIGINT for the bucket mean (no cross-row double fold), and
+    * every emitted rate is an integral-division ppm. One doc-level
+    * map + a ≤10-row aggregate — linear. */
+  val calibration: GraftOp = GraftOp(
+    "text_calibration",
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    least(1.0, n_chars / 500.0) AS f_len,
+       |    len(list_distinct(toks)) * 1.0 / len(toks) AS f_ttr,
+       |    len(list_filter(toks, x -> list_contains($sqlStopList, x))) * 1.0 / len(toks) AS f_stop,
+       |    list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b)
+       |      * 1.0 / len(toks) / 10.0 AS f_awl
+       |  FROM t),
+       |z AS (
+       |  SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-(1.2 * f_len + 2.0 * f_ttr + 1.5 * f_stop - 0.2 * f_awl - 2.0))), 6) AS prob,
+       |    CASE WHEN round(0.3 * f_len + 0.4 * f_ttr + 0.3 * f_stop, 6) >= 0.55
+       |         THEN 1 ELSE 0 END AS actual
+       |  FROM f),
+       |b AS (
+       |  SELECT CAST(least(floor(prob * 10.0), 9) AS INT) AS bucket,
+       |    CAST(round(prob * 1000000) AS BIGINT) AS pm, actual
+       |  FROM z)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pm) // count(*) AS BIGINT) AS mean_pred_ppm,
+       |  CAST(sum(actual) * 1000000 // count(*) AS BIGINT) AS actual_pos_ppm,
+       |  CAST(abs(sum(pm) // count(*) - sum(actual) * 1000000 // count(*)) AS BIGINT)
+       |    AS gap_ppm
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val fAwl = aggregate(transform(col("toks"), x => length(x)), lit(0), (a, b) => a + b) *
+      lit(1.0) / size(col("toks")) / 10.0
+    val zc = lit(1.2) * fLen + lit(2.0) * fTtr + lit(1.5) * fStop - lit(0.2) * fAwl - 2.0
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-zc)), 6)
+    val actual = when(round(qualityScoreExpr, 6) >= 0.55, 1).otherwise(0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), tokens.as("toks"))
+      .select(prob.as("prob"), actual.as("actual"))
+      .select(expr("CAST(least(floor(prob * 10.0), 9) AS INT)").as("bucket"),
+        expr("CAST(round(prob * 1000000) AS BIGINT)").as("pm"),
+        col("actual"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pm")).as("spm"),
+        sum(col("actual")).as("sa"))
+      .select(col("bucket"), col("n_docs"),
+        expr("CAST(spm div n_docs AS BIGINT)").as("mean_pred_ppm"),
+        expr("CAST(sa * 1000000 div n_docs AS BIGINT)").as("actual_pos_ppm"),
+        expr("CAST(abs(spm div n_docs - sa * 1000000 div n_docs) AS BIGINT)").as("gap_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
       readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing, chao1,
-      langConfusion, utf8Audit, vocabOverlap, simpson)
+      langConfusion, utf8Audit, vocabOverlap, simpson, calibration)
 }

@@ -202,6 +202,33 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("q_pacf: lag-1 PACF equals lag-1 ACF; all partials are proper correlations") {
+    val rows = operators.StatsOps2.pacf.run(spark, sf).collect()
+    assert(rows.length === 4)
+    val byLag = rows.sortBy(_.getInt(0))
+    assert(byLag.head.getDouble(2) === byLag.head.getDouble(1),
+      "Durbin-Levinson starts at phi_11 = r1 by definition")
+    byLag.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= 1.0 && math.abs(r.getDouble(2)) <= 1.0,
+        s"correlations must stay in [-1,1]: $r")
+    }
+  }
+
+  test("text_calibration: buckets partition the corpus and the gap restates its own integers") {
+    val rows = operators.TextOps.calibration.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ===
+      SparkTestSession.spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.foreach { r =>
+      val (b, mean, act, gap) = (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(b >= 0 && b <= 9, s"decile bucket: $r")
+      assert(mean >= b * 100000L && (b == 9 || mean < (b + 1) * 100000L + 1),
+        s"bucket mean must sit inside its own decile: $r")
+      assert(act >= 0 && act <= 1000000, s"actual rate is a ppm: $r")
+      assert(gap === math.abs(mean - act), s"gap must restate its own integers: $r")
+    }
+  }
+
   test("emb_cluster_purity: purity bounded below by the dominant label share; ARI in [-1, 1]") {
     val rows = operators.EmbedOps.clusterPurity.run(spark, sf).collect()
     assert(rows.length === 1)
