@@ -584,6 +584,185 @@ object StatsOps2 {
     out.orderBy(col("lag_d"))
   }
 
+  /** Tukey HSD post-hoc pairwise comparisons — the step an analyst
+    * takes AFTER q_anova rejects ("the segments differ — WHICH
+    * ones?"), with the studentized-range correction that plain
+    * pairwise t-tests lack. Reuses q_anova's exact per-segment state
+    * (n, Σcents, Σcents² in DECIMAL(38)); the pooled within-variance
+    * avoids the cross-row double fold by FLOOR-SNAPPING each
+    * segment's (ssᵢ·nᵢ − sᵢ²)//(nᵢ·10⁴) to an exact BIGINT first (the
+    * extra 10⁴ keeps the quotient under 2⁶³ at sf0.1 where the raw
+    * per-segment value is ~2.4e19; ≤1e4 cent² loss per segment
+    * against an MSW ~1e14, deterministic), so MSW is one double
+    * formula over a BIGINT sum. Emits all C(5,2) pairs with q and the
+    * significance flag against the stated critical value 3.86
+    * (k = 5, df = ∞, α = 0.05). */
+  val tukeyHsd: GraftOp = GraftOp(
+    "q_tukey_hsd",
+    """WITH u AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, o_custkey),
+      |g AS (
+      |  SELECT segment, CAST(count(*) AS BIGINT) AS n_i,
+      |    CAST(sum(cents) AS BIGINT) AS s_i,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS ss_i
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT segment, n_i, s_i,
+      |    CAST((ss_i * n_i - CAST(s_i AS HUGEINT) * s_i) // (n_i * 10000) AS BIGINT) AS w_i
+      |  FROM g),
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |             CAST(sum(w_i) AS BIGINT) AS sw FROM w),
+      |p AS (
+      |  SELECT a.segment AS seg_a, b.segment AS seg_b,
+      |    a.n_i AS n_a, b.n_i AS n_b,
+      |    CAST(a.s_i AS DOUBLE) / a.n_i - CAST(b.s_i AS DOUBLE) / b.n_i AS md,
+      |    CAST(t.sw AS DOUBLE) * 10000.0 / (t.n - t.k) AS msw
+      |  FROM w a JOIN w b ON a.segment < b.segment CROSS JOIN t)
+      |SELECT seg_a, seg_b,
+      |  round(md / 100.0, 6) AS mean_diff,
+      |  round(abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)), 6) AS q_stat,
+      |  CASE WHEN abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)) > 3.86
+      |       THEN 1 ELSE 0 END AS significant
+      |FROM p ORDER BY seg_a, seg_b""".stripMargin) { (s, d) =>
+    val u = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+      .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+        .cast(LongType).as("cents"))
+    val g = u.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_i"), sum(col("cents")).as("s_i"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("cents")).as("ss_i"))
+    // (ss·n − s²)/n ≈ 2.4e19 at sf0.1 — past 2⁶³ (and Spark's integral
+    // div lands in LONG) — so the floor-divide carries an extra 10⁴:
+    // ≤1e4 cent² loss per segment against an MSW ~1e14, deterministic
+    val w = g.select(col("segment"), col("n_i"), col("s_i"),
+      expr("CAST((ss_i * n_i - CAST(s_i AS DECIMAL(38,0)) * s_i) div (n_i * 10000) AS BIGINT)")
+        .as("w_i"))
+    val t = broadcast(w.agg(sum(col("n_i")).as("n"), count(lit(1)).as("k"),
+      sum(col("w_i")).cast(LongType).as("sw")))
+    val a = w.select(col("segment").as("seg_a"), col("n_i").as("n_a"), col("s_i").as("s_a"))
+    val b = w.select(col("segment").as("seg_b"), col("n_i").as("n_b"), col("s_i").as("s_b"))
+    a.join(b, col("seg_a") < col("seg_b")).crossJoin(t)
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        expr("CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b").as("md"),
+        expr("CAST(sw AS DOUBLE) * 10000.0 / (n - k)").as("msw"))
+      .select(col("seg_a"), col("seg_b"),
+        expr("round(md / 100.0, 6)").as("mean_diff"),
+        expr("round(abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)), 6)").as("q_stat"),
+        expr("""CASE WHEN abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)) > 3.86
+          |     THEN 1 ELSE 0 END""".stripMargin).as("significant"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
+  /** Log-rank test between the A/B user split's survival curves —
+    * "do the variants RETAIN differently", the hypothesis-test
+    * companion to q_km_censored's descriptive curve (same lifetime
+    * and 7-day censoring rules, cohorts from the portable md5 user
+    * split every experiment op shares). At each event time the
+    * expected-death and hypergeometric-variance terms are rationals,
+    * so each is FLOOR-SNAPPED to micro units with the product held in
+    * DECIMAL(38)/HUGEINT (d·n₁·n₂·(n−d) ≈ 2e14 before scaling), the
+    * per-time sums fold as exact BIGINTs, and z/χ² are one double
+    * formula over four integers (NULL when the variance is zero — a
+    * fully-censored corpus has no deaths to compare, which sf0.001
+    * actually exercises). Frames are |distinct-lifetime|-bounded
+    * after one per-user aggregate. */
+  val logRank: GraftOp = GraftOp(
+    "q_log_rank",
+    s"""WITH mx AS (SELECT max(ts) AS mt FROM events),
+       |l AS (
+       |  SELECT user_id,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |         THEN 1 ELSE 2 END AS grp,
+       |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS life,
+       |    CASE WHEN max(ts) >= (SELECT mt FROM mx) - INTERVAL '7 days' THEN 1 ELSE 0 END AS censored
+       |  FROM events GROUP BY 1),
+       |d AS (
+       |  SELECT life,
+       |    CAST(count(*) FILTER (WHERE grp = 1 AND censored = 0) AS BIGINT) AS d1,
+       |    CAST(count(*) FILTER (WHERE grp = 1 AND censored = 1) AS BIGINT) AS c1,
+       |    CAST(count(*) FILTER (WHERE grp = 2 AND censored = 0) AS BIGINT) AS d2,
+       |    CAST(count(*) FILTER (WHERE grp = 2 AND censored = 1) AS BIGINT) AS c2
+       |  FROM l GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n1t,
+       |         CAST(count(*) FILTER (WHERE grp = 2) AS BIGINT) AS n2t
+       |  FROM l),
+       |r AS (
+       |  SELECT life, d1, d2,
+       |    CAST(tot.n1t - coalesce(sum(d1 + c1) OVER (ORDER BY life
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+       |    CAST(tot.n2t - coalesce(sum(d2 + c2) OVER (ORDER BY life
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2
+       |  FROM d, tot),
+       |terms AS (
+       |  SELECT life, d1, d2, n1, n2, d1 + d2 AS dt, n1 + n2 AS nt,
+       |    CAST((d1 + d2) * n1 * 1000000 // (n1 + n2) AS BIGINT) AS e1_micro,
+       |    CASE WHEN n1 + n2 > 1 THEN
+       |      CAST(CAST(d1 + d2 AS HUGEINT) * n1 * n2 * (n1 + n2 - d1 - d2) * 1000000
+       |        // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1)) AS BIGINT)
+       |    ELSE 0 END AS v_micro
+       |  FROM r WHERE n1 + n2 > 0),
+       |agg AS (
+       |  SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+       |    CAST(sum(e1_micro) AS BIGINT) AS e1m, CAST(sum(v_micro) AS BIGINT) AS vm
+       |  FROM terms)
+       |SELECT tot.n1t AS n_a, tot.n2t AS n_b, o1 AS deaths_a, o2 AS deaths_b,
+       |  e1m AS expected_a_micro, vm AS var_micro,
+       |  CASE WHEN vm = 0 THEN NULL
+       |       ELSE round((CAST(o1 AS DOUBLE) - CAST(e1m AS DOUBLE) / 1000000.0)
+       |         / sqrt(CAST(vm AS DOUBLE) / 1000000.0), 6) END AS z
+       |FROM agg, tot""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(col("ts")).as("mt"))
+    val l = ev.groupBy(col("user_id"))
+      .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("life"),
+        max(col("ts")).as("last_ts"))
+      .withColumn("grp",
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, 1).otherwise(2))
+      .crossJoin(broadcast(mx))
+      .select(col("grp"), col("life"),
+        when(col("last_ts") >= col("mt") - expr("INTERVAL 7 DAYS"), 1).otherwise(0)
+          .as("censored"))
+    val dd = l.groupBy(col("life"))
+      .agg(count(when(col("grp") === 1 && col("censored") === 0, 1)).as("d1"),
+        count(when(col("grp") === 1 && col("censored") === 1, 1)).as("c1"),
+        count(when(col("grp") === 2 && col("censored") === 0, 1)).as("d2"),
+        count(when(col("grp") === 2 && col("censored") === 1, 1)).as("c2"))
+    val tot = broadcast(l.agg(
+      count(when(col("grp") === 1, 1)).as("n1t"),
+      count(when(col("grp") === 2, 1)).as("n2t")))
+    val byLife = Window.orderBy(col("life")).rowsBetween(Window.unboundedPreceding, -1)
+    val terms = dd.crossJoin(tot)
+      .withColumn("n1",
+        (col("n1t") - coalesce(sum(col("d1") + col("c1")).over(byLife), lit(0L)))
+          .cast(LongType))
+      .withColumn("n2",
+        (col("n2t") - coalesce(sum(col("d2") + col("c2")).over(byLife), lit(0L)))
+          .cast(LongType))
+      .filter(col("n1") + col("n2") > 0)
+      .select(col("d1"), col("d2"), col("n1t"), col("n2t"),
+        expr("CAST((d1 + d2) * n1 * 1000000 div (n1 + n2) AS BIGINT)").as("e1_micro"),
+        expr("""CASE WHEN n1 + n2 > 1 THEN
+          |  CAST(CAST(d1 + d2 AS DECIMAL(38,0)) * n1 * n2 * (n1 + n2 - d1 - d2) * 1000000
+          |    div (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2) * (n1 + n2 - 1)) AS BIGINT)
+          |ELSE 0 END""".stripMargin).as("v_micro"))
+    terms.groupBy(col("n1t"), col("n2t"))
+      .agg(sum(col("d1")).cast(LongType).as("o1"), sum(col("d2")).cast(LongType).as("o2"),
+        sum(col("e1_micro")).cast(LongType).as("e1m"),
+        sum(col("v_micro")).cast(LongType).as("vm"))
+      .select(col("n1t").as("n_a"), col("n2t").as("n_b"),
+        col("o1").as("deaths_a"), col("o2").as("deaths_b"),
+        col("e1m").as("expected_a_micro"), col("vm").as("var_micro"),
+        expr("""CASE WHEN vm = 0 THEN NULL
+          |     ELSE round((CAST(o1 AS DOUBLE) - CAST(e1m AS DOUBLE) / 1000000.0)
+          |       / sqrt(CAST(vm AS DOUBLE) / 1000000.0), 6) END""".stripMargin).as("z"))
+  }
+
   val ops: Seq[GraftOp] = Seq(jarqueBera, maxDrawdown, partialCorr, holm,
-    cochranArmitage, runsTest, theilIndex, poissonDispersion, pacf)
+    cochranArmitage, runsTest, theilIndex, poissonDispersion, pacf, tukeyHsd, logRank)
 }

@@ -202,6 +202,30 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("q_tukey_hsd: all 10 pairs, q nonnegative, flag restates its own cutoff") {
+    val rows = operators.StatsOps2.tukeyHsd.run(spark, sf).collect()
+    assert(rows.length === 10, "C(5,2) segment pairs")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs emitted once, ordered")
+      assert(r.getDouble(3) >= 0, s"q is an absolute ratio: $r")
+      assert(r.getInt(4) === (if (r.getDouble(3) > 3.86) 1 else 0), s"flag cutoff: $r")
+    }
+  }
+
+  test("q_log_rank: observed deaths partition, expectation bounded by totals, z finite or NULL") {
+    val rows = operators.StatsOps2.logRank.run(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (na, nb, oa, ob, e1m, vm) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(oa <= na && ob <= nb, "deaths bounded by cohort sizes")
+    assert(e1m >= 0 && e1m <= (oa + ob) * 1000000L,
+      "expected deaths in A bounded by total deaths")
+    assert(vm >= 0)
+    if (vm > 0) assert(!r.getDouble(6).isNaN, "z must be finite when variance exists")
+    else assert(r.isNullAt(6), "zero variance must emit NULL, not a division blowup")
+  }
+
   test("q_pacf: lag-1 PACF equals lag-1 ACF; all partials are proper correlations") {
     val rows = operators.StatsOps2.pacf.run(spark, sf).collect()
     assert(rows.length === 4)
