@@ -763,6 +763,68 @@ object StatsOps2 {
           |       / sqrt(CAST(vm AS DOUBLE) / 1000000.0), 6) END""".stripMargin).as("z"))
   }
 
+  /** McNemar's test for PAIRED proportions — "did individual users
+    * change purchasing status between the first and second half of
+    * the window" (q_two_prop compares two INDEPENDENT groups; paired
+    * before/after on the same users needs the discordant-pair test —
+    * using two-prop here overstates the variance). The pairing is per
+    * user: purchased-in-H1 × purchased-in-H2 from one aggregate; the
+    * four contingency cells are exact BIGINTs and both the
+    * continuity-corrected χ² = (|b−c|−1)²/(b+c) and the exact-style
+    * statistic are one double formula over b and c, NULL-guarded when
+    * no user changed status. One per-user aggregate, a 1-row emit. */
+  val mcnemar: GraftOp = GraftOp(
+    "q_mcnemar",
+    """WITH mid AS (
+      |  SELECT CAST(min(ts) AS DATE)
+      |    + CAST((date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1) // 2
+      |        AS INT) AS m
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND CAST(ts AS DATE) < mid.m
+      |             THEN 1 ELSE 0 END) AS h1,
+      |    max(CASE WHEN event_type = 'purchase' AND CAST(ts AS DATE) >= mid.m
+      |             THEN 1 ELSE 0 END) AS h2
+      |  FROM events, mid GROUP BY user_id),
+      |g AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (WHERE h1 = 1 AND h2 = 1) AS BIGINT) AS both_,
+      |    CAST(count(*) FILTER (WHERE h1 = 1 AND h2 = 0) AS BIGINT) AS b,
+      |    CAST(count(*) FILTER (WHERE h1 = 0 AND h2 = 1) AS BIGINT) AS c,
+      |    CAST(count(*) FILTER (WHERE h1 = 0 AND h2 = 0) AS BIGINT) AS neither
+      |  FROM u)
+      |SELECT both_ AS n_both, b AS n_lost, c AS n_gained, neither AS n_neither,
+      |  CASE WHEN b + c = 0 THEN NULL
+      |       ELSE round((abs(CAST(b AS DOUBLE) - c) - 1.0)
+      |                * (abs(CAST(b AS DOUBLE) - c) - 1.0) / (b + c), 6) END AS chi2
+      |FROM g""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val mid = broadcast(ev.agg(
+      expr("""CAST(min(CAST(ts AS DATE))
+        |  + CAST((datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) + 1) div 2
+        |      AS INT) AS DATE)""".stripMargin).as("m")))
+    val u = ev.crossJoin(mid)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase" && to_date(col("ts")) < col("m"), 1)
+          .otherwise(0)).as("h1"),
+        max(when(col("event_type") === "purchase" && to_date(col("ts")) >= col("m"), 1)
+          .otherwise(0)).as("h2"))
+    u.agg(
+        count(when(col("h1") === 1 && col("h2") === 1, 1)).as("n_both"),
+        count(when(col("h1") === 1 && col("h2") === 0, 1)).as("b"),
+        count(when(col("h1") === 0 && col("h2") === 1, 1)).as("c"),
+        count(when(col("h1") === 0 && col("h2") === 0, 1)).as("n_neither"))
+      .select(col("n_both"), col("b").as("n_lost"), col("c").as("n_gained"),
+        col("n_neither"),
+        expr("""CASE WHEN b + c = 0 THEN NULL
+          |     ELSE round((abs(CAST(b AS DOUBLE) - c) - 1.0)
+          |              * (abs(CAST(b AS DOUBLE) - c) - 1.0) / (b + c), 6) END""".stripMargin)
+          .as("chi2"))
+  }
+
   val ops: Seq[GraftOp] = Seq(jarqueBera, maxDrawdown, partialCorr, holm,
-    cochranArmitage, runsTest, theilIndex, poissonDispersion, pacf, tukeyHsd, logRank)
+    cochranArmitage, runsTest, theilIndex, poissonDispersion, pacf, tukeyHsd, logRank,
+    mcnemar)
 }

@@ -202,6 +202,25 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("q_mcnemar: contingency partitions the users; chi2 restates its own discordant pair integers") {
+    val rows = operators.StatsOps2.mcnemar.run(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (both, lost, gained, neither) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = SparkTestSession.spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(both + lost + gained + neither === users,
+      "the four cells must partition the user base")
+    if (lost + gained > 0) {
+      val expect = BigDecimal(
+        (math.abs(lost.toDouble - gained) - 1.0) * (math.abs(lost.toDouble - gained) - 1.0)
+          / (lost + gained))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === expect, s"chi2 must restate its own integers: $r")
+    } else assert(r.isNullAt(4))
+  }
+
   test("q_tukey_hsd: all 10 pairs, q nonnegative, flag restates its own cutoff") {
     val rows = operators.StatsOps2.tukeyHsd.run(spark, sf).collect()
     assert(rows.length === 10, "C(5,2) segment pairs")
