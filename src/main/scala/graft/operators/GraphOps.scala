@@ -1460,6 +1460,133 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** EDGE betweenness — the Girvan-Newman primitive ([[betweenness]]
+    * ranks broker NODES; community detection removes the highest-
+    * betweenness EDGES, and [[edgeSupport]]'s zero-triangle view only
+    * finds bridges, not load): for the undirected edge {u,v},
+    * Σ_{s<t} σ_su·σ_vt/σ_st over placements where the edge lies on a
+    * shortest path (d(s,u)+1+d(v,t) = d(s,t)), both orientations.
+    * Same σ-carrying all-sources BFS and the same per-term micro
+    * floor-snap as node betweenness, so the per-edge sum folds as an
+    * exact BIGINT; the oracle replays the identical path-DAG walk.
+    * Frames ≤|V|²·|E| on the nation-bounded graph; landmark roots at
+    * scale. */
+  val edgeBetweenness: GraftOp = GraftOp(
+    "graph_edge_betweenness",
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |und AS (SELECT u, v FROM und0
+      |  WHERE CAST(concat('0x', substring(md5(concat(u, '|', v)), 1, 15)) AS BIGINT) % 4 = 0),
+      |edges AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |walk AS (
+      |  SELECT node AS root, node, 0 AS hops FROM nodes
+      |  UNION
+      |  SELECT w.root, e.dst, w.hops + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.hops < 30),
+      |d AS (
+      |  SELECT root, node, CAST(min(hops) AS BIGINT) AS hops
+      |  FROM walk GROUP BY 1, 2),
+      |paths AS (
+      |  SELECT node AS root, node, 0 AS hops FROM nodes
+      |  UNION ALL
+      |  SELECT p.root, e.dst, p.hops + 1
+      |  FROM paths p
+      |  JOIN edges e ON e.src = p.node
+      |  JOIN d ON d.root = p.root AND d.node = e.dst AND d.hops = p.hops + 1),
+      |ds AS (
+      |  SELECT d.root, d.node, d.hops, CAST(count(*) AS BIGINT) AS sigma
+      |  FROM d JOIN paths p ON p.root = d.root AND p.node = d.node
+      |  GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT root AS s, node AS t, hops AS dh, sigma AS sig_st
+      |  FROM ds WHERE root < node AND hops > 0),
+      |mid AS (
+      |  SELECT least(e.src, e.dst) AS u, greatest(e.src, e.dst) AS v,
+      |    CAST(a.sigma * b.sigma * 1000000 // st.sig_st AS BIGINT) AS c_micro
+      |  FROM st
+      |  JOIN ds a ON a.root = st.s
+      |  JOIN edges e ON e.src = a.node
+      |  JOIN ds b ON b.root = e.dst AND b.node = st.t
+      |  WHERE a.hops + 1 + b.hops = st.dh),
+      |bc AS (
+      |  SELECT u, v, CAST(count(*) AS BIGINT) AS n_pair_paths,
+      |    CAST(sum(c_micro) AS BIGINT) AS ebc_micro
+      |  FROM mid GROUP BY 1, 2)
+      |SELECT un.u, un.v, coalesce(bc.n_pair_paths, 0) AS n_pair_paths,
+      |  coalesce(bc.ebc_micro, 0) AS ebc_micro,
+      |  round(CAST(coalesce(bc.ebc_micro, 0) AS DOUBLE) / 1000000.0, 6) AS edge_betweenness
+      |FROM und un LEFT JOIN bc ON un.u = bc.u AND un.v = bc.v
+      |ORDER BY un.u, un.v""".stripMargin) { (s, d) =>
+    val und = undirectedTradeEdges(s, d)
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val edges = ConnectedComponents.snapshot(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v"), col("u"))))
+    val nodes = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v"))).distinct()
+    var dist = ConnectedComponents.snapshot(
+      nodes.select(col("node").as("root"), col("node"),
+        lit(0L).as("hops"), lit(1L).as("sigma")))
+    var frontier = dist
+    var iter = 0
+    var done = false
+    while (iter < 30 && !done) {
+      iter += 1
+      val next = ConnectedComponents.snapshot(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("root"), col("dst").as("node"), col("sigma"))
+          .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
+          .join(dist.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+          .select(col("root"), col("node"), lit(iter.toLong).as("hops"), col("sigma")))
+      if (next.isEmpty) {
+        done = true
+        ConnectedComponents.release(next)
+      } else {
+        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
+        ConnectedComponents.release(dist)
+        if (frontier ne merged) ConnectedComponents.release(frontier)
+        dist = merged
+        frontier = next
+      }
+    }
+    val ds = dist
+    val dirEdges = und.select(col("u").as("esrc"), col("v").as("edst"))
+      .unionAll(und.select(col("v"), col("u")))
+    val st = ds.filter(col("root") < col("node") && col("hops") > 0)
+      .select(col("root").as("s"), col("node").as("t"),
+        col("hops").as("dh"), col("sigma").as("sig_st"))
+    val a = ds.select(col("root").as("s"), col("node").as("esrc"),
+      col("hops").as("ha"), col("sigma").as("sig_su"))
+    val b = ds.select(col("root").as("edst"), col("node").as("t"),
+      col("hops").as("hb"), col("sigma").as("sig_vt"))
+    val mid = st.join(a, Seq("s"))
+      .join(dirEdges, Seq("esrc"))
+      .join(b, Seq("edst", "t"))
+      .filter(col("ha") + 1 + col("hb") === col("dh"))
+      .select(least(col("esrc"), col("edst")).as("u"),
+        greatest(col("esrc"), col("edst")).as("v"),
+        expr("CAST(sig_su * sig_vt * 1000000 div sig_st AS BIGINT)").as("c_micro"))
+    val bc = mid.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_pair_paths"), sum(col("c_micro")).as("ebc_micro"))
+    ConnectedComponents.release(edges)
+    und.join(bc, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("n_pair_paths"), lit(0L)).as("n_pair_paths"),
+        coalesce(col("ebc_micro"), lit(0L)).as("ebc_micro"),
+        expr("round(CAST(coalesce(ebc_micro, 0) AS DOUBLE) / 1000000.0, 6)")
+          .as("edge_betweenness"))
+      .orderBy(col("u"), col("v"))
+  }
+
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
-    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport, betweenness, eccentricity)
+    clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport, betweenness, eccentricity,
+    edgeBetweenness)
 }

@@ -202,6 +202,40 @@ class R8OpsSpec extends AnyFunSuite {
     assert(operators.MmOps.parseWebpMeta(truncated).isEmpty)
   }
 
+  test("graph_edge_betweenness: mass identity vs pair distances; every edge carries its own pair") {
+    val rows = operators.GraphOps.edgeBetweenness.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "edges canonical u<v")
+      // the pair (u,v) itself travels its own edge: d=1, sigma=1 ⇒ the
+      // edge's own term is exactly 1e6, so no edge scores below it
+      assert(r.getLong(3) >= 1000000L, s"an existing edge carries at least its own pair: $r")
+    }
+    // identity: Sum_e ebc = Sum_{s<t} d(s,t) (each shortest path has d
+    // edges and per-position fractions sum to 1) up to one floor-unit
+    // loss per (s,t,edge) term
+    val edges = rows.map(r => (r.getString(0), r.getString(1)))
+    val adj = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) = v :: adj(u); adj(v) = u :: adj(v) }
+    val nodes = adj.keys.toSeq.sorted
+    var sumD = 0L
+    for (s0 <- nodes) {
+      val dist = scala.collection.mutable.Map(s0 -> 0)
+      var frontier = List(s0); var h = 0
+      while (frontier.nonEmpty) {
+        h += 1
+        val nxt = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+        nxt.foreach(dist(_) = h)
+        frontier = nxt
+      }
+      dist.foreach { case (t, dd) => if (s0 < t) sumD += dd }
+    }
+    val total = rows.map(_.getLong(3)).sum
+    assert(total <= sumD * 1000000L, s"mass cannot exceed the exact identity: $total vs ${sumD * 1000000L}")
+    assert(total >= sumD * 1000000L - 5000000L,
+      s"floor loss must stay under one unit per term: $total vs ${sumD * 1000000L}")
+  }
+
   test("q_mcnemar: contingency partitions the users; chi2 restates its own discordant pair integers") {
     val rows = operators.StatsOps2.mcnemar.run(spark, sf).collect()
     assert(rows.length === 1)
