@@ -842,27 +842,33 @@ object KnnOps {
   private val KnnGraphK = 4
 
   /** k-NN GRAPH construction — every corpus vector's top-k cosine
-    * neighbors among its LSH-bucket co-residents: the all-nodes
-    * primitive behind SemDeDup clustering, graph-based curation, and
+    * neighbors among its LSH co-residents: the all-nodes primitive
+    * behind SemDeDup clustering, graph-based curation, and
     * diffusion/label-prop over embedding space ([[brute]]/[[lsh]]
     * serve a handful of queries; a graph build serves the CORPUS).
     *
-    * The candidate set is the bucket SELF-JOIN of the same md5-seeded
-    * signatures knn_lsh uses (one native-kernel scan per row, no
-    * broadcast — both sides are the corpus, so the join is a
-    * co-partitioned exchange on (table, bucket) whose cost follows
-    * bucket occupancy, never n²: the 100-TB candidate-generation
-    * shape, with more signature bits as the corpus grows). Exact
-    * cosine + per-node top-k over candidates only. Deterministic
-    * given the seeded planes, so the oracle regenerates signatures,
-    * replays the self-join, and ranks the identical candidates —
-    * approximate-by-construction yet hash-checkable, the knn_lsh
-    * discipline applied corpus-wide. */
+    * Candidate generation is the bucket SELF-JOIN of the md5-seeded
+    * signatures (computed over the persisted UNIT corpus — positive
+    * scaling preserves plane signs, and unit vectors make scoring a
+    * plain dot), enumerated ONCE per unordered pair (node < nbr) and
+    * mirrored after scoring — halving both the pair shuffle and the
+    * dot work. A ≥2-table vote was tried and rejected: this corpus's
+    * true top-4 neighbors sit at cos ≈ 0.3 (measured), where a 4-bit
+    * table collides with p ≈ 0.14 — the vote floor cut recall to
+    * ~0.65, and the audit op exists to catch exactly that. No
+    * broadcast anywhere: the self-join is a co-partitioned exchange
+    * on (table, bucket) whose cost follows bucket occupancy, never
+    * n² — the 100-TB candidate-generation shape, with more bits as
+    * the corpus grows denser. Deterministic given the seeded planes,
+    * so the oracle regenerates signatures from the same unit CTE and
+    * ranks the identical candidates — approximate-by-construction
+    * yet hash-checkable. */
   val knnGraph: GraftOp = GraftOp(
     "knn_graph", {
       val E = Exprs
       s"""WITH raw AS (
          |  SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |v AS (SELECT vec_id, ${E.sqlUnit("e")} AS u FROM raw),
          |pl AS (
          |  SELECT t, b,
          |    list_transform(range($DIM), i -> CASE WHEN ${E.sqlMd5Long(s"concat(CAST(2000 + t * $B + b AS VARCHAR), '#', CAST(i AS VARCHAR))")} % 2 = 0
@@ -870,18 +876,22 @@ object KnnOps {
          |  FROM (SELECT unnest(range($L)) AS t) CROSS JOIN (SELECT unnest(range($B)) AS b)),
          |sig AS (
          |  SELECT r.vec_id, p.t,
-         |    CAST(sum(CASE WHEN ${E.sqlDot("r.e", "p.w")} > 0
+         |    CAST(sum(CASE WHEN ${E.sqlDot("r.u", "p.w")} > 0
          |      THEN CAST(1 << p.b AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM raw r CROSS JOIN pl p GROUP BY 1, 2),
+         |  FROM v r CROSS JOIN pl p GROUP BY 1, 2),
          |cand AS (
-         |  SELECT DISTINCT a.vec_id AS node_id, s.vec_id AS nbr_id
+         |  SELECT DISTINCT a.vec_id AS lo, s.vec_id AS hi
          |  FROM sig s JOIN sig a ON s.t = a.t AND s.bucket = a.bucket
-         |    AND s.vec_id <> a.vec_id),
-         |cs AS (
-         |  SELECT c.node_id, c.nbr_id, ${E.sqlCosine("a.e", "b.e")} AS cos
+         |    AND a.vec_id < s.vec_id),
+         |csym AS (
+         |  SELECT c.lo, c.hi, ${E.sqlDot("a.u", "b.u")} AS cos
          |  FROM cand c
-         |  JOIN raw a ON a.vec_id = c.node_id
-         |  JOIN raw b ON b.vec_id = c.nbr_id),
+         |  JOIN v a ON a.vec_id = c.lo
+         |  JOIN v b ON b.vec_id = c.hi),
+         |cs AS (
+         |  SELECT lo AS node_id, hi AS nbr_id, cos FROM csym
+         |  UNION ALL
+         |  SELECT hi, lo, cos FROM csym),
          |rk AS (
          |  SELECT node_id, nbr_id, cos,
          |    row_number() OVER (PARTITION BY node_id ORDER BY cos DESC, nbr_id) AS rn
@@ -889,49 +899,54 @@ object KnnOps {
          |SELECT node_id, nbr_id, round(cos, 6) AS cos_sim, CAST(rn AS INT) AS rn
          |FROM rk WHERE rn <= $KnnGraphK ORDER BY node_id, rn""".stripMargin
     }) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
+    val v = IvfIndex.corpus(s, d)
     def bucketize(df: DataFrame): DataFrame =
       df.select(col("vec_id"),
-          posexplode(graft.functions.lsh_buckets(col("e"), PlaneSeedBase, L, B)))
+          posexplode(graft.functions.lsh_buckets(col("u"), PlaneSeedBase, L, B)))
         .toDF("vec_id", "tbl", "bucket")
     val b = bucketize(v)
     val cand = b
-      .join(b.select(col("vec_id").as("nbr_id"), col("tbl"), col("bucket")),
+      .join(b.select(col("vec_id").as("hi"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id").as("node_id"), col("nbr_id"))
+      .filter(col("vec_id") < col("hi"))
+      .select(col("vec_id").as("lo"), col("hi"))
       .distinct()
-    val withVecs = cand
-      .join(v.select(col("vec_id").as("node_id"), col("e").as("ae")), "node_id")
-      .join(v.select(col("vec_id").as("nbr_id"), col("e").as("be")), "nbr_id")
+    val csym = cand
+      .join(v.select(col("vec_id").as("lo"), col("u").as("au")), "lo")
+      .join(v.select(col("vec_id").as("hi"), col("u").as("bu")), "hi")
+      .select(col("lo"), col("hi"), Exprs.dot(col("au"), col("bu")).as("cos"))
+    val cs = csym.select(col("lo").as("node_id"), col("hi").as("nbr_id"), col("cos"))
+      .unionAll(csym.select(col("hi"), col("lo"), col("cos")))
     val byNode = Window.partitionBy(col("node_id")).orderBy(col("cos").desc, col("nbr_id"))
-    withVecs
-      .select(col("node_id"), col("nbr_id"), Exprs.cosine(col("ae"), col("be")).as("cos"))
+    cs
       .withColumn("rn", row_number().over(byNode))
       .filter(col("rn") <= KnnGraphK)
       .select(col("node_id"), col("nbr_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
       .orderBy(col("node_id"), col("rn"))
   }
 
-  /** Corpus-wide recall audit for [[knnGraph]] — the knn_lsh_recall
-    * discipline applied to the GRAPH build: exact integer hit counts
-    * of the bucketed top-4 edges against the brute-force top-4 over
-    * every node, aggregated to one corpus row (per-node rows would be
-    * the graph itself again). The graph half of the oracle is
-    * [[knnGraph]]'s own SQL verbatim (cannot drift); the brute half
-    * is the all-nodes extension of knn_brute's ranking. Hits and the
-    * ppm are exact integers; the number an operator reads before
-    * trusting the bucketed graph at 100 TB. */
+  /** Recall audit for [[knnGraph]] over a DETERMINISTIC 1-in-8 hash
+    * sample of nodes — the knn_lsh_recall discipline applied to the
+    * graph build: exact integer hit counts of the bucketed top-4
+    * edges against the brute-force top-4, aggregated to one row. The
+    * sample is the scale story (brute-forcing EVERY node's truth is
+    * the n² the graph build exists to avoid; a portable-hash sample
+    * estimates corpus recall at 1/8 the brute cost here and at any
+    * corpus size), and the graph half of the oracle is [[knnGraph]]'s
+    * own SQL verbatim, so the audit can never drift from the op it
+    * audits. */
   val knnGraphRecall: GraftOp = GraftOp(
     "knn_graph_recall", {
       val E = Exprs
       s"""WITH raw AS (SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |v AS (SELECT vec_id, ${E.sqlUnit("e")} AS u FROM raw),
+         |q AS (SELECT vec_id, u FROM v
+         |  WHERE ${E.sqlMd5Long("concat('kgr#', CAST(vec_id AS VARCHAR))")} % 8 = 0),
          |bs AS (
          |  SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
          |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${E.sqlCosine("a.e", "b.e")} DESC, b.vec_id) AS rn
-         |  FROM raw a JOIN raw b ON a.vec_id <> b.vec_id),
+         |      ORDER BY ${E.sqlDot("a.u", "b.u")} DESC, b.vec_id) AS rn
+         |  FROM q a JOIN v b ON a.vec_id <> b.vec_id),
          |brute AS (SELECT node_id, nbr_id FROM bs WHERE rn <= $KnnGraphK),
          |g AS (SELECT node_id, nbr_id FROM (${knnGraph.oracle.get}) x),
          |h AS (
@@ -946,13 +961,15 @@ object KnnOps {
          |  CAST(min(hits) AS BIGINT) AS worst_node_hits
          |FROM h""".stripMargin
     }) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("e"))
+    val v = IvfIndex.corpus(s, d)
+    val q = v.filter(graft.functions.Exprs.md5Long(
+        concat(lit("kgr#"), col("vec_id").cast(StringType))) % 8 === 0)
+      .select(col("vec_id").as("node_id"), col("u").as("au"))
     val byNode = Window.partitionBy(col("node_id")).orderBy(col("cos").desc, col("nbr_id"))
-    val brute = v.select(col("vec_id").as("node_id"), col("e").as("ae"))
-      .join(broadcast(v.select(col("vec_id").as("nbr_id"), col("e").as("be"))),
+    val brute = broadcast(q)
+      .join(v.select(col("vec_id").as("nbr_id"), col("u").as("bu")),
         col("node_id") =!= col("nbr_id"))
-      .select(col("node_id"), col("nbr_id"), Exprs.cosine(col("ae"), col("be")).as("cos"))
+      .select(col("node_id"), col("nbr_id"), Exprs.dot(col("au"), col("bu")).as("cos"))
       .withColumn("rn", row_number().over(byNode))
       .filter(col("rn") <= KnnGraphK)
       .select(col("node_id"), col("nbr_id"))
