@@ -1264,6 +1264,52 @@ object GraphOps {
     * billion-node graph the same loop runs landmark-sampled roots
     * (Brandes-pivot approximation), which this op's structure admits
     * by filtering the root frame. */
+  /** Shared all-sources σ-BFS over the hash-sparsified undirected
+    * graph: one frame (root, node, hops, sigma) with exact
+    * shortest-path counts, registry-persisted because THREE ops
+    * consume it (node betweenness, edge betweenness, eccentricity) —
+    * without sharing, each re-ran the same diameter-round loop.
+    * Frontier expansion SUMS σ over same-level predecessors (the
+    * BFS-DAG recurrence) instead of deduplicating. */
+  private[operators] def sigmaBfs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"graph.sigmaBfs:$d") {
+      val und = undirectedTradeEdges(s, d)
+        .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+      val edges = ConnectedComponents.snapshot(
+        und.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(und.select(col("v"), col("u"))))
+      val nodes = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v"))).distinct()
+      var dist = ConnectedComponents.snapshot(
+        nodes.select(col("node").as("root"), col("node"),
+          lit(0L).as("hops"), lit(1L).as("sigma")))
+      var frontier = dist
+      var iter = 0
+      var done = false
+      while (iter < 30 && !done) {
+        iter += 1
+        val next = ConnectedComponents.snapshot(
+          frontier.join(edges, frontier("node") === edges("src"))
+            .select(col("root"), col("dst").as("node"), col("sigma"))
+            .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
+            .join(dist.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+            .select(col("root"), col("node"), lit(iter.toLong).as("hops"), col("sigma")))
+        if (next.isEmpty) {
+          done = true
+          ConnectedComponents.release(next)
+        } else {
+          val merged = ConnectedComponents.snapshot(dist.unionAll(next))
+          ConnectedComponents.release(dist)
+          if (frontier ne merged) ConnectedComponents.release(frontier)
+          dist = merged
+          frontier = next
+        }
+      }
+      ConnectedComponents.release(edges)
+      dist
+    }
+
   val betweenness: GraftOp = GraftOp(
     "graph_betweenness",
     """WITH RECURSIVE e0 AS (
@@ -1317,43 +1363,8 @@ object GraphOps {
       |  round(CAST(coalesce(bc.bc_micro, 0) AS DOUBLE) / 1000000.0, 6) AS betweenness
       |FROM nodes n LEFT JOIN bc ON n.node = bc.node
       |ORDER BY n.node""".stripMargin) { (s, d) =>
-    val und = undirectedTradeEdges(s, d)
-      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
-    val edges = ConnectedComponents.snapshot(
-      und.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(und.select(col("v"), col("u"))))
-    // derive nodes from the registry-cached `und`, NOT the snapshotted
-    // edges — the final select runs after release(edges), when a lazy
-    // plan over the checkpointed frame can no longer read
-    val nodes = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v"))).distinct()
-    var dist = ConnectedComponents.snapshot(
-      nodes.select(col("node").as("root"), col("node"),
-        lit(0L).as("hops"), lit(1L).as("sigma")))
-    var frontier = dist
-    var iter = 0
-    var done = false
-    while (iter < 30 && !done) {
-      iter += 1
-      val next = ConnectedComponents.snapshot(
-        frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("root"), col("dst").as("node"), col("sigma"))
-          .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
-          .join(dist.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
-          .select(col("root"), col("node"), lit(iter.toLong).as("hops"), col("sigma")))
-      if (next.isEmpty) {
-        done = true
-        ConnectedComponents.release(next)
-      } else {
-        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
-        ConnectedComponents.release(dist)
-        if (frontier ne merged) ConnectedComponents.release(frontier)
-        dist = merged
-        frontier = next
-      }
-    }
-    ConnectedComponents.release(edges)
-    val ds = dist
+    val ds = sigmaBfs(s, d)
+    val nodes = ds.filter(col("hops") === 0).select(col("node"))
     val st = ds.filter(col("root") < col("node") && col("hops") > 0)
       .select(col("root").as("s"), col("node").as("t"),
         col("hops").as("dh"), col("sigma").as("sig_st"))
@@ -1418,38 +1429,7 @@ object GraphOps {
       |  CASE WHEN ecc = radius THEN 1 ELSE 0 END AS is_center,
       |  CASE WHEN ecc = diameter THEN 1 ELSE 0 END AS is_periphery
       |FROM ecc, ext ORDER BY node""".stripMargin) { (s, d) =>
-    val und = undirectedTradeEdges(s, d)
-      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
-    val edges = ConnectedComponents.snapshot(
-      und.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(und.select(col("v"), col("u"))))
-    val nodes = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v"))).distinct()
-    var dist = ConnectedComponents.snapshot(
-      nodes.select(col("node").as("root"), col("node"), lit(0L).as("hops")))
-    var frontier = dist
-    var iter = 0
-    var done = false
-    while (iter < 30 && !done) {
-      iter += 1
-      val next = ConnectedComponents.snapshot(
-        frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("root"), col("dst").as("node")).distinct()
-          .join(dist.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
-          .select(col("root"), col("node"), lit(iter.toLong).as("hops")))
-      if (next.isEmpty) {
-        done = true
-        ConnectedComponents.release(next)
-      } else {
-        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
-        ConnectedComponents.release(dist)
-        if (frontier ne merged) ConnectedComponents.release(frontier)
-        dist = merged
-        frontier = next
-      }
-    }
-    ConnectedComponents.release(edges)
-    val ecc = dist.groupBy(col("root"))
+    val ecc = sigmaBfs(s, d).groupBy(col("root"))
       .agg((count(lit(1)) - 1).as("reached"), max(col("hops")).as("ecc"))
     val ext = broadcast(ecc.agg(max(col("ecc")).as("diameter"), min(col("ecc")).as("radius")))
     ecc.crossJoin(ext)
@@ -1527,37 +1507,7 @@ object GraphOps {
       |ORDER BY un.u, un.v""".stripMargin) { (s, d) =>
     val und = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
-    val edges = ConnectedComponents.snapshot(
-      und.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(und.select(col("v"), col("u"))))
-    val nodes = und.select(col("u").as("node"))
-      .unionAll(und.select(col("v"))).distinct()
-    var dist = ConnectedComponents.snapshot(
-      nodes.select(col("node").as("root"), col("node"),
-        lit(0L).as("hops"), lit(1L).as("sigma")))
-    var frontier = dist
-    var iter = 0
-    var done = false
-    while (iter < 30 && !done) {
-      iter += 1
-      val next = ConnectedComponents.snapshot(
-        frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("root"), col("dst").as("node"), col("sigma"))
-          .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
-          .join(dist.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
-          .select(col("root"), col("node"), lit(iter.toLong).as("hops"), col("sigma")))
-      if (next.isEmpty) {
-        done = true
-        ConnectedComponents.release(next)
-      } else {
-        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
-        ConnectedComponents.release(dist)
-        if (frontier ne merged) ConnectedComponents.release(frontier)
-        dist = merged
-        frontier = next
-      }
-    }
-    val ds = dist
+    val ds = sigmaBfs(s, d)
     val dirEdges = und.select(col("u").as("esrc"), col("v").as("edst"))
       .unionAll(und.select(col("v"), col("u")))
     val st = ds.filter(col("root") < col("node") && col("hops") > 0)
@@ -1576,7 +1526,6 @@ object GraphOps {
         expr("CAST(sig_su * sig_vt * 1000000 div sig_st AS BIGINT)").as("c_micro"))
     val bc = mid.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_pair_paths"), sum(col("c_micro")).as("ebc_micro"))
-    ConnectedComponents.release(edges)
     und.join(bc, Seq("u", "v"), "left")
       .select(col("u"), col("v"),
         coalesce(col("n_pair_paths"), lit(0L)).as("n_pair_paths"),
