@@ -645,7 +645,10 @@ object StatsOps2 {
       sum(col("w_i")).cast(LongType).as("sw")))
     val a = w.select(col("segment").as("seg_a"), col("n_i").as("n_a"), col("s_i").as("s_a"))
     val b = w.select(col("segment").as("seg_b"), col("n_i").as("n_b"), col("s_i").as("s_b"))
-    a.join(b, col("seg_a") < col("seg_b")).crossJoin(t)
+    // broadcast the 5-row side: the inequality pair join should plan as
+    // a BroadcastNestedLoopJoin over the segment domain, never a
+    // CartesianProduct exchange (ExplainCheck-audited)
+    a.join(broadcast(b), col("seg_a") < col("seg_b")).crossJoin(t)
       .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
         expr("CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b").as("md"),
         expr("CAST(sw AS DOUBLE) * 10000.0 / (n - k)").as("msw"))
