@@ -1056,12 +1056,15 @@ object DedupOps {
        |  CAST(n_hits * 1000000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_ppm,
        |  CAST(n_hits * 1000000 // NULLIF(n_found, 0) AS BIGINT) AS precision_ppm
        |FROM tc, fc, h""".stripMargin) { (s, d) =>
-    val t = ngram.run(s, d).select(col("doc_a"), col("doc_b"))
-    val f = minhash.run(s, d).select(col("doc_a"), col("doc_b"))
-    val hits = t.join(f, Seq("doc_a", "doc_b"), "left_semi").agg(count(lit(1)).as("n_hits"))
-    val tc = t.agg(count(lit(1)).as("n_truth"))
-    val fc = f.agg(count(lit(1)).as("n_found"))
-    tc.crossJoin(fc).crossJoin(hits)
+    // one FULL OUTER pass: referencing each route's frame once keeps
+    // its (expensive) subplan in the DAG once — the r8 first shape used
+    // the frames in two aggregates each, executing both dedup routes
+    // twice per run
+    val t = ngram.run(s, d).select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
+    val f = minhash.run(s, d).select(col("doc_a"), col("doc_b"), lit(1).as("in_f"))
+    t.join(f, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("in_t")).as("n_truth"), count(col("in_f")).as("n_found"),
+        count(when(col("in_t").isNotNull && col("in_f").isNotNull, 1)).as("n_hits"))
       .select(col("n_truth"), col("n_found"), col("n_hits"),
         expr("CAST(n_hits * 1000000 div NULLIF(n_truth, 0) AS BIGINT)").as("recall_ppm"),
         expr("CAST(n_hits * 1000000 div NULLIF(n_found, 0) AS BIGINT)").as("precision_ppm"))
