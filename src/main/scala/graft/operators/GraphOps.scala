@@ -574,6 +574,10 @@ object GraphOps {
       }
     }
     lastBfsIterations = iter
+    // the final non-empty frontier was merged into dist — its snapshot
+    // blocks are redundant; drop them so the session doesn't retain a
+    // stale generation per BFS call (frontier eq dist only pre-loop)
+    if (frontier ne dist) ConnectedComponents.release(frontier)
     ConnectedComponents.release(edges)
     dist
   }
@@ -936,6 +940,7 @@ object GraphOps {
         frontier = next
       }
     }
+    if (frontier ne dist) ConnectedComponents.release(frontier)
     ConnectedComponents.release(edges)
     dist.groupBy(col("root"))
       .agg((count(lit(1)) - 1).as("reached"), sum(col("hops")).as("tot"))
@@ -1306,6 +1311,7 @@ object GraphOps {
           frontier = next
         }
       }
+      if (frontier ne dist) ConnectedComponents.release(frontier)
       ConnectedComponents.release(edges)
       dist
     }

@@ -73,8 +73,10 @@ object StatsOps {
     * echo" diagnostic (pairs with q_seasonality's dow index and
     * q_anomaly_days' z-scores). EXACT integer core: with N days and
     * total S, the N-scaled centered value x = N·n − S is an integer,
-    * so r_k = Σ x_t·x_{t−k} / Σ x² folds exact BIGINTs; the one
-    * double division is identical cross-engine. The daily frame is
+    * so r_k = Σ x_t·x_{t−k} / Σ x² folds exactly — in DECIMAL(38)/
+    * HUGEINT, since x scales with total event count and the squared
+    * fold would wrap BIGINT past ~2³¹·⁵ events; the one double
+    * division is identical cross-engine. The daily frame is
     * date-bounded (≤ |days| rows regardless of corpus size), so the
     * lag join explodes 7 tiny rows per day — never the fact table. */
   val acf: GraftOp = GraftOp(
@@ -88,9 +90,9 @@ object StatsOps {
       |  SELECT CAST(date_diff('day', st.mind, d.day) AS BIGINT) AS i,
       |    st.nd * d.n - st.s AS x
       |  FROM d, st),
-      |den AS (SELECT sum(x * x) AS den FROM c),
+      |den AS (SELECT sum(CAST(x AS HUGEINT) * x) AS den FROM c),
       |p AS (
-      |  SELECT a.i - b.i AS lag_d, a.x * b.x AS xy
+      |  SELECT a.i - b.i AS lag_d, CAST(a.x AS HUGEINT) * b.x AS xy
       |  FROM c a JOIN c b ON a.i - b.i BETWEEN 1 AND 7)
       |SELECT CAST(lag_d AS INT) AS lag_d, count(*) AS n_pairs,
       |  round(CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
@@ -103,14 +105,14 @@ object StatsOps {
     val c = daily.crossJoin(broadcast(st))
       .select(datediff(col("day"), col("mind")).cast(LongType).as("i"),
         (col("nd") * col("n") - col("s")).as("x"))
-    val den = broadcast(c.agg(sum(col("x") * col("x")).as("den")))
+    val den = broadcast(c.agg(sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("den")))
     // equi-join form of the lag join: the right side pre-explodes its
     // 7 shifted copies, so no nested-loop range join appears in the plan
     val shifted = c.select(explode(sequence(lit(1L), lit(7L))).as("lag_d"),
       col("i").as("ib"), col("x").as("xb"))
       .select(col("lag_d"), (col("ib") + col("lag_d")).as("ia"), col("xb"))
     c.join(shifted, col("i") === col("ia"))
-      .select(col("lag_d"), (col("x") * col("xb")).as("xy"))
+      .select(col("lag_d"), (col("x").cast(DecimalType(38, 0)) * col("xb")).as("xy"))
       .groupBy(col("lag_d"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("xy")).as("sxy"))
       .crossJoin(den)
@@ -599,15 +601,18 @@ object StatsOps {
       |    CAST(sum(cents) AS BIGINT) AS s_i,
       |    sum(CAST(cents AS HUGEINT) * cents) AS ss_i
       |  FROM u GROUP BY 1),
-      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(s_i) AS BIGINT) AS s FROM g)
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(s_i) AS BIGINT) AS s FROM g),
+      |f AS (
+      |  SELECT segment, n_i, s_i, n,
+      |    CAST(s_i AS HUGEINT) * n - CAST(s AS HUGEINT) * n_i AS bd,
+      |    CAST(ss_i AS HUGEINT) * n_i - CAST(s_i AS HUGEINT) * s_i AS wd
+      |  FROM g, t)
       |SELECT segment, n_i,
-      |  round(CAST(s_i AS DOUBLE) / n_i / 100.0, 6) AS mean_spend,
-      |  round(n_i * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n)
-      |            * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n) / 10000.0, 6)
-      |    AS between_term,
-      |  round((CAST(ss_i AS DOUBLE) - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000.0, 6)
-      |    AS within_term
-      |FROM g, t ORDER BY segment""".stripMargin) { (s, d) =>
+      |  CAST(CAST(s_i AS HUGEINT) * 10000 // n_i AS BIGINT) / 1000000.0 AS mean_spend,
+      |  CAST(bd AS DOUBLE) * CAST(bd AS DOUBLE)
+      |    / (CAST(n_i AS DOUBLE) * n * n * 10000.0) AS between_term,
+      |  CAST(wd AS DOUBLE) / (CAST(n_i AS DOUBLE) * 10000.0) AS within_term
+      |FROM f ORDER BY segment""".stripMargin) { (s, d) =>
     val u = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
@@ -619,14 +624,21 @@ object StatsOps {
       .agg(count(lit(1)).as("n_i"), sum(col("cents")).as("s_i"),
         sum(col("cents").cast(DecimalType(38, 0)) * col("cents")).as("ss_i"))
     val t = broadcast(g.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s")))
+    // Exact DECIMAL(38)/HUGEINT numerators + one correctly-rounded
+    // double cast and deterministic IEEE mul/div — the q_levene r8 red
+    // row showed round(double,6) is a cross-engine midpoint lottery on
+    // exactly this formula shape, so it is banned here too.
     g.crossJoin(t)
+      .withColumn("bd",
+        expr("CAST(s_i AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * n_i"))
+      .withColumn("wd",
+        expr("CAST(ss_i AS DECIMAL(38,0)) * n_i - CAST(s_i AS DECIMAL(38,0)) * s_i"))
       .select(col("segment"), col("n_i"),
-        expr("round(CAST(s_i AS DOUBLE) / n_i / 100.0, 6)").as("mean_spend"),
-        expr("""round(n_i * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n)
-          |          * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n) / 10000.0, 6)""".stripMargin)
-          .as("between_term"),
-        expr("round((CAST(ss_i AS DOUBLE) - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000.0, 6)")
-          .as("within_term"))
+        expr("CAST(CAST(CAST(s_i AS DECIMAL(38,0)) * 10000 div n_i AS BIGINT) AS DOUBLE) / 1000000.0D")
+          .as("mean_spend"),
+        expr("""CAST(bd AS DOUBLE) * CAST(bd AS DOUBLE)
+          |  / (CAST(n_i AS DOUBLE) * n * n * 10000.0D)""".stripMargin).as("between_term"),
+        expr("CAST(wd AS DOUBLE) / (CAST(n_i AS DOUBLE) * 10000.0D)").as("within_term"))
       .orderBy(col("segment"))
   }
 
@@ -2044,17 +2056,19 @@ object StatsOps {
       |    CAST(sum(dz) AS BIGINT) AS s_i,
       |    sum(CAST(dz AS HUGEINT) * dz) AS ss_i
       |  FROM z GROUP BY 1),
-      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(s_i) AS BIGINT) AS s FROM g)
+      |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(s_i) AS BIGINT) AS s FROM g),
+      |f AS (
+      |  SELECT event_type, n_i, med, s_i, n,
+      |    CAST(s_i AS HUGEINT) * n - CAST(s AS HUGEINT) * n_i AS bd,
+      |    CAST(ss_i AS HUGEINT) * n_i - CAST(s_i AS HUGEINT) * s_i AS wd
+      |  FROM g JOIN med USING (event_type) CROSS JOIN t)
       |SELECT event_type, n_i,
-      |  round(med / 100.0, 6) AS median_value,
-      |  round(CAST(s_i AS DOUBLE) / n_i / 100.0, 6) AS mean_absdev,
-      |  round(n_i * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n)
-      |            * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n) / 10000.0, 6)
-      |    AS between_term,
-      |  round((CAST(ss_i AS DOUBLE) - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000.0, 6)
-      |    AS within_term
-      |FROM g JOIN med USING (event_type) CROSS JOIN t
-      |ORDER BY event_type""".stripMargin) { (s, d) =>
+      |  med / 100.0 AS median_value,
+      |  CAST(CAST(s_i AS HUGEINT) * 10000 // n_i AS BIGINT) / 1000000.0 AS mean_absdev,
+      |  CAST(bd AS DOUBLE) * CAST(bd AS DOUBLE)
+      |    / (CAST(n_i AS DOUBLE) * n * n * 10000.0) AS between_term,
+      |  CAST(wd AS DOUBLE) / (CAST(n_i AS DOUBLE) * 10000.0) AS within_term
+      |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val p = Tables.events(s, d)
       .select(col("event_type"),
@@ -2074,15 +2088,23 @@ object StatsOps {
       .agg(count(lit(1)).as("n_i"), sum(col("dz")).as("s_i"),
         sum(col("dz").cast(DecimalType(38, 0)) * col("dz")).as("ss_i"))
     val t = broadcast(g.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s")))
+    // between/within numerators assembled as EXACT DECIMAL(38) integers
+    // (HUGEINT on the oracle side), then ONE correctly-rounded cast to
+    // double + deterministic IEEE mul/div — no round(), no midpoint
+    // lottery (the r8 red row). bd ~ s·n_i stays within 10³⁸ up to
+    // ~10²⁷ cents-deviation mass; wd ~ ss_i·n_i within 10³⁸ to ~10³⁶.
     g.join(med, "event_type").crossJoin(t)
+      .withColumn("bd",
+        expr("CAST(s_i AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * n_i"))
+      .withColumn("wd",
+        expr("CAST(ss_i AS DECIMAL(38,0)) * n_i - CAST(s_i AS DECIMAL(38,0)) * s_i"))
       .select(col("event_type"), col("n_i"),
-        expr("round(med / 100.0, 6)").as("median_value"),
-        expr("round(CAST(s_i AS DOUBLE) / n_i / 100.0, 6)").as("mean_absdev"),
-        expr("""round(n_i * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n)
-          |          * (CAST(s_i AS DOUBLE) / n_i - CAST(s AS DOUBLE) / n) / 10000.0, 6)""".stripMargin)
-          .as("between_term"),
-        expr("round((CAST(ss_i AS DOUBLE) - CAST(s_i AS DOUBLE) * s_i / n_i) / 10000.0, 6)")
-          .as("within_term"))
+        expr("CAST(med AS DOUBLE) / 100.0D").as("median_value"),
+        expr("CAST(CAST(CAST(s_i AS DECIMAL(38,0)) * 10000 div n_i AS BIGINT) AS DOUBLE) / 1000000.0D")
+          .as("mean_absdev"),
+        expr("""CAST(bd AS DOUBLE) * CAST(bd AS DOUBLE)
+          |  / (CAST(n_i AS DOUBLE) * n * n * 10000.0D)""".stripMargin).as("between_term"),
+        expr("CAST(wd AS DOUBLE) / (CAST(n_i AS DOUBLE) * 10000.0D)").as("within_term"))
       .orderBy(col("event_type"))
   }
 

@@ -498,7 +498,9 @@ object StatsOps2 {
     * Box-Jenkins order-selection companion to q_acf (ACF says "is
     * there memory", PACF says "how many AR terms explain it" — the
     * lag where PACF cuts off IS the AR order). The ACF inputs r₁..r₄
-    * replay q_acf's exact-integer construction and are 6dp-SNAPPED
+    * replay q_acf's exact-integer construction (squared/cross folds in
+    * DECIMAL(38)/HUGEINT — x scales with corpus size, BIGINT would
+    * wrap silently on the Spark side past ~2³¹·⁵ events) and are 6dp-SNAPPED
     * before the recursion, so both engines run the identical unrolled
     * Durbin-Levinson chain (φ_kk = (r_k − Σφ_{k−1,j}r_{k−j}) /
     * (1 − Σφ_{k−1,j}r_j), coefficient updates in step) on identical
@@ -516,9 +518,9 @@ object StatsOps2 {
       |  SELECT CAST(date_diff('day', st.mind, d.day) AS BIGINT) AS i,
       |    st.nd * d.n - st.s AS x
       |  FROM d, st),
-      |den AS (SELECT sum(x * x) AS den FROM c),
+      |den AS (SELECT sum(CAST(x AS HUGEINT) * x) AS den FROM c),
       |p AS (
-      |  SELECT a.i - b.i AS lag_d, a.x * b.x AS xy
+      |  SELECT a.i - b.i AS lag_d, CAST(a.x AS HUGEINT) * b.x AS xy
       |  FROM c a JOIN c b ON a.i - b.i BETWEEN 1 AND 4),
       |r AS (
       |  SELECT CAST(lag_d AS INT) AS lag_d,
@@ -552,12 +554,12 @@ object StatsOps2 {
     val c = daily.crossJoin(broadcast(st))
       .select(datediff(col("day"), col("mind")).cast(LongType).as("i"),
         (col("nd") * col("n") - col("s")).as("x"))
-    val den = broadcast(c.agg(sum(col("x") * col("x")).as("den")))
+    val den = broadcast(c.agg(sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("den")))
     val shifted = c.select(explode(sequence(lit(1L), lit(4L))).as("lag_d"),
       col("i").as("ib"), col("x").as("xb"))
       .select(col("lag_d"), (col("ib") + col("lag_d")).as("ia"), col("xb"))
     val r = c.join(shifted, col("i") === col("ia"))
-      .select(col("lag_d"), (col("x") * col("xb")).as("xy"))
+      .select(col("lag_d"), (col("x").cast(DecimalType(38, 0)) * col("xb")).as("xy"))
       .groupBy(col("lag_d")).agg(sum(col("xy")).as("sxy"))
       .crossJoin(den)
       .select(col("lag_d").cast(IntegerType).as("lag_d"),
