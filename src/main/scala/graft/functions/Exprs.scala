@@ -140,25 +140,39 @@ object Exprs {
   def sqlMulMod(y: String, c: String): String =
     s"((($y % 4294967296) * $c + (($y // 4294967296) * $c % 4294967296) * 4294967296) % $sqlM64)"
 
-  /** DuckDB: the UTF-8 bytes of string column `src` as a HUGEINT list,
-    * JVM-signed (−128..127) — the exact byte stream
-    * HashImpls.rollingHash folds over. Codepoints come from per-char
-    * regexp split; each expands to its 1–4 UTF-8 bytes. */
-  def sqlUtf8Bytes(src: String): String =
-    s"""flatten(list_transform(list_transform(string_split_regex($src, ''),
-       |      c -> CASE WHEN c = '' THEN -1 ELSE unicode(c) END), p -> CASE
+  /** DuckDB: string column `src` as a codepoint list (−1 for the
+    * empty-string artifact of regexp splitting). */
+  def sqlCodepoints(src: String): String =
+    s"list_transform(string_split_regex($src, ''), c -> CASE WHEN c = '' THEN -1 ELSE unicode(c) END)"
+
+  /** DuckDB: a codepoint-list expression → its UTF-8 bytes as a
+    * HUGEINT list, JVM-signed (−128..127) — the exact byte stream
+    * HashImpls.rollingHash folds over. Factored from [[sqlUtf8Bytes]]
+    * so per-gram oracles can SLICE one per-doc codepoint list instead
+    * of regexp-splitting every gram. */
+  def sqlCpUtf8Bytes(cps: String): String =
+    s"""flatten(list_transform($cps, p -> CASE
        |    WHEN p < 0 THEN []
        |    WHEN p < 128 THEN [CAST(p AS HUGEINT)]
        |    WHEN p < 2048 THEN [CAST(192 + p // 64 - 256 AS HUGEINT), CAST(128 + p % 64 - 256 AS HUGEINT)]
        |    WHEN p < 65536 THEN [CAST(224 + p // 4096 - 256 AS HUGEINT), CAST(128 + (p // 64) % 64 - 256 AS HUGEINT), CAST(128 + p % 64 - 256 AS HUGEINT)]
        |    ELSE [CAST(240 + p // 262144 - 256 AS HUGEINT), CAST(128 + (p // 4096) % 64 - 256 AS HUGEINT), CAST(128 + (p // 64) % 64 - 256 AS HUGEINT), CAST(128 + p % 64 - 256 AS HUGEINT)] END))""".stripMargin
 
+  /** DuckDB: the UTF-8 bytes of string column `src` as a HUGEINT list,
+    * JVM-signed (−128..127). */
+  def sqlUtf8Bytes(src: String): String = sqlCpUtf8Bytes(sqlCodepoints(src))
+
+  /** DuckDB: HashImpls.rollingHash fold over a HUGEINT byte-list
+    * expression, as an unsigned HUGEINT. */
+  def sqlRollingHashUOverBytes(bytes: String): String =
+    s"list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), $bytes), " +
+      s"(h, b) -> ((h * 31 + b) % $sqlM64 + $sqlM64) % $sqlM64)"
+
   /** DuckDB: HashImpls.rollingHash over string column `src` —
     * h = h·31 + byte (mod 2^64) from seed 1125899906842597 — as an
     * unsigned HUGEINT. */
   def sqlRollingHashU(src: String): String =
-    s"list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), ${sqlUtf8Bytes(src)}), " +
-      s"(h, b) -> ((h * 31 + b) % $sqlM64 + $sqlM64) % $sqlM64)"
+    sqlRollingHashUOverBytes(sqlUtf8Bytes(src))
 
   /** DuckDB CTE chain replicating HashImpls.mix64 (the splitmix64
     * finalizer) on an unsigned HUGEINT column: reads `$inCol` from CTE

@@ -261,6 +261,65 @@ object HashImpls {
       new java.util.zip.Deflater(6, true)
   }
 
+  /** MOSS winnowing statistics (Schleimer et al. 2003) in ONE pass:
+    * per char position p (1-based codepoints), the k-char gram hash is
+    * the [[rollingHash]] fold over the gram's UTF-8 bytes, kept to its
+    * low 31 bits; the packed sort key h31·2³² + (2³²−1−p) makes a
+    * single min implement the (hash ASC, position DESC) winnowing tie
+    * rule; each window of w consecutive grams selects its min-key gram,
+    * and the fingerprint set is the distinct selected positions.
+    * Winner positions are non-decreasing as the window slides (a gram
+    * that loses the min to a later gram has left the window before the
+    * later one does), so distinct-counting is change-counting — a
+    * monotonic deque gives the whole scan O(len) time and O(len) space
+    * with zero per-position string allocation. Returns
+    * [n_grams, n_windows, n_selected]. */
+  def winnowStats(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    // codepoint start offsets (UTF-8 lead bytes), built once
+    var cpCount = 0
+    var i = 0
+    while (i < bytes.length) { if ((bytes(i) & 0xc0) != 0x80) cpCount += 1; i += 1 }
+    val off = new Array[Int](cpCount + 1)
+    i = 0
+    var c = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { off(c) = i; c += 1 }
+      i += 1
+    }
+    off(cpCount) = bytes.length
+    val m = cpCount - (k - 1) // grams
+    val nw = m - (w - 1) // full windows
+    if (m <= 0 || nw <= 0)
+      return new GenericArrayData(
+        Array[Any](math.max(m, 0).toLong, math.max(nw, 0).toLong, 0L))
+    val keys = new Array[Long](m + 1) // keys(p), p = 1..m
+    val dq = new Array[Int](m + 1) // monotonic deque of gram indices
+    var head = 0
+    var tail = 0 // live range [head, tail)
+    var selected = 0L
+    var lastWinner = -1L
+    var p = 1
+    while (p <= m) {
+      var h = 1125899906842597L
+      var b = off(p - 1)
+      val e = off(p - 1 + k)
+      while (b < e) { h = h * 31L + bytes(b); b += 1 }
+      val key = ((h & 0x7fffffffL) << 32) | (4294967295L - p)
+      keys(p) = key
+      while (tail > head && keys(dq(tail - 1)) > key) tail -= 1
+      dq(tail) = p
+      tail += 1
+      if (dq(head) <= p - w) head += 1 // window covers grams [p−w+1, p]
+      if (p >= w) {
+        val winnerP = 4294967295L - (keys(dq(head)) & 0xffffffffL)
+        if (winnerP != lastWinner) { selected += 1; lastWinner = winnerP }
+      }
+      p += 1
+    }
+    new GenericArrayData(Array[Any](m.toLong, nw.toLong, selected))
+  }
+
   /** Deflated (zlib level 6, raw) byte count of the string's UTF-8
     * bytes — the compressibility quality signal (boilerplate and
     * near-repetition compress far below natural prose). */

@@ -169,6 +169,26 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** WinnowStats(text, k, w) — MOSS winnowing fingerprint statistics
+  * [n_grams, n_windows, n_selected] in one O(len) pass per document
+  * (k-char-gram rolling hashes + monotonic-deque window min), instead
+  * of exploding every char position through an exchange and a window
+  * operator. Codegen'd kernel call keeps the whole-stage span. */
+case class WinnowStats(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.winnowStats(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.winnowStats($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowStats =
+    copy(child = newChild)
+}
+
 /** SimHash64(array<string>) — native Catalyst expression: 64-bit
   * SimHash over a token array (per-token splitmix64, per-bit voting).
   */

@@ -13,6 +13,9 @@ package object functions {
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
 
+  def winnow_stats(text: Column, k: Int, w: Int): Column =
+    ColumnShim.column(WinnowStats(ColumnShim.expression(text), k, w))
+
   /** splitmix64 finalizer over a BIGINT column (HashImpls.mix64) —
     * the deterministic shuffle key; DuckDB twin: Exprs.sqlMix64Ctes. */
   def mix64(c: Column): Column =

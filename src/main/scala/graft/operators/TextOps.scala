@@ -1026,28 +1026,34 @@ object TextOps {
     * substring ≥ 15 chars yields a shared fingerprint, with expected
     * density 2/(w+1)). Everything is integers and portable md5 hashes
     * (31-bit here, so hash and position pack into ONE BIGINT sort
-    * key); the winner of the window ending at position p is a running
-    * `min(key) ROWS 7 PRECEDING` over `key = h31·2³² + (2³²−1−p)` —
-    * min key ≡ (hash ASC, pos DESC), the winnowing tie rule — so the
-    * whole selection hash-matches DuckDB. Emits per-doc fingerprint
-    * counts + density (exact ppm).
+    * key); the winner of the window ending at position p is the min
+    * of `key = h31·2³² + (2³²−1−p)` over the trailing 8 grams —
+    * min key ≡ (hash ASC, pos DESC), the winnowing tie rule. Gram
+    * hashes are the engine's rolling-hash kernel (h·31+byte fold over
+    * the gram's UTF-8 bytes, low 31 bits), already independently
+    * oracled by text_fingerprint. Emits per-doc fingerprint counts +
+    * density (exact ppm).
     *
-    * Plan shape (r8): ONE ordered window pass per doc partition and
-    * the per-doc count-distinct — r7 exploded every char-position ×8
-    * into its covering windows and ranked each (doc, window) group
-    * through a shuffle, putting 9× the corpus's largest dimension
-    * (chars) through the exchange; the running-min frame puts it
-    * through ONCE (8.7 s → ~1 s at sf0.1, and the 100× story changes
-    * from scale-killer to linear). */
+    * Plan shape (r9): the whole per-doc scan — gram hashing, the
+    * sliding window min (monotonic deque) and the distinct-winner
+    * count — runs in ONE codegen'd WinnowStats kernel pass, so no char
+    * position ever reaches an exchange or a window operator: the plan
+    * is scan → project → sort, linear in corpus bytes and
+    * embarrassingly parallel (r8's per-position md5 + partitioned
+    * running-min window put |chars| rows through one exchange: 3.9 s
+    * at sf0.1 → ~0.3 s). The oracle replays gram hashing by slicing
+    * ONE per-doc codepoint list and the selection via the equivalent
+    * running-min window formulation. */
   val winnowing: GraftOp = GraftOp(
     "text_winnowing",
-    s"""WITH g AS (
+    s"""WITH g0 AS (
+       |  SELECT doc_id, length(text) - 7 AS m, ${Exprs.sqlCodepoints("text")} AS cp
+       |  FROM documents WHERE length(text) >= 15),
+       |g AS (
        |  SELECT doc_id, m, p,
-       |    (${Exprs.sqlMd5Long("substr(text, CAST(p AS INT), 8)")} % 2147483648)
-       |      * 4294967296 + (4294967295 - p) AS key
-       |  FROM (SELECT doc_id, text, length(text) - 7 AS m,
-       |          unnest(generate_series(1, length(text) - 7)) AS p
-       |        FROM documents WHERE length(text) >= 15)),
+       |    CAST((${Exprs.sqlRollingHashUOverBytes(Exprs.sqlCpUtf8Bytes("list_slice(cp, p, p + 7)"))}
+       |      % 2147483648) * 4294967296 + (4294967295 - p) AS BIGINT) AS key
+       |  FROM (SELECT doc_id, m, cp, unnest(generate_series(1, m)) AS p FROM g0)),
        |w AS (
        |  SELECT doc_id, m, p,
        |    min(key) OVER (PARTITION BY doc_id ORDER BY p
@@ -1059,25 +1065,15 @@ object TextOps {
        |  CAST(count(DISTINCT 4294967295 - mk % 4294967296) * 1000000 // (m - 7) AS BIGINT)
        |    AS density_ppm
        |FROM w WHERE p >= 8 GROUP BY doc_id, m ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val g = Tables.documents(s, d)
+    Tables.documents(s, d)
       .filter(length(col("text")) >= 15)
-      .select(col("doc_id"), col("text"), (length(col("text")) - 7).as("m"))
-      .select(col("doc_id"), col("text"), col("m"),
-        explode(sequence(lit(1), col("m"))).as("p"))
-      .select(col("doc_id"), col("m"), col("p"),
-        ((Exprs.md5Long(expr("substring(text, p, 8)")) % 2147483648L)
-          * 4294967296L + (lit(4294967295L) - col("p"))).as("key"))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(-7, Window.currentRow)
-    g.withColumn("mk", min(col("key")).over(byPos))
-      .filter(col("p") >= 8) // full windows only: row p closes window t = p−7
-      .withColumn("winner_p", lit(4294967295L) - col("mk") % 4294967296L)
-      .groupBy(col("doc_id"), col("m"))
-      .agg(countDistinct(col("winner_p")).as("n_selected"))
-      .select(col("doc_id"), col("m").cast("long").as("n_grams"),
-        (col("m") - 7).cast("long").as("n_windows"), col("n_selected"),
-        expr("CAST(n_selected * 1000000 div (m - 7) AS BIGINT)").as("density_ppm"))
+      .select(col("doc_id"), graft.functions.winnow_stats(col("text"), 8, 8).as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_grams"),
+        col("st").getItem(1).as("n_windows"),
+        col("st").getItem(2).as("n_selected"))
+      .withColumn("density_ppm",
+        expr("CAST(n_selected * 1000000 div n_windows AS BIGINT)"))
       .orderBy(col("doc_id"))
   }
 
