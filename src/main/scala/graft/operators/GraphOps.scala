@@ -1265,10 +1265,12 @@ object GraphOps {
     *
     * Scale: rounds = diameter; every frame is ≤|V|² on the
     * nation-bounded graph, and the triple join is |V|³ worst case —
-    * the exact algorithm is for domain-bounded graphs; on a
-    * billion-node graph the same loop runs landmark-sampled roots
-    * (Brandes-pivot approximation), which this op's structure admits
-    * by filtering the root frame. */
+    * the exact algorithm is for domain-bounded graphs. For unbounded
+    * graphs set `spark.graft.betweenness.roots=K`: the op switches to
+    * Brandes-pivot landmark sampling (K portable-hash-chosen pivot
+    * sources, ordered-pair dependencies rescaled by |V|/(2K)), which
+    * reduces bit-exactly to the exact route when K ≥ |V| (spec-pinned)
+    * and drops the triple join to K·|V|². */
   /** Shared all-sources σ-BFS over the hash-sparsified undirected
     * graph: one frame (root, node, hops, sigma) with exact
     * shortest-path counts, registry-persisted because THREE ops
@@ -1371,26 +1373,66 @@ object GraphOps {
       |ORDER BY n.node""".stripMargin) { (s, d) =>
     val ds = sigmaBfs(s, d)
     val nodes = ds.filter(col("hops") === 0).select(col("node"))
-    val st = ds.filter(col("root") < col("node") && col("hops") > 0)
-      .select(col("root").as("s"), col("node").as("t"),
-        col("hops").as("dh"), col("sigma").as("sig_st"))
     val a = ds.select(col("root").as("s"), col("node").as("v"),
       col("hops").as("ha"), col("sigma").as("sig_sv"))
     val b = ds.select(col("root").as("v"), col("node").as("t"),
       col("hops").as("hb"), col("sigma").as("sig_vt"))
-    val mid = st.join(a, Seq("s")).filter(col("v") =!= col("s") && col("v") =!= col("t"))
-      .join(b, Seq("v", "t"))
-      .filter(col("ha") + col("hb") === col("dh"))
-      .select(col("v"),
-        expr("CAST(sig_sv * sig_vt * 1000000 div sig_st AS BIGINT)").as("c_micro"))
-    val bc = mid.groupBy(col("v").as("node"))
-      .agg(count(lit(1)).as("n_pair_paths"), sum(col("c_micro")).as("bc_micro"))
-    nodes.join(bc, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("n_pair_paths"), lit(0L)).as("n_pair_paths"),
-        coalesce(col("bc_micro"), lit(0L)).as("bc_micro"),
-        expr("round(CAST(coalesce(bc_micro, 0) AS DOUBLE) / 1000000.0, 6)").as("betweenness"))
-      .orderBy(col("node"))
+    s.conf.getOption("spark.graft.betweenness.roots").map(_.toInt) match {
+      case None =>
+        val st = ds.filter(col("root") < col("node") && col("hops") > 0)
+          .select(col("root").as("s"), col("node").as("t"),
+            col("hops").as("dh"), col("sigma").as("sig_st"))
+        val mid = st.join(a, Seq("s")).filter(col("v") =!= col("s") && col("v") =!= col("t"))
+          .join(b, Seq("v", "t"))
+          .filter(col("ha") + col("hb") === col("dh"))
+          .select(col("v"),
+            expr("CAST(sig_sv * sig_vt * 1000000 div sig_st AS BIGINT)").as("c_micro"))
+        val bc = mid.groupBy(col("v").as("node"))
+          .agg(count(lit(1)).as("n_pair_paths"), sum(col("c_micro")).as("bc_micro"))
+        nodes.join(bc, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("n_pair_paths"), lit(0L)).as("n_pair_paths"),
+            coalesce(col("bc_micro"), lit(0L)).as("bc_micro"),
+            expr("round(CAST(coalesce(bc_micro, 0) AS DOUBLE) / 1000000.0, 6)").as("betweenness"))
+          .orderBy(col("node"))
+      case Some(k) =>
+        // Brandes-pivot landmark sampling (Brandes & Pich 2007): run
+        // the pair-dependency sum only for ORDERED pairs whose source
+        // is one of K pivots chosen by portable hash (deterministic,
+        // engine-replayable), then scale by |V|/K. Ordered pairs make
+        // the per-source dependency the unit of sampling; on the
+        // undirected graph Σ_ordered = 2·Σ_{s<t}, so the |V|/(2K)
+        // rescale reduces BIT-EXACTLY to the exact route when K ≥ |V|
+        // (the spec pin). At billion-node scale this is the admissible
+        // route: the σ-BFS root frame shrinks |V|× → K×, and the
+        // triple join is K·|V|² instead of |V|³.
+        val pivots = broadcast(nodes
+          .orderBy(graft.functions.Exprs.md5Long(col("node")), col("node"))
+          .limit(k)
+          .select(col("node").as("s")))
+        val tot = broadcast(nodes.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(pivots.agg(count(lit(1)).as("k_roots"))))
+        val st = ds.filter(col("hops") > 0)
+          .join(pivots, ds("root") === pivots("s"))
+          .select(col("root").as("s"), col("node").as("t"),
+            col("hops").as("dh"), col("sigma").as("sig_st"))
+        val mid = st.join(a, Seq("s")).filter(col("v") =!= col("s") && col("v") =!= col("t"))
+          .join(b, Seq("v", "t"))
+          .filter(col("ha") + col("hb") === col("dh"))
+          .select(col("v"),
+            expr("CAST(sig_sv * sig_vt * 1000000 div sig_st AS BIGINT)").as("c_micro"))
+        val bc = mid.groupBy(col("v").as("node"))
+          .agg(count(lit(1)).as("n_ordered"), sum(col("c_micro")).as("c_sum"))
+        nodes.join(bc, Seq("node"), "left").crossJoin(tot)
+          .select(col("node"),
+            expr("CAST(coalesce(n_ordered, 0) * n_nodes div (2 * k_roots) AS BIGINT)")
+              .as("n_pair_paths"),
+            expr("CAST(coalesce(c_sum, 0) * n_nodes div (2 * k_roots) AS BIGINT)")
+              .as("bc_micro"),
+            expr("""round(CAST(CAST(coalesce(c_sum, 0) * n_nodes div (2 * k_roots) AS BIGINT)
+              |  AS DOUBLE) / 1000000.0, 6)""".stripMargin).as("betweenness"))
+          .orderBy(col("node"))
+    }
   }
 
   /** Eccentricity / diameter / radius — the worst-case-distance
