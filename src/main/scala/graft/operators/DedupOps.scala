@@ -376,8 +376,50 @@ object DedupOps {
     * Sorted run order puts this before every consumer, so each
     * downstream query times its OWN plan against warm indexes instead
     * of absorbing a family-shared cold build (clean per-query bench
-    * attribution). Engine-internal statistics → rows-only. */
-  val candidateIndex: GraftOp = GraftOp.rowsOnly("dedup_candidate_index") { (s, d) =>
+    * attribution).
+    *
+    * Oracled (r9): every emitted statistic is an exact corpus
+    * cardinality DuckDB re-derives from the same definitions — the
+    * shingle/minhash chain reuses [[sqlMinhashVerified]] verbatim, the
+    * cluster walk the dedup_clusters recursion, the trade edges the
+    * graph ops' e0/und0 CTEs, and the three per-vector frames are one
+    * row per embeddings row by construction. */
+  val candidateIndex: GraftOp = GraftOp(
+    "dedup_candidate_index",
+    s"""WITH RECURSIVE $sqlMinhashVerified,
+       |vp AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.8),
+       |pe AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |       UNION ALL SELECT doc_b, doc_a FROM vp),
+       |vv AS (SELECT DISTINCT src AS doc FROM pe),
+       |rare AS (SELECT sid FROM sh GROUP BY sid HAVING count(*) <= 50),
+       |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |bp AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |       FROM items a JOIN items b
+       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS (SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+       |       FROM lineitem, orders, supplier, customer, nation n1, nation n2
+       |       WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+       |         AND o_custkey = c_custkey
+       |         AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+       |         AND n1.n_nationkey <> n2.n_nationkey),
+       |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0)
+       |SELECT stat, value FROM (
+       |  SELECT 'affinity_basket_pairs' AS stat, CAST(count(*) AS BIGINT) AS value FROM bp
+       |  UNION ALL SELECT 'dedup_cluster_labels', CAST(count(*) AS BIGINT) FROM vv
+       |  UNION ALL SELECT 'dedup_hashed_index', CAST(count(*) AS BIGINT) FROM sh
+       |  UNION ALL SELECT 'dedup_minhash_pairs', CAST(count(*) AS BIGINT) FROM vp
+       |  UNION ALL SELECT 'dedup_rare_index', CAST(count(*) AS BIGINT) FROM sh
+       |    WHERE sid IN (SELECT sid FROM rare)
+       |  UNION ALL SELECT 'dedup_shingled', CAST(count(*) AS BIGINT) FROM documents
+       |  UNION ALL SELECT 'dedup_simhash_docs', CAST(count(*) AS BIGINT) FROM documents
+       |  UNION ALL SELECT 'distinct_shingles', CAST(count(DISTINCT sid) AS BIGINT) FROM sh
+       |  UNION ALL SELECT 'emb_km_assigned', CAST(count(*) AS BIGINT) FROM embeddings
+       |  UNION ALL SELECT 'emb_pq_codes', CAST(count(*) AS BIGINT) FROM embeddings
+       |  UNION ALL SELECT 'graph_trade_edges', CAST(count(*) AS BIGINT) FROM e0
+       |  UNION ALL SELECT 'graph_und_edges', CAST(count(*) AS BIGINT) FROM und0
+       |  UNION ALL SELECT 'knn_ivf_assigned', CAST(count(*) AS BIGINT) FROM embeddings
+       |) ORDER BY stat""".stripMargin) { (s, d) =>
     import s.implicits._
     val built = SharedIndexes.materializeAll(s, d)
     val distinctShingles = hashedIndex(s, d)
