@@ -979,4 +979,82 @@ class SinkSpec extends AnyFunSuite {
     assert(stmt === raw"INSERT INTO t (amount,code,tag) VALUES (42,'7','x\'y')")
   }
 
+  test("streaming theta audience: out-of-order chunks + overlapping replay == batch (r9)") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic full shuffle (portable-hash order), then overlapping
+    // chunks: each trigger re-delivers the tail of the previous one —
+    // KMV adds are set inserts, so disorder AND replay must both vanish
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect()
+      .sortBy(e => graft.functions.HashImpls.mix64(e.event_id))
+    val chunks = rows.grouped(math.max(1, rows.length / 7)).toSeq
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.audienceSketchStream(mem.toDS())
+      .toDF("month", "approx_users")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("theta_ooo_out").start()
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        mem.addData(c.toIndexedSeq)
+        if (i > 0) mem.addData(chunks(i - 1).takeRight(25).toIndexedSeq) // replay overlap
+      }
+      q.processAllAvailable()
+      val got = spark.table("theta_ooo_out").groupBy("month")
+        .agg(last(col("approx_users")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.sources.Tables.events(spark, sf)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(graft.functions.theta_estimate(
+          graft.functions.theta_sketch_agg(col("user_id"))).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === batch, s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
+  test("streaming attribution: intra-trigger disorder + overlapping replay == batch (r9)") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingPipelines.UpsertRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the op's documented contract: per-trigger folds sort their group
+    // and the high-water mark skips re-delivered prefixes, so ANY
+    // intra-trigger disorder plus replay of already-folded chunks must
+    // reproduce the batch window op as long as chunk BOUNDARIES respect
+    // event time. Chunks split on event-time order; inside each chunk
+    // the rows are deterministically shuffled; every trigger also
+    // re-delivers the whole previous chunk.
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[UpsertRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = rows.grouped(math.max(1, rows.length / 5))
+      .map(_.sortBy(e => graft.functions.HashImpls.mix64(e.event_id))).toSeq
+    val mem = MemoryStream[UpsertRow]
+    val q = StreamingPipelines.attributionStream(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("attrib_ooo_out").start()
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        mem.addData(c.toIndexedSeq)
+        if (i > 0) mem.addData(chunks(i - 1).toIndexedSeq) // replay the whole previous chunk
+      }
+      q.processAllAvailable()
+      val got = spark.table("attrib_ooo_out").groupBy(col("_1"))
+        .agg(last(col("_2")).as("credits"))
+        .select(explode(col("credits")).as("c"))
+        .groupBy(col("c._1")).agg(sum(col("c._2")), sum(col("c._3")))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = graft.operators.EventsAnalytics.attribution.run(spark, sf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === want, s"stream=$got batch=$want")
+    } finally q.stop()
+  }
+
 }
