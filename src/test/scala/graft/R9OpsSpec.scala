@@ -74,6 +74,47 @@ class R9OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.betweenness.roots")
   }
 
+  test("r9 stats tier: bounds and identities hold") {
+    val mood = operators.StatsOps3.moodMedian.run(spark, sf).collect()
+    assert(mood.length === 5)
+    val nAll = mood.map(_.getLong(1)).sum
+    mood.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1), s"above+below=n_i: $r")
+      assert(r.getDouble(5) >= 0, s"chi2 term non-negative: $r")
+      assert(r.getDouble(4) > 0, s"median positive: $r")
+    }
+    // lower median: at least half the mass sits at or below it globally
+    assert(mood.map(_.getLong(3)).sum * 2 >= nAll, "median must split the mass")
+
+    val jt = operators.StatsOps3.jonckheere.run(spark, sf).collect()
+    assert(jt.length === 1)
+    val (jn, jk, jStat, jMean) =
+      (jt(0).getLong(0), jt(0).getLong(1), jt(0).getDouble(2), jt(0).getDouble(3))
+    assert(jk === 4)
+    assert(jStat >= 0 && jStat <= jn.toDouble * jn / 2, s"J within pair bounds: ${jt(0)}")
+    assert(jMean > 0 && !jt(0).getDouble(4).isNaN, s"null mean and z defined: ${jt(0)}")
+
+    val cvm = operators.StatsOps3.cvm.run(spark, sf).collect()(0)
+    assert(cvm.getDouble(2) >= 0 && cvm.getDouble(2) <= cvm.getLong(0) + cvm.getLong(1),
+      s"CvM T in [0, N]: $cvm")
+
+    val dunn = operators.StatsOps3.dunn.run(spark, sf).collect()
+    assert(dunn.length === 3, "C(3,2) return-flag pairs")
+    dunn.foreach(r => assert(!r.getDouble(4).isNaN, s"z defined: $r"))
+
+    val lb = operators.StatsOps3.ljungBox.run(spark, sf).collect()(0)
+    assert(lb.getDouble(1) >= 0, s"Q non-negative: $lb")
+    assert((lb.getInt(2) == 1) === (lb.getDouble(1) > 14.067), s"flag consistent: $lb")
+
+    val ent = operators.StatsOps3.entropyRate.run(spark, sf).collect()
+    assert(ent.length === 5)
+    ent.foreach { r =>
+      val h = r.getDouble(2)
+      assert(h >= 0 && h <= math.log(5.0) + 1e-4,
+        s"conditional entropy within [0, ln 5]: $r")
+    }
+  }
+
   test("betweenness: K = 8 pivots give a bounded, non-degenerate approximation") {
     val exact = operators.GraphOps.betweenness.run(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
