@@ -1444,6 +1444,68 @@ object GraphOps {
     * eccentricity, and the center/periphery flags compare exact
     * integers. Rounds = diameter, frames ≤|V|² — same scale shape as
     * closeness (landmark roots at billion-node scale). */
+  /** Harmonic centrality — closeness's disconnected-robust sibling:
+    * Σ 1/d(s,t) instead of 1/Σd, so unreachable nodes contribute 0
+    * rather than poisoning the sum (the form the centrality
+    * literature recommends on graphs that are not strongly
+    * connected). Reuses the registry-shared [[sigmaBfs]] distance
+    * frame (fourth consumer — no new BFS loop); each inverse distance
+    * is the exact micro integer 10⁶ div hops, so the per-root sum is
+    * an exact BIGINT and both the raw and the (n−1)-normalized emits
+    * are micro-grid doubles. Same landmark-sampling story as
+    * closeness at unbounded scale. */
+  val harmonic: GraftOp = GraftOp(
+    "graph_harmonic",
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |und AS (SELECT u, v FROM und0
+      |  WHERE CAST(concat('0x', substring(md5(concat(u, '|', v)), 1, 15)) AS BIGINT) % 4 = 0),
+      |edges AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |walk AS (
+      |  SELECT node AS root, node, 0 AS hops FROM nodes
+      |  UNION
+      |  SELECT w.root, e.dst, w.hops + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.hops < 30),
+      |d AS (
+      |  SELECT root, node, CAST(min(hops) AS BIGINT) AS hops
+      |  FROM walk GROUP BY 1, 2),
+      |h AS (
+      |  SELECT root, CAST(count(*) AS BIGINT) AS reached,
+      |    CAST(sum(1000000 // hops) AS BIGINT) AS h_micro
+      |  FROM d WHERE hops > 0 GROUP BY 1)
+      |SELECT n.node, coalesce(h.reached, 0) AS reached,
+      |  coalesce(h.h_micro, 0) AS harmonic_micro,
+      |  round(CAST(coalesce(h.h_micro, 0) AS DOUBLE) / 1000000.0, 6) AS harmonic,
+      |  CAST(coalesce(h.h_micro, 0) AS DOUBLE)
+      |    / (1000000.0 * (CAST(nc.n AS DOUBLE) - 1)) AS harmonic_norm
+      |FROM nodes n LEFT JOIN h ON n.node = h.root CROSS JOIN nc
+      |ORDER BY n.node""".stripMargin) { (s, d) =>
+    val ds = sigmaBfs(s, d)
+    val nodes = ds.filter(col("hops") === 0).select(col("node"))
+    val nc = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val h = ds.filter(col("hops") > 0)
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("1000000 div hops")).as("h_micro"))
+    nodes.join(h, nodes("node") === h("root"), "left").crossJoin(nc)
+      .select(col("node"),
+        coalesce(col("reached"), lit(0L)).as("reached"),
+        coalesce(col("h_micro"), lit(0L)).as("harmonic_micro"),
+        expr("round(CAST(coalesce(h_micro, 0) AS DOUBLE) / 1000000.0, 6)").as("harmonic"),
+        expr("""CAST(coalesce(h_micro, 0) AS DOUBLE)
+          |  / (1000000.0D * (CAST(n AS DOUBLE) - 1))""".stripMargin).as("harmonic_norm"))
+      .orderBy(col("node"))
+  }
+
   val eccentricity: GraftOp = GraftOp(
     "graph_eccentricity",
     """WITH RECURSIVE e0 AS (
@@ -1585,5 +1647,5 @@ object GraphOps {
 
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
     clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport, betweenness, eccentricity,
-    edgeBetweenness)
+    edgeBetweenness, harmonic)
 }

@@ -1365,9 +1365,122 @@ object TextOps {
       .orderBy(col("bucket"))
   }
 
+  /** Per-source character-class census: alpha / digit / whitespace /
+    * other counts and exact ppm shares — the cheapest structural
+    * fingerprint of a slice (code dumps run digit+punct heavy, tables
+    * whitespace heavy, prose alpha heavy), the gate a mixing pipeline
+    * reads before trusting `source` labels. Three linear regex passes
+    * per document with EXPLICIT character classes (never \\s or \\w —
+    * Java and RE2 disagree on their edges), all counts exact BIGINTs,
+    * shares integral-division ppm floors. One |sources|-row
+    * aggregate. */
+  val charClasses: GraftOp = GraftOp(
+    "text_char_classes",
+    """WITH d AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS n,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS al,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS dg,
+      |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n) AS BIGINT) AS n_chars, CAST(sum(al) AS BIGINT) AS n_alpha,
+      |    CAST(sum(dg) AS BIGINT) AS n_digit, CAST(sum(ws) AS BIGINT) AS n_space
+      |  FROM d GROUP BY 1)
+      |SELECT source, n_docs, n_chars, n_alpha, n_digit, n_space,
+      |  n_chars - n_alpha - n_digit - n_space AS n_other,
+      |  CAST(n_alpha * 1000000 // n_chars AS BIGINT) AS alpha_ppm,
+      |  CAST(n_digit * 1000000 // n_chars AS BIGINT) AS digit_ppm,
+      |  CAST((n_chars - n_alpha - n_digit - n_space) * 1000000 // n_chars AS BIGINT)
+      |    AS other_ppm
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val doc = Tables.documents(s, d)
+      .select(col("source"), length(col("text")).cast(LongType).as("n"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", "")))
+          .cast(LongType).as("al"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast(LongType).as("dg"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[ \t\n\r]", "")))
+          .cast(LongType).as("ws"))
+    doc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
+        sum(col("al")).as("n_alpha"), sum(col("dg")).as("n_digit"),
+        sum(col("ws")).as("n_space"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_alpha"),
+        col("n_digit"), col("n_space"),
+        (col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space")).as("n_other"),
+        expr("CAST(n_alpha * 1000000 div n_chars AS BIGINT)").as("alpha_ppm"),
+        expr("CAST(n_digit * 1000000 div n_chars AS BIGINT)").as("digit_ppm"),
+        expr("""CAST((n_chars - n_alpha - n_digit - n_space) * 1000000 div n_chars
+          | AS BIGINT)""".stripMargin).as("other_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Dunning log-likelihood (G²) keyword extraction per source — the
+    * statistically-grounded "what words characterize this slice"
+    * readout (Dunning 1993), stronger than raw lift for rare tokens
+    * and the standard corpus-comparison tool. Candidate keywords are
+    * selected by EXACT integer criteria (a ≥ 5 occurrences in the
+    * source and lift ≥ 1.2 as 5·a·N ≥ 6·r_a·c_a, products in
+    * DECIMAL(38)/HUGEINT — the synthetic sources share most of one
+    * vocabulary, so lifts sit near 1 and regress toward it as the
+    * corpus grows)
+    * so the emitted ROW SET can never flip on a 1-ulp double; G² is
+    * then the written-out 4-cell formula with each x·ln(x·N/(row·col))
+    * term 6dp-snapped (ln is libm — the snap-then-consume rescue).
+    * The (source, token) agg is the text_top_tokens shuffle shape. */
+  val g2Keywords: GraftOp = GraftOp(
+    "text_g2_keywords",
+    """WITH st AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+      |  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |ct AS (SELECT tok, CAST(sum(a) AS BIGINT) AS ca FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(a) AS BIGINT) AS ra FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM st),
+      |k AS (
+      |  SELECT st.source, st.tok, st.a, ct.ca, ns.ra, n.n,
+      |    ns.ra - st.a AS b, ct.ca - st.a AS c, n.n - ns.ra - ct.ca + st.a AS dd
+      |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n
+      |  WHERE st.a >= 5 AND 5 * CAST(st.a AS HUGEINT) * n.n >= 6 * CAST(ns.ra AS HUGEINT) * ct.ca)
+      |SELECT source, tok, a AS n_in_source, ca AS n_corpus,
+      |  CAST(CAST(a AS HUGEINT) * n * 1000000 // (CAST(ra AS HUGEINT) * ca) AS BIGINT)
+      |    AS lift_ppm,
+      |  2 * (round(CASE WHEN a = 0 THEN 0 ELSE a * ln(CAST(a AS DOUBLE) * n / (CAST(ra AS DOUBLE) * ca)) END, 6)
+      |     + round(CASE WHEN b = 0 THEN 0 ELSE b * ln(CAST(b AS DOUBLE) * n / (CAST(ra AS DOUBLE) * (n - ca))) END, 6)
+      |     + round(CASE WHEN c = 0 THEN 0 ELSE c * ln(CAST(c AS DOUBLE) * n / (CAST(n - ra AS DOUBLE) * ca)) END, 6)
+      |     + round(CASE WHEN dd = 0 THEN 0 ELSE dd * ln(CAST(dd AS DOUBLE) * n / (CAST(n - ra AS DOUBLE) * (n - ca))) END, 6))
+      |    AS g2
+      |FROM k ORDER BY source, tok""".stripMargin) { (s, d) =>
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("a")).as("ca"))
+    val ns = broadcast(st.groupBy(col("source")).agg(sum(col("a")).as("ra")))
+    val n = broadcast(st.agg(sum(col("a")).as("n")))
+    st.join(ct, Seq("tok")).join(ns, Seq("source")).crossJoin(n)
+      .filter(col("a") >= 5 &&
+        col("a").cast(DecimalType(38, 0)) * col("n") * 5 >=
+          col("ra").cast(DecimalType(38, 0)) * col("ca") * 6)
+      .withColumn("b", col("ra") - col("a"))
+      .withColumn("c", col("ca") - col("a"))
+      .withColumn("dd", col("n") - col("ra") - col("ca") + col("a"))
+      .select(col("source"), col("tok"), col("a").as("n_in_source"),
+        col("ca").as("n_corpus"),
+        expr("""CAST(CAST(a AS DECIMAL(38,0)) * n * 1000000
+          | div (CAST(ra AS DECIMAL(38,0)) * ca) AS BIGINT)""".stripMargin).as("lift_ppm"),
+        expr("""2 * (round(CASE WHEN a = 0 THEN 0 ELSE a * ln(CAST(a AS DOUBLE) * n / (CAST(ra AS DOUBLE) * ca)) END, 6)
+          |   + round(CASE WHEN b = 0 THEN 0 ELSE b * ln(CAST(b AS DOUBLE) * n / (CAST(ra AS DOUBLE) * (n - ca))) END, 6)
+          |   + round(CASE WHEN c = 0 THEN 0 ELSE c * ln(CAST(c AS DOUBLE) * n / (CAST(n - ra AS DOUBLE) * ca)) END, 6)
+          |   + round(CASE WHEN dd = 0 THEN 0 ELSE dd * ln(CAST(dd AS DOUBLE) * n / (CAST(n - ra AS DOUBLE) * (n - ca))) END, 6))""".stripMargin)
+          .as("g2"))
+      .orderBy(col("source"), col("tok"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(quality, langId, tokenCount, fingerprint, topTokens, repetition, topBigrams, pmi, bm25, qualityModel, curriculum, mixEntropy, tfidf,
       decontam, piiRedact, normalize, chunks, rarityTiers, hashingTf, lmScore, zipf,
       readability, jsDivergence, ttr, compressionRatio, novelty, heaps, winnowing, chao1,
-      langConfusion, utf8Audit, vocabOverlap, simpson, calibration)
+      langConfusion, utf8Audit, vocabOverlap, simpson, calibration, charClasses, g2Keywords)
 }
