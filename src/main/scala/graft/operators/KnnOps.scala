@@ -985,8 +985,39 @@ object KnnOps {
         col("worst").as("worst_node_hits"))
   }
 
+  /** ORACLE-CHECKED MRR audit of the LSH serve path — recall@10 says
+    * "did the true neighbors appear"; MRR says "how HIGH did the one
+    * that matters rank" (the metric retrieval evals actually report,
+    * and the one that degrades first when bucketing quality slips:
+    * recall can hold at 0.9 while the true top-1 drifts to rank 8).
+    * Composes the two audited ops' own oracle SQL verbatim (the
+    * knn_pq_recall discipline — audit and audited cannot drift): the
+    * exact top-1 from knn_brute, its rank in knn_lsh's emitted top-10,
+    * reciprocal rank as the exact integral 10⁶ div rank (0 = miss).
+    * Cost is the two serve paths plus a 5-row join. */
+  val lshMrr: GraftOp = GraftOp(
+    "knn_lsh_mrr",
+    s"""WITH bt AS (SELECT query_id, corpus_id FROM (${brute.oracle.get}) b0 WHERE rn = 1),
+       |lt AS (SELECT query_id, corpus_id, rn FROM (${lsh.oracle.get}) l0)
+       |SELECT bt.query_id, bt.corpus_id AS true_nn,
+       |  CAST(coalesce(lt.rn, 0) AS BIGINT) AS rank_in_lsh,
+       |  CAST(CASE WHEN lt.rn IS NULL THEN 0 ELSE 1000000 // lt.rn END AS BIGINT) AS rr_ppm
+       |FROM bt LEFT JOIN lt ON bt.query_id = lt.query_id AND bt.corpus_id = lt.corpus_id
+       |ORDER BY bt.query_id""".stripMargin) { (s, d) =>
+    val bt = brute.run(s, d).filter(col("rn") === 1)
+      .select(col("query_id"), col("corpus_id"))
+    val lt = lsh.run(s, d)
+      .select(col("query_id"), col("corpus_id"), col("rn").as("lrn"))
+    bt.join(lt, Seq("query_id", "corpus_id"), "left")
+      .select(col("query_id"), col("corpus_id").as("true_nn"),
+        coalesce(col("lrn"), lit(0L)).cast(LongType).as("rank_in_lsh"),
+        expr("CAST(CASE WHEN lrn IS NULL THEN 0 ELSE 1000000 div lrn END AS BIGINT)")
+          .as("rr_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
       outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall, pqRecall, knnGraph,
-      knnGraphRecall)
+      knnGraphRecall, lshMrr)
 }

@@ -2072,5 +2072,154 @@ object MmOps {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta, id3Meta, webpMeta, oggMeta)
+  /** Build a minimal AVI: RIFF 'AVI ' with a LIST('hdrl'){avih} header,
+    * a LIST('movi') of '00dc' frame chunks (odd payload sizes exercise
+    * the RIFF pad rule inside a NESTED list), and an idx1 index whose
+    * entries must agree one-to-one with the walked frames — the
+    * index-vs-data cross-check no other container leg has. */
+  private[graft] def syntheticAvi(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 32).toInt
+    val h = 16 + ((docId / 32) % 32).toInt
+    val nf = 2 + (docId % 5).toInt
+    val uspf = 33333 + (docId % 1000).toInt
+    val frameLens = Array.tabulate(nf)(i => 5 + ((docId + i) % 9).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    val moviPayload = 4 + frameLens.map(l => 8 + l + l % 2).sum
+    val riffSize = 4 + (8 + 68) + (8 + moviPayload) + 8 + 16 * nf
+    fourcc("RIFF"); le32(riffSize); fourcc("AVI ")
+    // LIST hdrl { avih(56) }
+    fourcc("LIST"); le32(68); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    val avih = new Array[Byte](56)
+    def put32(arr: Array[Byte], off: Int, v: Int): Unit = {
+      arr(off) = (v & 0xff).toByte; arr(off + 1) = ((v >> 8) & 0xff).toByte
+      arr(off + 2) = ((v >> 16) & 0xff).toByte; arr(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    put32(avih, 0, uspf); put32(avih, 16, nf); put32(avih, 32, w); put32(avih, 36, h)
+    bos.write(avih)
+    // LIST movi { nf x 00dc }
+    fourcc("LIST"); le32(moviPayload); fourcc("movi")
+    val offsets = new Array[Int](nf)
+    var moviOff = 4 // offsets are idx1-style: relative to the 'movi' fourcc
+    frameLens.zipWithIndex.foreach { case (l, i) =>
+      offsets(i) = moviOff
+      fourcc("00dc"); le32(l)
+      bos.write(Array.tabulate[Byte](l)(j => ((docId * 13 + i * 7 + j) % 251).toByte))
+      if (l % 2 == 1) bos.write(0)
+      moviOff += 8 + l + l % 2
+    }
+    // idx1
+    fourcc("idx1"); le32(16 * nf)
+    frameLens.zipWithIndex.foreach { case (l, i) =>
+      fourcc("00dc"); le32(0x10); le32(offsets(i)); le32(l)
+    }
+    bos.toByteArray
+  }
+
+  /** Walk an AVI container: RIFF magic + 'AVI ' form type + declared
+    * size == file−8; LIST('hdrl') must lead and carry a 56-byte avih
+    * (µs/frame, total frames, width, height at their fixed offsets);
+    * LIST('movi') frames are counted and summed honoring the odd-pad
+    * rule; idx1 must exist with exactly one entry per walked frame,
+    * each entry's ckid/offset/size matching the frame it indexes.
+    * Returns (width, height, nFrames, usPerFrame, payloadBytes); None
+    * on any structural lie (bad magic, size lie, truncation, missing
+    * header, frame-count or index disagreement). */
+  private[graft] def parseAviMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def cc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    if (le32(4) != bytes.length - 8) return None
+    var i = 12
+    var w = -1; var h = -1; var nfHdr = -1; var uspf = -1
+    var framesWalked = 0
+    var payload = 0L
+    var frameIdx = List.empty[(Int, Int)] // (offset-from-movi, size), walked order
+    var sawIdx1 = false
+    var idxOk = true
+    while (i + 8 <= bytes.length) {
+      val id = cc(i)
+      val sz = le32(i + 4)
+      if (i + 8 + sz > bytes.length) return None
+      id match {
+        case "LIST" if sz >= 4 && cc(i + 8) == "hdrl" =>
+          // first subchunk must be the 56-byte avih
+          if (sz < 4 + 8 + 56 || cc(i + 12) != "avih" || le32(i + 16) != 56) return None
+          uspf = le32(i + 20); nfHdr = le32(i + 36); w = le32(i + 52); h = le32(i + 56)
+        case "LIST" if sz >= 4 && cc(i + 8) == "movi" =>
+          var j = i + 12
+          val end = i + 8 + sz
+          while (j + 8 <= end) {
+            if (cc(j) != "00dc") return None
+            val fl = le32(j + 4)
+            if (j + 8 + fl > end) return None
+            frameIdx ::= ((j - (i + 8), fl))
+            framesWalked += 1
+            payload += fl
+            j += 8 + fl + fl % 2
+          }
+          if (j != end) return None
+        case "idx1" =>
+          if (sz % 16 != 0) return None
+          sawIdx1 = true
+          val entries = sz / 16
+          if (entries != framesWalked) idxOk = false
+          val walked = frameIdx.reverse.toArray
+          var e = 0
+          while (e < entries && idxOk) {
+            val o = i + 8 + e * 16
+            if (cc(o) != "00dc" || (le32(o + 4) & 0x10) == 0 ||
+              e >= walked.length || le32(o + 8) != walked(e)._1 ||
+              le32(o + 12) != walked(e)._2) idxOk = false
+            e += 1
+          }
+        case _ => return None
+      }
+      i += 8 + sz + sz % 2
+    }
+    if (i != bytes.length) return None
+    if (w < 0 || nfHdr != framesWalked || !sawIdx1 || !idxOk) return None
+    Some((w, h, framesWalked, uspf, payload))
+  }
+
+  /** AVI / RIFF-AVI walk — fifteenth container leg: the only one with
+    * a NESTED LIST hierarchy and an index chunk (idx1) that must agree
+    * entry-by-entry with the data it indexes — the header-vs-payload
+    * cross-check a video ingest pipeline runs before trusting a
+    * container's own frame count. The oracle replays width, height,
+    * frame count, µs/frame, and the summed frame bytes analytically
+    * from the id rule; the walker rejects bad magic, size lies,
+    * truncation, and any index/data disagreement (spec-pinned).
+    * Build+walk in one mapPartitions pass, zero shuffle. */
+  val aviMeta: GraftOp = GraftOp(
+    "mm_avi_meta",
+    """SELECT doc_id,
+      |  CAST(16 + doc_id % 32 AS INT) AS width,
+      |  CAST(16 + (doc_id // 32) % 32 AS INT) AS height,
+      |  CAST(2 + doc_id % 5 AS INT) AS n_frames,
+      |  CAST(33333 + doc_id % 1000 AS INT) AS us_per_frame,
+      |  CAST(list_sum(list_transform(range(2 + doc_id % 5),
+      |    i -> 5 + (doc_id + i) % 9)) AS BIGINT) AS payload_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("n_frames", IntegerType),
+      StructField("us_per_frame", IntegerType), StructField("payload_bytes", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val (w, h, nf, uspf, payload) = parseAviMeta(syntheticAvi(docId)).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted AVI for doc $docId"))
+        Row(docId, w, h, nf, uspf, payload)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(meta, decode, chunk, sniff, frameSample, wavMeta, imagePhash, imageNearDup, audioEnergy, mp4Meta, jpegMeta, pngChunks, gifMeta, bmpMeta, tarMeta, zipMeta, pdfMeta, containerCensus, mp3Meta, flacMeta, exifMeta, id3Meta, webpMeta, oggMeta, aviMeta)
 }

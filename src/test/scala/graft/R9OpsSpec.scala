@@ -63,6 +63,26 @@ class R9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_avi: walker rejects bad magic, size lies, and index/data disagreement") {
+    val good = operators.MmOps.syntheticAvi(42L)
+    assert(operators.MmOps.parseAviMeta(good).isDefined)
+    val badMagic = good.clone(); badMagic(8) = 'X'.toByte // form type
+    assert(operators.MmOps.parseAviMeta(badMagic).isEmpty)
+    val badSize = good.clone(); badSize(4) = (badSize(4) + 1).toByte // RIFF size lie
+    assert(operators.MmOps.parseAviMeta(badSize).isEmpty)
+    assert(operators.MmOps.parseAviMeta(good.take(good.length - 1)).isEmpty,
+      "truncation must be caught")
+    // corrupt the last idx1 entry's size field: index no longer matches data
+    val badIdx = good.clone(); badIdx(badIdx.length - 4) = (badIdx(badIdx.length - 4) + 1).toByte
+    assert(operators.MmOps.parseAviMeta(badIdx).isEmpty,
+      "idx1 entry disagreeing with its frame must be rejected")
+    // flip a frame-count byte in avih: header vs walked count disagreement
+    val hdrOff = 12 + 8 + 4 + 8 + 16 // avih payload dwTotalFrames offset in file
+    val badNf = good.clone(); badNf(hdrOff) = (badNf(hdrOff) + 1).toByte
+    assert(operators.MmOps.parseAviMeta(badNf).isEmpty,
+      "avih frame count must match the walked movi frames")
+  }
+
   test("betweenness: K >= |V| pivot sampling reduces bit-exactly to the exact route") {
     val exact = operators.GraphOps.betweenness.run(spark, sf).collect()
     assert(exact.nonEmpty)
