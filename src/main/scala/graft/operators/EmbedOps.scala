@@ -929,5 +929,56 @@ object EmbedOps {
           .as("ari"))
   }
 
-  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats, dimProfile, mahalanobis, clusterPurity)
+  /** Embedding anisotropy — the mean pairwise cosine between all
+    * vector pairs (Ethayarajh 2019's contextual-embedding diagnostic:
+    * a healthy space sits near 0; a collapsed/anisotropic one — where
+    * every vector shares a dominant direction — sits high, and
+    * similarity search over it degrades). Computed WITHOUT the n²
+    * pair join via the sum-vector identity: Σ_{i≠j} cos(i,j) =
+    * ‖Σu‖² − Σ‖u‖². Unit vectors are snapped to exact micro integers
+    * (the kmScaled idiom), so the per-dimension sums, ‖Σu‖² and
+    * Σ‖u‖² all fold exactly in DECIMAL(38)/HUGEINT at any corpus
+    * size; the two emitted ratios are one deterministic double
+    * formula each. One |dim|-row aggregate — no pair explosion. */
+  val anisotropy: GraftOp = GraftOp(
+    "emb_anisotropy", {
+      val E = graft.functions.Exprs
+      s"""WITH raw AS (SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |v AS (SELECT vec_id,
+         |  list_transform(${E.sqlUnit("e")}, x -> CAST(round(x * 1000000) AS BIGINT)) AS us
+         |  FROM raw),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |s AS (SELECT i, CAST(sum(us[i]) AS HUGEINT) AS sd FROM v, dims GROUP BY i),
+         |t AS (SELECT CAST(sum(sd * sd) AS HUGEINT) AS s2 FROM s),
+         |q AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(list_sum(list_transform(us, x -> CAST(x AS HUGEINT) * x))) AS HUGEINT) AS ssq
+         |  FROM v)
+         |SELECT n AS n_vectors,
+         |  (CAST(s2 AS DOUBLE) - CAST(ssq AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * (n - 1) * 1000000000000.0) AS mean_pairwise_cos,
+         |  CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0) AS mean_sq_norm
+         |FROM t, q""".stripMargin
+    }) { (s, d) =>
+    val E = graft.functions.Exprs
+    val vv = Tables.embeddings(s, d)
+      .select(col("vec_id"), E.unit(E.vecAsDouble(col("embedding"))).as("u"))
+      .select(col("vec_id"),
+        expr("transform(u, x -> CAST(round(x * 1000000) AS BIGINT))").as("us"))
+    val perDim = vv.select(posexplode(col("us")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(sum(col("v")).cast(DecimalType(38, 0)).as("sd"))
+    val t = perDim.agg(sum(col("sd") * col("sd")).as("s2"))
+    val q = vv.agg(count(lit(1)).as("n"),
+      sum(expr("aggregate(us, CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"))
+        .as("ssq"))
+    broadcast(t).crossJoin(broadcast(q))
+      .select(col("n").as("n_vectors"),
+        expr("""(CAST(s2 AS DOUBLE) - CAST(ssq AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * (n - 1) * 1000000000000.0D)""".stripMargin)
+          .as("mean_pairwise_cos"),
+        expr("CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0D)")
+          .as("mean_sq_norm"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(centroids, quantize, matryoshka, project, pqEncode, whiten, pca, centroidSim, drift, kmeans, silhouette, normStats, dimProfile, mahalanobis, clusterPurity, anisotropy)
 }

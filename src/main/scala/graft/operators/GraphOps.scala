@@ -1444,6 +1444,66 @@ object GraphOps {
     * eccentricity, and the center/periphery flags compare exact
     * integers. Rounds = diameter, frames ≤|V|² — same scale shape as
     * closeness (landmark roots at billion-node scale). */
+  /** Katz centrality over the directed trade graph — PageRank's
+    * path-counting sibling: score = Σ_k αᵏ·(walks of length k ending
+    * here), so influence flows along ALL walks attenuated by length,
+    * without PageRank's out-degree division (a nation's influence is
+    * not diluted by exporting widely — the semantic difference that
+    * makes Katz the standard choice for citation/influence graphs).
+    * α = 0.01 keeps α·λmax < 1 on the near-complete ≤25-node trade
+    * graph, β = 1. Same loop shape and oracle contract as PageRank:
+    * each round is one scores ⋈ edges join-aggregate (one shuffle),
+    * every round snaps to the 1e-10 grid, and the exact grid fixpoint
+    * allows early stop bit-identical to the fixed 8-round oracle
+    * replay. */
+  val katz: GraftOp = GraftOp(
+    "graph_katz",
+    {
+      val base = """WITH edges AS (
+        |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+        |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |    AND o_custkey = c_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND n1.n_nationkey <> n2.n_nationkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |k0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes)""".stripMargin
+      val iters = (1 to 8).map { k =>
+        s"""k$k AS (
+           |  SELECT n.node,
+           |    round(1.0 + 0.01 * coalesce(sum(p.score), 0), 10) AS score
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN k${k - 1} p ON p.node = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"$base$iters\nSELECT node, score AS katz FROM k8 ORDER BY node"
+    }) { (s, d) =>
+    val edges = ConnectedComponents.snapshot(tradeEdges(s, d))
+    val nodes = ConnectedComponents.snapshot(
+      edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct())
+    var scores: DataFrame = ConnectedComponents.snapshot(
+      nodes.select(col("node"), lit(1.0).as("score")))
+    var iter = 0
+    var fixpoint = false
+    while (iter < 8 && !fixpoint) {
+      val next = ConnectedComponents.snapshot(nodes
+        .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(scores.select(col("node").as("src"), col("score")), Seq("src"), "left")
+        .groupBy(col("node"))
+        .agg(round(lit(1.0) + lit(0.01) * coalesce(sum(col("score")), lit(0.0)), 10)
+          .as("score")))
+      val delta = next.join(scores.select(col("node"), col("score").as("prev")), Seq("node"))
+        .agg(coalesce(sum(abs(col("score") - col("prev"))), lit(0.0))).head.getDouble(0)
+      fixpoint = delta == 0.0
+      ConnectedComponents.release(scores)
+      scores = next
+      iter += 1
+    }
+    Seq(edges, nodes).foreach(ConnectedComponents.release)
+    scores.select(col("node"), col("score").as("katz")).orderBy(col("node"))
+  }
+
   /** Harmonic centrality — closeness's disconnected-robust sibling:
     * Σ 1/d(s,t) instead of 1/Σd, so unreachable nodes contribute 0
     * rather than poisoning the sum (the form the centrality
@@ -1647,5 +1707,5 @@ object GraphOps {
 
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
     clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport, betweenness, eccentricity,
-    edgeBetweenness, harmonic)
+    edgeBetweenness, harmonic, katz)
 }
