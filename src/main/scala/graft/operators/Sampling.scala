@@ -368,7 +368,56 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Importance sampling with Horvitz-Thompson accounting — keep long
+    * documents at full rate and short ones at a length-proportional
+    * rate, then report the INVERSE-PROBABILITY-weighted corpus
+    * estimate next to the truth, so the downsampled corpus stays
+    * unbiased for size/token accounting (the property a naive "drop
+    * short docs" filter destroys). Inclusion probability is an exact
+    * ppm integer p = clamp(len(text)·1000000/2000, 100000, 1000000);
+    * the keep decision is the salted portable hash md5('i42#'‖doc_id)
+    * mod 10⁶ < p — append-stable, engine-replayable, no RNG. The HT
+    * estimate Σ 1/p folds as exact micro integers (10¹² div p), so
+    * the emitted estimate is micro-grid. Partition-local decision, one
+    * |sources|-row aggregate. */
+  val importance: GraftOp = GraftOp(
+    "sample_importance",
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    least(greatest(CAST(length(text) AS BIGINT) * 1000000 // 2000, 100000), 1000000)
+       |      AS p_ppm
+       |  FROM documents),
+       |k AS (
+       |  SELECT source, doc_id, p_ppm,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("concat('i42#', CAST(doc_id AS VARCHAR))")} % 1000000 < p_ppm
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM d)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_sampled,
+       |  CAST(sum(CASE WHEN kept = 1 THEN 1000000000000 // p_ppm ELSE 0 END) AS BIGINT)
+       |    AS ht_micro,
+       |  round(CAST(sum(CASE WHEN kept = 1 THEN 1000000000000 // p_ppm ELSE 0 END) AS DOUBLE)
+       |    / 1000000.0, 6) AS ht_estimate
+       |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        expr("least(greatest(CAST(length(text) AS BIGINT) * 1000000 div 2000, 100000), 1000000)")
+          .as("p_ppm"))
+      .withColumn("kept",
+        when(graft.functions.Exprs.md5Long(
+          concat(lit("i42#"), col("doc_id").cast(org.apache.spark.sql.types.StringType)))
+          % 1000000 < col("p_ppm"), 1).otherwise(0))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_sampled"),
+        sum(when(col("kept") === 1, expr("1000000000000 div p_ppm")).otherwise(0L))
+          .as("ht_micro"))
+      .select(col("source"), col("n_docs"), col("n_sampled"), col("ht_micro"),
+        expr("round(CAST(ht_micro AS DOUBLE) / 1000000.0, 6)").as("ht_estimate"))
+      .orderBy(col("source"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced, shard, epochShuffle, tokenBudget)
+      balanced, shard, epochShuffle, tokenBudget, importance)
 }

@@ -433,5 +433,67 @@ object StatsOps3 {
       .orderBy(col("from_type"))
   }
 
-  val ops: Seq[GraftOp] = Seq(moodMedian, jonckheere, cvm, dunn, ljungBox, entropyRate)
+  /** Cohen's d / Hedges' g effect size between the hash variants —
+    * the magnitude readout q_welch_t's significance lacks (a tiny
+    * effect turns significant at scale; an experiment readout without
+    * d is a trap). Reuses the welch frame's six exact integers (n, Σ,
+    * Σ(cents·cents) per variant — the squared fold in DECIMAL(38)/
+    * HUGEINT since it grows linearly in rows but quadratically in the
+    * value bound); pooled SD and both effect sizes are one
+    * deterministic double formula each (casts, mul/div, sqrt — no
+    * round, no libm). Hedges' g applies the small-sample correction
+    * 1 − 3/(4·df − 1). */
+  val cohensD: GraftOp = GraftOp(
+    "q_cohens_d",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |g AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+       |    CAST(sum(cents) FILTER (WHERE variant = 'A') AS BIGINT) AS s_a,
+       |    CAST(sum(cents) FILTER (WHERE variant = 'B') AS BIGINT) AS s_b,
+       |    sum(CAST(cents AS HUGEINT) * cents) FILTER (WHERE variant = 'A') AS ss_a,
+       |    sum(CAST(cents AS HUGEINT) * cents) FILTER (WHERE variant = 'B') AS ss_b
+       |  FROM p),
+       |f AS (
+       |  SELECT n_a, n_b,
+       |    (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+       |      / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+       |            + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+       |           / (CAST(n_a AS DOUBLE) + n_b - 2.0)) AS d
+       |  FROM g)
+       |SELECT n_a, n_b, d AS cohens_d,
+       |  d * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + n_b - 2.0) - 1.0)) AS hedges_g
+       |FROM f""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    p.agg(
+        count(when(col("variant") === "A", 1)).as("n_a"),
+        count(when(col("variant") === "B", 1)).as("n_b"),
+        sum(when(col("variant") === "A", col("cents"))).as("s_a"),
+        sum(when(col("variant") === "B", col("cents"))).as("s_b"),
+        sum(when(col("variant") === "A",
+          col("cents").cast(DecimalType(38, 0)) * col("cents"))).as("ss_a"),
+        sum(when(col("variant") === "B",
+          col("cents").cast(DecimalType(38, 0)) * col("cents"))).as("ss_b"))
+      .withColumn("d",
+        expr("""(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+          |  / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+          |        + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+          |       / (CAST(n_a AS DOUBLE) + n_b - 2.0D))""".stripMargin))
+      .select(col("n_a"), col("n_b"), col("d").as("cohens_d"),
+        expr("d * (1.0D - 3.0D / (4.0D * (CAST(n_a AS DOUBLE) + n_b - 2.0D) - 1.0D))")
+          .as("hedges_g"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(moodMedian, jonckheere, cvm, dunn, ljungBox, entropyRate,
+    cohensD)
 }
