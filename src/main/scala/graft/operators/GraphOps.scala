@@ -316,6 +316,61 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Global transitivity (3·triangles / wedges) — the ONE-NUMBER
+    * clustering summary next to [[clustering]]'s per-node coefficients
+    * (mean local clustering and global transitivity diverge on skewed
+    * graphs, which is exactly why both are reported). Runs on the
+    * hash-sparsified graph (the [[closeness]] discipline — the full
+    * trade graph is near-complete, transitivity ≡ 1): triangles via
+    * the same degree-oriented wedge join as [[triangles]] (work
+    * ∝ Σ deg², never node³), wedges Σ deg(deg−1)/2 from one degree
+    * aggregate, both exact BIGINTs; the ratio is one deterministic
+    * double divide. */
+  val transitivity: GraftOp = GraftOp(
+    "graph_transitivity",
+    """WITH e0 AS (
+      |  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+      |  FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |    AND o_custkey = c_custkey
+      |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |    AND n1.n_nationkey <> n2.n_nationkey),
+      |und0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+      |und AS (SELECT u, v FROM und0
+      |  WHERE CAST(concat('0x', substring(md5(concat(u, '|', v)), 1, 15)) AS BIGINT) % 4 = 0),
+      |tri AS (
+      |  SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM und a JOIN und b ON a.v = b.u JOIN und c ON c.u = a.u AND c.v = b.v),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tri FROM tri),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |        GROUP BY 1),
+      |w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+      |SELECT n_nodes, n_edges, n_tri AS n_triangles, n_wedges,
+      |  CAST(3 * n_tri AS DOUBLE) / n_wedges AS transitivity
+      |FROM t, w, e""".stripMargin) { (s, d) =>
+    val und = undirectedTradeEdges(s, d)
+      .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // triangle count via the closed u<v<w form the oracle's tri CTE
+    // states: und is already (min, max)-oriented, so a.v=b.u chains
+    // x<y<z and the closing edge lookup is an equi join
+    val tri = und.as("a")
+      .join(und.as("b"), col("a.v") === col("b.u"))
+      .join(und.as("c"), col("c.u") === col("a.u") && col("c.v") === col("b.v"))
+      .agg(count(lit(1)).as("n_tri"))
+    val w = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val e = und.agg(count(lit(1)).as("n_edges"))
+    broadcast(tri).crossJoin(broadcast(w)).crossJoin(broadcast(e))
+      .select(col("n_nodes"), col("n_edges"), col("n_tri").as("n_triangles"),
+        col("n_wedges"),
+        expr("CAST(3 * n_tri AS DOUBLE) / n_wedges").as("transitivity"))
+  }
+
   /** Neighborhood Jaccard similarity — the classic link-prediction /
     * role-similarity primitive: for node pairs sharing at least one
     * neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| over the hash-sparsified
@@ -1707,5 +1762,5 @@ object GraphOps {
 
   val ops: Seq[GraftOp] = Seq(pagerank, hits, lpa, triangles, kcore, jaccard, bfs, cheapestRoute, reciprocity, degreeDist,
     clustering, assortativity, closeness, ppr, sccPivot, adamicAdar, modularity, edgeSupport, betweenness, eccentricity,
-    edgeBetweenness, harmonic, katz)
+    edgeBetweenness, harmonic, katz, transitivity)
 }

@@ -1016,8 +1016,70 @@ object KnnOps {
       .orderBy(col("query_id"))
   }
 
+  /** Hubness audit of the k-NN graph — THE high-dimensional ANN
+    * pathology (Radovanović 2010): a few "hub" vectors appear in
+    * everyone's neighbor lists while "anti-hubs" appear in none,
+    * silently skewing retrieval, dedup and kNN classification. The
+    * k-occurrence N_k(x) = in-degree of x in [[knnGraph]] is an exact
+    * integer per node (anti-hubs included via a left join on the full
+    * corpus); the emitted summary is its distribution — max, hub and
+    * anti-hub counts as exact integers, and the skewness of N_k (the
+    * standard hubness score) from exact BIGINT/DECIMAL(38) moment
+    * folds with one deterministic double formula (m₂^1.5 =
+    * m₂·√m₂ — no pow). Oracle COMPOSES knn_graph's SQL verbatim, so
+    * audit and audited cannot drift. */
+  val hubness: GraftOp = GraftOp(
+    "knn_hubness",
+    s"""WITH g AS (SELECT node_id, nbr_id FROM (${knnGraph.oracle.get}) g0),
+       |occ AS (
+       |  SELECT v.vec_id, CAST(coalesce(o.k_occ, 0) AS BIGINT) AS k_occ
+       |  FROM embeddings v LEFT JOIN (
+       |    SELECT nbr_id, CAST(count(*) AS BIGINT) AS k_occ FROM g GROUP BY 1) o
+       |  ON v.vec_id = o.nbr_id),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k_occ) AS BIGINT) AS s1,
+       |    CAST(sum(CAST(k_occ AS HUGEINT) * k_occ) AS HUGEINT) AS s2,
+       |    CAST(sum(CAST(k_occ AS HUGEINT) * k_occ * k_occ) AS HUGEINT) AS s3,
+       |    CAST(max(k_occ) AS BIGINT) AS max_occ,
+       |    CAST(count(*) FILTER (WHERE k_occ >= 2 * $KnnGraphK) AS BIGINT) AS n_hubs,
+       |    CAST(count(*) FILTER (WHERE k_occ = 0) AS BIGINT) AS n_antihubs
+       |  FROM occ),
+       |f AS (
+       |  SELECT n, s1, max_occ, n_hubs, n_antihubs,
+       |    CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * n) AS m2,
+       |    (CAST(s3 AS DOUBLE) - 3.0 * CAST(s1 AS DOUBLE) / n * CAST(s2 AS DOUBLE)
+       |      + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * s1)
+       |      / CAST(n AS DOUBLE) AS m3
+       |  FROM m)
+       |SELECT n AS n_nodes, s1 AS n_edges, max_occ, n_hubs, n_antihubs,
+       |  m3 / (m2 * sqrt(m2)) AS hubness_skew
+       |FROM f""".stripMargin) { (s, d) =>
+    val g = knnGraph.run(s, d).select(col("nbr_id"))
+    val occ = Tables.embeddings(s, d).select(col("vec_id"))
+      .join(g.groupBy(col("nbr_id")).agg(count(lit(1)).as("k_occ")),
+        col("vec_id") === col("nbr_id"), "left")
+      .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+    occ.agg(count(lit(1)).as("n"), sum(col("k_occ")).as("s1"),
+        sum(col("k_occ").cast(DecimalType(38, 0)) * col("k_occ")).as("s2"),
+        sum(col("k_occ").cast(DecimalType(38, 0)) * col("k_occ") * col("k_occ")).as("s3"),
+        max(col("k_occ")).as("max_occ"),
+        count(when(col("k_occ") >= 2 * KnnGraphK, 1)).as("n_hubs"),
+        count(when(col("k_occ") === 0, 1)).as("n_antihubs"))
+      .withColumn("m2",
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+          |  / (CAST(n AS DOUBLE) * n)""".stripMargin))
+      .withColumn("m3",
+        expr("""(CAST(s3 AS DOUBLE) - 3.0D * CAST(s1 AS DOUBLE) / n * CAST(s2 AS DOUBLE)
+          |  + 2.0D * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * s1)
+          |  / CAST(n AS DOUBLE)""".stripMargin))
+      .select(col("n").as("n_nodes"), col("s1").as("n_edges"), col("max_occ"),
+        col("n_hubs"), col("n_antihubs"),
+        expr("m3 / (m2 * sqrt(m2))").as("hubness_skew"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
       outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall, pqRecall, knnGraph,
-      knnGraphRecall, lshMrr)
+      knnGraphRecall, lshMrr, hubness)
 }
