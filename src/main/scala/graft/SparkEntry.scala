@@ -13,7 +13,7 @@ object SparkEntry {
       EventsAnalytics.ops ++ PackOps.ops ++ CurationOps.ops ++ GraphOps.ops ++
       EtlOps.ops ++ TextOps.ops ++ DedupOps.ops ++ CleanPipeline.ops ++ MmOps.ops ++
       KnnOps.ops ++ TopK.ops ++ Sampling.ops ++ RangeJoin.ops ++ JoinPrune.ops ++
-      AffinityOps.ops ++ StatsOps.ops ++ StatsOps2.ops ++ StatsOps3.ops
+      AffinityOps.ops ++ StatsOps.ops ++ StatsOps2.ops ++ StatsOps3.ops ++ StatsOps4.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,422 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fourth statistics tier (round 9, continued): the remaining standard
+  * inference ladder — a nonparametric effect size (Cliff's delta, the
+  * rank-world twin of q_cohens_d), serial-correlation diagnostics
+  * (Durbin-Watson), variance homogeneity under normality (Bartlett,
+  * the parametric sibling of q_levene), a max-studentized-residual
+  * outlier screen (Grubbs), the randomized-block rank test (Friedman),
+  * and a rank-based changepoint significance test (Pettitt — the
+  * hypothesis-test companion to q_changepoint's locator).
+  *
+  * Oracle-parity contract as [[StatsOps3]]: every cross-row fold is an
+  * exact integer (BIGINT with a proven bound, DECIMAL(38)/HUGEINT where
+  * products scale with corpus size), the final scalar formulas run in
+  * doubles with identical expression text on both engines, and libm
+  * terms (ln/exp) are 6dp-snapped per the round-9 emit rule before any
+  * further use. Fixed small domains (the 3 return flags, the 5 event
+  * types, calendar days) are PIVOTED onto one row where a fold of
+  * doubles is needed, so fold order is the written expression text.
+  */
+object StatsOps4 {
+
+  /** Cliff's delta between the hash-split experiment variants — the
+    * ordinal effect size q_mann_whitney's significance lacks (the same
+    * significance-vs-magnitude trap q_cohens_d closes for Welch's t,
+    * but with no normality assumption: δ = P(a>b) − P(a<b)). Runs
+    * entirely on the per-cents value contingency: with cum_b the
+    * running B-count over ascending cents, Σ ca·(cum_b−cb) counts
+    * strict a>b pairs and Σ ca·(n_b−cum_b) strict a<b pairs — both
+    * exact DECIMAL(38)/HUGEINT folds (they scale with n²) — and δ is
+    * ONE double divide. The magnitude label (Romano's 0.147/0.33/0.474
+    * cuts) is decided on exact integer cross-multiplication, never a
+    * double threshold, so band membership cannot flip on a 1-ulp. */
+  val cliffsDelta: GraftOp = GraftOp(
+    "q_cliffs_delta",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT cents,
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS ca,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS cb
+       |  FROM p GROUP BY 1),
+       |w AS (
+       |  SELECT cents, ca, cb,
+       |    CAST(sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+       |    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+       |    CAST(sum(cb) OVER () AS BIGINT) AS n_b
+       |  FROM c),
+       |f AS (
+       |  SELECT n_a, n_b,
+       |    CAST(sum(CAST(ca AS HUGEINT) * (cum_b - cb)) AS HUGEINT) AS n_gt,
+       |    CAST(sum(CAST(ca AS HUGEINT) * (n_b - cum_b)) AS HUGEINT) AS n_lt
+       |  FROM w GROUP BY 1, 2)
+       |SELECT n_a, n_b,
+       |  CAST(n_gt AS BIGINT) AS n_gt, CAST(n_lt AS BIGINT) AS n_lt,
+       |  (CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+       |    / (CAST(n_a AS DOUBLE) * n_b) AS cliffs_delta,
+       |  CASE WHEN abs(n_gt - n_lt) * 1000 < 147 * CAST(n_a AS HUGEINT) * n_b THEN 'negligible'
+       |       WHEN abs(n_gt - n_lt) * 1000 < 330 * CAST(n_a AS HUGEINT) * n_b THEN 'small'
+       |       WHEN abs(n_gt - n_lt) * 1000 < 474 * CAST(n_a AS HUGEINT) * n_b THEN 'medium'
+       |       ELSE 'large' END AS magnitude
+       |FROM f""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val c = p.groupBy(col("cents"))
+      .agg(count(when(col("variant") === "A", 1)).as("ca"),
+        count(when(col("variant") === "B", 1)).as("cb"))
+    val w = c
+      .withColumn("cum_b", sum(col("cb")).over(
+        Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_a", sum(col("ca")).over(Window.partitionBy()))
+      .withColumn("n_b", sum(col("cb")).over(Window.partitionBy()))
+    w.groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("ca").cast(DecimalType(38, 0)) * (col("cum_b") - col("cb"))).as("n_gt"),
+        sum(col("ca").cast(DecimalType(38, 0)) * (col("n_b") - col("cum_b"))).as("n_lt"))
+      .select(col("n_a"), col("n_b"),
+        col("n_gt").cast(LongType).as("n_gt"), col("n_lt").cast(LongType).as("n_lt"),
+        expr("""(CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+          |  / (CAST(n_a AS DOUBLE) * n_b)""".stripMargin).as("cliffs_delta"),
+        expr("""CASE WHEN abs(n_gt - n_lt) * 1000 < 147 * CAST(n_a AS DECIMAL(38,0)) * n_b THEN 'negligible'
+          |     WHEN abs(n_gt - n_lt) * 1000 < 330 * CAST(n_a AS DECIMAL(38,0)) * n_b THEN 'small'
+          |     WHEN abs(n_gt - n_lt) * 1000 < 474 * CAST(n_a AS DECIMAL(38,0)) * n_b THEN 'medium'
+          |     ELSE 'large' END""".stripMargin).as("magnitude"))
+  }
+
+  /** Durbin-Watson statistic on the mean-centered daily event-count
+    * series — the lag-1 serial-correlation gate (DW ≈ 2(1−ρ̂)) that a
+    * regression/forecast residual check reads BEFORE trusting q_ols2 /
+    * q_holt standard errors. Replays q_acf's exact construction:
+    * x = nd·n − s is the N-scaled centered count (exact BIGINT), the
+    * numerator folds Σ(xₜ−xₜ₋₁)² over CALENDAR-adjacent day pairs and
+    * the denominator Σxₜ² over all days — both DECIMAL(38)/HUGEINT
+    * folds of exact integers — and DW/ρ̂ are deterministic double
+    * formulas with no round(). Calendar gaps contribute no adjacent
+    * pair (the same contract as q_acf's lag join). */
+  val durbinWatson: GraftOp = GraftOp(
+    "q_durbin_watson",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
+      |              min(day) AS mind FROM d),
+      |c AS (
+      |  SELECT CAST(date_diff('day', st.mind, d.day) AS BIGINT) AS i,
+      |    st.nd * d.n - st.s AS x
+      |  FROM d, st),
+      |num AS (
+      |  SELECT CAST(sum(CAST(a.x - b.x AS HUGEINT) * (a.x - b.x)) AS HUGEINT) AS num,
+      |    CAST(count(*) AS BIGINT) AS n_adj
+      |  FROM c a JOIN c b ON a.i = b.i + 1),
+      |den AS (SELECT CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS den FROM c)
+      |SELECT st.nd AS n_days, num.n_adj AS n_adjacent,
+      |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS dw,
+      |  1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0 AS rho_hat
+      |FROM num, den, st""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val st = broadcast(daily.agg(count(lit(1)).as("nd"), sum(col("n")).as("s"),
+      min(col("day")).as("mind")))
+    val c = daily.crossJoin(st)
+      .select(datediff(col("day"), col("mind")).cast(LongType).as("i"),
+        (col("nd") * col("n") - col("s")).as("x"))
+    val num = broadcast(c.as("a")
+      .join(c.as("b"), col("a.i") === col("b.i") + 1)
+      .agg(sum((col("a.x") - col("b.x")).cast(DecimalType(38, 0))
+        * (col("a.x") - col("b.x"))).as("num"),
+        count(lit(1)).as("n_adj")))
+    val den = broadcast(c.agg(sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("den")))
+    num.crossJoin(den).crossJoin(st)
+      .select(col("nd").as("n_days"), col("n_adj").as("n_adjacent"),
+        expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)").as("dw"),
+        expr("1.0D - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0D").as("rho_hat"))
+  }
+
+  /** Bartlett's test of variance homogeneity of line quantity across
+    * the 3 return flags — the parametric (normal-theory) sibling of
+    * q_levene (Bartlett is more powerful when normality holds, fragile
+    * when it doesn't; shipping both is the standard pairing). Each
+    * group's variance numerator vᵢ = nᵢ·ssᵢ − sᵢ² is an exact
+    * DECIMAL(38)/HUGEINT; the three groups are PIVOTED onto one row
+    * over the fixed {A,N,R} domain so the pooled-variance fold and the
+    * Σ(nᵢ−1)·ln sᵢ² fold run in the written expression order. Each ln
+    * is 6dp-snapped (the libm rescue); M, the correction C and χ² are
+    * then deterministic double formulas. Flags against χ²₂ at 0.05. */
+  val bartlett: GraftOp = GraftOp(
+    "q_bartlett",
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_i,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_i,
+      |    CAST(sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS ss_i
+      |  FROM lineitem GROUP BY 1),
+      |v AS (
+      |  SELECT flag, n_i,
+      |    CAST(n_i AS HUGEINT) * ss_i - CAST(s_i AS HUGEINT) * s_i AS v_i
+      |  FROM g),
+      |w AS (
+      |  SELECT
+      |    max(CASE WHEN flag = 'A' THEN n_i END) AS na,
+      |    max(CASE WHEN flag = 'N' THEN n_i END) AS nn,
+      |    max(CASE WHEN flag = 'R' THEN n_i END) AS nr,
+      |    max(CASE WHEN flag = 'A' THEN v_i END) AS va,
+      |    max(CASE WHEN flag = 'N' THEN v_i END) AS vn,
+      |    max(CASE WHEN flag = 'R' THEN v_i END) AS vr
+      |  FROM v),
+      |f AS (
+      |  SELECT na + nn + nr AS nt, na, nn, nr,
+      |    round(ln(CAST(va AS DOUBLE) / (CAST(na AS DOUBLE) * (na - 1.0))), 6) AS lna,
+      |    round(ln(CAST(vn AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1.0))), 6) AS lnn,
+      |    round(ln(CAST(vr AS DOUBLE) / (CAST(nr AS DOUBLE) * (nr - 1.0))), 6) AS lnr,
+      |    round(ln((CAST(va AS DOUBLE) / na + CAST(vn AS DOUBLE) / nn
+      |            + CAST(vr AS DOUBLE) / nr)
+      |           / (CAST(na AS DOUBLE) + nn + nr - 3.0)), 6) AS lnp
+      |  FROM w),
+      |m AS (
+      |  SELECT nt,
+      |    ((CAST(nt AS DOUBLE) - 3.0) * lnp
+      |      - ((na - 1.0) * lna + (nn - 1.0) * lnn + (nr - 1.0) * lnr))
+      |    / (1.0 + (1.0 / (na - 1.0) + 1.0 / (nn - 1.0) + 1.0 / (nr - 1.0)
+      |              - 1.0 / (CAST(nt AS DOUBLE) - 3.0)) / 6.0) AS chi2
+      |  FROM f)
+      |SELECT nt AS n, 3 AS k, chi2 AS chi2_bartlett,
+      |  CASE WHEN chi2 > 5.991 THEN 1 ELSE 0 END AS reject_equal_variance
+      |FROM m""".stripMargin) { (s, d) =>
+    val g = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_i"),
+        sum(col("l_quantity").cast(LongType)).as("s_i"),
+        sum(col("l_quantity").cast(DecimalType(38, 0))
+          * col("l_quantity").cast(LongType)).as("ss_i"))
+    val v = g.select(col("flag"), col("n_i"),
+      expr("CAST(n_i AS DECIMAL(38,0)) * ss_i - CAST(s_i AS DECIMAL(38,0)) * s_i").as("v_i"))
+    val w = v.agg(
+      max(when(col("flag") === "A", col("n_i"))).as("na"),
+      max(when(col("flag") === "N", col("n_i"))).as("nn"),
+      max(when(col("flag") === "R", col("n_i"))).as("nr"),
+      max(when(col("flag") === "A", col("v_i"))).as("va"),
+      max(when(col("flag") === "N", col("v_i"))).as("vn"),
+      max(when(col("flag") === "R", col("v_i"))).as("vr"))
+    w.withColumn("nt", col("na") + col("nn") + col("nr"))
+      .withColumn("lna",
+        expr("round(ln(CAST(va AS DOUBLE) / (CAST(na AS DOUBLE) * (na - 1.0D))), 6)"))
+      .withColumn("lnn",
+        expr("round(ln(CAST(vn AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1.0D))), 6)"))
+      .withColumn("lnr",
+        expr("round(ln(CAST(vr AS DOUBLE) / (CAST(nr AS DOUBLE) * (nr - 1.0D))), 6)"))
+      .withColumn("lnp",
+        expr("""round(ln((CAST(va AS DOUBLE) / na + CAST(vn AS DOUBLE) / nn
+          |        + CAST(vr AS DOUBLE) / nr)
+          |       / (CAST(na AS DOUBLE) + nn + nr - 3.0D)), 6)""".stripMargin))
+      .withColumn("chi2",
+        expr("""((CAST(nt AS DOUBLE) - 3.0D) * lnp
+          |  - ((na - 1.0D) * lna + (nn - 1.0D) * lnn + (nr - 1.0D) * lnr))
+          |/ (1.0D + (1.0D / (na - 1.0D) + 1.0D / (nn - 1.0D) + 1.0D / (nr - 1.0D)
+          |          - 1.0D / (CAST(nt AS DOUBLE) - 3.0D)) / 6.0D)""".stripMargin))
+      .select(col("nt").as("n"), lit(3).as("k"), col("chi2").as("chi2_bartlett"),
+        expr("CASE WHEN chi2 > 5.991D THEN 1 ELSE 0 END").as("reject_equal_variance"))
+  }
+
+  /** Grubbs' max-studentized-deviation screen on per-customer total
+    * spend — "is the single most extreme customer statistically
+    * surprising", the formal version of the whale question q_outliers
+    * answers per-row (Grubbs tests THE extreme; z-scores rank all).
+    * One aggregate over the per-customer cents frame yields six exact
+    * integers (n, Σ, Σx², max, min — the squared fold in HUGEINT);
+    * G_max and G_min are deterministic double formulas (casts,
+    * mul/div, one sqrt — no round, no libm). The >4.0 flag is the
+    * conventional large-n conservative cut, emitted as a literal
+    * comparison. */
+  val grubbs: GraftOp = GraftOp(
+    "q_grubbs",
+    """WITH u AS (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss,
+      |    CAST(max(cents) AS BIGINT) AS mx, CAST(min(cents) AS BIGINT) AS mn
+      |  FROM u),
+      |f AS (
+      |  SELECT n, mx, mn,
+      |    CAST(s AS DOUBLE) / n AS mean,
+      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0)) AS sd
+      |  FROM t)
+      |SELECT n,
+      |  CAST(mx AS DOUBLE) / 100.0 AS max_value,
+      |  CAST(mn AS DOUBLE) / 100.0 AS min_value,
+      |  (CAST(mx AS DOUBLE) - mean) / sd AS g_max,
+      |  (mean - CAST(mn AS DOUBLE)) / sd AS g_min,
+      |  CASE WHEN (CAST(mx AS DOUBLE) - mean) / sd > 4.0 THEN 1 ELSE 0 END AS max_is_extreme
+      |FROM f""".stripMargin) { (s, d) =>
+    val u = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+        .cast(LongType).as("cents"))
+    u.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("cents")).as("ss"),
+        max(col("cents")).as("mx"), min(col("cents")).as("mn"))
+      .withColumn("mean", expr("CAST(s AS DOUBLE) / n"))
+      .withColumn("sd",
+        expr("sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0D))"))
+      .select(col("n"),
+        expr("CAST(mx AS DOUBLE) / 100.0D").as("max_value"),
+        expr("CAST(mn AS DOUBLE) / 100.0D").as("min_value"),
+        expr("(CAST(mx AS DOUBLE) - mean) / sd").as("g_max"),
+        expr("(mean - CAST(mn AS DOUBLE)) / sd").as("g_min"),
+        expr("CASE WHEN (CAST(mx AS DOUBLE) - mean) / sd > 4.0D THEN 1 ELSE 0 END")
+          .as("max_is_extreme"))
+  }
+
+  /** Friedman rank test over the weekday × event-type activity matrix
+    * — "do the event types keep the same popularity ORDER across
+    * weekdays", the randomized-block design q_chi_square's
+    * independence view doesn't ask (blocks remove the weekday volume
+    * effect; only within-day orderings count). Blocks are the 7
+    * engine-neutral dow indices (datediff % 7, the q_seasonality
+    * idiom), treatments the 5 event types; within-block DOUBLED
+    * midranks come from a 5×5 self-join on the 35-cell contingency
+    * (2·#less + #tied + 1 — exact integers, tie-stable), and
+    * χ²_F = 3·ΣR2ⱼ²/(bk(k+1)) − 3b(k+1) on the doubled scale is one
+    * deterministic double formula. Flags against χ²₄ at 0.05. */
+  val friedman: GraftOp = GraftOp(
+    "q_friedman",
+    """WITH b AS (
+      |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+      |    event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT a.dow, a.event_type,
+      |    CAST(2 * count(*) FILTER (WHERE c.n < a.n)
+      |       + count(*) FILTER (WHERE c.n = a.n) + 1 AS BIGINT) AS r2
+      |  FROM b a JOIN b c ON a.dow = c.dow
+      |  GROUP BY 1, 2),
+      |rj AS (
+      |  SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_j,
+      |    CAST(count(*) AS BIGINT) AS nb
+      |  FROM r GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(CAST(r2_j AS HUGEINT) * r2_j) AS BIGINT) AS sr2,
+      |    max(nb) AS nb, CAST(count(*) AS BIGINT) AS k
+      |  FROM rj),
+      |f AS (
+      |  SELECT 3.0 * CAST(sr2 AS DOUBLE)
+      |      / (CAST(nb AS DOUBLE) * k * (k + 1.0))
+      |    - 3.0 * CAST(nb AS DOUBLE) * (k + 1.0) AS chi2, nb, k
+      |  FROM t)
+      |SELECT rj.event_type, rj.r2_j,
+      |  CAST(rj.r2_j AS DOUBLE) / (2.0 * f.nb) AS mean_rank,
+      |  f.chi2 AS chi2_friedman,
+      |  CASE WHEN f.chi2 > 9.488 THEN 1 ELSE 0 END AS reject_same_ordering
+      |FROM rj, f ORDER BY rj.event_type""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d)
+      .select((datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)) % 7).as("dow"),
+        col("event_type"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val r = b.as("a").join(b.as("c"), col("a.dow") === col("c.dow"))
+      .groupBy(col("a.dow").as("dow"), col("a.event_type").as("event_type"))
+      .agg((count(when(col("c.n") < col("a.n"), 1)) * 2
+        + count(when(col("c.n") === col("a.n"), 1)) + 1).as("r2"))
+    val rj = r.groupBy(col("event_type"))
+      .agg(sum(col("r2")).as("r2_j"), count(lit(1)).as("nb"))
+    val t = broadcast(rj.agg(
+      sum(col("r2_j").cast(DecimalType(38, 0)) * col("r2_j")).cast(LongType).as("sr2"),
+      max(col("nb")).as("nb"), count(lit(1)).as("k")))
+    val f = t.select(
+      expr("""3.0D * CAST(sr2 AS DOUBLE)
+        |    / (CAST(nb AS DOUBLE) * k * (k + 1.0D))
+        |  - 3.0D * CAST(nb AS DOUBLE) * (k + 1.0D)""".stripMargin).as("chi2"),
+      col("nb"), col("k"))
+    rj.select(col("event_type"), col("r2_j")).crossJoin(broadcast(f))
+      .select(col("event_type"), col("r2_j"),
+        expr("CAST(r2_j AS DOUBLE) / (2.0D * nb)").as("mean_rank"),
+        col("chi2").as("chi2_friedman"),
+        expr("CASE WHEN chi2 > 9.488D THEN 1 ELSE 0 END").as("reject_same_ordering"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Pettitt changepoint test on the daily event-count series — the
+    * SIGNIFICANCE companion to q_changepoint's binary-segmentation
+    * locator (that op answers "where is the split"; this one answers
+    * "is there a shift at all", rank-based so a heavy-tailed day can't
+    * fake one). Uses the exact midrank identity
+    * Uₜ = 2Σᵢ≤ₜRᵢ − t(T+1): doubled midranks of daily counts come from
+    * the value contingency (the q_dunn kernel), their running sum is a
+    * |days|-bounded window, and every Uₜ is an EXACT INTEGER —
+    * K = max|Uₜ| and the argmax day (earliest on ties) are integer
+    * decisions. Only the p-approximation 2·exp(−6K²/(T³+T²)) touches
+    * libm and is 6dp-snapped. */
+  val pettitt: GraftOp = GraftOp(
+    "q_pettitt",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |v AS (SELECT n AS val, CAST(count(*) AS BIGINT) AS cv FROM d GROUP BY 1),
+      |s AS (
+      |  SELECT val, cv,
+      |    CAST(1 + coalesce(sum(cv) OVER (ORDER BY val
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM v),
+      |r AS (
+      |  SELECT d.day, CAST(2 * s.start + s.cv - 1 AS BIGINT) AS r2
+      |  FROM d JOIN s ON d.n = s.val),
+      |w AS (
+      |  SELECT day,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    CAST(sum(r2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a,
+      |    CAST(count(*) OVER () AS BIGINT) AS tt
+      |  FROM r),
+      |u AS (SELECT day, a - t * (tt + 1) AS u_t, tt FROM w WHERE t < tt),
+      |k AS (SELECT max(abs(u_t)) AS k_stat, max(tt) AS tt FROM u)
+      |SELECT min(u.day) AS change_day, k.k_stat, k.tt AS n_days,
+      |  min(u.u_t) AS u_at_change,
+      |  round(2.0 * exp(-6.0 * CAST(k.k_stat AS DOUBLE) * k.k_stat
+      |    / (CAST(k.tt AS DOUBLE) * k.tt * k.tt + CAST(k.tt AS DOUBLE) * k.tt)), 6)
+      |    AS p_approx
+      |FROM u, k WHERE abs(u.u_t) = k.k_stat
+      |GROUP BY k.k_stat, k.tt""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val v = daily.groupBy(col("n").as("val")).agg(count(lit(1)).as("cv"))
+    val st = v.withColumn("start",
+      lit(1L) + coalesce(sum(col("cv")).over(
+        Window.orderBy(col("val")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val r = daily.join(st, col("n") === col("val"))
+      .select(col("day"), (lit(2) * col("start") + col("cv") - 1).as("r2"))
+    val w = r
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast(LongType))
+      .withColumn("a", sum(col("r2")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+    val u = w.filter(col("t") < col("tt"))
+      .select(col("day"), (col("a") - col("t") * (col("tt") + 1)).as("u_t"), col("tt"))
+    val k = broadcast(u.agg(max(abs(col("u_t"))).as("k_stat"), max(col("tt")).as("tt")))
+    u.select(col("day"), col("u_t")).crossJoin(k)
+      .filter(abs(col("u_t")) === col("k_stat"))
+      .groupBy(col("k_stat"), col("tt"))
+      .agg(min(col("day")).as("change_day"), min(col("u_t")).as("u_at_change"))
+      .select(col("change_day"), col("k_stat"), col("tt").as("n_days"),
+        col("u_at_change"),
+        expr("""round(2.0D * exp(-6.0D * CAST(k_stat AS DOUBLE) * k_stat
+          |  / (CAST(tt AS DOUBLE) * tt * tt + CAST(tt AS DOUBLE) * tt)), 6)""".stripMargin)
+          .as("p_approx"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(cliffsDelta, durbinWatson, bartlett, grubbs, friedman,
+    pettitt)
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant + re-derivation pins for the StatsOps4 tier. The oracle
+  * hash-compare is the exactness gate; these assert the statistics
+  * mean what they claim by re-deriving them from first principles on
+  * the small SF (brute-force sgn sums, explicit rank matrices). */
+class R9bOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_cliffs_delta: bounds, pair accounting, and band consistency") {
+    val r = operators.StatsOps4.cliffsDelta.run(spark, sf).collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val (gt, lt) = (r.getAs[Long]("n_gt"), r.getAs[Long]("n_lt"))
+    val delta = r.getAs[Double]("cliffs_delta")
+    assert(gt >= 0 && lt >= 0 && gt + lt <= na * nb) // ties absorb the rest
+    assert(delta >= -1.0 && delta <= 1.0)
+    assert(math.abs(delta - (gt - lt).toDouble / (na.toDouble * nb)) < 1e-12)
+    val expect = math.abs(delta) match {
+      case a if a < 0.147 => "negligible"
+      case a if a < 0.330 => "small"
+      case a if a < 0.474 => "medium"
+      case _              => "large"
+    }
+    assert(r.getAs[String]("magnitude") === expect)
+  }
+
+  test("q_durbin_watson: matches the brute-force centered-series statistic") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .count().orderBy("day")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val n = daily.map(_._2)
+    val mean = n.sum.toDouble / n.length
+    val e = daily.map { case (d, v) => (d, v - mean) }
+    val den = e.map(x => x._2 * x._2).sum
+    val num = e.sliding(2).collect {
+      case Array((d1, x1), (d2, x2)) if d2.toEpochDay == d1.toEpochDay + 1 =>
+        (x2 - x1) * (x2 - x1)
+    }.sum
+    val r = operators.StatsOps4.durbinWatson.run(spark, sf).collect().head
+    val dw = r.getAs[Double]("dw")
+    assert(math.abs(dw - num / den) < 1e-9, s"dw $dw vs brute ${num / den}")
+    assert(dw >= 0.0 && dw <= 4.0)
+    assert(math.abs(r.getAs[Double]("rho_hat") - (1.0 - dw / 2.0)) < 1e-12)
+  }
+
+  test("q_bartlett: matches the textbook statistic on collected groups") {
+    val qs = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1))).toMap
+    val ks = qs.values.toSeq
+    val k = ks.size
+    val nt = ks.map(_.length).sum
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val sp2 = ks.map(g => (g.length - 1) * variance(g)).sum / (nt - k)
+    val m = (nt - k) * math.log(sp2) -
+      ks.map(g => (g.length - 1) * math.log(variance(g))).sum
+    val c = 1.0 + (ks.map(g => 1.0 / (g.length - 1)).sum - 1.0 / (nt - k)) / (3.0 * (k - 1))
+    val r = operators.StatsOps4.bartlett.run(spark, sf).collect().head
+    // engine path 6dp-snaps each ln term → compare at that tolerance
+    assert(math.abs(r.getAs[Double]("chi2_bartlett") - m / c) < 2e-2)
+    assert(r.getAs[Long]("n") === nt && r.getAs[Int]("k") === 3)
+  }
+
+  test("q_grubbs: studentized extremes against collected spend") {
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("c"))
+      .collect().map(_.getAs[Long]("c"))
+    val n = cents.length
+    val mean = cents.map(_.toDouble).sum / n
+    val sd = math.sqrt(cents.map(c => (c - mean) * (c - mean)).sum / (n - 1.0))
+    val r = operators.StatsOps4.grubbs.run(spark, sf).collect().head
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert(math.abs(r.getAs[Double]("g_max") - (cents.max - mean) / sd) < 1e-9)
+    assert(math.abs(r.getAs[Double]("g_min") - (mean - cents.min) / sd) < 1e-9)
+    assert(r.getAs[Double]("max_value") >= r.getAs[Double]("min_value"))
+  }
+
+  test("q_friedman: doubled-rank identity and brute-force chi-square") {
+    val rows = operators.StatsOps4.friedman.run(spark, sf).collect()
+    val k = rows.length // 5 event types
+    val cells = graft.sources.Tables.events(spark, sf)
+      .selectExpr("datediff(to_date(ts), DATE '2024-01-01') % 7 AS dow", "event_type")
+      .groupBy("dow", "event_type").count().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val b = cells.map(_._1).distinct.length // 7 weekdays
+    // doubled midranks per block, brute force
+    val r2 = cells.map { case (dow, et, n) =>
+      val block = cells.filter(_._1 == dow).map(_._3)
+      (et, 2L * block.count(_ < n) + block.count(_ == n) + 1)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // rank-sum identity on the doubled scale: sum_j R2_j = b*k*(k+1)
+    assert(r2.values.sum === b.toLong * k * (k + 1))
+    val sr2 = r2.values.map(v => v.toDouble * v).sum
+    val chi2 = 3.0 * sr2 / (b.toDouble * k * (k + 1)) - 3.0 * b * (k + 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("r2_j") === r2(r.getAs[String]("event_type")))
+      assert(math.abs(r.getAs[Double]("chi2_friedman") - chi2) < 1e-9)
+    }
+  }
+
+  test("q_pettitt: K and the change day match the brute-force sgn double sum") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .count().orderBy("day")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val x = daily.map(_._2)
+    val t = x.length
+    val us = (1 until t).map { cut => // U_t for t = 1..T-1 (1-indexed cut count)
+      var u = 0L
+      for (i <- 0 until cut; j <- cut until t)
+        u += java.lang.Long.signum(x(i) - x(j))
+      (daily(cut - 1)._1, u)
+    }
+    val kStat = us.map(u => math.abs(u._2)).max
+    val changeDay = us.filter(u => math.abs(u._2) == kStat).map(_._1).min(
+      Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val r = operators.StatsOps4.pettitt.run(spark, sf).collect().head
+    assert(r.getAs[Long]("k_stat") === kStat)
+    assert(r.getDate(0).toLocalDate === changeDay)
+    val p = r.getAs[Double]("p_approx")
+    assert(p >= 0.0 && p <= 2.0) // approximation can exceed 1 for tiny K
+  }
+}
