@@ -109,6 +109,59 @@ class R9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** The undirected trade edge list, rebuilt independently of
+    * GraphOps' shared frame (so the spec re-derives, not replays). */
+  private def undEdges(): Array[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.Tables
+    t.lineitem(spark, sf)
+      .join(t.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(t.nation(spark, sf).select(col("n_nationkey").as("nk1"), col("n_name").as("sn")),
+        col("s_nationkey") === col("nk1"))
+      .join(t.nation(spark, sf).select(col("n_nationkey").as("nk2"), col("n_name").as("cn")),
+        col("c_nationkey") === col("nk2"))
+      .filter(col("nk1") =!= col("nk2"))
+      .select(least(col("sn"), col("cn")).as("u"), greatest(col("sn"), col("cn")).as("v"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+  }
+
+  test("graph_rich_club: brute-force recount on the collected edge list") {
+    val edges = undEdges()
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = operators.GraphOps2.richClub.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      val richNodes = deg.filter(_._2 > k).keySet
+      val ek = edges.count(e => richNodes(e._1) && richNodes(e._2)).toLong
+      val nk = richNodes.size.toLong
+      assert(r.getAs[Long]("n_nodes") === nk)
+      assert(r.getAs[Long]("n_edges") === ek)
+      assert(r.getAs[Long]("phi_ppm") === ek * 2 * 1000000L / (nk * (nk - 1)))
+      assert(r.getAs[Long]("phi_ppm") <= 1000000L)
+    }
+    // N_k non-increasing in k
+    val ns = rows.map(_.getAs[Long]("n_nodes"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("graph_conductance: cut/volume accounting identities") {
+    val rows = operators.GraphOps2.conductance.run(spark, sf).collect()
+    val m = undEdges().length.toLong
+    // every edge endpoint lands in exactly one region: sum vol = 2m
+    assert(rows.map(_.getAs[Long]("volume")).sum === 2 * m)
+    rows.foreach { r =>
+      val (cut, vol) = (r.getAs[Long]("cut_edges"), r.getAs[Long]("volume"))
+      assert(cut <= vol)
+      val phi = r.getAs[Long]("conductance_ppm")
+      assert(phi === cut * 1000000L / math.min(vol, 2 * m - vol))
+      assert(phi >= 0 && phi <= 1000000L)
+    }
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
