@@ -9,7 +9,7 @@ object SparkEntry {
   /** Every operator the engine exposes, from all op families. */
   def allOps: Seq[GraftOp] =
     Relational.ops ++ SqlSurface.ops ++ SqlSurface2.ops ++ SqlSurface3.ops ++
-      TpchMore.ops ++ TpchMore2.ops ++ TpchMore3.ops ++ ModernSql.ops ++ EmbedOps.ops ++
+      TpchMore.ops ++ TpchMore2.ops ++ TpchMore3.ops ++ ModernSql.ops ++ EmbedOps.ops ++ EmbedOps2.ops ++
       EventsAnalytics.ops ++ PackOps.ops ++ CurationOps.ops ++ GraphOps.ops ++ GraphOps2.ops ++
       EtlOps.ops ++ TextOps.ops ++ DedupOps.ops ++ CleanPipeline.ops ++ MmOps.ops ++
       KnnOps.ops ++ TopK.ops ++ Sampling.ops ++ RangeJoin.ops ++ JoinPrune.ops ++

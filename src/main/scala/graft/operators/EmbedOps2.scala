@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second embedding-diagnostics tier (round 9, continued): covariance
+  * effective rank (participation ratio) and the Two-NN intrinsic
+  * dimension estimator — the two standard answers to "how many
+  * dimensions is this 64-dim embedding REALLY using", linear
+  * (spectrum-level) and nonlinear (manifold-level) respectively.
+  * Read together with [[EmbedOps]]'s `emb_anisotropy` (top-eigenvalue
+  * share): anisotropy says whether ONE direction dominates; effective
+  * rank summarizes the whole spectrum; Two-NN ignores the linear
+  * algebra entirely and asks what the local neighbor-distance ratios
+  * imply.
+  *
+  * Determinism contract: embeddings are snapped to a fixed integer
+  * grid up front, every cross-row fold is then an exact integer
+  * (DECIMAL(38)/HUGEINT where products scale with n or the value
+  * bound), and libm (ln) terms are micro-snapped per sample before
+  * the exact integer fold — so both engines fold identical integers
+  * in any order. Final formulas are written-out double expressions
+  * with one cast per exact integer. */
+object EmbedOps2 {
+
+  /** Embedding dimensionality, fixed by the corpus schema (the same
+    * constant the LSH/PQ index ops pin). */
+  private val Dim = 64
+
+  /** Covariance effective rank via the participation ratio
+    * PR = tr(C)²/‖C‖²_F = (Σλ)²/Σλ² — "how many principal directions
+    * carry the variance" without an eigendecomposition (PR equals the
+    * exact count for isotropic spectra and collapses toward 1 under
+    * rank-collapse, the representation-collapse tell). The full d×d
+    * covariance is assembled EXACTLY: vectors snap to the 1e-4 grid,
+    * pair sums Σqᵢqⱼ come from a double posexplode (n·d² rows — grows
+    * linearly in n with d²-bounded aggregate state; the map-side
+    * partial agg keeps the exchange at d² rows), and each entry's
+    * numerator Dᵢⱼ = n·Σqᵢqⱼ − SᵢSⱼ is micro-snapped by EXACT integral
+    * division before the trace/Frobenius folds — so PR is a ratio of
+    * two exact integers at any corpus size. The 1e-4 input grid is the
+    * op's stated quantization (the bound that keeps Dᵢⱼ² inside
+    * DECIMAL(38) past 10⁸ vectors). */
+  val effectiveRank: GraftOp = GraftOp(
+    "emb_effective_rank",
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding,
+       |    v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |p AS (
+       |  SELECT i.i AS i, j.j AS j,
+       |    CAST(sum(CAST(q[i.i] AS HUGEINT) * q[j.j]) AS HUGEINT) AS sp
+       |  FROM q, generate_series(1, $Dim) i(i), generate_series(1, $Dim) j(j)
+       |  GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT i.i AS i, CAST(sum(q[i.i]) AS BIGINT) AS si
+       |  FROM q, generate_series(1, $Dim) i(i) GROUP BY 1),
+       |c AS (
+       |  SELECT p.i, p.j,
+       |    CAST((n.n * p.sp - CAST(a.si AS HUGEINT) * b.si)
+       |      // (CAST(n.n AS HUGEINT) * n.n * 100) AS BIGINT) AS cu
+       |  FROM p JOIN sv a ON a.i = p.i JOIN sv b ON b.i = p.j, n),
+       |f AS (
+       |  SELECT CAST(sum(CASE WHEN i = j THEN cu ELSE 0 END) AS BIGINT) AS tr,
+       |    CAST(sum(CAST(cu AS HUGEINT) * cu) AS BIGINT) AS fr
+       |  FROM c)
+       |SELECT n.n AS n_vectors, $Dim AS dim,
+       |  CAST(tr AS DOUBLE) / 1000000.0 AS trace,
+       |  CAST(tr AS DOUBLE) * tr / CAST(fr AS DOUBLE) AS effective_rank
+       |FROM f, n""".stripMargin) { (s, d) =>
+    val q = Tables.embeddings(s, d).select(
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))")
+        .as("q"))
+    val n = broadcast(q.agg(count(lit(1)).as("n")))
+    val e1 = q.select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+    val sp = e1.select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi").cast(DecimalType(38, 0)) * col("qj")).as("sp"))
+    val sv = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i")).agg(sum(col("qi")).as("si"))
+    val c = sp
+      .join(broadcast(sv.select(col("i"), col("si").as("sa"))), Seq("i"))
+      .join(broadcast(sv.select(col("i").as("j"), col("si").as("sb"))), Seq("j"))
+      .crossJoin(n)
+      .select(col("i"), col("j"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * sp - CAST(sa AS DECIMAL(38,0)) * sb)
+          |  div (CAST(n AS DECIMAL(38,0)) * n * 100) AS BIGINT)""".stripMargin).as("cu"))
+    val f = c.agg(
+      sum(when(col("i") === col("j"), col("cu")).otherwise(lit(0L))).as("tr"),
+      sum(col("cu").cast(DecimalType(38, 0)) * col("cu")).cast(LongType).as("fr"))
+    f.crossJoin(n)
+      .select(col("n").as("n_vectors"), lit(Dim).as("dim"),
+        expr("CAST(tr AS DOUBLE) / 1000000.0D").as("trace"),
+        expr("CAST(tr AS DOUBLE) * tr / CAST(fr AS DOUBLE)").as("effective_rank"))
+  }
+
+  /** Two-NN intrinsic dimension (Facco et al.): ID ≈ ln2 / E[ln r₂/r₁]
+    * over a deterministic ⅛ query sample — the manifold-dimension
+    * estimate that needs only each query's two nearest neighbors, so
+    * the scan is |sample|×n exact integer L2 kernels (broadcast the
+    * sample through one corpus pass; no n² join, the knn_brute scale
+    * shape). Distances are EXACT micro-grid integers; the 1st/2nd
+    * neighbor choice orders by (dsq, vec_id) — integer-deterministic;
+    * zero-distance duplicates are excluded (r₁ > 0 is the estimator's
+    * own requirement); each sample's ln(d²₂/d²₁) is micro-snapped and
+    * the fold is an exact integer sum. With E[ln d²-ratio] = 2·E[ln
+    * r-ratio], ID = ln4 / mean — the literal and the op order are
+    * identical in both engines. */
+  val intrinsicDim: GraftOp = GraftOp(
+    "emb_intrinsic_dim",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, q AS qq FROM v WHERE vec_id % 8 = 0),
+      |p AS (
+      |  SELECT query_id, vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, len(q) + 1),
+      |        i -> (q[i] - qq[i]) * (q[i] - qq[i]))),
+      |      (acc, x) -> acc + x) AS dsq
+      |  FROM v, qs WHERE vec_id <> query_id),
+      |r AS (
+      |  SELECT query_id, dsq,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY dsq, vec_id) AS rn
+      |  FROM p WHERE dsq > 0),
+      |w AS (
+      |  SELECT query_id,
+      |    max(CASE WHEN rn = 1 THEN dsq END) AS d1,
+      |    max(CASE WHEN rn = 2 THEN dsq END) AS d2
+      |  FROM r WHERE rn <= 2 GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(round(ln(CAST(d2 AS DOUBLE) / d1) * 1000000) AS BIGINT) AS t
+      |  FROM w WHERE d2 IS NOT NULL),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS nq, CAST(sum(t) AS BIGINT) AS s FROM t)
+      |SELECT nq AS n_queries,
+      |  CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 1000000.0) AS mean_log_dsq_ratio,
+      |  CAST(1.3862943611198906 AS DOUBLE)
+      |    / (CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 1000000.0)) AS id_twonn
+      |FROM f""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("q"))
+    val qs = v.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val p = v.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("dsq"))
+      .filter(col("dsq") > 0)
+    val r = p.withColumn("rn",
+      row_number().over(Window.partitionBy(col("query_id")).orderBy(col("dsq"), col("vec_id"))))
+      .filter(col("rn") <= 2)
+    val w = r.groupBy(col("query_id"))
+      .agg(max(when(col("rn") === 1, col("dsq"))).as("d1"),
+        max(when(col("rn") === 2, col("dsq"))).as("d2"))
+      .filter(col("d2").isNotNull)
+    w.select(expr("CAST(round(ln(CAST(d2 AS DOUBLE) / d1) * 1000000) AS BIGINT)").as("t"))
+      .agg(count(lit(1)).as("nq"), sum(col("t")).as("s"))
+      .select(col("nq").as("n_queries"),
+        expr("CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 1000000.0D)").as("mean_log_dsq_ratio"),
+        expr("""CAST(1.3862943611198906D AS DOUBLE)
+          |  / (CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 1000000.0D))""".stripMargin)
+          .as("id_twonn"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(effectiveRank, intrinsicDim)
+}

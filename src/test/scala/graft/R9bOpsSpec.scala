@@ -162,6 +162,53 @@ class R9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_effective_rank: bounds and double-precision cross-check") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val dim = vecs.head.length
+    val mu = Array.tabulate(dim)(j => vecs.map(_(j)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / n
+    }
+    val tr = (0 until dim).map(i => cov(i)(i)).sum
+    val fr = cov.flatten.map(x => x * x).sum
+    val want = tr * tr / fr
+    val r = operators.EmbedOps2.effectiveRank.run(spark, sf).collect().head
+    val got = r.getAs[Double]("effective_rank")
+    assert(got >= 1.0 && got <= dim.toDouble)
+    // engine path quantizes inputs to 1e-4 and entries to 1e-6 → loose tol
+    assert(math.abs(got - want) / want < 0.05, s"PR $got vs float $want")
+    assert(r.getAs[Double]("trace") > 0.0)
+    assert(r.getAs[Long]("n_vectors") === n.toLong)
+  }
+
+  test("emb_intrinsic_dim: exact replay of the quantized Two-NN pipeline") {
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.round(f.toDouble * 1000000)).toArray))
+    val queries = rows.filter(_._1 % 8 == 0)
+    val terms = queries.flatMap { case (qid, qq) =>
+      val ds = rows.filter(_._1 != qid)
+        .map { case (cid, q) =>
+          (q.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }
+        .filter(_._1 > 0).sorted.take(2)
+      if (ds.length == 2)
+        Some(math.round(math.log(ds(1)._1.toDouble / ds(0)._1) * 1000000))
+      else None
+    }
+    val s = terms.sum
+    val nq = terms.length
+    val r = operators.EmbedOps2.intrinsicDim.run(spark, sf).collect().head
+    assert(r.getAs[Long]("n_queries") === nq.toLong)
+    val id = r.getAs[Double]("id_twonn")
+    assert(math.abs(id - 1.3862943611198906 / (s.toDouble / (nq * 1000000.0))) < 1e-9)
+    assert(id > 0.0 && id <= 64.0)
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
