@@ -3,6 +3,7 @@ package graft.operators
 import graft.GraftOp
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Sampling for training-data pipelines: seeded uniform and stratified
   * samples. Bernoulli sampling is partition-local (no shuffle, no
@@ -417,7 +418,92 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Neyman-allocation stratified sample (n = 100): each language
+    * stratum gets floor(n·N_h·S_h / Σ N·S) slots — proportional to
+    * stratum size × within-stratum spread of n_chars, the
+    * variance-minimizing design for estimating mean document length
+    * (vs [[stratified]]'s fixed-rate design; this is the survey-theory
+    * completion of [[importance]]'s Horvitz-Thompson estimator).
+    * Variance numerators v_h = n_h·ss_h − s_h² are exact
+    * DECIMAL(38)/HUGEINT; S_h uses IEEE sqrt (correctly rounded →
+    * bit-identical across engines, unlike libm), the 5-language weight
+    * sum is PIVOTED into written expression order, and the per-stratum
+    * slot count is floor() of identical doubles. Selection inside each
+    * stratum is the portable-hash rank (md5, doc_id tiebreak), so the
+    * chosen doc set is reproducible anywhere. Strata with n_h < 2
+    * carry zero Neyman weight (undefined variance), stated identically
+    * in both engines. */
+  val neyman: GraftOp = GraftOp(
+    "sample_neyman",
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+       |g AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+       |    CAST(sum(x) AS BIGINT) AS s_h,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss_h
+       |  FROM d GROUP BY 1),
+       |v AS (
+       |  SELECT lang, n_h,
+       |    CASE WHEN n_h >= 2 THEN
+       |      CAST(n_h AS DOUBLE) * sqrt(
+       |        CAST(CAST(n_h AS HUGEINT) * ss_h - CAST(s_h AS HUGEINT) * s_h AS DOUBLE)
+       |        / (CAST(n_h AS DOUBLE) * n_h * (n_h - 1.0)))
+       |    ELSE 0.0 END AS w
+       |  FROM g),
+       |p AS (
+       |  SELECT
+       |    max(CASE WHEN lang = 'de' THEN w ELSE 0.0 END) AS wde,
+       |    max(CASE WHEN lang = 'en' THEN w ELSE 0.0 END) AS wen,
+       |    max(CASE WHEN lang = 'es' THEN w ELSE 0.0 END) AS wes,
+       |    max(CASE WHEN lang = 'fr' THEN w ELSE 0.0 END) AS wfr,
+       |    max(CASE WHEN lang = 'zh' THEN w ELSE 0.0 END) AS wzh
+       |  FROM v),
+       |a AS (
+       |  SELECT v.lang, v.n_h,
+       |    CAST(floor(100.0 * v.w / (p.wde + p.wen + p.wes + p.wfr + p.wzh)) AS BIGINT)
+       |      AS n_alloc
+       |  FROM v, p),
+       |r AS (
+       |  SELECT d.doc_id, d.lang, a.n_alloc,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY
+       |      ${graft.functions.Exprs.sqlMd5Long("concat('ney42#', CAST(d.doc_id AS VARCHAR))")},
+       |      d.doc_id) AS rn
+       |  FROM d JOIN a ON d.lang = a.lang)
+       |SELECT doc_id, lang, n_alloc FROM r WHERE rn <= n_alloc
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast(LongType).as("x"))
+    val g = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s_h"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("ss_h"))
+    val v = g.select(col("lang"), col("n_h"),
+      expr("""CASE WHEN n_h >= 2 THEN
+        |  CAST(n_h AS DOUBLE) * sqrt(
+        |    CAST(CAST(n_h AS DECIMAL(38,0)) * ss_h - CAST(s_h AS DECIMAL(38,0)) * s_h AS DOUBLE)
+        |    / (CAST(n_h AS DOUBLE) * n_h * (n_h - 1.0D)))
+        |ELSE 0.0D END""".stripMargin).as("w"))
+    val p = broadcast(v.agg(
+      max(when(col("lang") === "de", col("w")).otherwise(0.0)).as("wde"),
+      max(when(col("lang") === "en", col("w")).otherwise(0.0)).as("wen"),
+      max(when(col("lang") === "es", col("w")).otherwise(0.0)).as("wes"),
+      max(when(col("lang") === "fr", col("w")).otherwise(0.0)).as("wfr"),
+      max(when(col("lang") === "zh", col("w")).otherwise(0.0)).as("wzh")))
+    val a = broadcast(v.crossJoin(p)
+      .select(col("lang"), col("n_h"),
+        expr("CAST(floor(100.0D * w / (wde + wen + wes + wfr + wzh)) AS BIGINT)")
+          .as("n_alloc")))
+    val rnW = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(graft.functions.Exprs.md5Long(
+        concat(lit("ney42#"), col("doc_id").cast(org.apache.spark.sql.types.StringType))),
+        col("doc_id"))
+    docs.join(a, Seq("lang"))
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") <= col("n_alloc"))
+      .select(col("doc_id"), col("lang"), col("n_alloc"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced, shard, epochShuffle, tokenBudget, importance)
+      balanced, shard, epochShuffle, tokenBudget, importance, neyman)
 }

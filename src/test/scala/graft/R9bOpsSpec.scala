@@ -209,6 +209,67 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(id > 0.0 && id <= 64.0)
   }
 
+  test("text_term_burstiness: brute-force recount and bounds") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").toSeq))
+    val tf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val top = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val rows = operators.TextOps2.termBurstiness.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === top.map(_._1))
+    rows.foreach { r =>
+      val (tok, tfv, dfv) = (r.getString(0), r.getAs[Long]("tf"), r.getAs[Long]("df"))
+      assert(tfv === tf(tok) && dfv === df(tok))
+      assert(r.getAs[Long]("burstiness_micro") === tfv * 1000000L / dfv)
+      assert(r.getAs[Long]("burstiness_micro") >= 1000000L) // tf >= df always
+      assert(r.getAs[Long]("doc_coverage_ppm") <= 1000000L)
+    }
+  }
+
+  test("text_term_dispersion: DP bounds and the uniform-term sanity check") {
+    val rows = operators.TextOps2.termDispersion.run(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val dp = r.getAs[Long]("dp_ppm")
+      assert(dp >= 0 && dp <= 1000000L)
+    }
+    // synthetic word-soup docs spread top terms across all 20 sources:
+    // the most frequent term must be far from single-source (DP << 1)
+    assert(rows.head.getAs[Long]("dp_ppm") < 500000L)
+  }
+
+  test("sample_neyman: allocation replay and per-stratum counts") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val strata: Map[String, Seq[Long]] =
+      docs.groupBy(_._2).view.mapValues(_.map(_._3).toSeq).toMap
+    val w = Seq("de", "en", "es", "fr", "zh").map { l =>
+      val xs = strata.getOrElse(l, Seq.empty[Long])
+      val n = xs.length.toLong
+      l -> (if (n >= 2) {
+        val v = (BigInt(n) * xs.map(x => BigInt(x) * x).sum
+          - BigInt(xs.sum) * xs.sum).toDouble
+        n.toDouble * math.sqrt(v / (n.toDouble * n * (n - 1.0)))
+      } else 0.0)
+    }.toMap
+    val sw = w("de") + w("en") + w("es") + w("fr") + w("zh")
+    val alloc = w.view.mapValues(x => math.floor(100.0 * x / sw).toLong).toMap
+    val rows = operators.Sampling.neyman.run(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (l, rs) =>
+      assert(rs.head.getAs[Long]("n_alloc") === alloc(l), s"alloc for $l")
+      assert(rs.length.toLong === math.min(alloc(l), strata(l).length.toLong))
+    }
+    assert(rows.length <= 100)
+    // allocation tracks N_h * S_h: the biggest stratum-weight language
+    // gets the most slots
+    val topLang = w.maxBy(_._2)._1
+    assert(alloc(topLang) === alloc.values.max)
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
