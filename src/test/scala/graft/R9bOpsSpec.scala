@@ -270,6 +270,50 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(alloc(topLang) === alloc.values.max)
   }
 
+  test("mm_ico_meta walker: parses planted icons, rejects structural lies") {
+    val good = operators.MmOps2.syntheticIco(7L) // n=4 entries
+    assert(operators.MmOps2.parseIcoMeta(good).exists(_._1 == 4))
+    // bad type
+    val badType = good.clone(); badType(2) = 2
+    assert(operators.MmOps2.parseIcoMeta(badType).isEmpty)
+    // non-contiguous offset: bump first entry's offset
+    val badOff = good.clone(); badOff(6 + 12) = (badOff(6 + 12) + 1).toByte
+    assert(operators.MmOps2.parseIcoMeta(badOff).isEmpty)
+    // trailing junk
+    assert(operators.MmOps2.parseIcoMeta(good :+ 0.toByte).isEmpty)
+    // truncated payload
+    assert(operators.MmOps2.parseIcoMeta(good.dropRight(1)).isEmpty)
+    // non-square entry
+    val notSquare = good.clone(); notSquare(6 + 1) = (notSquare(6) + 16).toByte
+    assert(operators.MmOps2.parseIcoMeta(notSquare).isEmpty)
+  }
+
+  test("mm_aiff_meta walker: 80-bit rate decode and lie rejection") {
+    // all four rates decode exactly through the extended-float path
+    (0L to 7L).foreach { id =>
+      val got = operators.MmOps2.parseAiffMeta(operators.MmOps2.syntheticAiff(id))
+      assert(got.isDefined, s"doc $id")
+      val rate = got.get._2
+      assert(Seq(8000, 11025, 22050, 44100).contains(rate))
+    }
+    val good = operators.MmOps2.syntheticAiff(3L)
+    // FORM size lie
+    val badSize = good.clone(); badSize(7) = (badSize(7) + 1).toByte
+    assert(operators.MmOps2.parseAiffMeta(badSize).isEmpty)
+    // exponent +1 → the decode honors it: rate doubles (44100 → 88200)
+    val expOff = 12 + 8 + 8 // channels(2)+frames(4)+bits(2) → exponent hi byte
+    val badExp = good.clone(); badExp(expOff + 1) = (badExp(expOff + 1) + 1).toByte
+    assert(operators.MmOps2.parseAiffMeta(badExp).exists(_._2 == 88200),
+      "exponent is live in the decode")
+    // dirty mantissa low bit → fractional rate → reject
+    val badMant = good.clone(); badMant(expOff + 2 + 7) = (badMant(expOff + 2 + 7) | 1).toByte
+    assert(operators.MmOps2.parseAiffMeta(badMant).isEmpty,
+      "non-integral extended-float rate must be rejected")
+    // SSND payload length vs COMM frames cross-check
+    val badFrames = good.clone(); badFrames(12 + 8 + 5) = (badFrames(12 + 8 + 5) ^ 1).toByte
+    assert(operators.MmOps2.parseAiffMeta(badFrames).isEmpty)
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
