@@ -139,7 +139,7 @@ object EmbedOps2 {
       |f AS (SELECT CAST(count(*) AS BIGINT) AS nq, CAST(sum(t) AS BIGINT) AS s FROM t)
       |SELECT nq AS n_queries,
       |  CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 1000000.0) AS mean_log_dsq_ratio,
-      |  CAST(1.3862943611198906 AS DOUBLE)
+      |  CAST('1.3862943611198906' AS DOUBLE)
       |    / (CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 1000000.0)) AS id_twonn
       |FROM f""".stripMargin) { (s, d) =>
     val v = Tables.embeddings(s, d).select(col("vec_id"),

@@ -417,6 +417,175 @@ object StatsOps4 {
           .as("p_approx"))
   }
 
+  /** One-sweep Tukey median polish of the weekday × event-type count
+    * matrix — the ROBUST two-way decomposition (medians, not means, so
+    * one anomalous cell can't leak into every effect the way it does
+    * in an ANOVA-style mean decomposition; the residual matrix is the
+    * "which cell is genuinely odd" readout q_hour_heatmap eyeballs).
+    * Both matrix axes are odd-sized (7 weekdays, 5 types), so every
+    * median is an EXACT CELL VALUE — the 3rd/4th order statistic by
+    * (value, label) rank — and the whole decomposition stays in exact
+    * integers: residual = n − row_med − col_med with col medians taken
+    * over the row-polished residuals, one sweep, stated identically in
+    * both engines. */
+  val medianPolish: GraftOp = GraftOp(
+    "q_median_polish",
+    """WITH b AS (
+      |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+      |    event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |rm AS (
+      |  SELECT dow, max(CASE WHEN rn = 3 THEN n END) AS row_med
+      |  FROM (SELECT dow, n,
+      |          row_number() OVER (PARTITION BY dow ORDER BY n, event_type) AS rn
+      |        FROM b) t
+      |  GROUP BY 1),
+      |r1 AS (
+      |  SELECT b.dow, b.event_type, b.n, rm.row_med, b.n - rm.row_med AS res1
+      |  FROM b JOIN rm ON b.dow = rm.dow),
+      |cm AS (
+      |  SELECT event_type, max(CASE WHEN rn = 4 THEN res1 END) AS col_med
+      |  FROM (SELECT event_type, res1,
+      |          row_number() OVER (PARTITION BY event_type ORDER BY res1, dow) AS rn
+      |        FROM r1) t
+      |  GROUP BY 1)
+      |SELECT r1.dow, r1.event_type, r1.n, r1.row_med, cm.col_med,
+      |  r1.res1 - cm.col_med AS residual
+      |FROM r1 JOIN cm ON r1.event_type = cm.event_type
+      |ORDER BY r1.dow, r1.event_type""".stripMargin) { (s, d) =>
+    val b = Tables.events(s, d)
+      .select((datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)) % 7).as("dow"),
+        col("event_type"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rm = b
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("dow")).orderBy(col("n"), col("event_type"))))
+      .groupBy(col("dow")).agg(max(when(col("rn") === 3, col("n"))).as("row_med"))
+    val r1 = b.join(rm, Seq("dow"))
+      .withColumn("res1", col("n") - col("row_med"))
+    val cm = r1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("res1"), col("dow"))))
+      .groupBy(col("event_type")).agg(max(when(col("rn") === 4, col("res1"))).as("col_med"))
+    r1.join(cm, Seq("event_type"))
+      .select(col("dow"), col("event_type"), col("n"), col("row_med"), col("col_med"),
+        (col("res1") - col("col_med")).as("residual"))
+      .orderBy(col("dow"), col("event_type"))
+  }
+
+  /** Rescaled-range (R/S) Hurst profile of the daily event-count
+    * series — long-memory vs mean-reversion, the persistence question
+    * q_acf's short lags can't settle (H≈0.5 random walk increments,
+    * H→1 trending, H→0.5⁻ mean-reverting). Per window size
+    * w ∈ {5,10,15} the 30-day series splits into complete blocks; each
+    * block's range and sd run on the w-SCALED centered integers
+    * yₜ = w·xₜ − Σblock (exact: R_scaled = max−min of the cumulative
+    * sums, S² from Σy²), so R/S = R_scaled/√(Σy²/w) is one
+    * deterministic double per block, its ln micro-snapped (libm
+    * rescue) and folded exactly. The Hurst slope is the 3-point OLS on
+    * ln w with the closed-form weights PRECOMPUTED as double
+    * constants, parenthesized to pin the fold order; the oracle spells
+    * them as STRING→DOUBLE casts because DuckDB's DECIMAL→DOUBLE cast
+    * is not correctly rounded (−0.9675751528184137 lands 1 ulp off via
+    * the decimal path, exactly via the string path — r9 finding, see
+    * SURVEY §6). Constant blocks (Σy² = 0) carry no R/S and are
+    * excluded identically. */
+  val hurstRs: GraftOp = GraftOp(
+    "q_hurst_rs",
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS nd, min(day) AS mind FROM d),
+      |c AS (
+      |  SELECT CAST(date_diff('day', st.mind, d.day) AS BIGINT) AS i, d.n
+      |  FROM d, st),
+      |e AS (
+      |  SELECT w.w, c.i // w.w AS b, c.i, c.n
+      |  FROM c, (VALUES (5), (10), (15)) w(w), st
+      |  WHERE c.i < w.w * (st.nd // w.w)),
+      |blk AS (
+      |  SELECT w, b, i, n,
+      |    CAST(sum(n) OVER (PARTITION BY w, b) AS BIGINT) AS s_blk
+      |  FROM e),
+      |y AS (
+      |  SELECT w, b, i, w * n - s_blk AS y,
+      |    CAST(sum(w * n - s_blk) OVER (PARTITION BY w, b ORDER BY i
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy
+      |  FROM blk),
+      |g AS (
+      |  SELECT w, b,
+      |    CAST(max(cy) - min(cy) AS BIGINT) AS r_scaled,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS sy2
+      |  FROM y GROUP BY 1, 2),
+      |t AS (
+      |  SELECT w,
+      |    CAST(count(*) AS BIGINT) AS n_blocks,
+      |    CAST(sum(CAST(round(ln(CAST(r_scaled AS DOUBLE)
+      |      / sqrt(CAST(sy2 AS DOUBLE) / w)) * 1000000) AS BIGINT)) AS BIGINT) AS s_ln
+      |  FROM g WHERE sy2 > 0 AND r_scaled > 0 GROUP BY 1),
+      |p AS (
+      |  SELECT
+      |    max(CASE WHEN w = 5 THEN CAST(s_ln AS DOUBLE)
+      |        / (CAST(n_blocks AS DOUBLE) * 1000000.0) END) AS y5,
+      |    max(CASE WHEN w = 10 THEN CAST(s_ln AS DOUBLE)
+      |        / (CAST(n_blocks AS DOUBLE) * 1000000.0) END) AS y10,
+      |    max(CASE WHEN w = 15 THEN CAST(s_ln AS DOUBLE)
+      |        / (CAST(n_blocks AS DOUBLE) * 1000000.0) END) AS y15,
+      |    max(CASE WHEN w = 5 THEN n_blocks END) AS b5,
+      |    max(CASE WHEN w = 10 THEN n_blocks END) AS b10,
+      |    max(CASE WHEN w = 15 THEN n_blocks END) AS b15
+      |  FROM t)
+      |SELECT b5 AS blocks_w5, b10 AS blocks_w10, b15 AS blocks_w15,
+      |  y5 AS mean_ln_rs_w5, y10 AS mean_ln_rs_w10, y15 AS mean_ln_rs_w15,
+      |  ((CAST('-0.9675751528184137' AS DOUBLE) * y5)
+      |    + (CAST('0.15535233941616758' AS DOUBLE) * y10))
+      |    + (CAST('0.8122228134022442' AS DOUBLE) * y15) AS hurst_slope
+      |FROM p""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val st = broadcast(daily.agg(count(lit(1)).as("nd"), min(col("day")).as("mind")))
+    val c = daily.crossJoin(st)
+      .select(datediff(col("day"), col("mind")).cast(LongType).as("i"), col("n"), col("nd"))
+    val e = c.select(col("i"), col("n"), col("nd"),
+        explode(array(lit(5L), lit(10L), lit(15L))).as("w"))
+      .filter(col("i") < col("w") * expr("nd div w"))
+      .select(col("w"), expr("i div w").as("b"), col("i"), col("n"))
+    val blk = e.withColumn("s_blk",
+      sum(col("n")).over(Window.partitionBy(col("w"), col("b"))))
+    val y = blk
+      .withColumn("y", col("w") * col("n") - col("s_blk"))
+      .withColumn("cy", sum(col("w") * col("n") - col("s_blk")).over(
+        Window.partitionBy(col("w"), col("b")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g = y.groupBy(col("w"), col("b"))
+      .agg((max(col("cy")) - min(col("cy"))).as("r_scaled"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).cast(LongType).as("sy2"))
+    val t = g.filter(col("sy2") > 0 && col("r_scaled") > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("""CAST(round(ln(CAST(r_scaled AS DOUBLE)
+          |  / sqrt(CAST(sy2 AS DOUBLE) / w)) * 1000000) AS BIGINT)""".stripMargin))
+          .as("s_ln"))
+    val p = t.agg(
+      max(when(col("w") === 5,
+        expr("CAST(s_ln AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * 1000000.0D)"))).as("y5"),
+      max(when(col("w") === 10,
+        expr("CAST(s_ln AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * 1000000.0D)"))).as("y10"),
+      max(when(col("w") === 15,
+        expr("CAST(s_ln AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * 1000000.0D)"))).as("y15"),
+      max(when(col("w") === 5, col("n_blocks"))).as("b5"),
+      max(when(col("w") === 10, col("n_blocks"))).as("b10"),
+      max(when(col("w") === 15, col("n_blocks"))).as("b15"))
+    p.select(col("b5").as("blocks_w5"), col("b10").as("blocks_w10"),
+      col("b15").as("blocks_w15"),
+      col("y5").as("mean_ln_rs_w5"), col("y10").as("mean_ln_rs_w10"),
+      col("y15").as("mean_ln_rs_w15"),
+      expr("""((-0.9675751528184137D * y5) + (0.15535233941616758D * y10))
+        |  + (0.8122228134022442D * y15)""".stripMargin).as("hurst_slope"))
+  }
+
   val ops: Seq[GraftOp] = Seq(cliffsDelta, durbinWatson, bartlett, grubbs, friedman,
-    pettitt)
+    pettitt, medianPolish, hurstRs)
 }

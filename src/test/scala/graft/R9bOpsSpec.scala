@@ -314,6 +314,68 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(operators.MmOps2.parseAiffMeta(badFrames).isEmpty)
   }
 
+  test("q_median_polish: medians are exact order statistics, decomposition adds up") {
+    val rows = operators.StatsOps4.medianPolish.run(spark, sf).collect()
+    assert(rows.length === 35) // 7 dow x 5 types
+    val cells = rows.map(r => ((r.getInt(0), r.getString(1)),
+      (r.getAs[Long]("n"), r.getAs[Long]("row_med"), r.getAs[Long]("col_med"),
+        r.getAs[Long]("residual")))).toMap
+    // additivity: n = row_med + col_med + residual
+    cells.values.foreach { case (n, rm, cm, res) => assert(n === rm + cm + res) }
+    // row medians: exact median of the 5 values in the dow row
+    cells.keys.map(_._1).toSeq.distinct.foreach { dow =>
+      val vals = cells.filter(_._1._1 == dow).values.map(_._1).toSeq.sorted
+      val med = vals(2) // odd count 5
+      cells.filter(_._1._1 == dow).values.foreach { case (_, rm, _, _) =>
+        assert(rm === med)
+      }
+    }
+    // col medians: exact median of the 7 row-polished residuals per type
+    cells.keys.map(_._2).toSeq.distinct.foreach { et =>
+      val res1 = cells.filter(_._1._2 == et).values.map(v => v._1 - v._2).toSeq.sorted
+      val med = res1(3) // odd count 7
+      cells.filter(_._1._2 == et).values.foreach { case (_, _, cm, _) =>
+        assert(cm === med)
+      }
+    }
+  }
+
+  test("q_hurst_rs: brute-force block replay of the rescaled-range profile") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .count().orderBy("day")
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val minD = daily.map(_._1).min
+    val series = daily.map { case (d, n) => ((d - minD).toInt, n) }.sortBy(_._1)
+    val nd = series.length
+    def profile(w: Int): (Long, Double) = {
+      val nb = nd / w
+      val terms = (0 until nb).flatMap { b =>
+        val blk = series.filter { case (i, _) => i >= b * w && i < (b + 1) * w }
+        val s = blk.map(_._2).sum
+        val y = blk.map { case (_, n) => w * n - s }
+        val cy = y.scanLeft(0L)(_ + _).tail
+        val r = cy.max - cy.min
+        val sy2 = y.map(v => v * v).sum
+        if (sy2 > 0 && r > 0)
+          Some(math.round(math.log(r.toDouble / math.sqrt(sy2.toDouble / w)) * 1000000))
+        else None
+      }
+      (terms.length.toLong, terms.sum.toDouble / (terms.length * 1000000.0))
+    }
+    val (b5, y5) = profile(5); val (b10, y10) = profile(10); val (b15, y15) = profile(15)
+    val r = operators.StatsOps4.hurstRs.run(spark, sf).collect().head
+    assert(r.getAs[Long]("blocks_w5") === b5)
+    assert(r.getAs[Long]("blocks_w10") === b10)
+    assert(r.getAs[Long]("blocks_w15") === b15)
+    assert(math.abs(r.getAs[Double]("mean_ln_rs_w5") - y5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_ln_rs_w15") - y15) < 1e-12)
+    val slope = ((-0.9675751528184137 * y5) + (0.15535233941616758 * y10)) +
+      (0.8122228134022442 * y15)
+    assert(math.abs(r.getAs[Double]("hurst_slope") - slope) < 1e-12)
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
