@@ -586,6 +586,133 @@ object StatsOps4 {
         |  + (0.8122228134022442D * y15)""".stripMargin).as("hurst_slope"))
   }
 
+  /** Two-sample Anderson-Darling statistic (ties-collapsed discrete
+    * variant) on purchase value between the hash variants — the
+    * TAIL-WEIGHTED member of the CDF-gap family (q_ks_test reads the
+    * single worst gap, q_cvm the integrated gap, AD re-weights by
+    * 1/(F(1−F)) so tail drift — where revenue risk lives — dominates).
+    * Per distinct cents the gap numerator N·cumA − n_a·cum is exact
+    * BIGINT; each value's term cv·gap²·10⁶ ÷ (cum·(N−cum)) is
+    * floor-snapped by exact integral division with the square folded
+    * in DECIMAL(38)/HUGEINT, the last value (cum = N) excluded
+    * identically by both engines; A² is one double divide. Stated as
+    * the multiplicity-weighted discrete analogue (each distinct value
+    * contributes with weight cv) — the convention both engines
+    * replay. */
+  val adTest: GraftOp = GraftOp(
+    "q_ad_test",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT cents,
+       |    CAST(count(*) AS BIGINT) AS cv,
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS ca
+       |  FROM p GROUP BY 1),
+       |w AS (
+       |  SELECT cents, cv,
+       |    CAST(sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+       |    CAST(sum(cv) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+       |    CAST(sum(cv) OVER () AS BIGINT) AS n
+       |  FROM c),
+       |f AS (
+       |  SELECT n_a, n - n_a AS n_b, n,
+       |    CAST(sum(CAST(cv AS HUGEINT)
+       |      * ((n * cum_a - n_a * cum) * (n * cum_a - n_a * cum)) * 1000000
+       |      // (CAST(cum AS HUGEINT) * (n - cum))) AS HUGEINT) AS s
+       |  FROM w WHERE cum < n GROUP BY 1, 2, 3)
+       |SELECT n_a, n_b,
+       |  CAST(s AS DOUBLE)
+       |    / (CAST(n_a AS DOUBLE) * n_b * CAST(n AS DOUBLE) * 1000000.0) AS a2
+       |FROM f""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val c = p.groupBy(col("cents"))
+      .agg(count(lit(1)).as("cv"), count(when(col("variant") === "A", 1)).as("ca"))
+    val byVal = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = c
+      .withColumn("cum_a", sum(col("ca")).over(byVal))
+      .withColumn("cum", sum(col("cv")).over(byVal))
+      .withColumn("n_a", sum(col("ca")).over(Window.partitionBy()))
+      .withColumn("n", sum(col("cv")).over(Window.partitionBy()))
+    w.filter(col("cum") < col("n"))
+      .withColumn("term",
+        expr("""CAST(cv AS DECIMAL(38,0))
+          |  * ((n * cum_a - n_a * cum) * (n * cum_a - n_a * cum)) * 1000000
+          |  div (CAST(cum AS DECIMAL(38,0)) * (n - cum))""".stripMargin))
+      .groupBy(col("n_a"), (col("n") - col("n_a")).as("n_b"), col("n"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("n_a"), col("n_b"),
+        expr("""CAST(s AS DOUBLE)
+          |  / (CAST(n_a AS DOUBLE) * n_b * CAST(n AS DOUBLE) * 1000000.0D)""".stripMargin)
+          .as("a2"))
+  }
+
+  /** Cochran's Q over the user × event-type participation matrix —
+    * "do the five features have the same adoption rate among the SAME
+    * users", the k-treatment extension of q_mcnemar and the binary
+    * twin of q_friedman (within-user blocking removes heavy-user
+    * volume). Participation is scoped to the LAUNCH WINDOW (first two
+    * calendar days): over a whole month every user touches every type
+    * and the discordance denominator Σ Rᵢ(k−Rᵢ) degenerates to zero —
+    * the window is where adoption actually varies, and the honest
+    * early-rollout question. The whole statistic is a closed form over
+    * FOUR exact integer sums: column totals C_j (users touching type
+    * j), row sums R_i (types touched by user i), ΣR and ΣR² — so
+    * Q = (k−1)(k·ΣC_j² − (ΣC_j)²)/(k·ΣR − ΣR²) is exact integers into
+    * one double divide, no snapping anywhere. Flags against χ²₄ at
+    * 0.05. */
+  val cochranQ: GraftOp = GraftOp(
+    "q_cochran_q",
+    """WITH m AS (
+      |  SELECT user_id, event_type FROM events
+      |  WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 2
+      |  GROUP BY 1, 2),
+      |r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r_i FROM m GROUP BY 1),
+      |rt AS (
+      |  SELECT CAST(sum(r_i) AS BIGINT) AS sr,
+      |    CAST(sum(r_i * r_i) AS BIGINT) AS sr2,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM r),
+      |ct AS (
+      |  SELECT CAST(sum(CAST(c_j AS HUGEINT) * c_j) AS HUGEINT) AS sc2,
+      |    CAST(sum(c_j) AS BIGINT) AS sc, CAST(count(*) AS BIGINT) AS k
+      |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS c_j FROM m GROUP BY 1))
+      |SELECT rt.n_users, ct.k,
+      |  (CAST(ct.k AS DOUBLE) - 1.0)
+      |    * (CAST(ct.k AS DOUBLE) * CAST(ct.sc2 AS DOUBLE) - CAST(ct.sc AS DOUBLE) * ct.sc)
+      |    / (CAST(ct.k AS DOUBLE) * rt.sr - CAST(rt.sr2 AS DOUBLE)) AS q_cochran,
+      |  CASE WHEN (CAST(ct.k AS DOUBLE) - 1.0)
+      |    * (CAST(ct.k AS DOUBLE) * CAST(ct.sc2 AS DOUBLE) - CAST(ct.sc AS DOUBLE) * ct.sc)
+      |    / (CAST(ct.k AS DOUBLE) * rt.sr - CAST(rt.sr2 AS DOUBLE)) > 9.488
+      |    THEN 1 ELSE 0 END AS reject_equal_rates
+      |FROM rt, ct""".stripMargin) { (s, d) =>
+    val m = Tables.events(s, d)
+      .filter(datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)) < 2)
+      .select(col("user_id"), col("event_type")).distinct()
+    val r = m.groupBy(col("user_id")).agg(count(lit(1)).as("r_i"))
+    val rt = broadcast(r.agg(sum(col("r_i")).as("sr"),
+      sum(col("r_i") * col("r_i")).as("sr2"), count(lit(1)).as("n_users")))
+    val ct = broadcast(m.groupBy(col("event_type")).agg(count(lit(1)).as("c_j"))
+      .agg(sum(col("c_j").cast(DecimalType(38, 0)) * col("c_j")).as("sc2"),
+        sum(col("c_j")).as("sc"), count(lit(1)).as("k")))
+    rt.crossJoin(ct)
+      .withColumn("q",
+        expr("""(CAST(k AS DOUBLE) - 1.0D)
+          |  * (CAST(k AS DOUBLE) * CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * sc)
+          |  / (CAST(k AS DOUBLE) * sr - CAST(sr2 AS DOUBLE))""".stripMargin))
+      .select(col("n_users"), col("k"), col("q").as("q_cochran"),
+        expr("CASE WHEN q > 9.488D THEN 1 ELSE 0 END").as("reject_equal_rates"))
+  }
+
   val ops: Seq[GraftOp] = Seq(cliffsDelta, durbinWatson, bartlett, grubbs, friedman,
-    pettitt, medianPolish, hurstRs)
+    pettitt, medianPolish, hurstRs, adTest, cochranQ)
 }

@@ -376,6 +376,59 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("hurst_slope") - slope) < 1e-12)
   }
 
+  test("q_ad_test: nonnegative, and zero on identical split samples") {
+    val r = operators.StatsOps4.adTest.run(spark, sf).collect().head
+    val a2 = r.getAs[Double]("a2")
+    assert(a2 >= 0.0 && java.lang.Double.isFinite(a2))
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    // A-vs-A sanity via direct formula replay: gap numerator vanishes
+    // when cum_a * n == n_a * cum for every value, i.e. identical ECDFs
+    // (holds trivially when the two samples are the same multiset).
+    // Here: replay the engine's discrete formula brute-force and compare.
+    import org.apache.spark.sql.functions.{col, expr}
+    val cents = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
+        (graft.functions.Exprs.md5Long(
+          col("user_id").cast(org.apache.spark.sql.types.StringType)) % 2 === 0).as("isA"))
+      .collect().map(r2 => (r2.getLong(0), r2.getBoolean(1)))
+    val byVal = cents.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, xs) => (v, xs.length.toLong, xs.count(_._2).toLong) }
+    val n = byVal.map(_._2).sum
+    val nA = byVal.map(_._3).sum
+    var (cum, cumA) = (0L, 0L)
+    var s = BigInt(0)
+    byVal.foreach { case (_, cv, ca) =>
+      cum += cv; cumA += ca
+      if (cum < n) {
+        val gap = BigInt(n) * cumA - BigInt(nA) * cum
+        s += BigInt(cv) * gap * gap * 1000000 / (BigInt(cum) * (n - cum))
+      }
+    }
+    val want = s.toDouble / (nA.toDouble * (n - nA) * n.toDouble * 1000000.0)
+    assert(math.abs(a2 - want) < 1e-12, s"a2 $a2 vs brute $want")
+  }
+
+  test("q_cochran_q: closed form replay over the launch-window matrix") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
+    val m = graft.sources.Tables.events(spark, sf)
+      .filter(datediff(to_date(col("ts")),
+        lit("2024-01-01").cast(org.apache.spark.sql.types.DateType)) < 2)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val k = m.map(_._2).distinct.length
+    val rI = m.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cJ = m.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sr = rI.values.sum; val sr2 = rI.values.map(v => v * v).sum
+    val sc = cJ.values.sum; val sc2 = cJ.values.map(v => v.toDouble * v).sum
+    val q = (k - 1.0) * (k * sc2 - sc.toDouble * sc) / (k.toDouble * sr - sr2.toDouble)
+    val r = operators.StatsOps4.cochranQ.run(spark, sf).collect().head
+    assert(r.getAs[Long]("n_users") === rI.size.toLong)
+    assert(r.getAs[Int]("k") === k || r.getAs[Long]("k") === k.toLong)
+    assert(math.abs(r.getAs[Double]("q_cochran") - q) < 1e-9)
+    assert(r.getAs[Double]("q_cochran") >= 0.0)
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
