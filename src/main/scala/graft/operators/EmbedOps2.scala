@@ -214,5 +214,63 @@ object EmbedOps2 {
           .as("id_twonn"))
   }
 
-  val ops: Seq[GraftOp] = Seq(effectiveRank, intrinsicDim)
+  /** SQ8 reconstruction-error audit — the accuracy half of the
+    * [[EmbedOps]] `emb_quantize` story (codes alone don't say whether
+    * 8 bits suffice; this emits the per-dimension mean/max absolute
+    * reconstruction error and the dynamic range, the table that
+    * decides SQ8 vs PQ vs float16 for a corpus). Replays the same
+    * min/max affine codebook, reconstructs x̂ = lo + code·(hi−lo)/255,
+    * and NANO-snaps each |x−x̂| (identical deterministic doubles on
+    * both engines → identical integer snap; positive, so HALF_UP and
+    * half-away agree) so the per-dim folds are exact integers. One
+    * |dim|-row broadcast + one corpus pass; constant dims emit zero
+    * error identically. */
+  val sq8Error: GraftOp = GraftOp(
+    "emb_sq8_error",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |rng AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY 1),
+      |c AS (
+      |  SELECT e.vec_id, e.dim, e.v, rng.lo, rng.hi,
+      |    CASE WHEN hi = lo THEN 0
+      |         ELSE CAST(round((v - lo) / (hi - lo) * 255, 0) AS INT) END AS code
+      |  FROM e JOIN rng ON e.dim = rng.dim),
+      |err AS (
+      |  SELECT dim, lo, hi,
+      |    CAST(round(abs(v - (lo + code * (hi - lo) / 255.0))
+      |      * 1000000000) AS BIGINT) AS nano
+      |  FROM c)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(nano) AS DOUBLE) / 1000000000.0 AS max_abs_err,
+      |  CAST(sum(nano) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0)
+      |    AS mean_abs_err,
+      |  max(hi) - min(lo) AS dim_range
+      |FROM err GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "v")
+      .withColumn("v", col("v").cast(DoubleType))
+    val rng = e.groupBy(col("dim").as("rdim"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val c = e.join(broadcast(rng), col("dim") === col("rdim"))
+      .withColumn("code",
+        when(col("hi") === col("lo"), 0)
+          .otherwise(round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
+            .cast(IntegerType)))
+    c.withColumn("nano",
+        expr("""CAST(round(abs(v - (lo + code * (hi - lo) / 255.0D))
+          |  * 1000000000) AS BIGINT)""".stripMargin))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(max(nano) AS DOUBLE) / 1000000000.0D").as("max_abs_err"),
+        expr("""CAST(sum(nano) AS DOUBLE)
+          |  / (CAST(count(*) AS DOUBLE) * 1000000000.0D)""".stripMargin).as("mean_abs_err"),
+        (max(col("hi")) - min(col("lo"))).as("dim_range"))
+      .orderBy(col("dim"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(effectiveRank, intrinsicDim, sq8Error)
 }

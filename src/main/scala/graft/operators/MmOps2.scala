@@ -246,5 +246,113 @@ object MmOps2 {
     }(enc).orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(icoMeta, aiffMeta)
+  // ---------------------------------------------------------------- SRT
+
+  /** Minimal SRT: n sequential cues, 200 ms gaps, per-cue duration
+    * 800 + ((docId+i) mod 7)·100 ms, text "cue i doc <id>". */
+  private[graft] def syntheticSrt(docId: Long): String = {
+    val n = 2 + (docId % 4).toInt
+    val start0 = 500 + (docId % 10).toInt * 10
+    def ts(ms: Long): String = {
+      val h = ms / 3600000; val m = (ms / 60000) % 60
+      val s = (ms / 1000) % 60; val f = ms % 1000
+      f"$h%02d:$m%02d:$s%02d,$f%03d"
+    }
+    val sb = new StringBuilder
+    var t = start0.toLong
+    var i = 0
+    while (i < n) {
+      val dur = 800 + ((docId + i) % 7) * 100
+      sb.append(i + 1).append('\n')
+      sb.append(ts(t)).append(" --> ").append(ts(t + dur)).append('\n')
+      sb.append(s"cue $i doc $docId").append('\n')
+      sb.append('\n')
+      t += dur + 200
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val SrtTs = java.util.regex.Pattern.compile(
+    "(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> (\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})")
+
+  /** Walk an SRT document → (nCues, totalDurationMs, spanMs,
+    * textChars); None on non-sequential indices, malformed or
+    * reversed timestamps, overlapping cues, missing separators, or
+    * trailing garbage. */
+  private[graft] def parseSrtMeta(srt: String): Option[(Int, Long, Long, Long)] = {
+    val lines = srt.split("\n", -1)
+    var i = 0
+    var cue = 0
+    var prevEnd = -1L
+    var firstStart = -1L
+    var lastEnd = -1L
+    var totalDur = 0L
+    var chars = 0L
+    while (i < lines.length && lines(i).nonEmpty) {
+      if (lines(i) != (cue + 1).toString) return None // sequential indices
+      if (i + 2 >= lines.length) return None
+      val m = SrtTs.matcher(lines(i + 1))
+      if (!m.matches()) return None
+      def ms(o: Int): Long = m.group(o).toLong * 3600000 + m.group(o + 1).toLong * 60000 +
+        m.group(o + 2).toLong * 1000 + m.group(o + 3).toLong
+      val start = ms(1); val end = ms(5)
+      if (end <= start) return None      // reversed / empty cue
+      if (start < prevEnd) return None   // overlap
+      if (firstStart < 0) firstStart = start
+      prevEnd = end; lastEnd = end
+      totalDur += end - start
+      var j = i + 2
+      var sawText = false
+      while (j < lines.length && lines(j).nonEmpty) {
+        chars += lines(j).length; sawText = true; j += 1
+      }
+      if (!sawText) return None          // cue without text
+      if (j >= lines.length) return None // missing terminating blank line
+      i = j + 1
+      cue += 1
+    }
+    while (i < lines.length) { if (lines(i).nonEmpty) return None; i += 1 } // trailing junk
+    if (cue == 0) return None
+    Some((cue, totalDur, lastEnd - firstStart, chars))
+  }
+
+  /** SRT subtitle walk — the CAPTION modality a video-training
+    * pipeline pairs with mm_mp4_meta/mm_avi_meta (text-format
+    * container, but a container all the same: indices, timecode
+    * pairs, separators). The walker enforces sequential cue indices,
+    * well-formed HH:MM:SS,mmm timecodes, monotone NON-OVERLAPPING
+    * cues and terminating separators; the oracle replays cue count,
+    * summed duration, span and text chars analytically from the id
+    * rule (per-cue durations via a bounded generate_series, text
+    * length via length(CAST(doc_id AS VARCHAR))). */
+  val srtMeta: GraftOp = GraftOp(
+    "mm_srt_meta",
+    """WITH c AS (
+      |  SELECT doc_id, i.i AS i, 800 + ((doc_id + i.i) % 7) * 100 AS dur
+      |  FROM documents, generate_series(0, 5) i(i)
+      |  WHERE i.i < 2 + doc_id % 4)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INT) AS n_cues,
+      |  CAST(sum(dur) AS BIGINT) AS total_duration_ms,
+      |  CAST(sum(dur) + 200 * (count(*) - 1) AS BIGINT) AS span_ms,
+      |  CAST(count(*) * (10 + length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS text_chars
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_cues", IntegerType),
+      StructField("total_duration_ms", LongType), StructField("span_ms", LongType),
+      StructField("text_chars", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val (n, dur, span, chars) = parseSrtMeta(syntheticSrt(docId)).getOrElse(
+          throw new IllegalStateException(s"unwalkable planted SRT for doc $docId"))
+        Row(docId, n, dur, span, chars)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(icoMeta, aiffMeta, srtMeta)
 }

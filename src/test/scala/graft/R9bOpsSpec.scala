@@ -465,6 +465,48 @@ class R9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_srt_meta walker: parses planted cues, rejects structural lies") {
+    val good = operators.MmOps2.syntheticSrt(13L) // n = 3 cues
+    assert(operators.MmOps2.parseSrtMeta(good).exists(_._1 == 3))
+    // non-sequential index
+    assert(operators.MmOps2.parseSrtMeta(good.replaceFirst("^1\n", "2\n")).isEmpty)
+    // reversed timestamps: swap the arrow operands of the first cue
+    val m = java.util.regex.Pattern
+      .compile("(\\d{2}:\\d{2}:\\d{2},\\d{3}) --> (\\d{2}:\\d{2}:\\d{2},\\d{3})")
+      .matcher(good)
+    assert(m.find())
+    val reversed = good.substring(0, m.start) + m.group(2) + " --> " + m.group(1) +
+      good.substring(m.end)
+    assert(operators.MmOps2.parseSrtMeta(reversed).isEmpty)
+    // trailing garbage
+    assert(operators.MmOps2.parseSrtMeta(good + "junk\n").isEmpty)
+    // overlap: move the second cue's start before the first cue's end
+    // (rebuild cue 2's timestamp line with an early start)
+    val lines = good.split("\n")
+    val tsIdx = lines.indexWhere(_.contains("-->"), lines.indexWhere(_.contains("-->")) + 1)
+    val early = "00:00:00,100 --> 00:00:00,200"
+    val overlapped = (lines.updated(tsIdx, early)).mkString("\n")
+    assert(operators.MmOps2.parseSrtMeta(overlapped).isEmpty)
+    // duration accounting on a known id
+    val Some((n, dur, span, chars)) = operators.MmOps2.parseSrtMeta(good)
+    val durs = (0 until n).map(i => 800L + ((13L + i) % 7) * 100)
+    assert(dur === durs.sum)
+    assert(span === durs.sum + 200L * (n - 1))
+    assert(chars === n.toLong * (10 + "13".length))
+  }
+
+  test("emb_sq8_error: reconstruction errors bounded by half a code step") {
+    val rows = operators.EmbedOps2.sq8Error.run(spark, sf).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (mx, mean, rng) = (r.getAs[Double]("max_abs_err"),
+        r.getAs[Double]("mean_abs_err"), r.getAs[Double]("dim_range"))
+      assert(mean >= 0.0 && mx >= mean)
+      // affine SQ8 with round-to-nearest: |err| <= range/(2*255) (+snap slack)
+      assert(mx <= rng / 510.0 + 1e-9, s"dim ${r.getInt(0)}: max err $mx vs range $rng")
+    }
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
