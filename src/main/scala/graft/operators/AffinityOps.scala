@@ -3,6 +3,7 @@ package graft.operators
 import graft.GraftOp
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Co-occurrence / market-basket affinity mining — the "frequently
   * bought together" family (reference target engines ship this as
@@ -436,5 +437,68 @@ object AffinityOps {
       .orderBy(col("dec_early"), col("dec_late"))
   }
 
-  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence, priceIndex, decileMobility)
+  /** XYZ demand-variability census — the second axis of inventory
+    * classification next to [[SqlSurface3]]'s ABC/Pareto value axis
+    * (an A-value part with Z-variability needs safety stock; a C/X
+    * part needs none — the 9-cell ABC×XYZ grid is the planner's
+    * standard): per part, monthly demand over the FULL month spine
+    * (absent months are genuine zeros — that's what intermittency
+    * means, and why M is the global month count, not per-part), class
+    * X/Y/Z by coefficient of variation at the 0.5/1.0 cuts decided by
+    * EXACT integer cross-multiplication (CV ≥ t ⟺ t²·(M−1)·S² ≤
+    * M·(M·SS−S²) with t² ∈ {¼, 1} — no sqrt, no double threshold to
+    * flip on a ulp; SS folds in DECIMAL(38)/HUGEINT). Emits the
+    * per-class census with exact demand-share ppm. */
+  val xyzClasses: GraftOp = GraftOp(
+    "q_xyz_classes",
+    """WITH pm AS (
+      |  SELECT l_partkey AS partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |mm AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS mc FROM pm),
+      |p AS (
+      |  SELECT partkey, CAST(sum(q) AS BIGINT) AS s,
+      |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+      |  FROM pm GROUP BY 1),
+      |cls AS (
+      |  SELECT partkey, s,
+      |    CASE
+      |      WHEN 4 * mc * (mc * ss - CAST(s AS HUGEINT) * s)
+      |           < (mc - 1) * CAST(s AS HUGEINT) * s THEN 'X'
+      |      WHEN mc * (mc * ss - CAST(s AS HUGEINT) * s)
+      |           < (mc - 1) * CAST(s AS HUGEINT) * s THEN 'Y'
+      |      ELSE 'Z' END AS xyz
+      |  FROM p, mm WHERE s > 0),
+      |t AS (SELECT CAST(sum(s) AS BIGINT) AS tot FROM cls)
+      |SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(s) AS BIGINT) AS total_qty,
+      |  CAST(sum(s) * 1000000 // t.tot AS BIGINT) AS demand_share_ppm
+      |FROM cls, t GROUP BY xyz, t.tot ORDER BY xyz""".stripMargin) { (s, d) =>
+    val pm = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("partkey"),
+        date_trunc("month", to_date(col("l_shipdate"))).as("m"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
+    val mm = broadcast(pm.agg(countDistinct(col("m")).as("mc")))
+    val p = pm.groupBy(col("partkey"))
+      .agg(sum(col("q")).as("s"),
+        sum(col("q").cast(DecimalType(38, 0)) * col("q")).as("ss"))
+    val cls = p.filter(col("s") > 0).crossJoin(mm)
+      .select(col("partkey"), col("s"),
+        expr("""CASE
+          |  WHEN 4 * mc * (mc * ss - CAST(s AS DECIMAL(38,0)) * s)
+          |       < (mc - 1) * CAST(s AS DECIMAL(38,0)) * s THEN 'X'
+          |  WHEN mc * (mc * ss - CAST(s AS DECIMAL(38,0)) * s)
+          |       < (mc - 1) * CAST(s AS DECIMAL(38,0)) * s THEN 'Y'
+          |  ELSE 'Z' END""".stripMargin).as("xyz"))
+    val t = broadcast(cls.agg(sum(col("s")).as("tot")))
+    cls.crossJoin(t)
+      .groupBy(col("xyz"), col("tot"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("s")).as("total_qty"))
+      .select(col("xyz"), col("n_parts"), col("total_qty"),
+        expr("CAST(total_qty * 1000000 div tot AS BIGINT)").as("demand_share_ppm"))
+      .orderBy(col("xyz"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence, priceIndex, decileMobility,
+    xyzClasses)
 }

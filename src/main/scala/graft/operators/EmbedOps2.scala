@@ -272,5 +272,94 @@ object EmbedOps2 {
       .orderBy(col("dim"))
   }
 
-  val ops: Seq[GraftOp] = Seq(effectiveRank, intrinsicDim, sq8Error)
+  /** Centroid-margin audit — "are the labels centroid-separable, and
+    * by how much": per vector, cosine to its OWN label centroid minus
+    * the best OTHER centroid (negative margin = the vector would be
+    * misrouted by a nearest-centroid classifier — the failure set
+    * `knn_classify` then pays for). Centroids are micro-snapped
+    * per-dimension integer means (exact integral division of exact
+    * sums — the same 1e-4 grid discipline as 33an, bounding every
+    * fold), each vector×centroid cosine is ONE deterministic double
+    * (exact-integer dot and norms through IEEE sqrt/div — identical
+    * cross-engine, so comparisons and the argmax pick identical
+    * winners), and per-label aggregates fold micro-snapped margins as
+    * exact integers. |labels| is schema-bounded → the centroid table
+    * broadcasts; one corpus pass. */
+  val centroidMargin: GraftOp = GraftOp(
+    "emb_centroid_margin",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS clabel, dim,
+      |    CAST(sum(q) // (CAST(count(*) AS BIGINT) * 100) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2),
+      |cn AS (SELECT clabel, CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS nc2
+      |       FROM cent GROUP BY 1),
+      |vn AS (SELECT vec_id, CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS nv2
+      |       FROM e GROUP BY 1),
+      |dots AS (
+      |  SELECT e.vec_id, e.label, cent.clabel,
+      |    CAST(sum(CAST(e.q AS HUGEINT) * cent.c) AS BIGINT) AS dot
+      |  FROM e JOIN cent ON e.dim = cent.dim
+      |  GROUP BY 1, 2, 3),
+      |cos AS (
+      |  SELECT d.vec_id, d.label, d.clabel,
+      |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(vn.nv2 AS DOUBLE)) * sqrt(CAST(cn.nc2 AS DOUBLE)))
+      |      AS cs
+      |  FROM dots d JOIN vn ON d.vec_id = vn.vec_id JOIN cn ON d.clabel = cn.clabel),
+      |own AS (SELECT vec_id, label, cs AS own_cs FROM cos WHERE label = clabel),
+      |best AS (
+      |  SELECT vec_id, max(cs) AS other_cs
+      |  FROM cos WHERE label <> clabel GROUP BY 1),
+      |m AS (
+      |  SELECT own.label,
+      |    CAST(round((own.own_cs - best.other_cs) * 1000000) AS BIGINT) AS margin_u
+      |  FROM own JOIN best ON own.vec_id = best.vec_id)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(margin_u) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
+      |    AS mean_margin,
+      |  CAST(min(margin_u) AS DOUBLE) / 1000000.0 AS min_margin,
+      |  CAST(count(*) FILTER (WHERE margin_u < 0) AS BIGINT) AS n_misrouted
+      |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .toDF("vec_id", "label", "dim", "v")
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+    val cent = e.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(expr("CAST(sum(q) div (CAST(count(*) AS BIGINT) * 100) AS BIGINT)").as("c"))
+    val cn = broadcast(cent.groupBy(col("clabel"))
+      .agg(sum(col("c").cast(DecimalType(38, 0)) * col("c")).cast(LongType).as("nc2")))
+    val vn = e.groupBy(col("vec_id").as("nvid"))
+      .agg(sum(col("q").cast(DecimalType(38, 0)) * col("q")).cast(LongType).as("nv2"))
+    val dots = e.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("q").cast(DecimalType(38, 0)) * col("c")).cast(LongType).as("dot"))
+    val cos = dots
+      .join(vn, col("vec_id") === col("nvid"))
+      .join(cn, Seq("clabel"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        expr("""CAST(dot AS DOUBLE)
+          |  / (sqrt(CAST(nv2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE)))""".stripMargin)
+          .as("cs"))
+    val own = cos.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("cs").as("own_cs"))
+    val best = cos.filter(col("label") =!= col("clabel"))
+      .groupBy(col("vec_id").as("bvid")).agg(max(col("cs")).as("other_cs"))
+    own.join(best, col("vec_id") === col("bvid"))
+      .select(col("label"),
+        expr("CAST(round((own_cs - other_cs) * 1000000) AS BIGINT)").as("margin_u"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        expr("""CAST(sum(margin_u) AS DOUBLE)
+          |  / (CAST(count(*) AS DOUBLE) * 1000000.0D)""".stripMargin).as("mean_margin"),
+        expr("CAST(min(margin_u) AS DOUBLE) / 1000000.0D").as("min_margin"),
+        count(when(col("margin_u") < 0, 1)).as("n_misrouted"))
+      .orderBy(col("label"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(effectiveRank, intrinsicDim, sq8Error, centroidMargin)
 }

@@ -507,6 +507,48 @@ class R9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_xyz_classes: census accounting and brute-force CV class replay") {
+    import org.apache.spark.sql.functions.{col, date_trunc, expr, to_date}
+    val pm = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), date_trunc("month", to_date(col("l_shipdate"))).as("m"))
+      .agg(expr("sum(CAST(l_quantity AS BIGINT))").as("q"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val mc = pm.map(_._2).distinct.length.toLong
+    val classes = pm.groupBy(_._1).view.mapValues { xs =>
+      val s = xs.map(_._3).sum
+      val ss = xs.map(x => BigInt(x._3) * x._3).sum
+      val v = BigInt(mc) * ss - BigInt(s) * s
+      if (4 * BigInt(mc) * v < BigInt(mc - 1) * BigInt(s) * s) "X"
+      else if (BigInt(mc) * v < BigInt(mc - 1) * BigInt(s) * s) "Y"
+      else "Z"
+    }.toMap
+    val wantCensus = classes.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = operators.AffinityOps.xyzClasses.run(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_parts") === wantCensus(r.getString(0)), s"class ${r.getString(0)}")
+      assert(r.getAs[Long]("demand_share_ppm") <= 1000000L)
+    }
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === classes.size.toLong)
+  }
+
+  test("emb_centroid_margin: margins bounded, misroute accounting consistent") {
+    val rows = operators.EmbedOps2.centroidMargin.run(spark, sf).collect()
+    assert(rows.length === 10) // 10 labels
+    var totalN = 0L
+    rows.foreach { r =>
+      val (n, mean, min, mis) = (r.getAs[Long]("n"), r.getAs[Double]("mean_margin"),
+        r.getAs[Double]("min_margin"), r.getAs[Long]("n_misrouted"))
+      totalN += n
+      assert(min >= -2.0 && min <= 2.0) // cosine margins live in [-2, 2]
+      assert(mean >= min)
+      assert(mis >= 0 && mis <= n)
+      // if the worst margin is nonnegative, nothing can be misrouted
+      if (min >= 0.0) assert(mis === 0L)
+    }
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(totalN === nVecs)
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
