@@ -314,7 +314,84 @@ object EtlOps {
       .orderBy(col("event_id"))
   }
 
+  /** Data-contract drift monitor: profile the first half of the
+    * stream (days 0–14) against the second (15+) — the cheap standing
+    * check an ingest pipeline runs per batch window so a silently
+    * changed producer (nulls appearing, a value-range jump, an enum
+    * growing a member, traffic mix shifting) pages BEFORE it poisons
+    * downstream tables. Seven metrics × two windows in ONE aggregate
+    * pass (conditional aggregation, no self-join), pivoted to a
+    * metric-per-row contract table; everything exact integers, drift
+    * an exact ppm of the first-half value. The split day and metric
+    * list are the declared contract — both engines state them
+    * identically. */
+  val profileDrift: GraftOp = GraftOp(
+    "etl_profile_drift",
+    """WITH e AS (
+      |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15 AS h2,
+      |    user_id, event_type, props,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (WHERE NOT h2) AS BIGINT) AS n1,
+      |    CAST(count(*) FILTER (WHERE h2) AS BIGINT) AS n2,
+      |    CAST(count(DISTINCT user_id) FILTER (WHERE NOT h2) AS BIGINT) AS u1,
+      |    CAST(count(DISTINCT user_id) FILTER (WHERE h2) AS BIGINT) AS u2,
+      |    CAST(count(*) FILTER (WHERE NOT h2 AND event_type = 'purchase') AS BIGINT) AS p1,
+      |    CAST(count(*) FILTER (WHERE h2 AND event_type = 'purchase') AS BIGINT) AS p2,
+      |    CAST(count(*) FILTER (WHERE NOT h2 AND props IS NULL) AS BIGINT) AS np1,
+      |    CAST(count(*) FILTER (WHERE h2 AND props IS NULL) AS BIGINT) AS np2,
+      |    CAST(min(cents) FILTER (WHERE NOT h2) AS BIGINT) AS mn1,
+      |    CAST(min(cents) FILTER (WHERE h2) AS BIGINT) AS mn2,
+      |    CAST(max(cents) FILTER (WHERE NOT h2) AS BIGINT) AS mx1,
+      |    CAST(max(cents) FILTER (WHERE h2) AS BIGINT) AS mx2,
+      |    CAST(count(DISTINCT event_type) FILTER (WHERE NOT h2) AS BIGINT) AS t1,
+      |    CAST(count(DISTINCT event_type) FILTER (WHERE h2) AS BIGINT) AS t2
+      |  FROM e),
+      |m AS (
+      |  SELECT 'n_events' AS metric, n1 AS first_half, n2 AS second_half FROM g
+      |  UNION ALL SELECT 'n_users', u1, u2 FROM g
+      |  UNION ALL SELECT 'n_purchases', p1, p2 FROM g
+      |  UNION ALL SELECT 'null_props', np1, np2 FROM g
+      |  UNION ALL SELECT 'value_cents_min', mn1, mn2 FROM g
+      |  UNION ALL SELECT 'value_cents_max', mx1, mx2 FROM g
+      |  UNION ALL SELECT 'distinct_types', t1, t2 FROM g)
+      |SELECT metric, first_half, second_half,
+      |  CAST(abs(second_half - first_half) * 1000000
+      |    // greatest(abs(first_half), 1) AS BIGINT) AS drift_ppm
+      |FROM m ORDER BY metric""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType)) >= 15).as("h2"),
+        col("user_id"), col("event_type"), col("props"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val g = e.agg(
+      count(when(!col("h2"), 1)).as("n1"), count(when(col("h2"), 1)).as("n2"),
+      countDistinct(when(!col("h2"), col("user_id"))).as("u1"),
+      countDistinct(when(col("h2"), col("user_id"))).as("u2"),
+      count(when(!col("h2") && col("event_type") === "purchase", 1)).as("p1"),
+      count(when(col("h2") && col("event_type") === "purchase", 1)).as("p2"),
+      count(when(!col("h2") && col("props").isNull, 1)).as("np1"),
+      count(when(col("h2") && col("props").isNull, 1)).as("np2"),
+      min(when(!col("h2"), col("cents"))).as("mn1"),
+      min(when(col("h2"), col("cents"))).as("mn2"),
+      max(when(!col("h2"), col("cents"))).as("mx1"),
+      max(when(col("h2"), col("cents"))).as("mx2"),
+      countDistinct(when(!col("h2"), col("event_type"))).as("t1"),
+      countDistinct(when(col("h2"), col("event_type"))).as("t2"))
+    val m = g.selectExpr("stack(7, " +
+      "'n_events', n1, n2, 'n_users', u1, u2, 'n_purchases', p1, p2, " +
+      "'null_props', np1, np2, 'value_cents_min', mn1, mn2, " +
+      "'value_cents_max', mx1, mx2, 'distinct_types', t1, t2) " +
+      "AS (metric, first_half, second_half)")
+    m.select(col("metric"), col("first_half"), col("second_half"),
+        expr("""CAST(abs(second_half - first_half) * 1000000
+          |  div greatest(abs(first_half), 1) AS BIGINT)""".stripMargin).as("drift_ppm"))
+      .orderBy(col("metric"))
+  }
+
   val ops: Seq[GraftOp] = Seq(
     jsonExtract, validate, dirty, enrich, countBatch, batchSql, keyDedup, gapProfile,
-    csvExtract, dirtyReplay)
+    csvExtract, dirtyReplay, profileDrift)
 }

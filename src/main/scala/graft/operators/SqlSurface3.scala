@@ -3,6 +3,7 @@ package graft.operators
 import graft.GraftOp
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Third SQL-surface batch (round 2): pivot, positional explode,
   * bucketed histogram — each oracle-checked against DuckDB. */
@@ -322,5 +323,63 @@ object SqlSurface3 {
       .orderBy(col("l_returnflag"))
   }
 
-  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline, qPareto, qWeightedMedian, qMode)
+  /** Herfindahl-Hirschman concentration of supplier-nation revenue
+    * within each region — the antitrust-style "is this market a
+    * monopoly" number completing the concentration family (q_gini
+    * ranks inequality across a whole population, q_pareto the
+    * top-heavy tail; HHI is the per-MARKET single figure regulators
+    * threshold at 1500/2500 points). Revenue folds as exact cents;
+    * each nation's share is ppm-snapped by exact integral division
+    * and HHI = Σ share_ppm² // 10⁶ is an exact integer in ppm units
+    * (10⁶ = monopoly); the point thresholds are restated as exact ppm
+    * compares (1500 pts = 150 000 ppm). Broadcast dims; one
+    * lineitem-side aggregate per (region, nation). */
+  val qHhi: GraftOp = GraftOp(
+    "q_hhi",
+    """WITH rn AS (
+      |  SELECT r_name AS region, n_nationkey AS nk, n_name AS nation
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+      |rev AS (
+      |  SELECT rn.region, rn.nation,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN rn ON s_nationkey = rn.nk
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT region, CAST(sum(cents) AS BIGINT) AS tot FROM rev GROUP BY 1),
+      |sh AS (
+      |  SELECT rev.region, CAST(rev.cents * 1000000 // tot.tot AS BIGINT) AS ppm
+      |  FROM rev JOIN tot ON rev.region = tot.region)
+      |SELECT region, CAST(count(*) AS BIGINT) AS n_nations,
+      |  CAST(sum(ppm * ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+      |  CASE WHEN sum(ppm * ppm) // 1000000 >= 250000 THEN 'concentrated'
+      |       WHEN sum(ppm * ppm) // 1000000 >= 150000 THEN 'moderate'
+      |       ELSE 'competitive' END AS band
+      |FROM sh GROUP BY region ORDER BY region""".stripMargin) { (s, d) =>
+    val rn = broadcast(Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_nationkey").as("nk"),
+        col("n_name").as("nation")))
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(rn, col("s_nationkey") === col("nk"))
+      .groupBy(col("region"), col("nation"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .as("cents"))
+    val tot = broadcast(rev.groupBy(col("region").as("tregion"))
+      .agg(sum(col("cents")).as("tot")))
+    val sh = rev.join(tot, col("region") === col("tregion"))
+      .select(col("region"), expr("CAST(cents * 1000000 div tot AS BIGINT)").as("ppm"))
+    sh.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_nations"),
+        expr("CAST(sum(ppm * ppm) div 1000000 AS BIGINT)").as("hhi_ppm"))
+      .select(col("region"), col("n_nations"), col("hhi_ppm"),
+        expr("""CASE WHEN hhi_ppm >= 250000 THEN 'concentrated'
+          |     WHEN hhi_ppm >= 150000 THEN 'moderate'
+          |     ELSE 'competitive' END""".stripMargin).as("band"))
+      .orderBy(col("region"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(qPivot, qPosexplode, qHistogram, qEquidepth, qSkyline, qPareto, qWeightedMedian, qMode,
+    qHhi)
 }

@@ -549,6 +549,50 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(totalN === nVecs)
   }
 
+  test("q_hhi: share accounting and the competitive floor 1/n") {
+    val rows = operators.SqlSurface3.qHhi.run(spark, sf).collect()
+    assert(rows.length === 5) // 5 regions
+    rows.foreach { r =>
+      val (n, hhi) = (r.getAs[Long]("n_nations"), r.getAs[Long]("hhi_ppm"))
+      assert(hhi <= 1000000L)
+      // HHI is minimized at equal shares: floor gives >= 1e6/n - snap slack
+      assert(hhi >= 1000000L / n - n * 2, s"region ${r.getString(0)}")
+      val band = r.getAs[String]("band")
+      val want = if (hhi >= 250000) "concentrated"
+        else if (hhi >= 150000) "moderate" else "competitive"
+      assert(band === want)
+    }
+  }
+
+  test("etl_profile_drift: brute-force two-window profile replay") {
+    import org.apache.spark.sql.functions.{col, datediff, expr, lit, to_date}
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(
+        (datediff(to_date(col("ts")),
+          lit("2024-01-01").cast(org.apache.spark.sql.types.DateType)) >= 15).as("h2"),
+        col("user_id"), col("event_type"), col("props"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect()
+    def half(h2: Boolean) = e.filter(_.getBoolean(0) == h2)
+    val rows = operators.EtlOps.profileDrift.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("first_half"), r.getAs[Long]("second_half"),
+        r.getAs[Long]("drift_ppm"))).toMap
+    assert(rows.size === 7)
+    Seq(false, true).zipWithIndex.foreach { case (h2, idx) =>
+      val w = half(h2)
+      def pick(m: String): Long = if (idx == 0) rows(m)._1 else rows(m)._2
+      assert(pick("n_events") === w.length.toLong)
+      assert(pick("n_users") === w.map(_.getLong(1)).distinct.length.toLong)
+      assert(pick("n_purchases") === w.count(_.getString(2) == "purchase").toLong)
+      assert(pick("value_cents_min") === w.map(_.getLong(4)).min)
+      assert(pick("value_cents_max") === w.map(_.getLong(4)).max)
+      assert(pick("distinct_types") === w.map(_.getString(2)).distinct.length.toLong)
+    }
+    rows.foreach { case (_, (a, b, d)) =>
+      assert(d === math.abs(b - a) * 1000000L / math.max(math.abs(a), 1L))
+    }
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
