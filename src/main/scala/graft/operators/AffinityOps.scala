@@ -499,6 +499,93 @@ object AffinityOps {
       .orderBy(col("xyz"))
   }
 
+  /** Service-level stock targets — the newsvendor-style readout that
+    * closes the [[xyzClasses]] loop: given the per-part monthly demand
+    * distribution (absent months are genuine zeros, same contract as
+    * XYZ), the stock level that covers 90% of months is the exact
+    * p90 ORDER STATISTIC (percentile_disc semantics: the smallest
+    * demand with cumulative month-count ≥ ⌈0.9·M⌉ — an integer
+    * decision, no interpolation to disagree on). Aggregated per
+    * Brand#-prefix product line: total p90 stock vs total mean
+    * demand, and the safety-multiplier ratio in exact floor ppm —
+    * the capital-vs-service tradeoff table. Value-domain windows stay
+    * ≤|distinct monthly demands| per part. */
+  val serviceLevelStock: GraftOp = GraftOp(
+    "q_service_level_stock",
+    """WITH pm AS (
+      |  SELECT l_partkey AS partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |mm AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS mc FROM pm),
+      |v AS (
+      |  SELECT partkey, q, CAST(count(*) AS BIGINT) AS months_at
+      |  FROM pm GROUP BY 1, 2),
+      |w AS (
+      |  SELECT partkey, q, months_at, mc,
+      |    CAST(sum(months_at) OVER (PARTITION BY partkey ORDER BY q
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_present,
+      |    CAST(sum(months_at) OVER (PARTITION BY partkey) AS BIGINT) AS present
+      |  FROM v, mm),
+      |p90 AS (
+      |  SELECT partkey,
+      |    CASE WHEN 10 * (mc - present) >= 9 * mc THEN 0
+      |         ELSE min(CASE WHEN 10 * (mc - present + cum_present) >= 9 * mc
+      |                       THEN q END) END AS stock,
+      |    max(present) AS present, max(mc) AS mc
+      |  FROM w GROUP BY partkey, mc, present),
+      |tot AS (
+      |  SELECT p90.partkey, p90.stock,
+      |    CAST(sum(pm.q) AS BIGINT) AS total_q
+      |  FROM p90 JOIN pm ON p90.partkey = pm.partkey
+      |  GROUP BY 1, 2),
+      |ln AS (
+      |  SELECT substring(p_brand, 1, 7) AS product_line, t.stock, t.total_q, mm.mc
+      |  FROM tot t JOIN part ON t.partkey = p_partkey, mm)
+      |SELECT product_line,
+      |  CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(stock) AS BIGINT) AS p90_stock_units,
+      |  CAST(sum(total_q) AS BIGINT) AS total_demand_units,
+      |  CAST(sum(CAST(stock AS HUGEINT)) * mc * 1000000 // sum(total_q) AS BIGINT)
+      |    AS safety_multiplier_ppm
+      |FROM ln GROUP BY product_line, mc ORDER BY product_line""".stripMargin) { (s, d) =>
+    val pm = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("partkey"),
+        date_trunc("month", to_date(col("l_shipdate"))).as("m"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
+    val mm = broadcast(pm.agg(countDistinct(col("m")).as("mc")))
+    val v = pm.groupBy(col("partkey"), col("q")).agg(count(lit(1)).as("months_at"))
+    val byPart = org.apache.spark.sql.expressions.Window.partitionBy(col("partkey"))
+    val w = v.crossJoin(mm)
+      .withColumn("cum_present", sum(col("months_at")).over(
+        byPart.orderBy(col("q")).rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("present", sum(col("months_at")).over(byPart))
+    val p90 = w.groupBy(col("partkey"), col("mc"), col("present"))
+      .agg(min(when(expr("10 * (mc - present + cum_present) >= 9 * mc"), col("q")))
+        .as("stock_nz"))
+      .select(col("partkey"),
+        when(expr("10 * (mc - present) >= 9 * mc"), 0L)
+          .otherwise(col("stock_nz")).as("stock"))
+    val tot = p90.join(pm, Seq("partkey"))
+      .groupBy(col("partkey"), col("stock"))
+      .agg(sum(col("q")).as("total_q"))
+    val ln = tot
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), substring(col("p_brand"), 1, 7).as("product_line"))),
+        col("partkey") === col("p_partkey"))
+      .crossJoin(mm)
+    ln.groupBy(col("product_line"), col("mc"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("stock")).as("p90_stock_units"),
+        sum(col("total_q")).as("total_demand_units"))
+      .select(col("product_line"), col("n_parts"), col("p90_stock_units"),
+        col("total_demand_units"),
+        expr("""CAST(CAST(p90_stock_units AS DECIMAL(38,0)) * mc * 1000000
+          |  div total_demand_units AS BIGINT)""".stripMargin).as("safety_multiplier_ppm"))
+      .orderBy(col("product_line"))
+  }
+
   val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence, priceIndex, decileMobility,
-    xyzClasses)
+    xyzClasses, serviceLevelStock)
 }

@@ -108,5 +108,130 @@ object TextOps2 {
       .orderBy(col("tf").desc, col("tok"))
   }
 
-  val ops: Seq[GraftOp] = Seq(termBurstiness, termDispersion)
+  /** Cohen's kappa for the language-ID heuristic vs the labeled lang
+    * column — the chance-corrected single number the
+    * `text_lang_confusion` matrix rolls up to (raw agreement flatters
+    * a classifier that just predicts the majority class; kappa
+    * subtracts the agreement luck would get). On the exact confusion
+    * frame: κ = (N·Σdiag − Σₖ rowₖ·colₖ)/(N² − Σₖ rowₖ·colₖ) — all
+    * exact integers (the cross products fold in DECIMAL(38)/HUGEINT
+    * since they scale n²) into ONE double divide; observed and
+    * expected agreement emitted as deterministic doubles from the
+    * same integers. */
+  val langKappa: GraftOp = GraftOp(
+    "text_lang_kappa",
+    s"""WITH p AS (SELECT lang, lang_pred FROM (${TextOps.langId.oracle.get}) x),
+       |cm AS (SELECT lang AS actual, lang_pred AS predicted,
+       |       CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+       |t AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT) AS diag
+       |  FROM cm),
+       |rc AS (
+       |  SELECT CAST(sum(CAST(r.row_n AS HUGEINT) * c.col_n) AS HUGEINT) AS src
+       |  FROM (SELECT actual AS k, CAST(sum(n) AS BIGINT) AS row_n FROM cm GROUP BY 1) r
+       |  JOIN (SELECT predicted AS k, CAST(sum(n) AS BIGINT) AS col_n FROM cm GROUP BY 1) c
+       |    ON r.k = c.k)
+       |SELECT t.nt AS n, t.diag AS n_agree,
+       |  CAST(t.diag AS DOUBLE) / t.nt AS p_observed,
+       |  CAST(rc.src AS DOUBLE) / (CAST(t.nt AS DOUBLE) * t.nt) AS p_expected,
+       |  (CAST(t.nt AS DOUBLE) * t.diag - CAST(rc.src AS DOUBLE))
+       |    / (CAST(t.nt AS DOUBLE) * t.nt - CAST(rc.src AS DOUBLE)) AS kappa
+       |FROM t, rc""".stripMargin) { (s, d) =>
+    val p = TextOps.langId.run(s, d).select(col("lang"), col("lang_pred"))
+    val cm = p.groupBy(col("lang").as("actual"), col("lang_pred").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val t = broadcast(cm.agg(sum(col("n")).as("nt"),
+      sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L)).as("diag")))
+    val r = cm.groupBy(col("actual").as("k")).agg(sum(col("n")).as("row_n"))
+    val c = cm.groupBy(col("predicted").as("k")).agg(sum(col("n")).as("col_n"))
+    val rc = broadcast(r.join(c, Seq("k"))
+      .agg(sum(col("row_n").cast(DecimalType(38, 0)) * col("col_n")).as("src")))
+    t.crossJoin(rc)
+      .select(col("nt").as("n"), col("diag").as("n_agree"),
+        expr("CAST(diag AS DOUBLE) / nt").as("p_observed"),
+        expr("CAST(src AS DOUBLE) / (CAST(nt AS DOUBLE) * nt)").as("p_expected"),
+        expr("""(CAST(nt AS DOUBLE) * diag - CAST(src AS DOUBLE))
+          |  / (CAST(nt AS DOUBLE) * nt - CAST(src AS DOUBLE))""".stripMargin).as("kappa"))
+  }
+
+  /** Gopher quality-rule gate (Rae et al. 2021 §A1.1) — the
+    * published rule set a pretraining pipeline actually names, as a
+    * per-source census: word count ∈ [50, 100k], mean word length
+    * ∈ [3, 10], ellipsis-to-word ratio < 0.1, stopword fraction
+    * ≥ 0.06, ≥ 80% of words alphabetic. EVERY rule is decided by
+    * exact integer CROSS-MULTIPLICATION on token/char counts (3·wc ≤
+    * Σlen ≤ 10·wc, stop·100 ≥ 6·wc, alpha·5 ≥ 4·wc, ell·10 < wc) —
+    * no ratio is ever materialized as a double, so no gate can flip
+    * on a ulp. Emits per-source rule-level pass counts and the
+    * all-rules pass rate (ppm). One linear pass. */
+  val gopherGate: GraftOp = GraftOp(
+    "text_gopher_gate",
+    s"""WITH t AS (
+       |  SELECT source, string_split_regex(text, '\\s+') AS toks, text FROM documents),
+       |m AS (
+       |  SELECT source,
+       |    CAST(len(toks) AS BIGINT) AS wc,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)
+       |      AS BIGINT) AS chars,
+       |    CAST(len(list_filter(toks, x -> list_contains(${TextOps.sqlStopList}, x)))
+       |      AS BIGINT) AS stops,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+       |      AS alpha,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ell
+       |  FROM t),
+       |r AS (
+       |  SELECT source,
+       |    CASE WHEN wc BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+       |    CASE WHEN 3 * wc <= chars AND chars <= 10 * wc THEN 1 ELSE 0 END AS r_wlen,
+       |    CASE WHEN ell * 10 < wc THEN 1 ELSE 0 END AS r_ell,
+       |    CASE WHEN stops * 100 >= 6 * wc THEN 1 ELSE 0 END AS r_stop,
+       |    CASE WHEN alpha * 5 >= 4 * wc THEN 1 ELSE 0 END AS r_alpha
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(r_wc) AS BIGINT) AS pass_word_count,
+       |  CAST(sum(r_wlen) AS BIGINT) AS pass_word_length,
+       |  CAST(sum(r_ell) AS BIGINT) AS pass_ellipsis,
+       |  CAST(sum(r_stop) AS BIGINT) AS pass_stopwords,
+       |  CAST(sum(r_alpha) AS BIGINT) AS pass_alpha,
+       |  CAST(sum(r_wc * r_wlen * r_ell * r_stop * r_alpha) AS BIGINT) AS pass_all,
+       |  CAST(sum(r_wc * r_wlen * r_ell * r_stop * r_alpha) * 1000000 // count(*)
+       |    AS BIGINT) AS pass_all_ppm
+       |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val m = Tables.documents(s, d)
+      .select(col("source"), tokens.as("toks"), col("text"))
+      .select(col("source"),
+        size(col("toks")).cast(LongType).as("wc"),
+        expr("CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS BIGINT)").as("chars"),
+        size(filter(col("toks"), x => array_contains(stopArr, x)))
+          .cast(LongType).as("stops"),
+        expr("CAST(size(filter(toks, x -> x rlike '[A-Za-z]')) AS BIGINT)").as("alpha"),
+        expr("CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)")
+          .as("ell"))
+    val r = m.select(col("source"),
+      when(col("wc").between(50, 100000), 1).otherwise(0).as("r_wc"),
+      when(lit(3) * col("wc") <= col("chars") && col("chars") <= lit(10) * col("wc"), 1)
+        .otherwise(0).as("r_wlen"),
+      when(col("ell") * 10 < col("wc"), 1).otherwise(0).as("r_ell"),
+      when(col("stops") * 100 >= col("wc") * 6, 1).otherwise(0).as("r_stop"),
+      when(col("alpha") * 5 >= col("wc") * 4, 1).otherwise(0).as("r_alpha"))
+    r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_wc")).as("pass_word_count"),
+        sum(col("r_wlen")).as("pass_word_length"),
+        sum(col("r_ell")).as("pass_ellipsis"),
+        sum(col("r_stop")).as("pass_stopwords"),
+        sum(col("r_alpha")).as("pass_alpha"),
+        sum(col("r_wc") * col("r_wlen") * col("r_ell") * col("r_stop") * col("r_alpha"))
+          .as("pass_all"))
+      .select(col("source"), col("n_docs"), col("pass_word_count"),
+        col("pass_word_length"), col("pass_ellipsis"), col("pass_stopwords"),
+        col("pass_alpha"), col("pass_all"),
+        expr("CAST(pass_all * 1000000 div n_docs AS BIGINT)").as("pass_all_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(termBurstiness, termDispersion, langKappa, gopherGate)
 }

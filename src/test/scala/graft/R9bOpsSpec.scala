@@ -593,6 +593,73 @@ class R9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_lang_kappa: closed-form replay from the confusion matrix") {
+    val p = operators.TextOps.langId.run(spark, sf)
+      .select("lang", "lang_pred").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = p.length.toLong
+    val diag = p.count { case (a, b) => a == b }.toLong
+    val rows = p.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cols = p.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val src = (rows.keySet ++ cols.keySet).toSeq
+      .map(k => rows.getOrElse(k, 0L) * cols.getOrElse(k, 0L)).sum
+    val want = (n.toDouble * diag - src.toDouble) / (n.toDouble * n - src.toDouble)
+    val r = operators.TextOps2.langKappa.run(spark, sf).collect().head
+    assert(r.getAs[Long]("n") === n && r.getAs[Long]("n_agree") === diag)
+    assert(math.abs(r.getAs[Double]("kappa") - want) < 1e-12)
+    assert(r.getAs[Double]("kappa") <= 1.0)
+  }
+
+  test("text_gopher_gate: rule accounting and integer-threshold replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    // the engine's stopword list, restated (package-private there)
+    val stops = Set("the", "a", "an", "of", "and", "to", "in", "is", "it",
+      "for", "on", "as", "at", "by")
+    val brute = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.map { case (_, text) =>
+        val toks = text.split("\\s+")
+        val wc = toks.length.toLong
+        val chars = toks.map(_.length.toLong).sum
+        val stopN = toks.count(stops).toLong
+        val alpha = toks.count(_.exists(c => c.isLetter && c <= 'z')).toLong
+        val ell = (text.length - text.replace("...", "").length) / 3
+        val ok = (wc >= 50 && wc <= 100000) &&
+          (3 * wc <= chars && chars <= 10 * wc) &&
+          (ell * 10 < wc) && (stopN * 100 >= 6 * wc) && (alpha * 5 >= 4 * wc)
+        if (ok) 1L else 0L
+      }.sum
+    }.toMap
+    val rows = operators.TextOps2.gopherGate.run(spark, sf).collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getAs[Long]("pass_all") === brute(s), s"source $s")
+      assert(r.getAs[Long]("pass_all") <= r.getAs[Long]("pass_stopwords"))
+      assert(r.getAs[Long]("pass_all_ppm") <= 1000000L)
+    }
+  }
+
+  test("q_service_level_stock: p90 covers at least 90% of months per part") {
+    import org.apache.spark.sql.functions.{col, date_trunc, expr, to_date}
+    val pm = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), date_trunc("month", to_date(col("l_shipdate"))).as("m"))
+      .agg(expr("sum(CAST(l_quantity AS BIGINT))").as("q"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val mc = pm.map(_._2).distinct.length
+    // brute per-part p90 (zeros for absent months), then the line rollup
+    val p90 = pm.groupBy(_._1).view.mapValues { xs =>
+      val demands = (Seq.fill(mc - xs.length)(0L) ++ xs.map(_._3)).sorted
+      demands((math.ceil(0.9 * mc) - 1).toInt)
+    }.toMap
+    val rows = operators.AffinityOps.serviceLevelStock.run(spark, sf).collect()
+    val gotStock = rows.map(_.getAs[Long]("p90_stock_units")).sum
+    assert(gotStock === p90.values.sum, "sum of per-part p90 stock")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_demand_units") > 0)
+      assert(r.getAs[Long]("safety_multiplier_ppm") > 0)
+    }
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
