@@ -503,7 +503,80 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Greedy k-center (farthest-first) diversity coreset, k = 8 — the
+    * selection family's third axis after representativeness
+    * ([[neyman]]) and importance ([[importance]]): pick the points
+    * that COVER the embedding space (Gonzalez's 2-approximation to the
+    * k-center objective), the standard coreset for active learning /
+    * eval-set picking. Fully deterministic: micro-grid integer
+    * distances via the VecDot identity (every term < 2⁵³ → exact),
+    * seed = min vec_id, each round's pick = argmax min-distance with
+    * the (dsq DESC, vec_id) integer tiebreak. The engine runs k−1
+    * bounded corpus passes (the chosen set broadcasts as literals —
+    * at 100 TB that is k linear scans, the honest farthest-first
+    * shape); the oracle replays the SAME k−1 rounds as a generated
+    * CTE chain. Emitted dsq at selection is the coverage-radius
+    * sequence (non-increasing, spec-pinned). */
+  val kcenter: GraftOp = {
+    val k = 8
+    def sqlQ =
+      "SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+        "* 1000000) AS BIGINT)) AS q FROM embeddings"
+    def sqlDsq(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+        s"range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+    val head =
+      s"""WITH v AS ($sqlQ),
+         |c1 AS (SELECT q FROM v WHERE vec_id = (SELECT min(vec_id) FROM v)),
+         |r1 AS (SELECT v.vec_id, v.q, ${sqlDsq("v.q", "c1.q")} AS m FROM v, c1)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      s"""p$i AS (SELECT vec_id AS c, m FROM r${i - 1}
+         |  ORDER BY m DESC, vec_id LIMIT 1),
+         |c$i AS (SELECT v.q FROM v JOIN p$i ON v.vec_id = p$i.c),
+         |r$i AS (SELECT r.vec_id, r.q, least(r.m, ${sqlDsq("r.q", s"c$i.q")}) AS m
+         |  FROM r${i - 1} r, c$i)""".stripMargin
+    }.mkString(",\n")
+    val emits = (s"SELECT 1 AS center_rank, (SELECT min(vec_id) FROM v) AS vec_id, " +
+      "CAST(0 AS BIGINT) AS dsq_at_selection") +:
+      (2 to k).map(i =>
+        s"SELECT $i, p$i.c, CAST(p$i.m AS BIGINT) FROM p$i")
+    val sql = head + ",\n" + rounds + "\n" +
+      emits.mkString("", "\nUNION ALL ", "\nORDER BY center_rank")
+    GraftOp("sample_kcenter", sql) { (s, d) =>
+      val v = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("""transform(embedding,
+          |  x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))"""
+          .stripMargin).as("q"))
+        .withColumn("n2", graft.functions.vec_dot(col("q"), col("q")))
+        .cache()
+      try {
+        val seedRow = v.orderBy(col("vec_id")).select(col("vec_id"), col("q"), col("n2"))
+          .head()
+        var chosen = List((1, seedRow.getLong(0), 0L,
+          seedRow.getSeq[Double](1).toArray, seedRow.getDouble(2)))
+        for (i <- 2 to k) {
+          // min over chosen of the exact-integer dsq identity
+          val mindist = chosen.map { case (_, _, _, cq, cn2) =>
+            col("n2") + lit(cn2) -
+              lit(2.0) * graft.functions.vec_dot(col("q"),
+                array(cq.map(lit(_)): _*))
+          }.reduce(least(_, _))
+          val pick = v.withColumn("m", mindist)
+            .orderBy(col("m").desc, col("vec_id"))
+            .select(col("vec_id"), col("m"), col("q"), col("n2"))
+            .head()
+          chosen = (i, pick.getLong(0), pick.getDouble(1).toLong,
+            pick.getSeq[Double](2).toArray, pick.getDouble(3)) :: chosen
+        }
+        val rows = chosen.reverse.map { case (rank, id, dsq, _, _) => (rank, id, dsq) }
+        import s.implicits._
+        rows.toDF("center_rank", "vec_id", "dsq_at_selection")
+          .orderBy(col("center_rank"))
+      } finally v.unpersist()
+    }
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced, shard, epochShuffle, tokenBudget, importance, neyman)
+      balanced, shard, epochShuffle, tokenBudget, importance, neyman, kcenter)
 }

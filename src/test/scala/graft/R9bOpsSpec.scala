@@ -660,6 +660,33 @@ class R9bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_kcenter: brute-force farthest-first replay and radius monotonicity") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.round(f.toDouble * 1000000)).toArray))
+      .sortBy(_._1)
+    def dsq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = List(vecs.head)
+    var picks = List((1, vecs.head._1, 0L))
+    for (i <- 2 to 8) {
+      val (bestId, bestVec, bestM) = vecs.map { case (id, q) =>
+        (id, q, chosen.map(c => dsq(q, c._2)).min)
+      }.maxBy { case (id, _, m) => (m, -id) }
+      chosen = (bestId, bestVec) :: chosen
+      picks = (i, bestId, bestM) :: picks
+    }
+    val want = picks.reverse
+    val rows = operators.Sampling.kcenter.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === want)
+    // selection dsqs are the non-increasing coverage-radius sequence
+    val ds = rows.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a })
+    assert(rows.map(_._2).distinct.length === 8)
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
