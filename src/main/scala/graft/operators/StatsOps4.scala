@@ -713,6 +713,93 @@ object StatsOps4 {
         expr("CASE WHEN q > 9.488D THEN 1 ELSE 0 END").as("reject_equal_rates"))
   }
 
+  /** Seasonal and trend STRENGTH (Hyndman's feasts definitions:
+    * F_s = max(0, 1 − Var(R)/Var(S+R)), F_t with T+R) on the
+    * q_stl_decompose components — the single-number "how seasonal /
+    * how trended is this series" that decides whether q_holt_winters'
+    * seasonal term is worth its parameters. Components are the SAME
+    * deterministic doubles q_stl_decompose builds (identical
+    * expression text), micro-snapped per row so every variance input
+    * folds as exact integers; each strength is then ONE double divide
+    * of two exact variance numerators (n·Σx²−(Σx)², DECIMAL(38)) —
+    * the n² denominators cancel in the ratio, so no division precedes
+    * it. */
+  val seasonalStrength: GraftOp = GraftOp(
+    "q_seasonal_strength",
+    """WITH dd AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |w AS (
+      |  SELECT day, CAST(date_part('dow', day) AS INT) AS dow, cents,
+      |    CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+      |    CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7
+      |  FROM dd),
+      |i AS (SELECT day, dow, cents, t7, 7 * cents - t7 AS d7 FROM w WHERE n7 = 7),
+      |sw AS (SELECT dow, CAST(sum(d7) AS BIGINT) AS snum, CAST(count(*) AS BIGINT) AS n_w
+      |       FROM i GROUP BY 1),
+      |u AS (
+      |  SELECT
+      |    CAST(round((CAST(i.cents AS DOUBLE) / 100.0
+      |        - CAST(i.t7 AS DOUBLE) / 7.0 / 100.0
+      |        - CAST(sw.snum AS DOUBLE) / (7.0 * sw.n_w) / 100.0) * 1000000) AS BIGINT) AS r_u,
+      |    CAST(round((CAST(i.cents AS DOUBLE) / 100.0
+      |        - CAST(i.t7 AS DOUBLE) / 7.0 / 100.0) * 1000000) AS BIGINT) AS sr_u,
+      |    CAST(round((CAST(i.cents AS DOUBLE) / 100.0
+      |        - CAST(sw.snum AS DOUBLE) / (7.0 * sw.n_w) / 100.0) * 1000000) AS BIGINT) AS tr_u
+      |  FROM i JOIN sw ON i.dow = sw.dow),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) * sum(CAST(r_u AS HUGEINT) * r_u)
+      |      - CAST(sum(r_u) AS HUGEINT) * sum(r_u) AS HUGEINT) AS vr,
+      |    CAST(count(*) * sum(CAST(sr_u AS HUGEINT) * sr_u)
+      |      - CAST(sum(sr_u) AS HUGEINT) * sum(sr_u) AS HUGEINT) AS vsr,
+      |    CAST(count(*) * sum(CAST(tr_u AS HUGEINT) * tr_u)
+      |      - CAST(sum(tr_u) AS HUGEINT) * sum(tr_u) AS HUGEINT) AS vtr
+      |  FROM u)
+      |SELECT n,
+      |  greatest(0.0, 1.0 - CAST(vr AS DOUBLE) / CAST(vsr AS DOUBLE)) AS strength_seasonal,
+      |  greatest(0.0, 1.0 - CAST(vr AS DOUBLE) / CAST(vtr AS DOUBLE)) AS strength_trend
+      |FROM f""".stripMargin) { (s, d) =>
+    val dd = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+        .cast(LongType).as("cents"))
+    val win = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val i = dd
+      .select(col("day"), (dayofweek(col("day")) - 1).cast(IntegerType).as("dow"),
+        col("cents"),
+        sum(col("cents")).over(win).as("t7"), count(lit(1)).over(win).as("n7"))
+      .filter(col("n7") === 7)
+      .withColumn("d7", lit(7) * col("cents") - col("t7"))
+    val sw = i.groupBy(col("dow")).agg(sum(col("d7")).as("snum"), count(lit(1)).as("n_w"))
+    val u = i.join(broadcast(sw), "dow")
+      .select(
+        expr("""CAST(round((CAST(cents AS DOUBLE) / 100.0D
+          |    - CAST(t7 AS DOUBLE) / 7.0D / 100.0D
+          |    - CAST(snum AS DOUBLE) / (7.0D * n_w) / 100.0D) * 1000000) AS BIGINT)"""
+          .stripMargin).as("r_u"),
+        expr("""CAST(round((CAST(cents AS DOUBLE) / 100.0D
+          |    - CAST(t7 AS DOUBLE) / 7.0D / 100.0D) * 1000000) AS BIGINT)""".stripMargin)
+          .as("sr_u"),
+        expr("""CAST(round((CAST(cents AS DOUBLE) / 100.0D
+          |    - CAST(snum AS DOUBLE) / (7.0D * n_w) / 100.0D) * 1000000) AS BIGINT)"""
+          .stripMargin).as("tr_u"))
+    u.agg(count(lit(1)).as("n"),
+        (count(lit(1)) * sum(col("r_u").cast(DecimalType(38, 0)) * col("r_u"))
+          - sum(col("r_u")).cast(DecimalType(38, 0)) * sum(col("r_u"))).as("vr"),
+        (count(lit(1)) * sum(col("sr_u").cast(DecimalType(38, 0)) * col("sr_u"))
+          - sum(col("sr_u")).cast(DecimalType(38, 0)) * sum(col("sr_u"))).as("vsr"),
+        (count(lit(1)) * sum(col("tr_u").cast(DecimalType(38, 0)) * col("tr_u"))
+          - sum(col("tr_u")).cast(DecimalType(38, 0)) * sum(col("tr_u"))).as("vtr"))
+      .select(col("n"),
+        expr("greatest(0.0D, 1.0D - CAST(vr AS DOUBLE) / CAST(vsr AS DOUBLE))")
+          .as("strength_seasonal"),
+        expr("greatest(0.0D, 1.0D - CAST(vr AS DOUBLE) / CAST(vtr AS DOUBLE))")
+          .as("strength_trend"))
+  }
+
   val ops: Seq[GraftOp] = Seq(cliffsDelta, durbinWatson, bartlett, grubbs, friedman,
-    pettitt, medianPolish, hurstRs, adTest, cochranQ)
+    pettitt, medianPolish, hurstRs, adTest, cochranQ, seasonalStrength)
 }

@@ -687,6 +687,27 @@ class R9bOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length === 8)
   }
 
+  test("q_seasonal_strength: bounds and consistency with the STL components") {
+    val r = operators.StatsOps4.seasonalStrength.run(spark, sf).collect().head
+    val (fs, ft) = (r.getAs[Double]("strength_seasonal"), r.getAs[Double]("strength_trend"))
+    assert(fs >= 0.0 && fs <= 1.0)
+    assert(ft >= 0.0 && ft <= 1.0)
+    // replay from the STL op's own emitted components (they are the
+    // same doubles, pre-round): Var(R)/Var(S+R) from micro-snapped rows
+    val stl = operators.StatsOps.stlDecompose.run(spark, sf).collect()
+    val rs = stl.map(x => math.round((x.getAs[Double]("revenue")
+      - x.getAs[Double]("trend") - x.getAs[Double]("seasonal")) * 1000000))
+    val srs = stl.map(x => math.round((x.getAs[Double]("revenue")
+      - x.getAs[Double]("trend")) * 1000000))
+    def varNum(xs: Array[Long]): BigInt =
+      BigInt(xs.length) * xs.map(x => BigInt(x) * x).sum - BigInt(xs.sum) * xs.sum
+    val approx = math.max(0.0, 1.0 - varNum(rs).toDouble / varNum(srs).toDouble)
+    // the spec replays from the 6dp-ROUNDED emits, the engine from the
+    // raw doubles → compare loosely
+    assert(math.abs(fs - approx) < 1e-3, s"F_s $fs vs STL-replay $approx")
+    assert(r.getAs[Long]("n") === stl.length.toLong)
+  }
+
   test("q_pettitt: K and the change day match the brute-force sgn double sum") {
     import org.apache.spark.sql.functions.{col, to_date}
     val daily = graft.sources.Tables.events(spark, sf)
