@@ -80,8 +80,8 @@ object AffinityOps {
     val nOrders = items.agg(
       countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
     pairs
-      .join(broadcast(partCounts.as("c1")), col("p1") === col("c1.l_partkey"))
-      .join(broadcast(partCounts.as("c2")), col("p2") === col("c2.l_partkey"))
+      .join(partCounts.as("c1"), col("p1") === col("c1.l_partkey"))
+      .join(partCounts.as("c2"), col("p2") === col("c2.l_partkey"))
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("support"),
         (col("support") * col("n_orders") / (col("c1.pc") * col("c2.pc"))).as("lift"))
@@ -273,9 +273,9 @@ object AffinityOps {
     val nOrders = items.agg(
       countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
     pairs
-      .join(broadcast(partCounts.select(col("l_partkey").as("antecedent"), col("pc").as("pc_a"))),
+      .join(partCounts.select(col("l_partkey").as("antecedent"), col("pc").as("pc_a")),
         Seq("antecedent"))
-      .join(broadcast(partCounts.select(col("l_partkey").as("consequent"), col("pc").as("pc_b"))),
+      .join(partCounts.select(col("l_partkey").as("consequent"), col("pc").as("pc_b")),
         Seq("consequent"))
       .crossJoin(broadcast(nOrders))
       .select(col("antecedent"), col("consequent"), col("support"),
@@ -571,8 +571,8 @@ object AffinityOps {
       .groupBy(col("partkey"), col("stock"))
       .agg(sum(col("q")).as("total_q"))
     val ln = tot
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), substring(col("p_brand"), 1, 7).as("product_line"))),
+      .join(Tables.part(s, d)
+        .select(col("p_partkey"), substring(col("p_brand"), 1, 7).as("product_line")),
         col("partkey") === col("p_partkey"))
       .crossJoin(mm)
     ln.groupBy(col("product_line"), col("mc"))

@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * dimension estimator — the two standard answers to "how many
   * dimensions is this 64-dim embedding REALLY using", linear
   * (spectrum-level) and nonlinear (manifold-level) respectively.
-  * Read together with [[EmbedOps]]'s `emb_anisotropy` (top-eigenvalue
-  * share): anisotropy says whether ONE direction dominates; effective
+  * Read together with [[EmbedOps]]'s `emb_anisotropy` (mean pairwise
+  * cosine via the sum-vector identity): anisotropy says how strongly
+  * the vectors share a common direction; effective
   * rank summarizes the whole spectrum; Two-NN ignores the linear
   * algebra entirely and asks what the local neighbor-distance ratios
   * imply.

@@ -69,7 +69,11 @@ object GraphOps {
   }
 
   /** Supplier-nation → customer-nation trade edges (distinct pairs) —
-    * one pass over the pruned fact join, all dims broadcast. The
+    * one pass over the fact join. Only the FIXED-size dims
+    * (nation: 25 rows at every SF) carry a broadcast hint; supplier
+    * and customer scale with SF (billions of rows at the 100-TB design
+    * point, where a forced broadcast would fail the job), so their
+    * joins are left to AQE, which still picks broadcast at test SFs. The
     * derivation is the expensive part of every graph op (the graph
     * itself is tiny), so the frame is registry-persisted and shared by
     * pagerank and triangle counting: one fact scan per session+dir,
@@ -80,8 +84,8 @@ object GraphOps {
   private def tradeEdgesPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("nk1"), col("n_name").as("src"))),
         col("s_nationkey") === col("nk1"))
@@ -705,8 +709,8 @@ object GraphOps {
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val edges = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("nk1"), col("n_name").as("src"))),
         col("s_nationkey") === col("nk1"))
@@ -1432,7 +1436,16 @@ object GraphOps {
       col("hops").as("ha"), col("sigma").as("sig_sv"))
     val b = ds.select(col("root").as("v"), col("node").as("t"),
       col("hops").as("hb"), col("sigma").as("sig_vt"))
-    s.conf.getOption("spark.graft.betweenness.roots").map(_.toInt) match {
+    // Validate the sampling conf up front: a malformed or non-positive
+    // value must fail with a message naming the conf (a bare .toInt
+    // would throw NumberFormatException mid-plan, and K = 0 would
+    // divide by zero in the |V|/(2K) rescale).
+    s.conf.getOption("spark.graft.betweenness.roots").map { raw =>
+      val k = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.betweenness.roots must be a positive integer, got '$raw'"))
+      require(k >= 1, s"spark.graft.betweenness.roots must be >= 1, got $k")
+      k
+    } match {
       case None =>
         val st = ds.filter(col("root") < col("node") && col("hops") > 0)
           .select(col("root").as("s"), col("node").as("t"),

@@ -84,7 +84,7 @@ object Relational {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") < "1998-03-15 00:00:00")
     Tables.lineitem(s, d)
-      .join(broadcast(cust).join(ord, col("c_custkey") === col("o_custkey")),
+      .join(cust.join(ord, col("c_custkey") === col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"))
@@ -110,7 +110,7 @@ object Relational {
       .select(col("c_custkey"), col("n_name"), col("r_name"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"),

@@ -41,7 +41,7 @@ object SqlSurface {
       |GROUP BY CUBE (c_mktsegment, o_orderstatus)
       |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderstatus").asc_nulls_first)

@@ -169,7 +169,10 @@ object SqlSurface3 {
       // higher-priced size
       .filter(col("max_size_higher").isNull || col("gmax") > col("max_size_higher"))
     Tables.part(s, d)
-      .join(broadcast(g),
+      // g (the surviving skyline price levels) is usually tiny but its
+      // bound is |distinct prices|, which scales with part — no forced
+      // broadcast; AQE picks one at test SFs from the observed size.
+      .join(g,
         col("p_retailprice") === col("price") && col("p_size") === col("gmax"))
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
       .orderBy(col("p_partkey"))
@@ -361,7 +364,7 @@ object SqlSurface3 {
       .select(col("r_name").as("region"), col("n_nationkey").as("nk"),
         col("n_name").as("nation")))
     val rev = Tables.lineitem(s, d)
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(rn, col("s_nationkey") === col("nk"))
       .groupBy(col("region"), col("nation"))
       .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast(LongType))

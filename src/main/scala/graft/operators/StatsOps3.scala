@@ -164,7 +164,9 @@ object StatsOps3 {
     * the hash variants — the INTEGRATED-squared-CDF-gap companion to
     * q_ks_test's sup gap (KS sees the single worst point; CvM sees
     * accumulated distributional drift). Per distinct cents value the
-    * scaled ECDF gap D_v = cumA·n_b − cumB·n_a is an exact BIGINT;
+    * scaled ECDF gap D_v = cumA·n_b − cumB·n_a is assembled exactly in
+    * DECIMAL(38,0)/HUGEINT (it scales ~n², so BIGINT wraps past ~3M
+    * purchases per arm);
     * each value's contribution is FLOOR-SNAPPED as cv·(D_v·10⁶ ÷
     * (n_a·n_b))² — the micro-snapped (F_A−F_B) gap squared — so the
     * cross-value sum folds exactly in DECIMAL(38)/HUGEINT at any
@@ -192,8 +194,10 @@ object StatsOps3 {
        |f AS (
        |  SELECT n_a, n_b,
        |    CAST(sum(CAST(cv AS HUGEINT)
-       |      * ((cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b))
-       |      * ((cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b))) AS HUGEINT) AS s
+       |      * ((CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a) * 1000000
+       |         // (CAST(n_a AS HUGEINT) * n_b))
+       |      * ((CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a) * 1000000
+       |         // (CAST(n_a AS HUGEINT) * n_b))) AS HUGEINT) AS s
        |  FROM w GROUP BY 1, 2)
        |SELECT n_a, n_b,
        |  CAST(s AS DOUBLE) / ((CAST(n_a AS DOUBLE) + n_b) * 1000000.0 * 1000000.0) AS t
@@ -216,7 +220,8 @@ object StatsOps3 {
       .withColumn("n_a", sum(col("ca")).over(all))
       .withColumn("n_b", sum(col("cv") - col("ca")).over(all))
     w.withColumn("fdm",
-        expr("(cum_a * n_b - cum_b * n_a) * 1000000 div (n_a * n_b)"))
+        expr("""(CAST(cum_a AS DECIMAL(38,0)) * n_b - CAST(cum_b AS DECIMAL(38,0)) * n_a)
+          |  * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)""".stripMargin))
       .groupBy(col("n_a"), col("n_b"))
       .agg(sum(col("cv").cast(DecimalType(38, 0)) * col("fdm") * col("fdm")).as("s"))
       .select(col("n_a"), col("n_b"),

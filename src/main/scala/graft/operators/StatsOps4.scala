@@ -591,8 +591,11 @@ object StatsOps4 {
     * TAIL-WEIGHTED member of the CDF-gap family (q_ks_test reads the
     * single worst gap, q_cvm the integrated gap, AD re-weights by
     * 1/(F(1−F)) so tail drift — where revenue risk lives — dominates).
-    * Per distinct cents the gap numerator N·cumA − n_a·cum is exact
-    * BIGINT; each value's term cv·gap²·10⁶ ÷ (cum·(N−cum)) is
+    * Per distinct cents the gap numerator N·cumA − n_a·cum is
+    * assembled (and then squared) entirely in DECIMAL(38,0)/HUGEINT —
+    * the gap scales ~n² and its square ~n⁴, so any BIGINT stage wraps
+    * silently on Spark past ~10⁵-10⁶ purchases; each value's term
+    * cv·gap²·10⁶ ÷ (cum·(N−cum)) is
     * floor-snapped by exact integral division with the square folded
     * in DECIMAL(38)/HUGEINT, the last value (cum = N) excluded
     * identically by both engines; A² is one double divide. Stated as
@@ -621,7 +624,8 @@ object StatsOps4 {
        |f AS (
        |  SELECT n_a, n - n_a AS n_b, n,
        |    CAST(sum(CAST(cv AS HUGEINT)
-       |      * ((n * cum_a - n_a * cum) * (n * cum_a - n_a * cum)) * 1000000
+       |      * ((CAST(n AS HUGEINT) * cum_a - CAST(n_a AS HUGEINT) * cum)
+       |         * (CAST(n AS HUGEINT) * cum_a - CAST(n_a AS HUGEINT) * cum)) * 1000000
        |      // (CAST(cum AS HUGEINT) * (n - cum))) AS HUGEINT) AS s
        |  FROM w WHERE cum < n GROUP BY 1, 2, 3)
        |SELECT n_a, n_b,
@@ -646,7 +650,8 @@ object StatsOps4 {
     w.filter(col("cum") < col("n"))
       .withColumn("term",
         expr("""CAST(cv AS DECIMAL(38,0))
-          |  * ((n * cum_a - n_a * cum) * (n * cum_a - n_a * cum)) * 1000000
+          |  * ((CAST(n AS DECIMAL(38,0)) * cum_a - CAST(n_a AS DECIMAL(38,0)) * cum)
+          |     * (CAST(n AS DECIMAL(38,0)) * cum_a - CAST(n_a AS DECIMAL(38,0)) * cum)) * 1000000
           |  div (CAST(cum AS DECIMAL(38,0)) * (n - cum))""".stripMargin))
       .groupBy(col("n_a"), (col("n") - col("n_a")).as("n_b"), col("n"))
       .agg(sum(col("term")).as("s"))

@@ -22,7 +22,7 @@ object TpchMore {
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
@@ -47,7 +47,7 @@ object TpchMore {
     val disc = discPrice(col("l_extendedprice"), col("l_discount"))
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= "1997-01-01 00:00:00" && col("l_shipdate") < "1997-02-01 00:00:00")
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", disc)
           .otherwise(lit(0).cast(DecimalType(21, 4)))).cast(DoubleType)
@@ -73,7 +73,7 @@ object TpchMore {
       .agg(sum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 150)
     big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
         dec2(col("o_totalprice")).cast(DoubleType).as("totalprice"), col("total_qty"))
       .orderBy(col("o_orderkey"))
@@ -91,7 +91,7 @@ object TpchMore {
       |  OR (p_brand = 'Brand#22' AND l_quantity >= 10 AND l_quantity <= 30 AND p_size <= 40)
       |  OR (p_brand = 'Brand#15' AND l_quantity >= 20 AND l_quantity <= 50 AND p_size <= 50))""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 20) && col("p_size") <= 30) ||
         (col("p_brand") === "Brand#22" && col("l_quantity").between(10, 30) && col("p_size") <= 40) ||

@@ -77,7 +77,7 @@ object TpchMore2 {
     val li = Tables.lineitem(s, d)
     val partAvg = li.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
-    li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#11")),
+    li.join(Tables.part(s, d).filter(col("p_brand") === "Brand#11"),
         col("l_partkey") === col("p_partkey"))
       .join(partAvg, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
@@ -112,7 +112,7 @@ object TpchMore2 {
         col("lo") === col("o_orderkey"))
       .join(l2, col("lo2") === col("lo") && col("ls2") =!= col("ls"), "left_semi")
       .join(l3, col("lo3") === col("lo") && col("ls3") =!= col("ls"), "left_anti")
-      .join(broadcast(Tables.supplier(s, d)), col("ls") === col("s_suppkey"))
+      .join(Tables.supplier(s, d), col("ls") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -184,8 +184,8 @@ object TpchMore2 {
       .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("nk1"))
       .join(broadcast(n2), col("c_nationkey") === col("nk2"))
       .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
@@ -220,8 +220,8 @@ object TpchMore2 {
       .select(col("n_nationkey").as("nk2"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("nk1"))
       .join(broadcast(asiaNations), col("c_nationkey") === col("nk2"), "left_semi")
       .groupBy(year(col("l_shipdate")).as("l_year"))
@@ -258,7 +258,7 @@ object TpchMore2 {
     val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
     revenue.crossJoin(broadcast(maxRev))
       .filter(col("total_revenue") === col("max_rev"))
-      .join(broadcast(Tables.supplier(s, d)), col("supplier_no") === col("s_suppkey"))
+      .join(Tables.supplier(s, d), col("supplier_no") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
   }

@@ -60,8 +60,8 @@ object TpchMore3 {
       .filter(col("p_name").like("%widget%"))
       .select(col("p_partkey"))
     Tables.lineitem(s, d)
-      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(widgetParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
@@ -113,11 +113,11 @@ object TpchMore3 {
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
-    val c2 = cost.join(broadcast(rsupp), col("l_suppkey") === col("s_suppkey"))
+    val c2 = cost.join(rsupp, col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("unit_e4"), col("s_name"), col("n_name"))
     val m = c2.groupBy(col("l_partkey").as("m_partkey")).agg(min(col("unit_e4")).as("min_e4"))
     c2.join(m, col("l_partkey") === col("m_partkey") && col("unit_e4") === col("min_e4"))
-      .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 10)),
+      .join(Tables.part(s, d).filter(col("p_size") <= 10),
         col("p_partkey") === col("l_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
         (col("unit_e4") / 10000.0).as("unit_cost"))
@@ -168,9 +168,9 @@ object TpchMore3 {
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
     val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
     val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-    ps.join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(Tables.part(s, d)
-          .filter(col("p_size").isin(1, 5, 10, 15, 20) && col("p_brand") =!= "Brand#1")),
+    ps.join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(s, d)
+          .filter(col("p_size").isin(1, 5, 10, 15, 20) && col("p_brand") =!= "Brand#1"),
         col("p_partkey") === col("l_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -200,7 +200,7 @@ object TpchMore3 {
       |ORDER BY s_name""".stripMargin) { (s, d) =>
     val rp = Tables.part(s, d).filter(col("p_name").like("red%")).select(col("p_partkey"))
     val sq = Tables.lineitem(s, d)
-      .join(broadcast(rp), col("l_partkey") === col("p_partkey"))
+      .join(rp, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
     val tot = sq.groupBy(col("l_partkey"))
@@ -210,7 +210,7 @@ object TpchMore3 {
       .select(col("l_suppkey")).distinct()
     Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(win), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(win, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_name"), col("n_name"))
       .orderBy(col("s_name"))
   }

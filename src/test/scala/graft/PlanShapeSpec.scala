@@ -40,8 +40,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q5_join: all four dimension joins broadcast, no sort-merge join") {
-    val plan = Relational.q5Join.run(spark, sf)
-      .queryExecution.executedPlan.toString
+    // r10: the customer-side join no longer carries a hard hint (SF-
+    // scaled table — see BroadcastPolicySpec), so the broadcast choice
+    // is AQE's; execute first so the adaptive plan is final.
+    val df = Relational.q5Join.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!plan.contains("SortMergeJoin"),
       s"dimension join fell back to sort-merge:\n$plan")
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
