@@ -34,9 +34,13 @@ object AffinityOps {
     * co-partitioned self-join shared by q_copurchase and
     * q_basket_rules, which consumed identical pair frames through two
     * separate shuffles before r8; forced by the offline index build. */
+  /** Times the pair self-join build ran this JVM (IndexStore pin). */
+  @volatile private[graft] var pairBuilds = 0
+
   private[operators] def basketPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.CachedPlans.cached(s, s"affinity.pairs:$d") {
+      pairBuilds += 1
       val items = basketItems(s, d)
       items.as("a")
         .join(items.as("b"),

@@ -187,9 +187,13 @@ object EmbedOps {
     * frame per session+dir, read by BOTH the encode op and KnnOps' ADC
     * server: the build/serve split means the served index IS the
     * emitted one, never a second encode. */
+  /** Times the PQ-encode build lambda ran this JVM (IndexStore pin). */
+  @volatile private[graft] var pqBuilds = 0
+
   private[operators] def pqCodes(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.CachedPlans.cached(s, s"emb.pqCodes:$d") {
+      pqBuilds += 1
       val cb = graft.functions.Exprs.pqCodebook(PqM, PqK, PqSub)
       val u = Tables.embeddings(s, d)
         .select(col("vec_id"),
@@ -585,10 +589,14 @@ object EmbedOps {
       d: String): org.apache.spark.sql.DataFrame =
     graft.CachedPlans.cached(s, s"emb.kmScaled:$d")(kmScaled(s, d))
 
-  /** Get-or-run the exact Lloyd schedule's final centroids. */
-  private[operators] def kmCentroids(s: org.apache.spark.sql.SparkSession,
-      d: String): Array[Array[Long]] = {
-    val m = kmCentroidReg.synchronized {
+  /** Times the Lloyd collect-loop actually ran this JVM — the
+    * zero-rebuild proof for [[IndexStore]] (DedupOps.buildCount
+    * discipline). */
+  @volatile private[graft] var lloydRuns = 0
+
+  private def kmRegFor(s: org.apache.spark.sql.SparkSession)
+      : scala.collection.mutable.Map[String, Array[Array[Long]]] =
+    kmCentroidReg.synchronized {
       var x = kmCentroidReg.get(s)
       if (x == null) {
         x = scala.collection.mutable.Map.empty[String, Array[Array[Long]]]
@@ -596,7 +604,48 @@ object EmbedOps {
       }
       x
     }
-    m.synchronized(m.getOrElseUpdate(d, kmLloyd(kmScaledShared(s, d))))
+
+  /** Get-or-run the exact Lloyd schedule's final centroids. */
+  private[operators] def kmCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Array[Long]] = {
+    val m = kmRegFor(s)
+    m.synchronized(m.getOrElseUpdate(d, { lloydRuns += 1; kmLloyd(kmScaledShared(s, d)) }))
+  }
+
+  /** Persist the exact-k-means index (centroids + assignment) to
+    * `dir` — the [[IvfIndex.save]] discipline for the Lloyd family. */
+  private[graft] def kmSave(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit = {
+    import s.implicits._
+    kmCentroids(s, d).zipWithIndex
+      .map { case (c, k) => (k, c.toSeq) }.toSeq
+      .toDF("k", "cs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/km_centroids")
+    kmAssigned(s, d).write.mode("overwrite").parquet(s"$dir/km_assigned")
+  }
+
+  /** Load a saved exact-k-means index: centroids into the driver
+    * registry (no Lloyd loop), assignment into the plan registry. */
+  private[graft] def kmLoad(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit = {
+    val cents = s.read.parquet(s"$dir/km_centroids")
+      .select(col("k"), col("cs")).orderBy(col("k"))
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cents.nonEmpty, s"no k-means centroids under $dir")
+    val m = kmRegFor(s)
+    m.synchronized(m.update(d, cents))
+    graft.CachedPlans.invalidate(s, s"emb.kmAssigned:$d")
+    graft.CachedPlans.cached(s, s"emb.kmAssigned:$d")(s.read.parquet(s"$dir/km_assigned"))
+    ()
+  }
+
+  /** Drop the exact-k-means index from this session (fresh-session
+    * half of the save→wipe→load spec). */
+  private[graft] def kmWipe(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val m = kmRegFor(s)
+    m.synchronized(m.remove(d))
+    graft.CachedPlans.invalidate(s, s"emb.kmAssigned:$d")
+    graft.CachedPlans.invalidate(s, s"emb.kmScaled:$d")
   }
 
   /** Registry-persisted exact cell assignment (vec_id, xs, d0..d3, k,

@@ -78,8 +78,15 @@ object GraphOps {
     * itself is tiny), so the frame is registry-persisted and shared by
     * pagerank and triangle counting: one fact scan per session+dir,
     * not one per operator. */
+  /** Times the trade-edge derivation actually ran this JVM (the
+    * zero-rebuild proof for [[IndexStore]]). */
+  @volatile private[graft] var edgeBuilds = 0
+
   private[operators] def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    graft.CachedPlans.cached(s, s"graph.tradeEdges:$d")(tradeEdgesPlan(s, d))
+    graft.CachedPlans.cached(s, s"graph.tradeEdges:$d") {
+      edgeBuilds += 1
+      tradeEdgesPlan(s, d)
+    }
 
   private def tradeEdgesPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -38,7 +38,19 @@ object SharedIndexes {
     "graph_und_edges" -> (() => GraphOps.undirectedTradeEdges(s, d)))
 
   /** Force-build and materialize every shared index; returns each
-    * index's name and row count (all deterministic corpus statistics). */
-  def materializeAll(s: SparkSession, d: String): Seq[(String, Long)] =
-    entries(s, d).map { case (name, build) => name -> build().count() }
+    * index's name and row count (all deterministic corpus statistics).
+    *
+    * Disk round trip (r10): when a completed [[IndexStore]] exists for
+    * this corpus, the saved artifacts are swapped into the session
+    * registry FIRST, so the "build" below is a warm serve (parquet
+    * reads, zero re-derivation — the counts are identical by
+    * determinism). Otherwise the freshly built indexes are written to
+    * the store, making the NEXT session's build phase a load. */
+  def materializeAll(s: SparkSession, d: String): Seq[(String, Long)] = {
+    val useStore = IndexStore.enabled(s)
+    if (useStore && IndexStore.isComplete(s, d)) IndexStore.loadAll(s, d)
+    val counts = entries(s, d).map { case (name, build) => name -> build().count() }
+    if (useStore) IndexStore.saveAll(s, d) // no-op when already complete
+    counts
+  }
 }
