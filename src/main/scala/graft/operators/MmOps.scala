@@ -400,16 +400,63 @@ object MmOps {
     hash
   }
 
+  /** Shared oracle CTE chain replaying [[dhash64]] over the planted
+    * PNGs analytically (r10, promoting the image-hash family from
+    * rows-only): PNG is LOSSLESS, so the decoded raster the Scala side
+    * hashes equals the integer pixel pattern [[syntheticPng]] wrote —
+    * the oracle re-derives the 9×8 luma-grid sums, the cross-
+    * multiplied adjacent compares, and the 64-bit assembly (HUGEINT
+    * bit shifts folded back to the signed BIGINT two's-complement
+    * value, the dedup_simhash discipline). Matching proves the REAL
+    * javax.imageio decode round-trips the encoder bit-exactly. */
+  private[operators] val sqlDhash: String =
+    """imgs AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 16 AS h
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |px AS (
+      |  SELECT doc_id,
+      |    least(7, y * 8 // h) AS gy, least(8, x * 9 // w) AS gx,
+      |    (doc_id * 31 + x * 7 + y * 13) % 256
+      |      + (doc_id * 17 + x * 3 + y * 29) % 256
+      |      + (doc_id * 43 + x * 19 + y * 5) % 256 AS luma
+      |  FROM imgs, range(0, 24) rx(x), range(0, 24) ry(y)
+      |  WHERE x < w AND y < h),
+      |cells AS (
+      |  SELECT doc_id, gy, gx, CAST(sum(luma) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM px GROUP BY 1, 2, 3),
+      |dbits AS (
+      |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+      |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.gy = b.gy
+      |    AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8 AND a.s * b.c > b.s * a.c),
+      |ih AS (
+      |  SELECT i.doc_id,
+      |    CAST(CASE WHEN coalesce(t.u, 0) >= CAST('9223372036854775808' AS HUGEINT)
+      |         THEN coalesce(t.u, 0) - CAST('18446744073709551616' AS HUGEINT)
+      |         ELSE coalesce(t.u, 0) END AS BIGINT) AS phash
+      |  FROM imgs i LEFT JOIN (
+      |    SELECT doc_id, CAST(sum(CAST(1 AS HUGEINT) << bit) AS HUGEINT) AS u
+      |    FROM dbits GROUP BY 1) t ON i.doc_id = t.doc_id)""".stripMargin
+
   /** Image perceptual hashing — the multimodal dedup primitive: every
     * 50th doc's planted PNG decodes through javax.imageio and hashes
-    * via [[dhash64]]; non-image blobs take the byte-hash stub lane
-    * (flagged by is_image so downstream image-dedup joins only hash-
-    * comparable rows). Wrapping-Long bit math isn't DuckDB-portable →
-    * rows-only; MmSpec pins determinism, brightness invariance, and
-    * locality. */
-  val imagePhash: GraftOp = GraftOp.rowsOnly("mm_image_phash") { (s, d) =>
+    * via [[dhash64]]; non-image blobs take a portable md5 fingerprint
+    * lane (flagged by is_image so downstream image-dedup joins only
+    * hash-comparable rows). Oracled r10: the image lane replays
+    * [[sqlDhash]] (lossless PNG ⇒ decoded raster = written pattern),
+    * the stub lane is the repo-standard [[Exprs.md5Long]] both engines
+    * share. */
+  val imagePhash: GraftOp = GraftOp(
+    "mm_image_phash",
+    s"""WITH $sqlDhash
+       |SELECT d.doc_id, d.doc_id % 50 = 0 AS is_image,
+       |  CASE WHEN d.doc_id % 50 = 0 THEN ih.phash
+       |       ELSE ${graft.functions.Exprs.sqlMd5Long("d.text")} END AS phash
+       |FROM documents d LEFT JOIN ih ON d.doc_id = ih.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val blobs = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"), graft.functions.Exprs.md5Long(col("text")).as("fallback"))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("is_image", BooleanType),
@@ -423,11 +470,7 @@ object MmOps {
             new java.io.ByteArrayInputStream(syntheticPng(docId)))
           Row(docId, true, dhash64(img))
         } else {
-          val bytes = r.getAs[Array[Byte]](1)
-          var h = 1125899906842597L
-          var i = 0
-          while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
-          Row(docId, false, h)
+          Row(docId, false, r.getLong(1))
         }
       }
     }(enc).orderBy(col("doc_id"))
@@ -670,10 +713,40 @@ object MmOps {
     * construction). [[nearDupPairs]] generates banded candidates,
     * hamming ≤ 6 confirms, and the result rolls up per image
     * (n_neardup / min_hamming, isolated images kept at 0 / −1), so
-    * cardinality is exactly the image count. Wrapping-Long bit math
-    * isn't DuckDB-portable → rows-only; MmSpec pins the pigeonhole
-    * guarantee and the planted-corpus roll-up. */
-  val imageNearDup: GraftOp = GraftOp.rowsOnly("mm_image_neardup") { (s, d) =>
+    * cardinality is exactly the image count. Oracled r10 via
+    * [[sqlDhash]]: the oracle replays the SAME contract the operator
+    * computes — band-candidate (∃ equal 16-bit band, on the unsigned
+    * HUGEINT view of the hash) AND hamming ≤ 6 via xor/bit_count on
+    * the signed value — over the |images|² pair space that is tiny at
+    * oracle SF (the Spark side never materializes it; the banded join
+    * IS the scale path). */
+  val imageNearDup: GraftOp = GraftOp(
+    "mm_image_neardup",
+    s"""WITH $sqlDhash,
+       |u AS (
+       |  SELECT doc_id, phash,
+       |    CAST(phash AS HUGEINT) + CASE WHEN phash < 0
+       |      THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS pu
+       |  FROM ih),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    bit_count(xor(a.phash, b.phash)) AS hamming
+       |  FROM u a JOIN u b ON a.doc_id < b.doc_id
+       |  WHERE ((a.pu % 65536 = b.pu % 65536)
+       |      OR ((a.pu // 65536) % 65536 = (b.pu // 65536) % 65536)
+       |      OR ((a.pu // 4294967296) % 65536 = (b.pu // 4294967296) % 65536)
+       |      OR ((a.pu // 281474976710656) % 65536 = (b.pu // 281474976710656) % 65536))
+       |    AND bit_count(xor(a.phash, b.phash)) <= 6),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neardup,
+       |    min(hamming) AS min_hamming
+       |  FROM (SELECT da AS doc_id, hamming FROM pairs
+       |        UNION ALL SELECT db, hamming FROM pairs)
+       |  GROUP BY 1)
+       |SELECT i.doc_id, coalesce(per.n_neardup, 0) AS n_neardup,
+       |  CAST(coalesce(per.min_hamming, -1) AS INT) AS min_hamming
+       |FROM ih i LEFT JOIN per ON i.doc_id = per.doc_id
+       |ORDER BY i.doc_id""".stripMargin) { (s, d) =>
     val imgIds = Tables.documents(s, d)
       .filter(col("doc_id") % 50 === 0).select(col("doc_id"))
     val outSchema = StructType(Seq(
