@@ -183,6 +183,77 @@ class SnapshotLakeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crash between lake commit and checkpoint: replay re-appends; key dedup restores the single-run table") {
+    // The at-least-once composition the sink DOCUMENTS, actually run:
+    // a batch's lake commit lands but the query dies before its
+    // checkpoint commit marker is written → the restarted query
+    // replays the batch and re-appends (at-least-once, visible as
+    // duplicates), and the etl_key_dedup shape downstream (first
+    // record per key) restores EXACT equality with a never-crashed
+    // single-run table.
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    val ck = Files.createTempDirectory("graft-ck").toString
+    val mem = MemoryStream[(Long, String)]
+    def start() = graft.streaming.StreamingPipelines.snapshotLakeStream(
+      mem.toDF().toDF("doc_id", "source"), path,
+      targetBytes = 1L, maxSmallFiles = Int.MaxValue) // compaction off: pure appends
+      .option("checkpointLocation", ck).start()
+
+    val q1 = start()
+    mem.addData((0L until 10L).map(i => (i, "b0")))
+    q1.processAllAvailable()
+    mem.addData((10L until 20L).map(i => (i, "b1")))
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    // Spark 4 guards a checkpoint dir against concurrent queries via
+    // the active-query registry; wait until q1 is fully deregistered
+    var spins = 0
+    while (spark.streams.active.exists(_.id == q1.id) && spins < 200) {
+      Thread.sleep(50); spins += 1
+    }
+    assert(SnapshotLake.read(spark, path).count() === 20L)
+
+    // the crash window: batch 1's lake commit is durable, its
+    // checkpoint commit marker is not — drop the marker
+    val markers = new java.io.File(ck, "commits").listFiles()
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+    assert(markers.nonEmpty)
+    val last = markers.maxBy(_.getName.toInt)
+    // Hadoop's ChecksumFileSystem pairs each marker with a hidden
+    // .N.crc; a stale crc blocks the replayed batch's marker rewrite
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    assert(last.delete())
+
+    val q2 = start()
+    q2.processAllAvailable() // recovery replays batch 1 → re-append
+    mem.addData((20L until 30L).map(i => (i, "b2")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val raw = SnapshotLake.read(spark, path)
+    assert(raw.count() === 40L,
+      "the replayed batch must RE-append — at-least-once across restarts")
+
+    // downstream key dedup (first record per key — etl_key_dedup's
+    // contract) vs the single-run reference table
+    val dedup = raw.groupBy(col("doc_id")).agg(min(col("source")).as("source"))
+      .collect().map(_.toString).sorted.toSeq
+    val refPath = Files.createTempDirectory("graft-snap-ref").toString + "/t"
+    Seq("b0", "b1", "b2").zipWithIndex.foreach { case (src, b) =>
+      SnapshotLake.commitAppend(
+        (b * 10L until b * 10L + 10L).map(i => (i, src)).toDF("doc_id", "source"), refPath)
+    }
+    val ref = SnapshotLake.read(spark, refPath)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dedup === ref,
+      "key dedup after crash-replay must equal the never-crashed table exactly")
+  }
+
   test("vacuum expires old snapshots and reclaims unreferenced files only") {
     val path = Files.createTempDirectory("graft-snap").toString + "/t"
     SnapshotLake.commitAppend(docs, path)
