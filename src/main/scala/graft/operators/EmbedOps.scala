@@ -818,10 +818,11 @@ object EmbedOps {
     * column is a dead output unit — the checks run BEFORE any
     * whitening/PQ/IVF trusts the geometry. Values snap to the
     * emb_norm_stats micros grid, so Σm folds BIGINT and Σm² folds
-    * DECIMAL(38)/HUGEINT (order-free); mean/variance are one double
-    * formula each over those exact integers, and the low-variance flag
-    * compares the SAME doubles both engines derive from the same
-    * integers (var < 0.01 in value² units). One posexplode +
+    * DECIMAL(38)/HUGEINT (order-free); the variance numerator
+    * n·Σm² − (Σm)² is assembled EXACTLY in the same type (r10), mean
+    * and variance are raw deterministic IEEE over exact integers, and
+    * the low-variance flag (var < 0.01 in value² units) is an EXACT
+    * INTEGER inequality — no double compare at all. One posexplode +
     * |dim|-group hash agg — map-side partials, 64 result rows at any
     * corpus size. */
   val dimProfile: GraftOp = GraftOp(
@@ -836,11 +837,11 @@ object EmbedOps {
       |    CAST(sum(m) AS BIGINT) AS s, sum(CAST(m AS HUGEINT) * m) AS ss
       |  FROM e GROUP BY 1)
       |SELECT dim, n, min_micro, max_micro,
-      |  round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS mean,
-      |  round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n / 1000000000000.0, 6)
-      |    AS variance,
-      |  CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s
-      |    < 10000000000.0 * CAST(n AS DOUBLE) * n AS low_variance
+      |  CAST(s AS DOUBLE) / n / 1000000.0 AS mean,
+      |  CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * n) / 1000000000000.0 AS variance,
+      |  CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+      |    < 10000000000 * CAST(n AS HUGEINT) * n AS low_variance
       |FROM g ORDER BY dim""".stripMargin) { (s, d) =>
     Tables.embeddings(s, d)
       .select(posexplode(col("embedding")))
@@ -853,11 +854,11 @@ object EmbedOps {
         sum(col("m")).cast(LongType).as("s"),
         sum(col("m").cast(DecimalType(38, 0)) * col("m")).as("ss"))
       .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
-        expr("round(CAST(s AS DOUBLE) / n / 1000000.0, 6)").as("mean"),
-        expr("""round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n
-          | / 1000000000000.0, 6)""".stripMargin).as("variance"),
-        expr("""CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s
-          | < 10000000000.0 * CAST(n AS DOUBLE) * n""".stripMargin).as("low_variance"))
+        expr("CAST(s AS DOUBLE) / n / 1000000.0D").as("mean"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+          |  / (CAST(n AS DOUBLE) * n) / 1000000000000.0D""".stripMargin).as("variance"),
+        expr("""CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s
+          | < 10000000000 * CAST(n AS DECIMAL(38,0)) * n""".stripMargin).as("low_variance"))
       .orderBy(col("dim"))
   }
 

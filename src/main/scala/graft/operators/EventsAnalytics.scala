@@ -501,7 +501,7 @@ object EventsAnalytics {
       |    lag(n) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev_n
       |  FROM w)
       |SELECT event_type, week_idx, n, CAST(n - prev_n AS BIGINT) AS delta,
-      |  round(CAST(n AS DOUBLE) / prev_n - 1.0, 6) AS growth
+      |  CAST(n - prev_n AS DOUBLE) / prev_n AS growth
       |FROM l WHERE prev_n IS NOT NULL
       |ORDER BY event_type, week_idx""".stripMargin) { (s, d) =>
     val w = Tables.events(s, d)
@@ -518,7 +518,7 @@ object EventsAnalytics {
       .filter(col("prev_n").isNotNull)
       .select(col("event_type"), col("week_idx"), col("n"),
         (col("n") - col("prev_n")).cast(LongType).as("delta"),
-        round(col("n").cast(DoubleType) / col("prev_n") - 1.0, 6).as("growth"))
+        ((col("n") - col("prev_n")).cast(DoubleType) / col("prev_n")).as("growth"))
       .orderBy(col("event_type"), col("week_idx"))
   }
 
@@ -862,21 +862,26 @@ object EventsAnalytics {
     * expected counts and per-cell χ² contribution — the independence
     * test behind "does behavior vary by weekday" dashboards (and the
     * feature-selection statistic in ML prep). Emitted PER CELL, so
-    * every number is a ratio of exact integer products (row-total ×
-    * col-total / N, all < 2⁵³) — no global fold to disagree on; the
-    * caller sums the 35 cells for the statistic. One fact groupBy +
+    * every number is a ratio of exact integer products — the deviation
+    * o·N − rt·ct and the product rt·ct are assembled in
+    * DECIMAL(38)/HUGEINT (they scale ~N², past 2⁵³ at corpus scale;
+    * r10 — the double route cancelled) with one cast each and raw IEEE
+    * emits; no global fold to disagree on; the caller sums the 35
+    * cells for the statistic. One fact groupBy +
     * two tiny marginal aggregates broadcast back. */
   val chiSquare: GraftOp = GraftOp(
     "q_chi_square",
     """WITH c AS (
       |  SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow, count(*) AS o
       |  FROM events GROUP BY 1, 2),
-      |rt AS (SELECT event_type, CAST(sum(o) AS DOUBLE) AS rt FROM c GROUP BY 1),
-      |ct AS (SELECT dow, CAST(sum(o) AS DOUBLE) AS ct FROM c GROUP BY 1),
-      |n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c)
+      |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+      |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
       |SELECT c.event_type, c.dow, o,
-      |  round(rt * ct / n, 6) AS expected,
-      |  round((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n), 6) AS chi2_cell
+      |  CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE) / n AS expected,
+      |  CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+      |    * CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+      |    / (CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE) * n) AS chi2_cell
       |FROM c JOIN rt ON c.event_type = rt.event_type JOIN ct ON c.dow = ct.dow
       |CROSS JOIN n
       |ORDER BY c.event_type, c.dow""".stripMargin) { (s, d) =>
@@ -884,16 +889,18 @@ object EventsAnalytics {
       .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("int").as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
-    val rt = c.groupBy(col("event_type")).agg(sum(col("o")).cast(DoubleType).as("rt"))
-    val ct = c.groupBy(col("dow")).agg(sum(col("o")).cast(DoubleType).as("ct"))
-    val n = c.agg(sum(col("o")).cast(DoubleType).as("n"))
-    val e = col("rt") * col("ct") / col("n")
+    val rt = c.groupBy(col("event_type")).agg(sum(col("o")).cast(LongType).as("rt"))
+    val ct = c.groupBy(col("dow")).agg(sum(col("o")).cast(LongType).as("ct"))
+    val n = c.agg(sum(col("o")).cast(LongType).as("n"))
     c.join(broadcast(rt), Seq("event_type"))
       .join(broadcast(ct), Seq("dow"))
       .crossJoin(broadcast(n))
       .select(col("event_type"), col("dow"), col("o"),
-        round(e, 6).as("expected"),
-        round((col("o") - e) * (col("o") - e) / e, 6).as("chi2_cell"))
+        expr("CAST(CAST(rt AS DECIMAL(38,0)) * ct AS DOUBLE) / n").as("expected"),
+        expr("""CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct AS DOUBLE)
+          |  * CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct AS DOUBLE)
+          |  / (CAST(CAST(rt AS DECIMAL(38,0)) * ct AS DOUBLE) * n)""".stripMargin)
+          .as("chi2_cell"))
       .orderBy(col("event_type"), col("dow"))
   }
 
@@ -1735,8 +1742,11 @@ object EventsAnalytics {
     * shape diagnostic behind q_gap_stats' raw percentiles (capacity
     * planning needs the SHAPE, not just the quantiles). Gaps are
     * exact whole seconds (epoch-micros diff under integer division),
-    * Σg and Σg² fold as exact BIGINTs; σ, μ and B are one double
-    * formula over three integers. One key-partitioned lag window. */
+    * Σg folds BIGINT-exact and Σg² in DECIMAL(38)/HUGEINT; the
+    * variance numerator n·Σg² − (Σg)² is assembled EXACTLY in the same
+    * type (r10) and B = (√(nΣg²−(Σg)²) − Σg)/(√(nΣg²−(Σg)²) + Σg) is
+    * raw deterministic IEEE (the algebra cancels the /n on both
+    * sides). One key-partitioned lag window. */
   val burstiness: GraftOp = GraftOp(
     "q_burstiness",
     """WITH g AS (
@@ -1746,14 +1756,15 @@ object EventsAnalytics {
       |  FROM events),
       |a AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap * gap) AS BIGINT) AS ss
+      |    CAST(sum(gap) AS BIGINT) AS s,
+      |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS ss
       |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
       |SELECT event_type, n,
-      |  round(CAST(s AS DOUBLE) / n, 6) AS mean_gap_s,
-      |  round((sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)) / n
-      |      - CAST(s AS DOUBLE) / n)
-      |    / (sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)) / n
-      |      + CAST(s AS DOUBLE) / n), 6) AS burstiness
+      |  CAST(s AS DOUBLE) / n AS mean_gap_s,
+      |  (sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE))
+      |      - CAST(s AS DOUBLE))
+      |    / (sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE))
+      |      + CAST(s AS DOUBLE)) AS burstiness
       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .select(col("event_type"),
@@ -1763,13 +1774,13 @@ object EventsAnalytics {
       .filter(col("gap").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"),
-        sum(col("gap") * col("gap")).as("ss"))
+        sum(col("gap").cast(DecimalType(38, 0)) * col("gap")).as("ss"))
       .select(col("event_type"), col("n"),
-        expr("round(CAST(s AS DOUBLE) / n, 6)").as("mean_gap_s"),
-        expr("""round((sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)) / n
-          |   - CAST(s AS DOUBLE) / n)
-          | / (sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)) / n
-          |   + CAST(s AS DOUBLE) / n), 6)""".stripMargin).as("burstiness"))
+        expr("CAST(s AS DOUBLE) / n").as("mean_gap_s"),
+        expr("""(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE))
+          |   - CAST(s AS DOUBLE))
+          | / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE))
+          |   + CAST(s AS DOUBLE))""".stripMargin).as("burstiness"))
       .orderBy(col("event_type"))
   }
 

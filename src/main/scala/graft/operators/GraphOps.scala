@@ -877,10 +877,11 @@ object GraphOps {
   /** Degree assortativity of the undirected trade graph — does a
     * well-connected market trade with other hubs (r > 0) or with the
     * periphery (r < 0)? Newman's edge-end Pearson over both
-    * orientations of every edge: all five cross-row sums are exact
-    * BIGINTs (degrees are node-bounded; at web scale the sums widen to
-    * DECIMAL(38) the q_anova way), the coefficient is one double
-    * formula. Degrees join onto edges broadcast — one pass, no
+    * orientations of every edge: all five cross-row sums fold in
+    * DECIMAL(38)/HUGEINT and the Pearson numerator/denominator
+    * m2·sjk − sj² / m2·sjj − sj² are assembled EXACTLY in the same
+    * type (r10), so the coefficient is one raw deterministic double
+    * division. Degrees join onto edges broadcast — one pass, no
     * iteration. */
   val assortativity: GraftOp = GraftOp(
     "graph_assortativity",
@@ -904,13 +905,14 @@ object GraphOps {
       |  SELECT da.deg AS j, db.deg AS k
       |  FROM pairs JOIN deg da ON pairs.a = da.node JOIN deg db ON pairs.b = db.node),
       |g AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS m2,
-      |    CAST(sum(j) AS BIGINT) AS sj, CAST(sum(j * k) AS BIGINT) AS sjk,
-      |    CAST(sum(j * j) AS BIGINT) AS sjj
+      |  SELECT CAST(count(*) AS HUGEINT) AS m2,
+      |    CAST(sum(CAST(j AS HUGEINT)) AS HUGEINT) AS sj,
+      |    CAST(sum(CAST(j AS HUGEINT) * k) AS HUGEINT) AS sjk,
+      |    CAST(sum(CAST(j AS HUGEINT) * j) AS HUGEINT) AS sjj
       |  FROM jk)
-      |SELECT m2 // 2 AS n_edges,
-      |  round((CAST(m2 AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
-      |    / (CAST(m2 AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj), 6) AS assortativity
+      |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+      |  CAST(m2 * sjk - sj * sj AS DOUBLE)
+      |    / CAST(m2 * sjj - sj * sj AS DOUBLE) AS assortativity
       |FROM g""".stripMargin) { (s, d) =>
     val und = undirectedTradeEdges(s, d)
       .filter(graft.functions.Exprs.md5Long(concat_ws("|", col("u"), col("v"))) % 4 === 0)
@@ -921,11 +923,13 @@ object GraphOps {
     val jk = pairs
       .join(broadcast(deg.select(col("node").as("a"), col("deg").as("j"))), Seq("a"))
       .join(broadcast(deg.select(col("node").as("b"), col("deg").as("k"))), Seq("b"))
-    jk.agg(count(lit(1)).as("m2"), sum(col("j")).as("sj"),
-        sum(col("j") * col("k")).as("sjk"), sum(col("j") * col("j")).as("sjj"))
-      .select(expr("m2 div 2").as("n_edges"),
-        expr("""round((CAST(m2 AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
-          | / (CAST(m2 AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj), 6)""".stripMargin)
+    jk.agg(count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("m2"),
+        sum(col("j").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sj"),
+        sum(col("j").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("k")).as("sjk"),
+        sum(col("j").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("j")).as("sjj"))
+      .select(expr("CAST(m2 div 2 AS BIGINT)").as("n_edges"),
+        expr("""CAST(m2 * sjk - sj * sj AS DOUBLE)
+          | / CAST(m2 * sjj - sj * sj AS DOUBLE)""".stripMargin)
           .as("assortativity"))
   }
 

@@ -30,8 +30,11 @@ object StatsOps {
     * over ascending per-customer cents. One fact groupBy, a
     * SEGMENT-partitioned rank window (never a global sort), and a
     * 3-integer final formula. Per-customer spend is exact cents
-    * (decimal sum → ×100 → BIGINT), so Σ i·xᵢ and Σx are exact and
-    * < 2⁵³ — the double division is bit-identical cross-engine. */
+    * (decimal sum → ×100 → BIGINT); Σ i·xᵢ and Σx fold in
+    * DECIMAL(38)/HUGEINT (they scale with n·spend, past 2⁵³ at corpus
+    * scale) and the numerator 2a − (n+1)·tot is assembled EXACTLY in
+    * the same type (r10), so the one double division is bit-identical
+    * cross-engine with no round() midpoint risk. */
   val gini: GraftOp = GraftOp(
     "q_gini",
     """WITH s AS (
@@ -45,10 +48,12 @@ object StatsOps {
       |  FROM s),
       |g AS (
       |  SELECT segment, count(*) AS n_cust,
-      |    sum(cents) AS tot, sum(rk * cents) AS a
+      |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS tot,
+      |    CAST(sum(CAST(rk AS HUGEINT) * cents) AS HUGEINT) AS a
       |  FROM r GROUP BY 1)
       |SELECT segment, n_cust,
-      |  round((2.0 * a - (n_cust + 1.0) * tot) / (CAST(n_cust AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+      |  CAST(2 * a - (n_cust + 1) * tot AS DOUBLE)
+      |    / (CAST(n_cust AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini
       |FROM g ORDER BY segment""".stripMargin) { (s, d) =>
     val spend = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -60,10 +65,11 @@ object StatsOps {
         Window.partitionBy(col("segment")).orderBy(col("cents"), col("cust"))))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_cust"),
-        sum(col("cents")).as("tot"),
-        sum(col("rk") * col("cents")).as("a"))
+        sum(col("cents").cast(DecimalType(38, 0))).as("tot"),
+        sum(col("rk").cast(DecimalType(38, 0)) * col("cents")).as("a"))
       .select(col("segment"), col("n_cust"),
-        expr("round((2.0 * a - (n_cust + 1.0) * tot) / (CAST(n_cust AS DOUBLE) * CAST(tot AS DOUBLE)), 6)")
+        expr("""CAST(2 * a - (n_cust + 1) * tot AS DOUBLE)
+          |  / (CAST(n_cust AS DOUBLE) * CAST(tot AS DOUBLE))""".stripMargin)
           .as("gini"))
       .orderBy(col("segment"))
   }
@@ -127,9 +133,12 @@ object StatsOps {
     * conversion = "user has a big-ticket purchase" (value ≥ 150 —
     * a plain has-any-purchase saturates to p=1 on the synthetic
     * corpus, making the pooled variance 0), pooled-variance z.
-    * One per-user aggregate then four integers; every double in the
-    * final formula derives from those integers through identical
-    * expression text, so the statistic is bit-identical. */
+    * One per-user aggregate then four integers; the rate-difference
+    * numerator c_a·n_b − c_b·n_a is assembled EXACTLY in
+    * DECIMAL(38)/HUGEINT (r10 — the two-division form cancelled) and
+    * every emit is raw deterministic IEEE over the four integers
+    * through identical expression text, so the statistic is
+    * bit-identical. */
   val twoProp: GraftOp = GraftOp(
     "q_two_prop",
     s"""WITH u AS (
@@ -146,12 +155,13 @@ object StatsOps {
        |    CAST(sum(conv) FILTER (WHERE variant = 'B') AS BIGINT) AS c_b
        |  FROM u)
        |SELECT n_a, n_b, c_a, c_b,
-       |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS p_a,
-       |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS p_b,
-       |  round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+       |  CAST(c_a AS DOUBLE) / n_a AS p_a,
+       |  CAST(c_b AS DOUBLE) / n_b AS p_b,
+       |  CAST(CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a AS DOUBLE)
+       |    / (CAST(n_a AS DOUBLE) * n_b)
        |    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
        |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-       |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+       |      * (1.0 / n_a + 1.0 / n_b)) AS z
        |FROM g""".stripMargin) { (s, d) =>
     val u = Tables.events(s, d)
       .groupBy(col("user_id"),
@@ -165,12 +175,13 @@ object StatsOps {
       sum(when(col("variant") === "A", col("conv"))).cast(LongType).as("c_a"),
       sum(when(col("variant") === "B", col("conv"))).cast(LongType).as("c_b"))
       .select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
-        expr("round(CAST(c_a AS DOUBLE) / n_a, 6)").as("p_a"),
-        expr("round(CAST(c_b AS DOUBLE) / n_b, 6)").as("p_b"),
-        expr("""round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
-          | / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-          |   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-          |   * (1.0 / n_a + 1.0 / n_b)), 6)""".stripMargin).as("z"))
+        expr("CAST(c_a AS DOUBLE) / n_a").as("p_a"),
+        expr("CAST(c_b AS DOUBLE) / n_b").as("p_b"),
+        expr("""CAST(CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a AS DOUBLE)
+          |  / (CAST(n_a AS DOUBLE) * n_b)
+          |  / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+          |   * (1.0D - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+          |   * (1.0D / n_a + 1.0D / n_b))""".stripMargin).as("z"))
   }
 
   /** Holt linear-trend smoothing (α=0.5, β=0.3) of each event type's
@@ -363,15 +374,17 @@ object StatsOps {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
        |  FROM c),
        |g AS (
-       |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cv - ca) AS BIGINT) AS n_b,
-       |    CAST(sum(ca * (2 * start + cv - 1)) AS BIGINT) AS r2_a,
-       |    CAST(sum(cv * cv * cv - cv) AS BIGINT) AS t
+       |  SELECT CAST(sum(CAST(ca AS HUGEINT)) AS HUGEINT) AS n_a,
+       |    CAST(sum(CAST(cv - ca AS HUGEINT)) AS HUGEINT) AS n_b,
+       |    CAST(sum(CAST(ca AS HUGEINT) * (2 * start + cv - 1)) AS HUGEINT) AS r2_a,
+       |    CAST(sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS HUGEINT) AS t
        |  FROM s)
-       |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a,
-       |  round(((r2_a - n_a * (n_a + 1)) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       |  CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0
        |    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
-       |      * ((n_a + n_b + 1.0) - CAST(t AS DOUBLE)
-       |        / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z
+       |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(t AS DOUBLE)
+       |        / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))) AS z
        |FROM g""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val p = Tables.events(s, d)
@@ -386,15 +399,17 @@ object StatsOps {
     val byVal = Window.orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val st = c.withColumn("start", lit(1L) + coalesce(sum(col("cv")).over(byVal), lit(0L)))
-    st.agg(sum(col("ca")).as("n_a"), sum(col("cv") - col("ca")).as("n_b"),
-        sum(col("ca") * (lit(2) * col("start") + col("cv") - 1)).as("r2_a"),
-        sum(col("cv") * col("cv") * col("cv") - col("cv")).as("t"))
-      .select(col("n_a"), col("n_b"),
-        (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
-        expr("""round(((r2_a - n_a * (n_a + 1)) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
-          | / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
-          |   * ((n_a + n_b + 1.0) - CAST(t AS DOUBLE)
-          |     / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)""".stripMargin).as("z"))
+    val dec = DecimalType(38, 0)
+    st.agg(sum(col("ca").cast(dec)).as("n_a"),
+        sum((col("cv") - col("ca")).cast(dec)).as("n_b"),
+        sum(col("ca").cast(dec) * (lit(2) * col("start") + col("cv") - 1)).as("r2_a"),
+        sum(col("cv").cast(dec) * col("cv") * col("cv") - col("cv")).as("t"))
+      .select(col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).cast(LongType).as("u2_a"),
+        expr("""CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0D
+          | / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0D
+          |   * ((CAST(n_a + n_b AS DOUBLE) + 1.0D) - CAST(t AS DOUBLE)
+          |     / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0D))))""".stripMargin).as("z"))
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic on purchase value between
@@ -457,9 +472,12 @@ object StatsOps {
     * ranks with ties carried DOUBLED (2·Σbelow + c + 1, integer — the
     * q_mann_whitney discipline), assigned per DISTINCT value over a
     * domain-bounded window of (value, count) rows, then joined back —
-    * never a global per-row sort. All six cross-row sums are exact
-    * BIGINTs (dx ≤ 2n, Σdx·dy ≤ 4n³ < 2⁶³ at driver SFs); Pearson over
-    * the doubled ranks (the doubling cancels) is one double formula. */
+    * never a global per-row sort. All six cross-row sums fold in
+    * DECIMAL(38)/HUGEINT (Σdx·dy ≤ 4n³ wraps BIGINT past n ≈ 10⁶), the
+    * Pearson numerator n·sxy − sx·sy and both radicands are assembled
+    * EXACTLY in the same type (r10 — the double-product route lost
+    * exactness past 2⁵³ and cancelled), and rho is raw deterministic
+    * IEEE: three exact→double casts, one multiply, sqrt, divide. */
   val spearman: GraftOp = GraftOp(
     "q_spearman",
     """WITH t AS (
@@ -479,15 +497,17 @@ object StatsOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS dy
       |  FROM cy),
       |g AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-      |    CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
-      |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
       |  FROM t JOIN dx USING (x) JOIN dy USING (y))
-      |SELECT n,
-      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-      |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS spearman_rho
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |      * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
       |FROM g""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val t = Tables.lineitem(s, d)
@@ -503,17 +523,19 @@ object StatsOps {
           (lit(2L) * coalesce(sum(col("c")).over(below), lit(0L)) + col("c") + 1)
             .as(outCol))
     }
+    val dec = DecimalType(38, 0)
     val g = t
       .join(doubledRank("x", "dx"), Seq("x"))
       .join(doubledRank("y", "dy"), Seq("y"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dx")).as("sxx"), sum(col("dy") * col("dy")).as("syy"),
-        sum(col("dx") * col("dy")).as("sxy"))
-    g.select(col("n"),
-      expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-        | / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-        |   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)""".stripMargin)
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("dx").cast(dec)).as("sx"), sum(col("dy").cast(dec)).as("sy"),
+        sum(col("dx").cast(dec) * col("dx")).as("sxx"),
+        sum(col("dy").cast(dec) * col("dy")).as("syy"),
+        sum(col("dx").cast(dec) * col("dy")).as("sxy"))
+    g.select(col("n").cast(LongType).as("n"),
+      expr("""CAST(n * sxy - sx * sy AS DOUBLE)
+        | / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |   * CAST(n * syy - sy * sy AS DOUBLE))""".stripMargin)
         .as("spearman_rho"))
   }
 
@@ -521,9 +543,12 @@ object StatsOps {
     * hash variants — the parametric mean-difference test between
     * q_two_prop (proportions) and q_mann_whitney (ranks). Per-variant
     * state is three exact BIGINTs (n, Σcents, Σcents² — cents² sums
-    * < 2⁶³ at any SF whose purchase count < 4·10⁹); mean, Welch t and
-    * the Welch–Satterthwaite df are one double formula each over those
-    * six integers, identical text both engines. */
+    * < 2⁶³ at any SF whose purchase count < 4·10⁹); the variance
+    * numerators n·ss − s² and the mean-difference numerator
+    * s_a·n_b − s_b·n_a are assembled EXACTLY in DECIMAL(38)/HUGEINT
+    * (r10 — the double-product route cancelled), and every emit is raw
+    * deterministic IEEE over those exact integers — no round()
+    * midpoint lottery anywhere. */
   val welchT: GraftOp = GraftOp(
     "q_welch_t",
     s"""WITH p AS (
@@ -542,16 +567,18 @@ object StatsOps {
        |  FROM p),
        |v AS (
        |  SELECT n_a, n_b, s_a, s_b,
-       |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1.0) / n_a AS va,
-       |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1.0) / n_b AS vb
+       |    CAST(CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+       |      / ((n_a - 1.0) * CAST(n_a AS DOUBLE) * n_a) AS va,
+       |    CAST(CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+       |      / ((n_b - 1.0) * CAST(n_b AS DOUBLE) * n_b) AS vb
        |  FROM g)
        |SELECT n_a, n_b,
-       |  round(CAST(s_a AS DOUBLE) / n_a / 100.0, 6) AS mean_a,
-       |  round(CAST(s_b AS DOUBLE) / n_b / 100.0, 6) AS mean_b,
-       |  round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-       |    / (100.0 * sqrt(va + vb)), 6) AS t,
-       |  round((va + vb) * (va + vb)
-       |    / (va * va / (n_a - 1.0) + vb * vb / (n_b - 1.0)), 6) AS df
+       |  CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_a,
+       |  CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+       |  CAST(CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a AS DOUBLE)
+       |    / (CAST(n_a AS DOUBLE) * n_b) / (100.0 * sqrt(va + vb)) AS t,
+       |  (va + vb) * (va + vb)
+       |    / (va * va / (n_a - 1.0) + vb * vb / (n_b - 1.0)) AS df
        |FROM v""".stripMargin) { (s, d) =>
     val p = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
@@ -569,16 +596,18 @@ object StatsOps {
         sum(when(col("variant") === "B", col("cents") * col("cents")))
           .cast(LongType).as("ss_b"))
       .withColumn("va",
-        expr("(CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1.0) / n_a"))
+        expr("""CAST(CAST(n_a AS DECIMAL(38,0)) * ss_a - CAST(s_a AS DECIMAL(38,0)) * s_a AS DOUBLE)
+          |  / ((n_a - 1.0D) * CAST(n_a AS DOUBLE) * n_a)""".stripMargin))
       .withColumn("vb",
-        expr("(CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1.0) / n_b"))
+        expr("""CAST(CAST(n_b AS DECIMAL(38,0)) * ss_b - CAST(s_b AS DECIMAL(38,0)) * s_b AS DOUBLE)
+          |  / ((n_b - 1.0D) * CAST(n_b AS DOUBLE) * n_b)""".stripMargin))
       .select(col("n_a"), col("n_b"),
-        expr("round(CAST(s_a AS DOUBLE) / n_a / 100.0, 6)").as("mean_a"),
-        expr("round(CAST(s_b AS DOUBLE) / n_b / 100.0, 6)").as("mean_b"),
-        expr("""round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-          | / (100.0 * sqrt(va + vb)), 6)""".stripMargin).as("t"),
-        expr("""round((va + vb) * (va + vb)
-          | / (va * va / (n_a - 1.0) + vb * vb / (n_b - 1.0)), 6)""".stripMargin).as("df"))
+        expr("CAST(s_a AS DOUBLE) / n_a / 100.0D").as("mean_a"),
+        expr("CAST(s_b AS DOUBLE) / n_b / 100.0D").as("mean_b"),
+        expr("""CAST(CAST(s_a AS DECIMAL(38,0)) * n_b - CAST(s_b AS DECIMAL(38,0)) * n_a AS DOUBLE)
+          |  / (CAST(n_a AS DOUBLE) * n_b) / (100.0D * sqrt(va + vb))""".stripMargin).as("t"),
+        expr("""(va + vb) * (va + vb)
+          | / (va * va / (n_a - 1.0D) + vb * vb / (n_b - 1.0D))""".stripMargin).as("df"))
   }
 
   /** One-way ANOVA decomposition of per-customer spend across market
@@ -701,9 +730,11 @@ object StatsOps {
     * trailing mean ± 2σ with an outside-the-band flag — the rolling-
     * volatility anomaly view next to q_anomaly_days' global z-scores
     * (local regime vs whole-history). The window sums Σy and Σy² are
-    * exact BIGINTs over ROWS 6 PRECEDING (date-bounded per key);
-    * mean/σ/bands are double formulas over those integers, and the
-    * flag compares y against bands both engines compute bit-
+    * exact BIGINTs over ROWS 6 PRECEDING (date-bounded per key); the
+    * variance numerator 7·Σy² − (Σy)² is assembled EXACTLY in
+    * DECIMAL(38)/HUGEINT (r10 — past 2⁵³ the double-product route
+    * cancelled), mean/σ/bands are raw deterministic IEEE over it, and
+    * the flag compares y against bands both engines compute bit-
     * identically. Rows before a full 7-day window are warm-up and
     * dropped. */
   val bollinger: GraftOp = GraftOp(
@@ -720,12 +751,12 @@ object StatsOps {
       |  WINDOW win AS (PARTITION BY event_type ORDER BY day
       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
       |SELECT event_type, day, y,
-      |  round(CAST(s AS DOUBLE) / 7, 6) AS mean7,
-      |  round(sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0), 6) AS sigma7,
+      |  CAST(s AS DOUBLE) / 7 AS mean7,
+      |  sqrt(CAST(7 * CAST(ss AS HUGEINT) - CAST(s AS HUGEINT) * s AS DOUBLE) / 49.0) AS sigma7,
       |  CAST(CASE WHEN y > CAST(s AS DOUBLE) / 7
-      |        + 2 * sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0)
+      |        + 2 * sqrt(CAST(7 * CAST(ss AS HUGEINT) - CAST(s AS HUGEINT) * s AS DOUBLE) / 49.0)
       |      OR y < CAST(s AS DOUBLE) / 7
-      |        - 2 * sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0)
+      |        - 2 * sqrt(CAST(7 * CAST(ss AS HUGEINT) - CAST(s AS HUGEINT) * s AS DOUBLE) / 49.0)
       |    THEN 1 ELSE 0 END AS INT) AS outside
       |FROM w WHERE wn = 7 ORDER BY event_type, day""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -740,12 +771,12 @@ object StatsOps {
         count(lit(1)).over(win).as("wn"))
       .filter(col("wn") === 7)
       .select(col("event_type"), col("day"), col("y"),
-        expr("round(CAST(s AS DOUBLE) / 7, 6)").as("mean7"),
-        expr("round(sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0), 6)").as("sigma7"),
+        expr("CAST(s AS DOUBLE) / 7").as("mean7"),
+        expr("sqrt(CAST(7 * CAST(ss AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / 49.0D)").as("sigma7"),
         expr("""CAST(CASE WHEN y > CAST(s AS DOUBLE) / 7
-          |     + 2 * sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0)
+          |     + 2 * sqrt(CAST(7 * CAST(ss AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / 49.0D)
           |   OR y < CAST(s AS DOUBLE) / 7
-          |     - 2 * sqrt((7.0 * ss - CAST(s AS DOUBLE) * s) / 49.0)
+          |     - 2 * sqrt(CAST(7 * CAST(ss AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / 49.0D)
           | THEN 1 ELSE 0 END AS INT)""".stripMargin).as("outside"))
       .orderBy(col("event_type"), col("day"))
   }
@@ -989,7 +1020,8 @@ object StatsOps {
          |z AS (
          |  SELECT segment, n_a, n_b, c_a, c_b,
          |    CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
-         |         ELSE round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+         |         ELSE round(CAST(CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a AS DOUBLE)
+         |      / (CAST(n_a AS DOUBLE) * n_b)
          |      / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
          |        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
          |        * (1.0 / n_a + 1.0 / n_b)), 6) END AS zv
@@ -1022,11 +1054,12 @@ object StatsOps {
         count(when(col("variant") === "B", 1)).as("c_b"))
       .crossJoin(broadcast(base))
     val z = g.withColumn("z",
-      expr("""CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
-        | ELSE round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+      expr("""CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0D
+        | ELSE round(CAST(CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a AS DOUBLE)
+        | / (CAST(n_a AS DOUBLE) * n_b)
         | / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-        |   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
-        |   * (1.0 / n_a + 1.0 / n_b)), 6) END""".stripMargin))
+        |   * (1.0D - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |   * (1.0D / n_a + 1.0D / n_b)), 6) END""".stripMargin))
     z.withColumn("p", expr(
       """round((0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
         |  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 2)
@@ -1295,9 +1328,11 @@ object StatsOps {
     * Mann-Whitney U of the positive class normalized by n₁·n₀
     * (ties counted half), so the same doubled-rank integer algebra
     * q_mann_whitney runs — per distinct score, counts and a
-    * value-domain-bounded cumulative — yields 2U as an exact BIGINT
-    * and AUC as ONE double division at the end. No per-row sort
-    * rank, no threshold sweep. */
+    * value-domain-bounded cumulative — yields 2U as an exact
+    * DECIMAL(38)/HUGEINT (the rank sum scales ~n², past BIGINT at
+    * ~3·10⁹ events) and AUC as ONE raw double division at the end
+    * (r10 — no round() lottery). No per-row sort rank, no threshold
+    * sweep. */
   val auc: GraftOp = GraftOp(
     "q_auc",
     """WITH p AS (
@@ -1314,12 +1349,14 @@ object StatsOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
       |  FROM c),
       |g AS (
-      |  SELECT CAST(sum(cp) AS BIGINT) AS n_pos, CAST(sum(cv - cp) AS BIGINT) AS n_neg,
-      |    CAST(sum(cp * (2 * start + cv - 1)) AS BIGINT) AS r2_pos
+      |  SELECT CAST(sum(CAST(cp AS HUGEINT)) AS HUGEINT) AS n_pos,
+      |    CAST(sum(CAST(cv - cp AS HUGEINT)) AS HUGEINT) AS n_neg,
+      |    CAST(sum(CAST(cp AS HUGEINT) * (2 * start + cv - 1)) AS HUGEINT) AS r2_pos
       |  FROM s)
-      |SELECT n_pos, n_neg, r2_pos - n_pos * (n_pos + 1) AS u2,
-      |  round((r2_pos - n_pos * (n_pos + 1))
-      |    / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+      |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+      |  CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+      |  CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+      |    / (2.0 * CAST(n_pos AS DOUBLE) * n_neg) AS auc
       |FROM g""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val p = Tables.events(s, d)
@@ -1331,12 +1368,15 @@ object StatsOps {
     val byVal = Window.orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val st = c.withColumn("start", lit(1L) + coalesce(sum(col("cv")).over(byVal), lit(0L)))
-    st.agg(sum(col("cp")).as("n_pos"), sum(col("cv") - col("cp")).as("n_neg"),
-        sum(col("cp") * (lit(2) * col("start") + col("cv") - 1)).as("r2_pos"))
-      .select(col("n_pos"), col("n_neg"),
-        (col("r2_pos") - col("n_pos") * (col("n_pos") + 1)).as("u2"),
-        expr("""round((r2_pos - n_pos * (n_pos + 1))
-          | / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6)""".stripMargin).as("auc"))
+    val dec = DecimalType(38, 0)
+    st.agg(sum(col("cp").cast(dec)).as("n_pos"),
+        sum((col("cv") - col("cp")).cast(dec)).as("n_neg"),
+        sum(col("cp").cast(dec) * (lit(2) * col("start") + col("cv") - 1)).as("r2_pos"))
+      .select(col("n_pos").cast(LongType).as("n_pos"),
+        col("n_neg").cast(LongType).as("n_neg"),
+        (col("r2_pos") - col("n_pos") * (col("n_pos") + 1)).cast(LongType).as("u2"),
+        expr("""CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+          | / (2.0D * CAST(n_pos AS DOUBLE) * n_neg)""".stripMargin).as("auc"))
   }
 
   /** Holt-Winters additive seasonal smoothing (α=0.5, β=0.3, γ=0.4,
@@ -1497,9 +1537,12 @@ object StatsOps {
     * are counted on the DOMAIN-BOUNDED contingency (≤50 quantities ×
     * ≤11 discounts = ≤550 cells; the cell-pair join is 550², bounded by
     * the DOMAIN not the data — at 100 TB it is the same 300k
-    * combinations): C and D are exact BIGINT Σ n₁·n₂ over cell pairs,
-    * tie terms come from the margins, and tau-b is one shared-text
-    * double formula over five exact integers. */
+    * combinations): C and D are exact Σ n₁·n₂ over cell pairs folded
+    * in DECIMAL(38)/HUGEINT (they scale ~n², past BIGINT at ~3·10⁹
+    * rows), tie terms come from the margins as exact Σ s(s−1), and
+    * tau-b is raw deterministic IEEE: the numerator C−D and both
+    * radicand halves n(n−1)−Σs(s−1) are exact integers with one
+    * double cast each and an exact /2 (r10 — no round() lottery). */
   val kendall: GraftOp = GraftOp(
     "q_kendall",
     """WITH c AS (
@@ -1509,18 +1552,21 @@ object StatsOps {
       |  FROM lineitem GROUP BY 1, 2),
       |pairs AS (
       |  SELECT
-      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y) THEN a.m * b.m ELSE 0 END) AS BIGINT) AS conc,
-      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y) THEN a.m * b.m ELSE 0 END) AS BIGINT) AS disc
+      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+      |      THEN CAST(a.m AS HUGEINT) * b.m ELSE 0 END) AS HUGEINT) AS conc,
+      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+      |      THEN CAST(a.m AS HUGEINT) * b.m ELSE 0 END) AS HUGEINT) AS disc
       |  FROM c a JOIN c b ON a.x < b.x),
-      |mx AS (SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT) AS tx
+      |mx AS (SELECT CAST(sum(CAST(s AS HUGEINT) * (s - 1)) AS HUGEINT) AS tx2
       |       FROM (SELECT sum(m) AS s FROM c GROUP BY x)),
-      |my AS (SELECT CAST(sum(s * (s - 1) / 2) AS BIGINT) AS ty
+      |my AS (SELECT CAST(sum(CAST(s AS HUGEINT) * (s - 1)) AS HUGEINT) AS ty2
       |       FROM (SELECT sum(m) AS s FROM c GROUP BY y)),
       |n AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM c)
-      |SELECT n.n AS n, pairs.conc, pairs.disc,
-      |  round((CAST(conc AS DOUBLE) - disc)
-      |    / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0 - tx)
-      |         * (CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0 - ty)), 6) AS tau_b
+      |SELECT n.n AS n, CAST(pairs.conc AS BIGINT) AS conc,
+      |  CAST(pairs.disc AS BIGINT) AS disc,
+      |  CAST(conc - disc AS DOUBLE)
+      |    / sqrt((CAST(CAST(n.n AS HUGEINT) * (n.n - 1) - tx2 AS DOUBLE) / 2.0)
+      |         * (CAST(CAST(n.n AS HUGEINT) * (n.n - 1) - ty2 AS DOUBLE) / 2.0)) AS tau_b
       |FROM n, pairs, mx, my""".stripMargin) { (s, d) =>
     val c = Tables.lineitem(s, d)
       .select(col("l_quantity").cast(LongType).as("x"),
@@ -1528,30 +1574,36 @@ object StatsOps {
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("m"))
     val a = c.select(col("x").as("ax"), col("y").as("ay"), col("m").as("am"))
     val b = c.select(col("x").as("bx"), col("y").as("by"), col("m").as("bm"))
+    val dec38 = DecimalType(38, 0)
     val pairs = a.join(broadcast(b), col("ax") < col("bx"))
       .agg(
-        sum(when(col("ay") < col("by"), col("am") * col("bm")).otherwise(0L)).as("conc"),
-        sum(when(col("ay") > col("by"), col("am") * col("bm")).otherwise(0L)).as("disc"))
+        sum(when(col("ay") < col("by"), col("am").cast(dec38) * col("bm"))
+          .otherwise(lit(0L).cast(dec38))).as("conc"),
+        sum(when(col("ay") > col("by"), col("am").cast(dec38) * col("bm"))
+          .otherwise(lit(0L).cast(dec38))).as("disc"))
     val tx = c.groupBy(col("x")).agg(sum(col("m")).as("s"))
-      .agg(sum(col("s") * (col("s") - 1) / 2).cast(LongType).as("tx"))
+      .agg(sum(col("s").cast(dec38) * (col("s") - 1)).as("tx2"))
     val ty = c.groupBy(col("y")).agg(sum(col("m")).as("s"))
-      .agg(sum(col("s") * (col("s") - 1) / 2).cast(LongType).as("ty"))
+      .agg(sum(col("s").cast(dec38) * (col("s") - 1)).as("ty2"))
     val n = c.agg(sum(col("m")).as("n"))
     pairs.crossJoin(broadcast(n)).crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
-      .select(col("n"), col("conc"), col("disc"),
-        expr("""round((CAST(conc AS DOUBLE) - disc)
-          |  / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2.0 - tx)
-          |       * (CAST(n AS DOUBLE) * (n - 1) / 2.0 - ty)), 6)""".stripMargin).as("tau_b"))
+      .select(col("n"), col("conc").cast(LongType).as("conc"),
+        col("disc").cast(LongType).as("disc"),
+        expr("""CAST(conc - disc AS DOUBLE)
+          |  / sqrt((CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - tx2 AS DOUBLE) / 2.0D)
+          |       * (CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - ty2 AS DOUBLE) / 2.0D))""".stripMargin).as("tau_b"))
   }
 
   /** Cross-correlation between the daily purchase and click series at
     * lags −3..+3 — the LEAD-LAG readout q_acf (one series vs itself)
     * cannot give: does click volume lead purchase volume, and by how
     * many days? Per lag, the Pearson r over aligned (x_d, y_{d+L})
-    * pairs folds six exact BIGINTs (n, Σx, Σy, Σxy, Σx², Σy²) — the
-    * lag join is the q_acf equi-join trick (the y side pre-explodes
-    * its 7 shifted copies; no range join) — and r is one shared-text
-    * double formula. Day alignment keys on a shared day-0. */
+    * pairs folds six exact DECIMAL(38)/HUGEINT moments (Σxy scales
+    * ~count², past BIGINT at scale) — the lag join is the q_acf
+    * equi-join trick (the y side pre-explodes its 7 shifted copies; no
+    * range join) — and r is raw deterministic IEEE over the EXACT
+    * numerator n·Σxy − ΣxΣy and exact radicands (r10).
+    * Day alignment keys on a shared day-0. */
   val xcorr: GraftOp = GraftOp(
     "q_xcorr",
     """WITH st AS (SELECT min(CAST(ts AS DATE)) AS mind FROM events),
@@ -1568,15 +1620,17 @@ object StatsOps {
       |  FROM cy CROSS JOIN unnest(generate_series(-3, 3)) s(lag_d)
       |  JOIN px ON px.i = cy.i + s.lag_d),
       |g AS (
-      |  SELECT lag_d, CAST(count(*) AS BIGINT) AS n_pairs,
-      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  SELECT lag_d, CAST(count(*) AS HUGEINT) AS n_pairs,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
       |  FROM p GROUP BY 1)
-      |SELECT lag_d, n_pairs,
-      |  round((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-      |    / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-      |         * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r
+      |SELECT lag_d, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+      |         * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS r
       |FROM g ORDER BY lag_d""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("event_type"))
     val st = broadcast(ev.agg(min(col("day")).as("mind")))
@@ -1588,15 +1642,18 @@ object StatsOps {
     val cy = daily("click", "y")
       .select(explode(sequence(lit(-3L), lit(3L))).as("lag_d"), col("i"), col("y"))
       .select(col("lag_d"), (col("i") + col("lag_d")).as("ia"), col("y"))
+    val dec = DecimalType(38, 0)
     px.join(cy, col("i") === col("ia"))
       .groupBy(col("lag_d").cast(IntegerType).as("lag_d"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      .select(col("lag_d"), col("n_pairs"),
-        expr("""round((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-          |  / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-          |       * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)""".stripMargin)
+      .agg(count(lit(1)).cast(dec).as("n_pairs"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      .select(col("lag_d"), col("n_pairs").cast(LongType).as("n_pairs"),
+        expr("""CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+          |  / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+          |       * CAST(n_pairs * syy - sy * sy AS DOUBLE))""".stripMargin)
           .as("r"))
       .orderBy(col("lag_d"))
   }

@@ -180,61 +180,64 @@ object StatsOps2 {
       |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
       |  FROM lineitem),
       |g AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(z) AS BIGINT) AS sz,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx,
-      |    sum(CAST(y AS HUGEINT) * y) AS syy,
-      |    CAST(sum(z * z) AS BIGINT) AS szz,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy,
-      |    CAST(sum(x * z) AS BIGINT) AS sxz,
-      |    CAST(sum(y * z) AS BIGINT) AS syz
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+      |    CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
       |  FROM b),
       |r AS (
-      |  SELECT n,
-      |    round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-      |      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-      |           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6) AS r_xy,
-      |    round((n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
-      |      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-      |           * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)), 6) AS r_xz,
-      |    round((n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
-      |      / sqrt((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
-      |           * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)), 6) AS r_yz
+      |  SELECT CAST(n AS BIGINT) AS n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n * syy - sy * sy AS DOUBLE)) AS r_xy,
+      |    CAST(n * sxz - sx * sz AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n * szz - sz * sz AS DOUBLE)) AS r_xz,
+      |    CAST(n * syz - sy * sz AS DOUBLE)
+      |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+      |           * CAST(n * szz - sz * sz AS DOUBLE)) AS r_yz
       |  FROM g)
       |SELECT n, r_xy, r_xz, r_yz,
-      |  round((r_xy - r_xz * r_yz)
-      |    / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) AS r_xy_given_z
+      |  (r_xy - r_xz * r_yz)
+      |    / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) AS r_xy_given_z
       |FROM r""".stripMargin) { (s, d) =>
     val b = Tables.lineitem(s, d)
       .select(col("l_quantity").cast(LongType).as("x"),
         (graft.functions.Exprs.dec2(col("l_extendedprice")) * 100)
           .cast(LongType).as("y"),
         floor(col("l_discount") * 100 + 0.5).cast(LongType).as("z"))
-    val g = b.agg(count(lit(1)).as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"),
-      sum(col("z") * col("z")).as("szz"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("z")).as("sxz"),
-      sum(col("y") * col("z")).as("syz"))
-    g.select(col("n"),
-        expr("""round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-          |  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-          |       * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)""".stripMargin)
+    val dec = DecimalType(38, 0)
+    val g = b.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("z").cast(dec)).as("sz"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"),
+      sum(col("z").cast(dec) * col("z")).as("szz"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("z")).as("sxz"),
+      sum(col("y").cast(dec) * col("z")).as("syz"))
+    g.select(col("n").cast(LongType).as("n"),
+        expr("""CAST(n * sxy - sx * sy AS DOUBLE)
+          |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+          |       * CAST(n * syy - sy * sy AS DOUBLE))""".stripMargin)
           .as("r_xy"),
-        expr("""round((n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
-          |  / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-          |       * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)), 6)""".stripMargin)
+        expr("""CAST(n * sxz - sx * sz AS DOUBLE)
+          |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+          |       * CAST(n * szz - sz * sz AS DOUBLE))""".stripMargin)
           .as("r_xz"),
-        expr("""round((n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
-          |  / sqrt((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
-          |       * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)), 6)""".stripMargin)
+        expr("""CAST(n * syz - sy * sz AS DOUBLE)
+          |  / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+          |       * CAST(n * szz - sz * sz AS DOUBLE))""".stripMargin)
           .as("r_yz"))
       .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
-        expr("""round((r_xy - r_xz * r_yz)
-          |  / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)""".stripMargin)
+        expr("""(r_xy - r_xz * r_yz)
+          |  / sqrt((1.0D - r_xz * r_xz) * (1.0D - r_yz * r_yz))""".stripMargin)
           .as("r_xy_given_z"))
   }
 
@@ -362,9 +365,9 @@ object StatsOps2 {
       |    CAST(sum(flip) AS BIGINT) AS runs
       |  FROM f GROUP BY 1)
       |SELECT event_type, n1, n2, runs,
-      |  round((CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1.0))
-      |    / sqrt(2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
-      |         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z
+      |  CAST(runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) AS DOUBLE) / (n1 + n2)
+      |    / sqrt(CAST(2 * n1 * n2 AS DOUBLE) * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+      |         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))) AS z
       |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
     val day = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -388,9 +391,9 @@ object StatsOps2 {
         (count(lit(1)) - sum(col("above"))).as("n2"),
         sum(col("flip")).as("runs"))
       .select(col("event_type"), col("n1"), col("n2"), col("runs"),
-        expr("""round((CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1.0))
-          |  / sqrt(2.0 * CAST(n1 AS DOUBLE) * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
-          |       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 6)""".stripMargin)
+        expr("""CAST(runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) AS DOUBLE) / (n1 + n2)
+          |  / sqrt(CAST(2 * n1 * n2 AS DOUBLE) * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+          |       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))""".stripMargin)
           .as("z"))
       .orderBy(col("event_type"))
   }
@@ -449,10 +452,11 @@ object StatsOps2 {
     * actually Poisson, or clumped" (the overdispersion gate an
     * operator runs before trusting rate-based alerting; q_burstiness
     * measures inter-arrival clumping, this tests the COUNT model
-    * itself). Daily counts are exact integers, so n, Σy, Σy² fold
-    * BIGINT-exact and both the variance-to-mean ratio D and the
-    * dispersion χ² = (n−1)·s²/ȳ = (n·Σy² − (Σy)²)/Σy are one double
-    * formula each over three integers. D ≈ 1 is Poisson; the flag
+    * itself). Daily counts are exact integers; Σy² folds in
+    * DECIMAL(38)/HUGEINT and the variance numerator n·Σy² − (Σy)² is
+    * assembled EXACTLY in the same type (r10 — the double-product
+    * route cancelled), so D and χ² are raw deterministic IEEE over
+    * exact integers. D ≈ 1 is Poisson; the flag
     * marks |χ² − (n−1)| > 3·√(2(n−1)) (a z≈3 normal approximation of
     * the χ² tail, stated in the emit so the cutoff is auditable).
     * One |days|-bounded frame per type. */
@@ -463,14 +467,15 @@ object StatsOps2 {
       |  FROM events GROUP BY 1, 2),
       |g AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(y) AS BIGINT) AS s1, CAST(sum(y * y) AS BIGINT) AS s2
+      |    CAST(sum(y) AS BIGINT) AS s1,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
       |  FROM d GROUP BY 1)
       |SELECT event_type, n, s1 AS n_events,
-      |  round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
-      |    / (CAST(n AS DOUBLE) - 1.0) / n / (CAST(s1 AS DOUBLE) / n), 6) AS dispersion,
-      |  round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / CAST(s1 AS DOUBLE), 6)
-      |    AS chi2,
-      |  CASE WHEN abs((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+      |  CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) - 1.0) / n / (CAST(s1 AS DOUBLE) / n) AS dispersion,
+      |  CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |    / CAST(s1 AS DOUBLE) AS chi2,
+      |  CASE WHEN abs(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
       |         / CAST(s1 AS DOUBLE) - (n - 1))
       |       > 3.0 * sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)) THEN 1 ELSE 0 END
       |    AS not_poisson
@@ -480,16 +485,16 @@ object StatsOps2 {
       .agg(count(lit(1)).as("y"))
     day.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
-        sum(col("y") * col("y")).as("s2"))
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("s2"))
       .select(col("event_type"), col("n"), col("s1").as("n_events"),
-        expr("""round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
-          |  / (CAST(n AS DOUBLE) - 1.0) / n / (CAST(s1 AS DOUBLE) / n), 6)""".stripMargin)
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+          |  / (CAST(n AS DOUBLE) - 1.0D) / n / (CAST(s1 AS DOUBLE) / n)""".stripMargin)
           .as("dispersion"),
-        expr("""round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
-          |  / CAST(s1 AS DOUBLE), 6)""".stripMargin).as("chi2"),
-        expr("""CASE WHEN abs((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+          |  / CAST(s1 AS DOUBLE)""".stripMargin).as("chi2"),
+        expr("""CASE WHEN abs(CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
           |       / CAST(s1 AS DOUBLE) - (n - 1))
-          |     > 3.0 * sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)) THEN 1 ELSE 0 END""".stripMargin)
+          |     > 3.0D * sqrt(2.0D * (CAST(n AS DOUBLE) - 1.0D)) THEN 1 ELSE 0 END""".stripMargin)
           .as("not_poisson"))
       .orderBy(col("event_type"))
   }
