@@ -33,6 +33,17 @@ object SnapshotLake {
 
   private def snapDir(path: String): Path = Paths.get(path, "_snapshots")
 
+  /** Writer-unique commit-directory token: two OPTIMISTIC committers
+    * racing for the same version must never collide on the DATA
+    * directory either (a shared `c<N>` dir made the loser die in the
+    * parquet write, before the manifest race even ran). The token is
+    * naming-only — manifests record the actual file paths, so results
+    * never depend on it; losers' orphaned dirs are vacuum-reclaimed. */
+  private val writerSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val writerTag =
+    java.lang.Long.toHexString(java.util.concurrent.ThreadLocalRandom.current().nextLong())
+  private def commitToken(): String = s"$writerTag-${writerSeq.incrementAndGet()}"
+
   /** Latest committed version, 0 when the table doesn't exist yet. */
   def currentVersion(path: String): Int = {
     val d = snapDir(path)
@@ -171,7 +182,7 @@ object SnapshotLake {
       // Suffix the data dir with the attempt so a retry after losing the
       // manifest race never collides with its own orphaned first write
       // (unreferenced dirs are reclaimed by vacuum).
-      val commitDir = Paths.get(path, "data", if (attempt == 0) s"c$v" else s"c$v-r$attempt")
+      val commitDir = Paths.get(path, "data", s"c$v-${commitToken()}")
       df.write.mode("errorifexists").parquet(commitDir.toString)
       val prev = if (v == 1) Seq.empty else filesOf(path, v - 1)
       val schema = mergedSchema(
@@ -199,42 +210,59 @@ object SnapshotLake {
     * every clean file by reference. Old versions still see the deleted
     * rows — that is the feature, not a leak. Returns the new version.
     *
-    * Deletes assume a single writer: a concurrent commit that takes the
-    * version first makes this call FAIL (CREATE_NEW manifest publish)
-    * rather than silently dropping either commit — re-run the delete
-    * against the new current snapshot. */
+    * Multi-writer safe (r10): the delete is OPTIMISTIC — planned
+    * against the current snapshot, published with CREATE_NEW; losing
+    * the publish race to a concurrent committer triggers a full
+    * re-validate-and-retry (re-read the NEW current snapshot, re-plan
+    * which files contain hits, re-rewrite, re-publish). Predicate
+    * deletes commute to the serial schedule "other commit first, then
+    * delete", so the retry is semantically the conflict resolution —
+    * the Delta/Iceberg optimistic-concurrency story. */
   def commitDelete(spark: SparkSession, path: String, predicate: String): Int = {
-    val v = currentVersion(path)
-    require(v > 0, s"no snapshot to delete from under $path")
-    val cur = filesOf(path, v)
-    val hit = spark.read.parquet(cur: _*)
-      .filter(expr(predicate))
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)).toSet // ≤|files| driver rows
-    // input_file_name returns URIs (file://...); map back to the
-    // snapshot's plain paths by suffix match
-    val hitPlain = cur.filter(p => hit.exists(_.endsWith(p)))
-    val newV = v + 1
-    val keep = cur.filterNot(hitPlain.contains)
-    val rewritten =
-      if (hitPlain.isEmpty) Seq.empty
-      else {
-        val commitDir = Paths.get(path, "data", s"c$newV")
-        // rewrite under the SNAPSHOT schema: hit files from before an
-        // added column would otherwise lose it to a single-footer read
-        val rd = schemaOf(path, v) match {
-          case Some(sc) => spark.read.schema(sc)
-          case None => spark.read.option("mergeSchema", "true")
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      val v = currentVersion(path)
+      require(v > 0, s"no snapshot to delete from under $path")
+      val cur = filesOf(path, v)
+      val hit = spark.read.parquet(cur: _*)
+        .filter(expr(predicate))
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).toSet // ≤|files| driver rows
+      // input_file_name returns URIs (file://...); map back to the
+      // snapshot's plain paths by suffix match
+      val hitPlain = cur.filter(p => hit.exists(_.endsWith(p)))
+      val newV = v + 1
+      val keep = cur.filterNot(hitPlain.contains)
+      val rewritten =
+        if (hitPlain.isEmpty) Seq.empty
+        else {
+          // attempt-suffixed like commitAppend: a retry never collides
+          // with its own orphaned first write (vacuum reclaims those)
+          val commitDir = Paths.get(path, "data", s"c$newV-${commitToken()}")
+          // rewrite under the SNAPSHOT schema: hit files from before an
+          // added column would otherwise lose it to a single-footer read
+          val rd = schemaOf(path, v) match {
+            case Some(sc) => spark.read.schema(sc)
+            case None => spark.read.option("mergeSchema", "true")
+          }
+          rd.parquet(hitPlain: _*)
+            .filter(not(expr(predicate)))
+            .write.mode("errorifexists").parquet(commitDir.toString)
+          listParquet(commitDir)
         }
-        rd.parquet(hitPlain: _*)
-          .filter(not(expr(predicate)))
-          .write.mode("errorifexists").parquet(commitDir.toString)
-        listParquet(commitDir)
+      try {
+        writeSnapshot(path, newV, keep ++ rewritten)
+        schemaOf(path, v).foreach(writeSchema(path, newV, _)) // delete never evolves
+        writeCommitType(path, newV, "delete")
+        committed = newV
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt < 16, s"lost the delete-commit race $attempt times under $path")
       }
-    writeSnapshot(path, newV, keep ++ rewritten)
-    schemaOf(path, v).foreach(writeSchema(path, newV, _)) // delete never evolves
-    writeCommitType(path, newV, "delete")
-    newV
+    }
+    committed
   }
 
   /** Read the table exactly as of `version`, under that version's
@@ -293,40 +321,52 @@ object SnapshotLake {
     * not a data change. This is the build-once/serve-many maintenance
     * half of the lake story: streaming/micro-batch sinks produce many
     * tiny files, and at 100 TB an uncompacted table pays per-file
-    * open cost on every scan. Single-writer like [[commitDelete]]
-    * (CREATE_NEW manifest publish fails loudly on a race).
+    * open cost on every scan. Multi-writer safe like [[commitDelete]]
+    * (r10): optimistic CREATE_NEW publish with re-plan-and-retry on a
+    * lost race — a layout commit trivially commutes with any other
+    * commit, the retry just re-packs the NEW current file list.
     * Returns (newVersion, filesCompacted, filesWritten); a no-op
     * (≤1 small file) returns the current version unchanged. */
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val v = currentVersion(path)
-    require(v > 0, s"no snapshot to compact under $path")
-    val cur = filesOf(path, v)
-    val sized = cur.map(f => f -> Files.size(Paths.get(f)))
-    val (small, big) = sized.partition(_._2 < targetBytes)
-    if (small.size <= 1) return (v, 0, 0)
-    // first-fit-decreasing: stable order (size desc, path asc) → the
-    // same inputs always pack into the same bins
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, List[String])]
-    small.sortBy { case (f, sz) => (-sz, f) }.foreach { case (f, sz) =>
-      bins.indexWhere(_._1 + sz <= targetBytes) match {
-        case -1 => bins += ((sz, List(f)))
-        case i => val (load, fs) = bins(i); bins(i) = (load + sz, f :: fs)
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(path)
+      require(v > 0, s"no snapshot to compact under $path")
+      val cur = filesOf(path, v)
+      val sized = cur.map(f => f -> Files.size(Paths.get(f)))
+      val (small, big) = sized.partition(_._2 < targetBytes)
+      if (small.size <= 1) return (v, 0, 0)
+      // first-fit-decreasing: stable order (size desc, path asc) → the
+      // same inputs always pack into the same bins
+      val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, List[String])]
+      small.sortBy { case (f, sz) => (-sz, f) }.foreach { case (f, sz) =>
+        bins.indexWhere(_._1 + sz <= targetBytes) match {
+          case -1 => bins += ((sz, List(f)))
+          case i => val (load, fs) = bins(i); bins(i) = (load + sz, f :: fs)
+        }
+      }
+      val newV = v + 1
+      val commitDir = Paths.get(path, "data", s"c$newV-${commitToken()}")
+      val rd = schemaOf(path, v) match {
+        case Some(sc) => spark.read.schema(sc)
+        case None => spark.read.option("mergeSchema", "true")
+      }
+      bins.zipWithIndex.foreach { case ((_, fs), i) =>
+        rd.parquet(fs: _*).coalesce(1)
+          .write.mode("errorifexists").parquet(commitDir.resolve(s"b$i").toString)
+      }
+      try {
+        writeSnapshot(path, newV, big.map(_._1) ++ listParquet(commitDir))
+        schemaOf(path, v).foreach(writeSchema(path, newV, _)) // layout-only commit
+        writeCommitType(path, newV, "compact")
+        return (newV, small.size, bins.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt < 16, s"lost the compact-commit race $attempt times under $path")
       }
     }
-    val newV = v + 1
-    val commitDir = Paths.get(path, "data", s"c$newV")
-    val rd = schemaOf(path, v) match {
-      case Some(sc) => spark.read.schema(sc)
-      case None => spark.read.option("mergeSchema", "true")
-    }
-    bins.zipWithIndex.foreach { case ((_, fs), i) =>
-      rd.parquet(fs: _*).coalesce(1)
-        .write.mode("errorifexists").parquet(commitDir.resolve(s"b$i").toString)
-    }
-    writeSnapshot(path, newV, big.map(_._1) ++ listParquet(commitDir))
-    schemaOf(path, v).foreach(writeSchema(path, newV, _)) // layout-only commit
-    writeCommitType(path, newV, "compact")
-    (newV, small.size, bins.size)
+    throw new IllegalStateException("unreachable")
   }
 }

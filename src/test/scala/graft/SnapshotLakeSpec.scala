@@ -92,8 +92,9 @@ class SnapshotLakeSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val v2Files = Files.readAllLines(Paths.get(path, "_snapshots", "v2.txt")).asScala.toSet
     val v3Files = Files.readAllLines(Paths.get(path, "_snapshots", "v3.txt")).asScala.toSet
-    // every odd-commit (c2) file survives into v3 by reference
-    val c2 = v2Files.filter(_.contains("/c2/"))
+    // every odd-commit (c2-*) file survives into v3 by reference
+    // (commit dirs carry a writer-unique token since r10 multi-writer)
+    val c2 = v2Files.filter(_.contains("/c2-"))
     assert(c2.nonEmpty && c2.subsetOf(v3Files))
   }
 
