@@ -576,7 +576,94 @@ object Sampling {
     }
   }
 
+  /** DoReMi-style mixture reweighting over the source census (Xie et
+    * al. 2023, "DoReMi: Optimizing Data Mixtures", public): domains
+    * whose documents score WORSE than the current mixture average get
+    * their sampling weight multiplied up (exp(η·excess)), so the next
+    * training mix spends more budget where the proxy loss is highest —
+    * the multiplicative-weights / Group-DRO update at the heart of the
+    * paper, re-expressed over a deterministic proxy. No proxy MODEL
+    * exists in this engine, so the per-domain "loss" is a deterministic
+    * quality DEFICIT in exact ppm integers (duplicate-token fraction +
+    * short-document deficit — two of the Gopher-style signals the
+    * text family already scores), which is exactly the role the proxy
+    * plays: a per-domain hardness scalar.
+    *
+    * Determinism contract: per-doc deficits are EXACT integers (ppm by
+    * integral division), per-domain means are integral divisions,
+    * weights live on the integer ppm grid and renormalize by integral
+    * division each round, and the only doubles — the exp(η·excess)
+    * factors — are 10dp-snapped before use (the holt/ewma libm-rescue
+    * discipline), so all three unrolled multiplicative-weights rounds
+    * are bit-identical across engines. Scale: one linear pass over
+    * documents, then every round is arithmetic on a |domains|-row
+    * frame with broadcast scalar totals. */
+  val doremi: GraftOp = GraftOp(
+    "sample_doremi", {
+      def round(i: Int): String =
+        s"""a$i AS (SELECT CAST(sum(w * d_ppm) // 1000000 AS BIGINT) AS avg FROM w${i - 1}),
+           |u$i AS (
+           |  SELECT source, n_docs, d_ppm,
+           |    CAST(floor(w * round(exp(2.0 * greatest(0, d_ppm - avg) / 1000000.0), 10))
+           |      AS BIGINT) AS raw
+           |  FROM w${i - 1}, a$i),
+           |s$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM u$i),
+           |w$i AS (SELECT source, n_docs, d_ppm, raw * 1000000 // tot AS w FROM u$i, s$i)"""
+          .stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |dd AS (
+         |  SELECT source,
+         |    (1000000 - len(list_distinct(toks)) * 1000000 // len(toks))
+         |      + (1000000 - least(n_chars, 500) * 1000000 // 500) AS d_doc
+         |  FROM t),
+         |d0 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(d_doc) // count(*) AS BIGINT) AS d_ppm
+         |  FROM dd GROUP BY 1),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM d0),
+         |w0 AS (SELECT source, n_docs, d_ppm, 1000000 // k AS w FROM d0, k),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT source, n_docs, d_ppm AS deficit_ppm, w AS weight_ppm,
+         |  CAST(w * k AS DOUBLE) / 1000000.0 AS boost_vs_uniform
+         |FROM w3, k ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    // NB: `split` here is the sample_split op — use the function FQN
+    val toks = org.apache.spark.sql.functions.split(col("text"), "\\s+")
+    val dd2 = Tables.documents(s, d)
+      .select(col("source"), toks.as("toks"), col("n_chars"))
+      .select(col("source"),
+        expr("""(1000000 - size(array_distinct(toks)) * 1000000L div size(toks))
+          |  + (1000000 - least(n_chars, 500) * 1000000L div 500)""".stripMargin).as("d_doc"))
+    val d0 = dd2.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(d_doc) div count(*) AS BIGINT)").as("d_ppm"))
+    val k = broadcast(d0.agg(count(lit(1)).as("k")))
+    var w = d0.crossJoin(k).select(col("source"), col("n_docs"), col("d_ppm"),
+      expr("1000000 div k").as("w"))
+    for (_ <- 1 to 3) {
+      val avg = broadcast(w.agg(
+        expr("CAST(sum(w * d_ppm) div 1000000 AS BIGINT)").as("avg")))
+      val u = w.crossJoin(avg)
+        .select(col("source"), col("n_docs"), col("d_ppm"),
+          expr("""CAST(floor(w * round(exp(2.0D * greatest(0, d_ppm - avg) / 1000000.0D), 10))
+            |  AS BIGINT)""".stripMargin).as("raw"))
+      val tot = broadcast(u.agg(sum(col("raw")).cast(LongType).as("tot")))
+      w = u.crossJoin(tot).select(col("source"), col("n_docs"), col("d_ppm"),
+        expr("raw * 1000000 div tot").as("w"))
+    }
+    w.crossJoin(k)
+      .select(col("source"), col("n_docs"), col("d_ppm").as("deficit_ppm"),
+        col("w").as("weight_ppm"),
+        expr("CAST(w * k AS DOUBLE) / 1000000.0D").as("boost_vs_uniform"))
+      .orderBy(col("source"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced, shard, epochShuffle, tokenBudget, importance, neyman, kcenter)
+      balanced, shard, epochShuffle, tokenBudget, importance, neyman, kcenter, doremi)
 }

@@ -53,4 +53,20 @@ class SamplingSpec extends AnyFunSuite {
     val enFrac = got("en").toDouble / total("en")
     assert(enFrac > 0.1 && enFrac < 0.4, s"en fraction $enFrac not ~0.25")
   }
+
+  test("sample_doremi: weights normalize, and harder domains never get less weight") {
+    val rows = SparkEntry.queries("sample_doremi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))) // (source, deficit, weight)
+    val wsum = rows.map(_._3).sum
+    assert(math.abs(wsum - 1000000L) <= rows.length,
+      s"weights must renormalize to ~1e6 ppm, got $wsum")
+    // multiplicative-weights law: the exp(eta*excess) factor is
+    // monotone in the deficit, and renormalization preserves order
+    rows.sortBy(_._2).toSeq.sliding(2).foreach {
+      case Seq((sa, da, wa), (sb, db, wb)) =>
+        assert(wa <= wb + 1, // +1: integral-division grid
+          s"$sa (deficit $da) got weight $wa > $sb (deficit $db) weight $wb")
+      case _ => ()
+    }
+  }
 }
