@@ -763,8 +763,87 @@ object CurationOps {
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
   }
 
+  /** Avro interchange round trip — the remaining common interchange
+    * format after parquet/csv/json/orc. The image ships the CORE Avro
+    * library but not the spark-avro connector, so the op drives
+    * org.apache.avro directly in the connector's own shape: the WRITE
+    * is partition-parallel (each task streams its partition into its
+    * own Avro object-container file via DataFileWriter — exactly one
+    * container per task, like any FileFormat writer), the READ is
+    * file-parallel (a dataset of container paths, each opened with
+    * DataFileReader inside mapPartitions), and the round trip is
+    * proven lossless by the same order-independent checksum discipline
+    * as [[orcRoundtrip]] (xor of portable row hashes survives the
+    * file/row reordering both legs introduce). The oracle computes the
+    * checksum from the parquet original. Rewrite cached per
+    * (session, dir): one write, not one per run. */
+  val avroRoundtrip: GraftOp = GraftOp(
+    "lake_avro_roundtrip",
+    s"""WITH r AS (
+       |  SELECT concat_ws('|', doc_id, lang, source, n_chars,
+       |    ${graft.functions.Exprs.sqlMd5Long("text")}) AS row_str
+       |  FROM documents)
+       |SELECT count(*) AS n_rows,
+       |  bit_xor(${graft.functions.Exprs.sqlMd5Long("row_str")}) AS checksum
+       |FROM r""".stripMargin) { (s, d) =>
+    val schemaJson =
+      """{"type":"record","name":"doc","fields":[
+        |{"name":"doc_id","type":"long"},{"name":"lang","type":"string"},
+        |{"name":"source","type":"string"},{"name":"n_chars","type":"long"},
+        |{"name":"text","type":"string"}]}""".stripMargin
+    val avroDir = graft.CachedPlans.cachedPath(s, s"curation.avroCopy:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
+      Tables.documents(s, d)
+        .select(col("doc_id").cast(LongType), col("lang"), col("source"),
+          col("n_chars").cast(LongType), col("text"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            val sc = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](sc))
+            w.create(sc, new java.io.File(dir, f"part-$pid%05d.avro"))
+            try rows.foreach { r =>
+              val rec = new org.apache.avro.generic.GenericData.Record(sc)
+              rec.put("doc_id", r.getLong(0)); rec.put("lang", r.getString(1))
+              rec.put("source", r.getString(2)); rec.put("n_chars", r.getLong(3))
+              rec.put("text", r.getString(4))
+              w.append(rec)
+            } finally w.close()
+          }
+        }
+      dir
+    }
+    import s.implicits._
+    val files = new java.io.File(avroDir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).toSeq.sorted
+    val back = s.createDataset(files).mapPartitions { paths =>
+      paths.flatMap { p =>
+        val rd = new org.apache.avro.file.DataFileReader(
+          new java.io.File(p),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        new Iterator[(Long, String, String, Long, String)] {
+          def hasNext: Boolean = { val h = rd.hasNext; if (!h) rd.close(); h }
+          def next(): (Long, String, String, Long, String) = {
+            val r = rd.next()
+            (r.get("doc_id").asInstanceOf[Long], r.get("lang").toString,
+              r.get("source").toString, r.get("n_chars").asInstanceOf[Long],
+              r.get("text").toString)
+          }
+        }
+      }
+    }.toDF("doc_id", "lang", "source", "n_chars", "text")
+    back
+      .select(concat_ws("|", col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        graft.functions.Exprs.md5Long(col("text"))).as("row_str"))
+      .select(graft.functions.Exprs.md5Long(col("row_str")).as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(capPerSource, mergeUpsert, profileColumns, fuzzyJoin, fuzzyJw, zorder,
       aggIncremental, tableChecksum, scd2History, expectations, datasheet, benford,
-      profileCorrelation, kAnonymity, lDiversity, orcRoundtrip, tCloseness)
+      profileCorrelation, kAnonymity, lDiversity, orcRoundtrip, avroRoundtrip, tCloseness)
 }
