@@ -886,7 +886,8 @@ object EmbedOps {
       |  FROM e GROUP BY 1),
       |st AS (
       |  SELECT dim, CAST(s AS DOUBLE) / n AS mu,
-      |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n AS v
+      |    CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * n) AS v
       |  FROM g),
       |t AS (
       |  SELECT e.vec_id,
@@ -911,7 +912,8 @@ object EmbedOps {
         sum(col("m").cast(DecimalType(38, 0)) * col("m")).as("ss"))
       .select(col("dim"),
         expr("CAST(s AS DOUBLE) / n").as("mu"),
-        expr("(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n").as("v"))
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+          |  / (CAST(n AS DOUBLE) * n)""".stripMargin).as("v"))
     val t = e.join(broadcast(st.filter(col("v") > 0)), Seq("dim"))
       .select(col("vec_id"),
         expr("CAST(floor((m - mu) * (m - mu) / v * 1000.0) AS BIGINT)").as("t_milli"))

@@ -844,17 +844,18 @@ object StatsOps {
        |  FROM u),
        |t AS (
        |  SELECT n, sx,
-       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS theta
+       |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |      / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS theta
        |  FROM g),
        |v AS (
        |  SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
        |    CAST(sum(x) AS BIGINT) AS sx_v, CAST(sum(y) AS BIGINT) AS sy_v
        |  FROM u GROUP BY 1)
-       |SELECT variant, n_v, round(theta, 6) AS theta,
-       |  round(CAST(sy_v AS DOUBLE) / n_v / 100.0, 6) AS mean_post,
-       |  round((CAST(sy_v AS DOUBLE) / n_v - theta
-       |    * (CAST(sx_v AS DOUBLE) / n_v - CAST(t.sx AS DOUBLE) / t.n)) / 100.0, 6)
+       |SELECT variant, n_v, theta,
+       |  CAST(sy_v AS DOUBLE) / n_v / 100.0 AS mean_post,
+       |  (CAST(sy_v AS DOUBLE) / n_v - theta
+       |    * (CAST(CAST(sx_v AS HUGEINT) * t.n - CAST(t.sx AS HUGEINT) * n_v AS DOUBLE)
+       |       / (CAST(n_v AS DOUBLE) * t.n))) / 100.0
        |    AS mean_post_adj
        |FROM v, t ORDER BY variant""".stripMargin) { (s, d) =>
     val u = Tables.events(s, d)
@@ -872,17 +873,17 @@ object StatsOps {
       sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
       sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
     val t = broadcast(g.select(col("n"), col("sx"),
-      expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-        | / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)""".stripMargin)
+      expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        | / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)""".stripMargin)
         .as("theta")))
     val v = u.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_v"), sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
     v.crossJoin(t)
-      .select(col("variant"), col("n_v"),
-        round(col("theta"), 6).as("theta"),
-        expr("round(CAST(sy_v AS DOUBLE) / n_v / 100.0, 6)").as("mean_post"),
-        expr("""round((CAST(sy_v AS DOUBLE) / n_v - theta
-          | * (CAST(sx_v AS DOUBLE) / n_v - CAST(sx AS DOUBLE) / n)) / 100.0, 6)""".stripMargin)
+      .select(col("variant"), col("n_v"), col("theta"),
+        expr("CAST(sy_v AS DOUBLE) / n_v / 100.0D").as("mean_post"),
+        expr("""(CAST(sy_v AS DOUBLE) / n_v - theta
+          | * (CAST(CAST(sx_v AS DECIMAL(38,0)) * n - CAST(sx AS DECIMAL(38,0)) * n_v AS DOUBLE)
+          |    / (CAST(n_v AS DOUBLE) * n))) / 100.0D""".stripMargin)
           .as("mean_post_adj"))
       .orderBy(col("variant"))
   }

@@ -288,8 +288,10 @@ object StatsOps2 {
     * throws away. Groups = day-of-week with its natural 0..6 score;
     * success = purchase event. The whole statistic reduces to four
     * exact BIGINT aggregates (N, R, Sn = Σsᵢnᵢ, Sr = Σsᵢrᵢ,
-    * Snn = Σnᵢsᵢ² — all ≤ ~4e11 at sf0.1, linear beyond) and ONE
-    * double formula z = √N·(N·Sr − R·Sn)/√(R(N−R)(N·Snn − Sn²));
+    * Snn = Σnᵢsᵢ² — all ≤ ~4e11 at sf0.1, linear beyond); the z
+    * numerator N·Sr − R·Sn and both radicand factors are assembled
+    * EXACTLY in DECIMAL(38)/HUGEINT (r10 — they scale ~N², past 2⁵³
+    * at corpus scale) and z is raw deterministic IEEE;
     * the 7-group frame is domain-bounded at any corpus size. */
   val cochranArmitage: GraftOp = GraftOp(
     "q_cochran_armitage",
@@ -306,10 +308,10 @@ object StatsOps2 {
       |    CAST(sum(s * s * n_i) AS BIGINT) AS snn
       |  FROM g)
       |SELECT n, r, sn, sr, snn,
-      |  round(sqrt(CAST(n AS DOUBLE))
-      |    * (CAST(n AS DOUBLE) * sr - CAST(r AS DOUBLE) * sn)
-      |    / sqrt(CAST(r AS DOUBLE) * (n - r)
-      |         * (CAST(n AS DOUBLE) * snn - CAST(sn AS DOUBLE) * sn)), 6) AS z
+      |  sqrt(CAST(n AS DOUBLE))
+      |    * CAST(CAST(n AS HUGEINT) * sr - CAST(r AS HUGEINT) * sn AS DOUBLE)
+      |    / sqrt(CAST(CAST(r AS HUGEINT) * (n - r) AS DOUBLE)
+      |         * CAST(CAST(n AS HUGEINT) * snn - CAST(sn AS HUGEINT) * sn AS DOUBLE)) AS z
       |FROM t""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
       .select((dayofweek(col("ts")) - 1).cast(LongType).as("s"),
@@ -319,10 +321,10 @@ object StatsOps2 {
         sum(col("s") * col("n_i")).as("sn"), sum(col("s") * col("r_i")).as("sr"),
         sum(col("s") * col("s") * col("n_i")).as("snn"))
       .select(col("n"), col("r"), col("sn"), col("sr"), col("snn"),
-        expr("""round(sqrt(CAST(n AS DOUBLE))
-          |  * (CAST(n AS DOUBLE) * sr - CAST(r AS DOUBLE) * sn)
-          |  / sqrt(CAST(r AS DOUBLE) * (n - r)
-          |       * (CAST(n AS DOUBLE) * snn - CAST(sn AS DOUBLE) * sn)), 6)""".stripMargin)
+        expr("""sqrt(CAST(n AS DOUBLE))
+          |  * CAST(CAST(n AS DECIMAL(38,0)) * sr - CAST(r AS DECIMAL(38,0)) * sn AS DOUBLE)
+          |  / sqrt(CAST(CAST(r AS DECIMAL(38,0)) * (n - r) AS DOUBLE)
+          |       * CAST(CAST(n AS DECIMAL(38,0)) * snn - CAST(sn AS DECIMAL(38,0)) * sn AS DOUBLE))""".stripMargin)
           .as("z"))
   }
 

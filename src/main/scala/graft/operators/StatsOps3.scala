@@ -466,9 +466,10 @@ object StatsOps3 {
        |  FROM p),
        |f AS (
        |  SELECT n_a, n_b,
-       |    (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-       |      / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
-       |            + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+       |    CAST(CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a AS DOUBLE)
+       |      / (CAST(n_a AS DOUBLE) * n_b)
+       |      / sqrt((CAST(CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE) / n_a
+       |            + CAST(CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE) / n_b)
        |           / (CAST(n_a AS DOUBLE) + n_b - 2.0)) AS d
        |  FROM g)
        |SELECT n_a, n_b, d AS cohens_d,
@@ -490,9 +491,10 @@ object StatsOps3 {
         sum(when(col("variant") === "B",
           col("cents").cast(DecimalType(38, 0)) * col("cents"))).as("ss_b"))
       .withColumn("d",
-        expr("""(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-          |  / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
-          |        + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b))
+        expr("""CAST(CAST(s_a AS DECIMAL(38,0)) * n_b - CAST(s_b AS DECIMAL(38,0)) * n_a AS DOUBLE)
+          |  / (CAST(n_a AS DOUBLE) * n_b)
+          |  / sqrt((CAST(CAST(n_a AS DECIMAL(38,0)) * ss_a - CAST(s_a AS DECIMAL(38,0)) * s_a AS DOUBLE) / n_a
+          |        + CAST(CAST(n_b AS DECIMAL(38,0)) * ss_b - CAST(s_b AS DECIMAL(38,0)) * s_b AS DOUBLE) / n_b)
           |       / (CAST(n_a AS DOUBLE) + n_b - 2.0D))""".stripMargin))
       .select(col("n_a"), col("n_b"), col("d").as("cohens_d"),
         expr("d * (1.0D - 3.0D / (4.0D * (CAST(n_a AS DOUBLE) + n_b - 2.0D) - 1.0D))")

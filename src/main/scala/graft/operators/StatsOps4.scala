@@ -253,7 +253,8 @@ object StatsOps4 {
       |f AS (
       |  SELECT n, mx, mn,
       |    CAST(s AS DOUBLE) / n AS mean,
-      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0)) AS sd
+      |    sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * (n - 1.0))) AS sd
       |  FROM t)
       |SELECT n,
       |  CAST(mx AS DOUBLE) / 100.0 AS max_value,
@@ -271,7 +272,8 @@ object StatsOps4 {
         max(col("cents")).as("mx"), min(col("cents")).as("mn"))
       .withColumn("mean", expr("CAST(s AS DOUBLE) / n"))
       .withColumn("sd",
-        expr("sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0D))"))
+        expr("""sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+          |  / (CAST(n AS DOUBLE) * (n - 1.0D)))""".stripMargin))
       .select(col("n"),
         expr("CAST(mx AS DOUBLE) / 100.0D").as("max_value"),
         expr("CAST(mn AS DOUBLE) / 100.0D").as("min_value"),
@@ -684,7 +686,7 @@ object StatsOps4 {
       |r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r_i FROM m GROUP BY 1),
       |rt AS (
       |  SELECT CAST(sum(r_i) AS BIGINT) AS sr,
-      |    CAST(sum(r_i * r_i) AS BIGINT) AS sr2,
+      |    CAST(sum(CAST(r_i AS HUGEINT) * r_i) AS HUGEINT) AS sr2,
       |    CAST(count(*) AS BIGINT) AS n_users
       |  FROM r),
       |ct AS (
@@ -693,11 +695,11 @@ object StatsOps4 {
       |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS c_j FROM m GROUP BY 1))
       |SELECT rt.n_users, ct.k,
       |  (CAST(ct.k AS DOUBLE) - 1.0)
-      |    * (CAST(ct.k AS DOUBLE) * CAST(ct.sc2 AS DOUBLE) - CAST(ct.sc AS DOUBLE) * ct.sc)
-      |    / (CAST(ct.k AS DOUBLE) * rt.sr - CAST(rt.sr2 AS DOUBLE)) AS q_cochran,
+      |    * CAST(CAST(ct.k AS HUGEINT) * ct.sc2 - CAST(ct.sc AS HUGEINT) * ct.sc AS DOUBLE)
+      |    / CAST(CAST(ct.k AS HUGEINT) * rt.sr - rt.sr2 AS DOUBLE) AS q_cochran,
       |  CASE WHEN (CAST(ct.k AS DOUBLE) - 1.0)
-      |    * (CAST(ct.k AS DOUBLE) * CAST(ct.sc2 AS DOUBLE) - CAST(ct.sc AS DOUBLE) * ct.sc)
-      |    / (CAST(ct.k AS DOUBLE) * rt.sr - CAST(rt.sr2 AS DOUBLE)) > 9.488
+      |    * CAST(CAST(ct.k AS HUGEINT) * ct.sc2 - CAST(ct.sc AS HUGEINT) * ct.sc AS DOUBLE)
+      |    / CAST(CAST(ct.k AS HUGEINT) * rt.sr - rt.sr2 AS DOUBLE) > 9.488
       |    THEN 1 ELSE 0 END AS reject_equal_rates
       |FROM rt, ct""".stripMargin) { (s, d) =>
     val m = Tables.events(s, d)
@@ -705,15 +707,16 @@ object StatsOps4 {
       .select(col("user_id"), col("event_type")).distinct()
     val r = m.groupBy(col("user_id")).agg(count(lit(1)).as("r_i"))
     val rt = broadcast(r.agg(sum(col("r_i")).as("sr"),
-      sum(col("r_i") * col("r_i")).as("sr2"), count(lit(1)).as("n_users")))
+      sum(col("r_i").cast(DecimalType(38, 0)) * col("r_i")).as("sr2"),
+      count(lit(1)).as("n_users")))
     val ct = broadcast(m.groupBy(col("event_type")).agg(count(lit(1)).as("c_j"))
       .agg(sum(col("c_j").cast(DecimalType(38, 0)) * col("c_j")).as("sc2"),
         sum(col("c_j")).as("sc"), count(lit(1)).as("k")))
     rt.crossJoin(ct)
       .withColumn("q",
         expr("""(CAST(k AS DOUBLE) - 1.0D)
-          |  * (CAST(k AS DOUBLE) * CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * sc)
-          |  / (CAST(k AS DOUBLE) * sr - CAST(sr2 AS DOUBLE))""".stripMargin))
+          |  * CAST(CAST(k AS DECIMAL(38,0)) * sc2 - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE)
+          |  / CAST(CAST(k AS DECIMAL(38,0)) * sr - sr2 AS DOUBLE)""".stripMargin))
       .select(col("n_users"), col("k"), col("q").as("q_cochran"),
         expr("CASE WHEN q > 9.488D THEN 1 ELSE 0 END").as("reject_equal_rates"))
   }

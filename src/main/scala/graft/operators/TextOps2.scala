@@ -134,9 +134,9 @@ object TextOps2 {
        |    ON r.k = c.k)
        |SELECT t.nt AS n, t.diag AS n_agree,
        |  CAST(t.diag AS DOUBLE) / t.nt AS p_observed,
-       |  CAST(rc.src AS DOUBLE) / (CAST(t.nt AS DOUBLE) * t.nt) AS p_expected,
-       |  (CAST(t.nt AS DOUBLE) * t.diag - CAST(rc.src AS DOUBLE))
-       |    / (CAST(t.nt AS DOUBLE) * t.nt - CAST(rc.src AS DOUBLE)) AS kappa
+       |  CAST(rc.src AS DOUBLE) / CAST(CAST(t.nt AS HUGEINT) * t.nt AS DOUBLE) AS p_expected,
+       |  CAST(CAST(t.nt AS HUGEINT) * t.diag - rc.src AS DOUBLE)
+       |    / CAST(CAST(t.nt AS HUGEINT) * t.nt - rc.src AS DOUBLE) AS kappa
        |FROM t, rc""".stripMargin) { (s, d) =>
     val p = TextOps.langId.run(s, d).select(col("lang"), col("lang_pred"))
     val cm = p.groupBy(col("lang").as("actual"), col("lang_pred").as("predicted"))
@@ -150,9 +150,9 @@ object TextOps2 {
     t.crossJoin(rc)
       .select(col("nt").as("n"), col("diag").as("n_agree"),
         expr("CAST(diag AS DOUBLE) / nt").as("p_observed"),
-        expr("CAST(src AS DOUBLE) / (CAST(nt AS DOUBLE) * nt)").as("p_expected"),
-        expr("""(CAST(nt AS DOUBLE) * diag - CAST(src AS DOUBLE))
-          |  / (CAST(nt AS DOUBLE) * nt - CAST(src AS DOUBLE))""".stripMargin).as("kappa"))
+        expr("CAST(src AS DOUBLE) / CAST(CAST(nt AS DECIMAL(38,0)) * nt AS DOUBLE)").as("p_expected"),
+        expr("""CAST(CAST(nt AS DECIMAL(38,0)) * diag - src AS DOUBLE)
+          |  / CAST(CAST(nt AS DECIMAL(38,0)) * nt - src AS DOUBLE)""".stripMargin).as("kappa"))
   }
 
   /** Gopher quality-rule gate (Rae et al. 2021 §A1.1) — the
