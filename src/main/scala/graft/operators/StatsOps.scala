@@ -283,12 +283,13 @@ object StatsOps {
     * regressed on basket size and total quantity — the normal-
     * equations fit every feature-engineering pipeline sanity-checks
     * before training ("is price ≈ linear in volume"). ALL seven
-    * cross-row sums are exact integers (cents, counts, integer
-    * quantities and their products, each < 2⁶³ at the driver SFs; at
-    * larger scale the sums would move to DOUBLE and accept the 6dp
-    * snap); the 3×3 Cramer solve then runs in doubles over those
-    * identical integers with identical expression text — bit-identical
-    * coefficients, snapped to 6dp. One co-partitioned orderkey join +
+    * cross-row sums fold in DECIMAL(38)/HUGEINT (the second moments
+    * scale ~n·value², past 2⁶³ at corpus scale), and the 3×3 Cramer
+    * solve assembles every 2×2 MINOR exactly in the same type (r10 —
+    * the minors are where the catastrophic cancellation lived; the
+    * remaining 3-term cofactor folds run in doubles with explicitly
+    * parenthesized identical text) — bit-identical coefficients,
+    * snapped to 6dp. One co-partitioned orderkey join +
     * one grand aggregate. */
   val ols2: GraftOp = GraftOp(
     "q_ols2",
@@ -303,47 +304,61 @@ object StatsOps {
       |  SELECT CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
       |    CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
-      |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
-      |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
       |  FROM o),
       |m AS (
       |  SELECT n,
       |    CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c,
-      |    CAST(s11 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f, CAST(s22 AS DOUBLE) AS i,
-      |    CAST(sy AS DOUBLE) AS ry, CAST(s1y AS DOUBLE) AS r1, CAST(s2y AS DOUBLE) AS r2
+      |    CAST(sy AS DOUBLE) AS ry,
+      |    CAST(CAST(s11 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s12 AS DOUBLE) AS m1,
+      |    CAST(CAST(s1y AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2y AS DOUBLE) AS m2,
+      |    CAST(CAST(s1y AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * s2y AS DOUBLE) AS m3,
+      |    CAST(CAST(s1 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2 AS DOUBLE) AS m4,
+      |    CAST(CAST(s1 AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * s1y AS DOUBLE) AS m5,
+      |    CAST(CAST(s11 AS HUGEINT) * s2y - CAST(s1y AS HUGEINT) * s12 AS DOUBLE) AS m6,
+      |    CAST(CAST(s1 AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * s2 AS DOUBLE) AS m7
       |  FROM g),
       |dets AS (
-      |  SELECT n, ry, r1, r2, a, b, c, e, f, i,
-      |    a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c) AS det
+      |  SELECT n, a, b, c, ry, m1, m2, m3, m4, m5, m6, m7,
+      |    ((a * m1 - b * m4) + c * m7) AS det
       |  FROM m)
       |SELECT n AS n_orders,
-      |  round((ry * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2)) / det, 6) AS b0,
-      |  round((a * (r1 * i - f * r2) - ry * (b * i - c * f) + c * (b * r2 - c * r1)) / det, 6) AS b1,
-      |  round((a * (e * r2 - r1 * f) - b * (b * r2 - c * r1) + ry * (b * f - c * e)) / det, 6) AS b2
+      |  round(((ry * m1 - b * m2) + c * m3) / det, 6) AS b0,
+      |  round(((a * m2 - ry * m4) + c * m5) / det, 6) AS b1,
+      |  round(((a * m6 - b * m5) + ry * m7) / det, 6) AS b2
       |FROM dets""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"),
         (graft.functions.Exprs.dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
       .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast(LongType)).as("x2"))
+    val dec = DecimalType(38, 0)
     val g = o.agg(count(lit(1)).as("n"),
       sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
-      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      sum(col("x1").cast(dec) * col("x1")).as("s11"),
+      sum(col("x1").cast(dec) * col("x2")).as("s12"),
+      sum(col("x2").cast(dec) * col("x2")).as("s22"),
+      sum(col("x1").cast(dec) * col("y")).as("s1y"),
+      sum(col("x2").cast(dec) * col("y")).as("s2y"))
     g.select(col("n"),
         col("n").cast(DoubleType).as("a"), col("s1").cast(DoubleType).as("b"),
-        col("s2").cast(DoubleType).as("c"), col("s11").cast(DoubleType).as("e"),
-        col("s12").cast(DoubleType).as("f"), col("s22").cast(DoubleType).as("i"),
-        col("sy").cast(DoubleType).as("ry"), col("s1y").cast(DoubleType).as("r1"),
-        col("s2y").cast(DoubleType).as("r2"))
-      .withColumn("det",
-        expr("a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c)"))
+        col("s2").cast(DoubleType).as("c"), col("sy").cast(DoubleType).as("ry"),
+        expr("CAST(CAST(s11 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s12 AS DOUBLE)").as("m1"),
+        expr("CAST(CAST(s1y AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s2y AS DOUBLE)").as("m2"),
+        expr("CAST(CAST(s1y AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * s2y AS DOUBLE)").as("m3"),
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s2 AS DOUBLE)").as("m4"),
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s2y - CAST(s2 AS DECIMAL(38,0)) * s1y AS DOUBLE)").as("m5"),
+        expr("CAST(CAST(s11 AS DECIMAL(38,0)) * s2y - CAST(s1y AS DECIMAL(38,0)) * s12 AS DOUBLE)").as("m6"),
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * s2 AS DOUBLE)").as("m7"))
+      .withColumn("det", expr("((a * m1 - b * m4) + c * m7)"))
       .select(col("n").as("n_orders"),
-        expr("round((ry * (e * i - f * f) - b * (r1 * i - f * r2) + c * (r1 * f - e * r2)) / det, 6)").as("b0"),
-        expr("round((a * (r1 * i - f * r2) - ry * (b * i - c * f) + c * (b * r2 - c * r1)) / det, 6)").as("b1"),
-        expr("round((a * (e * r2 - r1 * f) - b * (b * r2 - c * r1) + ry * (b * f - c * e)) / det, 6)").as("b2"))
+        expr("round(((ry * m1 - b * m2) + c * m3) / det, 6)").as("b0"),
+        expr("round(((a * m2 - ry * m4) + c * m5) / det, 6)").as("b1"),
+        expr("round(((a * m6 - b * m5) + ry * m7) / det, 6)").as("b2"))
   }
 
   /** Mann-Whitney U (Wilcoxon rank-sum) on purchase value between the
@@ -1241,28 +1256,36 @@ object StatsOps {
          |t AS (SELECT * FROM o WHERE $split % 2 = 0),
          |c AS (SELECT * FROM o WHERE $split % 2 = 1),
          |g AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
          |    CAST(sum(y) AS BIGINT) AS sy,
-         |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
-         |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
-         |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
          |  FROM t),
-         |m AS (
+   |m AS (
          |  SELECT n,
          |    CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c2,
-         |    CAST(s11 AS DOUBLE) AS e, CAST(s12 AS DOUBLE) AS f, CAST(s22 AS DOUBLE) AS i,
-         |    CAST(sy AS DOUBLE) AS ry, CAST(s1y AS DOUBLE) AS r1, CAST(s2y AS DOUBLE) AS r2
+         |    CAST(sy AS DOUBLE) AS ry,
+         |    CAST(CAST(s11 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s12 AS DOUBLE) AS m1,
+         |    CAST(CAST(s1y AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2y AS DOUBLE) AS m2,
+         |    CAST(CAST(s1y AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * s2y AS DOUBLE) AS m3,
+         |    CAST(CAST(s1 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s2 AS DOUBLE) AS m4,
+         |    CAST(CAST(s1 AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * s1y AS DOUBLE) AS m5,
+         |    CAST(CAST(s11 AS HUGEINT) * s2y - CAST(s1y AS HUGEINT) * s12 AS DOUBLE) AS m6,
+         |    CAST(CAST(s1 AS HUGEINT) * s12 - CAST(s11 AS HUGEINT) * s2 AS DOUBLE) AS m7
          |  FROM g),
          |dets AS (
-         |  SELECT n, ry, r1, r2, a, b, c2, e, f, i,
-         |    a * (e * i - f * f) - b * (b * i - f * c2) + c2 * (b * f - e * c2) AS det
+         |  SELECT n, a, b, c2, ry, m1, m2, m3, m4, m5, m6, m7,
+         |    ((a * m1 - b * m4) + c2 * m7) AS det
          |  FROM m),
          |coef AS (
          |  SELECT n AS n_train,
-         |    round((ry * (e * i - f * f) - b * (r1 * i - f * r2) + c2 * (r1 * f - e * r2)) / det / 100.0, 6) AS b0,
-         |    round((a * (r1 * i - f * r2) - ry * (b * i - c2 * f) + c2 * (b * r2 - c2 * r1)) / det / 100.0, 6) AS b1,
-         |    round((a * (e * r2 - r1 * f) - b * (b * r2 - c2 * r1) + ry * (b * f - c2 * e)) / det / 100.0, 6) AS b2
+         |    round(((ry * m1 - b * m2) + c2 * m3) / det / 100.0, 6) AS b0,
+         |    round(((a * m2 - ry * m4) + c2 * m5) / det / 100.0, 6) AS b1,
+         |    round(((a * m6 - b * m5) + ry * m7) / det / 100.0, 6) AS b2
          |  FROM dets),
          |r AS (
          |  SELECT CAST(round(abs(CAST(y AS DOUBLE) / 100.0
@@ -1286,23 +1309,29 @@ object StatsOps {
       .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast(LongType)).as("x2"))
     val train = o.filter(split % 2 === 0)
     val cal = o.filter(split % 2 === 1)
+    val dec38c = DecimalType(38, 0)
     val g = train.agg(count(lit(1)).as("n"),
       sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
-      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      sum(col("x1").cast(dec38c) * col("x1")).as("s11"),
+      sum(col("x1").cast(dec38c) * col("x2")).as("s12"),
+      sum(col("x2").cast(dec38c) * col("x2")).as("s22"),
+      sum(col("x1").cast(dec38c) * col("y")).as("s1y"),
+      sum(col("x2").cast(dec38c) * col("y")).as("s2y"))
     val coef = g.select(col("n").as("n_train"),
         col("n").cast(DoubleType).as("a"), col("s1").cast(DoubleType).as("b"),
-        col("s2").cast(DoubleType).as("c2"), col("s11").cast(DoubleType).as("e"),
-        col("s12").cast(DoubleType).as("f"), col("s22").cast(DoubleType).as("i"),
-        col("sy").cast(DoubleType).as("ry"), col("s1y").cast(DoubleType).as("r1"),
-        col("s2y").cast(DoubleType).as("r2"))
-      .withColumn("det",
-        expr("a * (e * i - f * f) - b * (b * i - f * c2) + c2 * (b * f - e * c2)"))
+        col("s2").cast(DoubleType).as("c2"), col("sy").cast(DoubleType).as("ry"),
+        expr("CAST(CAST(s11 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s12 AS DOUBLE)").as("m1"),
+        expr("CAST(CAST(s1y AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s2y AS DOUBLE)").as("m2"),
+        expr("CAST(CAST(s1y AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * s2y AS DOUBLE)").as("m3"),
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s2 AS DOUBLE)").as("m4"),
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s2y - CAST(s2 AS DECIMAL(38,0)) * s1y AS DOUBLE)").as("m5"),
+        expr("CAST(CAST(s11 AS DECIMAL(38,0)) * s2y - CAST(s1y AS DECIMAL(38,0)) * s12 AS DOUBLE)").as("m6"),
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * s2 AS DOUBLE)").as("m7"))
+      .withColumn("det", expr("((a * m1 - b * m4) + c2 * m7)"))
       .select(col("n_train"),
-        expr("round((ry * (e * i - f * f) - b * (r1 * i - f * r2) + c2 * (r1 * f - e * r2)) / det / 100.0, 6)").as("b0"),
-        expr("round((a * (r1 * i - f * r2) - ry * (b * i - c2 * f) + c2 * (b * r2 - c2 * r1)) / det / 100.0, 6)").as("b1"),
-        expr("round((a * (e * r2 - r1 * f) - b * (b * r2 - c2 * r1) + ry * (b * f - c2 * e)) / det / 100.0, 6)").as("b2"))
+        expr("round(((ry * m1 - b * m2) + c2 * m3) / det / 100.0, 6)").as("b0"),
+        expr("round(((a * m2 - ry * m4) + c2 * m5) / det / 100.0, 6)").as("b1"),
+        expr("round(((a * m6 - b * m5) + ry * m7) / det / 100.0, 6)").as("b2"))
     val r = cal.crossJoin(broadcast(coef))
       .select(col("n_train"), col("b0"), col("b1"), col("b2"),
         expr("CAST(round(abs(CAST(y AS DOUBLE) / 100.0 - (b0 + b1 * x1 + b2 * x2)) * 100.0, 0) AS BIGINT)").as("rc"))
