@@ -233,5 +233,60 @@ object TextOps2 {
       .orderBy(col("source"))
   }
 
-  val ops: Seq[GraftOp] = Seq(termBurstiness, termDispersion, langKappa, gopherGate)
+  /** Tokenizer-cost census per source (r10): subword FERTILITY
+    * (estimated subword tokens per whitespace word — the HuggingFace
+    * tokenizer-efficiency metric) and compression (chars per subword
+    * token), using the SAME ceil(len/4) subword estimator as
+    * text_tokens so the two readouts share a tokenization. A source
+    * whose fertility runs high (long/rare words fragmenting into many
+    * pieces) costs proportionally more training budget per word — the
+    * number a mixture planner (sample_doremi, sample_mixture) prices
+    * against. ALL-INTEGER: the three per-source sums fold exactly and
+    * both ratios are floor-ppm integral divisions; one linear pass,
+    * |sources| result rows at any corpus size. */
+  val fertility: GraftOp = GraftOp(
+    "text_fertility",
+    """WITH t AS (
+      |  SELECT source, n_chars,
+      |    string_split_regex(text, '\s+') AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, n_chars,
+      |    len(toks) AS n_ws,
+      |    CAST(list_reduce(list_prepend(0, list_transform(toks,
+      |      x -> CAST(ceil(length(x) / 4.0) AS INT))), (a, b) -> a + b) AS BIGINT) AS n_sub
+      |  FROM t),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(sum(n_ws) AS BIGINT) AS total_words,
+      |    CAST(sum(n_sub) AS BIGINT) AS total_subwords
+      |  FROM p GROUP BY 1)
+      |SELECT source, n_docs, total_words, total_subwords,
+      |  CAST(CAST(total_subwords AS HUGEINT) * 1000000 // total_words AS BIGINT)
+      |    AS fertility_ppm,
+      |  CAST(CAST(total_chars AS HUGEINT) * 1000000 // total_subwords AS BIGINT)
+      |    AS chars_per_token_ppm
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val p = Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), tokens.as("toks"))
+      .select(col("source"), col("n_chars"),
+        size(col("toks")).as("n_ws"),
+        aggregate(transform(col("toks"), x => ceil(length(x) / 4.0).cast(IntegerType)),
+          lit(0), (a, b) => a + b).cast(LongType).as("n_sub"))
+    p.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"),
+        sum(col("n_ws")).cast(LongType).as("total_words"),
+        sum(col("n_sub")).cast(LongType).as("total_subwords"))
+      .select(col("source"), col("n_docs"), col("total_words"), col("total_subwords"),
+        expr("""CAST(CAST(total_subwords AS DECIMAL(38,0)) * 1000000
+          |  div total_words AS BIGINT)""".stripMargin).as("fertility_ppm"),
+        expr("""CAST(CAST(total_chars AS DECIMAL(38,0)) * 1000000
+          |  div total_subwords AS BIGINT)""".stripMargin).as("chars_per_token_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(termBurstiness, termDispersion, langKappa, gopherGate, fertility)
 }
