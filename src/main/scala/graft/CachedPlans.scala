@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped registry for shared persisted plans (dedup inverted
   * indexes, ANN corpus projections). Reusing the SAME DataFrame
@@ -8,6 +9,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * CacheManager's "Asked to cache already cached data" double-persist,
   * and gives the caches an explicit unpersist lifecycle instead of
   * living until session teardown.
+  *
+  * Storage and lifecycle (r11, after three driver rounds showed
+  * heap-pressure amplification across a 386-query session):
+  *
+  *  - Frames persist at `spark.graft.cache.storageLevel` (default
+  *    MEMORY_AND_DISK_SER): serialized batches are several times
+  *    smaller than deserialized row objects and EVICT TO DISK instead
+  *    of thrashing the old-gen — on a bounded driver heap the
+  *    difference between a steady session and the 2–5× tail the
+  *    TypedImperativeAggregate builders showed under GC pressure.
+  *  - The registry is LRU-capped at `spark.graft.cache.maxFrames`
+  *    (default 48 — above any single corpus' full registry, so a
+  *    bench session never evicts, while a session that touches many
+  *    corpora sheds the oldest corpus' frames instead of accreting
+  *    every dir's indexes until OOM). Evicted frames unpersist; a
+  *    later consumer transparently rebuilds (builders are
+  *    deterministic, and the disk-backed [[graft.operators.IndexStore]]
+  *    makes that rebuild a parquet read for store-managed indexes).
   *
   * Sessions are held WEAKLY: a caller that never invokes [[clear]]
   * (tests, notebooks, embedding apps) doesn't pin its session — once
@@ -18,30 +37,78 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CachedPlans {
 
-  // WeakHashMap keys on the session; inner map keys on the plan name.
-  // All access synchronized — plan builds happen outside the lock.
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  /** Validated storage level for registry persists. Fails with the
+    * conf key in the message (the GraphOps.roots validation pattern)
+    * instead of a bare parse error. */
+  private[graft] def storageLevel(s: SparkSession): StorageLevel = {
+    val v = s.conf.getOption("spark.graft.cache.storageLevel")
+      .map(_.trim).filter(_.nonEmpty).getOrElse("MEMORY_AND_DISK_SER")
+    try StorageLevel.fromString(v.toUpperCase(java.util.Locale.ROOT))
+    catch {
+      case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          "spark.graft.cache.storageLevel must be a Spark StorageLevel name " +
+            s"(e.g. MEMORY_AND_DISK_SER, MEMORY_AND_DISK, DISK_ONLY); got '$v'")
+    }
+  }
 
-  private def sessionMap(s: SparkSession): scala.collection.mutable.Map[String, DataFrame] =
+  /** Validated LRU capacity for the per-session registry. */
+  private[graft] def maxFrames(s: SparkSession): Int = {
+    val key = "spark.graft.cache.maxFrames"
+    val v = s.conf.getOption(key).map(_.trim).getOrElse("48")
+    val n =
+      try v.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key must be a positive integer; got '$v'")
+      }
+    require(n > 0, s"$key must be a positive integer; got $n")
+    n
+  }
+
+  // WeakHashMap keys on the session; inner map keys on the plan name
+  // in ACCESS order (LinkedHashMap re-inserted on every hit), so the
+  // head is always the least-recently-used frame.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.LinkedHashMap[String, DataFrame]]()
+
+  private def sessionMap(s: SparkSession): scala.collection.mutable.LinkedHashMap[String, DataFrame] =
     cache.synchronized {
       var m = cache.get(s)
-      if (m == null) { m = scala.collection.mutable.Map.empty[String, DataFrame]; cache.put(s, m) }
+      if (m == null) {
+        m = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+        cache.put(s, m)
+      }
       m
     }
+
+  /** Move `key` to most-recently-used position (caller holds m's lock). */
+  private def touch(m: scala.collection.mutable.LinkedHashMap[String, DataFrame],
+      key: String): Option[DataFrame] =
+    m.remove(key).map { df => m.update(key, df); df }
 
   /** Get-or-build the persisted plan for `key` in this session. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val m = sessionMap(s)
-    m.synchronized(m.get(key)) match {
+    m.synchronized(touch(m, key)) match {
       case Some(df) => df
       case None =>
-        val built = build.persist() // build outside the lock; race resolved below
-        val prior = m.synchronized {
-          val p = m.get(key)
+        val cap = maxFrames(s) // validate confs BEFORE building
+        val level = storageLevel(s)
+        val built = build.persist(level) // build outside the lock; race resolved below
+        val (prior, evicted) = m.synchronized {
+          val p = touch(m, key)
           if (p.isEmpty) m.update(key, built)
-          p
+          // shed least-recently-used frames beyond the cap (never the
+          // entry just inserted — it is at the tail by construction)
+          val ev = scala.collection.mutable.ListBuffer.empty[DataFrame]
+          while (m.size > cap) {
+            val lru = m.head._1
+            m.remove(lru).foreach(ev += _)
+          }
+          (p, ev.toList)
         }
+        evicted.foreach(_.unpersist(blocking = false))
         prior match {
           case Some(winner) =>
             built.unpersist(blocking = false) // lost the race: release our copy
@@ -72,6 +139,13 @@ object CachedPlans {
         val built = build
         m.synchronized(m.getOrElseUpdate(key, built))
     }
+  }
+
+  /** True when `key` currently holds a registry frame (test hook for
+    * the LRU-eviction contract; does not bump recency). */
+  private[graft] def contains(s: SparkSession, key: String): Boolean = {
+    val m = sessionMap(s)
+    m.synchronized(m.contains(key))
   }
 
   /** Unpersist and drop ONE plan (no-op when absent) — the rebuild

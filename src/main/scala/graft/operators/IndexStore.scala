@@ -14,10 +14,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Layout: one directory per (format version, source dir) under
   * `spark.graft.index.store.dir` (default: java.io.tmpdir/
-  * graft-index-store). A `_complete.txt` marker is written LAST and
-  * carries the source dir plus a fingerprint of the source parquet
-  * files (name, length, mtime per part-file): a regenerated corpus at
-  * the same path — or a half-written store — never serves. Loading
+  * graft-index-store). The whole store is STAGED into a writer-unique
+  * sibling and published by one atomic rename (r11) — the
+  * `_complete.txt` marker inside it carries the source dir plus a
+  * fingerprint of the source parquet files (name, length, mtime and a
+  * first-KB content hash per part-file): a regenerated corpus at the
+  * same path — or a crashed/concurrent writer's debris — never
+  * serves. Loading
   * registers each parquet artifact in [[graft.CachedPlans]] under the
   * SAME key its builder uses, so every consumer serves the loaded
   * frame transparently; the per-family build counters
@@ -31,11 +34,17 @@ import org.apache.spark.sql.SparkSession
 object IndexStore {
 
   /** Bump whenever ANY shared-index definition changes: a saved
-    * artifact from an older definition must never serve. */
-  val FormatVersion = 1
+    * artifact from an older definition must never serve.
+    * v2 (r11): + knn_graph_edges. */
+  val FormatVersion = 2
 
   private[graft] def enabled(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.index.store.enabled").forall(_.trim.toBoolean)
+    s.conf.getOption("spark.graft.index.store.enabled").map(_.trim.toLowerCase) match {
+      case None | Some("") | Some("true") => true
+      case Some("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"spark.graft.index.store.enabled must be 'true' or 'false'; got '$v'")
+    }
 
   private def root(s: SparkSession): String =
     s.conf.getOption("spark.graft.index.store.dir")
@@ -44,6 +53,19 @@ object IndexStore {
   private def md5hex(v: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** md5 of a file's first KB — folded into the fingerprint so a
+    * corpus regenerated in place with identical part sizes inside the
+    * filesystem's mtime granularity still invalidates the store. */
+  private def sampleHash(f: java.io.File): String = {
+    val in = new java.io.FileInputStream(f)
+    try {
+      val buf = new Array[Byte](1024)
+      val n = math.max(in.read(buf), 0)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOf(buf, n)).map("%02x".format(_)).mkString
+    } finally in.close()
+  }
 
   private[graft] def dirFor(s: SparkSession, d: String): String = {
     val safe = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -59,7 +81,8 @@ object IndexStore {
     val parts = tables.flatMap { t =>
       val f = new java.io.File(d, t)
       val files = if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
-      files.filter(_.isFile).map(x => s"$t/${x.getName}:${x.length}:${x.lastModified}")
+      files.filter(_.isFile).map(x =>
+        s"$t/${x.getName}:${x.length}:${x.lastModified}:${sampleHash(x)}")
     }
     md5hex(parts.mkString("\n"))
   }
@@ -68,12 +91,15 @@ object IndexStore {
 
   private def markerContent(d: String): String = s"$d\n${fingerprint(d)}"
 
-  /** A finished, source-matching store exists for this corpus. */
-  private[graft] def isComplete(s: SparkSession, d: String): Boolean = {
-    val p = markerPath(dirFor(s, d))
-    java.nio.file.Files.exists(p) &&
-      new String(java.nio.file.Files.readAllBytes(p), "UTF-8") == markerContent(d)
-  }
+  /** A finished, source-matching store exists for this corpus. A
+    * marker removed between the exists check and the read (another
+    * process invalidating) reads as INCOMPLETE, not as an exception. */
+  private[graft] def isComplete(s: SparkSession, d: String): Boolean =
+    try {
+      val p = markerPath(dirFor(s, d))
+      java.nio.file.Files.exists(p) &&
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8") == markerContent(d)
+    } catch { case _: java.io.IOException => false }
 
   /** (artifact name, registry key) for the frames stored as plain
     * parquet — the families with driver-side state (dedup, IVF,
@@ -82,26 +108,68 @@ object IndexStore {
     ("trade_edges", s"graph.tradeEdges:$d"),
     ("und_edges", s"graph.undTradeEdges:$d"),
     ("basket_pairs", s"affinity.pairs:$d"),
-    ("pq_codes", s"emb.pqCodes:$d"))
+    ("pq_codes", s"emb.pqCodes:$d"),
+    ("knn_graph_edges", s"knn.graphEdges:$d"))
 
   private val saveLock = new Object
 
-  /** Build (or reuse) every shared index and write the store; the
-    * marker lands last so a crashed writer leaves an incomplete (and
-    * therefore ignored) directory. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.deleteIfExists(x))
+      finally s.close()
+    }
+
+  /** Build (or reuse) every shared index and write the store. The
+    * whole store is staged into a WRITER-UNIQUE sibling directory —
+    * marker included — and published by one atomic rename (the
+    * SnapshotLake commit discipline): a crashed writer leaves only an
+    * unreferenced staging dir, a concurrent writer in ANOTHER JVM
+    * (the saveLock is JVM-local, the store dir is shared) either
+    * loses the rename or finds the winner's marker and discards its
+    * stage, and a reader can never observe a half-written store at
+    * the published path. */
   private[graft] def saveAll(s: SparkSession, d: String): Unit = saveLock.synchronized {
     if (isComplete(s, d)) return
     val dir = dirFor(s, d)
-    GraphOps.tradeEdges(s, d).write.mode("overwrite").parquet(s"$dir/trade_edges")
-    GraphOps.undirectedTradeEdges(s, d).write.mode("overwrite").parquet(s"$dir/und_edges")
-    AffinityOps.basketPairs(s, d).write.mode("overwrite").parquet(s"$dir/basket_pairs")
-    EmbedOps.pqCodes(s, d).write.mode("overwrite").parquet(s"$dir/pq_codes")
-    DedupIndexStore.save(s, d, dir)
-    IvfIndex.save(s, d, s"$dir/ivf")
-    EmbedOps.kmSave(s, d, dir)
-    java.nio.file.Files.write(markerPath(dir),
-      markerContent(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ()
+    val stage = s"$dir.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      GraphOps.tradeEdges(s, d).write.mode("overwrite").parquet(s"$stage/trade_edges")
+      GraphOps.undirectedTradeEdges(s, d).write.mode("overwrite").parquet(s"$stage/und_edges")
+      AffinityOps.basketPairs(s, d).write.mode("overwrite").parquet(s"$stage/basket_pairs")
+      EmbedOps.pqCodes(s, d).write.mode("overwrite").parquet(s"$stage/pq_codes")
+      KnnOps.knnGraphEdges(s, d).write.mode("overwrite").parquet(s"$stage/knn_graph_edges")
+      DedupIndexStore.save(s, d, stage)
+      IvfIndex.save(s, d, s"$stage/ivf")
+      EmbedOps.kmSave(s, d, stage)
+      java.nio.file.Files.write(markerPath(stage),
+        markerContent(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      publish(java.nio.file.Paths.get(stage), java.nio.file.Paths.get(dir), s, d)
+    } finally deleteRecursively(java.nio.file.Paths.get(stage)) // no-op after a successful move
+  }
+
+  /** Atomic-rename publish with one stale-target sweep: if `dir`
+    * already exists COMPLETE another writer won (keep theirs); if it
+    * exists incomplete it is a crashed writer's debris (remove, then
+    * retry the rename once). */
+  private def publish(stage: java.nio.file.Path, dir: java.nio.file.Path,
+      s: SparkSession, d: String): Unit = {
+    def move(): Boolean =
+      try {
+        java.nio.file.Files.move(stage, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.DirectoryNotEmptyException => false
+        case _: java.nio.file.AccessDeniedException => false
+      }
+    if (move()) return
+    if (isComplete(s, d)) return // concurrent writer won with matching content
+    deleteRecursively(dir) // stale or half-written debris
+    if (!move() && !isComplete(s, d))
+      System.err.println(s"[graft] IndexStore publish lost twice under $dir; " +
+        "store stays absent this session (indexes remain session-local)")
   }
 
   /** Swap every saved artifact into this session's plan registry —

@@ -841,6 +841,49 @@ object KnnOps {
 
   private val KnnGraphK = 4
 
+  /** Times the k-NN graph construction actually ran this JVM (the
+    * zero-rebuild proof for [[IndexStore]] — r11: the graph used to be
+    * rebuilt by each of its three consumers, ~5 s × 3 per session). */
+  @volatile private[graft] var graphBuilds = 0
+
+  /** The SHARED k-NN graph edge frame (node_id, nbr_id, cos_sim, rn) —
+    * build-once/serve-many: [[knnGraph]] emits it, [[knnGraphRecall]]
+    * audits it, [[hubness]] profiles its in-degrees. Registered in
+    * [[SharedIndexes]] (and therefore disk-persisted by [[IndexStore]])
+    * so one session builds it at most once and a warm store serves it
+    * as a parquet read. */
+  private[operators] def knnGraphEdges(s: SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"knn.graphEdges:$d") {
+      graphBuilds += 1
+      knnGraphEdgesPlan(s, d)
+    }
+
+  private def knnGraphEdgesPlan(s: SparkSession, d: String): DataFrame = {
+    val v = IvfIndex.corpus(s, d)
+    def bucketize(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+          posexplode(graft.functions.lsh_buckets(col("u"), PlaneSeedBase, L, B)))
+        .toDF("vec_id", "tbl", "bucket")
+    val b = bucketize(v)
+    val cand = b
+      .join(b.select(col("vec_id").as("hi"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_id") < col("hi"))
+      .select(col("vec_id").as("lo"), col("hi"))
+      .distinct()
+    val csym = cand
+      .join(v.select(col("vec_id").as("lo"), col("u").as("au")), "lo")
+      .join(v.select(col("vec_id").as("hi"), col("u").as("bu")), "hi")
+      .select(col("lo"), col("hi"), Exprs.dot(col("au"), col("bu")).as("cos"))
+    val cs = csym.select(col("lo").as("node_id"), col("hi").as("nbr_id"), col("cos"))
+      .unionAll(csym.select(col("hi"), col("lo"), col("cos")))
+    val byNode = Window.partitionBy(col("node_id")).orderBy(col("cos").desc, col("nbr_id"))
+    cs
+      .withColumn("rn", row_number().over(byNode))
+      .filter(col("rn") <= KnnGraphK)
+      .select(col("node_id"), col("nbr_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+  }
+
   /** k-NN GRAPH construction — every corpus vector's top-k cosine
     * neighbors among its LSH co-residents: the all-nodes primitive
     * behind SemDeDup clustering, graph-based curation, and
@@ -899,30 +942,7 @@ object KnnOps {
          |SELECT node_id, nbr_id, round(cos, 6) AS cos_sim, CAST(rn AS INT) AS rn
          |FROM rk WHERE rn <= $KnnGraphK ORDER BY node_id, rn""".stripMargin
     }) { (s, d) =>
-    val v = IvfIndex.corpus(s, d)
-    def bucketize(df: DataFrame): DataFrame =
-      df.select(col("vec_id"),
-          posexplode(graft.functions.lsh_buckets(col("u"), PlaneSeedBase, L, B)))
-        .toDF("vec_id", "tbl", "bucket")
-    val b = bucketize(v)
-    val cand = b
-      .join(b.select(col("vec_id").as("hi"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .filter(col("vec_id") < col("hi"))
-      .select(col("vec_id").as("lo"), col("hi"))
-      .distinct()
-    val csym = cand
-      .join(v.select(col("vec_id").as("lo"), col("u").as("au")), "lo")
-      .join(v.select(col("vec_id").as("hi"), col("u").as("bu")), "hi")
-      .select(col("lo"), col("hi"), Exprs.dot(col("au"), col("bu")).as("cos"))
-    val cs = csym.select(col("lo").as("node_id"), col("hi").as("nbr_id"), col("cos"))
-      .unionAll(csym.select(col("hi"), col("lo"), col("cos")))
-    val byNode = Window.partitionBy(col("node_id")).orderBy(col("cos").desc, col("nbr_id"))
-    cs
-      .withColumn("rn", row_number().over(byNode))
-      .filter(col("rn") <= KnnGraphK)
-      .select(col("node_id"), col("nbr_id"), round(col("cos"), 6).as("cos_sim"), col("rn"))
-      .orderBy(col("node_id"), col("rn"))
+    knnGraphEdges(s, d).orderBy(col("node_id"), col("rn"))
   }
 
   /** Recall audit for [[knnGraph]] over a DETERMINISTIC 1-in-8 hash
@@ -973,7 +993,7 @@ object KnnOps {
       .withColumn("rn", row_number().over(byNode))
       .filter(col("rn") <= KnnGraphK)
       .select(col("node_id"), col("nbr_id"))
-    val g = knnGraph.run(s, d).select(col("node_id"), col("nbr_id"), lit(1).as("hit"))
+    val g = knnGraphEdges(s, d).select(col("node_id"), col("nbr_id"), lit(1).as("hit"))
     brute.join(g, Seq("node_id", "nbr_id"), "left")
       .groupBy(col("node_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).cast(LongType).as("hits"))
@@ -1055,7 +1075,7 @@ object KnnOps {
        |SELECT n AS n_nodes, s1 AS n_edges, max_occ, n_hubs, n_antihubs,
        |  m3 / (m2 * sqrt(m2)) AS hubness_skew
        |FROM f""".stripMargin) { (s, d) =>
-    val g = knnGraph.run(s, d).select(col("nbr_id"))
+    val g = knnGraphEdges(s, d).select(col("nbr_id"))
     val occ = Tables.embeddings(s, d).select(col("vec_id"))
       .join(g.groupBy(col("nbr_id")).agg(count(lit(1)).as("k_occ")),
         col("vec_id") === col("nbr_id"), "left")

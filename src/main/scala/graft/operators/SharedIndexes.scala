@@ -31,6 +31,7 @@ object SharedIndexes {
     "dedup_cluster_labels" -> (() => DedupOps.clusterLabels(s, d)),
     "dedup_simhash_docs" -> (() => DedupOps.simhashDocs(s, d)),
     "knn_ivf_assigned" -> (() => IvfIndex.assigned(s, d)), // forces corpus + KMeans fit
+    "knn_graph_edges" -> (() => KnnOps.knnGraphEdges(s, d)), // r11: was triple-built by its audit family
     "emb_km_assigned" -> (() => EmbedOps.kmAssigned(s, d)), // forces exact-Lloyd loop
     "emb_pq_codes" -> (() => EmbedOps.pqCodes(s, d)),
     "affinity_basket_pairs" -> (() => AffinityOps.basketPairs(s, d)),

@@ -1332,22 +1332,40 @@ object StatsOps {
         expr("round(((ry * m1 - b * m2) + c2 * m3) / det / 100.0, 6)").as("b0"),
         expr("round(((a * m2 - ry * m4) + c2 * m5) / det / 100.0, 6)").as("b1"),
         expr("round(((a * m6 - b * m5) + ry * m7) / det / 100.0, 6)").as("b2"))
+    // r11 restructure (the round-10 top-cost query): the calibration
+    // ORDER STATISTIC, the calibration COUNT and the coverage count are
+    // all derivable from the tiny distinct-residual histogram `h` — the
+    // old plan re-read the per-order fact join through `r` three times
+    // (h, kk, cov) plus once through the final coef projection. Carrying
+    // the 1-row coefficient columns THROUGH the histogram groupBy (they
+    // are constants, so they extend the key without changing its
+    // cardinality) leaves exactly TWO executions of the orders⋈lineitem
+    // aggregation in the physical plan: the train side (inside coef,
+    // broadcast into r) and the calibration side (r → h). Everything
+    // after h is |distinct residual cents| rows.
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("rc"))
     val r = cal.crossJoin(broadcast(coef))
       .select(col("n_train"), col("b0"), col("b1"), col("b2"),
         expr("CAST(round(abs(CAST(y AS DOUBLE) / 100.0 - (b0 + b1 * x1 + b2 * x2)) * 100.0, 0) AS BIGINT)").as("rc"))
-    val h = r.groupBy(col("rc")).agg(count(lit(1)).as("cnt"))
-    val cum = h.withColumn("cum",
-      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.orderBy(col("rc"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+    val h = r.groupBy(col("n_train"), col("b0"), col("b1"), col("b2"), col("rc"))
+      .agg(count(lit(1)).as("cnt"))
+    // cum = #rows with rc' <= rc; n_cal = total rows — both window
+    // folds over the value-domain-bounded histogram (the mann-whitney
+    // window discipline: |distinct cents| rows, never the corpus)
+    val cum = h
+      .withColumn("cum", sum(col("cnt")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)).cast(LongType))
-    val kk = r.agg(ceil((count(lit(1)) + 1) * 0.9).cast(LongType).as("k"),
-      count(lit(1)).as("n_cal"))
-    val q = cum.crossJoin(broadcast(kk)).filter(col("cum") >= col("k"))
-      .agg(min(col("rc")).as("q_hat_cents"))
-    val cov = r.crossJoin(broadcast(q))
-      .agg((count(when(col("rc") <= col("q_hat_cents"), 1)) * 1000000).as("covnum"))
-    coef.select(col("n_train"), col("b0"), col("b1"), col("b2"))
-      .crossJoin(broadcast(kk)).crossJoin(broadcast(q)).crossJoin(broadcast(cov))
+      .withColumn("n_cal", sum(col("cnt")).over(
+        wAll.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)).cast(LongType))
+    // q_hat = min rc with cum >= k; its own cum IS the coverage count
+    // (cum is monotone in rc, so min(rc) and min(cum) land on the same
+    // histogram row)
+    cum.filter(col("cum") >= ceil((col("n_cal") + 1) * 0.9).cast(LongType))
+      .groupBy(col("n_train"), col("n_cal"), col("b0"), col("b1"), col("b2"))
+      .agg(min(col("rc")).as("q_hat_cents"),
+        (min(col("cum")) * 1000000).as("covnum"))
       .select(col("n_train"), col("n_cal"), col("b0"), col("b1"), col("b2"),
         col("q_hat_cents"), expr("covnum div n_cal").as("coverage_ppm"))
   }

@@ -25,9 +25,9 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(IndexStore.isComplete(spark, sf), "store not marked complete after build")
 
       val dedupCounts = new java.util.HashMap(graft.operators.DedupOps.buildCount)
-      val (fits0, lloyd0, pq0, edges0, pairs0) =
+      val (fits0, lloyd0, pq0, edges0, pairs0, graph0) =
         (IvfIndex.fitCount, EmbedOps.lloydRuns, EmbedOps.pqBuilds,
-          GraphOps.edgeBuilds, AffinityOps.pairBuilds)
+          GraphOps.edgeBuilds, AffinityOps.pairBuilds, graft.operators.KnnOps.graphBuilds)
 
       // "restart": wipe every registry entry, then materialize again —
       // must LOAD, not rebuild
@@ -41,12 +41,23 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(EmbedOps.pqBuilds === pq0, "the PQ corpus was re-encoded after load")
       assert(GraphOps.edgeBuilds === edges0, "the trade-edge derivation re-ran after load")
       assert(AffinityOps.pairBuilds === pairs0, "the basket self-join re-ran after load")
+      assert(graft.operators.KnnOps.graphBuilds === graph0,
+        "the k-NN graph was rebuilt after load")
 
       // downstream consumers serve the loaded artifacts and agree
       val pr = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
       assert(pr.nonEmpty)
       val cp = SparkEntry.queries("q_copurchase")(spark, sf).collect()
       assert(cp.nonEmpty)
+
+      // the k-NN graph's audit family shares ONE build (r11: recall +
+      // hubness used to re-run the construction they audit)
+      val before = graft.operators.KnnOps.graphBuilds
+      SparkEntry.queries("knn_graph")(spark, sf).collect()
+      SparkEntry.queries("knn_graph_recall")(spark, sf).collect()
+      SparkEntry.queries("knn_hubness")(spark, sf).collect()
+      assert(graft.operators.KnnOps.graphBuilds === before,
+        "a knn_graph consumer rebuilt the shared edge frame")
     } finally {
       spark.conf.unset("spark.graft.index.store.dir")
     }

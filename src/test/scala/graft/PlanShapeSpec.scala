@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{Relational, StatsOps}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CI enforcement of the scan-level plan properties SURVEY §5 claims:
@@ -77,6 +77,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val local = graft.operators.SqlSurface3.qEquidepth.run(spark, sf)
     assert(graft.operators.ApproxRouting.lastDecision.get("q_equidepth") === "local")
     assert(local.collect().toSeq === distributed)
+  }
+
+  test("q_conformal: at most 2 executions of the orders⋈lineitem aggregation") {
+    // r11 restructure (the r10 top-cost query): order statistic,
+    // calibration count and coverage all derive from the distinct-
+    // residual histogram, so the physical plan must read the lineitem
+    // fact exactly twice — train side (coefficients) + calibration side
+    val plan = StatsOps.conformal.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val factScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(factScans <= 2, s"q_conformal re-reads the fact join: $factScans lineitem scans\n$plan")
+    assert(factScans >= 1, s"no lineitem scan found — plan shape probe broken\n$plan")
   }
 
   test("SQL surface: vec_dot / vec_normalize / word_shingles registered") {
