@@ -776,7 +776,16 @@ object CurationOps {
     * as [[orcRoundtrip]] (xor of portable row hashes survives the
     * file/row reordering both legs introduce). The oracle computes the
     * checksum from the parquet original. Rewrite cached per
-    * (session, dir): one write, not one per run. */
+    * (session, dir): one write, not one per run.
+    *
+    * CLUSTER-HONEST (r11): all I/O goes through the Hadoop FileSystem
+    * API against `spark.graft.interchange.dir` (default:
+    * java.io.tmpdir, which is shared in local mode; point it at an
+    * HDFS/S3A path on a real cluster) — tasks write to
+    * attempt-unique temp names and PUBLISH via rename, so a
+    * speculative or retried duplicate task loses the rename instead
+    * of corrupting a container, and the driver's read-back lists the
+    * same shared path the executors wrote. */
   val avroRoundtrip: GraftOp = GraftOp(
     "lake_avro_roundtrip",
     s"""WITH r AS (
@@ -792,18 +801,34 @@ object CurationOps {
         |{"name":"source","type":"string"},{"name":"n_chars","type":"long"},
         |{"name":"text","type":"string"}]}""".stripMargin
     val avroDir = graft.CachedPlans.cachedPath(s, s"curation.avroCopy:$d") {
-      val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
+      // base dir must be visible to ALL executors AND the driver —
+      // java.io.tmpdir satisfies that in local mode; a cluster points
+      // this conf at an HDFS/S3A path. All I/O below goes through the
+      // Hadoop FS of that path, never java.io.File.
+      val base = s.conf.getOption("spark.graft.interchange.dir")
+        .getOrElse(sys.props("java.io.tmpdir"))
+      val dir = s"$base/graft-avro-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      dirPath.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(dirPath)
       Tables.documents(s, d)
         .select(col("doc_id").cast(LongType), col("lang"), col("source"),
           col("n_chars").cast(LongType), col("text"))
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.hasNext) {
             val sc = new org.apache.avro.Schema.Parser().parse(schemaJson)
-            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val tc = org.apache.spark.TaskContext.get()
+            val pid = tc.partitionId()
+            // attempt-unique temp name + rename-on-commit: a
+            // speculative/retried duplicate loses the rename and
+            // deletes its temp instead of corrupting the container
+            val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
+            val tmp = new org.apache.hadoop.fs.Path(
+              dir, f"part-$pid%05d.avro.attempt-${tc.taskAttemptId()}.tmp")
+            val fs = fin.getFileSystem(new org.apache.hadoop.conf.Configuration())
             val w = new org.apache.avro.file.DataFileWriter(
               new org.apache.avro.generic.GenericDatumWriter[
                 org.apache.avro.generic.GenericRecord](sc))
-            w.create(sc, new java.io.File(dir, f"part-$pid%05d.avro"))
+            w.create(sc, fs.create(tmp, true))
             try rows.foreach { r =>
               val rec = new org.apache.avro.generic.GenericData.Record(sc)
               rec.put("doc_id", r.getLong(0)); rec.put("lang", r.getString(1))
@@ -811,17 +836,23 @@ object CurationOps {
               rec.put("text", r.getString(4))
               w.append(rec)
             } finally w.close()
+            if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+            ()
           }
         }
       dir
     }
     import s.implicits._
-    val files = new java.io.File(avroDir).listFiles()
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).toSeq.sorted
+    val listPath = new org.apache.hadoop.fs.Path(avroDir)
+    val files = listPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(listPath).toSeq
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.toString).sorted
     val back = s.createDataset(files).mapPartitions { paths =>
       paths.flatMap { p =>
         val rd = new org.apache.avro.file.DataFileReader(
-          new java.io.File(p),
+          new org.apache.avro.mapred.FsInput(
+            new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.conf.Configuration()),
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())
         new Iterator[(Long, String, String, Long, String)] {

@@ -418,6 +418,8 @@ object DedupOps {
        |  UNION ALL SELECT 'emb_pq_codes', CAST(count(*) AS BIGINT) FROM embeddings
        |  UNION ALL SELECT 'graph_trade_edges', CAST(count(*) AS BIGINT) FROM e0
        |  UNION ALL SELECT 'graph_und_edges', CAST(count(*) AS BIGINT) FROM und0
+       |  UNION ALL SELECT 'knn_graph_edges', CAST(count(*) AS BIGINT)
+       |    FROM (${KnnOps.knnGraph.oracle.get}) kg
        |  UNION ALL SELECT 'knn_ivf_assigned', CAST(count(*) AS BIGINT) FROM embeddings
        |) ORDER BY stat""".stripMargin) { (s, d) =>
     import s.implicits._

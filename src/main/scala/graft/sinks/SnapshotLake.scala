@@ -62,12 +62,24 @@ object SnapshotLake {
     * column added in commit N reads as NULL from pre-N files via plain
     * schema projection). Absent for tables written before schema
     * tracking; readers then fall back to a mergeSchema read. */
-  def schemaOf(path: String, version: Int): Option[org.apache.spark.sql.types.StructType] = {
-    val f = snapDir(path).resolve(s"s$version.json")
+  def schemaOf(path: String, version: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestHeader(path, version, "schema")
+      .orElse { // legacy layout: schema in a separate s<N>.json file
+        val f = snapDir(path).resolve(s"s$version.json")
+        if (!Files.exists(f)) None
+        else Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      }
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** `#key=value` header from a version's manifest (None when the
+    * manifest predates headers or doesn't exist). */
+  private def manifestHeader(path: String, version: Int, key: String): Option[String] = {
+    val f = snapDir(path).resolve(s"v$version.txt")
     if (!Files.exists(f)) None
-    else Some(org.apache.spark.sql.types.DataType
-      .fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .find(_.startsWith(s"#$key="))
+      .map(_.substring(key.length + 2))
   }
 
   /** Additive schema evolution: prior fields keep their position and
@@ -89,44 +101,48 @@ object SnapshotLake {
           p.fields ++ next.fields.filterNot(f => p.fieldNames.contains(f.name)))
     }
 
-  private def writeSchema(path: String, version: Int,
-      schema: org.apache.spark.sql.types.StructType): Unit =
-    Files.write(snapDir(path).resolve(s"s$version.json"),
-      schema.json.getBytes(StandardCharsets.UTF_8))
-
   private def filesOf(path: String, version: Int): Seq[String] = {
     val f = snapDir(path).resolve(s"v$version.txt")
     require(Files.exists(f), s"snapshot v$version does not exist under $path")
-    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")) // '#' lines = commit metadata
   }
 
   /** Publishes a manifest with CREATE_NEW so a concurrent committer that
     * raced to the same version FAILS (FileAlreadyExistsException) instead
     * of silently overwriting the earlier manifest — the loser re-reads
-    * currentVersion and retries on top of the winner's snapshot. */
-  private def writeSnapshot(path: String, version: Int, files: Seq[String]): Unit = {
+    * currentVersion and retries on top of the winner's snapshot.
+    *
+    * The manifest carries the commit TYPE and SCHEMA as `#key=value`
+    * header lines (r11): one file, one atomic CREATE_NEW — a crash can
+    * no longer leave a committed version whose type/schema files are
+    * missing (the old three-write sequence misclassified a torn
+    * delete/compact as an append in [[changesBetween]]). Tables
+    * written by older builds still read through the legacy
+    * s<N>.json / t<N>.txt fallbacks. */
+  private def writeSnapshot(path: String, version: Int, files: Seq[String],
+      commitType: String, schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     Files.createDirectories(snapDir(path))
+    val header = s"#type=$commitType" +: schema.toSeq.map(sc => s"#schema=${sc.json}")
     Files.write(snapDir(path).resolve(s"v$version.txt"),
-      files.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8),
+      (header ++ files.sorted).mkString("\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
   }
 
-  // Commit type rides the snapshot metadata (t<N>.txt): appends ADD
-  // rows; delete/compact commits only remove or repack existing ones.
-  // The incremental reader needs the distinction — a compaction's
-  // rewrite files would otherwise read as "new rows". Tables written
-  // before type tracking read as all-append (their only writer was
+  // Commit type rides the manifest header: appends ADD rows;
+  // delete/compact commits only remove or repack existing ones. The
+  // incremental reader needs the distinction — a compaction's rewrite
+  // files would otherwise read as "new rows". Tables written before
+  // type tracking read as all-append (their only writer was
   // commitAppend then).
-  private def writeCommitType(path: String, version: Int, t: String): Unit =
-    Files.write(snapDir(path).resolve(s"t$version.txt"),
-      t.getBytes(StandardCharsets.UTF_8))
 
   /** Commit type of `version`: "append", "delete", or "compact". */
-  def commitTypeOf(path: String, version: Int): String = {
-    val f = snapDir(path).resolve(s"t$version.txt")
-    if (!Files.exists(f)) "append"
-    else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim
-  }
+  def commitTypeOf(path: String, version: Int): String =
+    manifestHeader(path, version, "type").getOrElse {
+      val f = snapDir(path).resolve(s"t$version.txt") // legacy layout
+      if (!Files.exists(f)) "append"
+      else new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim
+    }
 
   /** Incremental read (CDC-style consumption): exactly the rows
     * APPENDED by commits in (fromVersion, toVersion] — "give me what's
@@ -188,11 +204,8 @@ object SnapshotLake {
       val schema = mergedSchema(
         if (v == 1) None else schemaOf(path, v - 1), df.schema)
       try {
-        writeSnapshot(path, v, prev ++ listParquet(commitDir))
-        // we own version v now; the schema file follows the manifest
-        // (a reader racing the microsecond gap falls back to merge)
-        writeSchema(path, v, schema)
-        writeCommitType(path, v, "append")
+        // one atomic manifest write carries files + type + schema
+        writeSnapshot(path, v, prev ++ listParquet(commitDir), "append", Some(schema))
         committed = v
       }
       catch {
@@ -252,9 +265,8 @@ object SnapshotLake {
           listParquet(commitDir)
         }
       try {
-        writeSnapshot(path, newV, keep ++ rewritten)
-        schemaOf(path, v).foreach(writeSchema(path, newV, _)) // delete never evolves
-        writeCommitType(path, newV, "delete")
+        // delete never evolves the schema: carry v's forward
+        writeSnapshot(path, newV, keep ++ rewritten, "delete", schemaOf(path, v))
         committed = newV
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -357,9 +369,9 @@ object SnapshotLake {
           .write.mode("errorifexists").parquet(commitDir.resolve(s"b$i").toString)
       }
       try {
-        writeSnapshot(path, newV, big.map(_._1) ++ listParquet(commitDir))
-        schemaOf(path, v).foreach(writeSchema(path, newV, _)) // layout-only commit
-        writeCommitType(path, newV, "compact")
+        // layout-only commit: files repack, schema carries forward
+        writeSnapshot(path, newV, big.map(_._1) ++ listParquet(commitDir),
+          "compact", schemaOf(path, v))
         return (newV, small.size, bins.size)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

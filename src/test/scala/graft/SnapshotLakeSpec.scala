@@ -269,4 +269,28 @@ class SnapshotLakeSpec extends AnyFunSuite {
     // the expired snapshot is gone (manifest deleted)
     assertThrows[IllegalArgumentException](SnapshotLake.readAt(spark, path, 1))
   }
+
+  test("commit metadata is atomic with the manifest; legacy side-files still read") {
+    val path = Files.createTempDirectory("graft-snap").toString + "/t"
+    SnapshotLake.commitAppend(docs, path)
+    SnapshotLake.commitDelete(spark, path, "source = 'src1'")
+    val snaps = Paths.get(path, "_snapshots")
+    // r11 contract: ONE file per version — type and schema ride the
+    // manifest, so a crash between writes can never misclassify a
+    // delete/compact as an append (the changesBetween torn-window bug)
+    for (v <- 1 to 2) {
+      assert(!Files.exists(snaps.resolve(s"t$v.txt")), "commit type written as a side file")
+      assert(!Files.exists(snaps.resolve(s"s$v.json")), "schema written as a side file")
+    }
+    assert(SnapshotLake.commitTypeOf(path, 1) === "append")
+    assert(SnapshotLake.commitTypeOf(path, 2) === "delete")
+    assert(SnapshotLake.schemaOf(path, 2).exists(_.fieldNames.contains("doc_id")))
+
+    // legacy tables (pre-header manifests + side files) keep reading
+    val tdir = Files.createTempDirectory("graft-snap-legacy").toString + "/t"
+    Files.createDirectories(Paths.get(tdir, "_snapshots"))
+    Files.write(Paths.get(tdir, "_snapshots", "v1.txt"), "".getBytes)
+    Files.write(Paths.get(tdir, "_snapshots", "t1.txt"), "compact".getBytes)
+    assert(SnapshotLake.commitTypeOf(tdir, 1) === "compact")
+  }
 }
