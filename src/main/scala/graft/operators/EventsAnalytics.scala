@@ -243,7 +243,7 @@ object EventsAnalytics {
       |  FROM win WHERE day <= (SELECT max(day_idx) FROM a) GROUP BY 1)
       |SELECT CAST(dau.day_idx AS INT) AS day_idx, CAST(dau AS BIGINT) AS dau,
       |  CAST(wau AS BIGINT) AS wau,
-      |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |  CAST(dau AS DOUBLE) / wau AS stickiness
       |FROM dau JOIN wau ON dau.day_idx = wau.day_idx
       |ORDER BY 1""".stripMargin) { (s, d) =>
     ApproxRouting.route(s, TrailingApproxKey, "q_stickiness", Tables.events(s, d))(
@@ -268,7 +268,7 @@ object EventsAnalytics {
       .join(wau, Seq("day_idx"))
       .select(col("day_idx"), col("dau").cast(LongType).as("dau"),
         col("wau").cast(LongType).as("wau"),
-        round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
+        (col("dau").cast(DoubleType) / col("wau")).as("stickiness")) // r11: raw exact-int ratio
       .orderBy(col("day_idx"))
   }
 
@@ -284,7 +284,7 @@ object EventsAnalytics {
     dau.join(trailingSketch(s, d, "wau"), Seq("day_idx"))
       .select(col("day_idx"), col("dau").cast(LongType).as("dau"),
         col("wau").cast(LongType).as("wau"),
-        round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
+        (col("dau").cast(DoubleType) / col("wau")).as("stickiness")) // r11: raw exact-int ratio
       .orderBy(col("day_idx"))
   }
 

@@ -417,7 +417,7 @@ object GraphOps {
          |  SELECT pa, pb, n_common, da.d + db.d - n_common AS n_union
          |  FROM wedge JOIN deg da ON pa = da.x JOIN deg db ON pb = db.x)
          |SELECT pa, pb, n_common, n_union,
-         |  round(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard
+         |  CAST(n_common AS DOUBLE) / n_union AS jaccard
          |FROM j ORDER BY jaccard DESC, pa, pb""".stripMargin
     }) { (s, d) =>
     val e = undirectedTradeEdges(s, d)
@@ -435,7 +435,7 @@ object GraphOps {
       .select(col("pa"), col("pb"), col("n_common"),
         (col("da") + col("db") - col("n_common")).as("n_union"))
       .select(col("pa"), col("pb"), col("n_common"), col("n_union"),
-        round(col("n_common").cast("double") / col("n_union"), 6).as("jaccard"))
+        (col("n_common").cast("double") / col("n_union")).as("jaccard")) // r11: raw exact-int ratio
       .orderBy(col("jaccard").desc, col("pa"), col("pb"))
   }
 
@@ -844,7 +844,7 @@ object GraphOps {
       |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
       |  FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1)
       |SELECT deg.node, deg.deg, coalesce(t.n_tri, 0) AS n_triangles,
-      |  round(2.0 * coalesce(t.n_tri, 0) / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6)
+      |  2.0 * coalesce(t.n_tri, 0) / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1))
       |    AS clustering
       |FROM deg LEFT JOIN t ON deg.node = t.node
       |WHERE deg.deg >= 2 ORDER BY deg.node""".stripMargin) { (s, d) =>
@@ -869,7 +869,7 @@ object GraphOps {
       .filter(col("deg") >= 2)
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
-        expr("round(2.0 * coalesce(n_tri, 0) / (CAST(deg AS DOUBLE) * (deg - 1)), 6)")
+        expr("2.0D * coalesce(n_tri, 0) / (CAST(deg AS DOUBLE) * (deg - 1))") // r11: raw
           .as("clustering"))
       .orderBy(col("node"))
   }
@@ -974,7 +974,7 @@ object GraphOps {
       |    CAST(sum(hops) AS BIGINT) AS tot
       |  FROM d GROUP BY 1)
       |SELECT root AS node, reached, tot AS sum_hops,
-      |  round(CAST(reached AS DOUBLE) * reached / (tot * (CAST(n AS DOUBLE) - 1)), 6)
+      |  CAST(reached AS DOUBLE) * reached / (tot * (CAST(n AS DOUBLE) - 1))
       |    AS closeness
       |FROM agg, nc WHERE tot > 0 ORDER BY node""".stripMargin) { (s, d) =>
     val und = undirectedTradeEdges(s, d)
@@ -1017,7 +1017,7 @@ object GraphOps {
       .filter(col("tot") > 0)
       .withColumn("n", lit(nGraph))
       .select(col("root").as("node"), col("reached"), col("tot").as("sum_hops"),
-        expr("round(CAST(reached AS DOUBLE) * reached / (tot * (CAST(n AS DOUBLE) - 1)), 6)")
+        expr("CAST(reached AS DOUBLE) * reached / (tot * (CAST(n AS DOUBLE) - 1))") // r11: raw
           .as("closeness"))
       .orderBy(col("node"))
   }

@@ -101,7 +101,7 @@ object StatsOps {
       |  SELECT a.i - b.i AS lag_d, CAST(a.x AS HUGEINT) * b.x AS xy
       |  FROM c a JOIN c b ON a.i - b.i BETWEEN 1 AND 7)
       |SELECT CAST(lag_d AS INT) AS lag_d, count(*) AS n_pairs,
-      |  round(CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+      |  CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE) AS acf
       |FROM p, den GROUP BY lag_d, den ORDER BY lag_d""".stripMargin) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
@@ -123,7 +123,9 @@ object StatsOps {
       .agg(count(lit(1)).as("n_pairs"), sum(col("xy")).as("sxy"))
       .crossJoin(den)
       .select(col("lag_d").cast(IntegerType).as("lag_d"), col("n_pairs"),
-        expr("round(CAST(sxy AS DOUBLE) / CAST(den AS DOUBLE), 6)").as("acf"))
+        // r11 retirement: exact-integer ratio, ONE IEEE division —
+        // round(,6) only added midpoint risk
+        expr("CAST(sxy AS DOUBLE) / CAST(den AS DOUBLE)").as("acf"))
       .orderBy(col("lag_d"))
   }
 
@@ -327,9 +329,9 @@ object StatsOps {
       |    ((a * m1 - b * m4) + c * m7) AS det
       |  FROM m)
       |SELECT n AS n_orders,
-      |  round(((ry * m1 - b * m2) + c * m3) / det, 6) AS b0,
-      |  round(((a * m2 - ry * m4) + c * m5) / det, 6) AS b1,
-      |  round(((a * m6 - b * m5) + ry * m7) / det, 6) AS b2
+      |  ((ry * m1 - b * m2) + c * m3) / det AS b0,
+      |  ((a * m2 - ry * m4) + c * m5) / det AS b1,
+      |  ((a * m6 - b * m5) + ry * m7) / det AS b2
       |FROM dets""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
@@ -356,9 +358,11 @@ object StatsOps {
         expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * s2 AS DOUBLE)").as("m7"))
       .withColumn("det", expr("((a * m1 - b * m4) + c * m7)"))
       .select(col("n").as("n_orders"),
-        expr("round(((ry * m1 - b * m2) + c * m3) / det, 6)").as("b0"),
-        expr("round(((a * m2 - ry * m4) + c * m5) / det, 6)").as("b1"),
-        expr("round(((a * m6 - b * m5) + ry * m7) / det, 6)").as("b2"))
+        // r11 retirement: exact 2x2-minor doubles through one det
+        // division — deterministic IEEE, no round() lottery
+        expr("((ry * m1 - b * m2) + c * m3) / det").as("b0"),
+        expr("((a * m2 - ry * m4) + c * m5) / det").as("b1"),
+        expr("((a * m6 - b * m5) + ry * m7) / det").as("b2"))
   }
 
   /** Mann-Whitney U (Wilcoxon rank-sum) on purchase value between the
@@ -455,7 +459,7 @@ object StatsOps {
        |d AS (SELECT CAST(max(abs(cum_a * g.n_b - cum_b * g.n_a)) AS BIGINT) AS d2
        |      FROM s, g)
        |SELECT g.n_a, g.n_b, d.d2 AS d_scaled,
-       |  round(CAST(d.d2 AS DOUBLE) / (CAST(g.n_a AS DOUBLE) * CAST(g.n_b AS DOUBLE)), 6) AS ks_d
+       |  CAST(d.d2 AS DOUBLE) / (CAST(g.n_a AS DOUBLE) * CAST(g.n_b AS DOUBLE)) AS ks_d
        |FROM g, d""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val p = Tables.events(s, d)
@@ -475,7 +479,7 @@ object StatsOps {
       .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d2"),
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .select(col("n_a"), col("n_b"), col("d2").as("d_scaled"),
-        expr("round(CAST(d2 AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)")
+        expr("CAST(d2 AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")
           .as("ks_d"))
   }
 
@@ -1283,9 +1287,9 @@ object StatsOps {
          |  FROM m),
          |coef AS (
          |  SELECT n AS n_train,
-         |    round(((ry * m1 - b * m2) + c2 * m3) / det / 100.0, 6) AS b0,
-         |    round(((a * m2 - ry * m4) + c2 * m5) / det / 100.0, 6) AS b1,
-         |    round(((a * m6 - b * m5) + ry * m7) / det / 100.0, 6) AS b2
+         |    ((ry * m1 - b * m2) + c2 * m3) / det / 100.0 AS b0,
+         |    ((a * m2 - ry * m4) + c2 * m5) / det / 100.0 AS b1,
+         |    ((a * m6 - b * m5) + ry * m7) / det / 100.0 AS b2
          |  FROM dets),
          |r AS (
          |  SELECT CAST(round(abs(CAST(y AS DOUBLE) / 100.0
@@ -1329,9 +1333,10 @@ object StatsOps {
         expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s12 - CAST(s11 AS DECIMAL(38,0)) * s2 AS DOUBLE)").as("m7"))
       .withColumn("det", expr("((a * m1 - b * m4) + c2 * m7)"))
       .select(col("n_train"),
-        expr("round(((ry * m1 - b * m2) + c2 * m3) / det / 100.0, 6)").as("b0"),
-        expr("round(((a * m2 - ry * m4) + c2 * m5) / det / 100.0, 6)").as("b1"),
-        expr("round(((a * m6 - b * m5) + ry * m7) / det / 100.0, 6)").as("b2"))
+        // r11 retirement: same exact-minor shape as q_ols2 — raw IEEE
+        expr("((ry * m1 - b * m2) + c2 * m3) / det / 100.0D").as("b0"),
+        expr("((a * m2 - ry * m4) + c2 * m5) / det / 100.0D").as("b1"),
+        expr("((a * m6 - b * m5) + ry * m7) / det / 100.0D").as("b2"))
     // r11 restructure (the round-10 top-cost query): the calibration
     // ORDER STATISTIC, the calibration COUNT and the coverage count are
     // all derivable from the tiny distinct-residual histogram `h` — the

@@ -58,7 +58,7 @@ object StatsOps2 {
       |  FROM g),
       |k AS (
       |  SELECT event_type, n,
-      |    round(m1 / 100.0, 6) AS mean_value,
+      |    m1 / 100.0 AS mean_value,
       |    round(m3 / pow(m2, 1.5), 6) AS skewness,
       |    round(m4 / (m2 * m2), 6) AS kurtosis
       |  FROM m)
@@ -86,7 +86,7 @@ object StatsOps2 {
           |  + 6.0 * pow(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
           |  - 3.0 * pow(CAST(s1 AS DOUBLE) / n, 4)""".stripMargin).as("m4"))
       .select(col("event_type"), col("n"),
-        expr("round(m1 / 100.0, 6)").as("mean_value"),
+        expr("m1 / 100.0D").as("mean_value"), // r11: ratio of exact ints, raw IEEE
         expr("round(m3 / pow(m2, 1.5), 6)").as("skewness"),
         expr("round(m4 / (m2 * m2), 6)").as("kurtosis"))
       .select(col("event_type"), col("n"), col("mean_value"),
@@ -427,8 +427,8 @@ object StatsOps2 {
       |  FROM u JOIN g ON u.segment = g.segment),
       |a AS (SELECT segment, CAST(sum(tm) AS BIGINT) AS s FROM t GROUP BY 1)
       |SELECT a.segment, g.n AS n_customers,
-      |  round(CAST(g.x AS DOUBLE) / g.n / 100.0, 6) AS mean_spend,
-      |  round(CAST(a.s AS DOUBLE) / g.n / 1000000.0, 6) AS theil
+      |  CAST(g.x AS DOUBLE) / g.n / 100.0 AS mean_spend,
+      |  CAST(a.s AS DOUBLE) / g.n / 1000000.0 AS theil
       |FROM a JOIN g ON a.segment = g.segment ORDER BY a.segment""".stripMargin) { (s, d) =>
     val u = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -445,8 +445,10 @@ object StatsOps2 {
       .groupBy(col("segment"), col("n"), col("x"))
       .agg(sum(col("tm")).cast(LongType).as("s"))
       .select(col("segment"), col("n").as("n_customers"),
-        expr("round(CAST(x AS DOUBLE) / n / 100.0, 6)").as("mean_spend"),
-        expr("round(CAST(s AS DOUBLE) / n / 1000000.0, 6)").as("theil"))
+        // r11: both are exact-integer ratios (s is already a floor-
+        // snapped micro sum) — two IEEE divisions, no round() lottery
+        expr("CAST(x AS DOUBLE) / n / 100.0D").as("mean_spend"),
+        expr("CAST(s AS DOUBLE) / n / 1000000.0D").as("theil"))
       .orderBy(col("segment"))
   }
 
@@ -531,7 +533,7 @@ object StatsOps2 {
       |  FROM c a JOIN c b ON a.i - b.i BETWEEN 1 AND 4),
       |r AS (
       |  SELECT CAST(lag_d AS INT) AS lag_d,
-      |    round(CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE), 6) AS rv
+      |    CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE) AS rv
       |  FROM p, den GROUP BY lag_d, den),
       |w AS (
       |  SELECT max(CASE WHEN lag_d = 1 THEN rv END) AS r1,
@@ -548,10 +550,10 @@ object StatsOps2 {
       |p4 AS (SELECT *, (r4 - (f31 * r3 + f32 * r2 + f33 * r1))
       |                 / (1.0 - (f31 * r1 + f32 * r2 + f33 * r3)) AS f44 FROM p3b)
       |SELECT lag_d, acf_r, pacf FROM (
-      |  SELECT 1 AS lag_d, r1 AS acf_r, round(f11, 6) AS pacf FROM p4
-      |  UNION ALL SELECT 2, r2, round(f22, 6) FROM p4
-      |  UNION ALL SELECT 3, r3, round(f33, 6) FROM p4
-      |  UNION ALL SELECT 4, r4, round(f44, 6) FROM p4) x
+      |  SELECT 1 AS lag_d, r1 AS acf_r, f11 AS pacf FROM p4
+      |  UNION ALL SELECT 2, r2, f22 FROM p4
+      |  UNION ALL SELECT 3, r3, f33 FROM p4
+      |  UNION ALL SELECT 4, r4, f44 FROM p4) x
       |ORDER BY lag_d""".stripMargin) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
@@ -570,7 +572,7 @@ object StatsOps2 {
       .groupBy(col("lag_d")).agg(sum(col("xy")).as("sxy"))
       .crossJoin(den)
       .select(col("lag_d").cast(IntegerType).as("lag_d"),
-        expr("round(CAST(sxy AS DOUBLE) / CAST(den AS DOUBLE), 6)").as("rv"))
+        expr("CAST(sxy AS DOUBLE) / CAST(den AS DOUBLE)").as("rv")) // r11: raw exact-int ratio
     val w = r.agg(
       max(when(col("lag_d") === 1, col("rv"))).as("r1"),
       max(when(col("lag_d") === 2, col("rv"))).as("r2"),
@@ -586,10 +588,14 @@ object StatsOps2 {
       .withColumn("f32", expr("f22 - f33 * f21"))
       .withColumn("f44",
         expr("(r4 - (f31 * r3 + f32 * r2 + f33 * r1)) / (1.0 - (f31 * r1 + f32 * r2 + f33 * r3))"))
-    val out = p4.selectExpr("1 AS lag_d", "r1 AS acf_r", "round(f11, 6) AS pacf")
-      .unionAll(p4.selectExpr("2", "r2", "round(f22, 6)"))
-      .unionAll(p4.selectExpr("3", "r3", "round(f33, 6)"))
-      .unionAll(p4.selectExpr("4", "r4", "round(f44, 6)"))
+    // r11 retirement: the Durbin-Levinson chain is deterministic IEEE
+    // over the raw exact-integer acf ratios — identical texts both
+    // engines; round(,6) only added the midpoint lottery on top of the
+    // 1 - f*r cancellation
+    val out = p4.selectExpr("1 AS lag_d", "r1 AS acf_r", "f11 AS pacf")
+      .unionAll(p4.selectExpr("2", "r2", "f22"))
+      .unionAll(p4.selectExpr("3", "r3", "f33"))
+      .unionAll(p4.selectExpr("4", "r4", "f44"))
     out.orderBy(col("lag_d"))
   }
 
@@ -627,12 +633,13 @@ object StatsOps2 {
       |p AS (
       |  SELECT a.segment AS seg_a, b.segment AS seg_b,
       |    a.n_i AS n_a, b.n_i AS n_b,
-      |    CAST(a.s_i AS DOUBLE) / a.n_i - CAST(b.s_i AS DOUBLE) / b.n_i AS md,
+      |    CAST(CAST(a.s_i AS HUGEINT) * b.n_i - CAST(b.s_i AS HUGEINT) * a.n_i AS DOUBLE)
+      |      / (CAST(a.n_i AS DOUBLE) * b.n_i) AS md,
       |    CAST(t.sw AS DOUBLE) * 10000.0 / (t.n - t.k) AS msw
       |  FROM w a JOIN w b ON a.segment < b.segment CROSS JOIN t)
       |SELECT seg_a, seg_b,
-      |  round(md / 100.0, 6) AS mean_diff,
-      |  round(abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)), 6) AS q_stat,
+      |  md / 100.0 AS mean_diff,
+      |  abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)) AS q_stat,
       |  CASE WHEN abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)) > 3.86
       |       THEN 1 ELSE 0 END AS significant
       |FROM p ORDER BY seg_a, seg_b""".stripMargin) { (s, d) =>
@@ -659,11 +666,15 @@ object StatsOps2 {
     // CartesianProduct exchange (ExplainCheck-audited)
     a.join(broadcast(b), col("seg_a") < col("seg_b")).crossJoin(t)
       .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
-        expr("CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b").as("md"),
+        // r11: mean difference as an exact cross-multiplied integer
+        // numerator (a/n_a - b/n_b cancels when means are close) over
+        // one IEEE division — no round() anywhere downstream
+        expr("""CAST(CAST(s_a AS DECIMAL(38,0)) * n_b - CAST(s_b AS DECIMAL(38,0)) * n_a AS DOUBLE)
+          |  / (CAST(n_a AS DOUBLE) * n_b)""".stripMargin).as("md"),
         expr("CAST(sw AS DOUBLE) * 10000.0 / (n - k)").as("msw"))
       .select(col("seg_a"), col("seg_b"),
-        expr("round(md / 100.0, 6)").as("mean_diff"),
-        expr("round(abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)), 6)").as("q_stat"),
+        expr("md / 100.0D").as("mean_diff"),
+        expr("abs(md) / sqrt(msw / 2.0D * (1.0D / n_a + 1.0D / n_b))").as("q_stat"),
         expr("""CASE WHEN abs(md) / sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)) > 3.86
           |     THEN 1 ELSE 0 END""".stripMargin).as("significant"))
       .orderBy(col("seg_a"), col("seg_b"))
@@ -808,8 +819,8 @@ object StatsOps2 {
       |  FROM u)
       |SELECT both_ AS n_both, b AS n_lost, c AS n_gained, neither AS n_neither,
       |  CASE WHEN b + c = 0 THEN NULL
-      |       ELSE round((abs(CAST(b AS DOUBLE) - c) - 1.0)
-      |                * (abs(CAST(b AS DOUBLE) - c) - 1.0) / (b + c), 6) END AS chi2
+      |       ELSE (abs(CAST(b AS DOUBLE) - c) - 1.0)
+      |          * (abs(CAST(b AS DOUBLE) - c) - 1.0) / (b + c) END AS chi2
       |FROM g""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val mid = broadcast(ev.agg(
@@ -830,9 +841,11 @@ object StatsOps2 {
         count(when(col("h1") === 0 && col("h2") === 0, 1)).as("n_neither"))
       .select(col("n_both"), col("b").as("n_lost"), col("c").as("n_gained"),
         col("n_neither"),
+        // r11: b, c are exact counts — every step is exact or correctly
+        // rounded IEEE; round(,6) only added midpoint risk
         expr("""CASE WHEN b + c = 0 THEN NULL
-          |     ELSE round((abs(CAST(b AS DOUBLE) - c) - 1.0)
-          |              * (abs(CAST(b AS DOUBLE) - c) - 1.0) / (b + c), 6) END""".stripMargin)
+          |     ELSE (abs(CAST(b AS DOUBLE) - c) - 1.0D)
+          |        * (abs(CAST(b AS DOUBLE) - c) - 1.0D) / (b + c) END""".stripMargin)
           .as("chi2"))
   }
 

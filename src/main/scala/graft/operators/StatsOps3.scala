@@ -328,7 +328,7 @@ object StatsOps3 {
       |  FROM c a JOIN c b ON a.i - b.i BETWEEN 1 AND 7),
       |r AS (
       |  SELECT CAST(lag_d AS INT) AS lag_d,
-      |    round(CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE), 6) AS rv
+      |    CAST(sum(xy) AS DOUBLE) / CAST(den AS DOUBLE) AS rv
       |  FROM p, den GROUP BY lag_d, den),
       |w AS (
       |  SELECT max(CASE WHEN lag_d = 1 THEN rv END) AS r1,
@@ -367,7 +367,7 @@ object StatsOps3 {
       .groupBy(col("lag_d")).agg(sum(col("xy")).as("sxy"))
       .crossJoin(den)
       .select(col("lag_d").cast(IntegerType).as("lag_d"),
-        expr("round(CAST(sxy AS DOUBLE) / CAST(den AS DOUBLE), 6)").as("rv"))
+        expr("CAST(sxy AS DOUBLE) / CAST(den AS DOUBLE)").as("rv")) // r11: raw exact-int ratio
     val w = r.agg(
       max(when(col("lag_d") === 1, col("rv"))).as("r1"),
       max(when(col("lag_d") === 2, col("rv"))).as("r2"),
