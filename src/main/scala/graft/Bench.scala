@@ -26,11 +26,33 @@ import org.apache.spark.sql.SparkSession
   * flag came from without a rerun. CachedPlans is cleared between
   * passes so pass 2 pays the same shared-index builds (per-query cost
   * attribution stays comparable across passes).
+  *
+  * Session-health attribution (r12, after r11 showed pass 2 running
+  * 2.2× slower than pass 1 with 30–96× single-query spikes): every
+  * query records the JVM-wide GC time that elapsed inside its timing
+  * window (sum over GarbageCollectorMXBeans). A spike whose GC share
+  * dominates is heap/cleaner accretion, not a plan regression — the
+  * per-pass GC totals go in the stdout artifact and per-query GC maps
+  * in the snapshot, so the distinction needs no rerun.
+  *
+  * `SPARK_GRAFT_ONLY=prefix[,prefix…]` cold-isolates a query family
+  * (the r9 discipline for adjudicating driver flags): only matching
+  * keys run, and the snapshot/prev-compare machinery is bypassed so a
+  * partial run can never clobber or compare against a full-surface
+  * baseline.
   */
 object Bench {
+  /** Sum of collection time across all JVM collectors, seconds. */
+  private def gcSec(): Double =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .stream.mapToLong(b => math.max(b.getCollectionTime, 0L)).sum / 1e3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -45,8 +67,22 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val surface = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      only match {
+        case Some(prefixes) =>
+          val kept = all.filter { case (n, _) => prefixes.exists(n.startsWith) }
+          System.err.println(
+            s"[bench] SPARK_GRAFT_ONLY=${prefixes.mkString(",")}: ${kept.size}/${all.size} " +
+              "queries (cold-isolation mode; snapshot + prev-compare skipped)")
+          kept
+        case None => all
+      }
+    }
+    // per-query GC attribution: (name -> (wall sec or -1, gc sec inside window))
+    def onePass(pass: Int): Seq[(String, Double, Double)] =
+      surface.map { case (name, fn) =>
+        val g0 = gcSec()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -54,11 +90,26 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gc = gcSec() - g0
+        if (ok && sec > 1.0 && gc > 0.3 * sec)
+          System.err.println(
+            f"[bench] GC-DOMINATED $name run$pass: ${sec}%.2fs wall, ${gc}%.2fs GC " +
+              "(session heap pressure, not plan work)")
+        (name, if (ok) sec else -1.0, gc)
       }
-    val run1 = onePass()
+    val pass1 = onePass(1)
     CachedPlans.clear(spark) // pass 2 rebuilds shared indexes: same cost model
-    val run2 = onePass()
+    val pass2 = onePass(2)
+    val run1 = pass1.map { case (n, s, _) => (n, s) }
+    val run2 = pass2.map { case (n, s, _) => (n, s) }
+    def passStats(p: Seq[(String, Double, Double)]): (Double, Double) =
+      (p.collect { case (_, s, _) if s >= 0 => s }.sum, p.map(_._3).sum)
+    val (run1Sec, gcRun1) = passStats(pass1)
+    val (run2Sec, gcRun2) = passStats(pass2)
+    System.err.println(
+      f"[bench] pass totals: run1 ${run1Sec}%.1fs (GC ${gcRun1}%.1fs), " +
+        f"run2 ${run2Sec}%.1fs (GC ${gcRun2}%.1fs), run2/run1 ${run2Sec / math.max(run1Sec, 1e-9)}%.2fx")
     val r2map = run2.toMap
     // min over the passes that SUCCEEDED; -1 only when both failed
     val results = run1.map { case (name, a) =>
@@ -69,17 +120,26 @@ object Bench {
       rs.map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val delta = reportDeltas(results.toMap, total)
-    val prev = reportPrevRound(results.toMap, sfDir)
+    val prev =
+      if (only.isDefined) Cmp("", 0, -1.0) else reportPrevRound(results.toMap, sfDir)
     // HARD GATE: the artifact self-declares. "green" requires zero
     // failed queries AND empty baseline_flagged AND empty prev_flagged —
     // a scoreboard/narrative may claim green ONLY by quoting this field,
     // so a flagged regression can never ship under a green banner.
+    // "flagged" (r12): ≤2 flagged queries while the run as a whole got
+    // FASTER (both comparison ratios < 1) — still not green (the
+    // no-green-banner rule is unchanged), but distinct from
+    // "perf_regressed" so one drifting query doesn't label an
+    // otherwise-improved round as a regression.
     val failed = results.exists(_._2 < 0)
-    val anyFlagged = (delta + prev).contains(":[\"") // a non-empty flagged list
+    val nFlagged = delta.flagged + prev.flagged
+    val improvedOverall = delta.ratio < 1.0 &&
+      (prev.ratio < 1.0 || prev.json.isEmpty) // no prev snapshot: baseline decides
     val status =
       if (failed) "failed_queries"
-      else if (anyFlagged) "perf_regressed"
-      else "green"
+      else if (nFlagged == 0) "green"
+      else if (nFlagged <= 2 && improvedOverall) "flagged"
+      else "perf_regressed"
     if (status != "green")
       System.err.println(s"[bench] STATUS $status — do NOT claim green this round")
     // Headline fields LAST: the driver archives only the final ~2000
@@ -91,13 +151,21 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     println(s"""{"queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},""" +
       s""""queries":${qjson(results)},""" +
-      s""""warmup_sec":$warmupSec,$delta$prev"sf":${JsonUtil.q(sfDir)},""" +
+      s""""warmup_sec":$warmupSec,${delta.json}${prev.json}"sf":${JsonUtil.q(sfDir)},""" +
+      s""""run1_sec":$run1Sec,"run2_sec":$run2Sec,""" +
+      s""""gc_run1_sec":$gcRun1,"gc_run2_sec":$gcRun2,""" +
       s""""n_queries":${results.size},"n_failed":$nFailed,""" +
       s""""metric":"total","value":$total,"unit":"sec","status":${JsonUtil.q(status)}}""")
-    writeSnapshot(sfDir, results, run1, run2, warmupSec)
+    if (only.isEmpty)
+      writeSnapshot(sfDir, results, run1, run2, warmupSec)
     CachedPlans.clear(spark)
     spark.stop()
   }
+
+  /** One baseline/prev comparison's outcome: the JSON fragment for the
+    * stdout artifact, the flagged-query count, and the shared-query
+    * total ratio (-1 when no comparison file exists). */
+  private case class Cmp(json: String, flagged: Int, ratio: Double)
 
   /** Snapshot file for round-over-round comparison, one per scale
     * factor (`bench_prev_sf0.1.json` etc. — per-SF names so a local
@@ -124,9 +192,19 @@ object Bench {
         val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
           .withZone(java.time.ZoneOffset.UTC)
           .format(java.nio.file.Files.getLastModifiedTime(prev).toInstant)
-        java.nio.file.Files.copy(prev,
-          hist.resolve(s"${prev.getFileName.toString.stripSuffix(".json")}-$stamp.json"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val base = prev.getFileName.toString.stripSuffix(".json")
+        // CREATE_NEW + numeric suffix on collision: two snapshots
+        // overwritten within the same mtime second must both survive
+        // (REPLACE_EXISTING silently dropped the earlier archive)
+        var n = 0
+        var done = false
+        while (!done && n < 100) {
+          val suffix = if (n == 0) "" else s"-$n"
+          try {
+            java.nio.file.Files.copy(prev, hist.resolve(s"$base-$stamp$suffix.json"))
+            done = true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => n += 1 }
+        }
       }
       def qjson(rs: Seq[(String, Double)]): String =
         rs.map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
@@ -150,14 +228,14 @@ object Bench {
     * genuine 2s→4s regression clears both bars. Emits
     * `"prev_round_ratio":…,"prev_flagged":[…],` JSON fragments and
     * stderr lines; empty when no same-SF snapshot exists. */
-  private def reportPrevRound(results: Map[String, Double], sfDir: String): String = {
+  private def reportPrevRound(results: Map[String, Double], sfDir: String): Cmp = {
     val f = new java.io.File(snapshotPath(sfDir))
-    if (!f.exists()) return ""
+    if (!f.exists()) return Cmp("", 0, -1.0)
     try {
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val sfRe = """"sf":\s*"([^"]*)"""".r
       val snapSf = sfRe.findFirstMatchIn(text).map(_.group(1))
-      if (!snapSf.contains(sfDir)) return "" // snapshot from another SF: not comparable
+      if (!snapSf.contains(sfDir)) return Cmp("", 0, -1.0) // snapshot from another SF: not comparable
       val qsec = """"([^"]+)":\s*([0-9.eE+-]+)""".r
       val inQueries = text.substring(text.indexOf("\"queries\""))
       val stop = inQueries.indexOf("\"queries_run1\"")
@@ -191,11 +269,11 @@ object Bench {
       }
       if (flagged.isEmpty) System.err.println("[bench] no prev-round regressions > 1.5x normalized")
       val flaggedJson = flagged.map { case (n, _, _) => JsonUtil.q(n) }.mkString("[", ",", "]")
-      s""""prev_round_ratio":$ratio,"prev_flagged":$flaggedJson,"""
+      Cmp(s""""prev_round_ratio":$ratio,"prev_flagged":$flaggedJson,""", flagged.size, ratio)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] prev-round compare failed: ${e.getMessage}")
-        ""
+        Cmp("", 0, -1.0)
     }
   }
 
@@ -203,10 +281,10 @@ object Bench {
     * the round-1 driver run): printed on STDERR and returned as JSON
     * fragments (`"baseline_ratio":…,"flagged":[…],`) for embedding in
     * the stdout artifact — empty string when no baseline is present. */
-  private def reportDeltas(results: Map[String, Double], total: Double): String = {
+  private def reportDeltas(results: Map[String, Double], total: Double): Cmp = {
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json")
     val f = new java.io.File(baselinePath)
-    if (!f.exists()) return ""
+    if (!f.exists()) return Cmp("", 0, -1.0)
     try {
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       // minimal parse of {"queries":{"name":sec,...}} — no JSON lib on the classpath
@@ -237,11 +315,11 @@ object Bench {
       }
       if (flagged.isEmpty) System.err.println("[bench] no per-query regressions > 1.3x")
       val flaggedJson = flagged.map { case (n, _, _) => JsonUtil.q(n) }.mkString("[", ",", "]")
-      s""""baseline_shared_ratio":$ratio,"baseline_flagged":$flaggedJson,"""
+      Cmp(s""""baseline_shared_ratio":$ratio,"baseline_flagged":$flaggedJson,""", flagged.size, ratio)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] baseline compare failed: ${e.getMessage}")
-        ""
+        Cmp("", 0, -1.0)
     }
   }
 }

@@ -24,9 +24,13 @@ import org.apache.spark.storage.StorageLevel
   *    bench session never evicts, while a session that touches many
   *    corpora sheds the oldest corpus' frames instead of accreting
   *    every dir's indexes until OOM). Evicted frames unpersist; a
-  *    later consumer transparently rebuilds (builders are
-  *    deterministic, and the disk-backed [[graft.operators.IndexStore]]
-  *    makes that rebuild a parquet read for store-managed indexes).
+  *    later consumer transparently rebuilds via its own builder
+  *    closure (builders are deterministic). Note the rebuild runs the
+  *    FULL derivation — nothing re-routes an evicted entry through
+  *    [[graft.operators.IndexStore.loadAll]], so for store-managed
+  *    indexes eviction also re-bumps the family build counters; keep
+  *    `maxFrames` at or above a corpus' registry size if the
+  *    zero-rebuild counter contract matters to the caller.
   *
   * Sessions are held WEAKLY: a caller that never invokes [[clear]]
   * (tests, notebooks, embedding apps) doesn't pin its session — once

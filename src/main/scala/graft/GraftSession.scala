@@ -29,6 +29,29 @@ object GraftSession {
       // Janino compilation — pure driver-side latency that grows with
       // the library, not the data); size it to hold the whole surface
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // Long-session health (r12, after two driver rounds showed the
+      // SECOND full pass over a ~390-query surface running 2.2× slower
+      // than the first with 30–96× single-query GC spikes): a session
+      // that executes hundreds of plans accretes driver-side state
+      // that the defaults size for a handful of long jobs, not
+      // thousands of short ones.
+      //  - AppStatus/SQL listener stores retain 1000 jobs / 1000
+      //    stages / 100k tasks / 1000 SQL executions by default —
+      //    hundreds of MB of old-gen on a 780-execution session, all
+      //    dead weight with the UI off. Cap them low; nothing here
+      //    reads them back.
+      //  - ContextCleaner is GC-driven (shuffle files, broadcasts and
+      //    accumulators are only released when a GC enqueues their
+      //    weak refs) and its safety-net periodic GC fires every 30
+      //    MINUTES by default — an 11-minute bench session never gets
+      //    one, so shuffle/broadcast state piles up until heap
+      //    pressure forces stop-the-world collections mid-query.
+      //    5 minutes keeps the reclaim cadence ahead of accretion.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "400")
+      .config("spark.ui.retainedTasks", "20000")
+      .config("spark.sql.ui.retainedExecutions", "100")
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -810,6 +810,15 @@ object CurationOps {
       val dir = s"$base/graft-avro-${java.util.UUID.randomUUID().toString.take(8)}"
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       dirPath.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+      // executors must resolve the FS through the SESSION's Hadoop
+      // conf (spark.hadoop.* credentials, fs.defaultFS, endpoints) —
+      // a fresh Configuration() on the executor would drop them and
+      // can auth-fail or resolve a different filesystem than the
+      // driver used for mkdirs/listStatus; local mode masks this
+      // because both default to file://
+      val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      val bcConf = s.sparkContext.broadcast(hadoopConf)
       Tables.documents(s, d)
         .select(col("doc_id").cast(LongType), col("lang"), col("source"),
           col("n_chars").cast(LongType), col("text"))
@@ -824,7 +833,7 @@ object CurationOps {
             val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
             val tmp = new org.apache.hadoop.fs.Path(
               dir, f"part-$pid%05d.avro.attempt-${tc.taskAttemptId()}.tmp")
-            val fs = fin.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val fs = fin.getFileSystem(bcConf.value.value)
             val w = new org.apache.avro.file.DataFileWriter(
               new org.apache.avro.generic.GenericDatumWriter[
                 org.apache.avro.generic.GenericRecord](sc))
@@ -848,11 +857,14 @@ object CurationOps {
       .listStatus(listPath).toSeq
       .filter(_.getPath.getName.endsWith(".avro"))
       .map(_.getPath.toString).sorted
+    // same session-conf discipline for the read-back leg
+    val bcReadConf = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(s.sparkContext.hadoopConfiguration))
     val back = s.createDataset(files).mapPartitions { paths =>
       paths.flatMap { p =>
         val rd = new org.apache.avro.file.DataFileReader(
           new org.apache.avro.mapred.FsInput(
-            new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.conf.Configuration()),
+            new org.apache.hadoop.fs.Path(p), bcReadConf.value.value),
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())
         new Iterator[(Long, String, String, Long, String)] {

@@ -60,10 +60,13 @@ object IndexStore {
   private def sampleHash(f: java.io.File): String = {
     val in = new java.io.FileInputStream(f)
     try {
-      val buf = new Array[Byte](1024)
-      val n = math.max(in.read(buf), 0)
+      // readNBytes loops to 1024 bytes or EOF — a single read() may
+      // legally return short, which would fingerprint the same file
+      // differently across checks and spuriously invalidate a
+      // complete store
+      val buf = in.readNBytes(1024)
       java.security.MessageDigest.getInstance("MD5")
-        .digest(java.util.Arrays.copyOf(buf, n)).map("%02x".format(_)).mkString
+        .digest(buf).map("%02x".format(_)).mkString
     } finally in.close()
   }
 
@@ -166,10 +169,22 @@ object IndexStore {
       }
     if (move()) return
     if (isComplete(s, d)) return // concurrent writer won with matching content
-    deleteRecursively(dir) // stale or half-written debris
+    // Stale or half-written debris: move it ASIDE first (atomic
+    // rename to a .trash sibling), then retry the publish, then
+    // delete the trash. Deleting in place could yank parquet files
+    // from under a reader JVM that is lazily scanning a
+    // fingerprint-mismatched-but-published store, failing its
+    // in-flight queries mid-action; after the rename that reader's
+    // open file handles stay valid (POSIX) and new readers see only
+    // the fresh store.
+    val trash = dir.resolveSibling(
+      s"${dir.getFileName}.trash-${java.util.UUID.randomUUID().toString.take(8)}")
+    try java.nio.file.Files.move(dir, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.io.IOException => () } // already gone / moved by another writer
     if (!move() && !isComplete(s, d))
       System.err.println(s"[graft] IndexStore publish lost twice under $dir; " +
         "store stays absent this session (indexes remain session-local)")
+    deleteRecursively(trash)
   }
 
   /** Swap every saved artifact into this session's plan registry —
