@@ -421,6 +421,8 @@ object DedupOps {
        |  UNION ALL SELECT 'knn_graph_edges', CAST(count(*) AS BIGINT)
        |    FROM (${KnnOps.knnGraph.oracle.get}) kg
        |  UNION ALL SELECT 'knn_ivf_assigned', CAST(count(*) AS BIGINT) FROM embeddings
+       |  UNION ALL SELECT 'text_tokens',
+       |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) FROM documents
        |) ORDER BY stat""".stripMargin) { (s, d) =>
     import s.implicits._
     val built = SharedIndexes.materializeAll(s, d)

@@ -35,8 +35,8 @@ object IndexStore {
 
   /** Bump whenever ANY shared-index definition changes: a saved
     * artifact from an older definition must never serve.
-    * v2 (r11): + knn_graph_edges. */
-  val FormatVersion = 2
+    * v2 (r11): + knn_graph_edges. v3 (r12): + text_tokens. */
+  val FormatVersion = 3
 
   private[graft] def enabled(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.index.store.enabled").map(_.trim.toLowerCase) match {
@@ -112,7 +112,8 @@ object IndexStore {
     ("und_edges", s"graph.undTradeEdges:$d"),
     ("basket_pairs", s"affinity.pairs:$d"),
     ("pq_codes", s"emb.pqCodes:$d"),
-    ("knn_graph_edges", s"knn.graphEdges:$d"))
+    ("knn_graph_edges", s"knn.graphEdges:$d"),
+    ("text_tokens", s"text.tokens:$d"))
 
   private val saveLock = new Object
 
@@ -143,6 +144,7 @@ object IndexStore {
       AffinityOps.basketPairs(s, d).write.mode("overwrite").parquet(s"$stage/basket_pairs")
       EmbedOps.pqCodes(s, d).write.mode("overwrite").parquet(s"$stage/pq_codes")
       KnnOps.knnGraphEdges(s, d).write.mode("overwrite").parquet(s"$stage/knn_graph_edges")
+      TextOps.tokenized(s, d).write.mode("overwrite").parquet(s"$stage/text_tokens")
       DedupIndexStore.save(s, d, stage)
       IvfIndex.save(s, d, s"$stage/ivf")
       EmbedOps.kmSave(s, d, stage)

@@ -32,6 +32,7 @@ object SharedIndexes {
     "dedup_simhash_docs" -> (() => DedupOps.simhashDocs(s, d)),
     "knn_ivf_assigned" -> (() => IvfIndex.assigned(s, d)), // forces corpus + KMeans fit
     "knn_graph_edges" -> (() => KnnOps.knnGraphEdges(s, d)), // r11: was triple-built by its audit family
+    "text_tokens" -> (() => TextOps.tokenized(s, d)), // r12: 15 text ops re-exploded documents independently
     "emb_km_assigned" -> (() => EmbedOps.kmAssigned(s, d)), // forces exact-Lloyd loop
     "emb_pq_codes" -> (() => EmbedOps.pqCodes(s, d)),
     "affinity_basket_pairs" -> (() => AffinityOps.basketPairs(s, d)),

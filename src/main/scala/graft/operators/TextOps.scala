@@ -21,6 +21,29 @@ object TextOps {
 
   private def tokens: Column = split(col("text"), "\\s+")
 
+  /** Session-shared whitespace tokenization of the corpus —
+    * (doc_id, source, pos, tok), one row per token occurrence.
+    *
+    * Every token-level text op used to re-scan `documents` and
+    * re-explode `split(text)` independently (17 sites); over a
+    * 46-key text family that re-pays the same scan+explode dozens of
+    * times per session, and late in a ~390-query session the repeated
+    * exchanges were the family's drift source. At 100 TB this is the
+    * lakehouse norm made explicit: tokenization is a scheduled
+    * materialization (a token table ~2× the corpus footprint), not a
+    * per-query tax. Registered in [[graft.CachedPlans]] (SER persist,
+    * LRU lifecycle) and shipped in the [[IndexStore]] as the
+    * `text_tokens` artifact, so a fresh session serves it as a
+    * parquet read. */
+  @volatile private[graft] var tokenBuilds = 0
+
+  private[operators] def tokenized(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.CachedPlans.cached(s, s"text.tokens:$d") {
+      tokenBuilds += 1
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), posexplode(tokens).as(Seq("pos", "tok")))
+    }
+
   /** The deterministic quality FEATURE columns over (toks, n_chars) —
     * single source for every consumer: the quality score, the model
     * gate's features, dedup_representative's ranking. */
@@ -171,9 +194,7 @@ object TextOps {
       |  round(1.0 - n_uniq * 1.0 / n_tok, 6) AS dup_token_frac
       |FROM dup d LEFT JOIN top t ON d.doc_id = t.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val tokPos = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
-      .toDF("doc_id", "pos", "tok")
+    val tokPos = tokenized(s, d).select(col("doc_id"), col("pos"), col("tok"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val bigrams = tokPos
@@ -203,9 +224,7 @@ object TextOps {
       |  FROM toks WHERE len(toks) >= 2)
       |SELECT bigram, count(*) AS n FROM bg
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
-    val tokPos = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
-      .toDF("doc_id", "pos", "tok")
+    val tokPos = tokenized(s, d).select(col("doc_id"), col("pos"), col("tok"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     tokPos
@@ -249,9 +268,7 @@ object TextOps {
       |  CROSS JOIN n)
       |SELECT w1, w2, n_xy, pmi_ratio FROM sc
       |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
-    val tokPos = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
-      .toDF("doc_id", "pos", "tok")
+    val tokPos = tokenized(s, d).select(col("doc_id"), col("pos"), col("tok"))
     val uni = tokPos.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val nTok = tokPos.agg(count(lit(1)).cast("double").as("n_tok"))
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -408,8 +425,7 @@ object TextOps {
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
     }) { (s, d) =>
     val terms = Seq("join", "scan", "filter")
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+    val toks = tokenized(s, d).select(col("doc_id"), col("tok").as("term"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = toks.filter(col("term").isin(terms: _*))
@@ -449,8 +465,7 @@ object TextOps {
       |  FROM sc)
       |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df, tfidf
       |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+    val toks = tokenized(s, d).select(col("doc_id"), col("tok").as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -489,9 +504,7 @@ object TextOps {
        |  count(DISTINCT b.doc_id) AS n_bench_docs
        |FROM train t JOIN bench b ON t.gh = b.gh
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val tokPos = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
-      .toDF("doc_id", "pos", "tok")
+    val tokPos = tokenized(s, d).select(col("doc_id"), col("pos"), col("tok"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = tokPos
@@ -715,9 +728,7 @@ object TextOps {
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
       |  CAST(sum_ppm // n_bigrams AS BIGINT) AS lm_score_ppm
       |FROM ds ORDER BY lm_score_ppm, doc_id LIMIT 25""".stripMargin) { (s, d) =>
-    val tokPos = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
-      .toDF("doc_id", "pos", "tok")
+    val tokPos = tokenized(s, d).select(col("doc_id"), col("pos"), col("tok"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val b = tokPos
@@ -848,8 +859,7 @@ object TextOps {
       |  round(0.5 * (sum(p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))
       |    + ln(2) * (1 - sum(q))), 6) AS js_div
       |FROM terms GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
-    val st = Tables.documents(s, d)
-      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+    val st = tokenized(s, d).select(col("source"), col("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
     val ct = st.groupBy(col("tok")).agg(sum(col("c")).as("ctot"))
     val ns = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
@@ -890,8 +900,7 @@ object TextOps {
       |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
       |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share
       |FROM g ORDER BY source""".stripMargin) { (s, d) =>
-    val t = Tables.documents(s, d)
-      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+    val t = tokenized(s, d).select(col("source"), col("tok"))
     val tc = t.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
     tc.groupBy(col("source"))
       .agg(
@@ -950,9 +959,7 @@ object TextOps {
        |       // count(*) AS BIGINT) AS novelty_ppm
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val tokPos = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
-      .toDF("doc_id", "pos", "tok")
+    val tokPos = tokenized(s, d).select(col("doc_id"), col("pos"), col("tok"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tri = tokPos
       .withColumn("t2", lead(col("tok"), 1).over(byDoc))
@@ -1001,8 +1008,7 @@ object TextOps {
       |      / ln(CAST(f.n_tok AS DOUBLE) / h.n_tok_half), 6) AS beta
       |FROM full_c f JOIN half_c h ON f.source = h.source
       |ORDER BY f.source""".stripMargin) { (s, d) =>
-    val t = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+    val t = tokenized(s, d).select(col("source"), col("doc_id"), col("tok"))
     val fullC = t.groupBy(col("source"))
       .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("vocab"))
     val m = Tables.documents(s, d).groupBy(col("source"))
@@ -1138,8 +1144,7 @@ object TextOps {
       |    / 1000000.0 AS chao1,
       |  CAST(f1 * 1000000 // n_tok AS BIGINT) AS unseen_mass_ppm
       |FROM g ORDER BY source""".stripMargin) { (s, d) =>
-    val f = Tables.documents(s, d)
-      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+    val f = tokenized(s, d).select(col("source"), col("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
     f.groupBy(col("source"))
       .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tok"),
@@ -1181,8 +1186,7 @@ object TextOps {
       |       ELSE round(CAST(n_tok AS DOUBLE) * (n_tok - 1) / rep2, 6) END
       |    AS inv_simpson
       |FROM g ORDER BY source""".stripMargin) { (s, d) =>
-    val f = Tables.documents(s, d)
-      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+    val f = tokenized(s, d).select(col("source"), col("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
     f.groupBy(col("source"))
       .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tok"),
@@ -1277,8 +1281,7 @@ object TextOps {
       |  CAST(inter * 1000000 // (sa.vs + sb.vs - inter) AS BIGINT) AS jaccard_ppm
       |FROM pr JOIN sz sa ON pr.src_a = sa.source JOIN sz sb ON pr.src_b = sb.source
       |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
-    val v = Tables.documents(s, d)
-      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+    val v = tokenized(s, d).select(col("source"), col("tok"))
       .distinct()
     val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("vs"))
     v.as("a").join(v.as("b"),
@@ -1453,8 +1456,7 @@ object TextOps {
       |     + round(CASE WHEN dd = 0 THEN 0 ELSE dd * ln(CAST(dd AS DOUBLE) * n / (CAST(n - ra AS DOUBLE) * (n - ca))) END, 6))
       |    AS g2
       |FROM k ORDER BY source, tok""".stripMargin) { (s, d) =>
-    val st = Tables.documents(s, d)
-      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+    val st = tokenized(s, d).select(col("source"), col("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
     val ct = st.groupBy(col("tok")).agg(sum(col("a")).as("ca"))
     val ns = broadcast(st.groupBy(col("source")).agg(sum(col("a")).as("ra")))

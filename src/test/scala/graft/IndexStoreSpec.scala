@@ -28,6 +28,7 @@ class IndexStoreSpec extends AnyFunSuite {
       val (fits0, lloyd0, pq0, edges0, pairs0, graph0) =
         (IvfIndex.fitCount, EmbedOps.lloydRuns, EmbedOps.pqBuilds,
           GraphOps.edgeBuilds, AffinityOps.pairBuilds, graft.operators.KnnOps.graphBuilds)
+      val toks0 = graft.operators.TextOps.tokenBuilds
 
       // "restart": wipe every registry entry, then materialize again —
       // must LOAD, not rebuild
@@ -43,6 +44,8 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(AffinityOps.pairBuilds === pairs0, "the basket self-join re-ran after load")
       assert(graft.operators.KnnOps.graphBuilds === graph0,
         "the k-NN graph was rebuilt after load")
+      assert(graft.operators.TextOps.tokenBuilds === toks0,
+        "the token frame was re-derived after load")
 
       // downstream consumers serve the loaded artifacts and agree
       val pr = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
@@ -58,6 +61,16 @@ class IndexStoreSpec extends AnyFunSuite {
       SparkEntry.queries("knn_hubness")(spark, sf).collect()
       assert(graft.operators.KnnOps.graphBuilds === before,
         "a knn_graph consumer rebuilt the shared edge frame")
+
+      // the shared token frame (r12) serves its 15 text consumers from
+      // the loaded parquet — no re-tokenization of the corpus
+      val tokBefore = graft.operators.TextOps.tokenBuilds
+      val tfidf = SparkEntry.queries("text_tfidf")(spark, sf).collect()
+      assert(tfidf.nonEmpty)
+      SparkEntry.queries("text_bm25")(spark, sf).collect()
+      SparkEntry.queries("text_top_bigrams")(spark, sf).collect()
+      assert(graft.operators.TextOps.tokenBuilds === tokBefore,
+        "a text consumer re-derived the shared token frame after load")
     } finally {
       spark.conf.unset("spark.graft.index.store.dir")
     }
