@@ -686,6 +686,71 @@ object DedupOps {
     spanCleanFrom(Tables.documents(s, d))
   }
 
+  /** Exact-substring duplicated spans (the detection half of Lee et
+    * al. 2022's ExactSubstr, re-expressed without the suffix array):
+    * windows of W=20 tokens at STRIDE 1 — every token position, unlike
+    * [[spans]]' stride-10 screen — hash to the portable 60-bit key; a
+    * position is duplicated when its window hash occurs anywhere else
+    * in the corpus (including the same document), and maximal runs of
+    * consecutive duplicated starts merge into spans via gaps-and-
+    * islands. The merged [span_start, span_end] regions are exactly
+    * the token ranges an ExactSubstr removal pass would cut: every
+    * position covered by some corpus-duplicated W-gram.
+    *
+    * Scale shape: stride-1 costs one window row per corpus token
+    * (the same O(total tokens) a suffix array pays), one shuffle on
+    * the span hash for the occurrence count, one on doc_id for the
+    * island merge — never pairwise. The W-token re-hash per window is
+    * O(W) where a Rabin-Karp rolling hash would be O(1); the md5 form
+    * is kept because it is the engine's portable cross-engine hash
+    * (the rolling-hash kernel exists in text_winnowing for the
+    * fingerprint-scale path). */
+  val substrSpans: GraftOp = GraftOp(
+    "dedup_substring",
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS start,
+       |    array_to_string(toks[n+1:n+20], ' ') AS span
+       |  FROM toks, unnest(range(0, len(toks) - 20 + 1)) AS t(n)
+       |  WHERE len(toks) >= 20),
+       |h AS (SELECT doc_id, start, ${Exprs.sqlMd5Long("span")} AS span_hash FROM w),
+       |dup AS (
+       |  SELECT doc_id, start FROM (
+       |    SELECT doc_id, start, count(*) OVER (PARTITION BY span_hash) AS n_occ FROM h)
+       |  WHERE n_occ > 1),
+       |isl AS (
+       |  SELECT doc_id, start,
+       |    start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS g
+       |  FROM dup)
+       |SELECT doc_id, min(start) AS span_start, max(start) + 19 AS span_end,
+       |  max(start) + 20 - min(start) AS span_tokens
+       |FROM isl GROUP BY doc_id, g
+       |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    val W = 20
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - W)))
+      .toDF("doc_id", "toks", "w_idx", "st")
+      .select(col("doc_id"), col("st").cast(LongType).as("start"),
+        Exprs.md5Long(array_join(slice(col("toks"), col("st") + 1, lit(W)), " "))
+          .as("span_hash"))
+    val overHash = org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    wins
+      .withColumn("n_occ", count(lit(1)).over(overHash))
+      .filter(col("n_occ") > 1)
+      .withColumn("g", col("start") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + (W - 1)).as("span_end"),
+        (max(col("start")) + W - min(col("start"))).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** SimHash near-dup: 64-bit simhash (native Catalyst expression),
     * 4×16-bit LSH bands for candidates, Hamming ≤ 6 verification via
     * bit_count(xor). The wrapping-Long kernel (per-token rollingHash →
@@ -1117,6 +1182,6 @@ object DedupOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, simhash,
+    Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, substrSpans, simhash,
       embed, containment, semantic, report, thresholdSweep, lshAudit)
 }

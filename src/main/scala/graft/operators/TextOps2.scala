@@ -44,8 +44,7 @@ object TextOps2 {
       |  CAST(tf * 1000000 // df AS BIGINT) AS burstiness_micro,
       |  CAST(df * 1000000 // n_docs AS BIGINT) AS doc_coverage_ppm
       |FROM top, nd ORDER BY tf DESC, tok""".stripMargin) { (s, d) =>
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens).as("tok"))
+    val t = TextOps.tokenized(s, d).select(col("doc_id"), col("tok"))
     val g = t.groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
     val top = g.orderBy(col("tf").desc, col("tok")).limit(20)
@@ -88,8 +87,7 @@ object TextOps2 {
       |  GROUP BY 1, 2)
       |SELECT tok, tf, CAST(sad_ppm // 2 AS BIGINT) AS dp_ppm
       |FROM dp ORDER BY tf DESC, tok""".stripMargin) { (s, d) =>
-    val t = Tables.documents(s, d)
-      .select(col("source"), explode(tokens).as("tok"))
+    val t = TextOps.tokenized(s, d).select(col("source"), col("tok"))
     val g = t.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     val top = broadcast(g.orderBy(col("tf").desc, col("tok")).limit(20))
     val src = broadcast(t.groupBy(col("source")).agg(count(lit(1)).as("stoks")))
