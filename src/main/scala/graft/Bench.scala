@@ -132,14 +132,7 @@ object Bench {
     // "perf_regressed" so one drifting query doesn't label an
     // otherwise-improved round as a regression.
     val failed = results.exists(_._2 < 0)
-    val nFlagged = delta.flagged + prev.flagged
-    val improvedOverall = delta.ratio < 1.0 &&
-      (prev.ratio < 1.0 || prev.json.isEmpty) // no prev snapshot: baseline decides
-    val status =
-      if (failed) "failed_queries"
-      else if (nFlagged == 0) "green"
-      else if (nFlagged <= 2 && improvedOverall) "flagged"
-      else "perf_regressed"
+    val status = gateStatus(failed, delta, prev)
     if (status != "green")
       System.err.println(s"[bench] STATUS $status — do NOT claim green this round")
     // Headline fields LAST: the driver archives only the final ~2000
@@ -165,7 +158,23 @@ object Bench {
   /** One baseline/prev comparison's outcome: the JSON fragment for the
     * stdout artifact, the flagged-query count, and the shared-query
     * total ratio (-1 when no comparison file exists). */
-  private case class Cmp(json: String, flagged: Int, ratio: Double)
+  private[graft] case class Cmp(json: String, flagged: Int, ratio: Double)
+
+  /** The gate's self-declared status. "green" requires zero failures
+    * AND zero flagged queries in BOTH comparisons. "flagged" (≤2
+    * flagged queries while every available comparison ratio improved)
+    * is still not green — it exists so one drifting query doesn't
+    * label an otherwise-faster round "perf_regressed". Everything
+    * else with a flag IS perf_regressed. */
+  private[graft] def gateStatus(failed: Boolean, baseline: Cmp, prev: Cmp): String = {
+    val nFlagged = baseline.flagged + prev.flagged
+    val improvedOverall = baseline.ratio < 1.0 &&
+      (prev.ratio < 1.0 || prev.json.isEmpty) // no prev snapshot: baseline decides
+    if (failed) "failed_queries"
+    else if (nFlagged == 0) "green"
+    else if (nFlagged <= 2 && improvedOverall) "flagged"
+    else "perf_regressed"
+  }
 
   /** Snapshot file for round-over-round comparison, one per scale
     * factor (`bench_prev_sf0.1.json` etc. — per-SF names so a local
