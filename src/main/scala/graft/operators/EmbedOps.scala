@@ -758,7 +758,7 @@ object EmbedOps {
        |       FROM sil WHERE greatest(a2, b2) > 0)
        |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
-       |  round(CAST(sum(s_ppm) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_silhouette
+       |  CAST(sum(s_ppm) AS DOUBLE) / count(*) / 1000000.0 AS mean_silhouette
        |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin) { (s, d) =>
     kmAssigned(s, d)
       .withColumn("b2", expr("element_at(array_sort(array(d0, d1, d2, d3)), 2)"))
@@ -769,7 +769,7 @@ object EmbedOps {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("sum_s_ppm"))
       .select(col("cluster"), col("n"), col("sum_s_ppm"),
-        expr("round(CAST(sum_s_ppm AS DOUBLE) / n / 1000000.0, 6)").as("mean_silhouette"))
+        expr("CAST(sum_s_ppm AS DOUBLE) / n / 1000000.0").as("mean_silhouette"))
       .orderBy(col("cluster"))
   }
 
@@ -792,7 +792,7 @@ object EmbedOps {
       |SELECT label, CAST(count(*) AS BIGINT) AS n,
       |  CAST(min(norm2) AS BIGINT) AS min_norm2_micro2,
       |  CAST(max(norm2) AS BIGINT) AS max_norm2_micro2,
-      |  round(CAST(sum(CAST(norm2 AS HUGEINT)) // count(*) AS DOUBLE) / 1000000000000.0, 6)
+      |  CAST(sum(CAST(norm2 AS HUGEINT)) // count(*) AS DOUBLE) / 1000000000000.0
       |    AS mean_norm2
       |FROM n GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
     val n = Tables.embeddings(s, d)
@@ -804,8 +804,8 @@ object EmbedOps {
       .agg(count(lit(1)).as("n"),
         min(col("norm2")).as("min_norm2_micro2"),
         max(col("norm2")).as("max_norm2_micro2"),
-        expr("""round(CAST(sum(CAST(norm2 AS DECIMAL(38,0))) div count(*) AS DOUBLE)
-          | / 1000000000000.0, 6)""".stripMargin).as("mean_norm2"))
+        expr("""CAST(sum(CAST(norm2 AS DECIMAL(38,0))) div count(*) AS DOUBLE)
+          | / 1000000000000.0""".stripMargin).as("mean_norm2"))
       .orderBy(col("label"))
   }
 
@@ -899,7 +899,7 @@ object EmbedOps {
       |    row_number() OVER (ORDER BY score_milli DESC, vec_id) AS rn
       |  FROM sc)
       |SELECT vec_id, score_milli,
-      |  round(CAST(score_milli AS DOUBLE) / 1000.0, 6) AS maha2, CAST(rn AS INT) AS rn
+      |  CAST(score_milli AS DOUBLE) / 1000.0 AS maha2, CAST(rn AS INT) AS rn
       |FROM rk WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
@@ -922,7 +922,7 @@ object EmbedOps {
         row_number().over(Window.orderBy(col("score_milli").desc, col("vec_id"))))
       .filter(col("rn") <= 20)
       .select(col("vec_id"), col("score_milli"),
-        expr("round(CAST(score_milli AS DOUBLE) / 1000.0, 6)").as("maha2"),
+        expr("CAST(score_milli AS DOUBLE) / 1000.0").as("maha2"),
         col("rn"))
       .orderBy(col("rn"))
   }

@@ -1804,7 +1804,7 @@ object EventsAnalytics {
       |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
       |SELECT from_type, to_type, n,
-      |  round(CAST(n AS DOUBLE) / tot, 6) AS p
+      |  CAST(n AS DOUBLE) / tot AS p
       |FROM c JOIN t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -1818,7 +1818,7 @@ object EventsAnalytics {
     val t = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
     c.join(broadcast(t), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),
-        expr("round(CAST(n AS DOUBLE) / tot, 6)").as("p"))
+        expr("CAST(n AS DOUBLE) / tot").as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
 

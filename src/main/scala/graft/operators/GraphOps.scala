@@ -1172,7 +1172,7 @@ object GraphOps {
          |  JOIN deg dw ON dw.x = a.y
          |  GROUP BY 1, 2)
          |SELECT pa, pb, n_common,
-         |  round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6) AS adamic_adar
+         |  CAST(aa_micro AS DOUBLE) / 1000000.0 AS adamic_adar
          |FROM wedge ORDER BY adamic_adar DESC, pa, pb""".stripMargin
     }) { (s, d) =>
     val e = undirectedTradeEdges(s, d)
@@ -1189,7 +1189,7 @@ object GraphOps {
         sum(expr("CAST(floor(1000000.0 / ln(CAST(dw AS DOUBLE))) AS BIGINT)"))
           .cast("long").as("aa_micro"))
       .select(col("pa"), col("pb"), col("n_common"),
-        expr("round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6)").as("adamic_adar"))
+        expr("CAST(aa_micro AS DOUBLE) / 1000000.0").as("adamic_adar"))
       .orderBy(col("adamic_adar").desc, col("pa"), col("pb"))
   }
 
@@ -1438,7 +1438,7 @@ object GraphOps {
       |  FROM mid GROUP BY 1)
       |SELECT n.node, coalesce(bc.n_pair_paths, 0) AS n_pair_paths,
       |  coalesce(bc.bc_micro, 0) AS bc_micro,
-      |  round(CAST(coalesce(bc.bc_micro, 0) AS DOUBLE) / 1000000.0, 6) AS betweenness
+      |  CAST(coalesce(bc.bc_micro, 0) AS DOUBLE) / 1000000.0 AS betweenness
       |FROM nodes n LEFT JOIN bc ON n.node = bc.node
       |ORDER BY n.node""".stripMargin) { (s, d) =>
     val ds = sigmaBfs(s, d)
@@ -1472,7 +1472,7 @@ object GraphOps {
           .select(col("node"),
             coalesce(col("n_pair_paths"), lit(0L)).as("n_pair_paths"),
             coalesce(col("bc_micro"), lit(0L)).as("bc_micro"),
-            expr("round(CAST(coalesce(bc_micro, 0) AS DOUBLE) / 1000000.0, 6)").as("betweenness"))
+            expr("CAST(coalesce(bc_micro, 0) AS DOUBLE) / 1000000.0").as("betweenness"))
           .orderBy(col("node"))
       case Some(k) =>
         // Brandes-pivot landmark sampling (Brandes & Pich 2007): run
@@ -1623,7 +1623,7 @@ object GraphOps {
       |  FROM d WHERE hops > 0 GROUP BY 1)
       |SELECT n.node, coalesce(h.reached, 0) AS reached,
       |  coalesce(h.h_micro, 0) AS harmonic_micro,
-      |  round(CAST(coalesce(h.h_micro, 0) AS DOUBLE) / 1000000.0, 6) AS harmonic,
+      |  CAST(coalesce(h.h_micro, 0) AS DOUBLE) / 1000000.0 AS harmonic,
       |  CAST(coalesce(h.h_micro, 0) AS DOUBLE)
       |    / (1000000.0 * (CAST(nc.n AS DOUBLE) - 1)) AS harmonic_norm
       |FROM nodes n LEFT JOIN h ON n.node = h.root CROSS JOIN nc
@@ -1639,7 +1639,7 @@ object GraphOps {
       .select(col("node"),
         coalesce(col("reached"), lit(0L)).as("reached"),
         coalesce(col("h_micro"), lit(0L)).as("harmonic_micro"),
-        expr("round(CAST(coalesce(h_micro, 0) AS DOUBLE) / 1000000.0, 6)").as("harmonic"),
+        expr("CAST(coalesce(h_micro, 0) AS DOUBLE) / 1000000.0").as("harmonic"),
         expr("""CAST(coalesce(h_micro, 0) AS DOUBLE)
           |  / (1000000.0D * (CAST(n AS DOUBLE) - 1))""".stripMargin).as("harmonic_norm"))
       .orderBy(col("node"))
@@ -1751,7 +1751,7 @@ object GraphOps {
       |  FROM mid GROUP BY 1, 2)
       |SELECT un.u, un.v, coalesce(bc.n_pair_paths, 0) AS n_pair_paths,
       |  coalesce(bc.ebc_micro, 0) AS ebc_micro,
-      |  round(CAST(coalesce(bc.ebc_micro, 0) AS DOUBLE) / 1000000.0, 6) AS edge_betweenness
+      |  CAST(coalesce(bc.ebc_micro, 0) AS DOUBLE) / 1000000.0 AS edge_betweenness
       |FROM und un LEFT JOIN bc ON un.u = bc.u AND un.v = bc.v
       |ORDER BY un.u, un.v""".stripMargin) { (s, d) =>
     val und = undirectedTradeEdges(s, d)
@@ -1779,7 +1779,7 @@ object GraphOps {
       .select(col("u"), col("v"),
         coalesce(col("n_pair_paths"), lit(0L)).as("n_pair_paths"),
         coalesce(col("ebc_micro"), lit(0L)).as("ebc_micro"),
-        expr("round(CAST(coalesce(ebc_micro, 0) AS DOUBLE) / 1000000.0, 6)")
+        expr("CAST(coalesce(ebc_micro, 0) AS DOUBLE) / 1000000.0")
           .as("edge_betweenness"))
       .orderBy(col("u"), col("v"))
   }

@@ -397,8 +397,8 @@ object Sampling {
        |  CAST(sum(kept) AS BIGINT) AS n_sampled,
        |  CAST(sum(CASE WHEN kept = 1 THEN 1000000000000 // p_ppm ELSE 0 END) AS BIGINT)
        |    AS ht_micro,
-       |  round(CAST(sum(CASE WHEN kept = 1 THEN 1000000000000 // p_ppm ELSE 0 END) AS DOUBLE)
-       |    / 1000000.0, 6) AS ht_estimate
+       |  CAST(sum(CASE WHEN kept = 1 THEN 1000000000000 // p_ppm ELSE 0 END) AS DOUBLE)
+       |    / 1000000.0 AS ht_estimate
        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
@@ -414,7 +414,7 @@ object Sampling {
         sum(when(col("kept") === 1, expr("1000000000000 div p_ppm")).otherwise(0L))
           .as("ht_micro"))
       .select(col("source"), col("n_docs"), col("n_sampled"), col("ht_micro"),
-        expr("round(CAST(ht_micro AS DOUBLE) / 1000000.0, 6)").as("ht_estimate"))
+        expr("CAST(ht_micro AS DOUBLE) / 1000000.0").as("ht_estimate"))
       .orderBy(col("source"))
   }
 

@@ -717,7 +717,7 @@ object StatsOps {
       |  FROM c JOIN rt ON c.event_type = rt.event_type JOIN ct ON c.dow = ct.dow
       |  CROSS JOIN n)
       |SELECT n.n AS n_events, n.nr AS n_rows_dim, n.nc AS n_cols_dim,
-      |  round(CAST(sum(cell_micro) AS DOUBLE) / 1000000.0, 6) AS chi2,
+      |  CAST(sum(cell_micro) AS DOUBLE) / 1000000.0 AS chi2,
       |  round(sqrt(CAST(sum(cell_micro) AS DOUBLE) / 1000000.0
       |    / (CAST(n.n AS DOUBLE) * (least(n.nr, n.nc) - 1))), 6) AS cramers_v
       |FROM cells, n GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
@@ -739,7 +739,7 @@ object StatsOps {
         col("nc").as("n_cols_dim"))
       .agg(sum(col("cell_micro")).as("cm"))
       .select(col("n_events"), col("n_rows_dim"), col("n_cols_dim"),
-        expr("round(CAST(cm AS DOUBLE) / 1000000.0, 6)").as("chi2"),
+        expr("CAST(cm AS DOUBLE) / 1000000.0").as("chi2"),
         expr("""round(sqrt(CAST(cm AS DOUBLE) / 1000000.0
           | / (CAST(n_events AS DOUBLE) * (least(n_rows_dim, n_cols_dim) - 1))), 6)""".stripMargin)
           .as("cramers_v"))
@@ -1212,7 +1212,7 @@ object StatsOps {
          |    CAST(sum(wt * cents) AS BIGINT) AS s_cents
          |  FROM w GROUP BY 1)
          |SELECT b, n_eff,
-         |  round(CAST(s_cents AS DOUBLE) / n_eff / 100.0, 6) AS mean_value
+         |  CAST(s_cents AS DOUBLE) / n_eff / 100.0 AS mean_value
          |FROM g ORDER BY b""".stripMargin
     }) { (s, d) =>
     val p = Tables.events(s, d)
@@ -1231,7 +1231,7 @@ object StatsOps {
       .agg(sum(col("wt")).cast(LongType).as("n_eff"),
         sum(col("wt") * col("cents")).cast(LongType).as("s_cents"))
       .select(col("b"), col("n_eff"),
-        expr("round(CAST(s_cents AS DOUBLE) / n_eff / 100.0, 6)").as("mean_value"))
+        expr("CAST(s_cents AS DOUBLE) / n_eff / 100.0").as("mean_value"))
       .orderBy(col("b"))
   }
 
@@ -1737,9 +1737,9 @@ object StatsOps {
       |sw AS (SELECT dow, CAST(sum(d7) AS BIGINT) AS snum, CAST(count(*) AS BIGINT) AS n_w
       |       FROM i GROUP BY 1)
       |SELECT i.day, i.dow,
-      |  round(CAST(i.cents AS DOUBLE) / 100.0, 6) AS revenue,
-      |  round(CAST(i.t7 AS DOUBLE) / 7.0 / 100.0, 6) AS trend,
-      |  round(CAST(sw.snum AS DOUBLE) / (7.0 * sw.n_w) / 100.0, 6) AS seasonal,
+      |  CAST(i.cents AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(i.t7 AS DOUBLE) / 7.0 / 100.0 AS trend,
+      |  CAST(sw.snum AS DOUBLE) / (7.0 * sw.n_w) / 100.0 AS seasonal,
       |  round(CAST(i.cents AS DOUBLE) / 100.0
       |      - CAST(i.t7 AS DOUBLE) / 7.0 / 100.0
       |      - CAST(sw.snum AS DOUBLE) / (7.0 * sw.n_w) / 100.0, 6) AS residual
@@ -1759,9 +1759,9 @@ object StatsOps {
     val sw = i.groupBy(col("dow")).agg(sum(col("d7")).as("snum"), count(lit(1)).as("n_w"))
     i.join(broadcast(sw), "dow")
       .select(col("day"), col("dow"),
-        expr("round(CAST(cents AS DOUBLE) / 100.0, 6)").as("revenue"),
-        expr("round(CAST(t7 AS DOUBLE) / 7.0 / 100.0, 6)").as("trend"),
-        expr("round(CAST(snum AS DOUBLE) / (7.0 * n_w) / 100.0, 6)").as("seasonal"),
+        expr("CAST(cents AS DOUBLE) / 100.0").as("revenue"),
+        expr("CAST(t7 AS DOUBLE) / 7.0 / 100.0").as("trend"),
+        expr("CAST(snum AS DOUBLE) / (7.0 * n_w) / 100.0").as("seasonal"),
         expr("""round(CAST(cents AS DOUBLE) / 100.0
           |    - CAST(t7 AS DOUBLE) / 7.0 / 100.0
           |    - CAST(snum AS DOUBLE) / (7.0 * n_w) / 100.0, 6)""".stripMargin).as("residual"))

@@ -897,8 +897,8 @@ object TextOps {
       |    CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax
       |  FROM tc GROUP BY 1)
       |SELECT source, n_tokens, n_types, n_hapax,
-      |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
-      |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share
+      |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+      |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_share
       |FROM g ORDER BY source""".stripMargin) { (s, d) =>
     val t = tokenized(s, d).select(col("source"), col("tok"))
     val tc = t.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
@@ -908,8 +908,8 @@ object TextOps {
         count(lit(1)).as("n_types"),
         count(when(col("n") === 1, 1)).as("n_hapax"))
       .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
-        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
-        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_share"))
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_share"))
       .orderBy(col("source"))
   }
 
@@ -1183,7 +1183,7 @@ object TextOps {
       |  CAST(rep2 * 1000000 // (n_tok * (n_tok - 1)) AS BIGINT) AS simpson_ppm,
       |  CAST(c_max * 1000000 // n_tok AS BIGINT) AS berger_parker_ppm,
       |  CASE WHEN rep2 = 0 THEN NULL
-      |       ELSE round(CAST(n_tok AS DOUBLE) * (n_tok - 1) / rep2, 6) END
+      |       ELSE CAST(n_tok AS DOUBLE) * (n_tok - 1) / rep2 END
       |    AS inv_simpson
       |FROM g ORDER BY source""".stripMargin) { (s, d) =>
     val f = tokenized(s, d).select(col("source"), col("tok"))
@@ -1196,7 +1196,7 @@ object TextOps {
         expr("CAST(rep2 * 1000000 div (n_tok * (n_tok - 1)) AS BIGINT)").as("simpson_ppm"),
         expr("CAST(c_max * 1000000 div n_tok AS BIGINT)").as("berger_parker_ppm"),
         expr("""CASE WHEN rep2 = 0 THEN NULL
-          |     ELSE round(CAST(n_tok AS DOUBLE) * (n_tok - 1) / rep2, 6) END""".stripMargin)
+          |     ELSE CAST(n_tok AS DOUBLE) * (n_tok - 1) / rep2 END""".stripMargin)
           .as("inv_simpson"))
       .orderBy(col("source"))
   }
