@@ -214,22 +214,36 @@ object AffinityOps {
       |lt AS (
       |  SELECT l_suppkey,
       |    CAST(date_diff('day', CAST(o_orderdate AS DATE), first_ship) AS BIGINT) AS days
-      |  FROM fs JOIN orders ON l_orderkey = o_orderkey)
-      |SELECT l_suppkey, count(*) AS n_orders,
-      |  ((CAST(sum(days) AS BIGINT) * 10000000 // count(*) + 5) // 10) / 1000000.0 AS mean_days,
-      |  round(quantile_cont(days, 0.95), 6) AS p95_days
-      |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      |  FROM fs JOIN orders ON l_orderkey = o_orderkey),
+      |r AS (
+      |  SELECT l_suppkey, days,
+      |    row_number() OVER (PARTITION BY l_suppkey ORDER BY days) AS rn,
+      |    count(*) OVER (PARTITION BY l_suppkey) AS n
+      |  FROM lt),
+      |g AS (
+      |  SELECT l_suppkey, max(n) AS n_orders,
+      |    ((CAST(sum(days) AS BIGINT) * 10000000 // count(*) + 5) // 10) / 1000000.0 AS mean_days,
+      |    """.stripMargin + QuantileExact.sqlAggs(95, "days", "p95") + s"""
+      |  FROM r GROUP BY 1)
+      |SELECT l_suppkey, n_orders, mean_days,
+      |  ${QuantileExact.interp("p95_a", "p95_b", "p95_f")} AS p95_days
+      |FROM g ORDER BY 1""".stripMargin) { (s, d) =>
     val fs = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
     val lt = fs.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey"),
         datediff(col("first_ship"), to_date(col("o_orderdate"))).cast("long").as("days"))
-    lt.groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        (expr("(cast(sum(days) as bigint) * 10000000 div count(1) + 5) div 10") / 1000000.0)
-          .as("mean_days"),
-        round(percentile(col("days"), lit(0.95)), 6).as("p95_days"))
+    val bySupp = org.apache.spark.sql.expressions.Window.partitionBy(col("l_suppkey"))
+    val aggs = Seq(max(col("__n")).as("n_orders"),
+      (expr("(cast(sum(days) as bigint) * 10000000 div count(1) + 5) div 10") / 1000000.0)
+        .as("mean_days")) ++ QuantileExact.sparkAggs(95, "days", "p95")
+    lt.withColumn("__rn", row_number().over(bySupp.orderBy(col("days"))))
+      .withColumn("__n", count(lit(1)).over(bySupp))
+      .groupBy(col("l_suppkey"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_suppkey"), col("n_orders"), col("mean_days"),
+        expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95_days"))
       .orderBy(col("l_suppkey"))
   }
 
@@ -331,18 +345,27 @@ object AffinityOps {
     * repeat-purchase health metric behind q_rfm's recency cut. */
   val reorderCadence: GraftOp = GraftOp(
     "q_reorder_cadence",
-    """WITH g AS (
-      |  SELECT c_mktsegment AS segment,
-      |    date_diff('day',
-      |      lag(o_orderdate) OVER (PARTITION BY o_custkey
-      |                             ORDER BY o_orderdate, o_orderkey),
-      |      o_orderdate) AS gap_days
-      |  FROM orders JOIN customer ON o_custkey = c_custkey)
-      |SELECT segment, count(*) AS n_gaps,
-      |  round(quantile_cont(gap_days, 0.5), 6) AS p50_days,
-      |  round(quantile_cont(gap_days, 0.95), 6) AS p95_days
-      |FROM g WHERE gap_days IS NOT NULL
-      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    s"""WITH g AS (
+       |  SELECT c_mktsegment AS segment,
+       |    date_diff('day',
+       |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+       |                             ORDER BY o_orderdate, o_orderkey),
+       |      o_orderdate) AS gap_days
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |r AS (
+       |  SELECT segment, gap_days,
+       |    row_number() OVER (PARTITION BY segment ORDER BY gap_days) AS rn,
+       |    count(*) OVER (PARTITION BY segment) AS n
+       |  FROM g WHERE gap_days IS NOT NULL),
+       |gg AS (
+       |  SELECT segment, max(n) AS n_gaps,
+       |    ${QuantileExact.sqlAggs(50, "gap_days", "p50")},
+       |    ${QuantileExact.sqlAggs(95, "gap_days", "p95")}
+       |  FROM r GROUP BY 1)
+       |SELECT segment, n_gaps,
+       |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} AS p50_days,
+       |  ${QuantileExact.interp("p95_a", "p95_b", "p95_f")} AS p95_days
+       |FROM gg ORDER BY 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -352,10 +375,16 @@ object AffinityOps {
         datediff(to_date(col("o_orderdate")),
           to_date(lag(col("o_orderdate"), 1).over(w))).as("gap_days"))
       .filter(col("gap_days").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("segment")).orderBy(col("gap_days"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("segment"))))
       .groupBy(col("segment"))
-      .agg(count(lit(1)).as("n_gaps"),
-        round(percentile(col("gap_days"), lit(0.5)), 6).as("p50_days"),
-        round(percentile(col("gap_days"), lit(0.95)), 6).as("p95_days"))
+      .agg(max(col("__n")).as("n_gaps"),
+        (QuantileExact.sparkAggs(50, "gap_days", "p50") ++
+          QuantileExact.sparkAggs(95, "gap_days", "p95")): _*)
+      .select(col("segment"), col("n_gaps"),
+        expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50_days"),
+        expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95_days"))
       .orderBy(col("segment"))
   }
 

@@ -420,22 +420,41 @@ object CurationOps {
     * q_percentile round-6 contract. */
   val datasheet: GraftOp = GraftOp(
     "corpus_datasheet",
-    """SELECT 'volume' AS section, 'n_docs' AS key, CAST(count(*) AS DOUBLE) AS value FROM documents
-      |UNION ALL SELECT 'volume', 'total_chars', CAST(sum(n_chars) AS DOUBLE) FROM documents
-      |UNION ALL SELECT 'volume', 'total_ws_tokens',
-      |  CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) FROM documents
-      |UNION ALL SELECT 'volume', 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
-      |UNION ALL SELECT 'volume', 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
-      |UNION ALL SELECT 'lang', lang, CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
-      |UNION ALL SELECT 'source', source, CAST(count(*) AS DOUBLE) FROM documents GROUP BY source
-      |UNION ALL SELECT 'length', 'p50_chars', round(quantile_cont(n_chars, 0.5), 6) FROM documents
-      |UNION ALL SELECT 'length', 'p95_chars', round(quantile_cont(n_chars, 0.95), 6) FROM documents
-      |UNION ALL SELECT 'dup', 'exact_dup_docs',
-      |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) FROM documents
-      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    s"""WITH rr AS (
+       |  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn, count(*) OVER () AS n
+       |  FROM documents),
+       |pq AS (
+       |  SELECT ${QuantileExact.sqlAggs(50, "n_chars", "p50")},
+       |    ${QuantileExact.sqlAggs(95, "n_chars", "p95")}
+       |  FROM rr)
+       |SELECT 'volume' AS section, 'n_docs' AS key, CAST(count(*) AS DOUBLE) AS value FROM documents
+       |UNION ALL SELECT 'volume', 'total_chars', CAST(sum(n_chars) AS DOUBLE) FROM documents
+       |UNION ALL SELECT 'volume', 'total_ws_tokens',
+       |  CAST(sum(len(string_split_regex(text, '\\s+'))) AS DOUBLE) FROM documents
+       |UNION ALL SELECT 'volume', 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+       |UNION ALL SELECT 'volume', 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+       |UNION ALL SELECT 'lang', lang, CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
+       |UNION ALL SELECT 'source', source, CAST(count(*) AS DOUBLE) FROM documents GROUP BY source
+       |UNION ALL SELECT 'length', 'p50_chars',
+       |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} FROM pq
+       |UNION ALL SELECT 'length', 'p95_chars',
+       |  ${QuantileExact.interp("p95_a", "p95_b", "p95_f")} FROM pq
+       |UNION ALL SELECT 'dup', 'exact_dup_docs',
+       |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) FROM documents
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     def row(section: String, key: Column, value: Column): Column =
       struct(lit(section).as("section"), key.as("key"), value.cast(DoubleType).as("value"))
+    val w = org.apache.spark.sql.expressions.Window
+    val pqAggs = QuantileExact.sparkAggs(50, "n_chars", "p50") ++
+      QuantileExact.sparkAggs(95, "n_chars", "p95")
+    val pq = docs.select(col("n_chars"))
+      .withColumn("__rn", row_number().over(w.orderBy(col("n_chars"))))
+      .withColumn("__n", count(lit(1)).over(w.partitionBy()))
+      .agg(pqAggs.head, pqAggs.tail: _*)
+      .select(
+        expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50_chars"),
+        expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95_chars"))
     val volume = docs
       .select(col("n_chars"), size(split(col("text"), "\\s+")).as("n_toks"),
         col("source"), col("lang"), md5(col("text")).as("h"))
@@ -443,9 +462,8 @@ object CurationOps {
         sum(col("n_toks")).as("total_ws_tokens"),
         countDistinct(col("source")).as("n_sources"),
         countDistinct(col("lang")).as("n_langs"),
-        (count(lit(1)) - countDistinct(col("h"))).as("exact_dup_docs"),
-        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
-        round(percentile(col("n_chars"), lit(0.95)), 6).as("p95_chars"))
+        (count(lit(1)) - countDistinct(col("h"))).as("exact_dup_docs"))
+      .crossJoin(broadcast(pq))
       .select(explode(array(
         row("volume", lit("n_docs"), col("n_docs")),
         row("volume", lit("total_chars"), col("total_chars")),

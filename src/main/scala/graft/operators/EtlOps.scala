@@ -197,27 +197,41 @@ object EtlOps {
     * floor, p95 on the exact-percentile contract. */
   val gapProfile: GraftOp = GraftOp(
     "etl_gap_profile",
-    """WITH g AS (
-      |  SELECT event_type,
-      |    event_id - lag(event_id) OVER (PARTITION BY event_type ORDER BY event_id)
-      |      AS gap
-      |  FROM events)
-      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-      |  CAST(max(gap) AS BIGINT) AS max_gap,
-      |  CAST(sum(gap) * 1000000 // count(*) AS BIGINT) AS mean_gap_ppm,
-      |  round(quantile_cont(gap, 0.95), 6) AS p95_gap
-      |FROM g WHERE gap IS NOT NULL
-      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    event_id - lag(event_id) OVER (PARTITION BY event_type ORDER BY event_id)
+       |      AS gap
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, gap,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM g WHERE gap IS NOT NULL),
+       |gg AS (
+       |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       |    CAST(max(gap) AS BIGINT) AS max_gap,
+       |    CAST(sum(gap) * 1000000 // count(*) AS BIGINT) AS mean_gap_ppm,
+       |    ${QuantileExact.sqlAggs(95, "gap", "p95")}
+       |  FROM r GROUP BY 1)
+       |SELECT event_type, n_gaps, max_gap, mean_gap_ppm,
+       |  ${QuantileExact.interp("p95_a", "p95_b", "p95_f")} AS p95_gap
+       |FROM gg ORDER BY 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
     Tables.events(s, d)
       .select(col("event_type"),
         (col("event_id") - lag(col("event_id"), 1).over(w)).as("gap"))
       .filter(col("gap").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("gap"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_gap"),
-        expr("sum(gap) * 1000000 div count(*)").as("mean_gap_ppm"),
-        round(percentile(col("gap"), lit(0.95)), 6).as("p95_gap"))
+      .agg(max(col("__n")).as("n_gaps"),
+        (Seq(max(col("gap")).as("max_gap"),
+          expr("sum(gap) * 1000000 div count(*)").as("mean_gap_ppm")) ++
+          QuantileExact.sparkAggs(95, "gap", "p95")): _*)
+      .select(col("event_type"), col("n_gaps"), col("max_gap"), col("mean_gap_ppm"),
+        expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95_gap"))
       .orderBy(col("event_type"))
   }
 

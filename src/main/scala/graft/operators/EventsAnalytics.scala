@@ -392,27 +392,47 @@ object EventsAnalytics {
 
   /** Daily value-percentile series (p50/p95 per type per day) — the
     * latency-dashboard shape: a percentile TIME SERIES, not one global
-    * number. One exact-percentile aggregate per (type, day) group —
-    * partial-aggregable percentile state through a single shuffle;
-    * both engines interpolate linearly over the same doubles (the
-    * q_percentile / q_gap_stats contract), 6dp snap on the emit. */
+    * number. Sort-window rank selection + the [[QuantileExact]]
+    * shared-text interpolation per (type, day) group — bit-identical
+    * doubles across engines, no per-group buffering, raw emits (r12:
+    * the 6dp snap retired with the percentile() aggregate). */
   val dailyPercentiles: GraftOp = GraftOp(
     "q_daily_percentiles",
-    """SELECT event_type,
-      |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day_idx,
-      |  count(*) AS n,
-      |  round(quantile_cont(value, 0.5), 6) AS p50,
-      |  round(quantile_cont(value, 0.95), 6) AS p95
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS day_idx,
+       |    value
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, day_idx, value,
+       |    row_number() OVER (PARTITION BY event_type, day_idx ORDER BY value) AS rn,
+       |    count(*) OVER (PARTITION BY event_type, day_idx) AS n
+       |  FROM d),
+       |g AS (
+       |  SELECT event_type, day_idx, max(n) AS n,
+       |    ${QuantileExact.sqlAggs(50, "value", "p50")},
+       |    ${QuantileExact.sqlAggs(95, "value", "p95")}
+       |  FROM r GROUP BY 1, 2)
+       |SELECT event_type, day_idx, n,
+       |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} AS p50,
+       |  ${QuantileExact.interp("p95_a", "p95_b", "p95_f")} AS p95
+       |FROM g ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val byGrp = Window.partitionBy(col("event_type"), col("day_idx"))
+    val aggs = Seq(max(col("__n")).as("n")) ++
+      QuantileExact.sparkAggs(50, "value", "p50") ++
+      QuantileExact.sparkAggs(95, "value", "p95")
     Tables.events(s, d)
       .select(col("event_type"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
           .cast(IntegerType).as("day_idx"),
         col("value"))
+      .withColumn("__rn", row_number().over(byGrp.orderBy(col("value"))))
+      .withColumn("__n", count(lit(1)).over(byGrp))
       .groupBy(col("event_type"), col("day_idx"))
-      .agg(count(lit(1)).as("n"),
-        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("value"), lit(0.95)), 6).as("p95"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("day_idx"), col("n"),
+        expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50"),
+        expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95"))
       .orderBy(col("event_type"), col("day_idx"))
   }
 
@@ -995,12 +1015,23 @@ object EventsAnalytics {
       |  FROM s1 JOIN s2 USING (user_id)
       |  UNION ALL
       |  SELECT 'view->purchase', date_diff('second', t2, t3)
-      |  FROM s2 JOIN s3 USING (user_id))
-      |SELECT transition, count(*) AS n_users,
-      |  CAST(sum(sec) AS BIGINT) AS sum_sec,
-      |  round(quantile_cont(sec, 0.5), 6) AS p50_sec,
-      |  round(quantile_cont(sec, 0.95), 6) AS p95_sec
-      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      |  FROM s2 JOIN s3 USING (user_id)),
+      |r AS (
+      |  SELECT transition, sec,
+      |    row_number() OVER (PARTITION BY transition ORDER BY sec) AS rn,
+      |    count(*) OVER (PARTITION BY transition) AS n
+      |  FROM l),
+      |g AS (
+      |  SELECT transition, max(n) AS n_users,
+      |    CAST(sum(sec) AS BIGINT) AS sum_sec,
+      |    """.stripMargin + QuantileExact.sqlAggs(50, "sec", "p50") + ",\n" +
+      QuantileExact.sqlAggs(95, "sec", "p95") +
+      s"""
+      |  FROM r GROUP BY 1)
+      |SELECT transition, n_users, sum_sec,
+      |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} AS p50_sec,
+      |  ${QuantileExact.interp("p95_a", "p95_b", "p95_f")} AS p95_sec
+      |FROM g ORDER BY 1""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val s1 = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
@@ -1016,12 +1047,18 @@ object EventsAnalytics {
     val l23 = s2.join(s3, Seq("user_id"))
       .select(lit("view->purchase").as("transition"),
         (unix_timestamp(col("t3")) - unix_timestamp(col("t2"))).as("sec"))
+    val byTr = Window.partitionBy(col("transition"))
+    val aggs = Seq(max(col("__n")).as("n_users"), sum(col("sec")).as("sum_sec")) ++
+      QuantileExact.sparkAggs(50, "sec", "p50") ++
+      QuantileExact.sparkAggs(95, "sec", "p95")
     l12.unionAll(l23)
+      .withColumn("__rn", row_number().over(byTr.orderBy(col("sec"))))
+      .withColumn("__n", count(lit(1)).over(byTr))
       .groupBy(col("transition"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("sec")).as("sum_sec"),
-        round(percentile(col("sec"), lit(0.5)), 6).as("p50_sec"),
-        round(percentile(col("sec"), lit(0.95)), 6).as("p95_sec"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("transition"), col("n_users"), col("sum_sec"),
+        expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50_sec"),
+        expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95_sec"))
       .orderBy(col("transition"))
   }
 
@@ -1067,16 +1104,25 @@ object EventsAnalytics {
     * q_transitions. */
   val gapStats: GraftOp = GraftOp(
     "q_gap_stats",
-    """WITH o AS (
-      |  SELECT event_type,
-      |    date_diff('second',
-      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_sec
-      |  FROM events)
-      |SELECT event_type, count(*) AS n_gaps,
-      |  round(quantile_cont(gap_sec, 0.5), 6) AS p50_sec,
-      |  round(quantile_cont(gap_sec, 0.95), 6) AS p95_sec
-      |FROM o WHERE gap_sec IS NOT NULL
-      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    s"""WITH o AS (
+       |  SELECT event_type,
+       |    date_diff('second',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_sec
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, gap_sec,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY gap_sec) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM o WHERE gap_sec IS NOT NULL),
+       |g AS (
+       |  SELECT event_type, max(n) AS n_gaps,
+       |    ${QuantileExact.sqlAggs(50, "gap_sec", "p50")},
+       |    ${QuantileExact.sqlAggs(95, "gap_sec", "p95")}
+       |  FROM r GROUP BY 1)
+       |SELECT event_type, n_gaps,
+       |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} AS p50_sec,
+       |  ${QuantileExact.interp("p95_a", "p95_b", "p95_f")} AS p95_sec
+       |FROM g ORDER BY 1""".stripMargin) { (s, d) =>
     // exact percentile buffers EVERY group value on one reducer — the
     // oracle contract at test scale, an OOM at 100 TB; above the size
     // gate the same query serves its t-digest twin (bounded KB state
@@ -1096,13 +1142,21 @@ object EventsAnalytics {
   }
 
   private[operators] def gapStatsExactPlan(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val aggs = Seq(max(col("__n")).as("n_gaps")) ++
+      QuantileExact.sparkAggs(50, "gap_sec", "p50") ++
+      QuantileExact.sparkAggs(95, "gap_sec", "p95")
     gapFrame(s, d)
+      .withColumn("__rn", row_number().over(byType.orderBy(col("gap_sec"))))
+      .withColumn("__n", count(lit(1)).over(byType))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"),
-        round(percentile(col("gap_sec"), lit(0.5)), 6).as("p50_sec"),
-        round(percentile(col("gap_sec"), lit(0.95)), 6).as("p95_sec"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n_gaps"),
+        expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50_sec"),
+        expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95_sec"))
       .orderBy(col("event_type"))
+  }
 
   private[operators] def gapStatsSketchPlan(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame =

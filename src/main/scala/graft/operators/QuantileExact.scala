@@ -1,0 +1,66 @@
+package graft.operators
+
+/** Exact linear-interpolation percentiles WITHOUT the engine's
+  * percentile aggregate — the fifth round()-retirement class.
+  *
+  * `percentile()` (Spark) and `quantile_cont` (DuckDB) agree on the
+  * DEFINITION (value at continuous index φ·(n−1), linearly
+  * interpolated) but each interpolates inside its own engine with its
+  * own operation order, so emits historically wore a 6dp round to
+  * absorb last-ulp differences — the midpoint-lottery class the §6
+  * determinism rules exist to retire. They also BUFFER every group
+  * value in one aggregation buffer, an OOM at 100-TB group sizes.
+  *
+  * Both problems fall to the same restructure: rank the group with a
+  * sort-based window (rn = row_number, n = count — spills, never
+  * buffers), pick the two order statistics around the continuous
+  * index with exact integer arithmetic (k = ⌊p·(n−1)/100⌋, hundredths
+  * fraction f = (p·(n−1)) mod 100, p the percentile in percent), and
+  * interpolate with ONE shared expression text
+  * `(a·(100−f) + b·f) / 100` — every multiply/add/divide is a
+  * correctly-rounded IEEE op on identical operands, so the result is
+  * bit-identical across engines with no rounding rescue. For integer
+  * inputs the numerator folds exactly before the single division.
+  *
+  * The fragments are generated from one place so the two engines'
+  * texts cannot drift; only the integer-division spelling differs
+  * (`div` in Spark SQL, `//` in DuckDB — exact either way).
+  */
+object QuantileExact {
+
+  /** Aggregate fragments selecting the bracketing order statistics and
+    * fraction for percentile `p` (percent, integer) over value column
+    * `v`, given within-group `rn` (1-based) and group size `n`
+    * columns. `idiv` is the engine's integer-division operator. */
+  private def aExpr(p: Int, v: String, rn: String, n: String, idiv: String) =
+    s"max(CASE WHEN $rn - 1 = ($p * ($n - 1)) $idiv 100 THEN $v END)"
+  private def bExpr(p: Int, v: String, rn: String, n: String, idiv: String) =
+    s"max(CASE WHEN $rn - 1 = ($p * ($n - 1)) $idiv 100 + 1 THEN $v END)"
+  private def fExpr(p: Int, n: String) = s"max(($p * ($n - 1)) % 100)"
+
+  /** The interpolation emit over the three aggregate results — THE
+    * shared expression text (coalesce covers f=0 at the top rank,
+    * where no upper bracket exists). */
+  def interp(a: String, b: String, f: String): String =
+    s"($a * (100 - $f) + coalesce($b, $a) * $f) / CAST(100 AS DOUBLE)"
+
+  /** DuckDB-side: the three aggregates for percentile `p`, named
+    * `<prefix>_a/_b/_f`. Compose in a GROUP BY, then emit
+    * [[interp]] over the names in an outer select. */
+  def sqlAggs(p: Int, v: String, prefix: String,
+      rn: String = "rn", n: String = "n"): String =
+    s"""${aExpr(p, v, rn, n, "//")} AS ${prefix}_a,
+       |${bExpr(p, v, rn, n, "//")} AS ${prefix}_b,
+       |${fExpr(p, n)} AS ${prefix}_f""".stripMargin
+
+  /** Spark-side: same three aggregates as Columns (expr-parsed so the
+    * arithmetic text matches the oracle's modulo the div spelling). */
+  def sparkAggs(p: Int, v: String, prefix: String,
+      rn: String = "__rn", n: String = "__n"): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.expr
+    Seq(
+      expr(aExpr(p, v, rn, n, "div")).as(s"${prefix}_a"),
+      expr(bExpr(p, v, rn, n, "div")).as(s"${prefix}_b"),
+      expr(fExpr(p, n)).as(s"${prefix}_f"))
+  }
+}

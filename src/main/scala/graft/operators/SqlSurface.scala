@@ -12,23 +12,43 @@ import org.apache.spark.sql.types._
   */
 object SqlSurface {
 
-  /** Exact percentiles (linear interpolation, same definition as
-    * DuckDB quantile_cont); rounded to 6dp to absorb last-ulp
-    * interpolation differences. */
+  /** Exact percentiles (linear interpolation, the quantile_cont
+    * definition) via [[QuantileExact]]: sort-window rank selection +
+    * shared-text interpolation — bit-identical across engines with no
+    * rounding rescue, and no per-group value buffering (the
+    * percentile() aggregate's OOM shape at 100-TB groups). */
   val qPercentile: GraftOp = GraftOp(
     "q_percentile",
-    """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 6) AS p50,
-      |  round(quantile_cont(value, 0.95), 6) AS p95,
-      |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |    ${QuantileExact.sqlAggs(50, "value", "p50")},
+       |    ${QuantileExact.sqlAggs(95, "value", "p95")},
+       |    min(value) AS min_v, max(value) AS max_v
+       |  FROM r GROUP BY event_type)
+       |SELECT event_type,
+       |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} AS p50,
+       |  ${QuantileExact.interp("p95_a", "p95_b", "p95_f")} AS p95,
+       |  min_v, max_v
+       |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val aggs = QuantileExact.sparkAggs(50, "value", "p50") ++
+      QuantileExact.sparkAggs(95, "value", "p95") ++
+      Seq(min(col("value")).as("min_v"), max(col("value")).as("max_v"))
     Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+      .withColumn("__rn", row_number().over(byType.orderBy(col("value"))))
+      .withColumn("__n", count(lit(1)).over(byType))
       .groupBy(col("event_type"))
-      .agg(
-        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("value"), lit(0.95)), 6).as("p95"),
-        round(min(col("value")), 6).as("min_v"),
-        round(max(col("value")), 6).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"),
+        expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50"),
+        expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95"),
+        col("min_v"), col("max_v"))
       .orderBy(col("event_type"))
   }
 

@@ -254,26 +254,41 @@ object StatsOps {
   val keySkew: GraftOp = GraftOp(
     "q_key_skew", {
       def branch(table: String, key: String): String =
-        s"""SELECT '$table.$key' AS key_name,
-           |  CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
-           |  CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top1_ppm,
-           |  round(quantile_cont(c, 0.5), 6) AS p50_cnt,
-           |  round(quantile_cont(c, 0.99), 6) AS p99_cnt,
-           |  CAST(max(c) AS BIGINT) AS max_cnt
-           |FROM (SELECT $key, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1)""".stripMargin
+        s"""SELECT '$table.$key' AS key_name, n_keys, n_rows, top1_ppm,
+           |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} AS p50_cnt,
+           |  ${QuantileExact.interp("p99_a", "p99_b", "p99_f")} AS p99_cnt,
+           |  max_cnt
+           |FROM (
+           |  SELECT CAST(max(n) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+           |    CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top1_ppm,
+           |    ${QuantileExact.sqlAggs(50, "c", "p50")},
+           |    ${QuantileExact.sqlAggs(99, "c", "p99")},
+           |    CAST(max(c) AS BIGINT) AS max_cnt
+           |  FROM (
+           |    SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n
+           |    FROM (SELECT $key, CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY 1)))""".stripMargin
       Seq(branch("orders", "o_custkey"), branch("lineitem", "l_partkey"),
         branch("lineitem", "l_suppkey"), branch("events", "user_id"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
     }) { (s, d) =>
-    def branch(df: org.apache.spark.sql.DataFrame, table: String, key: String) =
+    def branch(df: org.apache.spark.sql.DataFrame, table: String, key: String) = {
+      val aggs = Seq(max(col("__n")).as("n_keys"), sum(col("c")).as("n_rows"),
+        expr("max(c) * 1000000 div sum(c)").as("top1_ppm"),
+        max(col("c")).as("max_cnt")) ++
+        QuantileExact.sparkAggs(50, "c", "p50") ++
+        QuantileExact.sparkAggs(99, "c", "p99")
       df.groupBy(col(key)).agg(count(lit(1)).as("c"))
-        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
-          expr("max(c) * 1000000 div sum(c)").as("top1_ppm"),
-          round(percentile(col("c"), lit(0.5)), 6).as("p50_cnt"),
-          round(percentile(col("c"), lit(0.99)), 6).as("p99_cnt"),
-          max(col("c")).as("max_cnt"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c"))))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .agg(aggs.head, aggs.tail: _*)
         .select(lit(s"$table.$key").as("key_name"), col("n_keys"), col("n_rows"),
-          col("top1_ppm"), col("p50_cnt"), col("p99_cnt"), col("max_cnt"))
+          col("top1_ppm"),
+          expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50_cnt"),
+          expr(QuantileExact.interp("p99_a", "p99_b", "p99_f")).as("p99_cnt"),
+          col("max_cnt"))
+    }
     branch(Tables.orders(s, d), "orders", "o_custkey")
       .unionAll(branch(Tables.lineitem(s, d), "lineitem", "l_partkey"))
       .unionAll(branch(Tables.lineitem(s, d), "lineitem", "l_suppkey"))
@@ -922,11 +937,18 @@ object StatsOps {
       |  FROM events GROUP BY 1),
       |p AS (
       |  SELECT CAST(b.y - a.y AS DOUBLE) / (b.i - a.i) AS slope
-      |  FROM d a JOIN d b ON a.i < b.i)
+      |  FROM d a JOIN d b ON a.i < b.i),
+      |r AS (
+      |  SELECT slope, row_number() OVER (ORDER BY slope) AS rn, count(*) OVER () AS n
+      |  FROM p),
+      |g AS (
+      |  SELECT max(n) AS n_pairs,
+      |    """.stripMargin + QuantileExact.sqlAggs(50, "slope", "p50") + s"""
+      |  FROM r)
       |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
-      |  CAST(count(*) AS BIGINT) AS n_pairs,
-      |  round(quantile_cont(slope, 0.5), 6) AS slope_per_day
-      |FROM p""".stripMargin) { (s, d) =>
+      |  CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} AS slope_per_day
+      |FROM g""".stripMargin) { (s, d) =>
     val daily = Tables.events(s, d)
       .groupBy(datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
         .cast(LongType).as("i"))
@@ -934,13 +956,19 @@ object StatsOps {
     val nDays = broadcast(daily.agg(count(lit(1)).as("n_days")))
     val a = daily.select(col("i").as("ia"), col("y").as("ya"))
     val b = daily.select(col("i").as("ib"), col("y").as("yb"))
+    val aggs = Seq(max(col("__n")).as("n_pairs")) ++
+      QuantileExact.sparkAggs(50, "slope", "p50")
     a.join(b, col("ia") < col("ib"))
       .select(((col("yb") - col("ya")).cast(DoubleType) / (col("ib") - col("ia"))).as("slope"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("slope"))))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .crossJoin(nDays)
       .groupBy(col("n_days"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(percentile(col("slope"), lit(0.5)), 6).as("slope_per_day"))
-      .select(col("n_days"), col("n_pairs"), col("slope_per_day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_days"), col("n_pairs"),
+        expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("slope_per_day"))
   }
 
   /** Lorenz curve deciles of customer revenue — the plotted companion
