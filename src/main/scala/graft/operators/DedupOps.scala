@@ -619,9 +619,8 @@ object DedupOps {
     * removed window) → token-position anti-join (one shuffle on
     * (doc_id, pos)) → per-doc reassembly (sort_array of (pos, tok) —
     * one shuffle on doc_id). Never pairwise, no driver round-trips. */
-  private[graft] def spanCleanFrom(docsText: DataFrame): DataFrame = {
+  private[graft] def spanCleanFrom(docsText: DataFrame, S: Int = 10): DataFrame = {
     val W = 20
-    val S = 10
     val docs = docsText.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
     val wins = docs
       .withColumn("n_win",
@@ -749,6 +748,45 @@ object DedupOps {
         (max(col("start")) + W - min(col("start"))).as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** The removal half of exact-substring dedup at STRIDE 1 — the
+    * [[spanClean]] surgery upgraded to [[substrSpans]]' precision:
+    * every 20-token window at EVERY position hashes; each
+    * corpus-duplicated window keeps its first occurrence (global
+    * (doc_id, start) order per span_hash) and later occurrences have
+    * their positions cut; overlapping removals merge by position and
+    * the survivors reassemble. This is the full Lee et al. 2022
+    * ExactSubstr pipeline (detect + remove, one copy survives)
+    * without a suffix array; stride-10 span_clean remains the cheap
+    * screen (it misses non-aligned duplicates by construction). Same
+    * linear stages as span_clean — the only cost delta is the
+    * stride-1 window count (one row per corpus token). */
+  val substrClean: GraftOp = GraftOp(
+    "dedup_substring_clean",
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS start,
+       |    array_to_string(toks[n+1:n+20], ' ') AS span
+       |  FROM toks, unnest(range(0, CAST(greatest(0, len(toks) - 20 + 1) AS BIGINT))) AS t(n)),
+       |h AS (SELECT doc_id, start, ${Exprs.sqlMd5Long("span")} AS span_hash FROM w),
+       |ranked AS (
+       |  SELECT doc_id, start,
+       |    row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, start) AS occ,
+       |    count(*) OVER (PARTITION BY span_hash) AS n_occ
+       |  FROM h),
+       |rem AS (SELECT DISTINCT doc_id, start + u AS pos
+       |  FROM ranked, unnest(range(0, 20)) AS t(u)
+       |  WHERE n_occ > 1 AND occ > 1),
+       |remlist AS (SELECT doc_id, list(pos) AS rpos FROM rem GROUP BY doc_id),
+       |out AS (
+       |  SELECT t.doc_id,
+       |    list_filter(t.toks, (x, i) -> NOT coalesce(list_contains(r.rpos, i - 1), false)) AS kept
+       |  FROM toks t LEFT JOIN remlist r USING (doc_id))
+       |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+       |  coalesce(array_to_string(kept, ' '), '') AS text_clean
+       |FROM out ORDER BY doc_id""".stripMargin) { (s, d) =>
+    spanCleanFrom(Tables.documents(s, d), S = 1)
   }
 
   /** SimHash near-dup: 64-bit simhash (native Catalyst expression),
@@ -1182,6 +1220,6 @@ object DedupOps {
   }
 
   val ops: Seq[GraftOp] =
-    Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, substrSpans, simhash,
+    Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, substrSpans, substrClean, simhash,
       embed, containment, semantic, report, thresholdSweep, lshAudit)
 }

@@ -23,6 +23,27 @@ class SpanCleanSpec extends AnyFunSuite {
       "a doc made only of later-occurrence spans keeps zero tokens but stays present")
   }
 
+  test("stride 1 (dedup_substring_clean) catches the non-aligned duplicate stride 10 misses") {
+    import spark.implicits._
+    val common = (0 until 20).map(i => s"c$i").mkString(" ")
+    // doc1 repeats the paragraph at offset 7 — NOT a multiple of the
+    // stride-10 grid, so span_clean's screen hashes no matching window
+    // in doc0 (offset 0) vs doc1 (offset 7)... both grids hash windows
+    // at 0 and 10(+), none of which align on the same token run; the
+    // stride-1 surgery must still cut it
+    val doc0 = common + " " + (0 until 15).map(i => s"x$i").mkString(" ")
+    val doc1 = (0 until 7).map(i => s"y$i").mkString(" ") + " " + common
+    val docs = Seq((0L, doc0), (1L, doc1)).toDF("doc_id", "text")
+    val s10 = graft.operators.DedupOps.spanCleanFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = graft.operators.DedupOps.spanCleanFrom(docs, S = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(s10(1L) === 27L, "stride-10 screen cannot see the offset-7 duplicate")
+    assert(s1(0L) === ((35L, doc0)), "first occurrence keeps its full text")
+    assert(s1(1L) === ((7L, (0 until 7).map(i => s"y$i").mkString(" "))),
+      "stride-1 surgery cuts exactly the duplicated paragraph")
+  }
+
   test("overlapping removed windows merge by position (no double-removal, no gaps)") {
     import spark.implicits._
     // doc 0 holds two overlapping first-occurrence windows; doc 1
