@@ -112,8 +112,13 @@ class ApproxRoutingSpec extends AnyFunSuite {
     }
     val exact = withP(None) {
       val df = SparkEntry.queries("q_gap_stats")(spark, sf)
-      assert(df.queryExecution.optimizedPlan.toString.contains("percentile"),
-        "unset: the exact percentile (oracle contract) must plan")
+      // r12: the exact leg is the QuantileExact rank-selection shape
+      // (sort-window row_number + bracketing order statistics), not a
+      // percentile() aggregate — assert ITS signature and that no
+      // sketch planned
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("row_number") && !plan.contains("tdigest_quantiles"),
+        s"unset: the exact rank-selection percentile (oracle contract) must plan:\n$plan")
       assert(graft.operators.ApproxRouting.lastDecision.get("q_gap_stats") === "exact")
       df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     }
