@@ -352,15 +352,18 @@ object AffinityOps {
        |                             ORDER BY o_orderdate, o_orderkey),
        |      o_orderdate) AS gap_days
        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |vc AS (
+       |  SELECT segment, gap_days, count(*) AS c
+       |  FROM g WHERE gap_days IS NOT NULL GROUP BY 1, 2),
        |r AS (
-       |  SELECT segment, gap_days,
-       |    row_number() OVER (PARTITION BY segment ORDER BY gap_days) AS rn,
-       |    count(*) OVER (PARTITION BY segment) AS n
-       |  FROM g WHERE gap_days IS NOT NULL),
+       |  SELECT segment, gap_days, c,
+       |    sum(c) OVER (PARTITION BY segment ORDER BY gap_days) AS cum,
+       |    sum(c) OVER (PARTITION BY segment) AS n
+       |  FROM vc),
        |gg AS (
-       |  SELECT segment, max(n) AS n_gaps,
-       |    ${QuantileExact.sqlAggs(50, "gap_days", "p50")},
-       |    ${QuantileExact.sqlAggs(95, "gap_days", "p95")}
+       |  SELECT segment, CAST(max(n) AS BIGINT) AS n_gaps,
+       |    ${QuantileExact.sqlAggsHist(50, "gap_days", "p50")},
+       |    ${QuantileExact.sqlAggsHist(95, "gap_days", "p95")}
        |  FROM r GROUP BY 1)
        |SELECT segment, n_gaps,
        |  ${QuantileExact.interp("p50_a", "p50_b", "p50_f")} AS p50_days,
@@ -375,13 +378,15 @@ object AffinityOps {
         datediff(to_date(col("o_orderdate")),
           to_date(lag(col("o_orderdate"), 1).over(w))).as("gap_days"))
       .filter(col("gap_days").isNotNull)
-      .withColumn("__rn", row_number().over(
+      .groupBy(col("segment"), col("gap_days"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__cum", sum(col("c")).over(
         Window.partitionBy(col("segment")).orderBy(col("gap_days"))))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      .withColumn("__n", sum(col("c")).over(Window.partitionBy(col("segment"))))
       .groupBy(col("segment"))
       .agg(max(col("__n")).as("n_gaps"),
-        (QuantileExact.sparkAggs(50, "gap_days", "p50") ++
-          QuantileExact.sparkAggs(95, "gap_days", "p95")): _*)
+        (QuantileExact.sparkAggsHist(50, "gap_days", "p50") ++
+          QuantileExact.sparkAggsHist(95, "gap_days", "p95")): _*)
       .select(col("segment"), col("n_gaps"),
         expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50_days"),
         expr(QuantileExact.interp("p95_a", "p95_b", "p95_f")).as("p95_days"))

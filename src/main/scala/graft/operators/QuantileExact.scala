@@ -63,4 +63,35 @@ object QuantileExact {
       expr(bExpr(p, v, rn, n, "div")).as(s"${prefix}_b"),
       expr(fExpr(p, n)).as(s"${prefix}_f"))
   }
+
+  // ---- histogram route: for SMALL-DOMAIN integer columns the rank
+  // window over rows is wasteful — aggregate (group, value) COUNTS
+  // first (the shuffle carries |distinct values| rows, not |rows|),
+  // take a running sum over the ordered values, and bracket by
+  // CUMULATIVE count instead of row rank: a = min value whose cum
+  // covers rank k+1, b = min value covering k+2. Same exact
+  // interpolation emit.
+
+  private def aHist(p: Int, v: String, cum: String, n: String, idiv: String) =
+    s"min(CASE WHEN $cum >= ($p * ($n - 1)) $idiv 100 + 1 THEN $v END)"
+  private def bHist(p: Int, v: String, cum: String, n: String, idiv: String) =
+    s"min(CASE WHEN $cum >= ($p * ($n - 1)) $idiv 100 + 2 THEN $v END)"
+
+  /** DuckDB-side histogram-route aggregates (needs `cum` = running
+    * count over value order and `n` = group total). */
+  def sqlAggsHist(p: Int, v: String, prefix: String,
+      cum: String = "cum", n: String = "n"): String =
+    s"""${aHist(p, v, cum, n, "//")} AS ${prefix}_a,
+       |${bHist(p, v, cum, n, "//")} AS ${prefix}_b,
+       |${fExpr(p, n)} AS ${prefix}_f""".stripMargin
+
+  /** Spark-side histogram-route aggregates. */
+  def sparkAggsHist(p: Int, v: String, prefix: String,
+      cum: String = "__cum", n: String = "__n"): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.expr
+    Seq(
+      expr(aHist(p, v, cum, n, "div")).as(s"${prefix}_a"),
+      expr(bHist(p, v, cum, n, "div")).as(s"${prefix}_b"),
+      expr(fExpr(p, n)).as(s"${prefix}_f"))
+  }
 }
