@@ -35,17 +35,89 @@ import org.apache.spark.sql.SparkSession
   * per-pass GC totals go in the stdout artifact and per-query GC maps
   * in the snapshot, so the distinction needs no rerun.
   *
+  * Load forensics (r13, after r12's 5-key contiguous-alphabetical-block
+  * flag could only be adjudicated by cross-run inference): the artifact
+  * now records (a) each query's wall-clock START OFFSET in both passes
+  * (`start1`/`start2`, seconds from bench epoch) — a contiguous block
+  * of flags whose offsets span one narrow window is a load window, not
+  * five independent plan regressions; (b) a background host-load sample
+  * every 10 s (`load_samples`: [offset, /proc/loadavg 1-min,
+  * MemAvailable MiB]) so that window can be matched against external
+  * pressure; (c) per-PASS flag lists (`prev_flagged_run1/2`,
+  * `baseline_flagged_run1/2`) alongside the gate's min-of-2 lists, so
+  * "slow in both passes" vs "one-pass spike" is decidable from the
+  * JSON; and (d) headline `load_max`/`mem_min_mb` so the truncated
+  * stdout tail still carries the load verdict.
+  *
   * `SPARK_GRAFT_ONLY=prefix[,prefix…]` cold-isolates a query family
   * (the r9 discipline for adjudicating driver flags): only matching
   * keys run, and the snapshot/prev-compare machinery is bypassed so a
   * partial run can never clobber or compare against a full-surface
-  * baseline.
+  * baseline. A partial run self-declares `status:"partial"` and
+  * `"partial":true` — the hard-gate rule (green may be claimed only by
+  * quoting the status field) therefore can never be satisfied by a
+  * subset run.
   */
 object Bench {
+  /** The stdout artifact's required key set (BenchGateSpec pins this
+    * list; main() requires every key present before printing). The
+    * r13 load-forensics keys — start offsets, load samples, headline
+    * load/mem — are part of the contract: a driver flag on a
+    * contiguous query block must be adjudicable from the JSON alone. */
+  private[graft] val ArtifactKeys: Seq[String] = Seq(
+    "queries_run1", "queries_run2", "queries", "start1", "start2",
+    "load_samples", "warmup_sec", "sf", "run1_sec", "run2_sec",
+    "gc_run1_sec", "gc_run2_sec", "load_max", "mem_min_mb",
+    "n_queries", "n_failed", "metric", "value", "unit", "status")
+
   /** Sum of collection time across all JVM collectors, seconds. */
   private def gcSec(): Double =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .stream.mapToLong(b => math.max(b.getCollectionTime, 0L)).sum / 1e3
+
+  /** Background host-load sampler: every `periodMs` records
+    * (seconds-from-epoch, /proc/loadavg 1-min, MemAvailable MiB).
+    * Reads fail soft (-1 fields) on non-Linux boxes. The epoch is
+    * shared with the per-query start offsets so a flagged query's
+    * window can be matched against the host pressure at that moment. */
+  private[graft] final class LoadSampler(epochNanos: Long, periodMs: Long = 10000) {
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Double, Long)]()
+    @volatile private var running = true
+    private def sampleOnce(): Unit = {
+      val t = (System.nanoTime() - epochNanos) / 1e9
+      val load =
+        try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split("\\s+")(0).toDouble
+        catch { case _: Throwable => -1.0 }
+      val memMb =
+        try {
+          val src = scala.io.Source.fromFile("/proc/meminfo")
+          try src.getLines()
+            .collectFirst { case l if l.startsWith("MemAvailable:") =>
+              l.trim.split("\\s+")(1).toLong / 1024 }
+            .getOrElse(-1L)
+          finally src.close()
+        } catch { case _: Throwable => -1L }
+      buf.add((t, load, memMb))
+    }
+    private val thread = new Thread(() => {
+      while (running) {
+        sampleOnce()
+        try Thread.sleep(periodMs) catch { case _: InterruptedException => running = false }
+      }
+    }, "graft-bench-load-sampler")
+    thread.setDaemon(true)
+    thread.start()
+    def stop(): Seq[(Double, Double, Long)] = {
+      running = false
+      thread.interrupt()
+      sampleOnce() // final sample so short runs still carry ≥2 points
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq.sortBy(_._1)
+    }
+  }
+
+  private def r2(x: Double): Double = math.rint(x * 100) / 100
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,6 +129,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val epoch = System.nanoTime()
+    val sampler = new LoadSampler(epoch)
     // JVM/codegen warmup so the first timed query doesn't absorb
     // session bring-up (measures steady-state, not cold-start)
     val w0 = System.nanoTime()
@@ -74,16 +148,18 @@ object Bench {
           val kept = all.filter { case (n, _) => prefixes.exists(n.startsWith) }
           System.err.println(
             s"[bench] SPARK_GRAFT_ONLY=${prefixes.mkString(",")}: ${kept.size}/${all.size} " +
-              "queries (cold-isolation mode; snapshot + prev-compare skipped)")
+              "queries (cold-isolation mode; snapshot + prev-compare skipped; status=partial)")
           kept
         case None => all
       }
     }
-    // per-query GC attribution: (name -> (wall sec or -1, gc sec inside window))
-    def onePass(pass: Int): Seq[(String, Double, Double)] =
+    // per-query attribution: (name, wall sec or -1, gc sec inside window,
+    // start offset sec from bench epoch)
+    def onePass(pass: Int): Seq[(String, Double, Double, Double)] =
       surface.map { case (name, fn) =>
         val g0 = gcSec()
         val t0 = System.nanoTime()
+        val startOff = (t0 - epoch) / 1e9
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
@@ -96,15 +172,20 @@ object Bench {
           System.err.println(
             f"[bench] GC-DOMINATED $name run$pass: ${sec}%.2fs wall, ${gc}%.2fs GC " +
               "(session heap pressure, not plan work)")
-        (name, if (ok) sec else -1.0, gc)
+        (name, if (ok) sec else -1.0, gc, startOff)
       }
     val pass1 = onePass(1)
     CachedPlans.clear(spark) // pass 2 rebuilds shared indexes: same cost model
     val pass2 = onePass(2)
-    val run1 = pass1.map { case (n, s, _) => (n, s) }
-    val run2 = pass2.map { case (n, s, _) => (n, s) }
-    def passStats(p: Seq[(String, Double, Double)]): (Double, Double) =
-      (p.collect { case (_, s, _) if s >= 0 => s }.sum, p.map(_._3).sum)
+    val loadSamples = sampler.stop()
+    val run1 = pass1.map { case (n, s, _, _) => (n, s) }
+    val run2 = pass2.map { case (n, s, _, _) => (n, s) }
+    val start1 = pass1.map { case (n, _, _, o) => (n, r2(o)) }
+    val start2 = pass2.map { case (n, _, _, o) => (n, r2(o)) }
+    val gc1 = pass1.map { case (n, _, g, _) => (n, r2(g)) }
+    val gc2 = pass2.map { case (n, _, g, _) => (n, r2(g)) }
+    def passStats(p: Seq[(String, Double, Double, Double)]): (Double, Double) =
+      (p.collect { case (_, s, _, _) if s >= 0 => s }.sum, p.map(_._3).sum)
     val (run1Sec, gcRun1) = passStats(pass1)
     val (run2Sec, gcRun2) = passStats(pass2)
     System.err.println(
@@ -122,6 +203,25 @@ object Bench {
     val delta = reportDeltas(results.toMap, total)
     val prev =
       if (only.isDefined) Cmp("", 0, -1.0) else reportPrevRound(results.toMap, sfDir)
+    // Per-PASS flag lists (informational — the gate reads only the
+    // min-of-2 lists above): "slow in both passes" vs "one-pass spike"
+    // becomes decidable from the artifact without the snapshot.
+    val perPass =
+      if (only.isDefined) ""
+      else {
+        def lists(label: String, ref: Option[Map[String, Double]],
+            flag: (Map[String, Double], Map[String, Double]) => Seq[String]): String =
+          ref match {
+            case None => ""
+            case Some(m) =>
+              val f1 = flag(run1.toMap, m)
+              val f2 = flag(run2.toMap, m)
+              s""""${label}_flagged_run1":${f1.map(JsonUtil.q).mkString("[", ",", "]")},""" +
+                s""""${label}_flagged_run2":${f2.map(JsonUtil.q).mkString("[", ",", "]")},"""
+          }
+        lists("baseline", loadBaseline(), flagVsBaseline) +
+          lists("prev", loadPrevSnapshot(sfDir), flagVsPrev)
+      }
     // HARD GATE: the artifact self-declares. "green" requires zero
     // failed queries AND empty baseline_flagged AND empty prev_flagged —
     // a scoreboard/narrative may claim green ONLY by quoting this field,
@@ -130,11 +230,17 @@ object Bench {
     // FASTER (both comparison ratios < 1) — still not green (the
     // no-green-banner rule is unchanged), but distinct from
     // "perf_regressed" so one drifting query doesn't label an
-    // otherwise-improved round as a regression.
+    // otherwise-improved round as a regression. "partial" (r13): a
+    // SPARK_GRAFT_ONLY subset run can never self-declare green.
     val failed = results.exists(_._2 < 0)
-    val status = gateStatus(failed, delta, prev)
+    val status =
+      if (only.isDefined) "partial" else gateStatus(failed, delta, prev)
     if (status != "green")
       System.err.println(s"[bench] STATUS $status — do NOT claim green this round")
+    val loadMax = loadSamples.map(_._2).filter(_ >= 0).maxOption.getOrElse(-1.0)
+    val memMin = loadSamples.map(_._3).filter(_ >= 0).minOption.getOrElse(-1L)
+    val loadJson = loadSamples
+      .map { case (t, l, m) => s"[${r2(t)},$l,$m]" }.mkString("[", ",", "]")
     // Headline fields LAST: the driver archives only the final ~2000
     // chars of stdout, and with a 200+-query surface the per-query maps
     // alone exceed that — fields printed before them are truncated away.
@@ -142,35 +248,55 @@ object Bench {
     // status/total/counts readable in the archived tail (the full line
     // is also mirrored into the per-SF snapshot file).
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},""" +
+    val partialJson = if (only.isDefined) s""""partial":true,""" else ""
+    val line = s"""{"queries_run1":${qjson(run1)},"queries_run2":${qjson(run2)},""" +
       s""""queries":${qjson(results)},""" +
-      s""""warmup_sec":$warmupSec,${delta.json}${prev.json}"sf":${JsonUtil.q(sfDir)},""" +
+      s""""start1":${qjson(start1)},"start2":${qjson(start2)},""" +
+      s""""load_samples":$loadJson,""" +
+      s""""warmup_sec":$warmupSec,$perPass${delta.json}${prev.json}"sf":${JsonUtil.q(sfDir)},""" +
       s""""run1_sec":$run1Sec,"run2_sec":$run2Sec,""" +
       s""""gc_run1_sec":$gcRun1,"gc_run2_sec":$gcRun2,""" +
-      s""""n_queries":${results.size},"n_failed":$nFailed,""" +
-      s""""metric":"total","value":$total,"unit":"sec","status":${JsonUtil.q(status)}}""")
+      s""""load_max":$loadMax,"mem_min_mb":$memMin,""" +
+      s""""n_queries":${results.size},"n_failed":$nFailed,$partialJson""" +
+      s""""metric":"total","value":$total,"unit":"sec","status":${JsonUtil.q(status)}}"""
+    // Self-check against the spec-pinned schema: dropping a telemetry
+    // field fails the bench itself, not just a downstream reader.
+    val missing = ArtifactKeys.filterNot(k => line.contains("\"" + k + "\":"))
+    require(missing.isEmpty, s"bench artifact missing keys: ${missing.mkString(",")}")
+    println(line)
     if (only.isEmpty)
-      writeSnapshot(sfDir, results, run1, run2, warmupSec)
+      writeSnapshot(sfDir, results, run1, run2, warmupSec,
+        start1, start2, gc1, gc2, loadJson)
     CachedPlans.clear(spark)
     spark.stop()
   }
 
   /** One baseline/prev comparison's outcome: the JSON fragment for the
-    * stdout artifact, the flagged-query count, and the shared-query
-    * total ratio (-1 when no comparison file exists). */
-  private[graft] case class Cmp(json: String, flagged: Int, ratio: Double)
+    * stdout artifact, the flagged-query count, the shared-query total
+    * ratio (-1 when no comparison file exists), and whether a file was
+    * PRESENT but unparseable (distinct from absent: flags=0 from a
+    * parse failure is missing evidence, not clean evidence). */
+  private[graft] case class Cmp(json: String, flagged: Int, ratio: Double,
+      parseFailed: Boolean = false)
 
   /** The gate's self-declared status. "green" requires zero failures
     * AND zero flagged queries in BOTH comparisons. "flagged" (≤2
-    * flagged queries while every available comparison ratio improved)
-    * is still not green — it exists so one drifting query doesn't
-    * label an otherwise-faster round "perf_regressed". Everything
-    * else with a flag IS perf_regressed. */
+    * flagged queries while every PRESENT comparison's ratio improved —
+    * a missing file contributes no evidence, and at least one
+    * comparison must be present) is still not green — it exists so one
+    * drifting query doesn't label an otherwise-faster round
+    * "perf_regressed". A comparison file that existed but failed to
+    * parse forces "cmp_parse_failed": its flag count is missing, not
+    * zero, so neither green nor flagged may be claimed over it. */
   private[graft] def gateStatus(failed: Boolean, baseline: Cmp, prev: Cmp): String = {
     val nFlagged = baseline.flagged + prev.flagged
-    val improvedOverall = baseline.ratio < 1.0 &&
-      (prev.ratio < 1.0 || prev.json.isEmpty) // no prev snapshot: baseline decides
+    val basePresent = baseline.json.nonEmpty
+    val prevPresent = prev.json.nonEmpty
+    val improvedOverall = (basePresent || prevPresent) &&
+      (!basePresent || baseline.ratio < 1.0) &&
+      (!prevPresent || prev.ratio < 1.0)
     if (failed) "failed_queries"
+    else if (baseline.parseFailed || prev.parseFailed) "cmp_parse_failed"
     else if (nFlagged == 0) "green"
     else if (nFlagged <= 2 && improvedOverall) "flagged"
     else "perf_regressed"
@@ -186,7 +312,9 @@ object Bench {
       s"bench_prev_${new java.io.File(sfDir).getName}.json")
 
   private def writeSnapshot(sfDir: String, results: Seq[(String, Double)],
-      run1: Seq[(String, Double)], run2: Seq[(String, Double)], warmupSec: Double): Unit =
+      run1: Seq[(String, Double)], run2: Seq[(String, Double)], warmupSec: Double,
+      start1: Seq[(String, Double)], start2: Seq[(String, Double)],
+      gc1: Seq[(String, Double)], gc2: Seq[(String, Double)], loadJson: String): Unit =
     try {
       // Provenance (r11): every run ARCHIVES the snapshot it is about
       // to overwrite into bench_hist/, stamped with the old file's own
@@ -219,12 +347,76 @@ object Bench {
         rs.map { case (k, v) => s"${JsonUtil.q(k)}:$v" }.mkString("{", ",", "}")
       val json = s"""{"sf":${JsonUtil.q(sfDir)},"warmup_sec":$warmupSec,""" +
         s""""queries":${qjson(results)},"queries_run1":${qjson(run1)},""" +
-        s""""queries_run2":${qjson(run2)}}""" + "\n"
+        s""""queries_run2":${qjson(run2)},""" +
+        s""""start1":${qjson(start1)},"start2":${qjson(start2)},""" +
+        s""""gc1":${qjson(gc1)},"gc2":${qjson(gc2)},""" +
+        s""""load_samples":$loadJson}""" + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get(snapshotPath(sfDir)),
         json.getBytes("UTF-8"))
     } catch {
       case e: Throwable => System.err.println(s"[bench] snapshot write failed: ${e.getMessage}")
     }
+
+  /** Parses the per-query `"queries":{…}` map out of a snapshot or
+    * baseline file (no JSON lib on the classpath). Returns None when
+    * the file is absent; throws on a present-but-unparseable file so
+    * callers can distinguish the two. */
+  private def parseQueryMap(text: String): Map[String, Double] = {
+    val qsec = """"([^"]+)":\s*([0-9.eE+-]+)""".r
+    val inQueries = text.substring(text.indexOf("\"queries\""))
+    val stop = inQueries.indexOf("\"queries_run1\"")
+    qsec.findAllMatchIn(if (stop > 0) inQueries.substring(0, stop) else inQueries)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+  }
+
+  /** Previous-round per-query map, None when absent or for another SF.
+    * Parse failures fail soft to None here (the gate-bearing path in
+    * reportPrevRound handles them loudly). */
+  private def loadPrevSnapshot(sfDir: String): Option[Map[String, Double]] =
+    try {
+      val f = new java.io.File(snapshotPath(sfDir))
+      if (!f.exists()) None
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val sfRe = """"sf":\s*"([^"]*)"""".r
+        if (!sfRe.findFirstMatchIn(text).map(_.group(1)).contains(sfDir)) None
+        else Some(parseQueryMap(text))
+      }
+    } catch { case _: Throwable => None }
+
+  private def loadBaseline(): Option[Map[String, Double]] =
+    try {
+      val f = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_baseline.json"))
+      if (!f.exists()) None
+      else Some(parseQueryMap(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+    } catch { case _: Throwable => None }
+
+  /** The prev-round flag rule over an arbitrary results map (shared by
+    * the gate-bearing min-of-2 compare and the per-pass lists): flagged
+    * when min exceeds 1.5× previous AFTER normalizing out run-wide
+    * drift, with a 0.5 s absolute floor. */
+  private def flagVsPrev(results: Map[String, Double], prev: Map[String, Double]): Seq[String] = {
+    val shared = (results.keySet intersect prev.keySet)
+      .filter(n => results(n) >= 0 && prev(n) >= 0)
+    val sharedPrev = shared.toSeq.map(prev).sum
+    val ratio = if (sharedPrev > 0) shared.toSeq.map(results).sum / sharedPrev else -1.0
+    val norm = math.max(ratio, 1.0)
+    results.toSeq.collect {
+      case (name, sec) if sec >= 0 &&
+          prev.get(name).exists(p => p > 0.3 && sec > p * 1.5 * norm && sec - p * norm > 0.5) =>
+        (name, sec / prev(name))
+    }.sortBy(-_._2).map(_._1)
+  }
+
+  /** The baseline flag rule over an arbitrary results map: >1.3× the
+    * round-1 time for queries with a ≥0.3 s baseline. */
+  private def flagVsBaseline(results: Map[String, Double], baseline: Map[String, Double]): Seq[String] =
+    results.toSeq.collect {
+      case (name, sec) if sec >= 0 &&
+          baseline.get(name).exists(b => b > 0.3 && sec > b * 1.3) =>
+        (name, sec / baseline(name))
+    }.sortBy(-_._2).map(_._1)
 
   /** Round-over-round regression guard (vs the last run's snapshot at
     * the SAME scale factor): a query is flagged when its min exceeds
@@ -245,12 +437,7 @@ object Bench {
       val sfRe = """"sf":\s*"([^"]*)"""".r
       val snapSf = sfRe.findFirstMatchIn(text).map(_.group(1))
       if (!snapSf.contains(sfDir)) return Cmp("", 0, -1.0) // snapshot from another SF: not comparable
-      val qsec = """"([^"]+)":\s*([0-9.eE+-]+)""".r
-      val inQueries = text.substring(text.indexOf("\"queries\""))
-      val stop = inQueries.indexOf("\"queries_run1\"")
-      val prev = qsec.findAllMatchIn(
-          if (stop > 0) inQueries.substring(0, stop) else inQueries)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
+      val prev = parseQueryMap(text)
       val shared = (results.keySet intersect prev.keySet)
         .filter(n => results(n) >= 0 && prev(n) >= 0)
       val sharedNow = shared.toSeq.map(results).sum
@@ -262,27 +449,22 @@ object Bench {
       // is not a regression just because its neighbors sped up — so
       // the flag threshold never normalizes below 1.0.
       val norm = math.max(ratio, 1.0)
-      val flagged = results.toSeq.collect {
-        case (name, sec) if sec >= 0 &&
-            prev.get(name).exists(p =>
-              p > 0.3 && sec > p * 1.5 * norm && sec - p * norm > 0.5) =>
-          (name, sec, prev(name))
-      }.sortBy { case (_, sec, p) => -(sec / p) }
+      val flagged = flagVsPrev(results, prev)
       System.err.println(
         f"[bench] prev-round shared ${shared.size} queries: ${sharedNow}%.1fs vs " +
           f"${sharedPrev}%.1fs (${ratio}%.2fx)")
-      flagged.foreach { case (name, sec, p) =>
+      flagged.foreach { name =>
         System.err.println(
-          f"[bench] PREV-ROUND REGRESSION $name: ${sec}%.2fs vs ${p}%.2fs (${sec / p}%.2fx raw, " +
-            f"norm ${norm}%.2fx)")
+          f"[bench] PREV-ROUND REGRESSION $name: ${results(name)}%.2fs vs ${prev(name)}%.2fs " +
+            f"(${results(name) / prev(name)}%.2fx raw, norm ${norm}%.2fx)")
       }
       if (flagged.isEmpty) System.err.println("[bench] no prev-round regressions > 1.5x normalized")
-      val flaggedJson = flagged.map { case (n, _, _) => JsonUtil.q(n) }.mkString("[", ",", "]")
+      val flaggedJson = flagged.map(JsonUtil.q).mkString("[", ",", "]")
       Cmp(s""""prev_round_ratio":$ratio,"prev_flagged":$flaggedJson,""", flagged.size, ratio)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] prev-round compare failed: ${e.getMessage}")
-        Cmp("", 0, -1.0)
+        Cmp("", 0, -1.0, parseFailed = true)
     }
   }
 
@@ -296,15 +478,8 @@ object Bench {
     if (!f.exists()) return Cmp("", 0, -1.0)
     try {
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      // minimal parse of {"queries":{"name":sec,...}} — no JSON lib on the classpath
-      val qsec = """"([^"]+)":\s*([0-9.eE+-]+)""".r
-      val inQueries = text.substring(text.indexOf("\"queries\""))
-      val baseline = qsec.findAllMatchIn(inQueries)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "queries"
-      val flagged = results.toSeq.collect {
-        case (name, sec) if sec >= 0 && baseline.get(name).exists(b => b > 0.3 && sec > b * 1.3) =>
-          (name, sec, baseline(name))
-      }.sortBy { case (_, sec, b) => -(sec / b) }
+      val baseline = parseQueryMap(text)
+      val flagged = flagVsBaseline(results, baseline)
       val baseTotal = baseline.values.filter(_ >= 0).sum
       // shared-query ratio: totals aren't comparable once new queries
       // are added, so compare only the intersection
@@ -319,16 +494,24 @@ object Bench {
       System.err.println(
         f"[bench] total ${total}%.1fs (baseline-total ${baseTotal}%.1fs); " +
           f"shared ${sharedNames.size} queries: ${sharedNow}%.1fs vs ${sharedBase}%.1fs (${ratio}%.2fx)")
-      flagged.foreach { case (name, sec, b) =>
-        System.err.println(f"[bench] REGRESSION $name: ${sec}%.2fs vs baseline ${b}%.2fs (${sec / b}%.2fx)")
+      flagged.foreach { name =>
+        System.err.println(
+          f"[bench] REGRESSION $name: ${results(name)}%.2fs vs baseline ${baseline(name)}%.2fs " +
+            f"(${results(name) / baseline(name)}%.2fx)")
       }
       if (flagged.isEmpty) System.err.println("[bench] no per-query regressions > 1.3x")
-      val flaggedJson = flagged.map { case (n, _, _) => JsonUtil.q(n) }.mkString("[", ",", "]")
+      val flaggedJson = flagged.map(JsonUtil.q).mkString("[", ",", "]")
       Cmp(s""""baseline_shared_ratio":$ratio,"baseline_flagged":$flaggedJson,""", flagged.size, ratio)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] baseline compare failed: ${e.getMessage}")
-        Cmp("", 0, -1.0)
+        Cmp("", 0, -1.0, parseFailed = true)
     }
   }
+
+  /** Test seam: the per-pass flag rules are the gate rules. */
+  private[graft] def flagVsPrevForTest(results: Map[String, Double],
+      prev: Map[String, Double]): Seq[String] = flagVsPrev(results, prev)
+  private[graft] def flagVsBaselineForTest(results: Map[String, Double],
+      baseline: Map[String, Double]): Seq[String] = flagVsBaseline(results, baseline)
 }

@@ -446,11 +446,14 @@ object CurationOps {
     def row(section: String, key: Column, value: Column): Column =
       struct(lit(section).as("section"), key.as("key"), value.cast(DoubleType).as("value"))
     val w = org.apache.spark.sql.expressions.Window
-    val pqAggs = QuantileExact.sparkAggs(50, "n_chars", "p50") ++
-      QuantileExact.sparkAggs(95, "n_chars", "p95")
-    val pq = docs.select(col("n_chars"))
-      .withColumn("__rn", row_number().over(w.orderBy(col("n_chars"))))
-      .withColumn("__n", count(lit(1)).over(w.partitionBy()))
+    // histogram route (r13): document lengths live on a small integer
+    // domain, so rank distinct n_chars values by cumulative count —
+    // the ordering window carries |distinct lengths| rows, not |docs|
+    val pqAggs = QuantileExact.sparkAggsHist(50, "n_chars", "p50") ++
+      QuantileExact.sparkAggsHist(95, "n_chars", "p95")
+    val pq = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w.orderBy(col("n_chars"))))
+      .withColumn("__n", sum(col("__c")).over(w.partitionBy()))
       .agg(pqAggs.head, pqAggs.tail: _*)
       .select(
         expr(QuantileExact.interp("p50_a", "p50_b", "p50_f")).as("p50_chars"),

@@ -182,12 +182,49 @@ object IndexStore {
     val trash = dir.resolveSibling(
       s"${dir.getFileName}.trash-${java.util.UUID.randomUUID().toString.take(8)}")
     try java.nio.file.Files.move(dir, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.io.IOException => () } // already gone / moved by another writer
+    catch {
+      case e: java.io.IOException =>
+        // "already gone" (another writer swept it first) is the normal
+        // race and leaves nothing behind; any OTHER failure (ATOMIC_MOVE
+        // unsupported on this filesystem, permissions) leaves the stale
+        // dir blocking the retry — say so instead of failing silently.
+        if (java.nio.file.Files.exists(dir))
+          System.err.println(s"[graft] IndexStore trash-rename of stale $dir failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); publish retry will lose")
+    }
     if (!move() && !isComplete(s, d))
       System.err.println(s"[graft] IndexStore publish lost twice under $dir; " +
         "store stays absent this session (indexes remain session-local)")
-    deleteRecursively(trash)
+    // Reader protection (r13): the trash dir this publish just created
+    // is NOT deleted here — a reader that LISTED the stale store's
+    // files but hasn't opened them yet would fail on an immediate
+    // delete (only already-open handles survive an unlink). Instead
+    // each publish sweeps the trash dirs of PREVIOUS publishes, giving
+    // in-flight readers a full publish cycle to finish and bounding
+    // debris at one store copy per target.
+    sweepOldTrash(dir, keep = trash)
   }
+
+  /** Delete `.trash-*` siblings of `dir` except the one just created.
+    * Best-effort: a sweep failure leaves debris, never breaks a
+    * publish. */
+  private def sweepOldTrash(dir: java.nio.file.Path, keep: java.nio.file.Path): Unit =
+    try {
+      val parent = dir.getParent
+      val prefix = s"${dir.getFileName}.trash-"
+      if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+        val st = java.nio.file.Files.list(parent)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith(prefix) && p != keep)
+            .foreach(deleteRecursively)
+        } finally st.close()
+      }
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[graft] IndexStore trash sweep under $dir failed: ${e.getMessage}")
+    }
 
   /** Swap every saved artifact into this session's plan registry —
     * consumers serve from disk with zero rebuilds. Caller must have

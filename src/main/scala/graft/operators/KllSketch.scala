@@ -77,6 +77,7 @@ object KllKernel {
     * first retained item whose cumulative weight covers φ·n (exact
     * integer comparison, no doubles). */
   def answerRanks(n: Long, k: Int, phis: Seq[(Int, Int)]): Seq[((Int, Int), Long)] = {
+    if (n <= 0) return Seq.empty // empty corpus: no answer rows (matches the oracle's shape)
     val st = canonicalState(n, k)
     val cum = st.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail.zip(st)
     phis.map { case (num, den) =>
@@ -152,8 +153,11 @@ final class KllStream(val k: Int) {
       .sortBy(x => (x._1, x._2)).toSeq
 
   /** Quantile estimate: first retained value whose cumulative weight
-    * covers φ = num/den of the count. */
+    * covers φ = num/den of the count. An empty sketch has no
+    * quantiles — callers must check `count` first (the query op's
+    * closed-form leg returns zero answer rows for an empty corpus). */
   def query(num: Int, den: Int): Long = {
+    require(count > 0, "empty sketch has no quantiles")
     val st = state
     var cw = 0L
     st.find { case (_, w) => cw += w; cw * den >= num.toLong * count }

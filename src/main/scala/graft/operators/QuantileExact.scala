@@ -94,4 +94,39 @@ object QuantileExact {
       expr(bHist(p, v, cum, n, "div")).as(s"${prefix}_b"),
       expr(fExpr(p, n)).as(s"${prefix}_f"))
   }
+
+  /** General-domain (double-valued) ungrouped ranking WITHOUT a
+    * single-task global sort — the q_kll / q_equidepth discipline for
+    * when the histogram route doesn't apply because the value domain
+    * is not small: range-partition on the value (equal values land in
+    * one partition, so ties never straddle a boundary), rank within
+    * each partition with a partition-local sort window, and add the
+    * collected per-partition row offsets (a driver collect bounded by
+    * the shuffle-partition count, not the data). The ranged frame is
+    * pinned in [[graft.CachedPlans]] so the offsets job and the rank
+    * job see the SAME partitioning under AQE — and the (possibly
+    * expensive) input plan computes once, not once per job.
+    *
+    * Returns the input columns plus `__rn` (1-based global rank by
+    * `v`) and `__n` (total rows) — the contract [[sparkAggs]] expects. */
+  def rankedUngrouped(s: org.apache.spark.sql.SparkSession, cacheKey: String,
+      df: org.apache.spark.sql.DataFrame, v: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.CachedPlans.cached(s, cacheKey)(
+      df.repartitionByRange(parts, col(v)).withColumn("__pid", spark_partition_id()))
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(v))
+    ranged
+      .withColumn("__rn", element_at(typedLit(offsets), col("__pid")) +
+        row_number().over(w))
+      .withColumn("__n", lit(n))
+      .drop("__pid")
+  }
 }

@@ -272,15 +272,22 @@ object StatsOps {
         .mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
     }) { (s, d) =>
     def branch(df: org.apache.spark.sql.DataFrame, table: String, key: String) = {
-      val aggs = Seq(max(col("__n")).as("n_keys"), sum(col("c")).as("n_rows"),
-        expr("max(c) * 1000000 div sum(c)").as("top1_ppm"),
+      // histogram route (r13): per-key counts concentrate on a small
+      // value domain, so rank DISTINCT count values by cumulative
+      // frequency instead of row_number over every key through one
+      // unpartitioned window — the shuffle and the ordering window
+      // carry |distinct counts| rows, not |keys|
+      val aggs = Seq(max(col("__n")).as("n_keys"),
+        sum(col("c") * col("cnt")).as("n_rows"),
+        expr("max(c) * 1000000 div sum(c * cnt)").as("top1_ppm"),
         max(col("c")).as("max_cnt")) ++
-        QuantileExact.sparkAggs(50, "c", "p50") ++
-        QuantileExact.sparkAggs(99, "c", "p99")
+        QuantileExact.sparkAggsHist(50, "c", "p50") ++
+        QuantileExact.sparkAggsHist(99, "c", "p99")
       df.groupBy(col(key)).agg(count(lit(1)).as("c"))
-        .withColumn("__rn", row_number().over(
+        .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("__cum", sum(col("cnt")).over(
           org.apache.spark.sql.expressions.Window.orderBy(col("c"))))
-        .withColumn("__n", count(lit(1)).over(
+        .withColumn("__n", sum(col("cnt")).over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
         .agg(aggs.head, aggs.tail: _*)
         .select(lit(s"$table.$key").as("key_name"), col("n_keys"), col("n_rows"),
@@ -958,12 +965,12 @@ object StatsOps {
     val b = daily.select(col("i").as("ib"), col("y").as("yb"))
     val aggs = Seq(max(col("__n")).as("n_pairs")) ++
       QuantileExact.sparkAggs(50, "slope", "p50")
-    a.join(b, col("ia") < col("ib"))
+    // slope domain is double-valued (no histogram route); rank the
+    // pair frame with the range-partitioned offset discipline instead
+    // of an unpartitioned global window (single-task sort)
+    val slopes = a.join(b, col("ia") < col("ib"))
       .select(((col("yb") - col("ya")).cast(DoubleType) / (col("ib") - col("ia"))).as("slope"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("slope"))))
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    QuantileExact.rankedUngrouped(s, s"theilsen.slopes:$d", slopes, "slope")
       .crossJoin(nDays)
       .groupBy(col("n_days"))
       .agg(aggs.head, aggs.tail: _*)

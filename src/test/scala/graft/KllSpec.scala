@@ -90,4 +90,12 @@ class KllSpec extends AnyFunSuite {
     val err = maxRankErr(merged, data, Seq(1, 25, 50, 75, 99))
     assert(err <= e, s"merged rank error $err exceeds envelope $e")
   }
+
+  test("empty corpus: closed form yields no answer rows, kernel refuses a quantile") {
+    assert(KllKernel.answerRanks(0L, 256, Seq(50 -> 100)).isEmpty)
+    assert(KllKernel.canonicalState(0L, 256).isEmpty)
+    assert(KllKernel.errBound(0L, 256) === 0L)
+    val sk = new KllStream(64)
+    assertThrows[IllegalArgumentException](sk.query(50, 100))
+  }
 }
