@@ -333,4 +333,66 @@ object HashImpls {
     while (!d.finished()) total += d.deflate(buf)
     total
   }
+
+  private val md5s = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit per-token hash: first 8 md5 digest bytes, big-endian.
+    * Cryptographic per-token collision resistance is what lets the
+    * rolling window combine below stand in for md5-of-the-window-text
+    * (the 31-multiplier [[rollingHash]] has REAL short-string
+    * collisions — "Aa"/"BB" — that would manufacture false duplicate
+    * windows the DuckDB oracle's span-text md5 doesn't have). */
+  def md5Hash64(s: UTF8String): Long = {
+    val md = md5s.get()
+    md.reset()
+    val dig = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    h
+  }
+
+  private val WinB = 1099511628211L // FNV-64 prime: odd, wraps mod 2^64
+
+  /** Rabin-Karp window hashes over a token array: out(i) = hash of
+    * tokens [i, i+w) for every start i in [0, n−w]. Each token is
+    * md5-hashed ONCE (O(corpus bytes) total) and each subsequent
+    * window hash is one O(1) rolling update
+    * H(i+1) = (H(i) − th(i)·B^(w−1))·B + th(i+w) in wrapping Long
+    * arithmetic — vs the O(w)-per-position md5-of-joined-span-text
+    * formulation this replaces in the stride-1 ExactSubstr ops. Two
+    * windows hash equal iff their token sequences are equal (mod the
+    * ~2⁻⁶⁴ RK collision mass — the same risk class as the 60-bit
+    * span-text md5 it replaces), so the duplicate-span equivalence
+    * classes match the oracle's md5-over-span-text classes and the
+    * oracle keeps its portable spelling. */
+  def windowHashes(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n - w + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else md5Hash64(tokens.getUTF8String(i))
+      i += 1
+    }
+    var bw = 1L // B^(w-1), wrapping
+    i = 0
+    while (i < w - 1) { bw *= WinB; i += 1 }
+    val out = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * WinB + th(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - th(i - 1) * bw) * WinB + th(i + w - 1)
+      out(i) = h
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }

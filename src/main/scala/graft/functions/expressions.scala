@@ -189,6 +189,27 @@ case class WinnowStats(child: Expression, k: Int, w: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** TokenWindowHashes(array<string>, w) — Rabin-Karp window hashes:
+  * out(i) = 64-bit hash of tokens [i, i+w) for every start position,
+  * one md5 per TOKEN plus an O(1) rolling update per position (vs
+  * md5 over the joined w-token span text per position — O(w·tokens)
+  * hashing). The ExactSubstr kernel; codegen'd so the window scan
+  * stays inside the whole-stage span. */
+case class TokenWindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.windowHashes(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.windowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+}
+
 /** SimHash64(array<string>) — native Catalyst expression: 64-bit
   * SimHash over a token array (per-token splitmix64, per-bit voting).
   */

@@ -16,6 +16,12 @@ package object functions {
   def winnow_stats(text: Column, k: Int, w: Int): Column =
     ColumnShim.column(WinnowStats(ColumnShim.expression(text), k, w))
 
+  /** Rabin-Karp window hashes over a token array: element i is the
+    * 64-bit hash of tokens [i, i+w) — md5 per token once, O(1) rolling
+    * per position (the ExactSubstr kernel). */
+  def token_window_hashes(toks: Column, w: Int): Column =
+    ColumnShim.column(TokenWindowHashes(ColumnShim.expression(toks), w))
+
   /** splitmix64 finalizer over a BIGINT column (HashImpls.mix64) —
     * the deterministic shuffle key; DuckDB twin: Exprs.sqlMix64Ctes. */
   def mix64(c: Column): Column =

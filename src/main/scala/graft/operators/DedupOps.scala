@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.GraftOp
-import graft.functions.{simhash64, Exprs}
+import graft.functions.{simhash64, token_window_hashes, Exprs}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -587,6 +587,9 @@ object DedupOps {
        |ORDER BY span_hash""".stripMargin) { (s, d) =>
     val W = 20
     val S = 10
+    // md5-over-span-text stays here: unlike the stride-1 ExactSubstr
+    // ops, dedup_spans EMITS span_hash, so the portable md5 is part of
+    // its output contract
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .withColumn("n_win",
@@ -622,15 +625,17 @@ object DedupOps {
   private[graft] def spanCleanFrom(docsText: DataFrame, S: Int = 10): DataFrame = {
     val W = 20
     val docs = docsText.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    // Rabin-Karp kernel (r13): one md5 per TOKEN + an O(1) rolling
+    // update per position instead of md5 over the joined W-token span
+    // text per window — span_hash is internal here (only positions
+    // survive to the output), so the oracle keeps its portable
+    // md5-over-span-text spelling and the duplicate-window equivalence
+    // classes still match (see HashImpls.windowHashes).
     val wins = docs
-      .withColumn("n_win",
-        greatest(lit(0L), floor((size(col("toks")) - W) / S.toDouble) + 1).cast(IntegerType))
-      .filter(col("n_win") > 0)
-      .select(col("doc_id"), col("toks"), posexplode(sequence(lit(0), col("n_win") - 1)))
-      .toDF("doc_id", "toks", "w_idx", "n")
-      .select(col("doc_id"), (col("n") * S).cast(LongType).as("start"),
-        Exprs.md5Long(array_join(slice(col("toks"), col("n") * S + 1, lit(W)), " "))
-          .as("span_hash"))
+      .select(col("doc_id"), posexplode(token_window_hashes(col("toks"), W)))
+      .toDF("doc_id", "pos", "span_hash")
+      .filter(col("pos") % S === 0)
+      .select(col("doc_id"), col("pos").cast(LongType).as("start"), col("span_hash"))
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("span_hash")).orderBy(col("doc_id"), col("start"))
     val overHash = org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))
@@ -699,11 +704,13 @@ object DedupOps {
     * Scale shape: stride-1 costs one window row per corpus token
     * (the same O(total tokens) a suffix array pays), one shuffle on
     * the span hash for the occurrence count, one on doc_id for the
-    * island merge — never pairwise. The W-token re-hash per window is
-    * O(W) where a Rabin-Karp rolling hash would be O(1); the md5 form
-    * is kept because it is the engine's portable cross-engine hash
-    * (the rolling-hash kernel exists in text_winnowing for the
-    * fingerprint-scale path). */
+    * island merge — never pairwise. Hashing is O(1) per position
+    * (r13): the TokenWindowHashes Rabin-Karp kernel md5-hashes each
+    * TOKEN once and rolls the 64-bit window polynomial, replacing the
+    * O(W) md5-of-joined-span-text per window; the hash is internal
+    * (only span positions are emitted), so the DuckDB oracle keeps
+    * the portable md5-over-span-text spelling — the duplicate-window
+    * equivalence classes are identical either way. */
   val substrSpans: GraftOp = GraftOp(
     "dedup_substring",
     s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
@@ -726,15 +733,15 @@ object DedupOps {
        |FROM isl GROUP BY doc_id, g
        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
     val W = 20
+    // Rabin-Karp kernel (r13): O(1) hashing per position (one md5 per
+    // token) — the constant-factor fix the r12 code note promised for
+    // running ExactSubstr routinely at corpus scale; span_hash is
+    // internal, the oracle keeps md5-over-span-text (same classes)
     val wins = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= W)
-      .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(0), size(col("toks")) - W)))
-      .toDF("doc_id", "toks", "w_idx", "st")
-      .select(col("doc_id"), col("st").cast(LongType).as("start"),
-        Exprs.md5Long(array_join(slice(col("toks"), col("st") + 1, lit(W)), " "))
-          .as("span_hash"))
+      .select(col("doc_id"), posexplode(token_window_hashes(col("toks"), W)))
+      .toDF("doc_id", "st", "span_hash")
+      .select(col("doc_id"), col("st").cast(LongType).as("start"), col("span_hash"))
     val overHash = org.apache.spark.sql.expressions.Window.partitionBy(col("span_hash"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("start"))
