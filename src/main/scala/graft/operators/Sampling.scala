@@ -663,7 +663,103 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023 "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by a hashed-bigram likelihood ratio between a TARGET
+    * distribution (here the English slice of the corpus) and the RAW
+    * corpus, then resample proportionally to the weight. The graft
+    * determinism discipline replaces both stochastic pieces:
+    *
+    *  - The two bag-of-hashed-bigrams LMs (B = 4096 buckets, portable
+    *    md5 bucket ids, Laplace +1 smoothing) stay exactly the paper's,
+    *    but the per-BUCKET importance ratio is an EXACT ppm integer
+    *    `(c_t+1)·(N_r+B)·10⁶ div ((c_r+1)·(N_t+B))` (DECIMAL(38)/
+    *    HUGEINT fold), and the per-doc weight aggregates bucket ratios
+    *    by exact-integer MEAN rather than by log-sum — no
+    *    transcendentals, no cross-row double folds, the same
+    *    mean-not-product contract text_lm_score established.
+    *  - The Gumbel-top-k resample becomes priority sampling (Duffield
+    *    et al.): pri = weight/u with u the exact per-doc uniform from
+    *    the salted portable hash — one IEEE division over identical
+    *    operands per engine, the sample_weighted contract.
+    *
+    * Scale shape: the bigram stream is one lead() window over the
+    * shared token frame; both LMs are 4096-row aggregates of it
+    * (broadcast back); the per-doc score is one shuffle on doc_id; the
+    * top-k is TakeOrdered (per-partition heap + driver merge of k),
+    * never a global sort. Docs with <2 tokens have no bigram evidence
+    * and are unscoreable — excluded identically in both engines. */
+  val dsir: GraftOp = GraftOp(
+    "sample_dsir",
+    s"""WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |bgl AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+       |  FROM t WHERE len(toks) >= 2),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    ${graft.functions.Exprs.sqlMd5Long("concat(p[1], ' ', p[2])")} % 4096 AS b
+       |  FROM bgl),
+       |lmr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY b),
+       |lmt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nr,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM bg WHERE lang = 'en') AS nt),
+       |ratio AS (
+       |  SELECT r.b,
+       |    CAST(CAST(coalesce(t.ct, 0) + 1 AS HUGEINT) * (nr + 4096) * 1000000
+       |      // (CAST(r.cr + 1 AS HUGEINT) * (nt + 4096)) AS BIGINT) AS ratio_ppm
+       |  FROM lmr r LEFT JOIN lmt t USING (b) CROSS JOIN tot),
+       |ds AS (
+       |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(ratio_ppm) AS BIGINT) AS sum_ppm
+       |  FROM bg JOIN ratio USING (b) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, lang, n_bigrams,
+       |    CAST(sum_ppm // n_bigrams AS BIGINT) AS weight_ppm,
+       |    CAST(sum_ppm // n_bigrams AS DOUBLE)
+       |      / ((${graft.functions.Exprs.sqlMd5Long("concat('dsir#', CAST(doc_id AS VARCHAR))")} + 1)
+       |         / 1152921504606846976.0) AS pri
+       |  FROM ds),
+       |k AS (SELECT doc_id, lang, n_bigrams, weight_ppm FROM sc
+       |      ORDER BY pri DESC, doc_id LIMIT 200)
+       |SELECT doc_id, lang, n_bigrams, weight_ppm FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bgRaw = TextOps.tokenized(s, d)
+      .withColumn("w2", lead(col("tok"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        (graft.functions.Exprs.md5Long(concat(col("tok"), lit(" "), col("w2"))) % 4096).as("b"))
+    // lang rides a doc_id join (the window above already partitioned
+    // the stream on doc_id, so this reuses that exchange)
+    val bg = bgRaw.join(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    val lmr = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val lmt = bg.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tot = broadcast(bg.agg(count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")))
+    val ratio = lmr.join(lmt, Seq("b"), "left").crossJoin(tot)
+      .select(col("b"),
+        expr("""CAST(CAST(coalesce(ct, 0) + 1 AS DECIMAL(38,0)) * (nr + 4096) * 1000000
+          |  div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + 4096)) AS BIGINT)""".stripMargin)
+          .as("ratio_ppm"))
+    val ds = bg.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ratio_ppm")).as("sum_ppm"))
+    val u = (graft.functions.Exprs.md5Long(
+      concat(lit("dsir#"), col("doc_id").cast(org.apache.spark.sql.types.StringType))) + 1) /
+      lit(1152921504606846976.0)
+    ds.select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr("CAST(sum_ppm div n_bigrams AS BIGINT)").as("weight_ppm"))
+      .withColumn("pri", col("weight_ppm").cast(org.apache.spark.sql.types.DoubleType) / u)
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(200)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced, shard, epochShuffle, tokenBudget, importance, neyman, kcenter, doremi)
+      balanced, shard, epochShuffle, tokenBudget, importance, neyman, kcenter, doremi, dsir)
 }

@@ -64,4 +64,52 @@ class R13OpsSpec extends AnyFunSuite {
     assert(HashImpls.windowHashes(arr((1 to 20).map(_.toString): _*), 20)
       .numElements() === 1)
   }
+
+  test("sample_dsir: per-doc weight equals the hand-computed hashed-bigram ratio mean") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // target (en) talks about "the quick fox"; raw adds a de doc with
+    // unrelated text and a de doc REUSING the target's phrasing — DSIR
+    // must weight the target-like de doc above the unrelated one
+    val texts = Seq(
+      (0L, "the quick fox jumps over the quick fox", "en"),
+      (1L, "the quick fox runs past the quick fox", "en"),
+      (2L, "ein ganz anderes thema ohne bezug dazu", "de"),
+      (3L, "the quick fox jumps over the quick fox", "de"))
+    val dir = java.nio.file.Files.createTempDirectory("dsir-spec").toString
+    texts.map { case (id, t, l) => (id, t, l, "srcX", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // driver-side reference of the op's exact integer math
+    val B = 4096
+    def bigrams(t: String): Seq[Long] = {
+      val toks = t.split("\\s+").toSeq
+      toks.zip(toks.tail).map { case (a, b) =>
+        graft.functions.Exprs.md5Long15(s"$a $b") % B
+      }
+    }
+    val all = texts.flatMap { case (id, t, l) => bigrams(t).map(b => (id, l, b)) }
+    val cr = all.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nr = all.size.toLong
+    val nt = all.count(_._2 == "en").toLong
+    def ratioPpm(b: Long): Long =
+      ((BigInt(ct.getOrElse(b, 0L) + 1) * (nr + B) * 1000000) /
+        (BigInt(cr(b) + 1) * (nt + B))).toLong
+    val expected = texts.map { case (id, t, _) =>
+      val bs = bigrams(t)
+      id -> bs.map(ratioPpm).sum / bs.size
+    }.toMap
+
+    val out = graft.operators.Sampling.dsir.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L), "4 docs, all selected at k=200")
+    expected.foreach { case (id, w) =>
+      assert(out(id) === w, s"doc $id weight mismatch")
+    }
+    // the DSIR point: target-like raw text outranks unrelated raw text
+    // regardless of its own language label
+    assert(out(3L) > out(2L))
+  }
 }
