@@ -285,6 +285,72 @@ object TextOps2 {
       .orderBy(col("source"))
   }
 
+  /** SpaceSaving heavy-hitters GUARANTEE audit — the oracle leg the
+    * sketch family was missing (SpaceSaving itself was spec-only,
+    * SURVEY §2f 37c). Why the sketch's per-item STATE cannot get the
+    * q_kll treatment (adjudication, r13): KLL's deterministic corner
+    * works because its compaction schedule is a function of n ALONE —
+    * O(k·log n) driver state replays it with no data. SpaceSaving's
+    * counters are a function of the ENTIRE census: even fed in a
+    * deterministic (count ASC, token) order, the eviction sequence is
+    * a priority-queue fold over every distinct token (the consumed-min
+    * sequence has no prefix-sum closed form — each admission re-inserts
+    * m+n_j into the live set), and which TOKEN holds which counter is
+    * ambiguous under est-value ties. An order-free replay therefore
+    * requires the exact census — at which point the exact top-k
+    * (text_top_tokens) is already the answer. What IS order-free and
+    * merge-shape-free are the sketch's THEOREMS, so this op
+    * oracle-checks those, the q_tdigest_bounds pattern:
+    *
+    *  - `n_tracked = min(vocab, capacity)` — union-merge never loses
+    *    slots below capacity;
+    *  - `all_est_ge_true` — every tracked estimate dominates the true
+    *    count (induction: absent items enter a merge at the partial's
+    *    min, which bounds any evicted item's true mass);
+    *  - `all_est_le_total` — no estimate exceeds the stream length
+    *    (each partial's counters sum to its partition count).
+    *
+    * A sketch bug flips a boolean and the DuckDB hash-compare goes
+    * red; the exact top-1 token rides along as the deterministic
+    * anchor. The sketch runs genuinely distributed (per-partition
+    * typed aggregation, union merge); the single finished summary
+    * (≤ capacity pairs) is the op's only driver state. */
+  val topkSketchAudit: GraftOp = GraftOp(
+    "text_topk_sketch",
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+      |g AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+      |             CAST(count(*) AS BIGINT) AS vocab FROM c),
+      |top1 AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 1)
+      |SELECT g.n_total, g.vocab, 16 AS capacity,
+      |  CAST(least(g.vocab, 16) AS BIGINT) AS n_tracked,
+      |  true AS all_est_ge_true, true AS all_est_le_total,
+      |  top1.tok AS top1_token, top1.n AS top1_count
+      |FROM g CROSS JOIN top1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cap = 16
+    val toks = TextOps.tokenized(s, d).select(col("tok")).as[String]
+    // genuinely distributed: per-partition sketches, union merge; the
+    // finished summary is <= cap pairs — bounded driver state
+    val pairs: Seq[(String, Long)] =
+      toks.select(new graft.functions.SpaceSavingTopK(cap, cap).toColumn).head()
+    val est = pairs.toDF("tok", "est")
+    val census = TextOps.tokenized(s, d).groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val audit = census.join(broadcast(est), Seq("tok"), "left")
+      .agg(sum(col("n")).as("n_total"), count(lit(1)).as("vocab"),
+        sum(when(col("est").isNotNull, 1L).otherwise(0L)).as("n_tracked"),
+        min(when(col("est").isNotNull, col("est") >= col("n"))).as("all_est_ge_true"))
+      .withColumn("all_est_le_total",
+        lit(pairs.map(_._2).maxOption.getOrElse(0L)) <= col("n_total"))
+    val top1 = census.orderBy(col("n").desc, col("tok")).limit(1)
+      .select(col("tok").as("top1_token"), col("n").as("top1_count"))
+    audit.crossJoin(broadcast(top1))
+      .select(col("n_total"), col("vocab"), lit(cap).as("capacity"),
+        col("n_tracked"), col("all_est_ge_true"), col("all_est_le_total"),
+        col("top1_token"), col("top1_count"))
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(termBurstiness, termDispersion, langKappa, gopherGate, fertility)
+    Seq(termBurstiness, termDispersion, langKappa, gopherGate, fertility, topkSketchAudit)
 }

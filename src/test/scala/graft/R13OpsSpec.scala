@@ -65,6 +65,35 @@ class R13OpsSpec extends AnyFunSuite {
       .numElements() === 1)
   }
 
+  test("text_topk_sketch: the audited theorems hold under adversarial merge shapes") {
+    // the op's oracle row asserts est>=true / est<=N / size=min(vocab,cap)
+    // as theorem-truths; pin them here under merge shapes the query
+    // engine never exercises (skewed trees, single-token partitions)
+    val items = (0 until 2000).map(i => s"t${i % 37}") // 37 distinct > cap
+    val cap = 16
+    def sketchOf(chunk: Seq[String]) = {
+      val a = new graft.functions.SpaceSavingTopK(cap, cap)
+      chunk.foldLeft(a.zero)((b, x) => a.reduce(b, x))
+    }
+    val agg = new graft.functions.SpaceSavingTopK(cap, cap)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (shape <- Seq(Seq(2000), Seq(1, 1999), (0 until 40).map(_ => 50).toSeq)) {
+      var off = 0
+      val parts = shape.map { sz => val c = items.slice(off, off + sz); off += sz; c }
+      // left-deep merge (the worst compounding shape)
+      val merged = parts.map(sketchOf).reduce(agg.merge)
+      assert(merged.size === cap, "size = min(vocab, capacity)")
+      merged.foreach { case (tok, est) =>
+        assert(est >= truth(tok), s"$tok est $est < true ${truth(tok)} (shape $shape)")
+        assert(est <= items.size.toLong, s"$tok est exceeds stream length")
+      }
+    }
+    // under-capacity corpus: sketch is exact
+    val small = Seq("a", "a", "b", "c")
+    val exact = sketchOf(small)
+    assert(exact === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("sample_dsir: per-doc weight equals the hand-computed hashed-bigram ratio mean") {
     val spark = SparkTestSession.spark
     import spark.implicits._
