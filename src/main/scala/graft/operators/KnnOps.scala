@@ -1005,6 +1005,141 @@ object KnnOps {
         col("worst").as("worst_node_hits"))
   }
 
+  private val GraphSearchHops = 12
+  private val GraphSearchSample = 64
+
+  /** GREEDY GRAPH SEARCH over the k-NN graph — the navigable-graph
+    * serving primitive (the greedy layer HNSW/NSW/DiskANN descend
+    * with): start at a fixed entry node (min vec_id), repeatedly move
+    * to the neighbor that most improves cosine to the query
+    * (tiebreak nbr_id), stop at a local optimum or after
+    * $GraphSearchHops hops. Queries are a deterministic 1-in-64
+    * portable-hash sample of corpus vectors (the knn_graph_recall
+    * discipline); the query's own node is excluded from moves and
+    * from the truth so the walk approximates a HELD-OUT lookup.
+    * Emits, per query: where the walk landed, how many hops it took,
+    * the landing cosine, the exact true NN, whether they agree, and
+    * the landing node's exact brute-force rank — the "how wrong is
+    * greedy" distribution an ANN deployment actually monitors.
+    *
+    * Determinism/oracle: every hop compares dots produced by the
+    * VecDot left-fold contract (bit-identical in both engines), the
+    * argmax is exact-(double, id) with the doubles identical by
+    * construction, and the hop cap is shared — so the entire walk is
+    * replayable: DuckDB replays it as a recursive CTE over the
+    * knn_graph oracle's own edge SQL (verbatim — search and graph
+    * cannot drift), with the per-hop argmax spelled as a NOT EXISTS
+    * anti-join (recursive terms admit no window functions).
+    *
+    * Scale shape: the frontier is one row per unfinished query
+    * (bounded by the sample), broadcast against the partitioned edge
+    * list each hop — k candidate dots per active query per hop, never
+    * a corpus scan; the brute leg runs only over the sampled queries
+    * (the recall-audit cost model). Each hop localCheckpoints the
+    * row-per-query frontier to keep the iterated plan flat. */
+  val knnGraphSearch: GraftOp = GraftOp(
+    "knn_graph_search", {
+      val E = Exprs
+      val d1 = E.sqlDot("q2.qu", "b1.u")
+      val d2 = E.sqlDot("q2.qu", "b2.u")
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |v AS (SELECT vec_id, ${E.sqlUnit("e")} AS u FROM raw),
+         |e AS (SELECT node_id, nbr_id FROM (${knnGraph.oracle.get}) x),
+         |entry AS (SELECT vec_id AS node, u FROM v ORDER BY vec_id LIMIT 1),
+         |q AS (
+         |  SELECT vec_id AS qid, u AS qu FROM v
+         |  WHERE ${E.sqlMd5Long("concat('kgs#', CAST(vec_id AS VARCHAR))")} % $GraphSearchSample = 0
+         |    AND vec_id <> (SELECT node FROM entry)),
+         |walk(qid, node, cos, steps) AS (
+         |  SELECT q.qid, entry.node, ${E.sqlDot("q.qu", "entry.u")}, 0
+         |  FROM q CROSS JOIN entry
+         |  UNION ALL
+         |  SELECT w.qid, e1.nbr_id, $d1, w.steps + 1
+         |  FROM walk w
+         |  JOIN q q2 ON q2.qid = w.qid
+         |  JOIN e e1 ON e1.node_id = w.node AND e1.nbr_id <> w.qid
+         |  JOIN v b1 ON b1.vec_id = e1.nbr_id
+         |  WHERE w.steps < $GraphSearchHops AND $d1 > w.cos
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM e e2 JOIN v b2 ON b2.vec_id = e2.nbr_id
+         |      WHERE e2.node_id = w.node AND e2.nbr_id <> w.qid AND $d2 > w.cos
+         |        AND ($d2 > $d1 OR ($d2 = $d1 AND e2.nbr_id < e1.nbr_id)))),
+         |fin AS (
+         |  SELECT qid, node, cos, steps,
+         |    row_number() OVER (PARTITION BY qid ORDER BY steps DESC) AS r
+         |  FROM walk),
+         |f AS (SELECT qid, node, cos, steps FROM fin WHERE r = 1),
+         |br AS (
+         |  SELECT q.qid, b.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${E.sqlDot("q.qu", "b.u")} DESC, b.vec_id) AS rn
+         |  FROM q JOIN v b ON b.vec_id <> q.qid)
+         |SELECT f.qid AS query_id, f.node AS found_id, CAST(f.steps AS INT) AS steps,
+         |  round(f.cos, 6) AS found_cos, t.cid AS true_nn_id,
+         |  (f.node = t.cid) AS found_is_true_nn,
+         |  CAST(fr.rn AS BIGINT) AS found_rank
+         |FROM f
+         |JOIN br t ON t.qid = f.qid AND t.rn = 1
+         |JOIN br fr ON fr.qid = f.qid AND fr.cid = f.node
+         |ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+    val v = IvfIndex.corpus(s, d)
+    val edges = knnGraphEdges(s, d).select(col("node_id"), col("nbr_id"))
+    val entry = v.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("enode"), col("u").as("eu"))
+    val q = v.filter(Exprs.md5Long(
+        concat(lit("kgs#"), col("vec_id").cast(StringType))) % GraphSearchSample === 0)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+      .crossJoin(broadcast(entry))
+      .filter(col("qid") =!= col("enode"))
+    val qv = q.select(col("qid"), col("qu"))
+    val nbrV = v.select(col("vec_id").as("nbr"), col("u").as("nu"))
+    var walk = q.select(col("qid"), col("enode").as("node"),
+      Exprs.dot(col("qu"), col("eu")).as("cos"),
+      lit(0).as("steps"), lit(false).as("done"))
+    var hop = 0
+    var active = true
+    while (hop < GraphSearchHops && active) {
+      hop += 1
+      val cand = broadcast(walk.filter(!col("done")))
+        .join(edges, col("node") === col("node_id"))
+        .join(nbrV, col("nbr_id") === col("nbr"))
+        .join(qv, "qid")
+        .filter(col("nbr") =!= col("qid"))
+        .select(col("qid"), col("cos"), col("nbr"),
+          Exprs.dot(col("qu"), col("nu")).as("cos2"))
+        .filter(col("cos2") > col("cos"))
+      val best = cand.groupBy(col("qid"))
+        .agg(max(struct(col("cos2"), (-col("nbr")).as("nn"))).as("b"))
+        .select(col("qid"), col("b.cos2").as("bcos"), (-col("b.nn")).as("bnode"))
+      walk = walk.join(best, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("bnode"), col("node")).as("node"),
+          coalesce(col("bcos"), col("cos")).as("cos"),
+          (col("steps") + when(col("bnode").isNotNull, 1).otherwise(0)).as("steps"),
+          (col("done") || col("bnode").isNull).as("done"))
+        .localCheckpoint()
+      active = walk.filter(!col("done")).limit(1).count() > 0
+    }
+    val byQ = Window.partitionBy(col("qid")).orderBy(col("bc").desc, col("nbr"))
+    val brute = broadcast(qv)
+      .join(nbrV, col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"), Exprs.dot(col("qu"), col("nu")).as("bc"))
+      .withColumn("rn", row_number().over(byQ))
+    val truth = brute.filter(col("rn") === 1).select(col("qid"), col("nbr").as("true_nn_id"))
+    val foundRank = brute.select(col("qid").as("fqid"), col("nbr").as("fnode"), col("rn"))
+    walk.join(truth, "qid")
+      .join(foundRank, col("qid") === col("fqid") && col("node") === col("fnode"))
+      .select(col("qid").as("query_id"), col("node").as("found_id"),
+        col("steps").cast(IntegerType).as("steps"),
+        round(col("cos"), 6).as("found_cos"),
+        col("true_nn_id"),
+        (col("node") === col("true_nn_id")).as("found_is_true_nn"),
+        col("rn").cast(LongType).as("found_rank"))
+      .orderBy(col("query_id"))
+  }
+
   /** ORACLE-CHECKED MRR audit of the LSH serve path — recall@10 says
     * "did the true neighbors appear"; MRR says "how HIGH did the one
     * that matters rank" (the metric retrieval evals actually report,
@@ -1101,5 +1236,5 @@ object KnnOps {
   val ops: Seq[GraftOp] =
     Seq(brute, lsh, ivfBuild, ivf, classify, filtered, pqAdc, hardNegatives, rangeSearch,
       outlierScore, ivfRecallCurve, mmr, ivfExact, lshRecall, pqRecall, knnGraph,
-      knnGraphRecall, lshMrr, hubness)
+      knnGraphRecall, knnGraphSearch, lshMrr, hubness)
 }

@@ -65,6 +65,20 @@ class R13OpsSpec extends AnyFunSuite {
       .numElements() === 1)
   }
 
+  test("knn_graph_search: walk invariants (hop cap, self-exclusion, rank consistency)") {
+    val spark = SparkTestSession.spark
+    val rows = graft.operators.KnnOps.knnGraphSearch.run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, found, steps, rank, isNn) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(6), r.getBoolean(5))
+      assert(steps >= 0 && steps <= 12, s"q$qid steps $steps outside [0, cap]")
+      assert(found !== qid, s"q$qid walk landed on the query itself")
+      assert(isNn === (rank === 1L), s"q$qid found_is_true_nn disagrees with found_rank")
+      assert(rank >= 1L)
+    }
+  }
+
   test("text_topk_sketch: the audited theorems hold under adversarial merge shapes") {
     // the op's oracle row asserts est>=true / est<=N / size=min(vocab,cap)
     // as theorem-truths; pin them here under merge shapes the query
