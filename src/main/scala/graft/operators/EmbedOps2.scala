@@ -362,5 +362,94 @@ object EmbedOps2 {
       .orderBy(col("label"))
   }
 
-  val ops: Seq[GraftOp] = Seq(effectiveRank, intrinsicDim, sq8Error, centroidMargin)
+  /** BINARY (sign-bit) embedding quantization + Hamming recall audit —
+    * the 1-bit-per-dimension compression tier below SQ8
+    * (`emb_quantize`) and PQ (`emb_pq_encode`): each 64-dim vector
+    * packs to ONE BIGINT (bit i = embedding[i] > 0), a 256×
+    * compression, and candidate search becomes bit_count(xor) — the
+    * vector-database fast-scan trick (binary prefilter + exact
+    * rerank). The audit half answers the only question that matters
+    * before turning it on: per sampled query (deterministic 1-in-32
+    * portable-hash sample, self excluded), how many of the exact
+    * cosine top-10 survive in the Hamming top-10, what the closest
+    * Hamming distance is, and how far (in bits) the TRUE cosine NN
+    * sits — the recall/distance-distortion evidence, all exact
+    * integers.
+    *
+    * Determinism/oracle: sign bits compare identically in both
+    * engines (the raw doubles are casts of the same floats), codes
+    * fold as exact integer bit sums (DuckDB assembles the two 32-bit
+    * halves in HUGEINT and wraps to the signed BIGINT two's
+    * complement via the sqlU2S idiom), Hamming is bit_count over xor
+    * (the dedup_simhash parity), cosine ranks ride the VecDot fold
+    * contract, and every ORDER has an id tiebreak. Scale shape: codes
+    * are one linear pass; the audit is sampled-queries × corpus (the
+    * knn recall-audit cost model — the serving path would bucket by
+    * code prefix, not scan). */
+  val binaryQuantize: GraftOp = GraftOp(
+    "emb_binary_quantize", {
+      val E = graft.functions.Exprs
+      s"""WITH raw AS (
+         |  SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, ${E.sqlUnit("e")} AS u,
+         |    ${E.sqlU2S(
+               s"""(CAST((SELECT sum(CASE WHEN e[i + 33] > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                  |       FROM unnest(range(32)) t(i)) AS HUGEINT) * 4294967296
+                  | + (SELECT sum(CASE WHEN e[i + 1] > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                  |    FROM unnest(range(32)) t(i)))""".stripMargin)} AS code
+         |  FROM raw),
+         |q AS (
+         |  SELECT vec_id AS qid, u AS qu, code AS qcode FROM v
+         |  WHERE ${E.sqlMd5Long("concat('bq#', CAST(vec_id AS VARCHAR))")} % 32 = 0),
+         |p AS (
+         |  SELECT q.qid, v.vec_id AS cid,
+         |    CAST(bit_count(xor(q.qcode, v.code)) AS INT) AS ham,
+         |    ${E.sqlDot("q.qu", "v.u")} AS cos
+         |  FROM q JOIN v ON v.vec_id <> q.qid),
+         |h AS (
+         |  SELECT qid, cid, ham,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS rh,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rc
+         |  FROM p)
+         |SELECT qid AS query_id,
+         |  CAST(sum(CASE WHEN rh <= 10 AND rc <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+         |  CAST(min(ham) AS INT) AS best_hamming,
+         |  CAST(min(CASE WHEN rc = 1 THEN ham END) AS INT) AS true_nn_hamming
+         |FROM h GROUP BY qid ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+    val E = graft.functions.Exprs
+    val codeExpr = expr(
+      """aggregate(zip_with(e, sequence(0, 63), (x, i) ->
+        |  CASE WHEN x > 0D THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+        |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), E.vecAsDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), E.unit(col("e")).as("u"), codeExpr.as("code"))
+    val q = v.filter(E.md5Long(
+        concat(lit("bq#"), col("vec_id").cast(StringType))) % 32 === 0)
+      .select(col("vec_id").as("qid"), col("u").as("qu"), col("code").as("qcode"))
+    val p = broadcast(q)
+      .join(v.select(col("vec_id").as("cid"), col("u").as("cu"), col("code").as("ccode")),
+        col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        expr("CAST(bit_count(qcode ^ ccode) AS INT)").as("ham"),
+        E.dot(col("qu"), col("cu")).as("cos"))
+    val h = p
+      .withColumn("rh", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ham"), col("cid"))))
+      .withColumn("rc", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+    h.groupBy(col("qid"))
+      .agg(sum(when(col("rh") <= 10 && col("rc") <= 10, 1).otherwise(0)).as("hits10"),
+        min(col("ham")).as("best_hamming"),
+        min(when(col("rc") === 1, col("ham"))).as("true_nn_hamming"))
+      .select(col("qid").as("query_id"), col("hits10"),
+        col("best_hamming").cast(IntegerType).as("best_hamming"),
+        col("true_nn_hamming").cast(IntegerType).as("true_nn_hamming"))
+      .orderBy(col("query_id"))
+  }
+
+  val ops: Seq[GraftOp] =
+    Seq(effectiveRank, intrinsicDim, sq8Error, centroidMargin, binaryQuantize)
 }

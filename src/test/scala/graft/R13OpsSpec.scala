@@ -65,6 +65,26 @@ class R13OpsSpec extends AnyFunSuite {
       .numElements() === 1)
   }
 
+  test("emb_binary_quantize: sign-bit packing law (bit i = dim i > 0, full 64-bit range)") {
+    val spark = SparkTestSession.spark
+    val code =
+      """aggregate(zip_with(e, sequence(0, 63), (x, i) ->
+        |  CASE WHEN x > 0D THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+        |  CAST(0 AS BIGINT), (a, b) -> a + b) AS code""".stripMargin
+    def codeOf(e: Seq[Double]): Long = {
+      import spark.implicits._
+      Seq(Tuple1(e)).toDF("e").selectExpr(code).head().getLong(0)
+    }
+    assert(codeOf(Seq.fill(64)(1.0)) === -1L, "all positive = all 64 bits set")
+    assert(codeOf(Seq.fill(64)(-1.0)) === 0L)
+    assert(codeOf(1.0 +: Seq.fill(63)(-1.0)) === 1L, "bit 0 from dim 0")
+    assert(codeOf(Seq.fill(63)(-1.0) :+ 1.0) === Long.MinValue, "bit 63 = sign bit")
+    // one sign flip = exactly one bit of Hamming distance
+    val a = codeOf(Seq.tabulate(64)(i => if (i % 3 == 0) 2.0 else -0.5))
+    val b = codeOf(Seq.tabulate(64)(i => if (i % 3 == 0 ^ i == 17) 2.0 else -0.5))
+    assert(java.lang.Long.bitCount(a ^ b) === 1)
+  }
+
   test("knn_graph_search: walk invariants (hop cap, self-exclusion, rank consistency)") {
     val spark = SparkTestSession.spark
     val rows = graft.operators.KnnOps.knnGraphSearch.run(spark, "/root/testdata/sf0.001").collect()
