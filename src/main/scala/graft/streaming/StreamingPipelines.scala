@@ -402,6 +402,28 @@ object StreamingPipelines {
       .flatMap { case (_, topk) => topk }
   }
 
+  /** Streaming deterministic priority sample: maintain a weighted
+    * k-sample-without-replacement of an unbounded stream in O(k)
+    * state — the reservoir-sampling replacement whose result does NOT
+    * depend on arrival order ([[graft.functions.PrioritySampleK]]:
+    * priority w/u from the salted portable hash, top-k semilattice
+    * state). Order-freedom is what a distributed streaming sample
+    * needs and an RNG reservoir cannot give: partial states fold
+    * map-side per micro-batch and merge associatively, at-least-once
+    * replay of any row is a no-op, and a restart from checkpoint
+    * reproduces the identical sample — the same selection contract
+    * as batch `sample_weighted`, so the stream's sample can be
+    * oracle-matched against the batch plan over the same rows. */
+  def prioritySampleStream(rows: Dataset[(String, Long)], k: Int = 10,
+      salt: String = "ps#")(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    import spark.implicits._
+    rows
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.PrioritySampleK(k, salt).toColumn)
+      .flatMap { case (_, sample) => sample }
+  }
+
   /** Streaming distinct-count via HLL state (twin of batch
     * `q_hll_rollup`): one 4 KB register array per group key, each
     * trigger folds its rows in and emits the running estimate — the

@@ -307,6 +307,46 @@ class StreamingSpec extends AnyFunSuite {
       s"true top-3 users ${exact} not all in sketch top-10 ${approx}")
   }
 
+  test("streaming priority sample is order-free, replay-safe, and equals the batch selection") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1 to 60).map(i => (s"k$i", (i % 7 + 1).toLong))
+    // batch reference: same priority formula, same tiebreak
+    def pri(key: String, w: Long): Double =
+      w / ((graft.functions.Exprs.md5Long15("ps#" + key) + 1) / 1.152921504606846976e18)
+    val expected = rows.map { case (key, w) => (pri(key, w), key, w) }
+      .sortBy { case (p, key, _) => (-p, key) }.take(10).map(t => (t._2, t._3)).toSet
+
+    // aggregator state is a join-semilattice: any permutation, any
+    // split, any replay produces the same sample
+    val agg = new graft.functions.PrioritySampleK(10, "ps#")
+    def fold(xs: Seq[(String, Long)]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    assert(agg.finish(fold(rows)).toSet === expected)
+    assert(agg.finish(fold(shuffled)).toSet === expected)
+    val (l, r) = shuffled.splitAt(23)
+    assert(agg.finish(agg.merge(fold(l), fold(r))).toSet === expected)
+    assert(agg.finish(agg.merge(fold(rows), fold(rows))).toSet === expected,
+      "at-least-once replay must be a no-op")
+
+    // end-to-end through a streaming aggregation across two triggers
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingPipelines.prioritySampleStream(mem.toDS(), k = 10).toDF()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("psample_out").start()
+    try {
+      mem.addData(shuffled.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(shuffled.drop(30): _*)
+      q.processAllAvailable()
+      val got = spark.table("psample_out").collect()
+        .map(row => (row.getString(0), row.getLong(1))).toSet
+      assert(got === expected, "streamed sample diverged from the batch selection")
+    } finally q.stop()
+  }
+
   test("silence detector alerts exactly the key that went event-time silent") {
     implicit val s = spark
     import s.implicits._
