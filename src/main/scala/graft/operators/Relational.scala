@@ -254,6 +254,60 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join WITH TOLERANCE (r13) — the `tolerance=` knob of
+    * pandas `merge_asof` / DuckDB ASOF completing [[qAsofJoin]]'s
+    * backward match: the latest order ≤ the event time counts only if
+    * it is at most 30 days old, else the event reads NULL (a stale
+    * match is usually worse than none — attribution windows, feature
+    * staleness gates). Because candidates are recency-ordered, the
+    * staleness NULL-out of the single winner is equivalent to
+    * filtering the candidate set — so the scale-shaped union +
+    * running-last window plan (ONE shuffle on the key, no per-event
+    * candidate explosion) is reused verbatim and the tolerance is one
+    * post-projection, not a second join. Emits the exact match age in
+    * days for matched rows. */
+  val qAsofTolerance: GraftOp = GraftOp(
+    "q_asof_tolerance",
+    """WITH cand AS (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |SELECT event_id, user_id,
+      |  CASE WHEN age <= 30 THEN o_orderkey END AS last_order_key,
+      |  CASE WHEN age <= 30 THEN o_orderdate END AS last_order_date,
+      |  CASE WHEN age <= 30 THEN age END AS age_days
+      |FROM (
+      |  SELECT event_id, user_id, o_orderkey, o_orderdate,
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE)) AS age
+      |  FROM cand WHERE rn = 1)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val orders = Tables.orders(s, d)
+    val tsType = events.schema("ts").dataType
+    val ev = events.select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("is_event"),
+      col("event_id"), lit(null).cast(LongType).as("o_key"),
+      lit(null).cast(tsType).as("o_date"))
+    val ord = orders.select(
+      col("o_custkey").as("k"), col("o_orderdate").cast(tsType).as("t"),
+      lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),
+      col("o_orderkey").as("o_key"), col("o_orderdate").cast(tsType).as("o_date"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_event"), col("o_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("lk", last(col("o_key"), ignoreNulls = true).over(w))
+      .withColumn("ld", last(col("o_date"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .withColumn("age", datediff(to_date(col("t")), to_date(col("ld"))).cast(LongType))
+      .select(col("event_id"), col("k").as("user_id"),
+        when(col("age") <= 30, col("lk")).as("last_order_key"),
+        when(col("age") <= 30, col("ld")).as("last_order_date"),
+        when(col("age") <= 30, col("age")).as("age_days"))
+      .orderBy(col("event_id"))
+  }
+
   /** Tumbling-window (time-bucket) aggregation, batch form of §2c #23. */
   val qTimeBucket: GraftOp = GraftOp(
     "q_time_bucket",
@@ -362,5 +416,6 @@ object Relational {
 
   val ops: Seq[GraftOp] = Seq(
     q1Agg, q6Filter, q3Topk, q5Join, qSemiAnti, qWindow, qDistinct,
-    qApproxDistinct, qApproxPercentile, qTdigestBounds, qRollup, qAsofJoin, qTimeBucket, qSession)
+    qApproxDistinct, qApproxPercentile, qTdigestBounds, qRollup, qAsofJoin, qAsofTolerance,
+    qTimeBucket, qSession)
 }
