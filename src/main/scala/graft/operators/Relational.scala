@@ -221,15 +221,17 @@ object Relational {
     * Tiebreak: orders sort before events at equal timestamps (inclusive
     * as-of), max orderkey wins among equal dates.
     */
-  val qAsofJoin: GraftOp = GraftOp(
-    "q_asof_join",
-    """WITH cand AS (
-      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
-      |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-      |  FROM events e LEFT JOIN orders o
-      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
-      |SELECT event_id, user_id, o_orderkey AS last_order_key, o_orderdate AS last_order_date
-      |FROM cand WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+  /** The shared as-of frame: tag + union both sides, one shuffle on
+    * the key, `last(_, ignoreNulls)` over a time-ordered window
+    * carries the most recent order forward. Returns one row per EVENT
+    * with `last_order_key` / `last_order_date` (nulls when no prior
+    * order). Events carry ns-truncated micros; orders are midnight
+    * dates — both NTZ micros after the parquet read, so the union is
+    * type-aligned. Tiebreak: orders sort before events at equal
+    * timestamps (inclusive as-of), max orderkey wins among equal
+    * dates. */
+  private def asofMatched(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val events = Tables.events(s, d)
     val orders = Tables.orders(s, d)
     val tsType = events.schema("ts").dataType
@@ -241,8 +243,6 @@ object Relational {
       col("o_custkey").as("k"), col("o_orderdate").cast(tsType).as("t"),
       lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),
       col("o_orderkey").as("o_key"), col("o_orderdate").cast(tsType).as("o_date"))
-    // events carry ns-truncated micros; orders are midnight dates — both
-    // NTZ micros after the parquet read, so the union is type-aligned.
     val w = Window.partitionBy(col("k"))
       .orderBy(col("t"), col("is_event"), col("o_key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -250,7 +250,21 @@ object Relational {
       .withColumn("last_order_key", last(col("o_key"), ignoreNulls = true).over(w))
       .withColumn("last_order_date", last(col("o_date"), ignoreNulls = true).over(w))
       .filter(col("is_event") === 1)
-      .select(col("event_id"), col("k").as("user_id"), col("last_order_key"), col("last_order_date"))
+      .select(col("event_id"), col("k").as("user_id"), col("t"),
+        col("last_order_key"), col("last_order_date"))
+  }
+
+  val qAsofJoin: GraftOp = GraftOp(
+    "q_asof_join",
+    """WITH cand AS (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |SELECT event_id, user_id, o_orderkey AS last_order_key, o_orderdate AS last_order_date
+      |FROM cand WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+    asofMatched(s, d)
+      .select(col("event_id"), col("user_id"), col("last_order_key"), col("last_order_date"))
       .orderBy(col("event_id"))
   }
 
@@ -282,28 +296,12 @@ object Relational {
       |    date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE)) AS age
       |  FROM cand WHERE rn = 1)
       |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val events = Tables.events(s, d)
-    val orders = Tables.orders(s, d)
-    val tsType = events.schema("ts").dataType
-    val ev = events.select(
-      col("user_id").as("k"), col("ts").as("t"), lit(1).as("is_event"),
-      col("event_id"), lit(null).cast(LongType).as("o_key"),
-      lit(null).cast(tsType).as("o_date"))
-    val ord = orders.select(
-      col("o_custkey").as("k"), col("o_orderdate").cast(tsType).as("t"),
-      lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),
-      col("o_orderkey").as("o_key"), col("o_orderdate").cast(tsType).as("o_date"))
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("t"), col("is_event"), col("o_key"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(ord)
-      .withColumn("lk", last(col("o_key"), ignoreNulls = true).over(w))
-      .withColumn("ld", last(col("o_date"), ignoreNulls = true).over(w))
-      .filter(col("is_event") === 1)
-      .withColumn("age", datediff(to_date(col("t")), to_date(col("ld"))).cast(LongType))
-      .select(col("event_id"), col("k").as("user_id"),
-        when(col("age") <= 30, col("lk")).as("last_order_key"),
-        when(col("age") <= 30, col("ld")).as("last_order_date"),
+    asofMatched(s, d)
+      .withColumn("age",
+        datediff(to_date(col("t")), to_date(col("last_order_date"))).cast(LongType))
+      .select(col("event_id"), col("user_id"),
+        when(col("age") <= 30, col("last_order_key")).as("last_order_key"),
+        when(col("age") <= 30, col("last_order_date")).as("last_order_date"),
         when(col("age") <= 30, col("age")).as("age_days"))
       .orderBy(col("event_id"))
   }
