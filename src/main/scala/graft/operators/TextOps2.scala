@@ -351,6 +351,113 @@ object TextOps2 {
         col("top1_token"), col("top1_count"))
   }
 
+  /** BPE tokenizer training, three merge rounds (Sennrich et al.
+    * 2016) — the LLM-pipeline primitive the text family lacked: learn
+    * the top byte-pair merges from the corpus' frequency-weighted
+    * vocabulary. Classic BPE trains on the WORD-FREQUENCY table (not
+    * the corpus stream), so every round is dictionary-sized
+    * (Heaps-law sublinear): words start as space-joined character
+    * symbols; each round counts adjacent symbol pairs weighted by
+    * word frequency (exact integers), picks the argmax pair by
+    * (count DESC, pair ASC), and applies the merge greedily
+    * left-to-right via a string FOLD whose step appends the right
+    * symbol WITHOUT its separator when the accumulator's tail symbol
+    * equals the merge's left side — non-overlapping occurrences merge
+    * exactly as BPE defines ("a a a" under (a,a) → "aa a"), and the
+    * space-delimited suffix test cannot false-match inside a longer
+    * symbol. Both engines run the same fold (Spark `aggregate`,
+    * DuckDB `list_reduce` with the prepend-init idiom) over the same
+    * exact-integer argmax, so the learned merges, their counts, and
+    * the per-round distinct-symbol census hash-match. Emits one row
+    * per round: (round, merge_left, merge_right, pair_count,
+    * vocab_after).
+    *
+    * Scale shape: one corpus pass for the word-frequency table (the
+    * shared token frame), then every round is a |vocab|-row pair
+    * aggregate, a 1-row argmax broadcast back, and a per-word fold —
+    * the structure a full 32k-merge trainer loops; three rounds are
+    * unrolled here for the deterministic-oracle contract (the doremi
+    * 3-round discipline). */
+  val bpeLearn: GraftOp = {
+    // the greedy-merge fold step, generated once for both engines
+    // (QuantileExact's one-source discipline): `ew` is the engine's
+    // ends_with spelling, ml/mr the merge columns in scope
+    def foldStep(ew: String): String =
+      s"""CASE WHEN acc = '' THEN x
+         |     WHEN (acc = ml OR $ew(acc, ' ' || ml)) AND x = mr THEN acc || mr
+         |     ELSE acc || ' ' || x END""".stripMargin
+    val sparkFold =
+      s"aggregate(split(sym, ' '), '', (acc, x) -> ${foldStep("endswith")})"
+    val duckFold =
+      s"list_reduce(list_prepend('', string_split(sym, ' ')), (acc, x) -> ${foldStep("ends_with")})"
+    def duckRound(r: Int): String =
+      s"""p$r AS (
+         |  SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(ss)), i -> [ss[i], ss[i+1]])) AS p
+         |    FROM (SELECT freq, string_split(sym, ' ') AS ss FROM s${r - 1})
+         |    WHERE len(ss) >= 2)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a AS ml, b AS mr, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (SELECT tok, freq, $duckFold AS sym FROM s${r - 1} CROSS JOIN m$r),
+         |v$r AS (
+         |  SELECT CAST(count(DISTINCT sm) AS BIGINT) AS vocab
+         |  FROM (SELECT unnest(string_split(sym, ' ')) AS sm FROM s$r))""".stripMargin
+    GraftOp(
+      "text_bpe_learn",
+      s"""WITH t AS (
+         |  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+         |w0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY tok),
+         |s0 AS (
+         |  SELECT tok, freq,
+         |    array_to_string(list_filter(string_split_regex(tok, ''), c -> c <> ''), ' ') AS sym
+         |  FROM w0),
+         |${duckRound(1)},
+         |${duckRound(2)},
+         |${duckRound(3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS round, ml AS merge_left, mr AS merge_right, cnt AS pair_count,
+         |    (SELECT vocab FROM v1) AS vocab_after FROM m1
+         |  UNION ALL
+         |  SELECT 2, ml, mr, cnt, (SELECT vocab FROM v2) FROM m2
+         |  UNION ALL
+         |  SELECT 3, ml, mr, cnt, (SELECT vocab FROM v3) FROM m3)
+         |ORDER BY round""".stripMargin) { (s, d) =>
+      val w0 = TextOps.tokenized(s, d).groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val s0 = w0.select(col("tok"), col("freq"),
+        array_join(filter(split(col("tok"), ""), x => x =!= ""), " ").as("sym"))
+      def pairCounts(sf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = sf
+        .select(col("freq"), split(col("sym"), " ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      def best(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("ml"), col("b").as("mr"), col("cnt"))
+      def applyMerge(sf: org.apache.spark.sql.DataFrame,
+          m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        sf.crossJoin(broadcast(m))
+          .select(col("tok"), col("freq"), expr(sparkFold).as("sym"))
+      def vocabOf(sf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        sf.select(explode(split(col("sym"), " ")).as("sm"))
+          .agg(countDistinct(col("sm")).as("vocab"))
+      var state = s0
+      val rows = (1 to 3).map { r =>
+        val m = best(pairCounts(state)).localCheckpoint()
+        state = applyMerge(state, m).localCheckpoint()
+        m.crossJoin(broadcast(vocabOf(state)))
+          .select(lit(r).as("round"), col("ml").as("merge_left"),
+            col("mr").as("merge_right"), col("cnt").as("pair_count"),
+            col("vocab").as("vocab_after"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy(col("round"))
+    }
+  }
+
   val ops: Seq[GraftOp] =
-    Seq(termBurstiness, termDispersion, langKappa, gopherGate, fertility, topkSketchAudit)
+    Seq(termBurstiness, termDispersion, langKappa, gopherGate, fertility, topkSketchAudit,
+      bpeLearn)
 }

@@ -65,6 +65,27 @@ class R13OpsSpec extends AnyFunSuite {
       .numElements() === 1)
   }
 
+  test("text_bpe_learn: greedy merge fold is non-overlapping and symbol-boundary-safe") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def mergeFold(sym: String, ml: String, mr: String): String =
+      Seq((sym, ml, mr)).toDF("sym", "ml", "mr").selectExpr(
+        """aggregate(split(sym, ' '), '', (acc, x) ->
+          |CASE WHEN acc = '' THEN x
+          |     WHEN (acc = ml OR endswith(acc, ' ' || ml)) AND x = mr THEN acc || mr
+          |     ELSE acc || ' ' || x END)""".stripMargin).head().getString(0)
+    // BPE greedy left-to-right non-overlap: "a a a" under (a,a) -> "aa a"
+    assert(mergeFold("a a a", "a", "a") === "aa a")
+    assert(mergeFold("a a a a", "a", "a") === "aa aa")
+    // plain merge + repeated occurrence
+    assert(mergeFold("h e l l o", "l", "l") === "h e ll o")
+    assert(mergeFold("a b c a b", "a", "b") === "ab c ab")
+    // boundary safety: tail symbol 'ya' must NOT match merge-left 'a'
+    assert(mergeFold("ya b", "a", "b") === "ya b")
+    // merged symbols participate in later rounds as single symbols
+    assert(mergeFold("ab c d", "ab", "c") === "abc d")
+  }
+
   test("emb_binary_quantize: sign-bit packing law (bit i = dim i > 0, full 64-bit range)") {
     val spark = SparkTestSession.spark
     val code =
