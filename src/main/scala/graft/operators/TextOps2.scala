@@ -378,18 +378,23 @@ object TextOps2 {
     * the structure a full 32k-merge trainer loops; three rounds are
     * unrolled here for the deterministic-oracle contract (the doremi
     * 3-round discipline). */
-  val bpeLearn: GraftOp = {
-    // the greedy-merge fold step, generated once for both engines
-    // (QuantileExact's one-source discipline): `ew` is the engine's
-    // ends_with spelling, ml/mr the merge columns in scope
-    def foldStep(ew: String): String =
-      s"""CASE WHEN acc = '' THEN x
-         |     WHEN (acc = ml OR $ew(acc, ' ' || ml)) AND x = mr THEN acc || mr
-         |     ELSE acc || ' ' || x END""".stripMargin
-    val sparkFold =
-      s"aggregate(split(sym, ' '), '', (acc, x) -> ${foldStep("endswith")})"
-    val duckFold =
-      s"list_reduce(list_prepend('', string_split(sym, ' ')), (acc, x) -> ${foldStep("ends_with")})"
+  // ---- BPE internals shared by text_bpe_learn / text_bpe_apply ----
+
+  // the greedy-merge fold step, generated once for both engines
+  // (QuantileExact's one-source discipline): `ew` is the engine's
+  // ends_with spelling, ml/mr the merge columns in scope
+  private def bpeFoldStep(ew: String): String =
+    s"""CASE WHEN acc = '' THEN x
+       |     WHEN (acc = ml OR $ew(acc, ' ' || ml)) AND x = mr THEN acc || mr
+       |     ELSE acc || ' ' || x END""".stripMargin
+  private val bpeSparkFold =
+    s"aggregate(split(sym, ' '), '', (acc, x) -> ${bpeFoldStep("endswith")})"
+  private val bpeDuckFold =
+    s"list_reduce(list_prepend('', string_split(sym, ' ')), (acc, x) -> ${bpeFoldStep("ends_with")})"
+
+  /** DuckDB CTE chain t, w0, s0, p1..v3 — the whole 3-round training
+    * pipeline; s3 is the merged per-word symbol table. */
+  private def duckBpeCtes: String = {
     def duckRound(r: Int): String =
       s"""p$r AS (
          |  SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
@@ -399,65 +404,116 @@ object TextOps2 {
          |    WHERE len(ss) >= 2)
          |  GROUP BY 1, 2),
          |m$r AS (SELECT a AS ml, b AS mr, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-         |s$r AS (SELECT tok, freq, $duckFold AS sym FROM s${r - 1} CROSS JOIN m$r),
+         |s$r AS (SELECT tok, freq, $bpeDuckFold AS sym FROM s${r - 1} CROSS JOIN m$r),
          |v$r AS (
          |  SELECT CAST(count(DISTINCT sm) AS BIGINT) AS vocab
          |  FROM (SELECT unnest(string_split(sym, ' ')) AS sm FROM s$r))""".stripMargin
-    GraftOp(
-      "text_bpe_learn",
-      s"""WITH t AS (
-         |  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
-         |w0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY tok),
-         |s0 AS (
-         |  SELECT tok, freq,
-         |    array_to_string(list_filter(string_split_regex(tok, ''), c -> c <> ''), ' ') AS sym
-         |  FROM w0),
-         |${duckRound(1)},
-         |${duckRound(2)},
-         |${duckRound(3)}
-         |SELECT * FROM (
-         |  SELECT 1 AS round, ml AS merge_left, mr AS merge_right, cnt AS pair_count,
-         |    (SELECT vocab FROM v1) AS vocab_after FROM m1
-         |  UNION ALL
-         |  SELECT 2, ml, mr, cnt, (SELECT vocab FROM v2) FROM m2
-         |  UNION ALL
-         |  SELECT 3, ml, mr, cnt, (SELECT vocab FROM v3) FROM m3)
-         |ORDER BY round""".stripMargin) { (s, d) =>
-      val w0 = TextOps.tokenized(s, d).groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      val s0 = w0.select(col("tok"), col("freq"),
-        array_join(filter(split(col("tok"), ""), x => x =!= ""), " ").as("sym"))
-      def pairCounts(sf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = sf
-        .select(col("freq"), split(col("sym"), " ").as("ss"))
-        .filter(size(col("ss")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(ss) - 1), i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-      def best(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .select(col("a").as("ml"), col("b").as("mr"), col("cnt"))
-      def applyMerge(sf: org.apache.spark.sql.DataFrame,
-          m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        sf.crossJoin(broadcast(m))
-          .select(col("tok"), col("freq"), expr(sparkFold).as("sym"))
-      def vocabOf(sf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        sf.select(explode(split(col("sym"), " ")).as("sm"))
-          .agg(countDistinct(col("sm")).as("vocab"))
-      var state = s0
-      val rows = (1 to 3).map { r =>
-        val m = best(pairCounts(state)).localCheckpoint()
-        state = applyMerge(state, m).localCheckpoint()
-        m.crossJoin(broadcast(vocabOf(state)))
-          .select(lit(r).as("round"), col("ml").as("merge_left"),
-            col("mr").as("merge_right"), col("cnt").as("pair_count"),
-            col("vocab").as("vocab_after"))
-      }
-      rows.reduce(_.unionByName(_)).orderBy(col("round"))
+    s"""t AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |w0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY tok),
+       |s0 AS (
+       |  SELECT tok, freq,
+       |    array_to_string(list_filter(string_split_regex(tok, ''), c -> c <> ''), ' ') AS sym
+       |  FROM w0),
+       |${duckRound(1)},
+       |${duckRound(2)},
+       |${duckRound(3)}""".stripMargin
+  }
+
+  /** Spark-side 3-round training: per-round (merge row, symbol table
+    * after the merge); `_2.last` is the fully-merged per-word table
+    * (tok, freq, sym). Mirrors [[duckBpeCtes]]. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = {
+    val w0 = TextOps.tokenized(s, d).groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val s0 = w0.select(col("tok"), col("freq"),
+      array_join(filter(split(col("tok"), ""), x => x =!= ""), " ").as("sym"))
+    def pairCounts(sf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = sf
+      .select(col("freq"), split(col("sym"), " ").as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(ss) - 1), i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+    def best(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(col("a").as("ml"), col("b").as("mr"), col("cnt"))
+    var state = s0
+    (1 to 3).map { _ =>
+      val m = best(pairCounts(state)).localCheckpoint()
+      state = state.crossJoin(broadcast(m))
+        .select(col("tok"), col("freq"), expr(bpeSparkFold).as("sym"))
+        .localCheckpoint()
+      (m, state)
     }
+  }
+
+  val bpeLearn: GraftOp = GraftOp(
+    "text_bpe_learn",
+    s"""WITH $duckBpeCtes
+       |SELECT * FROM (
+       |  SELECT 1 AS round, ml AS merge_left, mr AS merge_right, cnt AS pair_count,
+       |    (SELECT vocab FROM v1) AS vocab_after FROM m1
+       |  UNION ALL
+       |  SELECT 2, ml, mr, cnt, (SELECT vocab FROM v2) FROM m2
+       |  UNION ALL
+       |  SELECT 3, ml, mr, cnt, (SELECT vocab FROM v3) FROM m3)
+       |ORDER BY round""".stripMargin) { (s, d) =>
+    def vocabOf(sf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      sf.select(explode(split(col("sym"), " ")).as("sm"))
+        .agg(countDistinct(col("sm")).as("vocab"))
+    val rows = bpeTrain(s, d).zipWithIndex.map { case ((m, state), i) =>
+      m.crossJoin(broadcast(vocabOf(state)))
+        .select(lit(i + 1).as("round"), col("ml").as("merge_left"),
+          col("mr").as("merge_right"), col("cnt").as("pair_count"),
+          col("vocab").as("vocab_after"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  /** Apply the learned BPE merges back to the corpus — the tokenizer-
+    * EVALUATION half of [[bpeLearn]] (its fertility/compression
+    * readout, per source): every corpus token count joins the merged
+    * per-word symbol table, so per source the op emits exact words,
+    * pre-BPE symbol count (= characters), post-merge symbol count and
+    * the ppm compression the three merges bought. The corpus-side
+    * work is the word-frequency join (dictionary-sized build side,
+    * broadcast); all counts fold as exact integers. */
+  val bpeApply: GraftOp = GraftOp(
+    "text_bpe_apply",
+    s"""WITH $duckBpeCtes,
+       |ts AS (
+       |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |wc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM ts GROUP BY 1, 2),
+       |j AS (
+       |  SELECT wc.source, wc.n,
+       |    CAST(len(string_split(s0.sym, ' ')) AS BIGINT) AS chars0,
+       |    CAST(len(string_split(s3.sym, ' ')) AS BIGINT) AS syms3
+       |  FROM wc JOIN s0 ON s0.tok = wc.tok JOIN s3 ON s3.tok = wc.tok)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS words,
+       |  CAST(sum(n * chars0) AS BIGINT) AS symbols_before,
+       |  CAST(sum(n * syms3) AS BIGINT) AS symbols_after,
+       |  CAST((sum(n * chars0) - sum(n * syms3)) * 1000000 // sum(n * chars0) AS BIGINT)
+       |    AS saved_ppm
+       |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val merged = bpeTrain(s, d).last._2
+      .select(col("tok"),
+        size(filter(split(col("tok"), ""), x => x =!= "")).as("chars0"),
+        size(split(col("sym"), " ")).as("syms3"))
+    val wc = TextOps.tokenized(s, d)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    wc.join(broadcast(merged), "tok")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("words"),
+        sum(col("n") * col("chars0")).as("symbols_before"),
+        sum(col("n") * col("syms3")).as("symbols_after"))
+      .select(col("source"), col("words"), col("symbols_before"), col("symbols_after"),
+        expr("(symbols_before - symbols_after) * 1000000 div symbols_before").as("saved_ppm"))
+      .orderBy(col("source"))
   }
 
   val ops: Seq[GraftOp] =
     Seq(termBurstiness, termDispersion, langKappa, gopherGate, fertility, topkSketchAudit,
-      bpeLearn)
+      bpeLearn, bpeApply)
 }
