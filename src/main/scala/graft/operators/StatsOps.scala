@@ -982,8 +982,11 @@ object StatsOps {
     * to [[gini]]'s scalar: customers ranked by exact spend cents into
     * ntile(10) deciles, each with its head-count, revenue and the
     * cumulative revenue share as an EXACT ppm floor ("the top decile
-    * holds X% of revenue"). One per-customer aggregate, one rank
-    * window over customer-bounded rows, a 10-row cumulative. */
+    * holds X% of revenue"). One per-customer aggregate, a
+    * [[GlobalNtile]] decile assignment (size-gated: single-partition
+    * ntile below 256 MB, range-repartition + exact offset rank above —
+    * the customer frame grows with the corpus, so the r13 window
+    * retirement applies here too), a 10-row cumulative. */
   val lorenz: GraftOp = GraftOp(
     "q_lorenz",
     """WITH s AS (
@@ -1007,8 +1010,8 @@ object StatsOps {
       .groupBy(col("o_custkey").as("cust"))
       .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
         .cast(LongType).as("cents"))
-    val g = spend
-      .withColumn("decile", ntile(10).over(Window.orderBy(col("cents"), col("cust"))))
+    val g = GlobalNtile.withBucket(s, spend, Seq(col("cents"), col("cust")), 10,
+        "decile", s"lorenz:$d")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
     val t = broadcast(g.agg(sum(col("cents")).as("tot")))
