@@ -258,5 +258,300 @@ object StatsOps5 {
       .orderBy(col("score"))
   }
 
-  def ops: Seq[GraftOp] = Seq(energyDistance, pageTrend, isotonic)
+  /** TOST equivalence test (two one-sided tests, Schuirmann 1987) on
+    * purchase value between the hash variants — the A/B family's
+    * "prove the variants are the SAME" direction that q_welch_t's
+    * difference test cannot give (failing to reject ≠ equivalence).
+    * Same exact per-variant state as q_welch_t (n, Σcents, Σcents² —
+    * BIGINTs, difference numerators assembled in DECIMAL(38)/HUGEINT),
+    * margin δ = ±1.00 currency unit (100 cents); the two one-sided
+    * statistics t_lower = (Δ+δ)/se and t_upper = (δ−Δ)/se and the
+    * Welch-Satterthwaite df are the only doubles, identical expression
+    * text on both engines. Scale shape: one map-side-combining
+    * aggregate over the purchase scan — six integers of state. */
+  val tost: GraftOp = GraftOp(
+    "q_tost",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |g AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b,
+       |    CAST(sum(cents) FILTER (WHERE variant = 'A') AS BIGINT) AS s_a,
+       |    CAST(sum(cents) FILTER (WHERE variant = 'B') AS BIGINT) AS s_b,
+       |    CAST(sum(cents * cents) FILTER (WHERE variant = 'A') AS BIGINT) AS ss_a,
+       |    CAST(sum(cents * cents) FILTER (WHERE variant = 'B') AS BIGINT) AS ss_b
+       |  FROM p),
+       |v AS (
+       |  SELECT n_a, n_b, s_a, s_b,
+       |    CAST(CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+       |      / ((n_a - 1.0) * CAST(n_a AS DOUBLE) * n_a) AS va,
+       |    CAST(CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+       |      / ((n_b - 1.0) * CAST(n_b AS DOUBLE) * n_b) AS vb,
+       |    CAST(CAST(s_b AS HUGEINT) * n_a - CAST(s_a AS HUGEINT) * n_b AS DOUBLE)
+       |      / (CAST(n_a AS DOUBLE) * n_b) AS dc
+       |  FROM g)
+       |SELECT n_a, n_b,
+       |  CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_a,
+       |  CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+       |  dc / 100.0 AS diff,
+       |  (dc + 100.0) / sqrt(va + vb) AS t_lower,
+       |  (100.0 - dc) / sqrt(va + vb) AS t_upper,
+       |  (va + vb) * (va + vb)
+       |    / (va * va / (n_a - 1.0) + vb * vb / (n_b - 1.0)) AS df
+       |FROM v""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    p.agg(
+        count(when(col("variant") === "A", 1)).as("n_a"),
+        count(when(col("variant") === "B", 1)).as("n_b"),
+        sum(when(col("variant") === "A", col("cents"))).cast(LongType).as("s_a"),
+        sum(when(col("variant") === "B", col("cents"))).cast(LongType).as("s_b"),
+        sum(when(col("variant") === "A", col("cents") * col("cents")))
+          .cast(LongType).as("ss_a"),
+        sum(when(col("variant") === "B", col("cents") * col("cents")))
+          .cast(LongType).as("ss_b"))
+      .withColumn("va",
+        expr("""CAST(CAST(n_a AS DECIMAL(38,0)) * ss_a - CAST(s_a AS DECIMAL(38,0)) * s_a AS DOUBLE)
+          |  / ((n_a - 1.0D) * CAST(n_a AS DOUBLE) * n_a)""".stripMargin))
+      .withColumn("vb",
+        expr("""CAST(CAST(n_b AS DECIMAL(38,0)) * ss_b - CAST(s_b AS DECIMAL(38,0)) * s_b AS DOUBLE)
+          |  / ((n_b - 1.0D) * CAST(n_b AS DOUBLE) * n_b)""".stripMargin))
+      .withColumn("dc",
+        expr("""CAST(CAST(s_b AS DECIMAL(38,0)) * n_a - CAST(s_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
+          |  / (CAST(n_a AS DOUBLE) * n_b)""".stripMargin))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(s_a AS DOUBLE) / n_a / 100.0D").as("mean_a"),
+        expr("CAST(s_b AS DOUBLE) / n_b / 100.0D").as("mean_b"),
+        expr("dc / 100.0D").as("diff"),
+        expr("(dc + 100.0D) / sqrt(va + vb)").as("t_lower"),
+        expr("(100.0D - dc) / sqrt(va + vb)").as("t_upper"),
+        expr("""(va + vb) * (va + vb)
+          | / (va * va / (n_a - 1.0D) + vb * vb / (n_b - 1.0D))""".stripMargin).as("df"))
+  }
+
+  /** CVaR / expected shortfall of the order-value tail — the
+    * tail-risk companion of q_max_drawdown and q_bollinger: VaR₉₅ is
+    * the k-th largest order total (k = ⌈0.05·n⌉, an exact
+    * order statistic — rank-defined, so boundary ties cannot change
+    * the selected multiset) and CVaR₉₅ is the exact mean of the top-k.
+    * Scale shape: the global rank uses the q_kll/QuantileExact
+    * range-partition + per-partition-offset discipline (no single-task
+    * global sort); the tail sum folds in DECIMAL(38,0) (top-5% cents
+    * at 10¹⁴ rows ≈ 10²⁰ > 2⁶³). Emits exact n/k/boundary/tail-sum
+    * integers; the two display doubles divide those exact integers
+    * with identical expression text on both engines. */
+  val cvar: GraftOp = GraftOp(
+    "q_cvar",
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM o)
+      |SELECT max(n) AS n,
+      |  CAST(count(*) AS BIGINT) AS tail_n,
+      |  min(cents) AS var_cents,
+      |  CAST(min(cents) AS DOUBLE) / 100.0 AS var_value,
+      |  CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS tail_sum,
+      |  CAST(CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) / 100.0 AS cvar
+      |FROM r WHERE rn > n - ((n * 5 + 99) // 100)""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select((graft.functions.Exprs.dec2(col("o_totalprice")) * 100)
+        .cast(LongType).as("cents"))
+    val ranked = QuantileExact.rankedUngrouped(s, s"cvar.orders:$d", o, "cents")
+    ranked.filter(expr("__rn > __n - ((__n * 5 + 99) div 100)"))
+      .agg(
+        max(col("__n")).as("n"),
+        count(lit(1)).as("tail_n"),
+        min(col("cents")).as("var_cents"),
+        sum(col("cents").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("tail_sum"))
+      .select(col("n"), col("tail_n"), col("var_cents"),
+        expr("CAST(var_cents AS DOUBLE) / 100.0D").as("var_value"),
+        col("tail_sum"),
+        expr("CAST(tail_sum AS DOUBLE) / CAST(tail_n AS DOUBLE) / 100.0D").as("cvar"))
+  }
+
+  /** Hodges-Lehmann shift estimator between the hash variants — the
+    * EFFECT-SIZE companion of q_mann_whitney (which only tests): the
+    * median of all nₐ·n_b pairwise differences B−A, the robust "how
+    * much did the distribution move" number (Hodges & Lehmann 1963).
+    * Never materializes a pair per row: both sides reduce to their
+    * value histograms (grid-capped by the 2dp money domain,
+    * corpus-INDEPENDENT), the difference distribution is the
+    * |Dₐ|×|D_b| histogram convolution with HUGEINT pair-count weights
+    * ca·cb, and the median brackets come from the cumulative-count
+    * route with a DIVISION-FREE rank test (2·cum ≥ N + N%2 selects
+    * the lower median, 2·cum ≥ N − N%2 + 2 the upper — exact at any
+    * N without ⌊(N+1)/2⌋, which would wrap Spark's `div` past 2⁶³).
+    * All windows run over the domain-bounded diff histogram, and the
+    * convolution itself is an EXPLODE of the A histogram (collected —
+    * a driver collect bounded by the money grid, not the corpus —
+    * and inlined as a literal array) over the distributed B histogram:
+    * a generator, not a join, so no cartesian/nested-loop node exists
+    * to mis-scale. Past a domain where |Dₐ|·|D_b| itself is hostile
+    * (≫10⁹ grid points) the same brackets fall to O(log range)
+    * counting probes against the two cumulative histograms — the
+    * documented escalation path, not needed at a 2dp money grid. */
+  val hodgesLehmann: GraftOp = GraftOp(
+    "q_hodges_lehmann",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |ha AS (SELECT cents AS va, CAST(count(*) AS HUGEINT) AS ca
+       |       FROM p WHERE variant = 'A' GROUP BY 1),
+       |hb AS (SELECT cents AS vb, CAST(count(*) AS HUGEINT) AS cb
+       |       FROM p WHERE variant = 'B' GROUP BY 1),
+       |dh AS (SELECT vb - va AS d, CAST(sum(cb * ca) AS HUGEINT) AS cnt
+       |       FROM hb, ha GROUP BY 1),
+       |w AS (SELECT d,
+       |        sum(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+       |        sum(cnt) OVER () AS np
+       |      FROM dh),
+       |sel AS (SELECT
+       |    CAST(max(np) AS DECIMAL(38,0)) AS n_pairs,
+       |    min(CASE WHEN 2 * cum >= np + np % 2 THEN d END) AS d_lo,
+       |    min(CASE WHEN 2 * cum >= np - np % 2 + 2 THEN d END) AS d_hi
+       |  FROM w),
+       |g AS (SELECT
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS n_a,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS n_b
+       |  FROM p)
+       |SELECT n_a, n_b, n_pairs, d_lo, d_hi,
+       |  CAST(d_lo + d_hi AS DOUBLE) / 200.0 AS hl_shift
+       |FROM g, sel""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    // A-side value histogram: grid-capped (≤ money-domain cents), so
+    // the collect is bounded by the VALUE DOMAIN, not the corpus
+    val haRows: Seq[(Long, Long)] = p.filter(col("variant") === "A")
+      .groupBy(col("cents")).agg(count(lit(1)).as("ca"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hb = p.filter(col("variant") === "B").groupBy(col("cents").as("vb"))
+      .agg(count(lit(1)).cast(dec).as("cb"))
+    // histogram convolution: |Da|x|Db| pairs of DISTINCT values (grid-
+    // capped, corpus-independent), reduced to the diff histogram via a
+    // generator over the literal A histogram — no join node at all
+    val dh = hb
+      .select(col("vb"), col("cb"), explode(typedLit(haRows)).as("a"))
+      .select((col("vb") - col("a._1")).as("d"),
+        (col("cb") * col("a._2").cast(dec)).as("w"))
+      .groupBy(col("d")).agg(sum(col("w")).cast(dec).as("cnt"))
+    // both windows run over the domain-bounded diff histogram
+    val cw = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    val tw = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = dh.select(col("d"),
+      sum(col("cnt")).over(cw).as("cum"), sum(col("cnt")).over(tw).as("np"))
+    val sel = w.agg(
+      max(col("np")).cast(dec).as("n_pairs"),
+      min(when(lit(2) * col("cum") >= col("np") + col("np") % 2, col("d"))).as("d_lo"),
+      min(when(lit(2) * col("cum") >= col("np") - col("np") % 2 + 2, col("d"))).as("d_hi"))
+    val g = p.agg(
+      count(when(col("variant") === "A", 1)).as("n_a"),
+      count(when(col("variant") === "B", 1)).as("n_b"))
+    g.crossJoin(broadcast(sel))
+      .select(col("n_a"), col("n_b"), col("n_pairs"), col("d_lo"), col("d_hi"),
+        expr("CAST(d_lo + d_hi AS DOUBLE) / 200.0D").as("hl_shift"))
+  }
+
+  /** Wilcoxon signed-rank test on paired per-user spend (first vs
+    * second half-month, the q_cuped pre/post split) — the PAIRED
+    * continuous test the ladder lacked (q_mcnemar pairs binaries,
+    * q_mann_whitney compares independent groups; "did the same users
+    * spend differently after the 16th" is neither). Zero differences
+    * drop (standard Wilcoxon), |d| gets midranks, W⁺ = Σ ranks of
+    * positive d. Exactness: doubled midranks 2R = min_rank + max_rank
+    * within each tie group are exact integers read off the global
+    * rank; the tie-correction Σ(t³−t) folds in DECIMAL(38); z's
+    * n(n+1)(2n+1)/6 term runs in doubles from the exact n (it would
+    * wrap BIGINT past n ≈ 1.4·10⁶), identical expression text both
+    * engines. Scale shape: one per-user aggregate, then the global
+    * |d| rank uses the QuantileExact range-partition +
+    * per-partition-offset discipline (the |d| domain is user-sized,
+    * NOT grid-capped — a single-task sort window would be the exact
+    * anti-pattern r12 retired); tie-group stats are one more shuffle
+    * on |d|. */
+  val signedRank: GraftOp = GraftOp(
+    "q_signed_rank",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+       |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS x,
+       |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+       |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |dd AS (SELECT y - x AS d, abs(y - x) AS a FROM u WHERE y <> x),
+       |c AS (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS t,
+       |    CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS tp
+       |  FROM dd GROUP BY 1),
+       |s AS (
+       |  SELECT a, t, tp,
+       |    CAST(1 + coalesce(sum(t) OVER (ORDER BY a
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM c),
+       |g AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n,
+       |    CAST(sum(tp) AS BIGINT) AS n_pos,
+       |    CAST(sum(CAST(tp AS HUGEINT) * (2 * start + t - 1)) AS DECIMAL(38,0)) AS w2_pos,
+       |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DECIMAL(38,0)) AS t3t
+       |  FROM s)
+       |SELECT n, n_pos, w2_pos, t3t,
+       |  (CAST(w2_pos AS DOUBLE) / 2.0 - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+       |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+       |        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+       |      - CAST(t3t AS DOUBLE) / 48.0) AS z
+       |FROM g""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        (coalesce(sum(when(col("event_type") === "purchase" &&
+            col("ts") < lit("2024-01-16").cast(TimestampType),
+          col("value").cast(DecimalType(18, 2)))), lit(0)) * 100).cast(LongType).as("x"),
+        (coalesce(sum(when(col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-16").cast(TimestampType),
+          col("value").cast(DecimalType(18, 2)))), lit(0)) * 100).cast(LongType).as("y"))
+    val dd = u.filter(col("y") =!= col("x"))
+      .select((col("y") - col("x")).as("d"), abs(col("y") - col("x")).as("a"))
+    // global |d| rank without a single-task sort: range-partitioned
+    // offsets (the |d| domain scales with users, not the money grid)
+    val ranked = QuantileExact.rankedUngrouped(s, s"signedrank.diffs:$d", dd, "a")
+    val c = ranked.groupBy(col("a")).agg(
+      count(lit(1)).as("t"),
+      count(when(col("d") > 0, 1)).as("tp"),
+      // 2·midrank of the tie group = min + max of its global ranks
+      (min(col("__rn")) + max(col("__rn"))).as("r2"))
+    val g = c.agg(
+      sum(col("t")).cast(LongType).as("n"),
+      sum(col("tp")).cast(LongType).as("n_pos"),
+      sum(col("tp").cast(dec) * col("r2")).cast(dec).as("w2_pos"),
+      sum(col("t").cast(dec) * col("t") * col("t") - col("t")).cast(dec).as("t3t"))
+    g.select(col("n"), col("n_pos"), col("w2_pos"), col("t3t"),
+      expr("""(CAST(w2_pos AS DOUBLE) / 2.0D - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0D) / 4.0D)
+        | / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0D)
+        |     * (2.0D * CAST(n AS DOUBLE) + 1.0D) / 24.0D
+        |   - CAST(t3t AS DOUBLE) / 48.0D)""".stripMargin).as("z"))
+  }
+
+  def ops: Seq[GraftOp] =
+    Seq(energyDistance, pageTrend, isotonic, tost, cvar, hodgesLehmann, signedRank)
 }
