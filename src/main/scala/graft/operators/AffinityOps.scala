@@ -624,6 +624,77 @@ object AffinityOps {
       .orderBy(col("product_line"))
   }
 
+  /** Arc price elasticity of demand per brand, 1996 → 1997 — the
+    * CAUSAL-direction readout next to q_price_index's unit-value
+    * series ("prices rose 4%" vs "and demand moved −1.2% per +1%").
+    * The arc (midpoint) form is used PRECISELY because it is
+    * log-free: with P = S/Q, %ΔP = (S₂Q₁−S₁Q₂)/(S₂Q₁+S₁Q₂) and
+    * %ΔQ = (Q₂−Q₁)/(Q₂+Q₁), so the elasticity is a ratio of two
+    * exact DECIMAL(38) integers — num = (Q₂−Q₁)(S₂Q₁+S₁Q₂),
+    * den = (Q₂+Q₁)(S₂Q₁−S₁Q₂) — and the only double is their single
+    * division (null where the unit value didn't move). The log-log
+    * spelling would put ln() into the emit — the libm class §6 bans.
+    * Scale shape: one broadcast part-dim join, one brand-partitioned
+    * conditional aggregate to 25 rows; S·Q products approach
+    * DECIMAL(38) only past ~10²⁷ cents·units per brand-year. */
+  val arcElasticity: GraftOp = GraftOp(
+    "q_arc_elasticity",
+    """WITH y AS (
+      |  SELECT p.p_brand AS brand,
+      |    CAST(sum(CASE WHEN year(l_shipdate) = 1996 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS q1,
+      |    CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS q2,
+      |    CAST(sum(CASE WHEN year(l_shipdate) = 1996
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN year(l_shipdate) = 1997
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS s2
+      |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1),
+      |e AS (
+      |  SELECT brand, q1, q2, s1, s2,
+      |    (q2 - q1) * 1000000 // (q2 + q1) AS dq_ppm,
+      |    CAST((CAST(s2 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * q2) * 1000000
+      |      // (CAST(s2 AS HUGEINT) * q1 + CAST(s1 AS HUGEINT) * q2) AS BIGINT) AS dp_ppm
+      |  FROM y WHERE q1 > 0 AND q2 > 0)
+      |SELECT brand, q1, q2, s1, s2, dq_ppm, dp_ppm,
+      |  CASE WHEN dp_ppm = 0 THEN NULL
+      |       ELSE CAST(dq_ppm AS DOUBLE) / CAST(dp_ppm AS DOUBLE) END AS elasticity
+      |FROM e ORDER BY brand""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    // range predicate (not year()) so the filter pushes to the scan
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1996-01-01 00:00:00" &&
+        col("l_shipdate") < "1998-01-01 00:00:00")
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+    val y = li.groupBy(col("p_brand").as("brand"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1996, col("l_quantity").cast(LongType)))
+          .cast(LongType).as("q1"),
+        sum(when(year(col("l_shipdate")) === 1997, col("l_quantity").cast(LongType)))
+          .cast(LongType).as("q2"),
+        sum(when(year(col("l_shipdate")) === 1996,
+          (graft.functions.Exprs.dec2(col("l_extendedprice")) * 100).cast(LongType)))
+          .cast(LongType).as("s1"),
+        sum(when(year(col("l_shipdate")) === 1997,
+          (graft.functions.Exprs.dec2(col("l_extendedprice")) * 100).cast(LongType)))
+          .cast(LongType).as("s2"))
+    y.filter(col("q1") > 0 && col("q2") > 0)
+      .select(col("brand"), col("q1"), col("q2"), col("s1"), col("s2"),
+        // both moves as exact trunc-ppm BIGINTs (<=10^6 in magnitude,
+        // so their double casts are exact and the one emitted division
+        // is engine-identical; a raw >2^53 decimal->double cast is the
+        // 1-ulp engine-dependent class, measured on this very op)
+        expr("(q2 - q1) * 1000000 div (q2 + q1)").as("dq_ppm"),
+        expr("""CAST((CAST(s2 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * q2) * 1000000
+          | div (CAST(s2 AS DECIMAL(38,0)) * q1 + CAST(s1 AS DECIMAL(38,0)) * q2) AS BIGINT)""".stripMargin)
+          .as("dp_ppm"))
+      .withColumn("elasticity",
+        when(col("dp_ppm") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("dq_ppm").cast(DoubleType) / col("dp_ppm").cast(DoubleType)))
+      .orderBy(col("brand"))
+  }
+
   val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence, priceIndex, decileMobility,
-    xyzClasses, serviceLevelStock)
+    xyzClasses, serviceLevelStock, arcElasticity)
 }

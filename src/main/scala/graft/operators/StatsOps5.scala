@@ -552,6 +552,80 @@ object StatsOps5 {
         |   - CAST(t3t AS DOUBLE) / 48.0D)""".stripMargin).as("z"))
   }
 
+  /** Decision-stump split quality over the quantity domain — the CART
+    * step (Breiman 1984) behind every tree model and every "which
+    * threshold separates the classes" feature audit: for each
+    * candidate split q (left = l_quantity ≤ q), the weighted Gini
+    * PURITY of the returned-vs-kept label, exactly. Gini is used over
+    * information gain PRECISELY because it is rational: weighted
+    * purity = (ΣcL²·nR + ΣcR²·nL)/(n·nL·nR) is a ratio of exact
+    * DECIMAL(38) integers, emitted as an exact floor-ppm plus its raw
+    * numerator — entropy's ln() is the libm class §6 bans from emits.
+    * The table emits EVERY candidate (the quantity domain is
+    * value-bounded at 50), so argmax needs no cross-split rational
+    * comparison trick; the n³-sized numerators stay inside
+    * DECIMAL(38) to ~10¹⁰ rows and would rescale past that. Scale
+    * shape: one histogram aggregate (|domain| rows out of the scan),
+    * cumulative windows over the bounded 50-row frame. */
+  val giniSplit: GraftOp = GraftOp(
+    "q_gini_split",
+    """WITH h AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(count(*) AS BIGINT) AS t,
+      |    CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r
+      |  FROM lineitem GROUP BY 1),
+      |w AS (
+      |  SELECT qty,
+      |    CAST(sum(t) OVER cw AS BIGINT) AS nl,
+      |    CAST(sum(r) OVER cw AS BIGINT) AS rl,
+      |    CAST(sum(t) OVER () AS BIGINT) AS n,
+      |    CAST(sum(r) OVER () AS BIGINT) AS tr
+      |  FROM h WINDOW cw AS (ORDER BY qty ROWS UNBOUNDED PRECEDING)),
+      |sp AS (
+      |  SELECT qty, nl, n - nl AS nr, rl, tr - rl AS rr,
+      |    CAST(CAST(rl AS HUGEINT) * rl + CAST(nl - rl AS HUGEINT) * (nl - rl) AS HUGEINT) AS sl,
+      |    CAST(CAST(tr - rl AS HUGEINT) * (tr - rl)
+      |       + CAST((n - nl) - (tr - rl) AS HUGEINT) * ((n - nl) - (tr - rl)) AS HUGEINT) AS sr,
+      |    n
+      |  FROM w WHERE n - nl > 0)
+      |SELECT qty AS split_qty, nl, nr, rl, rr,
+      |  CAST(sl * nr + sr * nl AS DECIMAL(38,0)) AS purity_num,
+      |  CAST((CAST(sl * nr + sr * nl AS HUGEINT) * 1000000)
+      |    // (CAST(n AS HUGEINT) * nl * nr) AS BIGINT) AS purity_ppm
+      |FROM sp ORDER BY split_qty""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val h = Tables.lineitem(s, d)
+      .groupBy(col("l_quantity").cast(LongType).as("qty"))
+      .agg(count(lit(1)).as("t"),
+        count(when(col("l_returnflag") === "R", 1)).as("r"))
+    // both windows run over the value-bounded quantity histogram
+    val cw = Window.orderBy(col("qty")).rowsBetween(Window.unboundedPreceding, 0)
+    val tw = Window.orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = h.select(col("qty"),
+      sum(col("t")).over(cw).cast(LongType).as("nl"),
+      sum(col("r")).over(cw).cast(LongType).as("rl"),
+      sum(col("t")).over(tw).cast(LongType).as("n"),
+      sum(col("r")).over(tw).cast(LongType).as("tr"))
+    w.filter(col("n") - col("nl") > 0)
+      .select(col("qty").as("split_qty"), col("nl"),
+        (col("n") - col("nl")).as("nr"), col("rl"), (col("tr") - col("rl")).as("rr"),
+        col("n"))
+      .select(col("split_qty"), col("nl"), col("nr"), col("rl"), col("rr"),
+        (col("rl").cast(dec) * col("rl")
+          + (col("nl") - col("rl")).cast(dec) * (col("nl") - col("rl"))).as("sl"),
+        (col("rr").cast(dec) * col("rr")
+          + (col("nr") - col("rr")).cast(dec) * (col("nr") - col("rr"))).as("sr"),
+        col("n"))
+      .select(col("split_qty"), col("nl"), col("nr"), col("rl"), col("rr"),
+        (col("sl") * col("nr") + col("sr") * col("nl")).cast(dec).as("purity_num"),
+        expr("""CAST((CAST(sl * nr + sr * nl AS DECIMAL(38,0)) * 1000000)
+          | div (CAST(n AS DECIMAL(38,0)) * nl * nr) AS BIGINT)""".stripMargin)
+          .as("purity_ppm"))
+      .orderBy(col("split_qty"))
+  }
+
   def ops: Seq[GraftOp] =
-    Seq(energyDistance, pageTrend, isotonic, tost, cvar, hodgesLehmann, signedRank)
+    Seq(energyDistance, pageTrend, isotonic, tost, cvar, hodgesLehmann,
+      signedRank, giniSplit)
 }

@@ -218,4 +218,67 @@ class R13cOpsSpec extends AnyFunSuite {
     val (_, _, zNeg) = signedRankOp(d.map(-_))
     assert(math.abs(z + zNeg) < 1e-9)
   }
+
+  // ---- Gini split: integer purity vs the textbook impurity ----
+
+  /** The op's exact purity ppm over a labeled (value, isPos) set at
+    * split point q (left = value ≤ q). */
+  private def purityPpm(rows: Seq[(Long, Boolean)], q: Long): Long = {
+    val (l, r) = rows.partition(_._1 <= q)
+    val (nl, rl) = (BigInt(l.size), BigInt(l.count(_._2)))
+    val (nr, rr) = (BigInt(r.size), BigInt(r.count(_._2)))
+    val sl = rl * rl + (nl - rl) * (nl - rl)
+    val sr = rr * rr + (nr - rr) * (nr - rr)
+    ((sl * nr + sr * nl) * 1000000 / (BigInt(rows.size) * nl * nr)).toLong
+  }
+
+  test("Gini purity ppm equals 10^6 * (1 - weighted impurity) within floor rounding") {
+    val rows = lcg(50, 200, 10).map(v => (v, (v * 7 + 3) % 5 < 2))
+    for (q <- 0L to 8L) {
+      val (l, r) = rows.partition(_._1 <= q)
+      if (l.nonEmpty && r.nonEmpty) {
+        def gini(xs: Seq[(Long, Boolean)]) = {
+          val p = xs.count(_._2).toDouble / xs.size
+          1.0 - p * p - (1 - p) * (1 - p)
+        }
+        val impurity = (l.size * gini(l) + r.size * gini(r)) / rows.size
+        val direct = (1.0 - impurity) * 1e6
+        val got = purityPpm(rows, q).toDouble
+        assert(math.abs(got - direct) <= 1.0, s"q=$q got=$got direct=$direct")
+      }
+    }
+  }
+
+  test("Gini purity is maximal at the true boundary of a separable labeling") {
+    // labels are exactly value >= 5 -> the q=4 split is pure
+    val rows = lcg(51, 300, 10).map(v => (v, v >= 5))
+    val candidates = (0L to 8L).filter(q =>
+      rows.exists(_._1 <= q) && rows.exists(_._1 > q))
+    val best = candidates.maxBy(purityPpm(rows, _))
+    assert(best === 4L)
+    assert(purityPpm(rows, 4L) === 1000000L)
+  }
+
+  // ---- Arc elasticity: the integer form vs the midpoint formula ----
+
+  test("arc elasticity integer num/den equals the midpoint formula on unit values") {
+    val cases = Seq((120L, 100L, 600000L, 550000L), (80L, 100L, 500000L, 500000L),
+      (100L, 130L, 700000L, 820000L))
+    for ((q1, q2, s1, s2) <- cases) {
+      val p1 = s1.toDouble / q1; val p2 = s2.toDouble / q2
+      val direct = ((q2 - q1).toDouble / (q2 + q1)) / ((p2 - p1) / (p2 + p1))
+      val num = BigInt(q2 - q1) * (BigInt(s2) * q1 + BigInt(s1) * q2)
+      val den = BigInt(q2 + q1) * (BigInt(s2) * q1 - BigInt(s1) * q2)
+      assert(math.abs(num.toDouble / den.toDouble - direct) < 1e-9,
+        s"case=($q1,$q2,$s1,$s2)")
+      // the op's emitted form: both moves as exact trunc-ppm integers
+      // (toward zero, the div/HUGEINT-// shared semantics)
+      val dqPpm = (BigInt(q2 - q1) * 1000000 / (q2 + q1)).toLong
+      val dpPpm = ((BigInt(s2) * q1 - BigInt(s1) * q2) * 1000000 /
+        (BigInt(s2) * q1 + BigInt(s1) * q2)).toLong
+      if (dpPpm != 0)
+        assert(math.abs(dqPpm.toDouble / dpPpm.toDouble - direct) < 1e-3,
+          s"ppm case=($q1,$q2,$s1,$s2)")
+    }
+  }
 }
