@@ -394,15 +394,18 @@ object StatsOps5 {
     * route with a DIVISION-FREE rank test (2·cum ≥ N + N%2 selects
     * the lower median, 2·cum ≥ N − N%2 + 2 the upper — exact at any
     * N without ⌊(N+1)/2⌋, which would wrap Spark's `div` past 2⁶³).
-    * All windows run over the domain-bounded diff histogram, and the
-    * convolution itself is an EXPLODE of the A histogram (collected —
-    * a driver collect bounded by the money grid, not the corpus —
-    * and inlined as a literal array) over the distributed B histogram:
-    * a generator, not a join, so no cartesian/nested-loop node exists
-    * to mis-scale. Past a domain where |Dₐ|·|D_b| itself is hostile
-    * (≫10⁹ grid points) the same brackets fall to O(log range)
-    * counting probes against the two cumulative histograms — the
-    * documented escalation path, not needed at a 2dp money grid. */
+    * The convolution and bracket selection run DRIVER-side over the
+    * two collected histograms — the q_kll discipline: the corpus
+    * reduces distributedly to bounded state (here ≤ grid-size rows),
+    * and the bounded selection replays exactly on the driver. The
+    * measured alternative (a distributed explode convolution) spent
+    * 14 s at sf0.1 pushing grid² DECIMAL(38) products through the
+    * aggregate's off-fast-path decimal buffers while carrying no
+    * information the two bounded histograms don't already hold. Past
+    * a domain where |Dₐ|·|D_b| itself is hostile (≫10⁹ grid points)
+    * the brackets fall to O(log range) counting probes against the
+    * cumulative histograms — the documented escalation path, not
+    * needed at a 2dp money grid. */
   val hodgesLehmann: GraftOp = GraftOp(
     "q_hodges_lehmann",
     s"""WITH p AS (
@@ -432,44 +435,73 @@ object StatsOps5 {
        |SELECT n_a, n_b, n_pairs, d_lo, d_hi,
        |  CAST(d_lo + d_hi AS DOUBLE) / 200.0 AS hl_shift
        |FROM g, sel""".stripMargin) { (s, d) =>
-    val dec = DecimalType(38, 0)
     val p = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(
         when(graft.functions.Exprs.md5Long(
           col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
-    // A-side value histogram: grid-capped (≤ money-domain cents), so
-    // the collect is bounded by the VALUE DOMAIN, not the corpus
-    val haRows: Seq[(Long, Long)] = p.filter(col("variant") === "A")
-      .groupBy(col("cents")).agg(count(lit(1)).as("ca"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val hb = p.filter(col("variant") === "B").groupBy(col("cents").as("vb"))
-      .agg(count(lit(1)).cast(dec).as("cb"))
-    // histogram convolution: |Da|x|Db| pairs of DISTINCT values (grid-
-    // capped, corpus-independent), reduced to the diff histogram via a
-    // generator over the literal A histogram — no join node at all
-    val dh = hb
-      .select(col("vb"), col("cb"), explode(typedLit(haRows)).as("a"))
-      .select((col("vb") - col("a._1")).as("d"),
-        (col("cb") * col("a._2").cast(dec)).as("w"))
-      .groupBy(col("d")).agg(sum(col("w")).cast(dec).as("cnt"))
-    // both windows run over the domain-bounded diff histogram
-    val cw = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
-    val tw = Window.orderBy(col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val w = dh.select(col("d"),
-      sum(col("cnt")).over(cw).as("cum"), sum(col("cnt")).over(tw).as("np"))
-    val sel = w.agg(
-      max(col("np")).cast(dec).as("n_pairs"),
-      min(when(lit(2) * col("cum") >= col("np") + col("np") % 2, col("d"))).as("d_lo"),
-      min(when(lit(2) * col("cum") >= col("np") - col("np") % 2 + 2, col("d"))).as("d_hi"))
-    val g = p.agg(
-      count(when(col("variant") === "A", 1)).as("n_a"),
-      count(when(col("variant") === "B", 1)).as("n_b"))
-    g.crossJoin(broadcast(sel))
-      .select(col("n_a"), col("n_b"), col("n_pairs"), col("d_lo"), col("d_hi"),
-        expr("CAST(d_lo + d_hi AS DOUBLE) / 200.0D").as("hl_shift"))
+    // Distributed work: the two per-variant value histograms — ONE
+    // conditional aggregate over the corpus scan. Both are grid-capped
+    // (≤ money-domain cents), so collecting them is bounded by the
+    // VALUE DOMAIN, not the corpus — the q_kll discipline (distribute
+    // the corpus reduction, replay the bounded selection on the
+    // driver). A distributed convolution was measured 14 s at sf0.1:
+    // grid² rows of DECIMAL(38) products fall off the unsafe-row fast
+    // path (precision > 18), and the pair frame carries no information
+    // the two bounded histograms don't already hold.
+    val hist = p.groupBy(col("cents")).agg(
+        count(when(col("variant") === "A", 1)).as("ca"),
+        count(when(col("variant") === "B", 1)).as("cb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nA = hist.map(_._2).sum
+    val nB = hist.map(_._3).sum
+    // diff histogram in a dense domain-indexed array: |Da|·|Db|
+    // multiply-adds, corpus-independent; Math.*Exact makes a
+    // >2⁶³-pairs-per-diff overflow loud, never silent
+    val as = hist.filter(_._2 > 0); val bs = hist.filter(_._3 > 0)
+    val result: (Option[Long], Option[Long], BigInt) =
+      if (as.isEmpty || bs.isEmpty) (None, None, BigInt(0))
+      else {
+        val dMin = bs.head._1 - as.last._1
+        val dMax = bs.last._1 - as.head._1
+        require(dMax - dMin < (1L << 27),
+          s"q_hodges_lehmann: diff grid ${dMax - dMin} exceeds the dense-array bound")
+        val acc = new Array[Long]((dMax - dMin + 1).toInt)
+        for ((va, ca, _) <- as; (vb, _, cb) <- bs)
+          acc((vb - va - dMin).toInt) = Math.addExact(
+            acc((vb - va - dMin).toInt), Math.multiplyExact(ca, cb))
+        val n = BigInt(nA) * BigInt(nB)
+        var cum = BigInt(0)
+        var lo = Option.empty[Long]; var hi = Option.empty[Long]
+        var i = 0
+        while (i < acc.length && hi.isEmpty) {
+          cum += acc(i)
+          val dv = dMin + i
+          if (lo.isEmpty && 2 * cum >= n + (n % 2)) lo = Some(dv)
+          if (hi.isEmpty && 2 * cum >= n - (n % 2) + 2) hi = Some(dv)
+          i += 1
+        }
+        (lo, hi, n)
+      }
+    val (dLo, dHi, nPairs) = result
+    val schema = StructType(Seq(
+      StructField("n_a", LongType, nullable = false),
+      StructField("n_b", LongType, nullable = false),
+      StructField("n_pairs", DecimalType(38, 0), nullable = true),
+      StructField("d_lo", LongType, nullable = true),
+      StructField("d_hi", LongType, nullable = true),
+      StructField("hl_shift", DoubleType, nullable = true)))
+    val row = org.apache.spark.sql.Row(
+      nA, nB,
+      if (as.isEmpty || bs.isEmpty) null else new java.math.BigDecimal(nPairs.bigInteger),
+      dLo.map(java.lang.Long.valueOf).orNull,
+      dHi.map(java.lang.Long.valueOf).orNull,
+      (for (l <- dLo; h <- dHi) yield (l + h).toDouble / 200.0)
+        .map(java.lang.Double.valueOf).orNull)
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.List.of(row)), schema)
   }
 
   /** Wilcoxon signed-rank test on paired per-user spend (first vs
