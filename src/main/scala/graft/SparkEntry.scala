@@ -14,7 +14,7 @@ object SparkEntry {
       EtlOps.ops ++ TextOps.ops ++ TextOps2.ops ++ DedupOps.ops ++ CleanPipeline.ops ++ MmOps.ops ++ MmOps2.ops ++
       KnnOps.ops ++ MipsOps.ops ++ FusionOps.ops ++ KllOps.ops ++ TopK.ops ++ Sampling.ops ++ RangeJoin.ops ++ JoinPrune.ops ++
       AffinityOps.ops ++ StatsOps.ops ++ StatsOps2.ops ++ StatsOps3.ops ++ StatsOps4.ops ++
-      StatsOps5.ops ++ PrefOps.ops
+      StatsOps5.ops ++ StatsOps6.ops ++ PrefOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,443 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sixth statistics tier (round 13, continued): RELIABILITY /
+  * inter-rater agreement — the label-quality measures every
+  * human-annotation or heuristic-labeling pipeline reports before its
+  * labels are trusted, which the r7–r13 inference ladder still lacked:
+  * Cohen's κ (two raters; Cohen 1960), Fleiss' κ (m raters; Fleiss
+  * 1971), and Cronbach's α internal-consistency reliability
+  * (Cronbach 1951).
+  *
+  * The "raters" are deterministic document-quality heuristics (length,
+  * word-count, sentence-count thresholds over the documents table) —
+  * the exact shape of an LLM-curation labeling stack, where cheap
+  * heuristic judges vote and agreement decides which labels are kept.
+  *
+  * Oracle-parity contract as [[StatsOps5]]: every cross-row fold is an
+  * exact integer (DECIMAL(38)/HUGEINT where products scale with n²),
+  * the final statistic is ONE double formula over those integers with
+  * identical expression text on both engines, and exact floor-ppm
+  * twins of each probability are emitted alongside.
+  */
+object StatsOps6 {
+
+  /** The three deterministic binary "raters" shared by the two kappa
+    * ops — identical predicate text on both engines so the agreement
+    * ops can never disagree on the votes themselves:
+    * A = char length ≥ 300, B = word count ≥ 50 (space count ≥ 49),
+    * C = sentence count ≥ 3 (period count ≥ 3). */
+  private val sqlRaters =
+    """SELECT
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN length(text) - length(replace(text, ' ', '')) >= 49
+      |         THEN 1 ELSE 0 END AS rb,
+      |    CASE WHEN length(text) - length(replace(text, '.', '')) >= 3
+      |         THEN 1 ELSE 0 END AS rc
+      |  FROM documents""".stripMargin
+
+  private def sparkRaters(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(
+      when(col("n_chars") >= 300, 1).otherwise(0).as("ra"),
+      when(length(col("text")) - length(regexp_replace(col("text"), " ", "")) >= 49, 1)
+        .otherwise(0).as("rb"),
+      when(length(col("text")) - length(regexp_replace(col("text"), "\\.", "")) >= 3, 1)
+        .otherwise(0).as("rc"))
+
+  /** Cohen's κ between the length and word-count document raters —
+    * chance-corrected two-rater agreement (Cohen 1960), the number a
+    * labeling pipeline quotes before trusting cheap judges. The whole
+    * statistic reduces to the exact 2×2 contingency (one
+    * map-side-combining aggregate over the documents scan — four
+    * BIGINTs of state); observed/expected agreement are emitted as
+    * exact floor-ppm (po·10⁶//n, pe·10⁶//n²) and
+    * κ = (n·po − pe)/(n² − pe) is one double formula whose operands
+    * are exact DECIMAL(38)/HUGEINT integers (n² passes 2⁶³ at corpus
+    * scale) — identical expression text on both engines. */
+  val cohensKappa: GraftOp = GraftOp(
+    "q_cohens_kappa",
+    s"""WITH r AS (
+       |  $sqlRaters),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (WHERE ra = 1 AND rb = 1) AS BIGINT) AS n11,
+       |    CAST(count(*) FILTER (WHERE ra = 1 AND rb = 0) AS BIGINT) AS n10,
+       |    CAST(count(*) FILTER (WHERE ra = 0 AND rb = 1) AS BIGINT) AS n01,
+       |    CAST(count(*) FILTER (WHERE ra = 0 AND rb = 0) AS BIGINT) AS n00
+       |  FROM r),
+       |e AS (
+       |  SELECT n, n11, n10, n01, n00,
+       |    CAST(n11 + n00 AS HUGEINT) AS po_num,
+       |    CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+       |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe_num
+       |  FROM g)
+       |SELECT n, n11, n10, n01, n00,
+       |  CAST(po_num * 1000000 // n AS BIGINT) AS po_ppm,
+       |  CAST(pe_num * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+       |  CAST(CAST(n AS HUGEINT) * po_num - pe_num AS DOUBLE)
+       |    / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE) AS kappa
+       |FROM e""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val g = sparkRaters(s, d).agg(
+      count(lit(1)).as("n"),
+      count(when(col("ra") === 1 && col("rb") === 1, 1)).as("n11"),
+      count(when(col("ra") === 1 && col("rb") === 0, 1)).as("n10"),
+      count(when(col("ra") === 0 && col("rb") === 1, 1)).as("n01"),
+      count(when(col("ra") === 0 && col("rb") === 0, 1)).as("n00"))
+    g.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("n11") + col("n00")).cast(dec).as("po_num"),
+        ((col("n11") + col("n10")).cast(dec) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")).cast(dec) * (col("n10") + col("n00"))).as("pe_num"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("CAST(po_num * 1000000 div n AS BIGINT)").as("po_ppm"),
+        expr("CAST(pe_num * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("pe_ppm"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * po_num - pe_num AS DOUBLE)
+               | / CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num AS DOUBLE)""".stripMargin)
+          .as("kappa"))
+  }
+
+  /** Fleiss' κ over all three document raters — the m-rater
+    * generalization (Fleiss 1971) a multi-judge labeling stack needs
+    * once a third heuristic votes. With m = 3 and binary categories,
+    * each document contributes nᵢ₁ = ra+rb+rc positive votes; the
+    * whole statistic reduces to TWO exact integers — S = Σnᵢ₁ and the
+    * agreement sum T = Σ(nᵢ₁² + (3−nᵢ₁)² − 3) — folded in one
+    * aggregate. P̄o = T/(6N), P̄e = (S² + (3N−S)²)/(9N²), and clearing
+    * denominators gives κ = (3N·T − 2E)/(2·(9N² − E)) with
+    * E = S² + (3N−S)² — every operand an exact DECIMAL(38)/HUGEINT
+    * (N² passes 2⁶³ at corpus scale), κ one double divide with
+    * identical expression text on both engines. */
+  val fleissKappa: GraftOp = GraftOp(
+    "q_fleiss_kappa",
+    s"""WITH r AS (
+       |  $sqlRaters),
+       |v AS (SELECT CAST(ra + rb + rc AS BIGINT) AS p FROM r),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(p) AS BIGINT) AS s,
+       |    CAST(sum(p * p + (3 - p) * (3 - p) - 3) AS BIGINT) AS t
+       |  FROM v),
+       |e AS (
+       |  SELECT n, s, t,
+       |    CAST(s AS HUGEINT) * s
+       |      + CAST(3 * n - s AS HUGEINT) * (3 * n - s) AS pe_num
+       |  FROM g)
+       |SELECT n, s, t,
+       |  CAST(CAST(t AS HUGEINT) * 1000000 // (6 * CAST(n AS HUGEINT)) AS BIGINT) AS po_ppm,
+       |  CAST(pe_num * 1000000 // (9 * CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+       |  CAST(3 * CAST(n AS HUGEINT) * t - 2 * pe_num AS DOUBLE)
+       |    / CAST(2 * (9 * CAST(n AS HUGEINT) * n - pe_num) AS DOUBLE) AS kappa
+       |FROM e""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val v = sparkRaters(s, d)
+      .select((col("ra") + col("rb") + col("rc")).cast(LongType).as("p"))
+    val g = v.agg(
+      count(lit(1)).as("n"),
+      sum(col("p")).cast(LongType).as("s"),
+      sum(col("p") * col("p") + (lit(3) - col("p")) * (lit(3) - col("p")) - 3)
+        .cast(LongType).as("t"))
+    g.select(col("n"), col("s"), col("t"),
+        (col("s").cast(dec) * col("s")
+          + (lit(3) * col("n") - col("s")).cast(dec)
+            * (lit(3) * col("n") - col("s"))).as("pe_num"))
+      .select(col("n"), col("s"), col("t"),
+        expr("CAST(CAST(t AS DECIMAL(38,0)) * 1000000 div (6 * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+          .as("po_ppm"),
+        expr("CAST(pe_num * 1000000 div (9 * CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("pe_ppm"),
+        expr("""CAST(3 * CAST(n AS DECIMAL(38,0)) * t - 2 * pe_num AS DOUBLE)
+               | / CAST(2 * (9 * CAST(n AS DECIMAL(38,0)) * n - pe_num) AS DOUBLE)""".stripMargin)
+          .as("kappa"))
+  }
+
+  /** Cronbach's α internal-consistency reliability of the per-user
+    * engagement scale — the k = 5 event-type counts treated as the
+    * items of one "engagement" instrument (the classic reliability
+    * readout; Cronbach 1951): do the sub-scores move together enough
+    * that their sum is a trustworthy single score? α =
+    * k/(k−1)·(1 − ΣᵢVᵢ/Vt) with POPULATION variance numerators
+    * Vᵢ = n·Σcᵢ² − (Σcᵢ)² and Vt over the summed score — the n-scaled
+    * form keeps every fold an exact integer (DECIMAL(38): n·Σs²
+    * passes 2⁶³ at corpus scale), ΣVᵢ/Vt is the only double divide
+    * (identical expression text both engines), and α's k/(k−1) is the
+    * exact literal 1.25. The item list is the pinned event-type
+    * domain; a type absent from a user counts 0 (the per-user
+    * aggregate's conditional counts, not a pivot join). Scale shape:
+    * one per-user aggregate (map-side combining), one 12-integer
+    * moment fold — no row ever carries more than the 6 item columns. */
+  val cronbachAlpha: GraftOp = GraftOp(
+    "q_cronbach",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS c1,
+      |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS c2,
+      |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c3,
+      |    CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS c4,
+      |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS c5
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c1) AS HUGEINT) AS s1, CAST(sum(CAST(c1 AS HUGEINT) * c1) AS HUGEINT) AS q1,
+      |    CAST(sum(c2) AS HUGEINT) AS s2, CAST(sum(CAST(c2 AS HUGEINT) * c2) AS HUGEINT) AS q2,
+      |    CAST(sum(c3) AS HUGEINT) AS s3, CAST(sum(CAST(c3 AS HUGEINT) * c3) AS HUGEINT) AS q3,
+      |    CAST(sum(c4) AS HUGEINT) AS s4, CAST(sum(CAST(c4 AS HUGEINT) * c4) AS HUGEINT) AS q4,
+      |    CAST(sum(c5) AS HUGEINT) AS s5, CAST(sum(CAST(c5 AS HUGEINT) * c5) AS HUGEINT) AS q5,
+      |    CAST(sum(c1 + c2 + c3 + c4 + c5) AS HUGEINT) AS st,
+      |    CAST(sum(CAST(c1 + c2 + c3 + c4 + c5 AS HUGEINT)
+      |             * (c1 + c2 + c3 + c4 + c5)) AS HUGEINT) AS qt
+      |  FROM u),
+      |v AS (
+      |  SELECT n,
+      |    CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3)
+      |       + (n * q4 - s4 * s4) + (n * q5 - s5 * s5) AS DECIMAL(38,0)) AS v_items,
+      |    CAST(n * qt - st * st AS DECIMAL(38,0)) AS v_total
+      |  FROM m)
+      |SELECT n AS n_users, CAST(5 AS BIGINT) AS k, v_items, v_total,
+      |  1.25 * (1.0 - CAST(v_items AS DOUBLE) / CAST(v_total AS DOUBLE)) AS alpha
+      |FROM v""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val u = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === types(0), 1)).as("c1"),
+        count(when(col("event_type") === types(1), 1)).as("c2"),
+        count(when(col("event_type") === types(2), 1)).as("c3"),
+        count(when(col("event_type") === types(3), 1)).as("c4"),
+        count(when(col("event_type") === types(4), 1)).as("c5"))
+    val items = (1 to 5).map(i => col(s"c$i"))
+    val tot = items.reduce(_ + _)
+    val m = u.agg(
+      count(lit(1)).as("n"),
+      (1 to 5).flatMap(i => Seq(
+        sum(col(s"c$i")).cast(dec).as(s"s$i"),
+        sum(col(s"c$i").cast(dec) * col(s"c$i")).cast(dec).as(s"q$i"))) ++ Seq(
+        sum(tot).cast(dec).as("st"),
+        sum(tot.cast(dec) * tot).cast(dec).as("qt")): _*)
+    val vItems = (1 to 5).map(i =>
+      col("n") * col(s"q$i") - col(s"s$i") * col(s"s$i")).reduce(_ + _)
+    m.select(col("n"),
+        vItems.cast(dec).as("v_items"),
+        (col("n") * col("qt") - col("st") * col("st")).cast(dec).as("v_total"))
+      .select(col("n").as("n_users"), lit(5L).as("k"), col("v_items"), col("v_total"),
+        expr("1.25D * (1.0D - CAST(v_items AS DOUBLE) / CAST(v_total AS DOUBLE))")
+          .as("alpha"))
+  }
+
+  /** Quade's randomized-block test (Quade 1979) on the segment×year
+    * revenue frame — the range-WEIGHTED sibling of q_friedman (which
+    * weights every block equally) and q_page_trend (which assumes a
+    * monotone alternative): blocks with a wider revenue spread carry
+    * proportionally more evidence. Shares q_page_trend's cell frame
+    * (seg blocks × order-year treatments, exact summed cents) and its
+    * deterministic tiebreaks. Exactness: within-block ranks r and
+    * block-range ranks Q are exact integers off bounded windows;
+    * doubling the centered score to D = Q·(2r − (k+1)) clears the
+    * (k+1)/2 half so A = ΣD² and T² = ΣⱼTⱼ² (Tⱼ = column sums of D)
+    * fold as exact BIGINTs, and the doubling cancels in
+    * F = (b−1)·T²/(b·A − T²) — one double divide, identical
+    * expression text both engines. Scale shape: one orders⋈customer
+    * co-partitioned aggregate to b·k = 35 cells; every window after
+    * runs on that bounded frame. */
+  val quade: GraftOp = GraftOp(
+    "q_quade",
+    """WITH cell AS (
+      |  SELECT c.c_mktsegment AS seg, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |k AS (SELECT CAST(count(DISTINCT yr) AS BIGINT) AS k,
+      |             CAST(count(DISTINCT seg) AS BIGINT) AS b FROM cell),
+      |rk AS (
+      |  SELECT seg, yr, cents,
+      |    CAST(rank() OVER (PARTITION BY seg ORDER BY cents, yr) AS BIGINT) AS r
+      |  FROM cell),
+      |rg AS (
+      |  SELECT seg, max(cents) - min(cents) AS rng FROM cell GROUP BY 1),
+      |q AS (
+      |  SELECT seg, CAST(rank() OVER (ORDER BY rng, seg) AS BIGINT) AS qq FROM rg),
+      |dd AS (
+      |  SELECT rk.yr, q.qq * (2 * rk.r - (k.k + 1)) AS d
+      |  FROM rk JOIN q ON rk.seg = q.seg CROSS JOIN k),
+      |tj AS (SELECT yr, CAST(sum(d) AS BIGINT) AS t FROM dd GROUP BY 1),
+      |f AS (
+      |  SELECT
+      |    CAST((SELECT sum(d * d) FROM dd) AS BIGINT) AS a4,
+      |    CAST((SELECT sum(t * t) FROM tj) AS BIGINT) AS t4)
+      |SELECT b, k, a4, t4,
+      |  CAST((b - 1) * t4 AS DOUBLE) / CAST(b * a4 - t4 AS DOUBLE) AS f_stat
+      |FROM f CROSS JOIN k""".stripMargin) { (s, d) =>
+    val cell = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        year(col("o_orderdate")).cast(LongType).as("yr"))
+      .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+        .cast(LongType).as("cents"))
+    val kb = cell.agg(countDistinct(col("yr")).cast(LongType).as("k"),
+      countDistinct(col("seg")).cast(LongType).as("b"))
+    // all windows below run on the bounded b·k cell frame
+    val rk = cell.select(col("seg"), col("yr"), col("cents"),
+      rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg")).orderBy(col("cents"), col("yr")))
+        .cast(LongType).as("r"))
+    val rg = cell.groupBy(col("seg"))
+      .agg((max(col("cents")) - min(col("cents"))).as("rng"))
+    val q = rg.select(col("seg"),
+      rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rng"), col("seg"))).cast(LongType).as("qq"))
+    val dd = rk.join(q, "seg").crossJoin(broadcast(kb))
+      .select(col("yr"), (col("qq") * (lit(2) * col("r") - (col("k") + 1))).as("d"))
+    val tj = dd.groupBy(col("yr")).agg(sum(col("d")).cast(LongType).as("t"))
+    val a4 = dd.agg(sum(col("d") * col("d")).cast(LongType).as("a4"))
+    val t4 = tj.agg(sum(col("t") * col("t")).cast(LongType).as("t4"))
+    broadcast(kb).crossJoin(broadcast(a4)).crossJoin(broadcast(t4))
+      .select(col("b"), col("k"), col("a4"), col("t4"),
+        expr("CAST((b - 1) * t4 AS DOUBLE) / CAST(b * a4 - t4 AS DOUBLE)").as("f_stat"))
+  }
+
+  /** Brown-Forsythe robust equality-of-spread test (Brown & Forsythe
+    * 1974) — q_levene with the group MEDIAN as the center, the
+    * variant that stays valid under the skewed distributions real
+    * corpora have: is quantity dispersion the same across the three
+    * return-flag populations? The whole test runs on the
+    * (flag × quantity) histogram — ≤150 cells at ANY corpus size, one
+    * aggregate out of the scan. Per-group lower medians are
+    * rank-defined off the histogram's cumulative counts
+    * (2·cum ≥ n + n%2, the q_hodges_lehmann division-free bracket —
+    * ties cannot straddle), deviations z = |qty − med| are exact
+    * integers, and the one-way ANOVA on z folds exact
+    * DECIMAL(38)/HUGEINT moments with the between-group sum
+    * micro-snapped per group ((Σz)²·10⁶ // n, the q_theil_index
+    * floor-snap discipline — order-free integer fold, ~10³⁷ at 10¹⁴
+    * rows, inside DECIMAL(38)). Emitted per GROUP (the q_anova
+    * discipline) with the global F repeated via a broadcast scalar —
+    * every integer exact, F one shared-text double formula. */
+  val brownForsythe: GraftOp = GraftOp(
+    "q_brown_forsythe",
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT flag, qty, c,
+      |    sum(c) OVER (PARTITION BY flag ORDER BY qty ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY flag) AS ng
+      |  FROM h),
+      |med AS (
+      |  SELECT flag, min(CASE WHEN 2 * cum >= ng + ng % 2 THEN qty END) AS med
+      |  FROM w GROUP BY 1),
+      |z AS (
+      |  SELECT h.flag, abs(h.qty - med.med) AS z, h.c
+      |  FROM h JOIN med ON h.flag = med.flag),
+      |g AS (
+      |  SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CAST(c AS HUGEINT) * z) AS HUGEINT) AS sz,
+      |    CAST(sum(CAST(c AS HUGEINT) * z * z) AS DECIMAL(38,0)) AS szz
+      |  FROM z GROUP BY 1),
+      |gg AS (
+      |  SELECT g.flag, g.n, g.sz, g.szz, med.med,
+      |    CAST((CAST(g.sz AS HUGEINT) * g.sz * 1000000) // g.n AS DECIMAL(38,0)) AS b_micro
+      |  FROM g JOIN med ON g.flag = med.flag),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS grp,
+      |    CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sz) AS DECIMAL(38,0)) AS t,
+      |    CAST(sum(szz) AS DECIMAL(38,0)) AS szz2,
+      |    CAST(sum(b_micro) AS DECIMAL(38,0)) AS sb
+      |  FROM gg)
+      |SELECT gg.flag, gg.n, gg.med, CAST(gg.sz AS DECIMAL(38,0)) AS sz, gg.szz,
+      |  gg.b_micro,
+      |  ((CAST(sb AS DOUBLE) / 1000000.0 - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      / (CAST(grp AS DOUBLE) - 1.0))
+      |    / ((CAST(szz2 AS DOUBLE) - CAST(sb AS DOUBLE) / 1000000.0)
+      |      / (CAST(nn AS DOUBLE) - CAST(grp AS DOUBLE))) AS f_stat
+      |FROM gg CROSS JOIN tot ORDER BY gg.flag""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val h = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").cast(LongType).as("qty"))
+      .agg(count(lit(1)).as("c"))
+    // windows over the ≤150-cell (flag × quantity) histogram
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("flag")).orderBy(col("qty"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nw = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
+    val w = h.select(col("flag"), col("qty"), col("c"),
+      sum(col("c")).over(cw).as("cum"), sum(col("c")).over(nw).as("ng"))
+    val med = w.groupBy(col("flag"))
+      .agg(min(when(lit(2) * col("cum") >= col("ng") + col("ng") % 2, col("qty")))
+        .as("med"))
+    val z = h.join(broadcast(med), "flag")
+      .select(col("flag"), abs(col("qty") - col("med")).as("z"), col("c"))
+    val g = z.groupBy(col("flag")).agg(
+      sum(col("c")).cast(LongType).as("n"),
+      sum(col("c").cast(dec) * col("z")).cast(dec).as("sz"),
+      sum(col("c").cast(dec) * col("z") * col("z")).cast(dec).as("szz"))
+    val gg = g.join(broadcast(med), "flag")
+      .select(col("flag"), col("n"), col("sz"), col("szz"), col("med"),
+        expr("CAST((CAST(sz AS DECIMAL(38,0)) * sz * 1000000) div n AS DECIMAL(38,0))")
+          .as("b_micro"))
+    val tot = gg.agg(
+      count(lit(1)).as("grp"),
+      sum(col("n")).cast(LongType).as("nn"),
+      sum(col("sz")).cast(dec).as("t"),
+      sum(col("szz")).cast(dec).as("szz2"),
+      sum(col("b_micro")).cast(dec).as("sb"))
+    gg.crossJoin(broadcast(tot))
+      .select(col("flag"), col("n"), col("med"), col("sz"), col("szz"), col("b_micro"),
+        expr("""((CAST(sb AS DOUBLE) / 1000000.0D - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(nn AS DOUBLE))
+               |    / (CAST(grp AS DOUBLE) - 1.0D))
+               |  / ((CAST(szz2 AS DOUBLE) - CAST(sb AS DOUBLE) / 1000000.0D)
+               |    / (CAST(nn AS DOUBLE) - CAST(grp AS DOUBLE)))""".stripMargin)
+          .as("f_stat"))
+      .orderBy(col("flag"))
+  }
+
+  /** Paired sign test on the q_cuped pre/post per-user spend split —
+    * the assumption-FREE floor of the paired ladder (q_signed_rank
+    * uses the magnitudes and assumes symmetric differences; the sign
+    * test uses only the direction, valid under any continuous paired
+    * model): S = #(post > pre) among informative pairs, and the
+    * normal approximation z = (2S − n)/√n to the exact
+    * Binomial(n, ½) null. Zero differences drop (standard). All
+    * state is three exact BIGINTs off one per-user aggregate; z is
+    * one double expression, identical text both engines. */
+  val signTest: GraftOp = GraftOp(
+    "q_sign_test",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS x,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(count(*) FILTER (WHERE y <> x) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (WHERE y > x) AS BIGINT) AS s
+      |  FROM u)
+      |SELECT n_users, n, s,
+      |  CAST(2 * s - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS z
+      |FROM g""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        (coalesce(sum(when(col("event_type") === "purchase" &&
+            col("ts") < lit("2024-01-16").cast(TimestampType),
+          col("value").cast(DecimalType(18, 2)))), lit(0)) * 100).cast(LongType).as("x"),
+        (coalesce(sum(when(col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-16").cast(TimestampType),
+          col("value").cast(DecimalType(18, 2)))), lit(0)) * 100).cast(LongType).as("y"))
+    u.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("y") =!= col("x"), 1)).as("n"),
+        count(when(col("y") > col("x"), 1)).as("s"))
+      .select(col("n_users"), col("n"), col("s"),
+        expr("CAST(2 * s - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("z"))
+  }
+
+  def ops: Seq[GraftOp] =
+    Seq(cohensKappa, fleissKappa, cronbachAlpha, quade, brownForsythe, signTest)
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 (continued) reliability-family pins: the integer-cleared
+  * Cohen's-κ / Fleiss'-κ formulas and Cronbach's n-scaled variance
+  * form, each checked against the textbook real-arithmetic definition
+  * on deterministic fixtures.
+  */
+class R13dOpsSpec extends AnyFunSuite {
+
+  private def lcg(seed: Long, n: Int, mod: Int): Seq[Long] = {
+    var x = seed
+    (1 to n).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      math.floorMod(x >>> 17, mod.toLong)
+    }
+  }
+
+  // ---- Cohen's kappa: integer-cleared form vs textbook po/pe ----
+
+  /** The op's formula: κ = (n·po − pe)/(n² − pe) with
+    * pe = r1·c1 + r0·c0, all BigInt. */
+  private def kappaInt(n11: Long, n10: Long, n01: Long, n00: Long): Double = {
+    val n = BigInt(n11 + n10 + n01 + n00)
+    val po = BigInt(n11 + n00)
+    val pe = BigInt(n11 + n10) * BigInt(n11 + n01) +
+      BigInt(n01 + n00) * BigInt(n10 + n00)
+    ((n * po - pe).toDouble / (n * n - pe).toDouble)
+  }
+
+  /** Textbook: κ = (po − pe)/(1 − pe) over the probability scale. */
+  private def kappaRef(n11: Long, n10: Long, n01: Long, n00: Long): Double = {
+    val n = (n11 + n10 + n01 + n00).toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) / n) * ((n11 + n01) / n) +
+      ((n01 + n00) / n) * ((n10 + n00) / n)
+    (po - pe) / (1 - pe)
+  }
+
+  test("Cohen's kappa integer-cleared form tracks the textbook probability form") {
+    val cases = Seq((40L, 9L, 6L, 45L), (70L, 5L, 15L, 10L), (1L, 2L, 3L, 4L),
+      (100L, 0L, 0L, 100L), (10L, 40L, 40L, 10L))
+    for ((a, b, c, dd) <- cases) {
+      assert(math.abs(kappaInt(a, b, c, dd) - kappaRef(a, b, c, dd)) < 1e-12,
+        s"cells=($a,$b,$c,$dd)")
+    }
+  }
+
+  test("Cohen's kappa boundary laws: perfect agreement = 1, symmetric swap = negative") {
+    assert(kappaInt(50, 0, 0, 50) === 1.0)
+    assert(kappaInt(0, 50, 50, 0) < 0)
+  }
+
+  // ---- Fleiss' kappa: cleared-denominator form vs textbook ----
+
+  /** The op's formula with m = 3 binary raters: E = S² + (3N−S)²,
+    * κ = (3N·T − 2E)/(2·(9N² − E)), T = Σ(p² + (3−p)² − 3). */
+  private def fleissInt(votes: Seq[Long]): Double = {
+    val n = BigInt(votes.length)
+    val sAll = BigInt(votes.sum)
+    val t = BigInt(votes.map(p => p * p + (3 - p) * (3 - p) - 3).sum)
+    val e = sAll * sAll + (3 * n - sAll) * (3 * n - sAll)
+    (3 * n * t - 2 * e).toDouble / (2 * (9 * n * n - e)).toDouble
+  }
+
+  /** Textbook Fleiss: P̄o = mean of per-subject agreement
+    * (Σnⱼ²−m)/(m(m−1)); P̄e = Σpⱼ². */
+  private def fleissRef(votes: Seq[Long]): Double = {
+    val m = 3.0
+    val n = votes.length.toDouble
+    val po = votes.map { p =>
+      (p * p + (3 - p) * (3 - p) - m) / (m * (m - 1))
+    }.sum / n
+    val p1 = votes.sum / (m * n)
+    val pe = p1 * p1 + (1 - p1) * (1 - p1)
+    (po - pe) / (1 - pe)
+  }
+
+  test("Fleiss' kappa cleared form tracks the textbook form") {
+    val fixtures = Seq(
+      lcg(11, 200, 4),           // uniform vote counts 0..3
+      lcg(12, 50, 2).map(_ * 3), // unanimous only: all 0 or 3
+      Seq(1L, 2L, 1L, 2L, 1L, 2L))
+    for (v <- fixtures) {
+      assert(math.abs(fleissInt(v) - fleissRef(v)) < 1e-12, s"votes=$v")
+    }
+  }
+
+  test("Fleiss' kappa is 1 under unanimous raters with both categories present") {
+    assert(fleissInt(Seq(3L, 0L, 3L, 0L, 0L)) === 1.0)
+  }
+
+  // ---- Cronbach's alpha: n-scaled integer form vs classic form ----
+
+  /** The op's formula: α = (k/(k−1))·(1 − ΣVᵢ/Vt) with
+    * Vᵢ = n·Σxᵢ² − (Σxᵢ)² — population variances scaled by n², which
+    * cancels in the ratio. */
+  private def alphaInt(items: Seq[Seq[Long]]): Double = {
+    val k = items.length
+    val n = BigInt(items.head.length)
+    def vNum(xs: Seq[Long]): BigInt = {
+      val s = BigInt(xs.sum)
+      n * xs.map(x => BigInt(x) * x).sum - s * s
+    }
+    val tot = items.transpose.map(_.sum)
+    val vi = items.map(vNum).sum
+    val vt = vNum(tot)
+    (k.toDouble / (k - 1)) * (1.0 - vi.toDouble / vt.toDouble)
+  }
+
+  /** Classic: α over per-item population variances on the real scale. */
+  private def alphaRef(items: Seq[Seq[Long]]): Double = {
+    val k = items.length
+    val n = items.head.length.toDouble
+    def popVar(xs: Seq[Long]): Double = {
+      val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    val tot = items.transpose.map(_.sum)
+    (k / (k - 1.0)) * (1.0 - items.map(popVar).sum / popVar(tot))
+  }
+
+  test("Cronbach alpha integer form tracks the classic variance form") {
+    val items = (1 to 5).map(i => lcg(20 + i, 120, 30).map(_ + lcg(99, 120, 10)(i)))
+    assert(math.abs(alphaInt(items) - alphaRef(items)) < 1e-10)
+  }
+
+  test("Cronbach alpha is exactly 1 for k identical items") {
+    val base = lcg(7, 80, 25)
+    val items = Seq.fill(5)(base)
+    // ΣVᵢ = 5V, Vt = 25V → α = 1.25·(1 − 1/5) = 1 exactly
+    assert(alphaInt(items) === 1.0)
+  }
+
+  test("Cronbach alpha catches an anti-correlated item (drops below the all-consistent value)") {
+    val base = lcg(7, 80, 25)
+    val consistent = Seq.fill(5)(base)
+    val flipped = consistent.updated(4, base.map(24L - _))
+    assert(alphaInt(flipped) < alphaInt(consistent))
+  }
+}
