@@ -438,6 +438,221 @@ object StatsOps6 {
         expr("CAST(2 * s - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))").as("z"))
   }
 
+  /** Croston's method for intermittent demand (Croston 1972) — the
+    * forecasting step q_holt/q_holt_winters cannot serve: a sparse
+    * per-part demand series (most months zero) needs SEPARATE
+    * exponential smoothing of the non-zero demand sizes and of the
+    * inter-demand intervals, with forecast z/p demand-per-period (and
+    * the Syntetos-Boylan approximation (1−α/2)·z/p correcting
+    * Croston's known positive bias). Only non-zero demand months
+    * enter the recurrence — the zero months are carried exactly by
+    * the month-index gaps, so NO zero-filled spine is materialized.
+    * Cross-engine contract: the q_holt sequential-fold discipline —
+    * one shuffle to the part key, an in-order fold over the
+    * date-BOUNDED series with a 10dp grid snap after every step
+    * (Spark aggregate HOF ≡ DuckDB recursive CTE carrying (z, p,
+    * prev-index), the SEED state spelled with the same arithmetic
+    * text as the step so both engines start from identical doubles),
+    * α = 0.3, init z₁ = y₁ / p from the first observed interval;
+    * parts with <2 demand months drop (no interval evidence). */
+  val croston: GraftOp = GraftOp(
+    "q_croston",
+    """WITH RECURSIVE m AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |d AS (
+      |  SELECT part, mi, y,
+      |    CAST(row_number() OVER (PARTITION BY part ORDER BY mi) AS BIGINT) AS t
+      |  FROM m),
+      |n AS (SELECT part, max(t) AS nt FROM d GROUP BY 1 HAVING max(t) >= 2),
+      |r(part, t, z, p, pi) AS (
+      |  SELECT a.part, CAST(2 AS BIGINT),
+      |    floor((0.3 * CAST(b.y AS DOUBLE) + 0.7 * CAST(a.y AS DOUBLE)) * 10000000000.0) / 10000000000.0,
+      |    floor((0.3 * CAST(b.mi - a.mi AS DOUBLE) + 0.7 * CAST(b.mi - a.mi AS DOUBLE)) * 10000000000.0) / 10000000000.0,
+      |    b.mi
+      |  FROM d a JOIN d b ON a.part = b.part AND a.t = 1 AND b.t = 2
+      |  UNION ALL
+      |  SELECT r.part, r.t + 1,
+      |    floor((0.3 * CAST(d.y AS DOUBLE) + 0.7 * r.z) * 10000000000.0) / 10000000000.0,
+      |    floor((0.3 * CAST(d.mi - r.pi AS DOUBLE) + 0.7 * r.p) * 10000000000.0) / 10000000000.0,
+      |    d.mi
+      |  FROM r JOIN d ON d.part = r.part AND d.t = r.t + 1),
+      |fin AS (
+      |  SELECT r.part, r.z, r.p, n.nt
+      |  FROM r JOIN n ON r.part = n.part AND r.t = n.nt)
+      |SELECT part AS l_partkey, nt AS n_demands,
+      |  CAST(floor(z * 1000000) AS BIGINT) / 1000000.0 AS level,
+      |  CAST(floor(p * 1000000) AS BIGINT) / 1000000.0 AS interval,
+      |  CAST(floor((z / p) * 1000000) AS BIGINT) / 1000000.0 AS croston,
+      |  CAST(floor(0.85 * (z / p) * 1000000) AS BIGINT) / 1000000.0 AS sba
+      |FROM fin ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast(LongType).as("mi"))
+      .agg(sum(col("l_quantity").cast(LongType)).cast(LongType).as("y"))
+      .groupBy(col("part"))
+      .agg(expr("array_sort(collect_list(struct(mi, y)))").as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("part"), size(col("ss")).cast(LongType).as("n_demands"),
+        // seed = the state AFTER step 2, spelled with the same
+        // arithmetic text as the recurrence so both engines start
+        // from identical doubles
+        expr("""aggregate(slice(ss, 3, size(ss) - 2),
+          | named_struct(
+          |   'z', floor((0.3D * element_at(ss, 2).y + 0.7D * element_at(ss, 1).y) * 10000000000.0D) / 10000000000.0D,
+          |   'p', floor((0.3D * CAST(element_at(ss, 2).mi - element_at(ss, 1).mi AS DOUBLE)
+          |            + 0.7D * CAST(element_at(ss, 2).mi - element_at(ss, 1).mi AS DOUBLE)) * 10000000000.0D) / 10000000000.0D,
+          |   'pi', element_at(ss, 2).mi),
+          | (acc, x) -> named_struct(
+          |   'z', floor((0.3D * x.y + 0.7D * acc.z) * 10000000000.0D) / 10000000000.0D,
+          |   'p', floor((0.3D * CAST(x.mi - acc.pi AS DOUBLE) + 0.7D * acc.p) * 10000000000.0D) / 10000000000.0D,
+          |   'pi', x.mi))""".stripMargin).as("st"))
+      .select(col("part").as("l_partkey"), col("n_demands"),
+        // floor-micro display snaps, not round(…,6): floor on an
+        // IDENTICAL double is engine-independent, while the engines'
+        // round-to-decimal paths disagree on grid midpoints (one part
+        // at sf0.1 hit exactly that lottery on the 0.85 multiply)
+        expr("CAST(floor(st.z * 1000000) AS BIGINT) / 1000000.0D").as("level"),
+        expr("CAST(floor(st.p * 1000000) AS BIGINT) / 1000000.0D").as("interval"),
+        expr("CAST(floor((st.z / st.p) * 1000000) AS BIGINT) / 1000000.0D").as("croston"),
+        expr("CAST(floor(0.85D * (st.z / st.p) * 1000000) AS BIGINT) / 1000000.0D").as("sba"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** ICC(1,1) intraclass correlation — the GROUP-level member of the
+    * reliability family (how much of order-value variance lives
+    * BETWEEN customer nations vs within them; the one-way
+    * random-effects model, Shrout & Fleiss 1979) with the unbalanced
+    * group-size correction k₀ = (N − Σnᵢ²/N)/(a−1). The corpus
+    * reduces to 25 bounded nation cells of exact moments (n, Σcents,
+    * Σcents² in DECIMAL(38)); the between-groups term Σ Sᵢ²/nᵢ is
+    * made an order-free exact fold by per-group FLOOR division
+    * (Sᵢ²//nᵢ — integer cents² units; the ≤1-unit-per-group floor is
+    * deterministic on both engines and vanishes against the ~10¹⁵
+    * sums; staying at unit rather than micro scale keeps Sᵢ² · 10⁶
+    * from breaching DECIMAL(38) at corpus scale). MSB/MSW/k₀/ICC are
+    * double formulas over the exact integers, identical text both
+    * engines. */
+  val icc: GraftOp = GraftOp(
+    "q_icc",
+    """WITH g AS (
+      |  SELECT c.c_nationkey AS nation,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+      |             * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS ss
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS a,
+      |    CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(s) AS DECIMAL(38,0)) AS tt,
+      |    CAST(sum(ss) AS DECIMAL(38,0)) AS sst,
+      |    CAST(sum(CAST(n AS HUGEINT) * n) AS BIGINT) AS nn2,
+      |    CAST(sum((s * s) // n) AS DECIMAL(38,0)) AS sb
+      |  FROM g)
+      |SELECT a, nn, nn2, tt, sst, sb,
+      |  ((CAST(sb AS DOUBLE) - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      / (CAST(a AS DOUBLE) - 1.0)
+      |    - (CAST(sst AS DOUBLE) - CAST(sb AS DOUBLE)) / (CAST(nn AS DOUBLE) - CAST(a AS DOUBLE)))
+      |  / ((CAST(sb AS DOUBLE) - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      / (CAST(a AS DOUBLE) - 1.0)
+      |    + ((CAST(nn AS DOUBLE) - CAST(nn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+      |        / (CAST(a AS DOUBLE) - 1.0) - 1.0)
+      |      * (CAST(sst AS DOUBLE) - CAST(sb AS DOUBLE)) / (CAST(nn AS DOUBLE) - CAST(a AS DOUBLE)))
+      |  AS icc
+      |FROM t""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val cents = (graft.functions.Exprs.dec2(col("o_totalprice")) * 100)
+      .cast(LongType)
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents).cast(dec).as("s"),
+        sum(cents.cast(dec) * cents).cast(dec).as("ss"))
+    val t = g.agg(
+      count(lit(1)).as("a"),
+      sum(col("n")).cast(LongType).as("nn"),
+      sum(col("s")).cast(dec).as("tt"),
+      sum(col("ss")).cast(dec).as("sst"),
+      sum(col("n").cast(dec) * col("n")).cast(LongType).as("nn2"),
+      // floor(s²/n) without `div` (IntegralDivide's BIGINT result
+      // would wrap past 2⁶³ at corpus scale): subtract the remainder,
+      // then the decimal divide is exact-integral at scale 6
+      sum(expr("CAST((s * s - (s * s) % n) / n AS DECIMAL(38,0))")).cast(dec).as("sb"))
+    t.select(col("a"), col("nn"), col("nn2"), col("tt"), col("sst"), col("sb"),
+      expr("""((CAST(sb AS DOUBLE) - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))
+             |    / (CAST(a AS DOUBLE) - 1.0D)
+             |  - (CAST(sst AS DOUBLE) - CAST(sb AS DOUBLE)) / (CAST(nn AS DOUBLE) - CAST(a AS DOUBLE)))
+             |/ ((CAST(sb AS DOUBLE) - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))
+             |    / (CAST(a AS DOUBLE) - 1.0D)
+             |  + ((CAST(nn AS DOUBLE) - CAST(nn2 AS DOUBLE) / CAST(nn AS DOUBLE))
+             |      / (CAST(a AS DOUBLE) - 1.0D) - 1.0D)
+             |    * (CAST(sst AS DOUBLE) - CAST(sb AS DOUBLE)) / (CAST(nn AS DOUBLE) - CAST(a AS DOUBLE)))""".stripMargin)
+        .as("icc"))
+  }
+
+  /** Mann-Kendall trend test on the daily event-volume series — the
+    * nonparametric "is there ANY monotone trend" monitor (Mann 1945,
+    * Kendall 1975) that q_theil_sen's slope and q_page_trend's
+    * blocked form both assume an answer to. S = Σ_{i<j} sgn(yⱼ−yᵢ)
+    * over the date-BOUNDED day frame — the pair join is |days|²,
+    * corpus-independent — an exact BIGINT; the tie-corrected
+    * 18·Var(S) = n(n−1)(2n+5) − Σt(t−1)(2t+5) folds exactly off the
+    * value-tie histogram; the continuity-corrected z branches on the
+    * exact sign of S (CASE over integers, never a double compare).
+    * One scan → day counts; everything after runs on the bounded
+    * frame. */
+  val mannKendall: GraftOp = GraftOp(
+    "q_mann_kendall",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |ties AS (
+      |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y) v
+      |  WHERE t > 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+      |SELECT n.n AS n_days, s.s AS s_stat,
+      |  n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt AS var18,
+      |  CASE WHEN s.s > 0 THEN (CAST(s.s AS DOUBLE) - 1.0)
+      |         / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt AS DOUBLE) / 18.0)
+      |       WHEN s.s < 0 THEN (CAST(s.s AS DOUBLE) + 1.0)
+      |         / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt AS DOUBLE) / 18.0)
+      |       ELSE 0.0 END AS z
+      |FROM n CROSS JOIN s CROSS JOIN ties""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    // the pair join runs on the date-bounded day frame
+    val a = daily.select(col("day").as("da"), col("y").as("ya"))
+    val b = daily.select(col("day").as("db"), col("y").as("yb"))
+    val sS = broadcast(a).join(b, col("da") < col("db"))
+      .agg(sum(when(col("yb") > col("ya"), 1L)
+        .when(col("yb") < col("ya"), -1L).otherwise(0L)).cast(LongType).as("s"))
+    val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)), lit(0L))
+        .cast(LongType).as("tt"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    broadcast(n).crossJoin(broadcast(sS)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("s").as("s_stat"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tt")).as("var18"),
+        expr("""CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0D)
+               |       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0D)
+               |     WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0D)
+               |       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0D)
+               |     ELSE 0.0D END""".stripMargin).as("z"))
+  }
+
   def ops: Seq[GraftOp] =
-    Seq(cohensKappa, fleissKappa, cronbachAlpha, quade, brownForsythe, signTest)
+    Seq(cohensKappa, fleissKappa, cronbachAlpha, quade, brownForsythe, signTest,
+      croston, icc, mannKendall)
 }

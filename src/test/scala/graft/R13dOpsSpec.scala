@@ -139,4 +139,130 @@ class R13dOpsSpec extends AnyFunSuite {
     val flipped = consistent.updated(4, base.map(24L - _))
     assert(alphaInt(flipped) < alphaInt(consistent))
   }
+
+  // ---- Croston: gap formulation ≡ zero-filled-spine formulation ----
+
+  private def snap10(x: Double): Double = math.floor(x * 1e10) / 1e10
+
+  /** The op's recurrence over non-zero (index, demand) points. */
+  private def crostonGaps(pts: Seq[(Long, Long)]): (Double, Double) = {
+    var z = snap10(0.3 * pts(1)._2 + 0.7 * pts(0)._2)
+    val i0 = (pts(1)._1 - pts(0)._1).toDouble
+    var p = snap10(0.3 * i0 + 0.7 * i0)
+    var pi = pts(1)._1
+    for ((mi, y) <- pts.drop(2)) {
+      z = snap10(0.3 * y + 0.7 * z)
+      p = snap10(0.3 * (mi - pi).toDouble + 0.7 * p)
+      pi = mi
+    }
+    (z, p)
+  }
+
+  /** Classic statement: walk EVERY period of the spine, updating only
+    * at non-zero demand with the accumulated interval counter. */
+  private def crostonSpine(pts: Seq[(Long, Long)]): (Double, Double) = {
+    val demand = pts.toMap
+    val (first, second) = (pts(0)._1, pts(1)._1)
+    var z = snap10(0.3 * demand(second) + 0.7 * demand(first))
+    val i0 = (second - first).toDouble
+    var p = snap10(0.3 * i0 + 0.7 * i0)
+    var q = 0L
+    for (t <- second + 1 to pts.last._1) {
+      q += 1
+      demand.get(t) match {
+        case Some(y) if y > 0 =>
+          z = snap10(0.3 * y + 0.7 * z)
+          p = snap10(0.3 * q.toDouble + 0.7 * p)
+          q = 0L
+        case _ => ()
+      }
+    }
+    (z, p)
+  }
+
+  test("Croston gap recurrence equals the classic zero-filled-spine walk") {
+    val months = lcg(31, 40, 60).distinct.sorted
+    val demands = lcg(32, months.length, 49).map(_ + 1)
+    val pts = months.zip(demands)
+    assert(crostonGaps(pts) === crostonSpine(pts))
+  }
+
+  test("Croston on a dense series (every period demands) reduces to plain EWMA of sizes with p = 1") {
+    val pts = (1L to 25L).map(i => (i, (lcg(33, 25, 40)((i - 1).toInt) + 1)))
+    val (z, p) = crostonGaps(pts)
+    var ref = snap10(0.3 * pts(1)._2 + 0.7 * pts(0)._2)
+    for ((_, y) <- pts.drop(2)) ref = snap10(0.3 * y + 0.7 * ref)
+    assert(z === ref && p === 1.0)
+  }
+
+  // ---- ICC: floor(S²/n) fold vs exact rational between-groups sum ----
+
+  /** The op's ICC over (group → values) with the floored Σ S²/n. */
+  private def iccOp(groups: Seq[Seq[Long]]): Double = {
+    val a = groups.length
+    val n = groups.map(_.length.toLong).sum
+    val sb = groups.map { g =>
+      val s = BigInt(g.sum); (s * s) / g.length
+    }.sum
+    val sst = groups.flatten.map(x => BigInt(x) * x).sum
+    val tt = BigInt(groups.flatten.sum)
+    val nn2 = groups.map(g => BigInt(g.length) * g.length).sum
+    val msb = (sb.toDouble - tt.toDouble * tt.toDouble / n) / (a - 1.0)
+    val msw = (sst.toDouble - sb.toDouble) / (n - a).toDouble
+    val k0 = (n - nn2.toDouble / n) / (a - 1.0)
+    (msb - msw) / (msb + (k0 - 1.0) * msw)
+  }
+
+  /** Exact-rational reference (no floor) for the same model. */
+  private def iccRef(groups: Seq[Seq[Long]]): Double = {
+    val a = groups.length
+    val n = groups.map(_.length.toLong).sum
+    val sb = groups.map { g => val s = g.sum.toDouble; s * s / g.length }.sum
+    val sst = groups.flatten.map(x => x.toDouble * x).sum
+    val tt = groups.flatten.sum.toDouble
+    val nn2 = groups.map(g => g.length.toDouble * g.length).sum
+    val msb = (sb - tt * tt / n) / (a - 1.0)
+    val msw = (sst - sb) / (n - a).toDouble
+    val k0 = (n - nn2 / n) / (a - 1.0)
+    (msb - msw) / (msb + (k0 - 1.0) * msw)
+  }
+
+  test("ICC floored between-groups fold tracks the exact-rational reference") {
+    val groups = (1 to 8).map(i => lcg(40 + i, 50 + i * 3, 5000).map(_ + 100))
+    assert(math.abs(iccOp(groups) - iccRef(groups)) < 1e-6)
+  }
+
+  test("ICC is near 1 when groups are well separated and near 0 when identical") {
+    val sep = (0 until 5).map(i => Seq.fill(30)(1000L * i + 5) ++ Seq(1000L * i + 6))
+    assert(iccOp(sep) > 0.99)
+    val same = (0 until 5).map(_ => lcg(55, 40, 100))
+    assert(math.abs(iccOp(same)) < 0.05)
+  }
+
+  // ---- Mann-Kendall: S and tie-corrected variance vs brute ----
+
+  private def mkStats(ys: Seq[Long]): (Long, BigInt) = {
+    val n = ys.length
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n)
+      s += java.lang.Long.signum(ys(j) - ys(i))
+    val ties = ys.groupBy(identity).values.map(_.size.toLong).filter(_ > 1)
+    val var18 = BigInt(n.toLong) * (n - 1) * (2L * n + 5) -
+      ties.map(t => BigInt(t) * (t - 1) * (2 * t + 5)).sum
+    (s, var18)
+  }
+
+  test("Mann-Kendall S is antisymmetric and maximal on a strictly monotone series") {
+    val up = (1L to 20L).toSeq
+    val (sUp, v) = mkStats(up)
+    assert(sUp === 20L * 19 / 2)
+    val (sDown, _) = mkStats(up.reverse)
+    assert(sDown === -sUp)
+    assert(v === BigInt(20) * 19 * 45) // no ties
+  }
+
+  test("Mann-Kendall tie correction: constant series has S = 0 and var18 = 0") {
+    val (s, v) = mkStats(Seq.fill(12)(7L))
+    assert(s === 0L && v === 0)
+  }
 }
