@@ -652,7 +652,220 @@ object StatsOps6 {
                |     ELSE 0.0D END""".stripMargin).as("z"))
   }
 
+  /** Tabular CUSUM change detection on daily purchase revenue (Page
+    * 1954) — the sequential monitor q_mann_kendall's global trend test
+    * cannot give ("WHEN did the level shift"): one-sided upper/lower
+    * cumulative sums S±_t = max(0, S±_{t−1} ± (x_t − μ₀ − k)) with
+    * target μ₀ = the series' own mean and allowance k = μ₀/20 (5%).
+    * The whole recurrence is EXACT INTEGER: scaling every sum by 20N
+    * clears both rationals — the increment becomes 20N·x_t − 21T
+    * (upper) / 19T − 20N·x_t (lower), T = Σx exact cents — so the
+    * fold needs no grid snap at all (zero float ops until the two
+    * display doubles). Alarm point = the FIRST day attaining the max
+    * (deterministic argmax). Scale shape: one scan → the date-bounded
+    * day frame; the fold is the q_holt shuffle-free single-series
+    * walk (Spark aggregate HOF ≡ DuckDB recursive CTE), state two
+    * DECIMAL(38) integers. */
+  val cusum: GraftOp = GraftOp(
+    "q_cusum",
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT day, x,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      |  FROM daily),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS HUGEINT) AS tt FROM d),
+      |r(t, su, sl) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+      |  UNION ALL
+      |  SELECT r.t + 1,
+      |    greatest(CAST(0 AS HUGEINT), r.su + 20 * g.n * d.x - 21 * g.tt),
+      |    greatest(CAST(0 AS HUGEINT), r.sl + 19 * g.tt - 20 * g.n * d.x)
+      |  FROM r JOIN d ON d.t = r.t + 1 CROSS JOIN g),
+      |mx AS (
+      |  SELECT CAST(max(su) AS DECIMAL(38,0)) AS max_up,
+      |    CAST(max(sl) AS DECIMAL(38,0)) AS max_down FROM r),
+      |al AS (
+      |  SELECT
+      |    (SELECT min(d.day) FROM r JOIN d ON d.t = r.t
+      |      WHERE CAST(r.su AS DECIMAL(38,0)) = mx.max_up AND mx.max_up > 0) AS up_day,
+      |    (SELECT min(d.day) FROM r JOIN d ON d.t = r.t
+      |      WHERE CAST(r.sl AS DECIMAL(38,0)) = mx.max_down AND mx.max_down > 0) AS down_day
+      |  FROM mx)
+      |SELECT g.n AS n_days, mx.max_up, mx.max_down,
+      |  CAST(mx.max_up AS DOUBLE) / (20.0 * CAST(g.n AS DOUBLE)) / 100.0 AS cusum_up,
+      |  CAST(mx.max_down AS DOUBLE) / (20.0 * CAST(g.n AS DOUBLE)) / 100.0 AS cusum_down,
+      |  al.up_day, al.down_day
+      |FROM g CROSS JOIN mx CROSS JOIN al""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+        .cast(LongType).as("x"))
+    // single date-bounded series: fold once over the sorted day array
+    val st = daily
+      .agg(expr("array_sort(collect_list(struct(day, x)))").as("ds"))
+      .select(col("ds"),
+        size(col("ds")).cast(LongType).as("n"),
+        expr("aggregate(ds, CAST(0 AS DECIMAL(38,0)), (acc, r) -> acc + r.x)").as("tt"))
+      .select(col("n"), col("tt"),
+        expr("""aggregate(ds,
+          | named_struct('su', CAST(0 AS DECIMAL(38,0)), 'sl', CAST(0 AS DECIMAL(38,0)),
+          |   'mu', CAST(0 AS DECIMAL(38,0)), 'ml', CAST(0 AS DECIMAL(38,0)),
+          |   'du', CAST(NULL AS DATE), 'dl', CAST(NULL AS DATE),
+          |   'n', CAST(size(ds) AS DECIMAL(38,0)),
+          |   'tt', aggregate(ds, CAST(0 AS DECIMAL(38,0)), (acc, r) -> acc + r.x)),
+          | (a, r) -> named_struct(
+          |   'su', greatest(CAST(0 AS DECIMAL(38,0)), a.su + 20 * a.n * r.x - 21 * a.tt),
+          |   'sl', greatest(CAST(0 AS DECIMAL(38,0)), a.sl + 19 * a.tt - 20 * a.n * r.x),
+          |   'mu', greatest(a.mu, greatest(CAST(0 AS DECIMAL(38,0)), a.su + 20 * a.n * r.x - 21 * a.tt)),
+          |   'ml', greatest(a.ml, greatest(CAST(0 AS DECIMAL(38,0)), a.sl + 19 * a.tt - 20 * a.n * r.x)),
+          |   'du', CASE WHEN greatest(CAST(0 AS DECIMAL(38,0)), a.su + 20 * a.n * r.x - 21 * a.tt) > a.mu
+          |              THEN r.day ELSE a.du END,
+          |   'dl', CASE WHEN greatest(CAST(0 AS DECIMAL(38,0)), a.sl + 19 * a.tt - 20 * a.n * r.x) > a.ml
+          |              THEN r.day ELSE a.dl END,
+          |   'n', a.n, 'tt', a.tt))""".stripMargin).as("st"))
+      .select(col("n").as("n_days"),
+        col("st.mu").as("max_up"), col("st.ml").as("max_down"),
+        expr("CAST(st.mu AS DOUBLE) / (20.0D * CAST(n AS DOUBLE)) / 100.0D").as("cusum_up"),
+        expr("CAST(st.ml AS DOUBLE) / (20.0D * CAST(n AS DOUBLE)) / 100.0D").as("cusum_down"),
+        expr("CASE WHEN st.mu > 0 THEN st.du END").as("up_day"),
+        expr("CASE WHEN st.ml > 0 THEN st.dl END").as("down_day"))
+    st
+  }
+
+  /** Pettitt change-point test (Pettitt 1979) on the daily
+    * event-volume series — the rank-based "WHERE does the
+    * distribution break" companion to q_cusum's level monitor and
+    * q_mann_kendall's trend verdict. U_t = Σ_{i≤t}Σ_{j>t} sgn(xᵢ−xⱼ)
+    * computed WITHOUT the n³ triple loop: by sign antisymmetry the
+    * within-prefix double sum vanishes, so U_t = Σ_{i≤t} Wᵢ with
+    * Wᵢ = Σ_j sgn(xᵢ−xⱼ) — one bounded day×day join plus a cumulative
+    * window (spec-pinned against the brute double sum). K = max|U_t|
+    * over t<n is an exact BIGINT; the changepoint is the FIRST day
+    * attaining it (deterministic argmax); the significance emit is
+    * the exact exponent −6K²/(n³+n²) (the p-value's exp() is the
+    * libm class the §6 rules keep out of comparisons). */
+  val pettitt: GraftOp = GraftOp(
+    "q_pettitt",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT a.day,
+      |    CAST(sum(CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END) AS BIGINT) AS wi
+      |  FROM daily a JOIN daily b ON TRUE
+      |  GROUP BY 1),
+      |u AS (
+      |  SELECT day,
+      |    CAST(sum(wi) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ut,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM w),
+      |k AS (
+      |  SELECT max(abs(ut)) AS k_stat, max(n) AS n
+      |  FROM u WHERE t < n)
+      |SELECT k.n AS n_days, k.k_stat,
+      |  (SELECT min(u.day) FROM u WHERE abs(u.ut) = k.k_stat AND u.t < u.n) AS cp_day,
+      |  -6.0 * CAST(k.k_stat AS DOUBLE) * CAST(k.k_stat AS DOUBLE)
+      |    / (CAST(k.n AS DOUBLE) * CAST(k.n AS DOUBLE) * CAST(k.n AS DOUBLE)
+      |       + CAST(k.n AS DOUBLE) * CAST(k.n AS DOUBLE)) AS p_exponent
+      |FROM k""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    // the day×day join and all windows run on the date-bounded frame
+    val a = daily.select(col("day"), col("y").as("ya"))
+    val b = daily.select(col("y").as("yb"))
+    val w = a.crossJoin(broadcast(b))
+      .groupBy(col("day"))
+      .agg(sum(when(col("ya") > col("yb"), 1L)
+        .when(col("ya") < col("yb"), -1L).otherwise(0L)).cast(LongType).as("wi"))
+    val ow = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val u = w.select(col("day"),
+      sum(col("wi")).over(ow.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .cast(LongType).as("ut"),
+      row_number().over(ow).cast(LongType).as("t"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing))
+        .cast(LongType).as("n"))
+    val k = u.filter(col("t") < col("n"))
+      .agg(max(abs(col("ut"))).as("k_stat"), max(col("n")).as("n"))
+    val cp = u.filter(col("t") < col("n"))
+      .join(broadcast(k.select(col("k_stat").as("kk"))), abs(col("ut")) === col("kk"))
+      .agg(min(col("day")).as("cp_day"))
+    broadcast(k).crossJoin(broadcast(cp))
+      .select(col("n").as("n_days"), col("k_stat"), col("cp_day"),
+        expr("""-6.0D * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
+               |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               |     + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin)
+          .as("p_exponent"))
+  }
+
+  /** Benford first-digit audit of order totals — the classic
+    * data-quality / fraud screen (Newcomb 1881, Benford 1938; the
+    * test auditors run on financial corpora): observed first
+    * significant digit shares of the exact cent amounts vs the
+    * log₁₀(1+1/d) law. The first digit comes from the INTEGER cents'
+    * decimal string (substring of CAST(cents AS VARCHAR) — no log10
+    * in the extraction path, engine-exact); expected shares are
+    * compile-time literals (floor-ppm of log₁₀(1+1/d), embedded
+    * identically in both engines' texts — the seededPlanes
+    * discipline); emitted PER DIGIT (the q_chi_square discipline) as
+    * exact counts, exact observed floor-ppm, the literal expected
+    * ppm, and the digit's χ² contribution as one shared-text double
+    * formula. One aggregate over the scan → 9 bounded rows. */
+  val benford: GraftOp = {
+    // log10(1 + 1/d) floor-ppm literals, computed once and embedded
+    // in BOTH engine texts so no runtime log10 can diverge
+    val expPpm: IndexedSeq[Long] =
+      (1 to 9).map(dd => math.floor(math.log10(1.0 + 1.0 / dd) * 1e6).toLong)
+    val sqlExp = (1 to 9).map(dd =>
+      s"WHEN ${dd} THEN ${expPpm(dd - 1)}").mkString(" ")
+    GraftOp(
+      "q_benford",
+      s"""WITH c AS (
+         |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders),
+         |h AS (
+         |  SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM c GROUP BY 1),
+         |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM h)
+         |SELECT h.digit, h.obs,
+         |  CAST(CAST(h.obs AS HUGEINT) * 1000000 // n.n AS BIGINT) AS obs_ppm,
+         |  CAST(CASE h.digit $sqlExp END AS BIGINT) AS exp_ppm,
+         |  (CAST(h.obs AS DOUBLE) - CAST(n.n AS DOUBLE) * (CASE h.digit $sqlExp END) / 1000000.0)
+         |    * (CAST(h.obs AS DOUBLE) - CAST(n.n AS DOUBLE) * (CASE h.digit $sqlExp END) / 1000000.0)
+         |    / (CAST(n.n AS DOUBLE) * (CASE h.digit $sqlExp END) / 1000000.0) AS chi2
+         |FROM h CROSS JOIN n ORDER BY h.digit""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .select(expr("""CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          | AS STRING), 1, 1) AS BIGINT)""".stripMargin).as("digit"))
+      val h = c.groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+      val n = h.agg(sum(col("obs")).cast(LongType).as("n"))
+      val sparkExp = (1 to 9).map(dd =>
+        s"WHEN ${dd} THEN ${expPpm(dd - 1)}").mkString(" ")
+      h.crossJoin(broadcast(n))
+        .select(col("digit"), col("obs"),
+          expr("CAST(CAST(obs AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)").as("obs_ppm"),
+          expr(s"CAST(CASE digit $sparkExp END AS BIGINT)").as("exp_ppm"),
+          expr(s"""(CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * (CASE digit $sparkExp END) / 1000000.0D)
+            | * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * (CASE digit $sparkExp END) / 1000000.0D)
+            | / (CAST(n AS DOUBLE) * (CASE digit $sparkExp END) / 1000000.0D)""".stripMargin)
+            .as("chi2"))
+        .orderBy(col("digit"))
+    }
+  }
+
   def ops: Seq[GraftOp] =
     Seq(cohensKappa, fleissKappa, cronbachAlpha, quade, brownForsythe, signTest,
-      croston, icc, mannKendall)
+      croston, icc, mannKendall, cusum, pettitt, benford)
 }

@@ -265,4 +265,90 @@ class R13dOpsSpec extends AnyFunSuite {
     val (s, v) = mkStats(Seq.fill(12)(7L))
     assert(s === 0L && v === 0)
   }
+
+  // ---- CUSUM: 20N-scaled integer recurrence vs real arithmetic ----
+
+  /** The op's exact-integer walk: S⁺ scaled by 20N. */
+  private def cusumScaled(xs: Seq[Long]): (BigInt, Int) = {
+    val n = BigInt(xs.length)
+    val t = BigInt(xs.sum)
+    var su = BigInt(0); var mu = BigInt(0); var arg = -1
+    for ((x, i) <- xs.zipWithIndex) {
+      su = (su + 20 * n * x - 21 * t).max(BigInt(0))
+      if (su > mu) { mu = su; arg = i }
+    }
+    (mu, arg)
+  }
+
+  /** Real-arithmetic reference: μ₀ = mean, k = μ₀/20. */
+  private def cusumRef(xs: Seq[Long]): (Double, Int) = {
+    val mu0 = xs.sum.toDouble / xs.length
+    val k = mu0 / 20
+    var s = 0.0; var m = 0.0; var arg = -1
+    for ((x, i) <- xs.zipWithIndex) {
+      s = math.max(0.0, s + (x - mu0 - k))
+      if (s > m) { m = s; arg = i }
+    }
+    (m, arg)
+  }
+
+  test("CUSUM scaled-integer recurrence equals the real-arithmetic walk") {
+    val xs = lcg(61, 60, 1000).map(_ + 500)
+    val (mu, arg) = cusumScaled(xs)
+    val (mRef, argRef) = cusumRef(xs)
+    assert(arg === argRef)
+    assert(math.abs(mu.toDouble / (20.0 * xs.length) - mRef) < 1e-6)
+  }
+
+  test("CUSUM flags an upward level shift at/after the shift point") {
+    val xs = Seq.fill(30)(100L) ++ Seq.fill(10)(180L)
+    val (mu, arg) = cusumScaled(xs)
+    assert(mu > 0 && arg >= 30)
+  }
+
+  // ---- Pettitt: antisymmetry-reduced cumulative form vs brute ----
+
+  /** The op's form: U_t = cumulative sum of Wᵢ = Σ_j sgn(xᵢ−xⱼ). */
+  private def pettittViaW(xs: Seq[Long]): Seq[Long] = {
+    val w = xs.map(a => xs.map(b => java.lang.Long.signum(a - b).toLong).sum)
+    w.scanLeft(0L)(_ + _).tail.dropRight(1)
+  }
+
+  /** Brute: U_t = Σ_{i≤t}Σ_{j>t} sgn(xᵢ−xⱼ). */
+  private def pettittBrute(xs: Seq[Long]): Seq[Long] = {
+    val n = xs.length
+    (0 until n - 1).map { t =>
+      (for (i <- 0 to t; j <- t + 1 until n)
+        yield java.lang.Long.signum(xs(i) - xs(j)).toLong).sum
+    }
+  }
+
+  test("Pettitt cumulative-W form equals the brute double sum") {
+    val xs = lcg(71, 25, 40)
+    assert(pettittViaW(xs) === pettittBrute(xs))
+  }
+
+  test("Pettitt K maximizes at a planted distribution break") {
+    val xs = Seq.fill(15)(10L) ++ Seq.fill(15)(50L)
+    val u = pettittViaW(xs)
+    assert(u.map(math.abs).max === u(14).abs) // break after index 14
+  }
+
+  // ---- Benford: literal table + string first-digit extraction ----
+
+  test("Benford expected floor-ppm literals match log10(1+1/d) and sum to ~1e6") {
+    val ppm = (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+    assert(ppm.head === 301029L && ppm.last === 45757L)
+    val total = ppm.sum
+    assert(total >= 999995L && total <= 1000000L)
+  }
+
+  test("string first-digit extraction equals the arithmetic first significant digit") {
+    for (x <- Seq(1L, 9L, 10L, 105L, 9999L, 123456789L)) {
+      val viaString = x.toString.charAt(0).asDigit
+      var v = x
+      while (v >= 10) v /= 10
+      assert(viaString === v.toInt)
+    }
+  }
 }
