@@ -865,7 +865,151 @@ object StatsOps6 {
     }
   }
 
+  /** Delete-one-group jackknife of the mean order value (groups =
+    * customer nations) — the variance estimator large-scale
+    * experimentation infrastructure actually ships (the "delete-a-
+    * group" / "bucket" jackknife: recompute the statistic with each
+    * of a bounded groups left out, read the spread): the standard
+    * answer to "what is the standard error of this corpus-wide mean"
+    * when observations are cluster-correlated. Exactness: each
+    * leave-one-out mean θ₋g = (T−Sg)/(N−ng) is FLOOR-SNAPPED to
+    * exact micro-cents by integral division ((T−Sg)·10⁶ // (N−ng)) so
+    * Σθ and Σθ² fold as exact DECIMAL(38) integers across the 25
+    * groups (a raw double fold would be order-dependent cross-engine);
+    * the variance ((a−1)/a)·(Σθ² − (Σθ)²/a) and SE are one
+    * shared-text double formula at the end. Scale shape: one
+    * orders⋈customer co-partitioned aggregate to 25 cells. */
+  val jackknife: GraftOp = GraftOp(
+    "q_jackknife",
+    """WITH g AS (
+      |  SELECT c.c_nationkey AS nation,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS s
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS a,
+      |    CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS HUGEINT) AS tt
+      |  FROM g),
+      |loo AS (
+      |  SELECT t.a, t.nn, t.tt,
+      |    CAST(sum(((t.tt - g.s) * 1000000) // (t.nn - g.n)) AS DECIMAL(38,0)) AS sum_loo,
+      |    CAST(sum((((t.tt - g.s) * 1000000) // (t.nn - g.n))
+      |           * (((t.tt - g.s) * 1000000) // (t.nn - g.n))) AS DECIMAL(38,0)) AS sum_loo2
+      |  FROM g CROSS JOIN t GROUP BY 1, 2, 3)
+      |SELECT a, nn AS n_orders, CAST(tt AS DECIMAL(38,0)) AS t_cents, sum_loo, sum_loo2,
+      |  CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0 AS theta_hat,
+      |  sqrt(((CAST(a AS DOUBLE) - 1.0) / CAST(a AS DOUBLE))
+      |    * (CAST(sum_loo2 AS DOUBLE)
+      |       - CAST(sum_loo AS DOUBLE) * CAST(sum_loo AS DOUBLE) / CAST(a AS DOUBLE)))
+      |    / 1000000.0 / 100.0 AS jk_se
+      |FROM loo""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val cents = (graft.functions.Exprs.dec2(col("o_totalprice")) * 100).cast(LongType)
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"), sum(cents).cast(dec).as("s"))
+    val t = g.agg(count(lit(1)).as("a"),
+      sum(col("n")).cast(LongType).as("nn"), sum(col("s")).cast(dec).as("tt"))
+    // floor micro-snap per group via remainder subtraction (the q_icc
+    // spelling — IntegralDivide's BIGINT result would wrap at scale)
+    val loo = g.crossJoin(broadcast(t))
+      .select(col("a"), col("nn"), col("tt"),
+        expr("""CAST((((tt - s) * 1000000) - ((tt - s) * 1000000) % (nn - n))
+               | / (nn - n) AS DECIMAL(38,0))""".stripMargin).as("th"))
+      .groupBy(col("a"), col("nn"), col("tt"))
+      .agg(sum(col("th")).cast(dec).as("sum_loo"),
+        sum(col("th") * col("th")).cast(dec).as("sum_loo2"))
+    loo.select(col("a"), col("nn").as("n_orders"),
+      col("tt").as("t_cents"), col("sum_loo"), col("sum_loo2"),
+      expr("CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0D").as("theta_hat"),
+      expr("""sqrt(((CAST(a AS DOUBLE) - 1.0D) / CAST(a AS DOUBLE))
+             |  * (CAST(sum_loo2 AS DOUBLE)
+             |     - CAST(sum_loo AS DOUBLE) * CAST(sum_loo AS DOUBLE) / CAST(a AS DOUBLE)))
+             |  / 1000000.0D / 100.0D""".stripMargin).as("jk_se"))
+  }
+
+  /** User-level permutation test of the A/B purchase-value difference
+    * — the exact-null inference q_welch_t approximates with a t
+    * distribution, and the deterministic twin of what a bootstrap
+    * does with randomness: K = 19 pseudo-random relabelings drawn
+    * from seeded portable md5 hashes (`permK:user_id` — the
+    * sample_hash discipline: reproducible on any engine, no RNG
+    * state), each relabel's mean difference computed from exact
+    * integer folds in the SAME single pass (one conditional
+    * aggregation, 2(K+1) integers of state), and
+    * p = (1 + #{|Δₖ| ≥ |Δ_obs|})/(K+1). The comparisons run on
+    * doubles built from exact integers with identical expression
+    * text, so both engines compare identical values. Relabeling at
+    * the USER level keeps the test honest under within-user
+    * correlation (cluster-randomized, like the split itself). K is a
+    * compile-time constant; at corpus scale the K md5s per row are
+    * the whole cost and scale linearly. */
+  val permutationTest: GraftOp = {
+    val K = 19
+    val sqlAggs = (1 to K).map { k =>
+      val h = graft.functions.Exprs.sqlMd5Long(s"'perm$k:' || CAST(user_id AS VARCHAR)")
+      s"""CAST(count(*) FILTER (WHERE $h % 2 = 1) AS BIGINT) AS n$k,
+         |    CAST(coalesce(sum(cents) FILTER (WHERE $h % 2 = 1), 0) AS HUGEINT) AS s$k""".stripMargin
+    }.mkString(",\n    ")
+    // |Δk| ≥ |Δobs| indicators over shared-text doubles
+    def sqlDiff(nb: String, sb: String, n: String, st: String) =
+      s"""(CAST($sb AS DOUBLE) / CAST($nb AS DOUBLE)
+         | - CAST($st - $sb AS DOUBLE) / CAST($n - $nb AS DOUBLE))""".stripMargin
+    val sqlInd = (1 to K).map { k =>
+      s"CASE WHEN abs(${sqlDiff(s"n$k", s"s$k", "n", "st")}) >= abs(${sqlDiff("nb", "sb", "n", "st")}) THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    GraftOp(
+      "q_permutation_test",
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cents) AS HUGEINT) AS st,
+         |    CAST(count(*) FILTER (WHERE ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 1) AS BIGINT) AS nb,
+         |    CAST(coalesce(sum(cents) FILTER (WHERE ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 1), 0) AS HUGEINT) AS sb,
+         |    $sqlAggs
+         |  FROM p)
+         |SELECT n, nb, CAST($K AS BIGINT) AS k_perms,
+         |  ${sqlDiff("nb", "sb", "n", "st")} / 100.0 AS diff_obs,
+         |  CAST($sqlInd AS BIGINT) AS n_extreme,
+         |  (1.0 + ($sqlInd)) / ${K + 1}.0 AS p_value
+         |FROM g""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      val dec = DecimalType(38, 0)
+      def hash(k: Int) =
+        graft.functions.Exprs.md5Long(
+          concat(lit(s"perm$k:"), col("user_id").cast(StringType))) % 2 === 1
+      val obsHash = graft.functions.Exprs.md5Long(col("user_id").cast(StringType)) % 2 === 1
+      val aggs = Seq(
+        count(lit(1)).as("n"),
+        sum(col("cents")).cast(dec).as("st"),
+        count(when(obsHash, 1)).as("nb"),
+        coalesce(sum(when(obsHash, col("cents"))), lit(0)).cast(dec).as("sb")) ++
+        (1 to K).flatMap { k =>
+          Seq(count(when(hash(k), 1)).as(s"n$k"),
+            coalesce(sum(when(hash(k), col("cents"))), lit(0)).cast(dec).as(s"s$k"))
+        }
+      val g = p.agg(aggs.head, aggs.tail: _*)
+      def diff(nb: String, sb: String) =
+        s"""(CAST($sb AS DOUBLE) / CAST($nb AS DOUBLE)
+           | - CAST(st - $sb AS DOUBLE) / CAST(n - $nb AS DOUBLE))""".stripMargin
+      val ind = (1 to K).map { k =>
+        s"CASE WHEN abs(${diff(s"n$k", s"s$k")}) >= abs(${diff("nb", "sb")}) THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      g.select(col("n"), col("nb"), lit(K.toLong).as("k_perms"),
+        expr(s"${diff("nb", "sb")} / 100.0D").as("diff_obs"),
+        expr(s"CAST($ind AS BIGINT)").as("n_extreme"),
+        expr(s"(1.0D + ($ind)) / ${K + 1}.0D").as("p_value"))
+    }
+  }
+
   def ops: Seq[GraftOp] =
     Seq(cohensKappa, fleissKappa, cronbachAlpha, quade, brownForsythe, signTest,
-      croston, icc, mannKendall, cusum, pettitt, benford)
+      croston, icc, mannKendall, cusum, pettitt, benford, jackknife, permutationTest)
 }

@@ -351,4 +351,57 @@ class R13dOpsSpec extends AnyFunSuite {
       assert(viaString === v.toInt)
     }
   }
+
+  // ---- Jackknife: floor-snapped fold vs exact-rational reference ----
+
+  /** The op's SE: micro-snapped leave-one-out means, integer fold. */
+  private def jkOp(groups: Seq[Seq[Long]]): Double = {
+    val a = groups.length
+    val nn = BigInt(groups.map(_.length.toLong).sum)
+    val tt = BigInt(groups.flatten.sum)
+    val th = groups.map { g =>
+      ((tt - g.sum) * 1000000) / (nn - g.length)
+    }
+    val s1 = th.sum; val s2 = th.map(x => x * x).sum
+    math.sqrt(((a - 1.0) / a) *
+      (s2.toDouble - s1.toDouble * s1.toDouble / a)) / 1e6
+  }
+
+  /** Exact-rational reference (no snap). */
+  private def jkRef(groups: Seq[Seq[Long]]): Double = {
+    val a = groups.length
+    val nn = groups.map(_.length.toLong).sum.toDouble
+    val tt = groups.flatten.sum.toDouble
+    val th = groups.map(g => (tt - g.sum) / (nn - g.length))
+    val m = th.sum / a
+    math.sqrt(((a - 1.0) / a) * th.map(x => (x - m) * (x - m)).sum)
+  }
+
+  test("jackknife micro-snapped fold tracks the exact-rational SE") {
+    val groups = (1 to 12).map(i => lcg(80 + i, 40 + i, 5000).map(_ + 100))
+    assert(math.abs(jkOp(groups) - jkRef(groups)) < 1e-4)
+  }
+
+  test("jackknife SE is 0 when every group has identical composition") {
+    val g = lcg(90, 30, 200)
+    assert(jkOp(Seq.fill(10)(g)) === 0.0)
+  }
+
+  // ---- Permutation test: p-value laws ----
+
+  /** The op's p over relabel diffs. */
+  private def permP(obs: Double, perms: Seq[Double]): Double =
+    (1.0 + perms.count(p => math.abs(p) >= math.abs(obs))) / (perms.length + 1.0)
+
+  test("permutation p is 1 when the observed diff is 0 and minimal when it dominates") {
+    val perms = lcg(95, 19, 100).map(_.toDouble - 50)
+    assert(permP(0.0, perms) === 1.0)
+    assert(permP(1e9, perms) === 1.0 / 20)
+  }
+
+  test("permutation p is monotone nonincreasing in |observed diff|") {
+    val perms = lcg(96, 19, 100).map(_.toDouble - 50)
+    val ps = Seq(0.0, 5.0, 20.0, 49.0, 60.0).map(d => permP(d, perms))
+    assert(ps === ps.sorted.reverse)
+  }
 }
