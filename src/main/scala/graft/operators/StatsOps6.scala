@@ -1009,7 +1009,327 @@ object StatsOps6 {
     }
   }
 
+  /** Anderson-Darling normality test of the daily event-volume series
+    * — the EDF-based normality reading (Anderson & Darling 1954,
+    * Stephens 1974's recommended omnibus) next to q_jarque_bera's
+    * moment-based one; A-D weights the TAILS, where volume anomalies
+    * live. Runs entirely on the date-bounded day frame: per distinct
+    * volume the tie-run index weights Σ(2i−1) and Σ(2(n−i)+1) are
+    * exact integers off cumulative counts; z is 6dp-snapped before
+    * the A-S 7.1.26 erfc polynomial (the q_fdr_bh discipline —
+    * identical formula text fed identical snapped inputs), Φ clamped
+    * away from {0,1}; each value's w·ln term is floor-snapped to
+    * exact micro units so the cross-row sum folds as an order-free
+    * BIGINT (the graph_adamic_adar ln-snap discipline), and
+    * A² = −n − S/(n·10⁶) is one shared-text double. */
+  val andersonDarling: GraftOp = {
+    val erfc = (x: String) =>
+      s"""(0.254829592 * (1.0 / (1.0 + 0.3275911 * $x))
+         |  - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * $x), 2)
+         |  + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * $x), 3)
+         |  - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * $x), 4)
+         |  + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * $x), 5))
+         | * exp(-($x) * ($x))""".stripMargin
+    val phi =
+      s"""CASE WHEN zv >= 0.0 THEN 1.0 - 0.5 * ${erfc("(zv / sqrt(2.0))")}
+         |     ELSE 0.5 * ${erfc("(-zv / sqrt(2.0))")} END""".stripMargin
+    GraftOp(
+      "q_anderson_darling",
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         |  FROM daily),
+         |h AS (
+         |  SELECT y, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(count(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM daily GROUP BY y),
+         |z AS (
+         |  SELECT h.y, h.c, h.cum, m.n,
+         |    CAST(h.cum AS HUGEINT) * h.cum - CAST(h.cum - h.c AS HUGEINT) * (h.cum - h.c) AS w1,
+         |    CAST(h.c AS HUGEINT) * (2 * m.n + 1)
+         |      - (CAST(h.cum AS HUGEINT) * (h.cum + 1)
+         |         - CAST(h.cum - h.c AS HUGEINT) * (h.cum - h.c + 1)) AS w2,
+         |    round((CAST(h.y AS DOUBLE) - CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+         |      / sqrt((CAST(m.syy AS DOUBLE)
+         |         - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+         |        / (CAST(m.n AS DOUBLE) - 1.0)), 6) AS zv
+         |  FROM h CROSS JOIN m),
+         |t AS (
+         |  SELECT n,
+         |    CAST(sum(CAST(floor((CAST(w1 AS DOUBLE)
+         |        * ln(greatest(least($phi, 1.0 - 1e-12), 1e-12))
+         |      + CAST(w2 AS DOUBLE)
+         |        * ln(greatest(least(1.0 - ($phi), 1.0 - 1e-12), 1e-12))) * 1000000.0)
+         |      AS BIGINT)) AS DECIMAL(38,0)) AS ssum
+         |  FROM z GROUP BY 1)
+         |SELECT n AS n_days, ssum,
+         |  -CAST(n AS DOUBLE)
+         |    - CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS a2
+         |FROM t""".stripMargin) { (s, d) =>
+      val dec = DecimalType(38, 0)
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val m = daily.agg(count(lit(1)).as("n"),
+        sum(col("y")).cast(LongType).as("sy"),
+        sum(col("y").cast(dec) * col("y")).cast(dec).as("syy"))
+      // cumulative window over the bounded day-volume histogram
+      val cw = org.apache.spark.sql.expressions.Window.orderBy(col("y"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val h = daily.groupBy(col("y")).agg(count(lit(1)).as("c"))
+        .select(col("y"), col("c"), sum(col("c")).over(cw).cast(LongType).as("cum"))
+      val z = h.crossJoin(broadcast(m))
+        .select(col("y"), col("c"), col("cum"), col("n"),
+          (col("cum").cast(dec) * col("cum")
+            - (col("cum") - col("c")).cast(dec) * (col("cum") - col("c"))).as("w1"),
+          (col("c").cast(dec) * (lit(2) * col("n") + 1)
+            - (col("cum").cast(dec) * (col("cum") + 1)
+               - (col("cum") - col("c")).cast(dec) * (col("cum") - col("c") + 1))).as("w2"),
+          expr("""round((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 |  / sqrt((CAST(syy AS DOUBLE)
+                 |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 |    / (CAST(n AS DOUBLE) - 1.0D)), 6)""".stripMargin).as("zv"))
+      val sparkPhi = phi
+      val t = z.groupBy(col("n"))
+        .agg(expr(
+          s"""CAST(sum(CAST(floor((CAST(w1 AS DOUBLE)
+             |    * ln(greatest(least($sparkPhi, 1.0 - 1e-12), 1e-12))
+             |  + CAST(w2 AS DOUBLE)
+             |    * ln(greatest(least(1.0 - ($sparkPhi), 1.0 - 1e-12), 1e-12))) * 1000000.0)
+             |  AS BIGINT)) AS DECIMAL(38,0))""".stripMargin).as("ssum"))
+      t.select(col("n").as("n_days"), col("ssum"),
+        expr("""-CAST(n AS DOUBLE)
+               |  - CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0D)""".stripMargin)
+          .as("a2"))
+    }
+  }
+
+  /** Gumbel extreme-value fit of daily maximum order totals — the
+    * capacity-planning readout ("what peak does a 1-in-1000-day
+    * event bring") that mean-based forecasting cannot give: block
+    * maxima (per calendar day) fitted by method of moments to
+    * Gumbel(μ, β) — β = s·√6/π, μ = m − γβ — with every irrational
+    * constant (√6/π, Euler-Mascheroni γ, the −ln(−ln p) return-level
+    * multipliers for p = .99/.999) PRECOMPUTED in Scala and embedded
+    * as the same literal in both engine texts (the q_benford
+    * discipline): the only runtime transcendental is sqrt, which
+    * IEEE754 requires correctly rounded — so every emitted double is
+    * deterministic with NO snap at all. Scale shape: one orders scan
+    * → date-bounded daily maxima → exact BIGINT/DECIMAL(38) moments. */
+  val gumbelMaxima: GraftOp = {
+    val sqrt6OverPi = math.sqrt(6.0) / math.Pi  // 0.779696801...
+    val gamma = 0.5772156649015329              // Euler-Mascheroni
+    val c99 = -math.log(-math.log(0.99))
+    val c999 = -math.log(-math.log(0.999))
+    GraftOp(
+      "q_gumbel_maxima",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS mx
+         |  FROM orders GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(mx) AS HUGEINT) AS sm,
+         |    CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS smm
+         |  FROM daily),
+         |f AS (
+         |  SELECT n, CAST(sm AS DECIMAL(38,0)) AS sm, CAST(smm AS DECIMAL(38,0)) AS smm,
+         |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_mx,
+         |    sqrt((CAST(smm AS DOUBLE)
+         |       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0)) * $sqrt6OverPi AS beta
+         |  FROM m)
+         |SELECT n AS n_days, sm, smm,
+         |  (mean_mx - $gamma * beta) / 100.0 AS mu,
+         |  beta / 100.0 AS beta,
+         |  (mean_mx - $gamma * beta + beta * $c99) / 100.0 AS return_99,
+         |  (mean_mx - $gamma * beta + beta * $c999) / 100.0 AS return_999
+         |FROM f""".stripMargin) { (s, d) =>
+      val dec = DecimalType(38, 0)
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast(DateType).as("day"))
+        .agg(max((graft.functions.Exprs.dec2(col("o_totalprice")) * 100)
+          .cast(LongType)).as("mx"))
+      val m = daily.agg(count(lit(1)).as("n"),
+        sum(col("mx")).cast(dec).as("sm"),
+        sum(col("mx").cast(dec) * col("mx")).cast(dec).as("smm"))
+      m.select(col("n"), col("sm"), col("smm"),
+          expr("CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_mx"),
+          expr(s"""sqrt((CAST(smm AS DOUBLE)
+                  |   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+                  |  / (CAST(n AS DOUBLE) - 1.0D)) * $sqrt6OverPi""".stripMargin).as("beta"))
+        .select(col("n").as("n_days"), col("sm"), col("smm"),
+          expr(s"(mean_mx - $gamma * beta) / 100.0D").as("mu"),
+          expr("beta / 100.0D").as("beta"),
+          expr(s"(mean_mx - $gamma * beta + beta * $c99) / 100.0D").as("return_99"),
+          expr(s"(mean_mx - $gamma * beta + beta * $c999) / 100.0D").as("return_999"))
+    }
+  }
+
+  /** Lincoln-Petersen / Chapman capture-recapture estimate of the
+    * true user population from two independent "sightings" (clickers
+    * and purchasers) — the coverage question a corpus census answers
+    * with mark-recapture ("how many users exist beyond the ones any
+    * single channel sees"; the same estimator corpus work uses for
+    * unseen-duplicate mass): N̂ = (n₁+1)(n₂+1)//(m+1) − 1 (Chapman's
+    * bias-corrected form — an exact integer by integral division) and
+    * its variance estimate as one shared-text double. One per-user
+    * aggregate → three exact BIGINTs. */
+  val captureRecapture: GraftOp = GraftOp(
+    "q_capture_recapture",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_seen,
+      |    CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2,
+      |    CAST(sum(c1 * c2) AS BIGINT) AS m
+      |  FROM u)
+      |SELECT n_seen, n1, n2, m,
+      |  CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1 AS BIGINT) AS n_hat,
+      |  CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m) * (n2 - m) AS DOUBLE)
+      |    / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE) * CAST(m + 2 AS DOUBLE)) AS var_hat
+      |FROM g""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val u = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c1"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("c2"))
+    u.agg(count(lit(1)).as("n_seen"),
+        sum(col("c1")).cast(LongType).as("n1"),
+        sum(col("c2")).cast(LongType).as("n2"),
+        sum(col("c1") * col("c2")).cast(LongType).as("m"))
+      .select(col("n_seen"), col("n1"), col("n2"), col("m"),
+        expr("""CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)
+               |  - (CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)) % (m + 1)) / (m + 1)
+               |  - 1 AS BIGINT)""".stripMargin).as("n_hat"),
+        expr("""CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) * (n1 - m) * (n2 - m) AS DOUBLE)
+               |  / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE) * CAST(m + 2 AS DOUBLE))""".stripMargin)
+          .as("var_hat"))
+  }
+
+  /** Matthews correlation coefficient over the same two document
+    * raters as q_cohens_kappa (sharing [[sqlRaters]] verbatim, so the
+    * two agreement readings can never disagree on the votes) — the
+    * balanced-data summary of a 2×2 table that survives extreme class
+    * skew where raw accuracy and even κ mislead (the metric of choice
+    * for rare-positive labeling audits): MCC = (n11·n00 − n10·n01)/
+    * √(r1·r0·c1·c0). The numerator is an exact DECIMAL(38)/HUGEINT
+    * (n² scale); the n⁴-scale denominator would breach DECIMAL(38) at
+    * corpus scale, so it runs under sqrt in doubles built from the
+    * exact marginals — identical expression text both engines. The
+    * χ² identity MCC² = χ²/n is emitted alongside as its own shared
+    * text. */
+  val mcc: GraftOp = GraftOp(
+    "q_mcc",
+    s"""WITH r AS (
+       |  $sqlRaters),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (WHERE ra = 1 AND rb = 1) AS BIGINT) AS n11,
+       |    CAST(count(*) FILTER (WHERE ra = 1 AND rb = 0) AS BIGINT) AS n10,
+       |    CAST(count(*) FILTER (WHERE ra = 0 AND rb = 1) AS BIGINT) AS n01,
+       |    CAST(count(*) FILTER (WHERE ra = 0 AND rb = 0) AS BIGINT) AS n00
+       |  FROM r)
+       |SELECT n, n11, n10, n01, n00,
+       |  CAST(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS DECIMAL(38,0)) AS mcc_num,
+       |  CAST(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS DOUBLE)
+       |    / sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+       |         * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) AS mcc,
+       |  CAST(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS DOUBLE)
+       |    * CAST(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS DOUBLE)
+       |    * CAST(n AS DOUBLE)
+       |    / (CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+       |       * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) AS chi2
+       |FROM g""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val g = sparkRaters(s, d).agg(
+      count(lit(1)).as("n"),
+      count(when(col("ra") === 1 && col("rb") === 1, 1)).as("n11"),
+      count(when(col("ra") === 1 && col("rb") === 0, 1)).as("n10"),
+      count(when(col("ra") === 0 && col("rb") === 1, 1)).as("n01"),
+      count(when(col("ra") === 0 && col("rb") === 0, 1)).as("n00"))
+    g.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      (col("n11").cast(dec) * col("n00") - col("n10").cast(dec) * col("n01"))
+        .cast(dec).as("mcc_num"),
+      expr("""CAST(CAST(n11 AS DECIMAL(38,0)) * n00 - CAST(n10 AS DECIMAL(38,0)) * n01 AS DOUBLE)
+             |  / sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+             |       * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))""".stripMargin)
+        .as("mcc"),
+      expr("""CAST(CAST(n11 AS DECIMAL(38,0)) * n00 - CAST(n10 AS DECIMAL(38,0)) * n01 AS DOUBLE)
+             |  * CAST(CAST(n11 AS DECIMAL(38,0)) * n00 - CAST(n10 AS DECIMAL(38,0)) * n01 AS DOUBLE)
+             |  * CAST(n AS DOUBLE)
+             |  / (CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+             |     * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))""".stripMargin)
+        .as("chi2"))
+  }
+
+  /** Record-breaking-days audit of daily revenue — the
+    * order-statistics stationarity check (Rényi's record theorem:
+    * under exchangeability the expected number of running maxima is
+    * EXACTLY the harmonic number Hₙ, variance Hₙ − Hₙ⁽²⁾, no
+    * distributional assumption at all): records arriving faster than
+    * Hₙ says is direct evidence of drift/growth, complementing
+    * q_mann_kendall (which needs a monotone signal) and q_cusum
+    * (which needs a target). Observed records are exact (strict
+    * running max over the date-bounded frame); the harmonic sums fold
+    * as exact integers — Σ⌊10⁶/k⌋ micro and Σ⌊10¹²/k²⌋ pico by
+    * integral division off the day rank (order-free, engine-exact);
+    * z is one shared-text double with the scale corrections inline. */
+  val recordBreaks: GraftOp = GraftOp(
+    "q_record_breaks",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, x,
+      |    max(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+      |  FROM daily),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (WHERE prevmax IS NULL OR x > prevmax) AS BIGINT) AS n_records,
+      |    CAST(sum(1000000 // k) AS BIGINT) AS h1_micro,
+      |    CAST(sum(1000000000000 // (k * k)) AS BIGINT) AS h2_pico
+      |  FROM w)
+      |SELECT n AS n_days, n_records, h1_micro, h2_pico,
+      |  (CAST(n_records AS DOUBLE) - CAST(h1_micro AS DOUBLE) / 1000000.0)
+      |    / sqrt(CAST(h1_micro AS DOUBLE) / 1000000.0
+      |         - CAST(h2_pico AS DOUBLE) / 1000000000000.0) AS z
+      |FROM g""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+        .cast(LongType).as("x"))
+    // windows over the date-bounded day frame
+    val ow = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = daily.select(col("day"), col("x"),
+      max(col("x")).over(ow.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)).as("prevmax"),
+      row_number().over(ow).cast(LongType).as("k"))
+    val g = w.agg(
+      count(lit(1)).as("n"),
+      count(when(col("prevmax").isNull || col("x") > col("prevmax"), 1)).as("n_records"),
+      sum(expr("1000000 div k")).cast(LongType).as("h1_micro"),
+      sum(expr("1000000000000 div (k * k)")).cast(LongType).as("h2_pico"))
+    g.select(col("n").as("n_days"), col("n_records"), col("h1_micro"), col("h2_pico"),
+      expr("""(CAST(n_records AS DOUBLE) - CAST(h1_micro AS DOUBLE) / 1000000.0D)
+             |  / sqrt(CAST(h1_micro AS DOUBLE) / 1000000.0D
+             |       - CAST(h2_pico AS DOUBLE) / 1000000000000.0D)""".stripMargin).as("z"))
+  }
+
   def ops: Seq[GraftOp] =
     Seq(cohensKappa, fleissKappa, cronbachAlpha, quade, brownForsythe, signTest,
-      croston, icc, mannKendall, cusum, pettitt, benford, jackknife, permutationTest)
+      croston, icc, mannKendall, cusum, pettitt, benford, jackknife, permutationTest,
+      andersonDarling, gumbelMaxima, captureRecapture, mcc, recordBreaks)
 }

@@ -404,4 +404,145 @@ class R13dOpsSpec extends AnyFunSuite {
     val ps = Seq(0.0, 5.0, 20.0, 49.0, 60.0).map(d => permP(d, perms))
     assert(ps === ps.sorted.reverse)
   }
+
+  // ---- Anderson-Darling: tie-run weights and statistic direction ----
+
+  /** The op's tie-run weights off cumulative counts. */
+  private def adWeights(counts: Seq[Long]): Seq[(BigInt, BigInt)] = {
+    val n = counts.sum
+    var cum = 0L
+    counts.map { c =>
+      cum += c
+      val w1 = BigInt(cum) * cum - BigInt(cum - c) * (cum - c)
+      val w2 = BigInt(c) * (2 * n + 1) -
+        (BigInt(cum) * (cum + 1) - BigInt(cum - c) * (cum - c + 1))
+      (w1, w2)
+    }
+  }
+
+  test("A-D tie-run weights equal the per-index sums Σ(2i−1) and Σ(2(n−i)+1)") {
+    val counts = Seq(3L, 1L, 4L, 2L, 5L)
+    val n = counts.sum
+    val direct = {
+      var idx = 0L
+      counts.map { c =>
+        val is = (idx + 1) to (idx + c)
+        idx += c
+        (BigInt(is.map(2 * _ - 1).sum), BigInt(is.map(i => 2 * (n - i) + 1).sum))
+      }
+    }
+    assert(adWeights(counts) === direct)
+  }
+
+  /** The op's A² with the same erfc polynomial and micro-snapped terms. */
+  private def adStat(ys: Seq[Long]): Double = {
+    val n = ys.length
+    val mean = ys.sum.toDouble / n
+    val sd = math.sqrt(ys.map(y => (y - mean) * (y - mean)).sum / (n - 1.0))
+    def erfc(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      (0.254829592 * t - 0.284496736 * t * t + 1.421413741 * t * t * t -
+        1.453152027 * t * t * t * t + 1.061405429 * t * t * t * t * t) *
+        math.exp(-x * x)
+    }
+    def phi(z: Double): Double =
+      if (z >= 0) 1.0 - 0.5 * erfc(z / math.sqrt(2.0)) else 0.5 * erfc(-z / math.sqrt(2.0))
+    val hist = ys.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val ws = adWeights(hist.map(_._2))
+    def clamp(x: Double) = math.max(1e-12, math.min(1.0 - 1e-12, x))
+    val terms = hist.zip(ws).map { case ((v, _), (w1, w2)) =>
+      val z = math.rint((v - mean) / sd * 1e6) / 1e6
+      math.floor((w1.toDouble * math.log(clamp(phi(z))) +
+        w2.toDouble * math.log(clamp(1.0 - phi(z)))) * 1e6).toLong
+    }
+    -n - terms.sum.toDouble / (n * 1e6)
+  }
+
+  test("A-D statistic is small on near-normal data and grows on heavy-tailed data") {
+    // binomial-ish sums approximate normal
+    val normal = (1 to 60).map(i => (1 to 12).map(j => lcg(i * 7 + j, 1, 10).head).sum)
+    val heavy = (1 to 60).map(i => if (i % 10 == 0) 600L else lcg(200 + i, 1, 10).head)
+    assert(adStat(normal) < adStat(heavy))
+    assert(adStat(normal) < 2.0)
+  }
+
+  // ---- Gumbel: literal constants and return-level ordering ----
+
+  test("Gumbel constants: √6/π, γ, and the −ln(−ln p) multipliers") {
+    assert(math.abs(math.sqrt(6.0) / math.Pi - 0.7796968) < 1e-6)
+    assert(math.abs(-math.log(-math.log(0.99)) - 4.600149) < 1e-5)
+    assert(math.abs(-math.log(-math.log(0.999)) - 6.907255) < 1e-5)
+    // return levels must order: mu < rl99 < rl999 for beta > 0
+    val (mu, beta) = (100.0, 7.0)
+    val rl99 = mu + beta * (-math.log(-math.log(0.99)))
+    val rl999 = mu + beta * (-math.log(-math.log(0.999)))
+    assert(mu < rl99 && rl99 < rl999)
+  }
+
+  // ---- Capture-recapture: Chapman laws ----
+
+  private def chapman(n1: Long, n2: Long, m: Long): BigInt =
+    (BigInt(n1 + 1) * (n2 + 1)) / (m + 1) - 1
+
+  test("Chapman estimator: full overlap recovers the larger list; fixture matches brute") {
+    assert(chapman(100, 40, 40) === BigInt(100)) // n2 ⊆ n1 → N̂ = n1
+    // textbook fixture: n1=400, n2=200, m=100 → (401·201)/101 − 1 = 797
+    assert(chapman(400, 200, 100) === BigInt(797))
+    // estimate grows as overlap shrinks
+    assert(chapman(400, 200, 50) > chapman(400, 200, 100))
+  }
+
+  // ---- MCC: bounds, perfect/inverse agreement, χ² identity ----
+
+  private def mccOf(n11: Long, n10: Long, n01: Long, n00: Long): Double =
+    (n11.toDouble * n00 - n10.toDouble * n01) /
+      math.sqrt((n11 + n10).toDouble * (n01 + n00) * (n11 + n01) * (n10 + n00))
+
+  test("MCC is 1 on perfect agreement, −1 on perfect inversion, and satisfies MCC² = χ²/n") {
+    assert(mccOf(50, 0, 0, 50) === 1.0)
+    assert(mccOf(0, 50, 50, 0) === -1.0)
+    val (a, b, c, d) = (40L, 9L, 6L, 45L)
+    val n = (a + b + c + d).toDouble
+    val m = mccOf(a, b, c, d)
+    // χ² of the 2×2 table
+    val chi2 = {
+      val (r1, r0, c1, c0) = (a + b, c + d, a + c, b + d)
+      val cells = Seq((a, r1 * c1), (b, r1 * c0), (c, r0 * c1), (d, r0 * c0))
+      cells.map { case (o, e) =>
+        val ex = e / n; (o - ex) * (o - ex) / ex
+      }.sum
+    }
+    assert(math.abs(m * m - chi2 / n) < 1e-12)
+  }
+
+  // ---- Record breaks: Rényi harmonic expectation ----
+
+  /** Exact record count of a sequence (strict running max). */
+  private def nRecords(xs: Seq[Long]): Int = {
+    var mx = Long.MinValue; var c = 0
+    for (x <- xs) if (x > mx) { mx = x; c += 1 }
+    c
+  }
+
+  test("records of a strictly increasing series = n; of a decreasing series = 1") {
+    assert(nRecords((1L to 20L)) === 20)
+    assert(nRecords((1L to 20L).reverse) === 1)
+  }
+
+  test("mean record count over ALL permutations of a distinct series equals Hn (Rényi)") {
+    val xs = lcg(101, 20, 1000000).distinct.take(7)
+    val perms = xs.permutations.toSeq
+    val total = perms.map(p => nRecords(p).toLong).sum
+    val hn = (1 to xs.length).map(1.0 / _).sum
+    assert(math.abs(total.toDouble / perms.length - hn) < 1e-9)
+  }
+
+  test("harmonic micro-sums: Σ⌊10⁶/k⌋ under-approximates Hn·10⁶ by < n") {
+    for (n <- Seq(10, 100, 2500)) {
+      val micro = (1 to n).map(k => 1000000L / k).sum
+      val hn = (1 to n).map(1.0 / _).sum
+      val err = hn * 1e6 - micro
+      assert(err >= 0 && err < n, s"n=$n err=$err")
+    }
+  }
 }
