@@ -1328,8 +1328,232 @@ object StatsOps6 {
              |       - CAST(h2_pico AS DOUBLE) / 1000000000000.0D)""".stripMargin).as("z"))
   }
 
+  /** Laspeyres / Paasche / Fisher price indices between the corpus'
+    * first and last order years — the index-number readout (the CPI
+    * construction) that raw revenue growth conflates with volume:
+    * per-part unit values p = S/Q over the MATCHED sample (parts
+    * trading in both periods, the standard practice). Exactness: the
+    * Laspeyres denominator Σp₀q₀ and Paasche numerator Σp₁q₁ collapse
+    * to the exact revenue sums ΣS₀/ΣS₁ (p·q of the same period IS
+    * revenue); the two cross terms Σp₁q₀ and Σp₀q₁ are per-part
+    * rationals floor-snapped to exact micro units (⌊S·Q'·10⁶/Q⌋, the
+    * q_theil_index fold discipline — order-free BIGINT sums, inside
+    * DECIMAL(38) to ~10¹⁰ rows/part, rescale documented past that);
+    * L, P and Fisher's √(L·P) are shared-text doubles. One
+    * lineitem scan → per-(part, period) cells → matched join. */
+  val priceIndex: GraftOp = GraftOp(
+    "q_price_index",
+    """WITH yr AS (
+      |  SELECT CAST(min(year(l_shipdate)) AS BIGINT) AS y0,
+      |    CAST(max(year(l_shipdate)) AS BIGINT) AS y1
+      |  FROM lineitem),
+      |pp AS (
+      |  SELECT l_partkey AS part, CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT a.part, a.q AS q0, a.s AS s0, b.q AS q1, b.s AS s1
+      |  FROM pp a JOIN pp b ON a.part = b.part CROSS JOIN yr
+      |  WHERE a.yr = yr.y0 AND b.yr = yr.y1 AND a.q > 0 AND b.q > 0),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+      |    CAST(sum(s0) AS HUGEINT) AS ss0, CAST(sum(s1) AS HUGEINT) AS ss1,
+      |    CAST(sum((CAST(s1 AS HUGEINT) * q0 * 1000000) // q1) AS DECIMAL(38,0)) AS p1q0_micro,
+      |    CAST(sum((CAST(s0 AS HUGEINT) * q1 * 1000000) // q0) AS DECIMAL(38,0)) AS p0q1_micro
+      |  FROM m)
+      |SELECT n_parts, CAST(ss0 AS DECIMAL(38,0)) AS ss0, CAST(ss1 AS DECIMAL(38,0)) AS ss1,
+      |  p1q0_micro, p0q1_micro,
+      |  CAST(p1q0_micro AS DOUBLE) / (CAST(ss0 AS DOUBLE) * 1000000.0) AS laspeyres,
+      |  (CAST(ss1 AS DOUBLE) * 1000000.0) / CAST(p0q1_micro AS DOUBLE) AS paasche,
+      |  sqrt((CAST(p1q0_micro AS DOUBLE) / (CAST(ss0 AS DOUBLE) * 1000000.0))
+      |     * ((CAST(ss1 AS DOUBLE) * 1000000.0) / CAST(p0q1_micro AS DOUBLE))) AS fisher
+      |FROM f""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val li = Tables.lineitem(s, d)
+    val pp = li.groupBy(col("l_partkey").as("part"),
+        year(col("l_shipdate")).cast(LongType).as("yr"))
+      .agg(sum(col("l_quantity").cast(LongType)).cast(LongType).as("q"),
+        sum((graft.functions.Exprs.dec2(col("l_extendedprice")) * 100).cast(LongType))
+          .cast(LongType).as("s"))
+    val yr = li.agg(min(year(col("l_shipdate"))).cast(LongType).as("y0"),
+      max(year(col("l_shipdate"))).cast(LongType).as("y1"))
+    val a = pp.select(col("part"), col("yr").as("ya"),
+      col("q").as("q0"), col("s").as("s0"))
+    val b = pp.select(col("part").as("pb"), col("yr").as("yb"),
+      col("q").as("q1"), col("s").as("s1"))
+    val a2 = a.crossJoin(broadcast(yr))
+      .filter(col("ya") === col("y0") && col("q0") > 0)
+    val b2 = b.crossJoin(broadcast(yr).select(col("y1").as("yy1")))
+      .filter(col("yb") === col("yy1") && col("q1") > 0)
+    val m = a2.join(b2, col("part") === col("pb"))
+    val f = m.agg(count(lit(1)).as("n_parts"),
+      sum(col("s0")).cast(dec).as("ss0"), sum(col("s1")).cast(dec).as("ss1"),
+      // per-part floor snap via remainder subtraction (the q_icc div
+      // spelling)
+      sum(expr("""CAST(((CAST(s1 AS DECIMAL(38,0)) * q0 * 1000000)
+                 |  - (CAST(s1 AS DECIMAL(38,0)) * q0 * 1000000) % q1) / q1
+                 | AS DECIMAL(38,0))""".stripMargin)).cast(dec).as("p1q0_micro"),
+      sum(expr("""CAST(((CAST(s0 AS DECIMAL(38,0)) * q1 * 1000000)
+                 |  - (CAST(s0 AS DECIMAL(38,0)) * q1 * 1000000) % q0) / q0
+                 | AS DECIMAL(38,0))""".stripMargin)).cast(dec).as("p0q1_micro"))
+    f.select(col("n_parts"), col("ss0"), col("ss1"),
+      col("p1q0_micro"), col("p0q1_micro"),
+      expr("CAST(p1q0_micro AS DOUBLE) / (CAST(ss0 AS DOUBLE) * 1000000.0D)").as("laspeyres"),
+      expr("(CAST(ss1 AS DOUBLE) * 1000000.0D) / CAST(p0q1_micro AS DOUBLE)").as("paasche"),
+      expr("""sqrt((CAST(p1q0_micro AS DOUBLE) / (CAST(ss0 AS DOUBLE) * 1000000.0D))
+             |   * ((CAST(ss1 AS DOUBLE) * 1000000.0D) / CAST(p0q1_micro AS DOUBLE)))""".stripMargin)
+        .as("fisher"))
+  }
+
+  /** Classical ratio-to-moving-average seasonal indices of monthly
+    * revenue — the decomposition step (the X-11 ancestor) behind
+    * every "is December really bigger" question q_holt_winters
+    * answers parametrically: a centered 12-month moving average
+    * (half-weight endpoints) detrends, each month's ratio to its MA
+    * is taken, and the ratios average per calendar month. Exactness:
+    * the centered MA is kept as the exact integer 24·MA = m₋₆ +
+    * 2Σ₋₅..₊₅ + m₊₆ off two bounded window sums; each ratio is
+    * floor-snapped to micro (⌊24·m·10⁶/ma24⌋ — integral, order-free)
+    * and the per-calendar-month mean is one more exact integral
+    * division; the display double derives from the exact micro mean.
+    * Everything after the one orders scan runs on the date-bounded
+    * month frame. */
+  val seasonalityIndex: GraftOp = GraftOp(
+    "q_seasonality_index",
+    """WITH mo AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+      |    CAST(month(o_orderdate) AS BIGINT) AS cal,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS m
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (
+      |  SELECT mi, cal, m,
+      |    CAST(sum(m) OVER (ORDER BY mi ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS s11,
+      |    CAST(lag(m, 6) OVER (ORDER BY mi) AS BIGINT) AS m_lo,
+      |    CAST(lead(m, 6) OVER (ORDER BY mi) AS BIGINT) AS m_hi,
+      |    CAST(count(*) OVER (ORDER BY mi ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS c11
+      |  FROM mo),
+      |r AS (
+      |  SELECT cal,
+      |    CAST((CAST(m AS HUGEINT) * 24 * 1000000) // (m_lo + 2 * s11 + m_hi) AS BIGINT) AS ratio_micro
+      |  FROM w
+      |  WHERE m_lo IS NOT NULL AND m_hi IS NOT NULL AND c11 = 11
+      |    AND m_lo + 2 * s11 + m_hi > 0),
+      |g AS (
+      |  SELECT cal, CAST(count(*) AS BIGINT) AS n_ratios,
+      |    CAST(sum(ratio_micro) AS BIGINT) AS sum_micro
+      |  FROM r GROUP BY 1)
+      |SELECT cal AS month, n_ratios, sum_micro,
+      |  CAST(sum_micro // n_ratios AS BIGINT) AS index_micro,
+      |  CAST(CAST(sum_micro // n_ratios AS BIGINT) AS DOUBLE) / 1000000.0 AS seasonal_index
+      |FROM g ORDER BY month""".stripMargin) { (s, d) =>
+    val mo = Tables.orders(s, d)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("mi"),
+        month(col("o_orderdate")).cast(LongType).as("cal"))
+      .agg((sum(graft.functions.Exprs.dec2(col("o_totalprice"))) * 100)
+        .cast(LongType).as("m"))
+    // windows over the date-bounded month frame
+    val ow = org.apache.spark.sql.expressions.Window.orderBy(col("mi"))
+    val fw = ow.rowsBetween(-5, 5)
+    val w = mo.select(col("mi"), col("cal"), col("m"),
+      sum(col("m")).over(fw).cast(LongType).as("s11"),
+      lag(col("m"), 6).over(ow).cast(LongType).as("m_lo"),
+      lead(col("m"), 6).over(ow).cast(LongType).as("m_hi"),
+      count(lit(1)).over(fw).cast(LongType).as("c11"))
+    val r = w.filter(col("m_lo").isNotNull && col("m_hi").isNotNull &&
+        col("c11") === 11 &&
+        col("m_lo") + lit(2) * col("s11") + col("m_hi") > 0)
+      .select(col("cal"),
+        expr("CAST((CAST(m AS DECIMAL(38,0)) * 24 * 1000000) div (m_lo + 2 * s11 + m_hi) AS BIGINT)")
+          .as("ratio_micro"))
+    r.groupBy(col("cal"))
+      .agg(count(lit(1)).as("n_ratios"),
+        sum(col("ratio_micro")).cast(LongType).as("sum_micro"))
+      .select(col("cal").as("month"), col("n_ratios"), col("sum_micro"),
+        expr("CAST(sum_micro div n_ratios AS BIGINT)").as("index_micro"),
+        expr("CAST(CAST(sum_micro div n_ratios AS BIGINT) AS DOUBLE) / 1000000.0D")
+          .as("seasonal_index"))
+      .orderBy(col("month"))
+  }
+
+  /** Relative risk / odds ratio / risk difference panel for the A/B
+    * high-value-purchaser 2×2 (outcome = any purchase ≥ $200 — the
+    * base "any purchase" outcome is degenerate on this corpus: every
+    * user converts) — the epidemiology-style effect readouts
+    * (Katz, Woolf) that the z-test family (q_two_prop, q_fdr_bh's
+    * frame) reports significance WITHOUT: RR and OR as exact
+    * floor-ppm by integral division plus shared-text doubles, the
+    * risk difference as a difference of exact per-arm ppm floors, and
+    * the Woolf (log-OR) / Katz (log-RR) standard errors — whose
+    * formulas need only reciprocals and sqrt, so no ln ever enters
+    * the emit (the caller exponentiates CI bounds; ln is the libm
+    * class §6 keeps out of comparisons). One per-user aggregate →
+    * four exact BIGINTs. */
+  val riskRatio: GraftOp = GraftOp(
+    "q_risk_ratio",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |         THEN 0 ELSE 1 END AS variant,
+       |    max(CASE WHEN event_type = 'purchase'
+       |             AND CAST(value AS DECIMAL(18,2)) >= 200 THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+       |    CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+       |    CAST(sum(conv) FILTER (WHERE variant = 0) AS BIGINT) AS x_a,
+       |    CAST(sum(conv) FILTER (WHERE variant = 1) AS BIGINT) AS x_b
+       |  FROM u)
+       |SELECT n_a, n_b, x_a, x_b,
+       |  CAST(CAST(x_a AS HUGEINT) * 1000000 // n_a AS BIGINT) AS risk_a_ppm,
+       |  CAST(CAST(x_b AS HUGEINT) * 1000000 // n_b AS BIGINT) AS risk_b_ppm,
+       |  CAST(CAST(x_b AS HUGEINT) * 1000000 // n_b AS BIGINT)
+       |    - CAST(CAST(x_a AS HUGEINT) * 1000000 // n_a AS BIGINT) AS risk_diff_ppm,
+       |  CAST((CAST(x_b AS HUGEINT) * n_a * 1000000) // (CAST(n_b AS HUGEINT) * x_a) AS BIGINT) AS rr_ppm,
+       |  CAST((CAST(x_b AS HUGEINT) * (n_a - x_a) * 1000000)
+       |    // (CAST(x_a AS HUGEINT) * (n_b - x_b)) AS BIGINT) AS or_ppm,
+       |  sqrt(1.0 / CAST(x_a AS DOUBLE) - 1.0 / CAST(n_a AS DOUBLE)
+       |     + 1.0 / CAST(x_b AS DOUBLE) - 1.0 / CAST(n_b AS DOUBLE)) AS katz_se,
+       |  sqrt(1.0 / CAST(x_a AS DOUBLE) + 1.0 / CAST(n_a - x_a AS DOUBLE)
+       |     + 1.0 / CAST(x_b AS DOUBLE) + 1.0 / CAST(n_b - x_b AS DOUBLE)) AS woolf_se
+       |FROM g WHERE x_a > 0 AND x_b > 0 AND n_a > x_a AND n_b > x_b""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"),
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, 0).otherwise(1).as("variant"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value").cast(DecimalType(18, 2)) >= 200, 1).otherwise(0)).as("conv"))
+    val g = u.agg(
+      count(when(col("variant") === 0, 1)).as("n_a"),
+      count(when(col("variant") === 1, 1)).as("n_b"),
+      sum(when(col("variant") === 0, col("conv"))).cast(LongType).as("x_a"),
+      sum(when(col("variant") === 1, col("conv"))).cast(LongType).as("x_b"))
+    g.filter(col("x_a") > 0 && col("x_b") > 0 &&
+        col("n_a") > col("x_a") && col("n_b") > col("x_b"))
+      .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        expr("CAST(CAST(x_a AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)").as("risk_a_ppm"),
+        expr("CAST(CAST(x_b AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT)").as("risk_b_ppm"),
+        expr("""CAST(CAST(x_b AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT)
+               | - CAST(CAST(x_a AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)""".stripMargin)
+          .as("risk_diff_ppm"),
+        expr("""CAST((CAST(x_b AS DECIMAL(38,0)) * n_a * 1000000)
+               | div (CAST(n_b AS DECIMAL(38,0)) * x_a) AS BIGINT)""".stripMargin).as("rr_ppm"),
+        expr("""CAST((CAST(x_b AS DECIMAL(38,0)) * (n_a - x_a) * 1000000)
+               | div (CAST(x_a AS DECIMAL(38,0)) * (n_b - x_b)) AS BIGINT)""".stripMargin)
+          .as("or_ppm"),
+        expr("""sqrt(1.0D / CAST(x_a AS DOUBLE) - 1.0D / CAST(n_a AS DOUBLE)
+               |   + 1.0D / CAST(x_b AS DOUBLE) - 1.0D / CAST(n_b AS DOUBLE))""".stripMargin)
+          .as("katz_se"),
+        expr("""sqrt(1.0D / CAST(x_a AS DOUBLE) + 1.0D / CAST(n_a - x_a AS DOUBLE)
+               |   + 1.0D / CAST(x_b AS DOUBLE) + 1.0D / CAST(n_b - x_b AS DOUBLE))""".stripMargin)
+          .as("woolf_se"))
+  }
+
   def ops: Seq[GraftOp] =
     Seq(cohensKappa, fleissKappa, cronbachAlpha, quade, brownForsythe, signTest,
       croston, icc, mannKendall, cusum, pettitt, benford, jackknife, permutationTest,
-      andersonDarling, gumbelMaxima, captureRecapture, mcc, recordBreaks)
+      andersonDarling, gumbelMaxima, captureRecapture, mcc, recordBreaks,
+      priceIndex, seasonalityIndex, riskRatio)
 }

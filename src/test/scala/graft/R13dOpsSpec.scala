@@ -545,4 +545,78 @@ class R13dOpsSpec extends AnyFunSuite {
       assert(err >= 0 && err < n, s"n=$n err=$err")
     }
   }
+
+  // ---- Price indices: identity laws and Fisher bracketing ----
+
+  /** The op's snapped index computation over (q0, s0, q1, s1) parts. */
+  private def indices(parts: Seq[(Long, Long, Long, Long)]): (Double, Double, Double) = {
+    val ss0 = parts.map(_._2).sum
+    val ss1 = parts.map(_._4).sum
+    val p1q0 = parts.map { case (q0, _, q1, s1) => BigInt(s1) * q0 * 1000000 / q1 }.sum
+    val p0q1 = parts.map { case (q0, s0, q1, _) => BigInt(s0) * q1 * 1000000 / q0 }.sum
+    val l = p1q0.toDouble / (ss0.toDouble * 1e6)
+    val p = ss1.toDouble * 1e6 / p0q1.toDouble
+    (l, p, math.sqrt(l * p))
+  }
+
+  test("price indices: identical periods give L = P = F = 1 exactly-ish; pure inflation recovers the factor") {
+    val base = Seq((10L, 1000L, 10L, 1000L), (5L, 900L, 5L, 900L))
+    val (l0, p0, f0) = indices(base)
+    assert(math.abs(l0 - 1) < 1e-9 && math.abs(p0 - 1) < 1e-9 && math.abs(f0 - 1) < 1e-9)
+    // prices double, quantities unchanged → all three indices = 2
+    val doubled = base.map { case (q0, s0, q1, s1) => (q0, s0, q1, s1 * 2) }
+    val (l2, p2, f2) = indices(doubled)
+    assert(math.abs(l2 - 2) < 1e-6 && math.abs(p2 - 2) < 1e-6 && math.abs(f2 - 2) < 1e-6)
+  }
+
+  test("Fisher index lies between Laspeyres and Paasche") {
+    val parts = (1 to 20).map { i =>
+      val q0 = lcg(110 + i, 1, 50).head + 1
+      val q1 = lcg(120 + i, 1, 50).head + 1
+      val s0 = (q0 * (lcg(130 + i, 1, 900).head + 100))
+      val s1 = (q1 * (lcg(140 + i, 1, 900).head + 100))
+      (q0, s0, q1, s1)
+    }
+    val (l, p, f) = indices(parts)
+    assert(f >= math.min(l, p) - 1e-12 && f <= math.max(l, p) + 1e-12)
+  }
+
+  // ---- Seasonality: centered-MA ratio on a planted seasonal series ----
+
+  /** The op's pipeline over a month series: 24·MA window, micro ratio,
+    * per-calendar-month mean. */
+  private def seasonalIdx(ms: Seq[(Long, Long)]): Map[Long, Double] = {
+    val n = ms.length
+    val ratios = (6 until n - 6).map { t =>
+      val ma24 = ms(t - 6)._2 + 2 * (t - 5 to t + 5).map(ms(_)._2).sum + ms(t + 6)._2
+      (ms(t)._1, BigInt(ms(t)._2) * 24 * 1000000 / ma24)
+    }
+    ratios.groupBy(_._1).map { case (cal, rs) =>
+      cal -> (rs.map(_._2).sum / rs.length).toDouble / 1e6
+    }
+  }
+
+  // ---- Risk panel: RR/OR identities ----
+
+  test("risk panel: RR and OR agree at ppm scale with brute rationals; OR ≥ RR for risk > in B") {
+    val (nA, xA, nB, xB) = (400L, 80L, 400L, 120L)
+    val rrPpm = BigInt(xB) * nA * 1000000 / (BigInt(nB) * xA)
+    val orPpm = BigInt(xB) * (nA - xA) * 1000000 / (BigInt(xA) * (nB - xB))
+    assert(rrPpm === BigInt(1500000)) // (120/400)/(80/400) = 1.5
+    // OR = (120·320)/(80·280) = 12/7 ≈ 1.714286
+    assert(orPpm === BigInt(120) * 320 * 1000000 / (80 * 280))
+    assert(orPpm > rrPpm) // OR exaggerates RR when risk rises and outcome is common
+    // null case: equal risks → both exactly 10⁶
+    val rrNull = BigInt(80) * 400 * 1000000 / (BigInt(400) * 80)
+    assert(rrNull === BigInt(1000000))
+  }
+
+  test("seasonality indices recover a planted multiplicative December spike") {
+    // flat level 1000 with December ×1.5, 4 full years
+    val ms = for (y <- 0 until 4; m <- 1 to 12)
+      yield ((m.toLong, if (m == 12) 1500L else 1000L))
+    val idx = seasonalIdx(ms.toSeq)
+    assert(idx(12L) > 1.4 && idx(12L) < 1.5)
+    for (m <- 1L to 11L if idx.contains(m)) assert(idx(m) < 1.0)
+  }
 }
