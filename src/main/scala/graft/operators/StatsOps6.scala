@@ -1551,9 +1551,131 @@ object StatsOps6 {
           .as("woolf_se"))
   }
 
+  /** Turning-point test for series randomness (Kendall 1976) on
+    * daily event volume — the cheapest "is this series i.i.d. noise
+    * or does it have structure" screen, reading LOCAL extrema where
+    * q_mann_kendall reads global order and q_record_breaks reads
+    * running maxima: under exchangeability E[T] = 2(n−2)/3 and
+    * Var[T] = (16n−29)/90 exactly. T counts strict interior peaks
+    * and troughs off two bounded lag/lead windows (plateau points are
+    * not turning points — documented tie handling, identical CASE
+    * both engines); clearing denominators makes the z numerator
+    * 3T−2(n−2) and variance 90·Var = 16n−29 exact integers, z one
+    * shared-text double. */
+  val turningPoints: GraftOp = GraftOp(
+    "q_turning_points",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, y,
+      |    lag(y) OVER (ORDER BY day) AS yp,
+      |    lead(y) OVER (ORDER BY day) AS yn
+      |  FROM daily),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (WHERE yp IS NOT NULL AND yn IS NOT NULL
+      |      AND ((y > yp AND y > yn) OR (y < yp AND y < yn))) AS BIGINT) AS t
+      |  FROM w)
+      |SELECT n AS n_days, t AS n_turning,
+      |  CAST(3 * t - 2 * (n - 2) AS BIGINT) AS z_num3,
+      |  CAST(16 * n - 29 AS BIGINT) AS var90,
+      |  (CAST(t AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+      |    / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) AS z
+      |FROM g""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    // lag/lead over the date-bounded day frame
+    val ow = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val w = daily.select(col("day"), col("y"),
+      lag(col("y"), 1).over(ow).as("yp"), lead(col("y"), 1).over(ow).as("yn"))
+    val g = w.agg(count(lit(1)).as("n"),
+      count(when(col("yp").isNotNull && col("yn").isNotNull &&
+        ((col("y") > col("yp") && col("y") > col("yn")) ||
+         (col("y") < col("yp") && col("y") < col("yn"))), 1)).as("t"))
+    g.select(col("n").as("n_days"), col("t").as("n_turning"),
+      (lit(3) * col("t") - lit(2) * (col("n") - 2)).cast(LongType).as("z_num3"),
+      (lit(16) * col("n") - 29).cast(LongType).as("var90"),
+      expr("""(CAST(t AS DOUBLE) - 2.0D * (CAST(n AS DOUBLE) - 2.0D) / 3.0D)
+             |  / sqrt((16.0D * CAST(n AS DOUBLE) - 29.0D) / 90.0D)""".stripMargin).as("z"))
+  }
+
+  /** Bartels' rank version of the von Neumann ratio (Bartels 1982) —
+    * the RANK-ROBUST serial-independence test completing the
+    * randomness pair with q_turning_points (which only sees extrema;
+    * Bartels sees any serial dependence): RVN = Σ(Rᵢ−Rᵢ₊₁)²/Σ(Rᵢ−R̄)²
+    * over the daily-volume ranks. Exactness: midranks doubled to
+    * exact integers (2R = min+max rank within the tie group, the
+    * q_spearman discipline — the day frame is bounded so the rank
+    * windows are too); the doubling cancels in the ratio, both sums
+    * fold as exact DECIMAL(38) integers (NUM = Σ(2Rᵢ−2Rᵢ₊₁)²,
+    * DEN = Σ(2Rᵢ)² − (Σ2Rᵢ)²/n cleared by n: n·NUM / (n·Σ(2R)² −
+    * (Σ2R)²)), RVN and the z against E=2, Var≈4/n are shared-text
+    * doubles. */
+  val bartelsRank: GraftOp = GraftOp(
+    "q_bartels_rank",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |rk AS (
+      |  SELECT day, y,
+      |    CAST(rank() OVER (ORDER BY y) AS BIGINT) AS rmin,
+      |    CAST(count(*) OVER () - rank() OVER (ORDER BY y DESC) + 1 AS BIGINT) AS rmax
+      |  FROM daily),
+      |r2 AS (
+      |  SELECT day, rmin + rmax AS r2,
+      |    lead(rmin + rmax) OVER (ORDER BY day) AS r2n
+      |  FROM rk),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN r2n IS NOT NULL
+      |      THEN CAST(r2 - r2n AS HUGEINT) * (r2 - r2n) ELSE CAST(0 AS HUGEINT) END) AS DECIMAL(38,0)) AS num,
+      |    CAST(sum(CAST(r2 AS HUGEINT) * r2) AS DECIMAL(38,0)) AS sq,
+      |    CAST(sum(r2) AS DECIMAL(38,0)) AS s
+      |  FROM r2)
+      |SELECT n AS n_days, num, sq, s,
+      |  CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS rvn,
+      |  (CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - 2.0)
+      |    / sqrt(4.0 / CAST(n AS DOUBLE)) AS z
+      |FROM g""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    // rank + lead windows over the date-bounded day frame
+    val byY = org.apache.spark.sql.expressions.Window.orderBy(col("y"))
+    val byYDesc = org.apache.spark.sql.expressions.Window.orderBy(col("y").desc)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rk = daily.select(col("day"), col("y"),
+      rank().over(byY).cast(LongType).as("rmin"),
+      (count(lit(1)).over(all) - rank().over(byYDesc) + 1).cast(LongType).as("rmax"))
+    val ow = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val r2 = rk.select(col("day"), (col("rmin") + col("rmax")).as("r2"))
+      .select(col("day"), col("r2"), lead(col("r2"), 1).over(ow).as("r2n"))
+    val g = r2.agg(count(lit(1)).as("n"),
+      sum(when(col("r2n").isNotNull,
+        (col("r2") - col("r2n")).cast(dec) * (col("r2") - col("r2n")))
+        .otherwise(lit(0).cast(dec))).cast(dec).as("num"),
+      sum(col("r2").cast(dec) * col("r2")).cast(dec).as("sq"),
+      sum(col("r2")).cast(dec).as("s"))
+    g.select(col("n").as("n_days"), col("num"), col("sq"), col("s"),
+      expr("""CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+             |  / (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin)
+        .as("rvn"),
+      expr("""(CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+             |  / (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - 2.0D)
+             |  / sqrt(4.0D / CAST(n AS DOUBLE))""".stripMargin).as("z"))
+  }
+
   def ops: Seq[GraftOp] =
     Seq(cohensKappa, fleissKappa, cronbachAlpha, quade, brownForsythe, signTest,
       croston, icc, mannKendall, cusum, pettitt, benford, jackknife, permutationTest,
       andersonDarling, gumbelMaxima, captureRecapture, mcc, recordBreaks,
-      priceIndex, seasonalityIndex, riskRatio)
+      priceIndex, seasonalityIndex, riskRatio, turningPoints, bartelsRank)
 }

@@ -611,6 +611,54 @@ class R13dOpsSpec extends AnyFunSuite {
     assert(rrNull === BigInt(1000000))
   }
 
+  // ---- Turning points & Bartels rank: randomness-test laws ----
+
+  private def turningPoints(ys: Seq[Long]): Int =
+    (1 until ys.length - 1).count { i =>
+      (ys(i) > ys(i - 1) && ys(i) > ys(i + 1)) ||
+        (ys(i) < ys(i - 1) && ys(i) < ys(i + 1))
+    }
+
+  test("turning points: monotone series has 0, alternating series has n−2; E/Var identities") {
+    assert(turningPoints((1L to 20L)) === 0)
+    val alt = (0 until 20).map(i => if (i % 2 == 0) 10L else 20L)
+    assert(turningPoints(alt) === 18)
+    // expected count of a random permutation, checked by enumeration at n=5
+    val perms = (1L to 5L).permutations.toSeq
+    val mean = perms.map(p => turningPoints(p).toDouble).sum / perms.length
+    assert(math.abs(mean - 2.0 * (5 - 2) / 3.0) < 1e-12)
+    val variance = perms.map { p =>
+      val t = turningPoints(p).toDouble; (t - mean) * (t - mean)
+    }.sum / perms.length
+    assert(math.abs(variance - (16.0 * 5 - 29) / 90.0) < 1e-12)
+  }
+
+  /** The op's RVN over doubled midranks. */
+  private def rvn(ys: Seq[Long]): Double = {
+    val sorted = ys.sorted
+    val r2 = ys.map { y =>
+      val rmin = sorted.indexOf(y) + 1L
+      val rmax = sorted.lastIndexOf(y) + 1L
+      rmin + rmax
+    }
+    val n = ys.length
+    val num = r2.sliding(2).map { case Seq(a, b) => (a - b).toDouble * (a - b) }.sum
+    val s = r2.sum.toDouble
+    val sq = r2.map(x => x.toDouble * x).sum
+    n * num / (n * sq - s * s)
+  }
+
+  test("Bartels RVN: monotone < 2 (expected under randomness) < alternating") {
+    val mono = (1L to 30L).toSeq
+    val alt = (0 until 30).map(i => if (i % 2 == 0) i.toLong else 100L - i)
+    assert(rvn(mono) < 0.5)
+    assert(rvn(alt) > 3.0)
+    // expectation ≈ 2 under exchangeability, checked by enumeration at n=5
+    val perms = (1L to 5L).permutations.toSeq
+    val mean = perms.map(rvn).sum / perms.length
+    assert(math.abs(mean - 2.0) < 0.2)
+  }
+
   test("seasonality indices recover a planted multiplicative December spike") {
     // flat level 1000 with December ×1.5, 4 full years
     val ms = for (y <- 0 until 4; m <- 1 to 12)
