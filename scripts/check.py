@@ -3,12 +3,14 @@
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name> parquet (Spark result) and runs
-<verifyOutDir>/oracle_sql.json[<name>] in DuckDB with views named after
-the test tables. Mirrors the driver's pipeline: both sides are
-materialized through pandas (so DuckDB HUGEINT -> float64 coercion and
-similar dtype effects are visible exactly as the driver sees them),
-columns are sorted by name, rows sorted, and values compared
+Reads each <verifyOutDir>/<name> parquet (Spark result) DIRECTLY via
+pyarrow/pandas — NOT through DuckDB. Round-tripping the Spark side
+through DuckDB was the r13 blind spot: DuckDB coerced DECIMAL(38,0) to
+float64 on BOTH sides, hiding exactly the decimal-emit class the driver
+compare is sensitive to (14 ops locally green, driver red). The oracle
+side still materializes through DuckDB .df() (so HUGEINT -> float64
+coercion is visible exactly as the driver sees it), columns are sorted
+by name, rows sorted, and values compared
 dtype-faithfully — an int64 1000 does NOT equal a float64 1000.0, and
 floats are compared via repr (bit-faithful, -0.0 != 0.0). Columns whose
 values are arrays/ndarrays are reported as driver-incompatible (the
@@ -16,12 +18,29 @@ driver's pandas row sort throws on them).
 
 Dev tool only — the Scala engine does not depend on this.
 """
-import decimal, json, sys, math
+import datetime, decimal, glob, json, sys, math
 from pathlib import Path
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+
+def read_spark(spark_dir):
+    """Spark result read the driver's way: pyarrow, not DuckDB — decimal
+    columns surface as decimal.Decimal objects and fail norm(). Date
+    columns (pyarrow date32 -> datetime.date objects) are normalized to
+    datetime64 so they compare against DuckDB's DATE materialization."""
+    parts = sorted(glob.glob(str(Path(spark_dir) / "*.parquet")))
+    df = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True) \
+        if parts else pd.read_parquet(spark_dir)
+    for c in df.columns:
+        if df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], datetime.date) \
+                    and not isinstance(nn.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
+    return df
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -89,8 +108,7 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            s_df = con.execute(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            s_df = read_spark(spark_dir)
             o_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")

@@ -362,7 +362,7 @@ object StatsOps5 {
       |  CAST(count(*) AS BIGINT) AS tail_n,
       |  min(cents) AS var_cents,
       |  CAST(min(cents) AS DOUBLE) / 100.0 AS var_value,
-      |  CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS tail_sum,
+      |  CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS tail_sum,
       |  CAST(CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE)
       |    / CAST(count(*) AS DOUBLE) / 100.0 AS cvar
       |FROM r WHERE rn > n - ((n * 5 + 99) // 100)""".stripMargin) { (s, d) =>
@@ -378,7 +378,7 @@ object StatsOps5 {
         sum(col("cents").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("tail_sum"))
       .select(col("n"), col("tail_n"), col("var_cents"),
         expr("CAST(var_cents AS DOUBLE) / 100.0D").as("var_value"),
-        col("tail_sum"),
+        col("tail_sum").cast(DoubleType).as("tail_sum"),
         expr("CAST(tail_sum AS DOUBLE) / CAST(tail_n AS DOUBLE) / 100.0D").as("cvar"))
   }
 
@@ -424,7 +424,7 @@ object StatsOps5 {
        |        sum(cnt) OVER () AS np
        |      FROM dh),
        |sel AS (SELECT
-       |    CAST(max(np) AS DECIMAL(38,0)) AS n_pairs,
+       |    CAST(max(np) AS DOUBLE) AS n_pairs,
        |    min(CASE WHEN 2 * cum >= np + np % 2 THEN d END) AS d_lo,
        |    min(CASE WHEN 2 * cum >= np - np % 2 + 2 THEN d END) AS d_hi
        |  FROM w),
@@ -489,13 +489,14 @@ object StatsOps5 {
     val schema = StructType(Seq(
       StructField("n_a", LongType, nullable = false),
       StructField("n_b", LongType, nullable = false),
-      StructField("n_pairs", DecimalType(38, 0), nullable = true),
+      StructField("n_pairs", DoubleType, nullable = true),
       StructField("d_lo", LongType, nullable = true),
       StructField("d_hi", LongType, nullable = true),
       StructField("hl_shift", DoubleType, nullable = true)))
     val row = org.apache.spark.sql.Row(
       nA, nB,
-      if (as.isEmpty || bs.isEmpty) null else new java.math.BigDecimal(nPairs.bigInteger),
+      if (as.isEmpty || bs.isEmpty) null
+      else java.lang.Double.valueOf(new java.math.BigDecimal(nPairs.bigInteger).doubleValue),
       dLo.map(java.lang.Long.valueOf).orNull,
       dHi.map(java.lang.Long.valueOf).orNull,
       (for (l <- dLo; h <- dHi) yield (l + h).toDouble / 200.0)
@@ -543,8 +544,8 @@ object StatsOps5 {
        |g AS (
        |  SELECT CAST(sum(t) AS BIGINT) AS n,
        |    CAST(sum(tp) AS BIGINT) AS n_pos,
-       |    CAST(sum(CAST(tp AS HUGEINT) * (2 * start + t - 1)) AS DECIMAL(38,0)) AS w2_pos,
-       |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DECIMAL(38,0)) AS t3t
+       |    CAST(sum(CAST(tp AS HUGEINT) * (2 * start + t - 1)) AS DOUBLE) AS w2_pos,
+       |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS t3t
        |  FROM s)
        |SELECT n, n_pos, w2_pos, t3t,
        |  (CAST(w2_pos AS DOUBLE) / 2.0 - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
@@ -575,8 +576,8 @@ object StatsOps5 {
     val g = c.agg(
       sum(col("t")).cast(LongType).as("n"),
       sum(col("tp")).cast(LongType).as("n_pos"),
-      sum(col("tp").cast(dec) * col("r2")).cast(dec).as("w2_pos"),
-      sum(col("t").cast(dec) * col("t") * col("t") - col("t")).cast(dec).as("t3t"))
+      sum(col("tp").cast(dec) * col("r2")).cast(dec).cast(DoubleType).as("w2_pos"),
+      sum(col("t").cast(dec) * col("t") * col("t") - col("t")).cast(dec).cast(DoubleType).as("t3t"))
     g.select(col("n"), col("n_pos"), col("w2_pos"), col("t3t"),
       expr("""(CAST(w2_pos AS DOUBLE) / 2.0D - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0D) / 4.0D)
         | / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0D)
@@ -621,7 +622,7 @@ object StatsOps5 {
       |    n
       |  FROM w WHERE n - nl > 0)
       |SELECT qty AS split_qty, nl, nr, rl, rr,
-      |  CAST(sl * nr + sr * nl AS DECIMAL(38,0)) AS purity_num,
+      |  CAST(CAST(sl * nr + sr * nl AS DECIMAL(38,0)) AS DOUBLE) AS purity_num,
       |  CAST((CAST(sl * nr + sr * nl AS HUGEINT) * 1000000)
       |    // (CAST(n AS HUGEINT) * nl * nr) AS BIGINT) AS purity_ppm
       |FROM sp ORDER BY split_qty""".stripMargin) { (s, d) =>
@@ -650,7 +651,8 @@ object StatsOps5 {
           + (col("nr") - col("rr")).cast(dec) * (col("nr") - col("rr"))).as("sr"),
         col("n"))
       .select(col("split_qty"), col("nl"), col("nr"), col("rl"), col("rr"),
-        (col("sl") * col("nr") + col("sr") * col("nl")).cast(dec).as("purity_num"),
+        (col("sl") * col("nr") + col("sr") * col("nl")).cast(dec)
+          .cast(DoubleType).as("purity_num"),
         expr("""CAST((CAST(sl * nr + sr * nl AS DECIMAL(38,0)) * 1000000)
           | div (CAST(n AS DECIMAL(38,0)) * nl * nr) AS BIGINT)""".stripMargin)
           .as("purity_ppm"))

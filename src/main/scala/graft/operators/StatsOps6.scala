@@ -197,7 +197,8 @@ object StatsOps6 {
       |       + (n * q4 - s4 * s4) + (n * q5 - s5 * s5) AS DECIMAL(38,0)) AS v_items,
       |    CAST(n * qt - st * st AS DECIMAL(38,0)) AS v_total
       |  FROM m)
-      |SELECT n AS n_users, CAST(5 AS BIGINT) AS k, v_items, v_total,
+      |SELECT n AS n_users, CAST(5 AS BIGINT) AS k,
+      |  CAST(v_items AS DOUBLE) AS v_items, CAST(v_total AS DOUBLE) AS v_total,
       |  1.25 * (1.0 - CAST(v_items AS DOUBLE) / CAST(v_total AS DOUBLE)) AS alpha
       |FROM v""".stripMargin) { (s, d) =>
     val dec = DecimalType(38, 0)
@@ -223,7 +224,9 @@ object StatsOps6 {
     m.select(col("n"),
         vItems.cast(dec).as("v_items"),
         (col("n") * col("qt") - col("st") * col("st")).cast(dec).as("v_total"))
-      .select(col("n").as("n_users"), lit(5L).as("k"), col("v_items"), col("v_total"),
+      .select(col("n").as("n_users"), lit(5L).as("k"),
+        col("v_items").cast(DoubleType).as("v_items"),
+        col("v_total").cast(DoubleType).as("v_total"),
         expr("1.25D * (1.0D - CAST(v_items AS DOUBLE) / CAST(v_total AS DOUBLE))")
           .as("alpha"))
   }
@@ -348,8 +351,9 @@ object StatsOps6 {
       |    CAST(sum(szz) AS DECIMAL(38,0)) AS szz2,
       |    CAST(sum(b_micro) AS DECIMAL(38,0)) AS sb
       |  FROM gg)
-      |SELECT gg.flag, gg.n, gg.med, CAST(gg.sz AS DECIMAL(38,0)) AS sz, gg.szz,
-      |  gg.b_micro,
+      |SELECT gg.flag, gg.n, gg.med, CAST(gg.sz AS DOUBLE) AS sz,
+      |  CAST(gg.szz AS DOUBLE) AS szz,
+      |  CAST(gg.b_micro AS DOUBLE) AS b_micro,
       |  ((CAST(sb AS DOUBLE) / 1000000.0 - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(nn AS DOUBLE))
       |      / (CAST(grp AS DOUBLE) - 1.0))
       |    / ((CAST(szz2 AS DOUBLE) - CAST(sb AS DOUBLE) / 1000000.0)
@@ -377,7 +381,12 @@ object StatsOps6 {
       sum(col("c").cast(dec) * col("z") * col("z")).cast(dec).as("szz"))
     val gg = g.join(broadcast(med), "flag")
       .select(col("flag"), col("n"), col("sz"), col("szz"), col("med"),
-        expr("CAST((CAST(sz AS DECIMAL(38,0)) * sz * 1000000) div n AS DECIMAL(38,0))")
+        // exact floor division spelled via remainder subtraction kept in
+        // DECIMAL(38,0) — Spark's `div` returns BIGINT and would wrap the
+        // (Σz)²·10⁶ quotient past 2⁶³ (~10¹⁰ rows/group)
+        expr("""CAST(((CAST(sz AS DECIMAL(38,0)) * sz * 1000000)
+               |  - (CAST(sz AS DECIMAL(38,0)) * sz * 1000000) % n) / n
+               |  AS DECIMAL(38,0))""".stripMargin)
           .as("b_micro"))
     val tot = gg.agg(
       count(lit(1)).as("grp"),
@@ -386,7 +395,10 @@ object StatsOps6 {
       sum(col("szz")).cast(dec).as("szz2"),
       sum(col("b_micro")).cast(dec).as("sb"))
     gg.crossJoin(broadcast(tot))
-      .select(col("flag"), col("n"), col("med"), col("sz"), col("szz"), col("b_micro"),
+      .select(col("flag"), col("n"), col("med"),
+        col("sz").cast(DoubleType).as("sz"),
+        col("szz").cast(DoubleType).as("szz"),
+        col("b_micro").cast(DoubleType).as("b_micro"),
         expr("""((CAST(sb AS DOUBLE) / 1000000.0D - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(nn AS DOUBLE))
                |    / (CAST(grp AS DOUBLE) - 1.0D))
                |  / ((CAST(szz2 AS DOUBLE) - CAST(sb AS DOUBLE) / 1000000.0D)
@@ -551,10 +563,11 @@ object StatsOps6 {
       |    CAST(sum(n) AS BIGINT) AS nn,
       |    CAST(sum(s) AS DECIMAL(38,0)) AS tt,
       |    CAST(sum(ss) AS DECIMAL(38,0)) AS sst,
-      |    CAST(sum(CAST(n AS HUGEINT) * n) AS BIGINT) AS nn2,
+      |    sum(CAST(n AS HUGEINT) * n) AS nn2,
       |    CAST(sum((s * s) // n) AS DECIMAL(38,0)) AS sb
       |  FROM g)
-      |SELECT a, nn, nn2, tt, sst, sb,
+      |SELECT a, nn, CAST(nn2 AS DOUBLE) AS nn2, CAST(tt AS DOUBLE) AS tt,
+      |  CAST(sst AS DOUBLE) AS sst, CAST(sb AS DOUBLE) AS sb,
       |  ((CAST(sb AS DOUBLE) - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))
       |      / (CAST(a AS DOUBLE) - 1.0)
       |    - (CAST(sst AS DOUBLE) - CAST(sb AS DOUBLE)) / (CAST(nn AS DOUBLE) - CAST(a AS DOUBLE)))
@@ -579,12 +592,18 @@ object StatsOps6 {
       sum(col("n")).cast(LongType).as("nn"),
       sum(col("s")).cast(dec).as("tt"),
       sum(col("ss")).cast(dec).as("sst"),
-      sum(col("n").cast(dec) * col("n")).cast(LongType).as("nn2"),
+      // nn2 stays DECIMAL(38,0) to the final double formula — a BIGINT
+      // cast would wrap past 2⁶³ once a nation group passes ~3·10⁹ rows
+      sum(col("n").cast(dec) * col("n")).cast(dec).as("nn2"),
       // floor(s²/n) without `div` (IntegralDivide's BIGINT result
       // would wrap past 2⁶³ at corpus scale): subtract the remainder,
       // then the decimal divide is exact-integral at scale 6
       sum(expr("CAST((s * s - (s * s) % n) / n AS DECIMAL(38,0))")).cast(dec).as("sb"))
-    t.select(col("a"), col("nn"), col("nn2"), col("tt"), col("sst"), col("sb"),
+    t.select(col("a"), col("nn"),
+      col("nn2").cast(DoubleType).as("nn2"),
+      col("tt").cast(DoubleType).as("tt"),
+      col("sst").cast(DoubleType).as("sst"),
+      col("sb").cast(DoubleType).as("sb"),
       expr("""((CAST(sb AS DOUBLE) - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))
              |    / (CAST(a AS DOUBLE) - 1.0D)
              |  - (CAST(sst AS DOUBLE) - CAST(sb AS DOUBLE)) / (CAST(nn AS DOUBLE) - CAST(a AS DOUBLE)))
@@ -608,7 +627,7 @@ object StatsOps6 {
     * One scan → day counts; everything after runs on the bounded
     * frame. */
   val mannKendall: GraftOp = GraftOp(
-    "q_mann_kendall",
+    "q_mann_kendall_volume",
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1),
@@ -667,7 +686,7 @@ object StatsOps6 {
     * walk (Spark aggregate HOF ≡ DuckDB recursive CTE), state two
     * DECIMAL(38) integers. */
   val cusum: GraftOp = GraftOp(
-    "q_cusum",
+    "q_cusum_tabular",
     """WITH RECURSIVE daily AS (
       |  SELECT CAST(ts AS DATE) AS day,
       |    CAST(sum(CASE WHEN event_type = 'purchase'
@@ -695,7 +714,8 @@ object StatsOps6 {
       |    (SELECT min(d.day) FROM r JOIN d ON d.t = r.t
       |      WHERE CAST(r.sl AS DECIMAL(38,0)) = mx.max_down AND mx.max_down > 0) AS down_day
       |  FROM mx)
-      |SELECT g.n AS n_days, mx.max_up, mx.max_down,
+      |SELECT g.n AS n_days,
+      |  CAST(mx.max_up AS DOUBLE) AS max_up, CAST(mx.max_down AS DOUBLE) AS max_down,
       |  CAST(mx.max_up AS DOUBLE) / (20.0 * CAST(g.n AS DOUBLE)) / 100.0 AS cusum_up,
       |  CAST(mx.max_down AS DOUBLE) / (20.0 * CAST(g.n AS DOUBLE)) / 100.0 AS cusum_down,
       |  al.up_day, al.down_day
@@ -731,7 +751,8 @@ object StatsOps6 {
           |              THEN r.day ELSE a.dl END,
           |   'n', a.n, 'tt', a.tt))""".stripMargin).as("st"))
       .select(col("n").as("n_days"),
-        col("st.mu").as("max_up"), col("st.ml").as("max_down"),
+        col("st.mu").cast(DoubleType).as("max_up"),
+        col("st.ml").cast(DoubleType).as("max_down"),
         expr("CAST(st.mu AS DOUBLE) / (20.0D * CAST(n AS DOUBLE)) / 100.0D").as("cusum_up"),
         expr("CAST(st.ml AS DOUBLE) / (20.0D * CAST(n AS DOUBLE)) / 100.0D").as("cusum_down"),
         expr("CASE WHEN st.mu > 0 THEN st.du END").as("up_day"),
@@ -752,7 +773,7 @@ object StatsOps6 {
     * the exact exponent −6K²/(n³+n²) (the p-value's exp() is the
     * libm class the §6 rules keep out of comparisons). */
   val pettitt: GraftOp = GraftOp(
-    "q_pettitt",
+    "q_pettitt_sgn",
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1),
@@ -831,7 +852,7 @@ object StatsOps6 {
     val sqlExp = (1 to 9).map(dd =>
       s"WHEN ${dd} THEN ${expPpm(dd - 1)}").mkString(" ")
     GraftOp(
-      "q_benford",
+      "q_benford_cents",
       s"""WITH c AS (
          |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
          |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
@@ -897,7 +918,8 @@ object StatsOps6 {
       |    CAST(sum((((t.tt - g.s) * 1000000) // (t.nn - g.n))
       |           * (((t.tt - g.s) * 1000000) // (t.nn - g.n))) AS DECIMAL(38,0)) AS sum_loo2
       |  FROM g CROSS JOIN t GROUP BY 1, 2, 3)
-      |SELECT a, nn AS n_orders, CAST(tt AS DECIMAL(38,0)) AS t_cents, sum_loo, sum_loo2,
+      |SELECT a, nn AS n_orders, CAST(tt AS DOUBLE) AS t_cents,
+      |  CAST(sum_loo AS DOUBLE) AS sum_loo, CAST(sum_loo2 AS DOUBLE) AS sum_loo2,
       |  CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0 AS theta_hat,
       |  sqrt(((CAST(a AS DOUBLE) - 1.0) / CAST(a AS DOUBLE))
       |    * (CAST(sum_loo2 AS DOUBLE)
@@ -922,7 +944,9 @@ object StatsOps6 {
       .agg(sum(col("th")).cast(dec).as("sum_loo"),
         sum(col("th") * col("th")).cast(dec).as("sum_loo2"))
     loo.select(col("a"), col("nn").as("n_orders"),
-      col("tt").as("t_cents"), col("sum_loo"), col("sum_loo2"),
+      col("tt").cast(DoubleType).as("t_cents"),
+      col("sum_loo").cast(DoubleType).as("sum_loo"),
+      col("sum_loo2").cast(DoubleType).as("sum_loo2"),
       expr("CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0D").as("theta_hat"),
       expr("""sqrt(((CAST(a AS DOUBLE) - 1.0D) / CAST(a AS DOUBLE))
              |  * (CAST(sum_loo2 AS DOUBLE)
@@ -1053,10 +1077,10 @@ object StatsOps6 {
          |    CAST(h.c AS HUGEINT) * (2 * m.n + 1)
          |      - (CAST(h.cum AS HUGEINT) * (h.cum + 1)
          |         - CAST(h.cum - h.c AS HUGEINT) * (h.cum - h.c + 1)) AS w2,
-         |    round((CAST(h.y AS DOUBLE) - CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+         |    floor(((CAST(h.y AS DOUBLE) - CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
          |      / sqrt((CAST(m.syy AS DOUBLE)
          |         - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
-         |        / (CAST(m.n AS DOUBLE) - 1.0)), 6) AS zv
+         |        / (CAST(m.n AS DOUBLE) - 1.0))) * 1000000.0) / 1000000.0 AS zv
          |  FROM h CROSS JOIN m),
          |t AS (
          |  SELECT n,
@@ -1066,7 +1090,7 @@ object StatsOps6 {
          |        * ln(greatest(least(1.0 - ($phi), 1.0 - 1e-12), 1e-12))) * 1000000.0)
          |      AS BIGINT)) AS DECIMAL(38,0)) AS ssum
          |  FROM z GROUP BY 1)
-         |SELECT n AS n_days, ssum,
+         |SELECT n AS n_days, CAST(ssum AS DOUBLE) AS ssum,
          |  -CAST(n AS DOUBLE)
          |    - CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS a2
          |FROM t""".stripMargin) { (s, d) =>
@@ -1089,10 +1113,12 @@ object StatsOps6 {
           (col("c").cast(dec) * (lit(2) * col("n") + 1)
             - (col("cum").cast(dec) * (col("cum") + 1)
                - (col("cum") - col("c")).cast(dec) * (col("cum") - col("c") + 1))).as("w2"),
-          expr("""round((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+          // floor-grid snap, not round(,6): round-to-decimal midpoints are
+          // the one engine-divergent class (the q_croston lesson)
+          expr("""floor(((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
                  |  / sqrt((CAST(syy AS DOUBLE)
                  |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                 |    / (CAST(n AS DOUBLE) - 1.0D)), 6)""".stripMargin).as("zv"))
+                 |    / (CAST(n AS DOUBLE) - 1.0D))) * 1000000.0D) / 1000000.0D""".stripMargin).as("zv"))
       val sparkPhi = phi
       val t = z.groupBy(col("n"))
         .agg(expr(
@@ -1101,7 +1127,7 @@ object StatsOps6 {
              |  + CAST(w2 AS DOUBLE)
              |    * ln(greatest(least(1.0 - ($sparkPhi), 1.0 - 1e-12), 1e-12))) * 1000000.0)
              |  AS BIGINT)) AS DECIMAL(38,0))""".stripMargin).as("ssum"))
-      t.select(col("n").as("n_days"), col("ssum"),
+      t.select(col("n").as("n_days"), col("ssum").cast(DoubleType).as("ssum"),
         expr("""-CAST(n AS DOUBLE)
                |  - CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0D)""".stripMargin)
           .as("a2"))
@@ -1137,7 +1163,7 @@ object StatsOps6 {
          |    CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS smm
          |  FROM daily),
          |f AS (
-         |  SELECT n, CAST(sm AS DECIMAL(38,0)) AS sm, CAST(smm AS DECIMAL(38,0)) AS smm,
+         |  SELECT n, CAST(sm AS DOUBLE) AS sm, CAST(smm AS DOUBLE) AS smm,
          |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_mx,
          |    sqrt((CAST(smm AS DOUBLE)
          |       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
@@ -1157,7 +1183,9 @@ object StatsOps6 {
       val m = daily.agg(count(lit(1)).as("n"),
         sum(col("mx")).cast(dec).as("sm"),
         sum(col("mx").cast(dec) * col("mx")).cast(dec).as("smm"))
-      m.select(col("n"), col("sm"), col("smm"),
+      m.select(col("n"),
+          col("sm").cast(DoubleType).as("sm"),
+          col("smm").cast(DoubleType).as("smm"),
           expr("CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_mx"),
           expr(s"""sqrt((CAST(smm AS DOUBLE)
                   |   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
@@ -1238,7 +1266,7 @@ object StatsOps6 {
        |    CAST(count(*) FILTER (WHERE ra = 0 AND rb = 0) AS BIGINT) AS n00
        |  FROM r)
        |SELECT n, n11, n10, n01, n00,
-       |  CAST(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS DECIMAL(38,0)) AS mcc_num,
+       |  CAST(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS DOUBLE) AS mcc_num,
        |  CAST(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS DOUBLE)
        |    / sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
        |         * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) AS mcc,
@@ -1257,7 +1285,7 @@ object StatsOps6 {
       count(when(col("ra") === 0 && col("rb") === 0, 1)).as("n00"))
     g.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
       (col("n11").cast(dec) * col("n00") - col("n10").cast(dec) * col("n01"))
-        .cast(dec).as("mcc_num"),
+        .cast(dec).cast(DoubleType).as("mcc_num"),
       expr("""CAST(CAST(n11 AS DECIMAL(38,0)) * n00 - CAST(n10 AS DECIMAL(38,0)) * n01 AS DOUBLE)
              |  / sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
              |       * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))""".stripMargin)
@@ -1342,7 +1370,7 @@ object StatsOps6 {
     * L, P and Fisher's √(L·P) are shared-text doubles. One
     * lineitem scan → per-(part, period) cells → matched join. */
   val priceIndex: GraftOp = GraftOp(
-    "q_price_index",
+    "q_price_indices",
     """WITH yr AS (
       |  SELECT CAST(min(year(l_shipdate)) AS BIGINT) AS y0,
       |    CAST(max(year(l_shipdate)) AS BIGINT) AS y1
@@ -1362,8 +1390,9 @@ object StatsOps6 {
       |    CAST(sum((CAST(s1 AS HUGEINT) * q0 * 1000000) // q1) AS DECIMAL(38,0)) AS p1q0_micro,
       |    CAST(sum((CAST(s0 AS HUGEINT) * q1 * 1000000) // q0) AS DECIMAL(38,0)) AS p0q1_micro
       |  FROM m)
-      |SELECT n_parts, CAST(ss0 AS DECIMAL(38,0)) AS ss0, CAST(ss1 AS DECIMAL(38,0)) AS ss1,
-      |  p1q0_micro, p0q1_micro,
+      |SELECT n_parts, CAST(ss0 AS DOUBLE) AS ss0, CAST(ss1 AS DOUBLE) AS ss1,
+      |  CAST(p1q0_micro AS DOUBLE) AS p1q0_micro,
+      |  CAST(p0q1_micro AS DOUBLE) AS p0q1_micro,
       |  CAST(p1q0_micro AS DOUBLE) / (CAST(ss0 AS DOUBLE) * 1000000.0) AS laspeyres,
       |  (CAST(ss1 AS DOUBLE) * 1000000.0) / CAST(p0q1_micro AS DOUBLE) AS paasche,
       |  sqrt((CAST(p1q0_micro AS DOUBLE) / (CAST(ss0 AS DOUBLE) * 1000000.0))
@@ -1397,8 +1426,11 @@ object StatsOps6 {
       sum(expr("""CAST(((CAST(s0 AS DECIMAL(38,0)) * q1 * 1000000)
                  |  - (CAST(s0 AS DECIMAL(38,0)) * q1 * 1000000) % q0) / q0
                  | AS DECIMAL(38,0))""".stripMargin)).cast(dec).as("p0q1_micro"))
-    f.select(col("n_parts"), col("ss0"), col("ss1"),
-      col("p1q0_micro"), col("p0q1_micro"),
+    f.select(col("n_parts"),
+      col("ss0").cast(DoubleType).as("ss0"),
+      col("ss1").cast(DoubleType).as("ss1"),
+      col("p1q0_micro").cast(DoubleType).as("p1q0_micro"),
+      col("p0q1_micro").cast(DoubleType).as("p0q1_micro"),
       expr("CAST(p1q0_micro AS DOUBLE) / (CAST(ss0 AS DOUBLE) * 1000000.0D)").as("laspeyres"),
       expr("(CAST(ss1 AS DOUBLE) * 1000000.0D) / CAST(p0q1_micro AS DOUBLE)").as("paasche"),
       expr("""sqrt((CAST(p1q0_micro AS DOUBLE) / (CAST(ss0 AS DOUBLE) * 1000000.0D))
@@ -1634,7 +1666,8 @@ object StatsOps6 {
       |    CAST(sum(CAST(r2 AS HUGEINT) * r2) AS DECIMAL(38,0)) AS sq,
       |    CAST(sum(r2) AS DECIMAL(38,0)) AS s
       |  FROM r2)
-      |SELECT n AS n_days, num, sq, s,
+      |SELECT n AS n_days, CAST(num AS DOUBLE) AS num,
+      |  CAST(sq AS DOUBLE) AS sq, CAST(s AS DOUBLE) AS s,
       |  CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
       |    / (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS rvn,
       |  (CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
@@ -1664,7 +1697,10 @@ object StatsOps6 {
         .otherwise(lit(0).cast(dec))).cast(dec).as("num"),
       sum(col("r2").cast(dec) * col("r2")).cast(dec).as("sq"),
       sum(col("r2")).cast(dec).as("s"))
-    g.select(col("n").as("n_days"), col("num"), col("sq"), col("s"),
+    g.select(col("n").as("n_days"),
+      col("num").cast(DoubleType).as("num"),
+      col("sq").cast(DoubleType).as("sq"),
+      col("s").cast(DoubleType).as("s"),
       expr("""CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
              |  / (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin)
         .as("rvn"),
