@@ -917,10 +917,14 @@ object EmbedOps {
     val t = e.join(broadcast(st.filter(col("v") > 0)), Seq("dim"))
       .select(col("vec_id"),
         expr("CAST(floor((m - mu) * (m - mu) / v * 1000.0) AS BIGINT)").as("t_milli"))
+    // top-20 via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, never a global-window single task); the rank window then
+    // runs on the 20-row result only
     t.groupBy(col("vec_id")).agg(sum(col("t_milli")).cast(LongType).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("vec_id"))
+      .limit(20)
       .withColumn("rn",
         row_number().over(Window.orderBy(col("score_milli").desc, col("vec_id"))))
-      .filter(col("rn") <= 20)
       .select(col("vec_id"), col("score_milli"),
         expr("CAST(score_milli AS DOUBLE) / 1000.0").as("maha2"),
         col("rn"))

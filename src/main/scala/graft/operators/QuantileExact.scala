@@ -109,6 +109,67 @@ object QuantileExact {
     *
     * Returns the input columns plus `__rn` (1-based global rank by
     * `v`) and `__n` (total rows) — the contract [[sparkAggs]] expects. */
+  /** Two-phase weighted EXCLUSIVE cumulative sum over an unbounded
+    * value domain: range-partition the (value, weight) frame on `v`,
+    * collect the ≤P per-partition weight totals to the driver, and add
+    * each partition's offset to a partition-local running sum — the
+    * same discipline as [[rankedUngrouped]], replacing the corpus-sized
+    * single-task `Window.orderBy(v)` funnel (the q_spearman y-rank
+    * scale-killer). Emits `__below` = Σ weight over rows with lower `v`
+    * (deterministic — a pure function of the value, independent of the
+    * partitioning). Rows must carry distinct `v` values (a histogram
+    * frame), so no tie straddles a boundary decision. */
+  def cumBelowUngrouped(s: org.apache.spark.sql.SparkSession, cacheKey: String,
+      df: org.apache.spark.sql.DataFrame, v: String,
+      weight: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.CachedPlans.cached(s, cacheKey)(
+      df.repartitionByRange(parts, col(v)).withColumn("__pid", spark_partition_id()))
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col(weight)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      totals.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(v))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__below", element_at(typedLit(offsets), col("__pid")) +
+        coalesce(sum(col(weight)).over(w), lit(0L)))
+      .drop("__pid")
+  }
+
+  /** Two-phase INCLUSIVE weighted prefix sum over an arbitrary total
+    * order (possibly composite / descending): range-partition on the
+    * sort columns, collect the ≤P per-partition weight totals, offset
+    * each partition's local running sum. Replaces a corpus-sized
+    * unpartitioned `Window.orderBy(...)` prefix sum (the
+    * sample_token_budget funnel). The sort must be total (tie-broken)
+    * so the result is a pure function of the row, independent of the
+    * partitioning. Emits `__cum`. */
+  def prefixSumUngrouped(s: org.apache.spark.sql.SparkSession, cacheKey: String,
+      df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      weight: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.CachedPlans.cached(s, cacheKey)(
+      df.repartitionByRange(parts, sortCols: _*).withColumn("__pid", spark_partition_id()))
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col(weight)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      totals.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged
+      .withColumn("__cum", element_at(typedLit(offsets), col("__pid")) +
+        sum(col(weight)).over(w))
+      .drop("__pid")
+  }
+
   def rankedUngrouped(s: org.apache.spark.sql.SparkSession, cacheKey: String,
       df: org.apache.spark.sql.DataFrame, v: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

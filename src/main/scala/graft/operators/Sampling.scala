@@ -333,9 +333,10 @@ object Sampling {
     * token count exceeds 25% of the corpus (budget derived from the
     * data, so the op is SF-independent). Ties break on doc_id, the
     * running total is a window prefix sum, and every emitted column is
-    * an exact integer. The global ORDER BY window is over |docs| rows
-    * (documents, not tokens); at 100 TB the same selection runs as the
-    * two-phase partition-prefix-sum q_equidepth already demonstrates. */
+    * an exact integer. The running total routes through the
+    * QuantileExact two-phase range-partition + driver-offset prefix
+    * sum (q_equidepth's discipline) — never an unpartitioned
+    * corpus-sized ORDER BY window. */
   val tokenBudget: GraftOp = GraftOp(
     "sample_token_budget",
     """WITH t AS (
@@ -360,9 +361,10 @@ object Sampling {
         size(array_distinct(col("toks"))).cast("long").as("n_dist"))
     val sdf = t.withColumn("ttr_ppm", expr("n_dist * 1000000 div n_tok"))
     val b = broadcast(sdf.agg(expr("CAST(sum(n_tok) div 4 AS BIGINT)").as("budget")))
-    val w = Window.orderBy(col("ttr_ppm").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sdf.withColumn("cum_tok", sum(col("n_tok")).over(w))
+    QuantileExact.prefixSumUngrouped(s, s"tokenbudget:$d",
+        sdf.select(col("doc_id"), col("n_tok"), col("ttr_ppm")),
+        Seq(col("ttr_ppm").desc, col("doc_id")), "n_tok")
+      .withColumnRenamed("__cum", "cum_tok")
       .crossJoin(b)
       .filter(col("cum_tok") <= col("budget"))
       .select(col("doc_id"), col("n_tok"), col("ttr_ppm"), col("cum_tok"))
@@ -759,7 +761,63 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Effective sample size + Kish design effect of [[importance]]'s
+    * Horvitz-Thompson weights, per source — the "how many i.i.d. docs
+    * is this weighted sample actually worth" audit every importance-
+    * sampled corpus should report (ESS = (Σw)²/Σw², Kish 1965;
+    * deff = n·Σw²/(Σw)² ≥ 1, the variance-inflation factor). Shares
+    * [[importance]]'s exact construction verbatim (same p_ppm clamp,
+    * same salted md5 keep decision, same exact micro weights
+    * 10¹²//p_ppm) so the two readings can never disagree on the
+    * sample. Σw is BIGINT-safe (w ≤ 10⁷); Σw² folds in
+    * DECIMAL(38)/HUGEINT (≤ 10¹⁴/doc — inside 38 digits to 10²⁴
+    * docs) and emits as DOUBLE per the no-decimal-emit rule. One
+    * partition-local decision + one |sources|-row aggregate. */
+  val ess: GraftOp = GraftOp(
+    "sample_ess",
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    least(greatest(CAST(length(text) AS BIGINT) * 1000000 // 2000, 100000), 1000000)
+       |      AS p_ppm
+       |  FROM documents),
+       |k AS (
+       |  SELECT source, 1000000000000 // p_ppm AS w
+       |  FROM d
+       |  WHERE ${graft.functions.Exprs.sqlMd5Long("concat('i42#', CAST(doc_id AS VARCHAR))")} % 1000000 < p_ppm),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(sum(w) AS BIGINT) AS sw,
+       |    CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+       |  FROM k GROUP BY 1)
+       |SELECT source, n_kept, sw AS sw_micro, CAST(sww AS DOUBLE) AS sww_val,
+       |  CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) AS ess,
+       |  CAST(n_kept AS DOUBLE) * CAST(sww AS DOUBLE)
+       |    / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) AS kish_deff
+       |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        expr("least(greatest(CAST(length(text) AS BIGINT) * 1000000 div 2000, 100000), 1000000)")
+          .as("p_ppm"))
+      .filter(graft.functions.Exprs.md5Long(
+        concat(lit("i42#"), col("doc_id").cast(org.apache.spark.sql.types.StringType)))
+        % 1000000 < col("p_ppm"))
+      .select(col("source"), expr("1000000000000 div p_ppm").as("w"))
+    k.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("w")).cast(org.apache.spark.sql.types.LongType).as("sw"),
+        sum(col("w").cast(dec) * col("w")).cast(dec).as("sww"))
+      .select(col("source"), col("n_kept"), col("sw").as("sw_micro"),
+        col("sww").cast(org.apache.spark.sql.types.DoubleType).as("sww_val"),
+        expr("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)").as("ess"),
+        expr("""CAST(n_kept AS DOUBLE) * CAST(sww AS DOUBLE)
+               |  / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))""".stripMargin)
+          .as("kish_deff"))
+      .orderBy(col("source"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(uniform, stratified, hashSample, fixedPerGroup, weighted, mixture, split, temperature,
-      balanced, shard, epochShuffle, tokenBudget, importance, neyman, kcenter, doremi, dsir)
+      balanced, shard, epochShuffle, tokenBudget, importance, neyman, kcenter, doremi, dsir,
+      ess)
 }

@@ -556,18 +556,28 @@ object StatsOps {
       .agg(count(lit(1)).as("x"),
         (sum(graft.functions.Exprs.dec2(col("l_extendedprice"))) * 100)
           .cast(LongType).as("y"))
-    def doubledRank(valCol: String, outCol: String) = {
-      val below = Window.orderBy(col(valCol))
+    // x's domain is value-bounded (basket size ≤ ~7 distinct values) so
+    // its cumulative window runs on a bounded frame; y's domain scales
+    // with |orders|, so its doubled rank routes through the
+    // QuantileExact range-partition + driver-offset two-phase — the
+    // same discipline as q_signed_rank's user-domain treatment (an
+    // unpartitioned Window.orderBy(y) funneled the whole order set
+    // through one task).
+    val dxFrame = {
+      val below = Window.orderBy(col("x"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      t.groupBy(col(valCol)).agg(count(lit(1)).as("c"))
-        .select(col(valCol),
+      t.groupBy(col("x")).agg(count(lit(1)).as("c"))
+        .select(col("x"),
           (lit(2L) * coalesce(sum(col("c")).over(below), lit(0L)) + col("c") + 1)
-            .as(outCol))
+            .as("dx"))
     }
+    val dyFrame = QuantileExact.cumBelowUngrouped(s, s"spearman.y:$d",
+        t.groupBy(col("y")).agg(count(lit(1)).as("c")), "y", "c")
+      .select(col("y"), (lit(2L) * col("__below") + col("c") + 1).as("dy"))
     val dec = DecimalType(38, 0)
     val g = t
-      .join(doubledRank("x", "dx"), Seq("x"))
-      .join(doubledRank("y", "dy"), Seq("y"))
+      .join(dxFrame, Seq("x"))
+      .join(dyFrame, Seq("y"))
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("dx").cast(dec)).as("sx"), sum(col("dy").cast(dec)).as("sy"),
         sum(col("dx").cast(dec) * col("dx")).as("sxx"),

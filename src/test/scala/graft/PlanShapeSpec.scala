@@ -79,6 +79,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(local.collect().toSeq === distributed)
   }
 
+  test("q_spearman: y-rank is two-phase — only the bounded x-rank window is unpartitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = StatsOps.spearman.run(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    // exactly one unpartitioned window may remain: the x (basket-size)
+    // doubled rank, whose frame is value-bounded at ~7 distinct rows.
+    // The y-rank (domain ~ |orders|) must ride the __pid-partitioned
+    // range-partition + driver-offset two-phase (r13 verdict #4).
+    assert(unpart.size <= 1,
+      s"q_spearman regained a corpus-sized unpartitioned window:\n${unpart.mkString("\n")}")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "expected the __pid-partitioned two-phase y-rank window")
+  }
+
+  test("sample_token_budget: prefix sum is two-phase — no unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.operators.Sampling.tokenBudget.run(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val bad = wins.filter(_.partitionSpec.isEmpty)
+    assert(bad.isEmpty,
+      s"corpus-sized unpartitioned prefix-sum window:\n${bad.mkString("\n")}")
+  }
+
+  test("emb_mahalanobis: top-20 runs as TakeOrdered, not a global row_number window") {
+    val plan = graft.operators.EmbedOps.mahalanobis.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-20:\n$plan")
+  }
+
   test("q_conformal: at most 2 executions of the orders⋈lineitem aggregation") {
     // r11 restructure (the r10 top-cost query): order statistic,
     // calibration count and coverage all derive from the distinct-
