@@ -91,7 +91,7 @@ object DedupOps {
   /** Unpersist the shared dedup/ANN indexes this session built. */
   def clearCache(s: SparkSession): Unit = graft.CachedPlans.clear(s)
 
-  private val sqlShingles =
+  private[operators] val sqlShingles =
     """list_distinct(CASE WHEN len(toks) >= 3
       |  THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
       |  ELSE [text] END)""".stripMargin.replace("\n", " ")

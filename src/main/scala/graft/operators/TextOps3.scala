@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.GraftOp
+import graft.functions.Exprs
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third text-analysis tier (round 14): corpus-COVERAGE and
+  * cross-source DISTRIBUTION diagnostics — the vocabulary-saturation
+  * and mixing-drift readouts the r5–r13 text surface (richness:
+  * Chao1/Heaps/Zipf; drift: JS/PSI; overlap: vocab/decontam) still
+  * lacked:
+  *
+  *  - Good-Turing frequency spectrum (how much probability mass lives
+  *    in UNSEEN vocabulary — the scaling-law-era "is this corpus
+  *    exhausted" number),
+  *  - Kolmogorov-Smirnov distance between two sources' document-length
+  *    distributions (the structural-drift check JS divergence over
+  *    tokens cannot see),
+  *  - shingle-level Jaccard similarity between sources (corpus-overlap
+  *    matrix at the 3-gram level — the mixing-dedup view
+  *    dedup_cross_source's verified-pair counts approximate from the
+  *    top).
+  *
+  * Oracle parity per SURVEY §6: exact integer folds, shared-text
+  * double emits, no DecimalType in any emitted schema.
+  */
+object TextOps3 {
+
+  /** Good-Turing frequency spectrum over whitespace tokens (Good 1953;
+    * the Gale-Sampson "simple" variant's raw ingredients): for each
+    * low frequency r ≤ 10, the count-of-counts N_r, the adjusted
+    * frequency r* = (r+1)·N_{r+1}/N_r as an exact floor-micro integer,
+    * and the unseen-mass estimate p₀ = N₁/N as exact floor-ppm — the
+    * "how much of the language have we NOT seen" number that decides
+    * whether more of the same source is worth crawling. The emitted
+    * rows are the 10 SMALLEST frequencies PRESENT (ORDER BY r LIMIT
+    * 10, deterministic both engines) rather than a fixed r ≤ 10 cut:
+    * a saturated corpus may have no low-frequency tokens at all
+    * (p₀ = 0 is then the meaningful "exhausted" reading, not an empty
+    * frame). Exactness:
+    * everything is integer counts and integral division (BIGINT-safe
+    * to vocab ~8·10¹¹ at the 10⁶ micro scale); the one display double
+    * divides exact integers with identical text. Scale shape: token
+    * explode → groupBy token (the corpus shuffle) → the spectrum is
+    * value-bounded (≤ max-frequency rows, emitted r ≤ 10); the N_{r+1}
+    * lookup is a broadcast self-join on the bounded spectrum. */
+  val goodTuring: GraftOp = GraftOp(
+    "text_good_turing",
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS r
+      |  FROM toks WHERE tok <> '' GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab
+      |  FROM tf),
+      |sp AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1)
+      |SELECT s.r, s.n_r,
+      |  coalesce(s2.n_r, 0) AS n_r_next,
+      |  CAST((s.r + 1) * coalesce(s2.n_r, 0) * 1000000 // s.n_r AS BIGINT) AS r_star_micro,
+      |  tot.n_tokens, tot.vocab,
+      |  CAST((SELECT coalesce(sum(n_r), 0) FROM sp WHERE r = 1) * 1000000
+      |    // tot.n_tokens AS BIGINT) AS p0_ppm
+      |FROM sp s LEFT JOIN sp s2 ON s2.r = s.r + 1 CROSS JOIN tot
+      |ORDER BY s.r LIMIT 10""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+    val tot = tf.agg(sum(col("r")).cast(LongType).as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    val sp = tf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val n1 = sp.filter(col("r") === 1)
+      .agg(coalesce(sum(col("n_r")), lit(0L)).as("n1"))
+    sp
+      .join(broadcast(sp.select(col("r").as("r_next"), col("n_r").as("n_r_next"))),
+        col("r_next") === col("r") + 1, "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        expr("(r + 1) * coalesce(n_r_next, 0) * 1000000 div n_r").as("r_star_micro"),
+        col("n_tokens"), col("vocab"),
+        expr("n1 * 1000000 div n_tokens").as("p0_ppm"))
+      .orderBy(col("r"))
+      .limit(10)
+  }
+
+  /** Kolmogorov-Smirnov distance between the document-LENGTH
+    * distributions of the lexicographically first and last sources —
+    * the structural corpus-mixing drift check: token-level divergences
+    * (text_js_div) miss a source that says the same words in 10×
+    * longer documents. Same exact construction as q_ks_test: the two
+    * sources reduce to a shared n_chars histogram, D·n_a·n_b =
+    * max|cum_a·n_b − cum_b·n_a| is an exact BIGINT off one cumulative
+    * window over the length-DOMAIN-bounded histogram, and the one
+    * display double divides exact integers. The source pair is
+    * data-derived (min/max source name — deterministic, no literal
+    * drift). */
+  val lengthKs: GraftOp = GraftOp(
+    "text_length_ks",
+    """WITH se AS (SELECT min(source) AS lo, max(source) AS hi FROM documents),
+      |p AS (
+      |  SELECT d.n_chars, d.source = se.lo AS is_lo
+      |  FROM documents d, se WHERE d.source = se.lo OR d.source = se.hi),
+      |h AS (
+      |  SELECT n_chars,
+      |    CAST(count(*) FILTER (WHERE is_lo) AS BIGINT) AS ca,
+      |    CAST(count(*) FILTER (WHERE NOT is_lo) AS BIGINT) AS cb
+      |  FROM p GROUP BY 1),
+      |w AS (
+      |  SELECT n_chars,
+      |    CAST(sum(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+      |    CAST(sum(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      |  FROM h),
+      |g AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM h),
+      |dd AS (SELECT CAST(max(abs(cum_a * g.n_b - cum_b * g.n_a)) AS BIGINT) AS d2
+      |       FROM w, g)
+      |SELECT se.lo AS source_a, se.hi AS source_b, g.n_a, g.n_b, dd.d2 AS d_scaled,
+      |  CAST(dd.d2 AS DOUBLE) / (CAST(g.n_a AS DOUBLE) * CAST(g.n_b AS DOUBLE)) AS ks_d
+      |FROM se, g, dd""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val se = broadcast(docs.agg(min(col("source")).as("lo"), max(col("source")).as("hi")))
+    val p = docs.select(col("n_chars"), col("source")).crossJoin(se)
+      .filter(col("source") === col("lo") || col("source") === col("hi"))
+      .select(col("n_chars"), (col("source") === col("lo")).as("is_lo"))
+    val h = p.groupBy(col("n_chars"))
+      .agg(count(when(col("is_lo"), 1)).as("ca"),
+        count(when(!col("is_lo"), 1)).as("cb"))
+    // cumulative window over the length-domain-bounded histogram
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(sum(col("ca")).over(w).as("cum_a"),
+      sum(col("cb")).over(w).as("cum_b"))
+    val g = broadcast(h.agg(sum(col("ca")).cast(LongType).as("n_a"),
+      sum(col("cb")).cast(LongType).as("n_b")))
+    cum.crossJoin(g)
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d2"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .crossJoin(se)
+      .select(col("lo").as("source_a"), col("hi").as("source_b"),
+        col("n_a"), col("n_b"), col("d2").as("d_scaled"),
+        expr("CAST(d2 AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")
+          .as("ks_d"))
+  }
+
+  /** Shingle-level Jaccard similarity matrix between sources — the
+    * corpus-overlap view of the mixing plan ("how much of source B is
+    * already in source A", at the 3-gram level): J(A,B) =
+    * |S_A ∩ S_B| / |S_A ∪ S_B| over each source's DISTINCT 3-gram
+    * shingle-hash sets, every count an exact BIGINT and the one
+    * emitted double a division of exact integers. Complements
+    * dedup_cross_source (near-dup PAIR counts) and text_vocab_overlap
+    * (unigram level) with the set-similarity number mixture planning
+    * actually uses. Scale shape: reuses [[DedupOps.shingledDocs]]'s
+    * session-cached shingle frame; one distinct (source, sid) reduce
+    * (the corpus shuffle, shuffled on sid), then the intersection
+    * self-join explodes ≤ |sources|² rows PER SHINGLE (source-bounded,
+    * corpus-independent) and aggregates straight down to the ≤
+    * |sources|² matrix. Zero-overlap pairs drop (inner join) on both
+    * engines. */
+  val sourceJaccard: GraftOp = GraftOp(
+    "text_source_jaccard",
+    s"""WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+       |shl AS (SELECT doc_id, ${DedupOps.sqlShingles} AS shingles FROM toks),
+       |sh0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+       |ss AS (
+       |  SELECT DISTINCT d.source, ${Exprs.sqlMd5Long("sh0.shingle")} AS sid
+       |  FROM sh0 JOIN documents d ON sh0.doc_id = d.doc_id),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM ss a JOIN ss b ON a.sid = b.sid AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_common, za.n AS n_a, zb.n AS n_b,
+       |  CAST(n_common AS DOUBLE) / CAST(za.n + zb.n - n_common AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sz za ON source_a = za.source
+       |JOIN sz zb ON source_b = zb.source
+       |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val ss = DedupOps.shingledDocs(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(src, Seq("doc_id"))
+      .select(col("source"), Exprs.md5Long(col("shingle")).as("sid"))
+      .distinct()
+    val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.join(
+        ss.select(col("source").as("source_b"), col("sid")), Seq("sid"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)")
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def ops: Seq[GraftOp] = Seq(goodTuring, lengthKs, sourceJaccard)
+}

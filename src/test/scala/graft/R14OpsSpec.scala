@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 op pins: each new statistic recomputed independently in
+  * Scala (driver-side brute force over the sf0.001 tables, or law
+  * checks with exact invariants) and compared against the op's
+  * distributed result.
+  */
+class R14OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- q_mase: brute recomputation from the collected day series ----
+
+  test("q_mase matches a driver-side brute recomputation") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(when(col("event_type") === "purchase",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2)))) * 100)
+        .cast("long").as("x"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val sae1 = daily.sliding(2).map(p => math.abs(p(1) - p(0))).sum
+    val sae7 = daily.sliding(8).map(p => math.abs(p(7) - p(0))).sum
+    val r = graft.operators.StatsOps7.mase.run(spark, sf).collect().head
+    assert(r.getAs[Long]("sae1_cents") === sae1)
+    assert(r.getAs[Long]("sae7_cents") === sae7)
+    val n1 = daily.length - 1; val n7 = daily.length - 7
+    assert(math.abs(r.getAs[Double]("mase_ratio") -
+      (sae7.toDouble / n7) / (sae1.toDouble / n1)) < 1e-12)
+  }
+
+  // ---- q_kupiec: violation count law + LR recomputation ----
+
+  test("q_kupiec: violations ≤ k, LR ≥ 0, LR matches its own formula") {
+    val r = graft.operators.StatsOps7.kupiec.run(spark, sf).collect().head
+    val n = r.getAs[Long]("n"); val x = r.getAs[Long]("x")
+    val k = (n * 5 + 99) / 100
+    assert(x <= k, s"strictly-above-VaR count $x exceeds the tail size $k")
+    assert(x >= 0 && n > 0)
+    val lr = r.getAs[Double]("lr_pof")
+    assert(lr >= -1e-6, s"LR_pof must be nonnegative, got $lr")
+    val nd = n.toDouble; val xd = x.toDouble
+    val raw = -2.0 * ((nd - xd) * math.log(0.95) + xd * math.log(0.05)
+      - (nd - xd) * math.log((nd - xd) / nd)
+      - (if (x == 0) 0.0 else xd * math.log(xd / nd)))
+    assert(math.abs(lr - math.floor(raw * 1e6) / 1e6) < 1e-9)
+  }
+
+  // ---- text_good_turing: brute spectrum over collected tokens ----
+
+  test("text_good_turing matches the brute token spectrum") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split("\\s+").filter(_.nonEmpty)
+      .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1))
+    val nTokens = counts.values.sum
+    val spectrum = counts.values.groupBy(identity).map { case (r, v) => r -> v.size.toLong }
+    val rows = graft.operators.TextOps3.goodTuring.run(spark, sf).collect()
+    // the 10 smallest frequencies PRESENT (the corpus may have no
+    // low-frequency tokens at all — synthetic text has a small vocab)
+    val wantR = spectrum.keys.toSeq.sorted.take(10)
+    assert(rows.map(_.getAs[Long]("r")).toSeq.sorted === wantR)
+    rows.foreach { row =>
+      val r = row.getAs[Long]("r")
+      assert(row.getAs[Long]("n_r") === spectrum(r), s"N_$r mismatch")
+      assert(row.getAs[Long]("n_r_next") === spectrum.getOrElse(r + 1, 0L))
+      assert(row.getAs[Long]("n_tokens") === nTokens)
+      assert(row.getAs[Long]("vocab") === counts.size.toLong)
+      assert(row.getAs[Long]("r_star_micro") ===
+        (r + 1) * spectrum.getOrElse(r + 1, 0L) * 1000000L / spectrum(r))
+      assert(row.getAs[Long]("p0_ppm") === spectrum.getOrElse(1L, 0L) * 1000000L / nTokens)
+    }
+  }
+
+  // ---- text_length_ks: brute two-sample KS over collected lengths ----
+
+  test("text_length_ks matches the brute KS distance") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val lo = docs.map(_._1).min; val hi = docs.map(_._1).max
+    val a = docs.filter(_._1 == lo).map(_._2).sorted
+    val b = docs.filter(_._1 == hi).map(_._2).sorted
+    val values = (a ++ b).distinct.sorted
+    val d2 = values.map(v =>
+      math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)).max
+    val r = graft.operators.TextOps3.lengthKs.run(spark, sf).collect().head
+    assert(r.getAs[String]("source_a") === lo)
+    assert(r.getAs[String]("source_b") === hi)
+    assert(r.getAs[Long]("d_scaled") === d2)
+    assert(math.abs(r.getAs[Double]("ks_d") - d2.toDouble / (a.length.toLong * b.length)) < 1e-15)
+  }
+
+  // ---- text_source_jaccard: brute shingle sets per source ----
+
+  test("text_source_jaccard matches brute per-source shingle sets") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(text: String): Set[Long] = {
+      val toks = text.split("\\s+")
+      val sh = if (toks.length >= 3)
+        (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+      else Seq(text)
+      sh.map(graft.functions.Exprs.md5Long15).toSet
+    }
+    val bySource: Map[String, Set[Long]] =
+      docs.groupBy(_._1).map { case (s0, ds) => s0 -> ds.flatMap(d => shingles(d._2)).toSet }
+    val rows = graft.operators.TextOps3.sourceJaccard.run(spark, sf).collect()
+    val expected = for {
+      sa <- bySource.keys.toSeq.sorted; sb <- bySource.keys.toSeq.sorted
+      if sa < sb
+      inter = (bySource(sa) & bySource(sb)).size if inter > 0
+    } yield (sa, sb, inter.toLong, bySource(sa).size.toLong, bySource(sb).size.toLong)
+    assert(rows.length === expected.length)
+    rows.zip(expected.sortBy(e => (e._1, e._2))).foreach { case (row, (sa, sb, ic, na, nb)) =>
+      assert(row.getAs[String]("source_a") === sa)
+      assert(row.getAs[String]("source_b") === sb)
+      assert(row.getAs[Long]("n_common") === ic)
+      assert(row.getAs[Long]("n_a") === na)
+      assert(row.getAs[Long]("n_b") === nb)
+      assert(math.abs(row.getAs[Double]("jaccard") - ic.toDouble / (na + nb - ic)) < 1e-15)
+    }
+  }
+
+  // ---- sample_ess: Kish laws + weight identity with sample_importance ----
+
+  test("sample_ess: ess ≤ n_kept, deff ≥ 1, and Σw matches sample_importance") {
+    val ess = graft.operators.Sampling.ess.run(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("sw_micro"),
+          r.getAs[Double]("ess"), r.getAs[Double]("kish_deff")))
+      .toMap
+    assert(ess.nonEmpty)
+    ess.values.foreach { case (n, _, e, deff) =>
+      assert(e <= n + 1e-9, "ESS cannot exceed the sample size")
+      assert(deff >= 1.0 - 1e-9, "Kish design effect is ≥ 1 by Cauchy-Schwarz")
+    }
+    // identical weights by construction: sw_micro == importance's ht_micro
+    val ht = graft.operators.Sampling.importance.run(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("ht_micro")).toMap
+    ess.foreach { case (s0, (_, sw, _, _)) => assert(sw === ht(s0), s"weight drift for $s0") }
+  }
+}
