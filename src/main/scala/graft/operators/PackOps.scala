@@ -72,5 +72,49 @@ object PackOps {
       .orderBy(col("doc_id"))
   }
 
-  val ops: Seq[GraftOp] = Seq(packSequences)
+  /** Packing-efficiency audit at the [[Budget]]-token context — the
+    * "how much of the compute is padding" number that decides whether
+    * a training pipeline packs at all: regime A (one document per
+    * sequence, padded to the next Budget multiple) vs regime B (the
+    * [[packSequences]] concatenated stream, padding only in the final
+    * tail) — B's sequence count ⌈N/B⌉ is also the bin-packing lower
+    * bound every boundary-respecting packer (FFD etc.) is graded
+    * against. All counts are exact integers off ONE token-count
+    * aggregate (⌈n/B⌉ spelled (n+B−1)//B — integral, engine-exact);
+    * efficiencies are exact floor-ppm. */
+  val packEfficiency: GraftOp = GraftOp(
+    "pack_efficiency",
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum((n_tok + $Budget - 1) // $Budget) AS BIGINT) AS seqs_padded
+       |  FROM t)
+       |SELECT CAST($Budget AS BIGINT) AS budget, n_docs, n_tokens, seqs_padded,
+       |  (n_tokens + $Budget - 1) // $Budget AS seqs_stream,
+       |  seqs_padded * $Budget - n_tokens AS waste_padded,
+       |  ((n_tokens + $Budget - 1) // $Budget) * $Budget - n_tokens AS waste_stream,
+       |  n_tokens * 1000000 // (seqs_padded * $Budget) AS eff_padded_ppm,
+       |  n_tokens * 1000000 // (((n_tokens + $Budget - 1) // $Budget) * $Budget)
+       |    AS eff_stream_ppm
+       |FROM g""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_tokens"),
+        sum(expr(s"(n_tok + $Budget - 1) div $Budget")).cast(LongType).as("seqs_padded"))
+      .select(lit(Budget.toLong).as("budget"), col("n_docs"), col("n_tokens"),
+        col("seqs_padded"),
+        expr(s"(n_tokens + $Budget - 1) div $Budget").as("seqs_stream"),
+        expr(s"seqs_padded * $Budget - n_tokens").as("waste_padded"),
+        expr(s"((n_tokens + $Budget - 1) div $Budget) * $Budget - n_tokens")
+          .as("waste_stream"),
+        expr(s"n_tokens * 1000000 div (seqs_padded * $Budget)").as("eff_padded_ppm"),
+        expr(s"n_tokens * 1000000 div (((n_tokens + $Budget - 1) div $Budget) * $Budget)")
+          .as("eff_stream_ppm"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(packSequences, packEfficiency)
 }

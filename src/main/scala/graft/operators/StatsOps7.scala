@@ -146,5 +146,133 @@ object StatsOps7 {
     }
   }
 
-  def ops: Seq[GraftOp] = Seq(mase, kupiec)
+  /** Naive-forecast error by horizon h = 1..7 on daily purchase
+    * revenue — the forecastability DECAY CURVE ([[mase]] reads two
+    * points of it; this emits the whole week): SAE_h = Σ|x_t − x_{t−h}|
+    * as exact BIGINT cents per horizon, unpivoted to one row per h.
+    * A flat curve says the series is near-random-walk; a dip at h=7
+    * quantifies weekly structure. The 7 lag windows and the unpivot
+    * all run on the date-bounded day frame; the unpivot spelling
+    * differs per engine (VALUES join in DuckDB, stack() in Spark) but
+    * every value is the same exact integer. */
+  val horizonError: GraftOp = {
+    val hs = 1 to 7
+    GraftOp(
+      "q_horizon_error",
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |l AS (
+         |  SELECT day, x,
+         |    ${hs.map(h => s"lag(x, $h) OVER (ORDER BY day) AS x$h").mkString(",\n    ")}
+         |  FROM daily),
+         |g AS (
+         |  SELECT
+         |    ${hs.map(h => s"CAST(count(x$h) AS BIGINT) AS n$h, CAST(sum(abs(x - x$h)) AS BIGINT) AS s$h").mkString(",\n    ")}
+         |  FROM l)
+         |SELECT h.h AS horizon,
+         |  CASE h.h ${hs.map(h => s"WHEN $h THEN n$h").mkString(" ")} END AS n_pairs,
+         |  CASE h.h ${hs.map(h => s"WHEN $h THEN s$h").mkString(" ")} END AS sae_cents,
+         |  CAST(CASE h.h ${hs.map(h => s"WHEN $h THEN s$h").mkString(" ")} END AS DOUBLE)
+         |    / CAST(CASE h.h ${hs.map(h => s"WHEN $h THEN n$h").mkString(" ")} END AS DOUBLE)
+         |    / 100.0 AS mae_value
+         |FROM g CROSS JOIN (VALUES ${hs.map(h => s"($h)").mkString(", ")}) h(h)
+         |ORDER BY horizon""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(when(col("event_type") === "purchase",
+            col("value").cast(DecimalType(18, 2)))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+          .cast(LongType).as("x"))
+      val ow = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      val l = daily.select(Seq(col("day"), col("x")) ++
+        hs.map(h => lag(col("x"), h).over(ow).as(s"x$h")): _*)
+      val g = l.agg(
+        count(col("x1")).as("n1"),
+        (hs.map(h => sum(abs(col("x") - col(s"x$h"))).cast(LongType).as(s"s$h")) ++
+          hs.drop(1).map(h => count(col(s"x$h")).as(s"n$h"))): _*)
+      g.select(expr(s"stack(${hs.size}, " +
+          hs.map(h => s"CAST($h AS BIGINT), n$h, s$h").mkString(", ") +
+          ") AS (horizon, n_pairs, sae_cents)"))
+        .select(col("horizon"), col("n_pairs"), col("sae_cents"),
+          expr("CAST(sae_cents AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 100.0D")
+            .as("mae_value"))
+        .orderBy(col("horizon"))
+    }
+  }
+
+  /** Decile QQ table between the hash-split A/B purchase-value
+    * variants — the quantile-level WHERE of the distribution shift
+    * q_ks_test (sup distance) and q_energy_distance (omnibus) only
+    * summarize: for each decile d = 1..9, the exact lower order
+    * statistic of each variant (smallest v with 10·cum ≥ d·n —
+    * percentile_disc semantics, a rank decision on exact integers, no
+    * interpolation and no double compare) and their gap. One
+    * conditional histogram aggregate off the scan; the cumulative
+    * window and the 9-decile cross join run on the money-grid-bounded
+    * histogram. */
+  val qqQuantiles: GraftOp = GraftOp(
+    "q_qq_quantiles",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |h AS (
+       |  SELECT cents,
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS ca,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS cb
+       |  FROM p GROUP BY 1),
+       |w AS (
+       |  SELECT cents,
+       |    CAST(sum(ca) OVER cw AS BIGINT) AS cum_a,
+       |    CAST(sum(cb) OVER cw AS BIGINT) AS cum_b,
+       |    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+       |    CAST(sum(cb) OVER () AS BIGINT) AS n_b
+       |  FROM h WINDOW cw AS (ORDER BY cents ROWS UNBOUNDED PRECEDING))
+       |SELECT d.d AS decile,
+       |  min(CASE WHEN 10 * cum_a >= d.d * n_a THEN cents END) AS qa_cents,
+       |  min(CASE WHEN 10 * cum_b >= d.d * n_b THEN cents END) AS qb_cents,
+       |  min(CASE WHEN 10 * cum_b >= d.d * n_b THEN cents END)
+       |    - min(CASE WHEN 10 * cum_a >= d.d * n_a THEN cents END) AS gap_cents,
+       |  CAST(min(CASE WHEN 10 * cum_b >= d.d * n_b THEN cents END)
+       |    - min(CASE WHEN 10 * cum_a >= d.d * n_a THEN cents END) AS DOUBLE) / 100.0
+       |    AS gap_value
+       |FROM w CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(d)
+       |GROUP BY d.d ORDER BY decile""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val h = p.groupBy(col("cents"))
+      .agg(count(when(col("variant") === "A", 1)).as("ca"),
+        count(when(col("variant") === "B", 1)).as("cb"))
+    // both windows run on the money-grid-bounded cents histogram
+    val cw = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = h.select(col("cents"),
+      sum(col("ca")).over(cw).as("cum_a"), sum(col("cb")).over(cw).as("cum_b"),
+      sum(col("ca")).over(tw).as("n_a"), sum(col("cb")).over(tw).as("n_b"))
+    val deciles = s.range(1, 10).toDF("d")
+    w.crossJoin(broadcast(deciles))
+      .groupBy(col("d").as("decile"))
+      .agg(
+        min(when(lit(10) * col("cum_a") >= col("d") * col("n_a"), col("cents")))
+          .as("qa_cents"),
+        min(when(lit(10) * col("cum_b") >= col("d") * col("n_b"), col("cents")))
+          .as("qb_cents"))
+      .select(col("decile"), col("qa_cents"), col("qb_cents"),
+        (col("qb_cents") - col("qa_cents")).as("gap_cents"),
+        expr("CAST(qb_cents - qa_cents AS DOUBLE) / 100.0D").as("gap_value"))
+      .orderBy(col("decile"))
+  }
+
+  def ops: Seq[GraftOp] = Seq(mase, kupiec, horizonError, qqQuantiles)
 }

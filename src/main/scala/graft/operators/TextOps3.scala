@@ -206,5 +206,44 @@ object TextOps3 {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  def ops: Seq[GraftOp] = Seq(goodTuring, lengthKs, sourceJaccard)
+  /** Per-source hapax-legomena share — the source-level drill-down of
+    * [[goodTuring]]'s corpus-wide unseen-mass estimate (a source whose
+    * vocabulary is mostly hapax is still yielding new language; one
+    * with zero hapax is exhausted): tokens appearing exactly once
+    * WITHIN the source, as exact counts and exact floor-ppm shares of
+    * both the source's vocabulary and its token volume. One explode →
+    * (source, token) count aggregate (the corpus shuffle) → a
+    * |sources|-row rollup; every number an exact integer. */
+  val hapaxShare: GraftOp = GraftOp(
+    "text_hapax_share",
+    """WITH tf AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, vocab, hapax,
+      |  hapax * 1000000 // vocab AS hapax_vocab_ppm,
+      |  hapax * 1000000 // n_tokens AS hapax_token_ppm
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("c") === 1, 1)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("hapax * 1000000 div vocab").as("hapax_vocab_ppm"),
+        expr("hapax * 1000000 div n_tokens").as("hapax_token_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def ops: Seq[GraftOp] = Seq(goodTuring, lengthKs, sourceJaccard, hapaxShare)
 }

@@ -128,6 +128,96 @@ class R14OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- pack_efficiency: brute recomputation + dominance law ----
+
+  test("pack_efficiency matches brute token accounting; stream dominates padded") {
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(size(split(col("text"), "\\s+")).cast("long")).collect().map(_.getLong(0))
+    val b = 512L
+    val n = toks.sum
+    val seqsPadded = toks.map(t => (t + b - 1) / b).sum
+    val r = graft.operators.PackOps.packEfficiency.run(spark, sf).collect().head
+    assert(r.getAs[Long]("n_tokens") === n)
+    assert(r.getAs[Long]("seqs_padded") === seqsPadded)
+    assert(r.getAs[Long]("seqs_stream") === (n + b - 1) / b)
+    assert(r.getAs[Long]("waste_padded") === seqsPadded * b - n)
+    // the concatenated stream is the bin-packing lower bound: it can
+    // never pad more than one-doc-per-sequence
+    assert(r.getAs[Long]("eff_stream_ppm") >= r.getAs[Long]("eff_padded_ppm"))
+  }
+
+  // ---- q_horizon_error: brute + consistency with q_mase ----
+
+  test("q_horizon_error matches brute sliding SAEs and q_mase's h=1/h=7 points") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(when(col("event_type") === "purchase",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2)))) * 100)
+        .cast("long").as("x"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val rows = graft.operators.StatsOps7.horizonError.run(spark, sf).collect()
+      .map(r => r.getAs[Long]("horizon") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("sae_cents"))).toMap
+    assert(rows.keySet === (1L to 7L).toSet)
+    (1 to 7).foreach { h =>
+      val sae = daily.sliding(h + 1).map(p => math.abs(p(h) - p(0))).sum
+      assert(rows(h.toLong) === ((daily.length - h).toLong, sae), s"horizon $h")
+    }
+    val mase = graft.operators.StatsOps7.mase.run(spark, sf).collect().head
+    assert(rows(1L)._2 === mase.getAs[Long]("sae1_cents"))
+    assert(rows(7L)._2 === mase.getAs[Long]("sae7_cents"))
+  }
+
+  // ---- q_qq_quantiles: brute percentile_disc + monotonicity ----
+
+  test("q_qq_quantiles matches brute lower order statistics per variant") {
+    val p = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(org.apache.spark.sql.types.StringType)) % 2 === 0, "A")
+          .otherwise("B").as("v"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = p.filter(_._1 == "A").map(_._2).sorted
+    val b = p.filter(_._1 == "B").map(_._2).sorted
+    // percentile_disc lower semantics: smallest v with 10*cum >= d*n
+    def q(xs: Array[Long], d: Int): Long = xs(((d * xs.length + 9) / 10) - 1)
+    val rows = graft.operators.StatsOps7.qqQuantiles.run(spark, sf).collect()
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile").toInt
+      assert(r.getAs[Long]("qa_cents") === q(a, d), s"qa decile $d")
+      assert(r.getAs[Long]("qb_cents") === q(b, d), s"qb decile $d")
+    }
+    val qa = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("qa_cents"))
+    assert(qa.zip(qa.tail).forall { case (x, y) => x <= y }, "deciles must be monotone")
+  }
+
+  // ---- text_hapax_share: brute per-source token counts ----
+
+  test("text_hapax_share matches brute per-source hapax counts") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = graft.operators.TextOps3.hapaxShare.run(spark, sf).collect()
+    val bySource = docs.groupBy(_._1)
+    assert(rows.length === bySource.size)
+    rows.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      bySource(s0).foreach(_._2.split("\\s+").filter(_.nonEmpty)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1))
+      val hapax = counts.values.count(_ == 1L).toLong
+      assert(r.getAs[Long]("n_tokens") === counts.values.sum)
+      assert(r.getAs[Long]("vocab") === counts.size.toLong)
+      assert(r.getAs[Long]("hapax") === hapax)
+      assert(r.getAs[Long]("hapax_vocab_ppm") === hapax * 1000000L / counts.size)
+    }
+  }
+
   // ---- sample_ess: Kish laws + weight identity with sample_importance ----
 
   test("sample_ess: ess ≤ n_kept, deff ≥ 1, and Σw matches sample_importance") {
