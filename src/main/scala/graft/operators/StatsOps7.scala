@@ -274,5 +274,170 @@ object StatsOps7 {
       .orderBy(col("decile"))
   }
 
-  def ops: Seq[GraftOp] = Seq(mase, kupiec, horizonError, qqQuantiles)
+  /** Ansari-Bradley rank test of SCALE between the hash-split A/B
+    * purchase-value variants (Ansari & Bradley 1960) — the dispersion
+    * companion of q_mann_whitney's location test and the
+    * nonparametric sibling of q_levene/q_brown_forsythe (no moments,
+    * no centers): scores a(r) = min(r, n+1−r) peak at the pooled
+    * center, so a large A-sum means A is CONCENTRATED (smaller
+    * spread). Doubled midrank scores 2a = min(2R, 2(n+1)−2R) are
+    * exact integers off the cents-histogram cumulative windows
+    * (midrank-score tie variant, stated identically both engines; the
+    * doubling cancels in z). z uses the exact permutation moments for
+    * arbitrary fixed scores — E = nₐ·S₁/n,
+    * Var = nₐ·n_b(n·S₂−S₁²)/(n²(n−1)) — every inner term an exact
+    * DECIMAL(38)/HUGEINT fold (n·S₂ ~ n²(n+1)² stays inside 38 digits
+    * to ~10⁹ rows; rescale documented past), one shared-text double
+    * at the end. One conditional histogram aggregate off the scan;
+    * all windows on the money-grid-bounded frame. */
+  val ansariBradley: GraftOp = GraftOp(
+    "q_ansari_bradley",
+    s"""WITH p AS (
+       |  SELECT CASE WHEN ${graft.functions.Exprs.sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 = 0
+       |              THEN 'A' ELSE 'B' END AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |h AS (
+       |  SELECT cents,
+       |    CAST(count(*) FILTER (WHERE variant = 'A') AS BIGINT) AS ca,
+       |    CAST(count(*) FILTER (WHERE variant = 'B') AS BIGINT) AS cb
+       |  FROM p GROUP BY 1),
+       |w AS (
+       |  SELECT cents, ca, cb, ca + cb AS c,
+       |    CAST(1 + coalesce(sum(ca + cb) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+       |    CAST(sum(ca + cb) OVER () AS BIGINT) AS n
+       |  FROM h),
+       |sc AS (
+       |  SELECT ca, cb, c, n,
+       |    least(2 * start + c - 1, 2 * (n + 1) - (2 * start + c - 1)) AS a2
+       |  FROM w),
+       |g AS (
+       |  SELECT max(n) AS n,
+       |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+       |    CAST(sum(CAST(ca AS HUGEINT) * a2) AS HUGEINT) AS ab2,
+       |    CAST(sum(CAST(c AS HUGEINT) * a2) AS HUGEINT) AS s1,
+       |    CAST(sum(CAST(c AS HUGEINT) * a2 * a2) AS HUGEINT) AS s2
+       |  FROM sc)
+       |SELECT n_a, n_b, CAST(ab2 AS DOUBLE) AS ab2,
+       |  CAST(n * ab2 - n_a * s1 AS DOUBLE)
+       |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |        * CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) AS z
+       |FROM g""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(StringType)) % 2 === 0, "A").otherwise("B").as("variant"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+    val h = p.groupBy(col("cents"))
+      .agg(count(when(col("variant") === "A", 1)).as("ca"),
+        count(when(col("variant") === "B", 1)).as("cb"))
+    val bw = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    val tw = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = h.select(col("ca"), col("cb"), (col("ca") + col("cb")).as("c"),
+      (lit(1L) + coalesce(sum(col("ca") + col("cb")).over(bw), lit(0L))).as("start"),
+      sum(col("ca") + col("cb")).over(tw).cast(LongType).as("n"))
+    val sc = w.select(col("ca"), col("cb"), col("c"), col("n"),
+      least(lit(2) * col("start") + col("c") - 1,
+        lit(2) * (col("n") + 1) - (lit(2) * col("start") + col("c") - 1)).as("a2"))
+    sc.agg(max(col("n")).as("n"),
+        sum(col("ca")).cast(LongType).as("n_a"),
+        sum(col("cb")).cast(LongType).as("n_b"),
+        sum(col("ca").cast(dec) * col("a2")).cast(dec).as("ab2"),
+        sum(col("c").cast(dec) * col("a2")).cast(dec).as("s1"),
+        sum(col("c").cast(dec) * col("a2") * col("a2")).cast(dec).as("s2"))
+      .select(col("n_a"), col("n_b"),
+        col("ab2").cast(DoubleType).as("ab2"),
+        expr("""CAST(n * ab2 - n_a * s1 AS DOUBLE)
+               |  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               |      * CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0D))""".stripMargin)
+          .as("z"))
+  }
+
+  /** Cochran-Mantel-Haenszel stratified 2×2 association (Mantel &
+    * Haenszel 1959) — the Simpson's-paradox-proof pooling the 2×2
+    * family (q_two_prop, q_risk_ratio) lacked: does order PRIORITY
+    * (urgent/high) associate with RETURNS after controlling for
+    * customer nation? Per-stratum deviations a − r₁c₁/n and
+    * hypergeometric variances r₁r₀c₁c₀/(n²(n−1)) are floor-snapped to
+    * exact micro integers per stratum (the q_theil_index fold — the
+    * cross-stratum sums are then order-free; numerators ride
+    * DECIMAL(38), inside 38 digits to ~10⁸ rows/stratum, rescale
+    * documented past), and CMH = (Σdev)²/Σvar plus the MH pooled odds
+    * ratio Σ(ad/n)/Σ(bc/n) are shared-text doubles over those exact
+    * sums. One orders⋈returned-flag⋈customer co-partitioned aggregate
+    * to 25 nation cells; everything after is on the bounded frame. */
+  val cmh: GraftOp = GraftOp(
+    "q_cmh",
+    """WITH r AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS hi,
+      |    CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+      |                      WHERE l.l_orderkey = o_orderkey AND l.l_returnflag = 'R')
+      |         THEN 1 ELSE 0 END AS ret,
+      |    o_custkey
+      |  FROM orders),
+      |g AS (
+      |  SELECT c.c_nationkey AS nation,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (WHERE hi = 1 AND ret = 1) AS BIGINT) AS a,
+      |    CAST(count(*) FILTER (WHERE hi = 1 AND ret = 0) AS BIGINT) AS b,
+      |    CAST(count(*) FILTER (WHERE hi = 0 AND ret = 1) AS BIGINT) AS c2,
+      |    CAST(count(*) FILTER (WHERE hi = 0 AND ret = 0) AS BIGINT) AS d2
+      |  FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |    CAST(sum(a * 1000000 - (CAST(a + b AS HUGEINT) * (a + c2) * 1000000) // n)
+      |      AS DECIMAL(38,0)) AS dev_micro,
+      |    CAST(sum((CAST(a + b AS HUGEINT) * (c2 + d2) * (a + c2) * (b + d2) * 1000000)
+      |      // (CAST(n AS HUGEINT) * n * (n - 1))) AS DECIMAL(38,0)) AS var_micro,
+      |    CAST(sum((CAST(a AS HUGEINT) * d2 * 1000000) // n) AS DECIMAL(38,0)) AS ad_micro,
+      |    CAST(sum((CAST(b AS HUGEINT) * c2 * 1000000) // n) AS DECIMAL(38,0)) AS bc_micro
+      |  FROM g WHERE n > 1)
+      |SELECT n_strata,
+      |  CAST(dev_micro AS DOUBLE) AS dev_micro,
+      |  CAST(var_micro AS DOUBLE) AS var_micro,
+      |  CAST(dev_micro AS DOUBLE) * CAST(dev_micro AS DOUBLE)
+      |    / (1000000.0 * CAST(var_micro AS DOUBLE)) AS cmh,
+      |  CAST(ad_micro AS DOUBLE) / CAST(bc_micro AS DOUBLE) AS or_mh
+      |FROM t""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val ret = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk")).distinct()
+    val r = Tables.orders(s, d)
+      .join(ret, col("o_orderkey") === col("rk"), "left")
+      .select(col("o_custkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L).as("hi"),
+        when(col("rk").isNotNull, 1L).otherwise(0L).as("ret"))
+    val g = r.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("hi") === 1 && col("ret") === 1, 1)).as("a"),
+        count(when(col("hi") === 1 && col("ret") === 0, 1)).as("b"),
+        count(when(col("hi") === 0 && col("ret") === 1, 1)).as("c2"),
+        count(when(col("hi") === 0 && col("ret") === 0, 1)).as("d2"))
+    g.filter(col("n") > 1)
+      .agg(count(lit(1)).as("n_strata"),
+        sum(expr("""a * 1000000 - (CAST(a + b AS DECIMAL(38,0)) * (a + c2) * 1000000) div n"""))
+          .cast(dec).as("dev_micro"),
+        sum(expr("""(CAST(a + b AS DECIMAL(38,0)) * (c2 + d2) * (a + c2) * (b + d2) * 1000000)
+                   | div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))""".stripMargin))
+          .cast(dec).as("var_micro"),
+        sum(expr("(CAST(a AS DECIMAL(38,0)) * d2 * 1000000) div n")).cast(dec).as("ad_micro"),
+        sum(expr("(CAST(b AS DECIMAL(38,0)) * c2 * 1000000) div n")).cast(dec).as("bc_micro"))
+      .select(col("n_strata"),
+        col("dev_micro").cast(DoubleType).as("dev_micro"),
+        col("var_micro").cast(DoubleType).as("var_micro"),
+        expr("""CAST(dev_micro AS DOUBLE) * CAST(dev_micro AS DOUBLE)
+               |  / (1000000.0D * CAST(var_micro AS DOUBLE))""".stripMargin).as("cmh"),
+        expr("CAST(ad_micro AS DOUBLE) / CAST(bc_micro AS DOUBLE)").as("or_mh"))
+  }
+
+  def ops: Seq[GraftOp] = Seq(mase, kupiec, horizonError, qqQuantiles,
+    ansariBradley, cmh)
 }

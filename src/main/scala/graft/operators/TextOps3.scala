@@ -245,5 +245,58 @@ object TextOps3 {
       .orderBy(col("source"))
   }
 
-  def ops: Seq[GraftOp] = Seq(goodTuring, lengthKs, sourceJaccard, hapaxShare)
+  /** Per-source unigram Shannon entropy (nats) — the
+    * information-density reading completing the coverage trio with
+    * [[goodTuring]] (unseen mass) and [[hapaxShare]] (new-vocabulary
+    * rate): H = ln N − (1/N)·Σ c·ln c over the source's token counts.
+    * A low-entropy source is templated/boilerplate regardless of its
+    * vocabulary size. Exactness: each token's c·ln(c) term is
+    * floor-snapped to exact micro units (the graph_adamic_adar ln-snap
+    * discipline — the cross-token sum then folds ORDER-FREE as an
+    * exact DECIMAL(38) integer; terms are BIGINT-safe to ~2.8·10¹¹
+    * occurrences of one token within one source, rescale documented
+    * past); the final H is one shared-text double over the exact sum
+    * and N, floor-micro-snapped on the \|sources\|-row emit (the
+    * tiny-frame snap class — ln(N) is the one unsnapped libm call per
+    * row and feeds the snap). */
+  val unigramEntropy: GraftOp = GraftOp(
+    "text_unigram_entropy",
+    """WITH tf AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT)) AS DECIMAL(38,0)) AS clogc_micro
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, vocab,
+      |  CAST(clogc_micro AS DOUBLE) AS clogc_micro,
+      |  floor((ln(CAST(n_tokens AS DOUBLE))
+      |    - CAST(clogc_micro AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE))
+      |    * 1000000.0) / 1000000.0 AS entropy_nats
+      |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(expr("""CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0D)
+                   | AS BIGINT)""".stripMargin)).cast(dec).as("clogc_micro"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("clogc_micro").cast(DoubleType).as("clogc_micro"),
+        expr("""floor((ln(CAST(n_tokens AS DOUBLE))
+               |  - CAST(clogc_micro AS DOUBLE) / 1000000.0D / CAST(n_tokens AS DOUBLE))
+               |  * 1000000.0D) / 1000000.0D""".stripMargin).as("entropy_nats"))
+      .orderBy(col("source"))
+  }
+
+  def ops: Seq[GraftOp] = Seq(goodTuring, lengthKs, sourceJaccard, hapaxShare,
+    unigramEntropy)
 }

@@ -218,6 +218,107 @@ class R14OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_ansari_bradley: brute midrank-score replay ----
+
+  test("q_ansari_bradley matches a brute midrank-score recomputation") {
+    val p = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.functions.Exprs.md5Long(
+          col("user_id").cast(org.apache.spark.sql.types.StringType)) % 2 === 0, "A")
+          .otherwise("B").as("v"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byVal = p.groupBy(_._2).map { case (v, xs) =>
+      (v, xs.count(_._1 == "A").toLong, xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val n = byVal.map(_._3).sum
+    var start = 1L
+    var ab2 = BigInt(0); var s1 = BigInt(0); var s2 = BigInt(0)
+    byVal.foreach { case (_, ca, c) =>
+      val r2 = 2 * start + c - 1
+      val a2 = math.min(r2, 2 * (n + 1) - r2)
+      ab2 += BigInt(ca) * a2
+      s1 += BigInt(c) * a2
+      s2 += BigInt(c) * a2 * a2
+      start += c
+    }
+    val na = p.count(_._1 == "A").toLong; val nb = n - na
+    val r = graft.operators.StatsOps7.ansariBradley.run(spark, sf).collect().head
+    assert(r.getAs[Long]("n_a") === na)
+    assert(r.getAs[Double]("ab2") === ab2.toDouble)
+    val z = (BigInt(n) * ab2 - BigInt(na) * s1).toDouble /
+      math.sqrt(na.toDouble * nb.toDouble * (BigInt(n) * s2 - s1 * s1).toDouble / (n - 1.0))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-9)
+  }
+
+  // ---- q_cmh: brute stratified 2x2 replay + nonnegativity ----
+
+  test("q_cmh matches a brute stratified 2x2 recomputation") {
+    def asL(r: Row, i: Int): Long = r.get(i).asInstanceOf[Number].longValue
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey")).distinct()
+      .collect().map(asL(_, 0)).toSet
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => asL(r, 0) -> asL(r, 1)).toMap
+    val cells = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .collect().foreach { r =>
+        val nation = cust(asL(r, 1))
+        val hi = if (Set("1-URGENT", "2-HIGH")(r.getString(2))) 1L else 0L
+        val ret = if (li(asL(r, 0))) 1L else 0L
+        cells((nation, hi, ret)) = cells.getOrElse((nation, hi, ret), 0L) + 1
+      }
+    var dev = BigInt(0); var vr = BigInt(0); var ad = BigInt(0); var bc = BigInt(0)
+    var strata = 0L
+    cells.keys.map(_._1).toSeq.distinct.foreach { nat =>
+      val a = cells.getOrElse((nat, 1L, 1L), 0L); val b = cells.getOrElse((nat, 1L, 0L), 0L)
+      val c2 = cells.getOrElse((nat, 0L, 1L), 0L); val d2 = cells.getOrElse((nat, 0L, 0L), 0L)
+      val nn = a + b + c2 + d2
+      if (nn > 1) {
+        strata += 1
+        dev += BigInt(a) * 1000000 - BigInt(a + b) * (a + c2) * 1000000 / nn
+        vr += BigInt(a + b) * (c2 + d2) * (a + c2) * (b + d2) * 1000000 /
+          (BigInt(nn) * nn * (nn - 1))
+        ad += BigInt(a) * d2 * 1000000 / nn
+        bc += BigInt(b) * c2 * 1000000 / nn
+      }
+    }
+    val r = graft.operators.StatsOps7.cmh.run(spark, sf).collect().head
+    assert(r.getAs[Long]("n_strata") === strata)
+    assert(r.getAs[Double]("dev_micro") === dev.toDouble)
+    assert(r.getAs[Double]("var_micro") === vr.toDouble)
+    assert(r.getAs[Double]("cmh") >= 0.0)
+    assert(math.abs(r.getAs[Double]("or_mh") - ad.toDouble / bc.toDouble) < 1e-12)
+  }
+
+  // ---- text_unigram_entropy: brute replay + entropy bounds ----
+
+  test("text_unigram_entropy matches brute snapped folds and stays within bounds") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = graft.operators.TextOps3.unigramEntropy.run(spark, sf).collect()
+    rows.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      docs.filter(_._1 == s0).foreach(_._2.split("\\s+").filter(_.nonEmpty)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1))
+      val n = counts.values.sum
+      val clogc = counts.values.map(c =>
+        math.floor(c.toDouble * math.log(c.toDouble) * 1e6).toLong).sum
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Double]("clogc_micro") === clogc.toDouble)
+      val h = math.floor((math.log(n.toDouble) - clogc / 1e6 / n) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("entropy_nats") - h) < 1e-12)
+      // 0 ≤ H ≤ ln(V) up to the micro snap
+      assert(h >= -1e-6 && h <= math.log(counts.size.toDouble) + 1e-6)
+    }
+  }
+
   // ---- sample_ess: Kish laws + weight identity with sample_importance ----
 
   test("sample_ess: ess ≤ n_kept, deff ≥ 1, and Σw matches sample_importance") {
