@@ -695,6 +695,111 @@ object AffinityOps {
       .orderBy(col("brand"))
   }
 
+  /** ABC×XYZ joint census — the planner's 9-cell grid that neither
+    * axis gives alone (q_pareto ranks VALUE, [[xyzClasses]] ranks
+    * VARIABILITY; A-value × Z-variability parts get safety stock,
+    * C × X get none): each part's ABC class from the exact
+    * cumulative-revenue share (q_pareto's spelling and its SAME
+    * session-cached two-phase range-partitioned frame — no second
+    * sort) joined to its XYZ class from the exact integer
+    * cross-multiplication (the [[xyzClasses]] predicate text
+    * verbatim), rolled up to ≤9 cells with exact part counts and
+    * floor-ppm revenue shares. One lineitem revenue aggregate + one
+    * monthly-demand aggregate; the join is part-keyed. */
+  val abcXyz: GraftOp = GraftOp(
+    "q_abc_xyz",
+    """WITH pm AS (
+      |  SELECT l_partkey AS partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |mm AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS mc FROM pm),
+      |p AS (
+      |  SELECT partkey, CAST(sum(q) AS BIGINT) AS s,
+      |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+      |  FROM pm GROUP BY 1),
+      |xyz AS (
+      |  SELECT partkey,
+      |    CASE
+      |      WHEN 4 * mc * (mc * ss - CAST(s AS HUGEINT) * s)
+      |           < (mc - 1) * CAST(s AS HUGEINT) * s THEN 'X'
+      |      WHEN mc * (mc * ss - CAST(s AS HUGEINT) * s)
+      |           < (mc - 1) * CAST(s AS HUGEINT) * s THEN 'Y'
+      |      ELSE 'Z' END AS xyz
+      |  FROM p, mm WHERE s > 0),
+      |r AS (
+      |  SELECT l_partkey AS partkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rc
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT partkey, rc,
+      |    sum(rc) OVER (ORDER BY rc DESC, partkey) AS cum,
+      |    sum(rc) OVER () AS tot
+      |  FROM r),
+      |abc AS (
+      |  SELECT partkey, rc,
+      |    CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.80 THEN 'A'
+      |         WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM c),
+      |j AS (SELECT abc.abc, xyz.xyz, abc.rc
+      |      FROM abc JOIN xyz ON abc.partkey = xyz.partkey),
+      |t AS (SELECT CAST(sum(CAST(rc AS HUGEINT)) AS HUGEINT) AS tot FROM j)
+      |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(CAST(rc AS HUGEINT)) * 1000000 // t.tot AS BIGINT) AS revenue_share_ppm
+      |FROM j, t GROUP BY abc, xyz, t.tot ORDER BY abc, xyz""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    // XYZ side — the xyzClasses predicate text verbatim
+    val pm = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("partkey"),
+        date_trunc("month", to_date(col("l_shipdate"))).as("m"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
+    val mm = broadcast(pm.agg(countDistinct(col("m")).as("mc")))
+    val p = pm.groupBy(col("partkey"))
+      .agg(sum(col("q")).as("s"),
+        sum(col("q").cast(dec) * col("q")).as("ss"))
+    val xyz = p.filter(col("s") > 0).crossJoin(mm)
+      .select(col("partkey"),
+        expr("""CASE
+          |  WHEN 4 * mc * (mc * ss - CAST(s AS DECIMAL(38,0)) * s)
+          |       < (mc - 1) * CAST(s AS DECIMAL(38,0)) * s THEN 'X'
+          |  WHEN mc * (mc * ss - CAST(s AS DECIMAL(38,0)) * s)
+          |       < (mc - 1) * CAST(s AS DECIMAL(38,0)) * s THEN 'Y'
+          |  ELSE 'Z' END""".stripMargin).as("xyz"))
+    // ABC side — q_pareto's two-phase cum, SAME session cache key
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val r = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * round((lit(1) - col("l_discount")) * 100).cast("long")).as("rc"))
+    val ranged = graft.CachedPlans.cached(s, s"pareto.ranged:$d") {
+      r.repartitionByRange(parts, col("rc").desc, col("l_partkey"))
+        .withColumn("__pid", spark_partition_id())
+    }
+    val perPart = ranged.groupBy(col("__pid")).agg(sum(col("rc")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val tot = perPart.map(_._2).sum.toDouble
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      perPart.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("rc").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val share = (element_at(typedLit(offsets), col("__pid")) + sum(col("rc")).over(w))
+      .cast("double") / lit(tot)
+    val abc = ranged.select(col("l_partkey").as("partkey"), col("rc"),
+      when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").as("abc"))
+    val j = abc.join(xyz, Seq("partkey"))
+    val jt = broadcast(j.agg(sum(col("rc").cast(dec)).cast(dec).as("tot")))
+    j.crossJoin(jt)
+      .groupBy(col("abc"), col("xyz"), col("tot"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rc").cast(dec)).cast(dec).as("cell_rc"))
+      .select(col("abc"), col("xyz"), col("n_parts"),
+        expr("CAST(cell_rc * 1000000 div tot AS BIGINT)").as("revenue_share_ppm"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
   val ops: Seq[GraftOp] = Seq(copurchase, rfm, backlog, leadTime, basketRules, orderSprawl, reorderCadence, priceIndex, decileMobility,
-    xyzClasses, serviceLevelStock, arcElasticity)
+    xyzClasses, serviceLevelStock, arcElasticity, abcXyz)
 }

@@ -297,6 +297,87 @@ object TextOps3 {
       .orderBy(col("source"))
   }
 
+  /** Corpus bigram entropy and the conditional entropy H(next | prev)
+    * — the SEQUENCE-level information density [[unigramEntropy]]'s
+    * bag-of-words view cannot see (a corpus can have high unigram
+    * entropy yet be near-deterministic word-to-word — the boilerplate
+    * signature n-gram LMs exploit): H_cond = H(prev,next) − H(prev),
+    * both entropies over exact bigram / bigram-prefix counts with the
+    * same floor-snapped c·ln c micro folds as [[unigramEntropy]]
+    * (order-free DECIMAL(38) sums), both H's floor-micro-snapped on
+    * the 1-row emit and the difference taken between the snapped
+    * values (identical doubles both engines). The prefix marginal
+    * derives from the SAME (bigram, count) frame via the
+    * first-token split (tokens are whitespace-split so the separator
+    * cannot occur inside one), so the two levels cannot drift. Scale
+    * shape: per-document lead pairing (doc-partitioned windows), one
+    * bigram groupBy (the corpus shuffle), bounded rollups after. */
+  val bigramEntropy: GraftOp = GraftOp(
+    "text_bigram_entropy",
+    """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+      |  FROM toks WHERE len(toks) >= 2),
+      |cj AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+      |pj AS (
+      |  SELECT split_part(bigram, ' ', 1) AS pref, CAST(sum(c) AS BIGINT) AS cp
+      |  FROM cj GROUP BY 1),
+      |g AS (
+      |  SELECT
+      |    (SELECT CAST(sum(c) AS BIGINT) FROM cj) AS n,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM cj) AS v_bigrams,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM pj) AS v_prefixes,
+      |    (SELECT CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+      |       AS BIGINT)) AS DECIMAL(38,0)) FROM cj) AS sj_micro,
+      |    (SELECT CAST(sum(CAST(floor(CAST(cp AS DOUBLE) * ln(CAST(cp AS DOUBLE)) * 1000000.0)
+      |       AS BIGINT)) AS DECIMAL(38,0)) FROM pj) AS sp_micro)
+      |SELECT n AS n_bigrams, v_bigrams, v_prefixes,
+      |  floor((ln(CAST(n AS DOUBLE))
+      |    - CAST(sj_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)) * 1000000.0)
+      |    / 1000000.0 AS h_joint,
+      |  floor((ln(CAST(n AS DOUBLE))
+      |    - CAST(sp_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)) * 1000000.0)
+      |    / 1000000.0 AS h_prefix,
+      |  floor((ln(CAST(n AS DOUBLE))
+      |    - CAST(sj_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)) * 1000000.0)
+      |    / 1000000.0
+      |  - floor((ln(CAST(n AS DOUBLE))
+      |    - CAST(sp_micro AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)) * 1000000.0)
+      |    / 1000000.0 AS h_cond
+      |FROM g""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cj = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    val pj = cj.groupBy(substring_index(col("bigram"), " ", 1).as("pref"))
+      .agg(sum(col("c")).cast(LongType).as("cp"))
+    def snapFold(cCol: String) =
+      expr(s"""CAST(floor(CAST($cCol AS DOUBLE) * ln(CAST($cCol AS DOUBLE)) * 1000000.0D)
+              | AS BIGINT)""".stripMargin)
+    val gj = cj.agg(sum(col("c")).cast(LongType).as("n"),
+      count(lit(1)).as("v_bigrams"),
+      sum(snapFold("c")).cast(dec).as("sj_micro"))
+    val gp = pj.agg(count(lit(1)).as("v_prefixes"),
+      sum(snapFold("cp")).cast(dec).as("sp_micro"))
+    def h(sm: String) =
+      s"""floor((ln(CAST(n AS DOUBLE))
+         |  - CAST($sm AS DOUBLE) / 1000000.0D / CAST(n AS DOUBLE)) * 1000000.0D)
+         |  / 1000000.0D""".stripMargin
+    broadcast(gj).crossJoin(broadcast(gp))
+      .select(col("n").as("n_bigrams"), col("v_bigrams"), col("v_prefixes"),
+        expr(h("sj_micro")).as("h_joint"),
+        expr(h("sp_micro")).as("h_prefix"),
+        expr(s"${h("sj_micro")} - ${h("sp_micro")}").as("h_cond"))
+  }
+
   def ops: Seq[GraftOp] = Seq(goodTuring, lengthKs, sourceJaccard, hapaxShare,
-    unigramEntropy)
+    unigramEntropy, bigramEntropy)
 }

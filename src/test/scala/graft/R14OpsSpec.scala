@@ -319,6 +319,60 @@ class R14OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_abc_xyz: cross-op consistency with its two parent axes ----
+
+  test("q_abc_xyz marginals agree with q_pareto and q_xyz_classes") {
+    val grid = graft.operators.AffinityOps.abcXyz.run(spark, sf).collect()
+      .map(r => (r.getAs[String]("abc"), r.getAs[String]("xyz")) ->
+        r.getAs[Long]("n_parts")).toMap
+    assert(grid.nonEmpty && grid.size <= 9)
+    // XYZ marginal: summing the grid over ABC must reproduce
+    // q_xyz_classes' per-class part counts exactly
+    val xyzCounts = graft.operators.AffinityOps.xyzClasses.run(spark, sf).collect()
+      .map(r => r.getAs[String]("xyz") -> r.getAs[Long]("n_parts")).toMap
+    xyzCounts.foreach { case (cls, n) =>
+      assert(grid.collect { case ((_, x), c) if x == cls => c }.sum === n,
+        s"XYZ marginal drift for $cls")
+    }
+    // ABC marginal vs q_pareto's per-part classes (pareto emits every
+    // part; xyz drops zero-demand parts, so compare on the join side:
+    // grid total == xyz total)
+    assert(grid.values.sum === xyzCounts.values.sum)
+    // revenue shares are floor-ppm of a partition of the total
+    val ppm = graft.operators.AffinityOps.abcXyz.run(spark, sf).collect()
+      .map(_.getAs[Long]("revenue_share_ppm"))
+    assert(ppm.sum <= 1000000L && ppm.sum > 1000000L - ppm.length)
+  }
+
+  // ---- text_bigram_entropy: brute replay + information laws ----
+
+  test("text_bigram_entropy matches brute snapped folds; 0 <= H_cond <= H_joint") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val cj = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val toks = t.split("\\s+")
+      toks.sliding(2).filter(_.length == 2)
+        .foreach(p => cj((p(0), p(1))) = cj.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    val n = cj.values.sum
+    val sj = cj.values.map(c => math.floor(c * math.log(c.toDouble) * 1e6).toLong).sum
+    val cp = cj.groupBy(_._1._1).map { case (_, m) => m.values.sum }
+    val sp = cp.map(c => math.floor(c * math.log(c.toDouble) * 1e6).toLong).sum
+    val r = graft.operators.TextOps3.bigramEntropy.run(spark, sf).collect().head
+    assert(r.getAs[Long]("n_bigrams") === n)
+    assert(r.getAs[Long]("v_bigrams") === cj.size.toLong)
+    assert(r.getAs[Long]("v_prefixes") === cp.size.toLong)
+    def h(s0: Long) = math.floor((math.log(n.toDouble) - s0 / 1e6 / n) * 1e6) / 1e6
+    assert(math.abs(r.getAs[Double]("h_joint") - h(sj)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_prefix") - h(sp)) < 1e-12)
+    val hc = r.getAs[Double]("h_cond")
+    assert(math.abs(hc - (h(sj) - h(sp))) < 1e-12)
+    // information laws (up to the micro snap): conditioning cannot
+    // create information, and H(next|prev) >= 0
+    assert(hc >= -1e-5 && hc <= r.getAs[Double]("h_joint") + 1e-5)
+  }
+
   // ---- sample_ess: Kish laws + weight identity with sample_importance ----
 
   test("sample_ess: ess ≤ n_kept, deff ≥ 1, and Σw matches sample_importance") {
