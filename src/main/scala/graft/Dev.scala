@@ -12,6 +12,13 @@ object Dev {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "explain") SparkEntry.queries(opName)(spark, sfDir).explain("formatted")
+    else if (mode == "plan") {
+      // AQE's final plan exists only after execution: run to a noop
+      // sink, then print the adaptive plan minus its Initial section.
+      val df = SparkEntry.queries(opName)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
+    }
     else {
       // Bench parity: noop-sink the FULL plan, and rebuild the frame per
       // run so driver-loop ops (iterative graph/k-means) pay their loop
