@@ -522,39 +522,49 @@ object EmbedOps {
   private[operators] val KmK = 4
   private val KmAssignRounds = 3 // assignments; updates happen after the first two
 
+  /** The one snap-to-micros kernel every exact-arithmetic embedding
+    * consumer applies (kmScaled here; IvfIndex's single-pass
+    * unit+cell projection). */
+  private[graft] val microsSnapSql =
+    "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+
   /** Corpus scaled once to integer micros — the exact substrate both
     * [[kmeans]] and KnnOps.ivfExact cluster on. */
   private[graft] def kmScaled(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("xs"))
+    Tables.embeddings(s, d).select(col("vec_id"), expr(microsSnapSql).as("xs"))
 
   /** Exact assignment of every vector to its nearest centroid (argmin
     * ties to the smaller k — mirrors the oracle's ORDER BY dist, k).
-    * Adds d0..d3, k, dist columns; all arithmetic is BIGINT. */
+    * Adds d0..d{K-1}, k, dist columns; all arithmetic is BIGINT.
+    * Generalized over cents.length (r15: IvfIndex's 16-cell exact
+    * quantizer reuses it — same kernel, wider K). */
   private[operators] def kmAssign(xs: org.apache.spark.sql.DataFrame,
       cents: Array[Array[Long]]): org.apache.spark.sql.DataFrame = {
+    val kk = cents.length
     val distCols = cents.zipWithIndex.map { case (c, k) =>
       val lits = c.mkString("array(", "L,", "L)")
       expr(s"aggregate(zip_with(xs, $lits, (a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)")
         .as(s"d$k")
     }
-    val ds = (0 until KmK).map(k => col(s"d$k"))
-    val kCol = (0 until KmK - 1).foldRight(lit(KmK - 1)) { (k, rest) =>
-      when((k + 1 until KmK).map(j => ds(k) <= ds(j)).reduce(_ && _), k).otherwise(rest)
+    val ds = (0 until kk).map(k => col(s"d$k"))
+    val kCol = (0 until kk - 1).foldRight(lit(kk - 1)) { (k, rest) =>
+      when((k + 1 until kk).map(j => ds(k) <= ds(j)).reduce(_ && _), k).otherwise(rest)
     }
-    xs.select((col("vec_id") +: col("xs") +: distCols.toSeq): _*)
+    // preserves every input column (r15: IvfIndex assigns cells on a
+    // frame that also carries the unit vector)
+    xs.select((col("*") +: distCols.toSeq): _*)
       .withColumn("k", kCol)
       .withColumn("dist", least(ds: _*))
   }
 
-  /** The Lloyd loop: seeds = vec_id 0..3, two floor-snapped mean
-    * updates (truncating division — identical in Spark div, DuckDB //
-    * and this driver loop); an empty cluster keeps its centroid. */
-  private[operators] def kmLloyd(
-      xs: org.apache.spark.sql.DataFrame): Array[Array[Long]] = {
-    val cents: Array[Array[Long]] = xs.filter(col("vec_id") < KmK)
+  /** The Lloyd loop at arbitrary K: seeds = vec_id 0..K-1, two
+    * floor-snapped mean updates (truncating division — identical in
+    * Spark div, DuckDB // and this driver loop); an empty cluster
+    * keeps its centroid. */
+  private[graft] def kmLloydK(
+      xs: org.apache.spark.sql.DataFrame, kk: Int): Array[Array[Long]] = {
+    val cents: Array[Array[Long]] = xs.filter(col("vec_id") < kk)
       .orderBy(col("vec_id")).collect()
       .map(_.getSeq[Long](1).toArray)
     for (_ <- 1 until KmAssignRounds) {
@@ -568,10 +578,14 @@ object EmbedOps {
       upd.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getLong(2) / r.getLong(3)
       }
-      (0 until KmK).foreach(k => cents(k) = next(k))
+      (0 until kk).foreach(k => cents(k) = next(k))
     }
     cents
   }
+
+  /** The original 4-cell schedule ([[kmeans]]'s quantizer). */
+  private[operators] def kmLloyd(
+      xs: org.apache.spark.sql.DataFrame): Array[Array[Long]] = kmLloydK(xs, KmK)
 
   // Exact-Lloyd centroids per (session → dir): the schedule is fully
   // deterministic, so caching changes nothing but cost — without it,
@@ -659,7 +673,12 @@ object EmbedOps {
   /** Shared oracle prefix: CTEs `e` (dims), `vl` (scaled vectors),
     * `c0`..`c2` (centroids) and `g1`..`g3` (assignments) replicating
     * [[kmLloyd]]/[[kmAssign]] exactly; enders compose FROM g3/c2/vl. */
-  private[operators] def kmCtes: String = {
+  private[operators] def kmCtes: String = kmCtesFor(KmK)
+
+  /** Same prefix at arbitrary K (r15: the 16-cell IVF quantizer's
+    * oracle shares the CTE text — seeds vec_id 0..K-1, the identical
+    * 3-assignment/2-update schedule). */
+  private[graft] def kmCtesFor(KmK: Int): String = {
     def round(r: Int, prev: String): String =
       s"""a$r AS (
          |  SELECT v.vec_id, v.xs, c.k,

@@ -35,8 +35,10 @@ object IndexStore {
 
   /** Bump whenever ANY shared-index definition changes: a saved
     * artifact from an older definition must never serve.
-    * v2 (r11): + knn_graph_edges. v3 (r12): + text_tokens. */
-  val FormatVersion = 3
+    * v2 (r11): + knn_graph_edges. v3 (r12): + text_tokens.
+    * v4 (r15): IVF centroids are exact-Lloyd BIGINT micros (schema
+    * change: centroid Array[Double] → Array[Long]). */
+  val FormatVersion = 4
 
   private[graft] def enabled(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.index.store.enabled").map(_.trim.toLowerCase) match {

@@ -9,22 +9,27 @@ import org.apache.spark.sql.functions._
   * production deployment has (cf. the reference's one-time
   * `system.columns` lookup in open() vs per-batch work):
   *
-  *  - **build** (offline, once per corpus): train the KMeans coarse
-  *    quantizer, keep the k centroids driver-side (k×DIM doubles —
+  *  - **build** (offline, once per corpus): train the coarse
+  *    quantizer, keep the k centroids driver-side (k×DIM longs —
   *    tiny), and materialize the cell assignment of every corpus
   *    vector as a persisted plan. At 100 TB this is the expensive
   *    index-construction job that runs once and is reused by every
   *    query batch.
   *  - **query** (serve path): route each query to its `nprobe` nearest
   *    centroids driver-side and brute-force only those cells. No
-  *    KMeans refit, no corpus re-assignment.
+  *    refit, no corpus re-assignment.
   *
-  * Cell assignment is NOT `model.transform`: centroids are baked into
-  * the plan as literals and each vector takes `argmax(dot(u, c_i))`
-  * (== argmin Euclidean for unit vectors) through one codegen'd
-  * projection — the MLlib model object never outlives the build, and
-  * the assignment plan is a plain DataFrame that [[graft.CachedPlans]]
-  * can persist and share.
+  * r15: the coarse quantizer is the engine's own EXACT-arithmetic
+  * Lloyd schedule ([[EmbedOps.kmLloydK]] at 16 cells over the shared
+  * micros-snapped corpus) instead of MLlib KMeans — bit-identical
+  * across engines, so the whole IVF family (knn_index_build / knn_ivf
+  * / knn_ivf_recall_curve) is now DuckDB-oracle hash-checkable: the
+  * oracle regenerates the same 16 centroids from the same seeds with
+  * chained CTEs ([[EmbedOps.kmCtesFor]]). Cell assignment bakes the 16
+  * centroids into the plan as literals and takes argmin of exact
+  * BIGINT L2 (ties to the smaller cell id) through one codegen'd
+  * projection; the serve-path cosine ranking is unchanged (fold-order
+  * dot products on unit vectors — the knn_brute parity discipline).
   */
 object IvfIndex {
 
@@ -36,13 +41,13 @@ object IvfIndex {
 
   // centroids per (session → dir); sessions held weakly like CachedPlans
   private val centroidReg =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Array[Double]]]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Array[Long]]]]()
 
-  private def regFor(s: SparkSession): scala.collection.mutable.Map[String, Array[Array[Double]]] =
+  private def regFor(s: SparkSession): scala.collection.mutable.Map[String, Array[Array[Long]]] =
     centroidReg.synchronized {
       var m = centroidReg.get(s)
       if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
+        m = scala.collection.mutable.Map.empty[String, Array[Array[Long]]]
         centroidReg.put(s, m)
       }
       m
@@ -64,37 +69,38 @@ object IvfIndex {
   private[operators] def corpus(s: SparkSession, d: String): DataFrame =
     corpusLabeled(s, d).select(col("vec_id"), col("u"))
 
-  /** Get-or-train the coarse quantizer's centroids for this corpus.
-    * The fit runs under the registry lock: check-then-fit-then-insert
-    * would let two cold-start callers both pay the KMeans fit (and
-    * break the one-fit contract KnnSpec pins); holding the lock for
-    * the fit is correct and the contention window exists only on the
-    * first call per corpus. */
-  def centroidsOf(s: SparkSession, d: String): Array[Array[Double]] = {
+  /** Get-or-train the coarse quantizer's centroids for this corpus —
+    * integer micros, [[EmbedOps.kmLloydK]] at 16 cells over the SAME
+    * registry-persisted scaled corpus emb_kmeans clusters (one
+    * snap-to-micros pass feeds both quantizers). The fit runs under
+    * the registry lock: check-then-fit-then-insert would let two
+    * cold-start callers both pay the Lloyd loop (and break the
+    * one-fit contract KnnSpec pins); holding the lock for the fit is
+    * correct and the contention window exists only on the first call
+    * per corpus. */
+  def centroidsOf(s: SparkSession, d: String): Array[Array[Long]] = {
     val m = regFor(s)
     m.synchronized {
       m.getOrElseUpdate(d, {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        val fitInput = corpus(s, d).withColumn("fv", array_to_vector(col("u")))
-        val model = new KMeans().setK(K_CELLS).setSeed(42).setMaxIter(5)
-          .setFeaturesCol("fv").setPredictionCol("cell").fit(fitInput)
         fitCount += 1
-        model.clusterCenters.map(_.toArray)
+        EmbedOps.kmLloydK(EmbedOps.kmScaledShared(s, d), K_CELLS)
       })
     }
   }
 
   /** Persisted cell assignment (vec_id, u, cell) — the inverted file.
-    * One linear pass: k literal-centroid dot products per vector,
-    * argmax via max-of-struct so each dot is evaluated once. */
+    * One linear pass, NO join: the projection carries both the unit
+    * vector (serve-path cosine) and the micros snap, and
+    * [[EmbedOps.kmAssign]] adds the argmin cell (16 literal-centroid
+    * exact-L2 distances, ties to the smaller cell id). */
   def assigned(s: SparkSession, d: String): DataFrame = {
     val cents = centroidsOf(s, d) // ensure the quantizer exists first
     graft.CachedPlans.cached(s, s"knn.ivf.assigned:$d") {
-      val scored = cents.zipWithIndex.map { case (c, ci) =>
-        struct(Exprs.dot(col("u"), typedLit(c.toIndexedSeq)).as("d"), lit(ci).as("i"))
-      }
-      corpus(s, d).withColumn("cell", array_max(array(scored.toIndexedSeq: _*)).getField("i"))
+      val base = Tables.embeddings(s, d).select(col("vec_id"),
+        Exprs.unit(Exprs.vecAsDouble(col("embedding"))).as("u"),
+        expr(EmbedOps.microsSnapSql).as("xs"))
+      EmbedOps.kmAssign(base, cents)
+        .select(col("vec_id"), col("u"), col("k").as("cell"))
     }
   }
 
@@ -106,10 +112,10 @@ object IvfIndex {
     graft.CachedPlans.invalidate(s, s"knn.ivf.assigned:$d")
   }
 
-  /** Persist the index to disk: the k centroids (tiny) plus the
+  /** Persist the index to disk: the 16 centroids (tiny) plus the
     * materialized inverted file — the artifact the offline build job
     * ships so serve clusters (and later sessions) never pay the
-    * KMeans fit or the corpus assignment pass again. */
+    * Lloyd fit or the corpus assignment pass again. */
   def save(s: SparkSession, d: String, indexDir: String): Unit = {
     import s.implicits._
     centroidsOf(s, d).zipWithIndex
@@ -126,7 +132,7 @@ object IvfIndex {
   def load(s: SparkSession, d: String, indexDir: String): Unit = {
     val cents = s.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid")).orderBy(col("cell"))
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(_.getSeq[Long](1).toArray)
     require(cents.nonEmpty, s"no centroids found under $indexDir")
     val m = regFor(s)
     m.synchronized(m.update(d, cents))

@@ -140,14 +140,63 @@ object KnnOps {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Nearest-cell probe routing, driver-side: exact BIGINT L2 between
+    * the query's micros snap and the 16 integer centroids, ties to the
+    * smaller cell — the same (dist, k) order the oracle's row_number
+    * replays. The query set is small by definition; k×DIM longs of
+    * centroids live on the driver anyway. */
+  private def ivfProbes(queries: Array[(Long, Array[Long])],
+      centroids: Array[Array[Long]], nprobe: Int): Array[(Long, Int)] =
+    queries.flatMap { case (qid, qx) =>
+      centroids.zipWithIndex
+        .map { case (c, ci) =>
+          var dist = 0L
+          var i = 0
+          while (i < qx.length) { val dd = qx(i) - c(i); dist += dd * dd; i += 1 }
+          (ci, dist)
+        }
+        .sortBy { case (ci, dist) => (dist, ci) }.take(nprobe)
+        .map { case (ci, _) => (qid, ci) }
+    }
+
+  /** Micros-snapped query vectors (probe substrate), driver-side. */
+  private def ivfQueryMicros(s: SparkSession, d: String): Array[(Long, Array[Long])] =
+    EmbedOps.kmScaledShared(s, d).filter(col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  /** Oracle prefix shared by the IVF family: the 16-cell exact-Lloyd
+    * CTEs plus the unit-vector corpus and the probe ranking (pr.cr =
+    * the rank of cell k for query q by exact L2-micros, ties to k). */
+  private def ivfOracleCtes: String = {
+    val E = Exprs
+    s"""${EmbedOps.kmCtesFor(IvfIndex.K_CELLS)},
+       |raw AS (SELECT vec_id, ${E.sqlVecAsDouble("embedding")} AS e FROM embeddings),
+       |vv AS (SELECT vec_id, ${E.sqlUnit("e")} AS u FROM raw),
+       |qx AS (SELECT vec_id AS query_id, xs AS qs FROM vl WHERE vec_id < 5),
+       |pd AS (
+       |  SELECT q.query_id, c.k,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (q.qs[i] - c.cs[i]) * (q.qs[i] - c.cs[i]))) AS BIGINT) AS cdist
+       |  FROM qx q CROSS JOIN c2 c),
+       |pr AS (SELECT query_id, k,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY cdist, k) AS cr FROM pd)""".stripMargin
+  }
+
   /** IVF index build — the OFFLINE phase as a first-class operation:
     * train the coarse quantizer (once per session+corpus; [[IvfIndex]]
     * registry), materialize the persisted cell assignment, and emit
     * per-cell occupancy — the index statistic an operator watches for
     * skewed cells. Sorted bench order runs this before `knn_ivf`, so
     * the serve entry below times the probe, not probe+build — the
-    * production split (index built once, reused by every query batch). */
-  val ivfBuild: GraftOp = GraftOp.rowsOnly("knn_index_build") { (s, d) =>
+    * production split (index built once, reused by every query batch).
+    * r15: the quantizer is the exact 16-cell Lloyd schedule, so the
+    * occupancy table is hash-checkable — the oracle re-derives the
+    * identical cells with chained CTEs. */
+  val ivfBuild: GraftOp = GraftOp(
+    "knn_index_build",
+    s"""WITH ${EmbedOps.kmCtesFor(IvfIndex.K_CELLS)}
+       |SELECT k AS cell, CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM g3 GROUP BY 1 ORDER BY cell""".stripMargin) { (s, d) =>
     IvfIndex.assigned(s, d)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell"))
@@ -157,29 +206,35 @@ object KnnOps {
     * `nprobe` nearest cells of the persisted index and brute-force
     * inside. The 100-TB shape: cells are the partition key, so a query
     * touches nprobe/k of the corpus — and the quantizer is never refit
-    * here (IvfSpec asserts one fit across repeated queries).
-    * Approximate → rows-only; KnnSpec pins recall vs brute force. */
-  val ivf: GraftOp = GraftOp.rowsOnly("knn_ivf") { (s, d) =>
+    * here (KnnSpec asserts one fit across repeated queries). r15:
+    * fully ORACLE-CHECKED — cell assignment and probe routing are
+    * exact BIGINT L2 over the micros snap (bit-identical cross-
+    * engine), and the in-cell ranking is the fold-order unit-vector
+    * dot product knn_brute already proves hash-stable. KnnSpec still
+    * pins recall vs brute force. */
+  val ivf: GraftOp = GraftOp(
+    "knn_ivf",
+    s"""WITH $ivfOracleCtes,
+       |cand AS (
+       |  SELECT p.query_id, g.vec_id AS corpus_id
+       |  FROM pr p JOIN g3 g ON g.k = p.k AND p.cr <= 4 AND g.vec_id <> p.query_id),
+       |sc AS (
+       |  SELECT c.query_id, c.corpus_id, ${Exprs.sqlDot("qv.u", "cv.u")} AS cos
+       |  FROM cand c
+       |  JOIN vv qv ON qv.vec_id = c.query_id
+       |  JOIN vv cv ON cv.vec_id = c.corpus_id),
+       |rk AS (
+       |  SELECT query_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+       |  FROM sc)
+       |SELECT query_id, corpus_id, round(cos, 6) AS cos_sim, rn
+       |FROM rk WHERE rn <= $K ORDER BY query_id, rn""".stripMargin) { (s, d) =>
     val nprobe = 4
     val assigned = IvfIndex.assigned(s, d)
-    // query set is small by definition → route it driver-side
-    val centroids = IvfIndex.centroidsOf(s, d)
-    val queries = IvfIndex.corpus(s, d).filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("u")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probes = queries.flatMap { case (qid, qu) =>
-      centroids.zipWithIndex
-        .map { case (c, ci) =>
-          var dist = 0.0
-          var i = 0
-          while (i < qu.length) { val dd = qu(i) - c(i); dist += dd * dd; i += 1 }
-          (ci, dist)
-        }
-        .sortBy(_._2).take(nprobe)
-        .map { case (ci, _) => (qid, ci) }
-    }
+    val probes = ivfProbes(ivfQueryMicros(s, d), IvfIndex.centroidsOf(s, d), nprobe)
     val probeDf = s.createDataFrame(probes.toIndexedSeq).toDF("query_id", "cell")
-    val qDf = s.createDataFrame(queries.toIndexedSeq).toDF("query_id", "qu")
+    val qDf = IvfIndex.corpus(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     assigned.join(broadcast(probeDf), "cell")
       .join(broadcast(qDf), "query_id")
@@ -502,18 +557,58 @@ object KnnOps {
     * recall@K of the IVF serve path against the exact brute-force
     * ground truth over the same unit-normalized corpus, as integer
     * hit counts + a ppm floor. Each rung reuses the ONE persisted
-    * index (same no-refit discipline IvfSpec pins) and probes
+    * index (same no-refit discipline KnnSpec pins) and probes
     * nprobe/k of the corpus; the ground truth is one broadcast-query
     * brute scan. Driver loops the 4 rungs — a tuning op runs rarely
-    * and each rung is a tiny counted join. Approximate path under
-    * audit → rows-only; KnnSpec pins monotonicity in nprobe. */
-  val ivfRecallCurve: GraftOp = GraftOp.rowsOnly("knn_ivf_recall_curve") { (s, d) =>
+    * and each rung is a tiny counted join. r15: ORACLE-CHECKED — the
+    * exact quantizer makes every rung's candidate set replayable, so
+    * the oracle re-derives all four (probe → in-cell cosine top-K →
+    * intersect with the brute top-K) as chained CTEs and the hit
+    * counts hash-match; KnnSpec still pins monotonicity in nprobe. */
+  val ivfRecallCurve: GraftOp = GraftOp(
+    "knn_ivf_recall_curve", {
+      val E = Exprs
+      val rungCtes = Seq(1, 2, 4, 8).map { n =>
+        s"""cand$n AS (
+           |  SELECT p.query_id, g.vec_id AS corpus_id
+           |  FROM pr p JOIN g3 g ON g.k = p.k AND p.cr <= $n AND g.vec_id <> p.query_id),
+           |sc$n AS (
+           |  SELECT c.query_id, c.corpus_id, ${E.sqlDot("qv.u", "cv.u")} AS cos
+           |  FROM cand$n c
+           |  JOIN vv qv ON qv.vec_id = c.query_id
+           |  JOIN vv cv ON cv.vec_id = c.corpus_id),
+           |t$n AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT query_id, corpus_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+           |    FROM sc$n) WHERE rn <= $K),
+           |h$n AS (
+           |  SELECT CAST($n AS INT) AS nprobe, CAST(count(*) AS BIGINT) AS hits
+           |  FROM t$n JOIN bt USING (query_id, corpus_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ivfOracleCtes,
+         |bs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    ${E.sqlDot("q.u", "c.u")} AS cos
+         |  FROM (SELECT vec_id, u FROM vv WHERE vec_id < 5) q
+         |  JOIN vv c ON c.vec_id <> q.vec_id),
+         |bt AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rn
+         |    FROM bs) WHERE rn <= $K),
+         |$rungCtes,
+         |curve AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+         |          UNION ALL SELECT * FROM h4 UNION ALL SELECT * FROM h8)
+         |SELECT nprobe, hits, CAST(${K * 5} AS BIGINT) AS possible,
+         |  hits * 1000000 // ${K * 5} AS recall_ppm
+         |FROM curve ORDER BY nprobe""".stripMargin
+    }) { (s, d) =>
     val assigned = IvfIndex.assigned(s, d)
     val centroids = IvfIndex.centroidsOf(s, d)
-    val queries = IvfIndex.corpus(s, d).filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("u")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val qDf = s.createDataFrame(queries.toIndexedSeq).toDF("query_id", "qu")
+    val qMicros = ivfQueryMicros(s, d)
+    val qDf = IvfIndex.corpus(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
     val byQuery = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     def topK(corpusSide: DataFrame): DataFrame = corpusSide
       .filter(col("vec_id") =!= col("query_id"))
@@ -525,22 +620,12 @@ object KnnOps {
     val truth = topK(IvfIndex.corpus(s, d).crossJoin(broadcast(qDf)))
       .localCheckpoint(true) // K·|queries| rows, reused by every rung
     val rungs = Seq(1, 2, 4, 8).map { nprobe =>
-      val probes = queries.flatMap { case (qid, qu) =>
-        centroids.zipWithIndex
-          .map { case (c, ci) =>
-            var dist = 0.0
-            var i = 0
-            while (i < qu.length) { val dd = qu(i) - c(i); dist += dd * dd; i += 1 }
-            (ci, dist)
-          }
-          .sortBy(_._2).take(nprobe)
-          .map { case (ci, _) => (qid, ci) }
-      }
-      val probeDf = s.createDataFrame(probes.toIndexedSeq).toDF("query_id", "cell")
+      val probeDf = s.createDataFrame(ivfProbes(qMicros, centroids, nprobe).toIndexedSeq)
+        .toDF("query_id", "cell")
       val got = topK(assigned.join(broadcast(probeDf), "cell")
         .join(broadcast(qDf), "query_id"))
       val hits = got.join(truth, Seq("query_id", "corpus_id"), "left_semi").count()
-      (nprobe, hits, K.toLong * queries.length)
+      (nprobe, hits, K.toLong * qMicros.length)
     }
     import s.implicits._
     rungs.toDF("nprobe", "hits", "possible")
