@@ -153,10 +153,36 @@ object MmOps {
     }(enc)
   }
 
-  /** Queries-map wrapper for the decode pipeline (rows-only: the
-    * decode kernel is imperative JVM code, not SQL-expressible). */
-  val decode: GraftOp = GraftOp.rowsOnly("mm_decode") { (s, d) =>
-    decodePipeline(s, d).orderBy(col("doc_id"))
+  /** Queries-map entry for the decode pipeline — ORACLE-CHECKED on the
+    * planted-PNG lane (r15): PNG is lossless, so the raster stats the
+    * REAL `javax.imageio` decode produces equal the pixel-generating
+    * formula exactly, and the oracle computes that formula
+    * arithmetically (per-pixel sum over unnest(range(w))×range(h)).
+    * The full pipeline still decodes EVERY doc (the filter sits above
+    * the opaque mapPartitions, so the stub/quarantine lane's routing
+    * runs too — it stays spec-covered: wrapping-hash stub dims aren't
+    * SQL-expressible, and the planted n_bytes is zlib-encoder-specific
+    * so the emit drops it in favor of the decoded raster columns). */
+  val decode: GraftOp = GraftOp(
+    "mm_decode",
+    """WITH planted AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+      |d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+      |        CAST(8 + (doc_id // 16) % 16 AS INT) AS height FROM planted),
+      |px AS (
+      |  SELECT d.doc_id, d.width, d.height,
+      |    sum((d.doc_id * 31 + x.i * 7 + y.j * 13) % 256
+      |      + (d.doc_id * 17 + x.i * 3 + y.j * 29) % 256
+      |      + (d.doc_id * 43 + x.i * 19 + y.j * 5) % 256) AS s
+      |  FROM d, unnest(range(CAST(d.width AS BIGINT))) AS x(i),
+      |          unnest(range(CAST(d.height AS BIGINT))) AS y(j)
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+      |  CAST(s AS DOUBLE) / (width * CAST(height AS BIGINT) * 3) AS mean_luma
+      |FROM px ORDER BY doc_id""".stripMargin) { (s, d) =>
+    decodePipeline(s, d)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"), col("mean_luma"))
+      .orderBy(col("doc_id"))
   }
 
   /** Fixed-size blob chunking — the frame-sample / shard step before a
@@ -618,7 +644,13 @@ object MmOps {
     * (strict sign flips), and 64-sample frame silence (max |s| < 100)
     * — the language-/float-free audio stats a filtering pipeline cuts
     * on (silence-heavy and clipped clips are dropped before
-    * transcription). Returns None on a malformed container. */
+    * transcription). Returns None on a malformed container.
+    *
+    * mm_audio_energy's oracle replays this loop arithmetically: the
+    * planted square wave is fully determined by the doc's md5Long
+    * hash, so every feature is a per-sample CASE over
+    * unnest(range(n)) — sign flips at multiples of period/2, the
+    * silent tail contributes zero samples, frames group by i//64. */
   private[graft] def audioFeatures(bytes: Array[Byte]): Option[(Int, Int, Long, Int, Int, Int)] =
     parseWavHeader(bytes).map { case (_, channels, bits, nSamples) =>
       val bb = java.nio.ByteBuffer.wrap(bytes, 44, bytes.length - 44)
@@ -655,10 +687,48 @@ object MmOps {
     * plants a COMPLETE deterministic WAV (genuine RIFF header + square
     * -wave PCM with a silent tail), and the kernel re-reads it as any
     * decoder would — container parse, then sample-level integer DSP
-    * ([[audioFeatures]]). All-integer outputs; wrapping-hash sample
-    * synthesis isn't DuckDB-portable → rows-only; MmSpec pins the
-    * analytic feature values of known waveforms and the op rollup. */
-  val audioEnergy: GraftOp = GraftOp.rowsOnly("mm_audio_energy") { (s, d) =>
+    * ([[audioFeatures]]). All-integer outputs — and ORACLE-CHECKED
+    * since r15: the wave parameters derive from the portable 60-bit
+    * md5Long hash (NOT a wrapping JVM hash), so the oracle simulates
+    * the exact sample stream per doc (unnest(range(n)) + CASE) and
+    * folds the same integer features; the REAL container parse + DSP
+    * loop stays on the Spark side. MmSpec still pins the analytic
+    * feature values of known waveforms. */
+  val audioEnergy: GraftOp = GraftOp(
+    "mm_audio_energy",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    256 + h % 256 AS n,
+      |    (4 + (h // 32) % 12) // 2 AS hp,
+      |    1000 + (h // 256) % 20000 AS amp,
+      |    (256 + h % 256) - (256 + h % 256) // 4 AS silent_from
+      |  FROM p),
+      |s AS (
+      |  SELECT w.doc_id, w.n, t.i,
+      |    CASE WHEN t.i < w.silent_from
+      |         THEN CASE WHEN ((t.i // w.hp) % 2) = 0 THEN w.amp ELSE -w.amp END
+      |         ELSE 0 END AS smp,
+      |    CASE WHEN t.i >= 1 AND t.i < w.silent_from
+      |          AND ((t.i // w.hp) % 2) <> (((t.i - 1) // w.hp) % 2)
+      |         THEN 1 ELSE 0 END AS flip
+      |  FROM w, unnest(range(w.n)) AS t(i)),
+      |f AS (
+      |  SELECT doc_id, i // 64 AS frame, max(abs(smp)) AS fmax FROM s GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+      |    CAST(sum(CASE WHEN fmax < 100 THEN 1 ELSE 0 END) AS INT) AS n_silent_frames
+      |  FROM f GROUP BY 1),
+      |ag AS (
+      |  SELECT doc_id, CAST(max(n) AS INT) AS n_samples, CAST(max(abs(smp)) AS INT) AS peak,
+      |    CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+      |    CAST(sum(flip) AS INT) AS zero_crossings
+      |  FROM s GROUP BY 1)
+      |SELECT a.doc_id, a.n_samples, a.peak, a.sum_sq, a.zero_crossings,
+      |  fr.n_frames, fr.n_silent_frames
+      |FROM ag a JOIN fr USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
     val src = Tables.documents(s, d)
       .select(col("doc_id"), Exprs.md5Long(col("text")).as("h"))
     val outSchema = StructType(Seq(
