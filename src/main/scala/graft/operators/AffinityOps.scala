@@ -767,27 +767,10 @@ object AffinityOps {
           |  WHEN mc * (mc * ss - CAST(s AS DECIMAL(38,0)) * s)
           |       < (mc - 1) * CAST(s AS DECIMAL(38,0)) * s THEN 'Y'
           |  ELSE 'Z' END""".stripMargin).as("xyz"))
-    // ABC side — q_pareto's two-phase cum, SAME session cache key
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val r = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"))
-      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
-        * round((lit(1) - col("l_discount")) * 100).cast("long")).as("rc"))
-    val ranged = graft.CachedPlans.cached(s, s"pareto.ranged:$d") {
-      r.repartitionByRange(parts, col("rc").desc, col("l_partkey"))
-        .withColumn("__pid", spark_partition_id())
-    }
-    val perPart = ranged.groupBy(col("__pid")).agg(sum(col("rc")).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val tot = perPart.map(_._2).sum.toDouble
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      perPart.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
-    val w = Window.partitionBy(col("__pid"))
-      .orderBy(col("rc").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val share = (element_at(typedLit(offsets), col("__pid")) + sum(col("rc")).over(w))
-      .cast("double") / lit(tot)
+    // ABC side — q_pareto's two-phase cum via the ONE shared builder
+    // (SqlSurface3.paretoRanked), so the session cache key
+    // pareto.ranged:$d can only ever be built one way
+    val (ranged, share) = SqlSurface3.paretoRanked(s, d)
     val abc = ranged.select(col("l_partkey").as("partkey"), col("rc"),
       when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").as("abc"))
     val j = abc.join(xyz, Seq("partkey"))

@@ -158,8 +158,12 @@ object GraphOps {
       // probe the exact-grid fixpoint every 3rd round only: each probe
       // is a driver action, and post-fixpoint rounds are the IDENTITY
       // under the 1e-10 snap, so late detection (≤2 extra rounds) emits
-      // a bit-identical vector at a third of the driver round-trips
-      if (iter % 3 == 0 && iter < iters) {
+      // a bit-identical vector at a third of the driver round-trips.
+      // The penultimate round ALWAYS probes, so an early stop is
+      // observable (lastIterations < iters) whenever a fixpoint exists
+      // before the budget — the spec's invariant is structural, not an
+      // artifact of where the 3-cadence lands (r15, AD advice).
+      if ((iter % 3 == 0 || iter == iters - 1) && iter < iters) {
         val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
           .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
         fixpoint = delta == 0.0

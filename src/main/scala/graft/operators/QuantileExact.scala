@@ -109,6 +109,40 @@ object QuantileExact {
     *
     * Returns the input columns plus `__rn` (1-based global rank by
     * `v`) and `__n` (total rows) — the contract [[sparkAggs]] expects. */
+  /** The one range-partition + driver-offset pass all two-phase
+    * helpers (and q_pareto's [[SqlSurface3.paretoRanked]]) share:
+    * range-partition `df` on `sortCols` under `cacheKey`, aggregate
+    * `perPartTotal` (must be a LongType aggregate) per partition —
+    * a driver collect bounded by the shuffle-partition count, never
+    * the data — and return (ranged frame with `__pid`, exclusive
+    * per-partition offsets, grand total). The ranged frame is pinned
+    * in [[graft.CachedPlans]] so the offsets job and the consumer job
+    * see the SAME partitioning under AQE. */
+  private[operators] def rangedOffsets(s: org.apache.spark.sql.SparkSession,
+      cacheKey: String, df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], perPartTotal: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.DataFrame, Map[Int, Long], Long) = {
+    import org.apache.spark.sql.functions._
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.CachedPlans.cached(s, cacheKey)(
+      df.repartitionByRange(parts, sortCols: _*).withColumn("__pid", spark_partition_id()))
+    val totals = ranged.groupBy(col("__pid")).agg(perPartTotal.as("c"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Long](1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      totals.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    (ranged, offsets, acc)
+  }
+
+  /** The exact-integer prefix-sum contract: `weight` must already be
+    * LongType — a silent widening (int weights) or a double would
+    * break the bit-exact cumulative the consumers hash against. */
+  private def requireLongWeight(df: org.apache.spark.sql.DataFrame, weight: String): Unit = {
+    val dt = df.schema(weight).dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"two-phase prefix sums need a LongType weight; '$weight' is ${dt.simpleString}")
+  }
+
   /** Two-phase weighted EXCLUSIVE cumulative sum over an unbounded
     * value domain: range-partition the (value, weight) frame on `v`,
     * collect the ≤P per-partition weight totals to the driver, and add
@@ -123,14 +157,9 @@ object QuantileExact {
       df: org.apache.spark.sql.DataFrame, v: String,
       weight: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = graft.CachedPlans.cached(s, cacheKey)(
-      df.repartitionByRange(parts, col(v)).withColumn("__pid", spark_partition_id()))
-    val totals = ranged.groupBy(col("__pid")).agg(sum(col(weight)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      totals.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    requireLongWeight(df, weight)
+    val (ranged, offsets, _) =
+      rangedOffsets(s, cacheKey, df, Seq(col(v)), sum(col(weight)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col(v))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -153,14 +182,9 @@ object QuantileExact {
       sortCols: Seq[org.apache.spark.sql.Column],
       weight: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = graft.CachedPlans.cached(s, cacheKey)(
-      df.repartitionByRange(parts, sortCols: _*).withColumn("__pid", spark_partition_id()))
-    val totals = ranged.groupBy(col("__pid")).agg(sum(col(weight)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      totals.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    requireLongWeight(df, weight)
+    val (ranged, offsets, _) =
+      rangedOffsets(s, cacheKey, df, sortCols, sum(col(weight)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(sortCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -173,15 +197,8 @@ object QuantileExact {
   def rankedUngrouped(s: org.apache.spark.sql.SparkSession, cacheKey: String,
       df: org.apache.spark.sql.DataFrame, v: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = graft.CachedPlans.cached(s, cacheKey)(
-      df.repartitionByRange(parts, col(v)).withColumn("__pid", spark_partition_id()))
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
+    val (ranged, offsets, n) =
+      rangedOffsets(s, cacheKey, df, Seq(col(v)), count(lit(1)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col(v))
     ranged

@@ -197,6 +197,34 @@ object SqlSurface3 {
     * The cumsum runs over the PART-level aggregate (dimension-sized,
     * |parts| rows), not the fact table — the fact scan is one ordinary
     * group-by. */
+  /** The two-phase ranked-revenue frame q_pareto and q_abc_xyz share
+    * — ONE builder for the session cache key `pareto.ranged:$d`
+    * (CachedPlans is first-caller-wins, so a second inline copy could
+    * silently drift whichever op ran second — r14 AD advice).
+    * Returns the range-partitioned frame (l_partkey, rc, __pid) and
+    * the exact global cumulative-revenue-share Column over it. */
+  private[operators] def paretoRanked(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.expressions.Window
+    // integer money units BEFORE any rounding cast: price-cents ×
+    // discount-hundredths (a double→decimal cast of the PRODUCT rounds
+    // a borderline cent differently across engines; round() of a
+    // near-integer double does not — both engines see the same double)
+    val r = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * round((lit(1) - col("l_discount")) * 100).cast("long")).as("rc"))
+    val (ranged, offsets, tot) = QuantileExact.rangedOffsets(
+      s, s"pareto.ranged:$d", r,
+      Seq(col("rc").desc, col("l_partkey")), sum(col("rc")))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("rc").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val share = (element_at(typedLit(offsets), col("__pid")) + sum(col("rc")).over(w))
+      .cast("double") / lit(tot.toDouble)
+    (ranged, share)
+  }
+
   val qPareto: GraftOp = GraftOp(
     "q_pareto",
     """WITH r AS (
@@ -214,31 +242,7 @@ object SqlSurface3 {
       |       WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
       |       ELSE 'C' END AS cls
       |FROM c ORDER BY l_partkey""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    // integer money units BEFORE any rounding cast: price-cents ×
-    // discount-hundredths (a double→decimal cast of the PRODUCT rounds
-    // a borderline cent differently across engines; round() of a
-    // near-integer double does not — both engines see the same double)
-    val r = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"))
-      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
-        * round((lit(1) - col("l_discount")) * 100).cast("long")).as("rc"))
-    val ranged = graft.CachedPlans.cached(s, s"pareto.ranged:$d") {
-      r.repartitionByRange(parts, col("rc").desc, col("l_partkey"))
-        .withColumn("__pid", spark_partition_id())
-    }
-    val perPart = ranged.groupBy(col("__pid")).agg(sum(col("rc")).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val tot = perPart.map(_._2).sum.toDouble
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      perPart.map { case (pid, c) => val o = acc; acc += c; pid -> o }.toMap
-    val w = Window.partitionBy(col("__pid"))
-      .orderBy(col("rc").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = element_at(typedLit(offsets), col("__pid")) + sum(col("rc")).over(w)
-    val share = cum.cast("double") / lit(tot)
+    val (ranged, share) = paretoRanked(s, d)
     ranged
       .select(col("l_partkey"), (col("rc") / 10000.0).as("revenue"),
         when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").as("cls"))
