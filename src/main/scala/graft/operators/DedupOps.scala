@@ -279,7 +279,10 @@ object DedupOps {
   /** Shared oracle CTE chain ending in `verified(doc_a, doc_b,
     * jaccard)` — the minhash pipeline up to exact-Jaccard
     * verification, reused by dedup_minhash and dedup_clusters. */
-  private[operators] val sqlMinhashVerified: String =
+  /** Oracle CTE prefix ending in `hashes(doc_id, seed, mh)` — the
+    * shingle → md5 → 16-minhash chain shared by the banding consumers
+    * (r15: dedup_band_curve re-bands the SAME hashes). */
+  private[operators] val sqlMinhashHashes: String =
     s"""toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
        |shl AS (SELECT doc_id, $sqlShingles AS shingles FROM toks),
        |sh0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
@@ -287,7 +290,10 @@ object DedupOps {
        |hashes AS (
        |  SELECT doc_id, seed, min(${Exprs.sqlMd5Long("concat(CAST(sid AS VARCHAR), '#', seed)")}) AS mh
        |  FROM sh, (SELECT unnest(range(0, 16)) AS seed) seeds
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private[operators] val sqlMinhashVerified: String =
+    s"""$sqlMinhashHashes,
        |bands AS (
        |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
@@ -312,7 +318,13 @@ object DedupOps {
       counted("minhash_pairs")(minhashPairsPlan(s, d)))
 
   private def minhashPairsPlan(s: SparkSession, d: String): DataFrame =
-    verifiedPairChain(shingledDocs(s, d), hashedIndex(s, d)) // shared cache with dedup_ngram
+    verifiedPairChainFromSigs(shingledDocs(s, d), corpusSigs(s, d)) // shared cache with dedup_ngram
+
+  /** Registry-persisted 16-minhash signatures of the corpus — the
+    * expensive md5-dictionary pass, shared by dedup_minhash's pair
+    * chain and dedup_lsh_band_curve's re-banding (r15). */
+  private[graft] def corpusSigs(s: SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"dedup.minhashSigs:$d")(minhashSigs(hashedIndex(s, d)))
 
   /** Verified near-dup pairs for an ARBITRARY docs frame (doc_id,
     * text) — the same signature/band/verify chain as dedup_minhash but
@@ -328,18 +340,25 @@ object DedupOps {
     verifiedPairChain(docs, sh)
   }
 
-  private def verifiedPairChain(docs: DataFrame, sh: DataFrame): DataFrame = {
-    // 16 portable min-hashes. md5 is the expensive kernel → hash each
-    // DISTINCT shingle id once (dictionary, as a 16-wide array), then
-    // join back and take 16 columnar min-aggregates per doc — no seed
-    // explosion, one narrow shuffle of |index| rows.
+  /** The 16-minhash signature frame (doc_id, m0..m15) for a shingle
+    * index. md5 is the expensive kernel → hash each DISTINCT shingle
+    * id once (dictionary, as a 16-wide array), then join back and take
+    * 16 columnar min-aggregates per doc — no seed explosion, one
+    * narrow shuffle of |index| rows. */
+  private[operators] def minhashSigs(sh: DataFrame): DataFrame = {
     val dict = sh.select(col("sid")).distinct()
       .select(col("sid"), transform(sequence(lit(0), lit(15)),
         seed => Exprs.md5Long(concat(col("sid").cast(StringType), lit("#"), seed.cast(StringType)))).as("hs"))
     val minCols = (0 until 16).map(i => min(element_at(col("hs"), i + 1)).as(s"m$i"))
-    val sigs = sh.join(dict, "sid")
+    sh.join(dict, "sid")
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
+  }
+
+  private def verifiedPairChain(docs: DataFrame, sh: DataFrame): DataFrame =
+    verifiedPairChainFromSigs(docs, minhashSigs(sh))
+
+  private def verifiedPairChainFromSigs(docs: DataFrame, sigs: DataFrame): DataFrame = {
     // 4 bands × 4 rows: band signature = comma-joined minhash run
     val bandSig = (0 until 4).map(b =>
       concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}").cast(StringType)): _*))
@@ -409,6 +428,7 @@ object DedupOps {
        |  UNION ALL SELECT 'dedup_cluster_labels', CAST(count(*) AS BIGINT) FROM vv
        |  UNION ALL SELECT 'dedup_hashed_index', CAST(count(*) AS BIGINT) FROM sh
        |  UNION ALL SELECT 'dedup_minhash_pairs', CAST(count(*) AS BIGINT) FROM vp
+       |  UNION ALL SELECT 'dedup_minhash_sigs', CAST(count(DISTINCT doc_id) AS BIGINT) FROM sh
        |  UNION ALL SELECT 'dedup_rare_index', CAST(count(*) AS BIGINT) FROM sh
        |    WHERE sid IN (SELECT sid FROM rare)
        |  UNION ALL SELECT 'dedup_shingled', CAST(count(*) AS BIGINT) FROM documents
@@ -1226,7 +1246,83 @@ object DedupOps {
         expr("CAST(n_hits * 1000000 div NULLIF(n_found, 0) AS BIGINT)").as("precision_ppm"))
   }
 
+  /** MinHash-LSH band-count tuning curve — the recall/cost table a
+    * dedup operator reads before fixing (bands × rows), mirroring
+    * knn_ivf_recall_curve for the IVF family: the SAME 16 portable
+    * minhashes re-banded at b ∈ {1,2,4,8,16} bands of 16/b rows; per
+    * rung, the band-join candidate volume (the verify-cost proxy —
+    * banding is the recall gate, exact verification is the constant
+    * downstream) and recall of the candidate set against the
+    * rare-shingle-blocked exact route's verified pairs (the same
+    * truth dedup_lsh_audit audits against). Candidate sets NEST as
+    * bands double (agreeing on a 2k-run implies agreeing on both
+    * k-runs), so recall and volume are monotone by construction —
+    * spec-pinned. Everything is exact integers off md5 hashes →
+    * hash-checkable end to end; each rung's join carries (band, sig)
+    * keys, never an all-pairs product. */
+  val bandCurve: GraftOp = GraftOp(
+    "dedup_lsh_band_curve", {
+      val rungs = Seq(1, 2, 4, 8, 16).map { b =>
+        val rows = 16 / b
+        s"""bands$b AS (
+           |  SELECT doc_id, CAST(floor(seed / $rows) AS INT) AS band,
+           |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+           |  FROM hashes GROUP BY 1, 2),
+           |cand$b AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands$b a JOIN bands$b b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+           |row$b AS (
+           |  SELECT CAST($b AS INT) AS n_bands, CAST($rows AS INT) AS rows_per_band,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$b) AS n_candidates,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM tr JOIN cand$b USING (doc_a, doc_b)) AS n_hits)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlMinhashHashes,
+         |tr AS (SELECT doc_a, doc_b FROM (${ngram.oracle.get}) x),
+         |$rungs,
+         |curve AS (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+         |  UNION ALL SELECT * FROM row4 UNION ALL SELECT * FROM row8
+         |  UNION ALL SELECT * FROM row16)
+         |SELECT n_bands, rows_per_band, n_candidates, n_truth, n_hits,
+         |  n_hits * 1000000 // NULLIF(n_truth, 0) AS recall_ppm
+         |FROM curve ORDER BY n_bands""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val truth = ConnectedComponents.snapshot(
+      ngram.run(s, d).select(col("doc_a"), col("doc_b")))
+    val nTruth = truth.count()
+    val marked = truth.withColumn("in_t", lit(1))
+    val sigs = corpusSigs(s, d)
+    val rungs = Seq(1, 2, 4, 8, 16).map { b =>
+      val rows = 16 / b
+      val bandSig = (0 until b).map(band =>
+        concat_ws(",", (0 until rows).map(r => col(s"m${band * rows + r}").cast(StringType)): _*))
+      val bands = sigs
+        .select(col("doc_id"), posexplode(array(bandSig: _*)))
+        .toDF("doc_id", "band", "sig")
+      // ONE job per rung: volume and truth hits off the same traversal
+      // (truth is pair-count-sized; AQE broadcasts it at test scale)
+      val agg = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .join(marked, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("nc"), count(col("in_t")).as("nh"))
+        .head()
+      (b, rows, agg.getLong(0), nTruth, agg.getLong(1))
+    }
+    ConnectedComponents.release(truth) // sigs stays: registry-persisted
+    rungs.toDF("n_bands", "rows_per_band", "n_candidates", "n_truth", "n_hits")
+      .select(col("n_bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000000 div NULLIF(n_truth, 0)").as("recall_ppm"))
+      .orderBy(col("n_bands"))
+  }
+
   val ops: Seq[GraftOp] =
     Seq(candidateIndex, exact, ngram, minhash, clusters, representative, crossSource, spans, spanClean, substrSpans, substrClean, simhash,
-      embed, containment, semantic, report, thresholdSweep, lshAudit)
+      embed, containment, semantic, report, thresholdSweep, lshAudit, bandCurve)
 }

@@ -116,5 +116,89 @@ object PackOps {
           .as("eff_stream_ppm"))
   }
 
-  val ops: Seq[GraftOp] = Seq(packSequences, packEfficiency)
+  /** Deterministic epoch-shuffle order audit over the packed stream —
+    * the training-order-reproducibility readout [[packSequences]] was
+    * still missing: every epoch e permutes the S packed sequences by
+    * the portable hash md5Long("seq#e") (ties to the smaller seq id),
+    * and this op emits, per epoch, the 10×10 block-mixing profile of
+    * that permutation — sequence-id decile × epoch-position decile
+    * occupancy collapsed to (diagonal mass, max cell, min cell). An
+    * unshuffled epoch puts 100% on the diagonal; a well-mixed one
+    * sits near uniform (≈10k ppm/cell). Because the order is a pure
+    * hash, the oracle re-derives the identical permutation and the
+    * profile hash-matches — reproducibility is PROVEN by the compare,
+    * not asserted.
+    *
+    * Scale: positions come from ONE two-phase prefix-sum pass
+    * ([[QuantileExact.prefixSumUngrouped]] over (epoch, hash, seq) —
+    * epochs are contiguous blocks of exactly S rows, so the in-epoch
+    * position is cum − (e−1)·S with no per-epoch repartition), the
+    * cell table is ≤ 3·100 rows, and every statistic is an exact
+    * BIGINT (counts ≤ S; ppm exact for S < 9·10¹²). */
+  val packEpochOrder: GraftOp = GraftOp(
+    "pack_epoch_order",
+    s"""WITH t AS (
+       |  SELECT CAST(sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |sq AS (SELECT (n_tokens + $Budget - 1) // $Budget AS ns FROM t),
+       |seqs AS (SELECT sq.ns, s2.i AS seq FROM sq, unnest(range(sq.ns)) AS s2(i)),
+       |ep AS (SELECT unnest([1, 2, 3]) AS epoch),
+       |h AS (
+       |  SELECT ep.epoch, q.seq, q.ns,
+       |    ${graft.functions.Exprs.sqlMd5Long("concat(CAST(q.seq AS VARCHAR), '#', CAST(ep.epoch AS VARCHAR))")} AS hv
+       |  FROM seqs q CROSS JOIN ep),
+       |p AS (
+       |  SELECT epoch, seq, ns,
+       |    row_number() OVER (PARTITION BY epoch ORDER BY hv, seq) AS pos
+       |  FROM h),
+       |c AS (
+       |  SELECT epoch, ns, seq * 10 // ns AS ib, (pos - 1) * 10 // ns AS pd FROM p),
+       |cells AS (
+       |  SELECT epoch, ib, pd, CAST(count(*) AS BIGINT) AS n
+       |  FROM c GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT ep.epoch, x.i AS ib, y.j AS pd
+       |  FROM ep, unnest(range(10)) AS x(i), unnest(range(10)) AS y(j)),
+       |filled AS (
+       |  SELECT g.epoch, g.ib, g.pd, coalesce(cl.n, 0) AS n
+       |  FROM grid g LEFT JOIN cells cl
+       |    ON cl.epoch = g.epoch AND cl.ib = g.ib AND cl.pd = g.pd)
+       |SELECT CAST(f.epoch AS INT) AS epoch, sq.ns AS n_seqs,
+       |  CAST(sum(CASE WHEN f.ib = f.pd THEN f.n ELSE 0 END) * 1000000 // sq.ns AS BIGINT) AS diag_ppm,
+       |  CAST(max(f.n) AS BIGINT) AS max_cell, CAST(min(f.n) AS BIGINT) AS min_cell
+       |FROM filled f, sq GROUP BY 1, 2 ORDER BY epoch""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val nTokens = Tables.documents(s, d)
+      .agg(sum(size(split(col("text"), "\\s+")).cast(LongType)).cast(LongType))
+      .head.getLong(0)
+    val ns = (nTokens + Budget - 1) / Budget
+    val hv = graft.functions.Exprs.md5Long(
+      concat(col("seq").cast(StringType), lit("#"), col("epoch").cast(StringType)))
+    val base = s.range(ns).toDF("seq")
+      .crossJoin(Seq(1, 2, 3).toDF("epoch"))
+      .select(col("epoch"), col("seq"), hv.as("hv"), lit(1L).as("w"))
+    val pos = QuantileExact.prefixSumUngrouped(s, s"pack.epochOrder:$d", base,
+        Seq(col("epoch"), col("hv"), col("seq")), "w")
+      .select(col("epoch"), col("seq"),
+        (col("__cum") - (col("epoch").cast(LongType) - 1) * ns).as("pos"))
+    val cells = pos
+      .select(col("epoch"), expr(s"seq * 10 div ${ns}L").as("ib"),
+        expr(s"(pos - 1) * 10 div ${ns}L").as("pd"))
+      .groupBy(col("epoch"), col("ib"), col("pd"))
+      .agg(count(lit(1)).as("n"))
+    val grid = Seq(1, 2, 3).toDF("epoch")
+      .crossJoin(s.range(10).toDF("ib"))
+      .crossJoin(s.range(10).toDF("pd"))
+    grid.join(cells, Seq("epoch", "ib", "pd"), "left")
+      .select(col("epoch"), col("ib"), col("pd"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy(col("epoch"))
+      .agg(sum(when(col("ib") === col("pd"), col("n")).otherwise(lit(0L))).as("diag"),
+        max(col("n")).as("max_cell"), min(col("n")).as("min_cell"))
+      .select(col("epoch").cast(IntegerType).as("epoch"), lit(ns).as("n_seqs"),
+        expr(s"diag * 1000000 div ${ns}L").as("diag_ppm"),
+        col("max_cell"), col("min_cell"))
+      .orderBy(col("epoch"))
+  }
+
+  val ops: Seq[GraftOp] = Seq(packSequences, packEfficiency, packEpochOrder)
 }

@@ -28,6 +28,7 @@ object SharedIndexes {
     "dedup_hashed_index" -> (() => DedupOps.hashedIndex(s, d)),
     "dedup_rare_index" -> (() => DedupOps.rareIndex(s, d)),
     "dedup_minhash_pairs" -> (() => DedupOps.minhashPairs(s, d)),
+    "dedup_minhash_sigs" -> (() => DedupOps.corpusSigs(s, d)), // r15: shared by minhash pair chain + band curve
     "dedup_cluster_labels" -> (() => DedupOps.clusterLabels(s, d)),
     "dedup_simhash_docs" -> (() => DedupOps.simhashDocs(s, d)),
     "knn_ivf_assigned" -> (() => IvfIndex.assigned(s, d)), // forces corpus + KMeans fit

@@ -81,6 +81,37 @@ class EventsPackSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning(bucket"), plan)
   }
 
+  test("pack_epoch_order: epochs mix (diagonal far from identity), counts conserve, deterministic") {
+    val rows = PackOps.packEpochOrder.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    val ns = rows.head._2
+    rows.foreach { case (epoch, n, diagPpm, mx, mn) =>
+      assert(n == ns, "sequence count must not vary by epoch")
+      // identity order would put 1e6 ppm on the diagonal; a hash
+      // shuffle sits near uniform (100k ppm). 3× uniform is a
+      // generous mixing bound that an unshuffled epoch can't meet.
+      assert(diagPpm < 300000, s"epoch $epoch barely shuffled: diag $diagPpm ppm")
+      assert(mx >= mn && mn >= 0 && mx <= n)
+    }
+    val again = PackOps.packEpochOrder.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq == rows.toSeq, "epoch order must be reproducible")
+  }
+
+  test("dedup_lsh_band_curve: candidate volume and recall are monotone in band count") {
+    val rows = graft.operators.DedupOps.bandCurve.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    rows.sliding(2).foreach { case Array((b1, c1, r1), (b2, c2, r2)) =>
+      // candidate sets NEST as bands double (agreeing on a 2k-run
+      // implies agreeing on both k-runs) — so volume and recall can
+      // only grow with the band count
+      assert(c2 >= c1, s"candidates dropped $b1→$b2: $c1→$c2")
+      assert(r2 >= r1, s"recall dropped $b1→$b2: $r1→$r2")
+    }
+  }
+
   test("knn_classify: every query labeled once, labels from the corpus label set") {
     val out = KnnOps.classify.run(spark, sf).collect()
     val labels = graft.sources.Tables.embeddings(spark, sf)
