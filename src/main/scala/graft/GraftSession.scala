@@ -27,8 +27,11 @@ object GraftSession {
       // 100-entry generated-class cache thrashes on a 200+-query
       // surface (every pass evicts everything, so every query repays
       // Janino compilation — pure driver-side latency that grows with
-      // the library, not the data); size it to hold the whole surface
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // the library, not the data); size it to hold the whole surface.
+      // r15: 4000 → 8000 after the 449-query surface started evicting
+      // mid-session (pass-2 emb/graph spikes with flat GC — recompiles,
+      // not heap; cold-isolated the same ops matched their r14 times)
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       // Long-session health (r12, after two driver rounds showed the
       // SECOND full pass over a ~390-query surface running 2.2× slower
       // than the first with 30–96× single-query GC spikes): a session
