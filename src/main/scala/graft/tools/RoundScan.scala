@@ -59,6 +59,15 @@ object RoundScan {
     var i = 0
     while (i < lower.length) {
       lower(i) match {
+        case '\'' =>
+          // skip string literals ('' is the escaped quote) — a paren
+          // inside a regex/text literal must not unbalance the stack
+          i += 1
+          while (i < lower.length &&
+              !(lower(i) == '\'' && (i + 1 >= lower.length || lower(i + 1) != '\''))) {
+            if (lower(i) == '\'' && i + 1 < lower.length && lower(i + 1) == '\'') i += 1
+            i += 1
+          }
         case '(' =>
           // name directly before this paren, if any
           var j = i - 1

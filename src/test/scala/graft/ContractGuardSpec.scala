@@ -84,6 +84,10 @@ class ContractGuardSpec extends AnyFunSuite {
     // allowed classes stay allowed: emit rounding, scale-0 inside libm
     assert(graft.tools.RoundScan.oracleViolations(
       "SELECT round(cos, 6) AS c, ln(round(x)) AS l, sqrt(round(y, 0) + 1) AS s FROM t").isEmpty)
+    // parens inside string literals must not unbalance the scan: this
+    // ln( closes before the round, so the round is NOT inside it
+    assert(graft.tools.RoundScan.oracleViolations(
+      "SELECT ln(regexp_extract(t, '([0-9]+)')) AS a, round(x, 6) AS b FROM t").isEmpty)
     val ok = spark.range(1).select(round(exp(col("id") * 1.1), 6).as("x"))
     assert(graft.tools.RoundScan.sparkViolations(ok.queryExecution.analyzed).isEmpty,
       "round OF a libm result is the emit class, not an input snap")
