@@ -28,6 +28,7 @@ object DedupIndexStore {
     ("rare_index", s"dedup.rareIndex:$d", () => DedupOps.rareIndex(s, d)),
     ("minhash_pairs", s"dedup.minhashPairs:$d", () => DedupOps.minhashPairs(s, d)),
     ("minhash_sigs", s"dedup.minhashSigs:$d", () => DedupOps.corpusSigs(s, d)), // r15
+    ("ngram_pairs", s"dedup.ngramPairs:$d", () => DedupOps.ngramPairs(s, d)), // r15
 
     ("cluster_labels", s"dedup.clusterLabels:$d", () => DedupOps.clusterLabels(s, d)),
     ("simhash_docs", s"dedup.simhashDocs:$d", () => DedupOps.simhashDocs(s, d)))

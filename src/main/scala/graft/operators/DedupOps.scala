@@ -136,6 +136,19 @@ object DedupOps {
        |  AND len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
        |    (sa.n + sb.n - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    ngramPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Registry-persisted blocked-exact near-dup pairs (doc_a, doc_b,
+    * jaccard ≥ 0.8) — the rare-shingle route's verified output, shared
+    * by dedup_ngram, dedup_lsh_audit's truth and
+    * dedup_lsh_band_curve's truth (r15: previously each consumer
+    * re-ran the pair join + exact verification per query). */
+  private[graft] def ngramPairs(s: SparkSession, d: String): DataFrame =
+    graft.CachedPlans.cached(s, s"dedup.ngramPairs:$d")(
+      counted("ngram_pairs")(ngramPairsPlan(s, d)))
+
+  private def ngramPairsPlan(s: SparkSession, d: String): DataFrame = {
     val docs = shingledDocs(s, d)
     // join on a portable 60-bit shingle hash: long equi-keys shuffle and
     // probe far cheaper than ~30-char strings; the oracle hashes
@@ -162,7 +175,6 @@ object DedupOps {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Asymmetric shingle CONTAINMENT: |A∩B| / min(|A|,|B|) ≥ 0.9 —
@@ -429,6 +441,8 @@ object DedupOps {
        |  UNION ALL SELECT 'dedup_hashed_index', CAST(count(*) AS BIGINT) FROM sh
        |  UNION ALL SELECT 'dedup_minhash_pairs', CAST(count(*) AS BIGINT) FROM vp
        |  UNION ALL SELECT 'dedup_minhash_sigs', CAST(count(DISTINCT doc_id) AS BIGINT) FROM sh
+       |  UNION ALL SELECT 'dedup_ngram_pairs', CAST(count(*) AS BIGINT)
+       |    FROM (${ngram.oracle.get}) np
        |  UNION ALL SELECT 'dedup_rare_index', CAST(count(*) AS BIGINT) FROM sh
        |    WHERE sid IN (SELECT sid FROM rare)
        |  UNION ALL SELECT 'dedup_shingled', CAST(count(*) AS BIGINT) FROM documents
@@ -1235,8 +1249,9 @@ object DedupOps {
     // one FULL OUTER pass: referencing each route's frame once keeps
     // its (expensive) subplan in the DAG once — the r8 first shape used
     // the frames in two aggregates each, executing both dedup routes
-    // twice per run
-    val t = ngram.run(s, d).select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
+    // twice per run. r15: the truth side serves the registry-persisted
+    // ngramPairs frame (shared with dedup_ngram and the band curve).
+    val t = ngramPairs(s, d).select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
     val f = minhash.run(s, d).select(col("doc_a"), col("doc_b"), lit(1).as("in_f"))
     t.join(f, Seq("doc_a", "doc_b"), "full_outer")
       .agg(count(col("in_t")).as("n_truth"), count(col("in_f")).as("n_found"),
@@ -1289,8 +1304,9 @@ object DedupOps {
          |FROM curve ORDER BY n_bands""".stripMargin
     }) { (s, d) =>
     import s.implicits._
-    val truth = ConnectedComponents.snapshot(
-      ngram.run(s, d).select(col("doc_a"), col("doc_b")))
+    // registry-persisted: no per-rung re-derivation and no snapshot
+    // needed — the frame is already materialized once per session
+    val truth = ngramPairs(s, d).select(col("doc_a"), col("doc_b"))
     val nTruth = truth.count()
     val marked = truth.withColumn("in_t", lit(1))
     val sigs = corpusSigs(s, d)
@@ -1314,7 +1330,7 @@ object DedupOps {
         .head()
       (b, rows, agg.getLong(0), nTruth, agg.getLong(1))
     }
-    ConnectedComponents.release(truth) // sigs stays: registry-persisted
+    // truth and sigs both stay: registry-persisted, other consumers serve them
     rungs.toDF("n_bands", "rows_per_band", "n_candidates", "n_truth", "n_hits")
       .select(col("n_bands"), col("rows_per_band"), col("n_candidates"),
         col("n_truth"), col("n_hits"),

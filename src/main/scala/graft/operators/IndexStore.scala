@@ -38,8 +38,8 @@ object IndexStore {
     * v2 (r11): + knn_graph_edges. v3 (r12): + text_tokens.
     * v4 (r15): IVF centroids are exact-Lloyd BIGINT micros (schema
     * change: centroid Array[Double] → Array[Long]).
-    * v5 (r15): + dedup minhash_sigs. */
-  val FormatVersion = 5
+    * v5 (r15): + dedup minhash_sigs. v6 (r15): + dedup ngram_pairs. */
+  val FormatVersion = 6
 
   private[graft] def enabled(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.index.store.enabled").map(_.trim.toLowerCase) match {

@@ -29,6 +29,7 @@ object SharedIndexes {
     "dedup_rare_index" -> (() => DedupOps.rareIndex(s, d)),
     "dedup_minhash_pairs" -> (() => DedupOps.minhashPairs(s, d)),
     "dedup_minhash_sigs" -> (() => DedupOps.corpusSigs(s, d)), // r15: shared by minhash pair chain + band curve
+    "dedup_ngram_pairs" -> (() => DedupOps.ngramPairs(s, d)), // r15: shared by ngram + lsh_audit + band curve
     "dedup_cluster_labels" -> (() => DedupOps.clusterLabels(s, d)),
     "dedup_simhash_docs" -> (() => DedupOps.simhashDocs(s, d)),
     "knn_ivf_assigned" -> (() => IvfIndex.assigned(s, d)), // forces corpus + KMeans fit
