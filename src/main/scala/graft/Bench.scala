@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   * gutted plan. Failures are reported as -1 in the per-query map (and
   * logged to stderr) instead of masquerading as fast timings.
   *
-  * The artifact is self-describing: queries run in sorted name order
+  * The artifact is self-describing: pass 1 runs in sorted name order
   * (stable cross-round per-query diffs — Map hash order let whichever
-  * query ran first absorb post-warmup costs), and the JSON carries the
+  * query ran first absorb post-warmup costs) and pass 2 in REVERSE
+  * name order (r16: a host-load window then lands on different
+  * queries in each pass, so the per-query min absorbs it instead of
+  * producing alphabet-contiguous false flags), and the JSON carries the
   * warmup wall-time (a machine-load proxy: warmup does fixed work, so
   * a 3× warmup means a loaded box, not a plan regression) plus the
   * baseline comparison (total ratio + flagged queries), so a noisy run
@@ -66,7 +69,8 @@ object Bench {
     * contiguous query block must be adjudicable from the JSON alone. */
   private[graft] val ArtifactKeys: Seq[String] = Seq(
     "queries_run1", "queries_run2", "queries", "start1", "start2",
-    "load_samples", "warmup_sec", "sf", "run1_sec", "run2_sec",
+    "load_samples", "index_build_sec_run1", "index_build_sec_run2",
+    "warmup_sec", "sf", "run1_sec", "run2_sec",
     "gc_run1_sec", "gc_run2_sec", "load_max", "mem_min_mb",
     "n_queries", "n_failed", "metric", "value", "unit", "status")
 
@@ -155,8 +159,8 @@ object Bench {
     }
     // per-query attribution: (name, wall sec or -1, gc sec inside window,
     // start offset sec from bench epoch)
-    def onePass(pass: Int): Seq[(String, Double, Double, Double)] =
-      surface.map { case (name, fn) =>
+    def onePass(pass: Int, order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double, Double, Double)] =
+      order.map { case (name, fn) =>
         val g0 = gcSec()
         val t0 = System.nanoTime()
         val startOff = (t0 - epoch) / 1e9
@@ -174,9 +178,23 @@ object Bench {
               "(session heap pressure, not plan work)")
         (name, if (ok) sec else -1.0, gc, startOff)
       }
-    val pass1 = onePass(1)
+    graft.operators.SharedIndexes.drainBuildLog() // warmup leftovers out
+    val pass1 = onePass(1, surface)
+    // Per-index build seconds (r16, verdict #6): the shared-index build
+    // phase rides inside dedup_candidate_index's timing; these maps
+    // break that single number down per index so build-vs-serve cost is
+    // read from the artifact, not from an attribution paragraph.
+    val idx1 = graft.operators.SharedIndexes.drainBuildLog()
     CachedPlans.clear(spark) // pass 2 rebuilds shared indexes: same cost model
-    val pass2 = onePass(2)
+    // Pass 2 walks the surface in REVERSE name order (r16): both passes
+    // walking the same sorted order meant a host-load window landed on
+    // the same alphabet-contiguous block in both passes, so min-of-2
+    // couldn't absorb it (three rounds of q_a…q_c false-flag forensics).
+    // Reversed, a load window hits DIFFERENT queries in each pass and
+    // the per-query min drops the spike out. The per-query start1/start2
+    // offsets still locate each query inside its own pass.
+    val pass2 = onePass(2, surface.reverse)
+    val idx2 = graft.operators.SharedIndexes.drainBuildLog()
     val loadSamples = sampler.stop()
     val run1 = pass1.map { case (n, s, _, _) => (n, s) }
     val run2 = pass2.map { case (n, s, _, _) => (n, s) }
@@ -253,6 +271,7 @@ object Bench {
       s""""queries":${qjson(results)},""" +
       s""""start1":${qjson(start1)},"start2":${qjson(start2)},""" +
       s""""load_samples":$loadJson,""" +
+      s""""index_build_sec_run1":${qjson(idx1)},"index_build_sec_run2":${qjson(idx2)},""" +
       s""""warmup_sec":$warmupSec,$perPass${delta.json}${prev.json}"sf":${JsonUtil.q(sfDir)},""" +
       s""""run1_sec":$run1Sec,"run2_sec":$run2Sec,""" +
       s""""gc_run1_sec":$gcRun1,"gc_run2_sec":$gcRun2,""" +

@@ -13,10 +13,13 @@ object Dev {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "explain") SparkEntry.queries(opName)(spark, sfDir).explain("formatted")
     else if (mode == "plan") {
-      // AQE's final plan exists only after execution: run to a noop
-      // sink, then print the adaptive plan minus its Initial section.
+      // AQE's final plan exists only after execution — and only in the
+      // QueryExecution that actually ran. df.write.save() runs its OWN
+      // QueryExecution, leaving df's executedPlan an unexecuted
+      // AdaptiveSparkPlanExec (isFinalPlan=false), so drive df's plan
+      // directly via toRdd before printing.
       val df = SparkEntry.queries(opName)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.toRdd.foreach(_ => ())
       println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
     }
     else {

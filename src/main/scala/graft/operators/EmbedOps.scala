@@ -567,6 +567,8 @@ object EmbedOps {
     val cents: Array[Array[Long]] = xs.filter(col("vec_id") < kk)
       .orderBy(col("vec_id")).collect()
       .map(_.getSeq[Long](1).toArray)
+    require(cents.length == kk,
+      s"Lloyd at K=$kk needs vec_id 0..${kk - 1} seeds; corpus has ${cents.length}")
     for (_ <- 1 until KmAssignRounds) {
       val upd = kmAssign(xs, cents)
         .select(col("k"), posexplode(col("xs")))

@@ -41,6 +41,24 @@ object SharedIndexes {
     "graph_trade_edges" -> (() => GraphOps.tradeEdges(s, d)),
     "graph_und_edges" -> (() => GraphOps.undirectedTradeEdges(s, d)))
 
+  /** Per-index build seconds of every [[materializeAll]] call this
+    * JVM, in call order (r16, verdict #6): `dedup_candidate_index`
+    * carries the whole session's shared-index build, and the bench
+    * artifact now shows WHICH index costs what instead of a manual
+    * attribution paragraph. Drained by [[graft.Bench]] into the
+    * artifact's `index_build_sec_run1/2` maps; each entry also logs a
+    * `[index-build]` stderr line at build time. */
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  /** Remove and return every timing recorded since the last drain. */
+  def drainBuildLog(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var e = buildLog.poll()
+    while (e != null) { out += e; e = buildLog.poll() }
+    out.toSeq
+  }
+
   /** Force-build and materialize every shared index; returns each
     * index's name and row count (all deterministic corpus statistics).
     *
@@ -52,8 +70,17 @@ object SharedIndexes {
     * the store, making the NEXT session's build phase a load. */
   def materializeAll(s: SparkSession, d: String): Seq[(String, Long)] = {
     val useStore = IndexStore.enabled(s)
-    if (useStore && IndexStore.isComplete(s, d)) IndexStore.loadAll(s, d)
-    val counts = entries(s, d).map { case (name, build) => name -> build().count() }
+    val served = useStore && IndexStore.isComplete(s, d)
+    if (served) IndexStore.loadAll(s, d)
+    val counts = entries(s, d).map { case (name, build) =>
+      val t0 = System.nanoTime()
+      val n = build().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      buildLog.add((name, math.rint(sec * 100) / 100))
+      System.err.println(
+        f"[index-build] $name: $n rows, $sec%.2f s (${if (served) "served from store" else "built"})")
+      name -> n
+    }
     if (useStore) IndexStore.saveAll(s, d) // no-op when already complete
     counts
   }

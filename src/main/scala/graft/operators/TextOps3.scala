@@ -378,6 +378,122 @@ object TextOps3 {
         expr(s"${h("sj_micro")} - ${h("sp_micro")}").as("h_cond"))
   }
 
+  /** SpaceSaving GUARANTEED-top-k emit (r16, verdict #4) — the sketch
+    * row's own oracle-checked key (§2f 37c had only the theorem audit
+    * `text_topk_sketch`; this emits the sketch's actionable OUTPUT).
+    * The q_tdigest_bounds discipline: exact integers about an
+    * approximate structure. Rows are the exact top-k tokens (census
+    * order, DuckDB-computable); the sketch contributes three
+    * theorem-guaranteed booleans evaluated GENUINELY against its
+    * counters on the Spark side and emitted as the theorem's verdict
+    * on the oracle side, so a broken sketch goes hash-red:
+    *
+    *  - `covered`: any token with n_true·cap > n_total MUST hold a
+    *    counter (an untracked item's true count is ≤ the sketch min ≤
+    *    n_total/cap — Metwally et al.'s guarantee, preserved by the
+    *    floor-union merge: every merged counter ≥ minA+minB, so the
+    *    merged min still bounds absent items);
+    *  - `est_dominates`: every tracked estimate ≥ its true count
+    *    (absent items enter a merge at the partial's min, an upper
+    *    bound on their mass in that partial);
+    *  - `est_within_slack`: every tracked estimate ≤ true +
+    *    n_total div cap (est − true ≤ sketch min, and the min is ≤
+    *    Σcounters/cap ≤ n_total/cap — the matched-floor argument:
+    *    any cap-sized selection's per-side values sum to ≤ that
+    *    side's counter total, so the merged counter sum never exceeds
+    *    the stream length).
+    *
+    * The est VALUES are never emitted: Spark's final merge order is
+    * scheduler-dependent and the bounds above are the merge-shape-free
+    * truth. Scale shape: the census groupBy is the corpus shuffle the
+    * text family already pays (shared token frame); the sketch is one
+    * distributed typed aggregation; top-k/est/total are ≤cap-row
+    * broadcasts. */
+  val topkGuaranteed: GraftOp = GraftOp(
+    "text_topk_guaranteed",
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+      |g AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+      |r AS (SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+      |      FROM c)
+      |SELECT r.rank, r.tok, r.n AS n_true,
+      |  CAST(g.n_total // 16 AS BIGINT) AS ss_threshold,
+      |  (r.n * 16 > g.n_total) AS guaranteed,
+      |  true AS covered, true AS est_dominates, true AS est_within_slack
+      |FROM r CROSS JOIN g WHERE r.rank <= 8 ORDER BY r.rank""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 16
+    val k = 8
+    val toks = TextOps.tokenized(s, d).select(col("tok")).as[String]
+    val pairs: Seq[(String, Long)] =
+      toks.select(new graft.functions.SpaceSavingTopK(cap, cap).toColumn).head()
+    val est = pairs.toDF("tok", "est")
+    val census = TextOps.tokenized(s, d).groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = census.agg(sum(col("n")).cast(LongType).as("n_total"))
+    val topk = census.orderBy(col("n").desc, col("tok")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+    topk.join(broadcast(est), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("tok"), col("n").as("n_true"),
+        expr("n_total div 16").as("ss_threshold"),
+        (col("n") * 16 > col("n_total")).as("guaranteed"),
+        (!(col("n") * 16 > col("n_total")) || col("est").isNotNull).as("covered"),
+        (col("est").isNull || col("est") >= col("n")).as("est_dominates"),
+        (col("est").isNull || col("est") <= col("n") + expr("n_total div 16"))
+          .as("est_within_slack"))
+      .orderBy(col("rank"))
+  }
+
+  /** Compression-ratio BOUNDS companion (r16, verdict #5) — the
+    * oracle-checked gate over the engine-private zlib kernel
+    * (`text_compression_ratio` stays rows-only by adjudicated
+    * contract; this key makes a broken compressor hash-red). Emits the
+    * exact byte counts plus two theorem booleans per document,
+    * evaluated against the REAL deflate output on the Spark side and
+    * as the theorems' verdicts on the oracle side:
+    *
+    *  - `le_expansion_bound`: deflate never expands beyond zlib's
+    *    documented compressBound — n + n/2¹² + n/2¹⁴ + n/2²⁵ + 13
+    *    (stored-block fallback + 2-byte header + 4-byte Adler-32);
+    *  - `ge_stream_floor`: the output can never shrink below
+    *    8 + n div 2064 bytes — the 6 wrapper bytes + ≥2 data bytes,
+    *    plus ≥1 Huffman bit per LZ77 symbol with each symbol covering
+    *    ≤258 input bytes (258×8 = 2064; real streams pay ≥2 bits per
+    *    match, so the floor has 2× slack even on degenerate runs).
+    *
+    * Why NOT the verdict-suggested unigram-entropy (H0) lower bound:
+    * H0 is not a sound floor for an LZ77 codec — deflate compresses
+    * `abab…` far below its order-0 character entropy by matching, so
+    * an `deflated ≥ H0·n/8` boolean would be theorem-FALSE on
+    * repetitive documents and the hash would diverge on legitimate
+    * data. The symbol-rate floor above is the information bound that
+    * DOES hold for this codec. Scale shape: partition-local scan,
+    * zero shuffle, one codegen'd kernel call per row. */
+  val compressionBounds: GraftOp = GraftOp(
+    "text_compression_bounds",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(strlen(text) + strlen(text) // 4096 + strlen(text) // 16384
+      |       + strlen(text) // 33554432 + 13 AS BIGINT) AS zlib_bound,
+      |  CAST(8 + strlen(text) // 2064 AS BIGINT) AS stream_floor,
+      |  true AS le_expansion_bound, true AS ge_stream_floor
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        graft.functions.deflate_size(col("text")).cast(LongType).as("deflated"))
+      .select(col("doc_id"), col("n_bytes"),
+        expr("n_bytes + n_bytes div 4096 + n_bytes div 16384 + n_bytes div 33554432 + 13")
+          .as("zlib_bound"),
+        expr("8 + n_bytes div 2064").as("stream_floor"),
+        (col("deflated") <=
+          expr("n_bytes + n_bytes div 4096 + n_bytes div 16384 + n_bytes div 33554432 + 13"))
+          .as("le_expansion_bound"),
+        (col("deflated") >= expr("8 + n_bytes div 2064")).as("ge_stream_floor"))
+      .orderBy(col("doc_id"))
+  }
+
   def ops: Seq[GraftOp] = Seq(goodTuring, lengthKs, sourceJaccard, hapaxShare,
-    unigramEntropy, bigramEntropy)
+    unigramEntropy, bigramEntropy, topkGuaranteed, compressionBounds)
 }

@@ -68,11 +68,28 @@ object RoundScan {
             if (lower(i) == '\'' && i + 1 < lower.length && lower(i + 1) == '\'') i += 1
             i += 1
           }
+        case '"' =>
+          // skip double-quoted identifiers ("" is the escaped quote) —
+          // a paren inside a quoted column name must not fail the scan
+          // open by unbalancing the stack
+          i += 1
+          while (i < lower.length &&
+              !(lower(i) == '"' && (i + 1 >= lower.length || lower(i + 1) != '"'))) {
+            if (lower(i) == '"' && i + 1 < lower.length && lower(i + 1) == '"') i += 1
+            i += 1
+          }
+        case '-' if i + 1 < lower.length && lower(i + 1) == '-' =>
+          // skip '--' line comments: commented-out parens must not
+          // desync the paren stack (fail-open under-reporting)
+          while (i < lower.length && lower(i) != '\n') i += 1
         case '(' =>
-          // name directly before this paren, if any
+          // name directly before this paren (SQL allows whitespace
+          // between a call name and its paren: `ln (x)` is a libm call)
           var j = i - 1
+          while (j >= 0 && Character.isWhitespace(lower(j))) j -= 1
+          val nameEnd = j + 1
           while (j >= 0 && (Character.isLetterOrDigit(lower(j)) || lower(j) == '_')) j -= 1
-          val name = lower.substring(j + 1, i)
+          val name = lower.substring(j + 1, nameEnd)
           if (name == "round" && stack.exists(LibmNames.contains)) {
             // capture the call text for the message; scale check below
             var k = i + 1

@@ -71,6 +71,15 @@ class BenchGateSpec extends AnyFunSuite {
     // and the r12 headline contract is unchanged
     Seq("queries", "queries_run1", "queries_run2", "n_failed", "status", "value")
       .foreach(k => assert(Bench.ArtifactKeys.contains(k), s"missing $k"))
+    // r16: per-index build-second maps (verdict #6 — build-vs-serve
+    // cost readable from the artifact)
+    Seq("index_build_sec_run1", "index_build_sec_run2")
+      .foreach(k => assert(Bench.ArtifactKeys.contains(k), s"missing $k"))
+  }
+
+  test("SharedIndexes build log is drain-once (second drain is empty)") {
+    graft.operators.SharedIndexes.drainBuildLog() // whatever other suites left
+    assert(graft.operators.SharedIndexes.drainBuildLog().isEmpty)
   }
 
   test("load sampler produces monotone-offset samples with sane fields") {

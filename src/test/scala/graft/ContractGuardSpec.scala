@@ -91,5 +91,20 @@ class ContractGuardSpec extends AnyFunSuite {
     val ok = spark.range(1).select(round(exp(col("id") * 1.1), 6).as("x"))
     assert(graft.tools.RoundScan.sparkViolations(ok.queryExecution.analyzed).isEmpty,
       "round OF a libm result is the emit class, not an input snap")
+    // r16 hardening (r15 advice): the lexical guard must not fail OPEN
+    // on whitespace-before-paren calls, '--' comments, or double-quoted
+    // identifiers containing parens
+    assert(graft.tools.RoundScan.oracleViolations(
+      "SELECT ln (round(x * 1.1, 6)) AS a FROM t").nonEmpty,
+      "guard missed 'ln (…)' with whitespace before the paren")
+    assert(graft.tools.RoundScan.oracleViolations(
+      "SELECT -- ln(\n  exp(round(x * 1.1, 6)) AS a FROM t").nonEmpty,
+      "a '--' comment desynced the paren stack (fail-open)")
+    assert(graft.tools.RoundScan.oracleViolations(
+      "SELECT \"weird (col\" AS c, exp(round(x * 1.1, 6)) AS a FROM t").nonEmpty,
+      "a double-quoted identifier with a paren desynced the stack (fail-open)")
+    assert(graft.tools.RoundScan.oracleViolations(
+      "SELECT x -- exp(round(y, 6))\nFROM t").isEmpty,
+      "a fully commented-out violation must not flag")
   }
 }

@@ -100,8 +100,12 @@ class EventsPackSpec extends AnyFunSuite {
   }
 
   test("dedup_lsh_band_curve: candidate volume and recall are monotone in band count") {
-    val rows = graft.operators.DedupOps.bandCurve.run(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getLong(2), r.getLong(5)))
+    val raw = graft.operators.DedupOps.bandCurve.run(spark, sf).collect()
+    // recall_ppm is NULL when n_truth = 0 (div NULLIF): fail with a
+    // clear message on an empty truth set instead of a getLong NPE
+    assert(raw.forall(!_.isNullAt(5)),
+      "recall_ppm is NULL — fixture has no ngram truth pairs")
+    val rows = raw.map(r => (r.getInt(0), r.getLong(2), r.getLong(5)))
     assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
     rows.sliding(2).foreach { case Array((b1, c1, r1), (b2, c2, r2)) =>
       // candidate sets NEST as bands double (agreeing on a 2k-run
