@@ -251,9 +251,14 @@ object DedupOps {
       .select((col("doc_id") + lit(1000000L)).as("doc_id"),
         concat_ws(" ", slice(col("toks"), lit(1),
           greatest(lit(3), floor(size(col("toks")) * 3 / 5).cast("int")))).as("text"))
-    val plantedIdx = planted
-      .select(col("doc_id"), explode(graft.functions.word_shingles(col("text"), 3)).as("shingle"))
-      .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid"))
+    // r16: registry-persisted — the planted-probe index feeds FOUR
+    // consumers of fullIdx (candidate blocking, both intersection
+    // probes, set sizes); each re-ran the split/shingle/md5 derivation
+    // before (hashedIndex itself is already registry-persisted)
+    val plantedIdx = graft.CachedPlans.cached(s, s"dedup.containmentPlanted:$d")(
+      planted
+        .select(col("doc_id"), explode(graft.functions.word_shingles(col("text"), 3)).as("shingle"))
+        .select(col("doc_id"), Exprs.md5Long(col("shingle")).as("sid")))
     val fullIdx = hashedIndex(s, d).unionByName(plantedIdx)
     // blocking: corpus-rare sids only (probes filtered by the same
     // broadcast vocabulary, so corpus candidates are unperturbed)

@@ -325,11 +325,15 @@ object EmbedOps2 {
       |  CAST(min(margin_u) AS DOUBLE) / 1000000.0 AS min_margin,
       |  CAST(count(*) FILTER (WHERE margin_u < 0) AS BIGINT) AS n_misrouted
       |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-      .toDF("vec_id", "label", "dim", "v")
-      .select(col("vec_id"), col("label"), col("dim"),
-        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+    // r16: registry-persisted — the quantized explode feeds THREE
+    // subplans (centroids, vector norms, dots); each re-exploded the
+    // corpus before
+    val e = graft.CachedPlans.cached(s, s"emb.centroidMarginE:$d")(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .toDF("vec_id", "label", "dim", "v")
+        .select(col("vec_id"), col("label"), col("dim"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("q")))
     val cent = e.groupBy(col("label").as("clabel"), col("dim"))
       .agg(expr("CAST(sum(q) div (CAST(count(*) AS BIGINT) * 100) AS BIGINT)").as("c"))
     val cn = broadcast(cent.groupBy(col("clabel"))
@@ -339,13 +343,16 @@ object EmbedOps2 {
     val dots = e.join(broadcast(cent), Seq("dim"))
       .groupBy(col("vec_id"), col("label"), col("clabel"))
       .agg(sum(col("q").cast(DecimalType(38, 0)) * col("c")).cast(LongType).as("dot"))
-    val cos = dots
-      .join(vn, col("vec_id") === col("nvid"))
-      .join(cn, Seq("clabel"))
-      .select(col("vec_id"), col("label"), col("clabel"),
-        expr("""CAST(dot AS DOUBLE)
-          |  / (sqrt(CAST(nv2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE)))""".stripMargin)
-          .as("cs"))
+    // r16: registry-persisted — own-cosine and best-other both read the
+    // |vecs|×|labels| cosine frame; each re-ran the dot aggregation
+    val cos = graft.CachedPlans.cached(s, s"emb.centroidMarginCos:$d")(
+      dots
+        .join(vn, col("vec_id") === col("nvid"))
+        .join(cn, Seq("clabel"))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          expr("""CAST(dot AS DOUBLE)
+            |  / (sqrt(CAST(nv2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE)))""".stripMargin)
+            .as("cs")))
     val own = cos.filter(col("label") === col("clabel"))
       .select(col("vec_id"), col("label"), col("cs").as("own_cs"))
     val best = cos.filter(col("label") =!= col("clabel"))

@@ -142,18 +142,20 @@ object GraphOps {
     val n = nodes.count()
     val deg = ConnectedComponents.snapshot(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    var ranks: DataFrame = ConnectedComponents.snapshot(
+    var snap: DataFrame = ConnectedComponents.snapshot(
       nodes.select(col("node"), round(lit(1.0) / n, 10).as("rank")))
+    var ranks: DataFrame = snap
     var iter = 0
     var fixpoint = false
+    def oneRound(r: DataFrame): DataFrame = nodes
+      .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .join(r.select(col("node").as("src"), col("rank")), Seq("src"), "left")
+      .join(deg, Seq("src"), "left")
+      .groupBy(col("node"))
+      .agg(round(lit(1 - damping) / n +
+        lit(damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank"))
     while (iter < iters && !fixpoint) {
-      val next = ConnectedComponents.snapshot(nodes
-        .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"), "left")
-        .join(deg, Seq("src"), "left")
-        .groupBy(col("node"))
-        .agg(round(lit(1 - damping) / n +
-          lit(damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank")))
+      val next = oneRound(ranks)
       iter += 1
       // probe the exact-grid fixpoint every 3rd round only: each probe
       // is a driver action, and post-fixpoint rounds are the IDENTITY
@@ -163,17 +165,36 @@ object GraphOps {
       // observable (lastIterations < iters) whenever a fixpoint exists
       // before the budget — the spec's invariant is structural, not an
       // artifact of where the 3-cadence lands (r15, AD advice).
-      if ((iter % 3 == 0 || iter == iters - 1) && iter < iters) {
-        val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
-          .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
-        fixpoint = delta == 0.0
-      }
-      // plain unpersist is a no-op for local checkpoints — release the
-      // previous generation's blocks explicitly (shared CC machinery)
-      ConnectedComponents.release(ranks)
-      ranks = next
+      //
+      // r16 (optimization): snapshots now run on the SAME cadence as
+      // the probes instead of every round. Each eager localCheckpoint
+      // is a driver-blocking job; chaining up to 3 lazy rounds into one
+      // materialization cuts the per-query job count by ~2× while the
+      // arithmetic (per-round 1e-10 snap inside the plan) is unchanged
+      // — bit-identical output. The probe still compares round i to
+      // round i-1: the PRE-probe round (`ranks`, one round behind
+      // `next`) is re-derived inside the probe plan, never a 3-rounds-
+      // apart compare (a k-apart delta=0 would not prove per-round
+      // identity).
+      val probing = (iter % 3 == 0 || iter == iters - 1) && iter < iters
+      if (probing || iter == iters) {
+        val nextSnap = ConnectedComponents.snapshot(next)
+        if (probing) {
+          val delta = nextSnap.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+            .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
+          fixpoint = delta == 0.0
+        }
+        // plain unpersist is a no-op for local checkpoints — release
+        // the previous generation's blocks explicitly (shared CC
+        // machinery)
+        ConnectedComponents.release(snap)
+        snap = nextSnap
+        ranks = nextSnap
+      } else ranks = next
     }
     lastIterations = iter
+    // the loop exit always lands on a snapshot (the iter == iters and
+    // fixpoint branches both materialize), so `ranks eq snap` here
     // final ranks (|nodes| rows) stays checkpointed for the caller to
     // consume; the working frames are released
     Seq(edges, nodes, deg).foreach(ConnectedComponents.release)
@@ -249,7 +270,11 @@ object GraphOps {
       edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct())
     val n = nodes.count()
 
-    // one half-step: fold `scores` (on `from`) across edges onto `to`
+    // one half-step: fold `scores` (on `from`) across edges onto `to`.
+    // LAZY (r16): materialization is decided by the loop below — each
+    // eager localCheckpoint is a driver-blocking job, and chaining the
+    // half-steps between probe points halves the per-query job count
+    // with bit-identical arithmetic (the 1e-10 snap is in the plan).
     def halfStep(scores: DataFrame, from: String, to: String, outCol: String): DataFrame = {
       val raw = nodes
         .join(edges.withColumnRenamed(to, "node"), Seq("node"), "left")
@@ -257,31 +282,51 @@ object GraphOps {
         .groupBy(col("node"))
         .agg(coalesce(sum(col("score")), lit(0.0)).as("raw"))
       val total = raw.agg(sum(col("raw")).as("total"))
-      ConnectedComponents.snapshot(
-        raw.crossJoin(broadcast(total))
-          .select(col("node"), round(col("raw") / col("total"), 10).as(outCol))
-          .withColumnRenamed(outCol, "score"))
+      raw.crossJoin(broadcast(total))
+        .select(col("node"), round(col("raw") / col("total"), 10).as(outCol))
+        .withColumnRenamed(outCol, "score")
     }
 
-    var hubs: DataFrame = ConnectedComponents.snapshot(
+    // two-generation snapshot lifecycle: `hubsSnap`/`authsSnap` are the
+    // last MATERIALIZED generation (lazy rounds in between still read
+    // them, so they release only after the next generation lands)
+    var hubsSnap: DataFrame = ConnectedComponents.snapshot(
       nodes.select(col("node"), round(lit(1.0) / n, 10).as("score")))
+    var authsSnap: DataFrame = null
+    var hubs: DataFrame = hubsSnap
     var auths: DataFrame = null
     var iter = 0
     var fixpoint = false
     while (iter < iters && !fixpoint) {
       val nextAuths = halfStep(hubs, from = "src", to = "dst", outCol = "auth")
-      val nextHubs = halfStep(nextAuths, from = "dst", to = "src", outCol = "hub")
-      val delta = nextHubs.select(col("node"), col("score").as("next"))
-        .join(hubs.select(col("node"), col("score").as("prev")), Seq("node"))
-        .agg(coalesce(sum(abs(col("next") - col("prev"))), lit(0.0))).head.getDouble(0)
-      fixpoint = delta == 0.0
-      ConnectedComponents.release(hubs)
-      if (auths != null) ConnectedComponents.release(auths)
-      hubs = nextHubs
-      auths = nextAuths
       iter += 1
+      // probe every 2nd round + the penultimate (the pagerank cadence
+      // argument: post-fixpoint rounds are the identity under the grid
+      // snap, and hub-vector equality is probed one ROUND apart — the
+      // auth half-step inside the round is a function of the hubs).
+      val probing = (iter % 2 == 0 || iter == iters - 1) && iter < iters
+      if (probing || iter == iters) {
+        val aSnap = ConnectedComponents.snapshot(nextAuths)
+        val hSnap = ConnectedComponents.snapshot(
+          halfStep(aSnap, from = "dst", to = "src", outCol = "hub"))
+        if (probing) {
+          val delta = hSnap.select(col("node"), col("score").as("next"))
+            .join(hubs.select(col("node"), col("score").as("prev")), Seq("node"))
+            .agg(coalesce(sum(abs(col("next") - col("prev"))), lit(0.0))).head.getDouble(0)
+          fixpoint = delta == 0.0
+        }
+        ConnectedComponents.release(hubsSnap)
+        if (authsSnap != null) ConnectedComponents.release(authsSnap)
+        hubsSnap = hSnap; authsSnap = aSnap
+        hubs = hSnap; auths = aSnap
+      } else {
+        auths = nextAuths
+        hubs = halfStep(nextAuths, from = "dst", to = "src", outCol = "hub")
+      }
     }
     lastHitsIterations = iter
+    // loop exit lands on snapshots (iter == iters and fixpoint branches
+    // both materialize)
     val out = hubs.select(col("node"), col("score").as("hub"))
       .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
     Seq(edges, nodes).foreach(ConnectedComponents.release)
@@ -506,19 +551,28 @@ object GraphOps {
     val nb = ConnectedComponents.snapshot(
       edges.select(col("u").as("x"), col("v").as("y"))
         .union(edges.select(col("v").as("x"), col("u").as("y"))))
-    var labels: DataFrame = ConnectedComponents.snapshot(
+    var snap: DataFrame = ConnectedComponents.snapshot(
       nb.select(col("x").as("node")).distinct().withColumn("lbl", col("node")))
+    var labels: DataFrame = snap
     val byNode = W.partitionBy(col("node")).orderBy(col("c").desc, col("lbl"))
-    (1 to rounds).foreach { _ =>
-      val next = ConnectedComponents.snapshot(
-        nb.join(labels.select(col("node").as("y"), col("lbl")), Seq("y"))
-          .groupBy(col("x").as("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(byNode))
-          .filter(col("rn") === 1)
-          .select(col("node"), col("lbl")))
-      ConnectedComponents.release(labels)
-      labels = next
+    // r16: rounds chain lazily and materialize every 3rd (each round
+    // reads `labels` exactly ONCE, so the lazy plan grows linearly —
+    // the snapshot cadence bounds lineage depth for cluster-scale
+    // recovery while cutting the per-query job count ~3×; the
+    // per-round arithmetic is unchanged)
+    (1 to rounds).foreach { r =>
+      val next = nb.join(labels.select(col("node").as("y"), col("lbl")), Seq("y"))
+        .groupBy(col("x").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+      if (r % 3 == 0 || r == rounds) {
+        val nextSnap = ConnectedComponents.snapshot(next)
+        ConnectedComponents.release(snap)
+        snap = nextSnap
+        labels = nextSnap
+      } else labels = next
     }
     Seq(edges, nb).foreach(ConnectedComponents.release)
     labels.select(col("node"), col("lbl").as("community"))
@@ -642,18 +696,16 @@ object GraphOps {
         done = true
         ConnectedComponents.release(next)
       } else {
-        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
-        ConnectedComponents.release(dist)
-        if (frontier ne merged) ConnectedComponents.release(frontier)
-        dist = merged
+        // r16: dist is a UNION of materialized frontier layers — the
+        // old per-round merged re-snapshot copied the whole distance
+        // table each round (a job + O(depth²) block writes) purely to
+        // keep one handle; a union of checkpointed layers already has
+        // flat lineage, and the layers ARE the result
+        dist = dist.unionAll(next)
         frontier = next
       }
     }
     lastBfsIterations = iter
-    // the final non-empty frontier was merged into dist — its snapshot
-    // blocks are redundant; drop them so the session doesn't retain a
-    // stale generation per BFS call (frontier eq dist only pre-loop)
-    if (frontier ne dist) ConnectedComponents.release(frontier)
     ConnectedComponents.release(edges)
     dist
   }
@@ -737,23 +789,33 @@ object GraphOps {
       .filter(col("nk1") =!= col("nk2"))
       .groupBy(col("src"), col("dst"))
       .agg(expr("sum(datediff(to_date(l_shipdate), to_date(o_orderdate))) div count(*)").as("w"))
-    // 25-nation node set: a one-row aggregate, bounded by schema
-    val source = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst")))
-      .agg(min(col("node"))).head.getString(0)
+    // r16: materialize the lane-cost edge list FIRST and derive the
+    // source from it — the old order ran the 4-way fact join TWICE
+    // (once for the one-row source aggregate, once for the snapshot).
     val e = ConnectedComponents.snapshot(edges)
-    var dist = ConnectedComponents.snapshot(
-      e.sparkSession.range(1).select(lit(source).as("node"), lit(0L).as("cost")))
-    for (_ <- 1 to RouteLegs) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(e("dst").as("node"), (dist("cost") + e("w")).as("cost"))
-      val merged = ConnectedComponents.snapshot(
-        dist.unionAll(relaxed).groupBy(col("node")).agg(min(col("cost")).as("cost")))
-      ConnectedComponents.release(dist)
-      dist = merged
+    // 25-nation node set: a one-row aggregate, bounded by schema
+    val source = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst")))
+      .agg(min(col("node"))).head.getString(0)
+    // r16: the k Bellman-Ford rounds chain LAZILY into one
+    // materialization — with ≤|nations| rows per round and a
+    // checkpointed edge list, four relax rounds are a small fixed plan,
+    // and each eager per-round localCheckpoint was a driver-blocking
+    // job. Arithmetic is unchanged (exact BIGINT min-plus).
+    var dist: DataFrame = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("cost"))
+    for (leg <- 1 to RouteLegs) {
+      // fresh per-round aliases: `e` appears once per chained round, so
+      // unaliased column refs would be ambiguous self-join references
+      val ei = e.select(col("src").as(s"src_$leg"), col("dst").as(s"dst_$leg"),
+        col("w").as(s"w_$leg"))
+      val relaxed = dist.join(ei, col("node") === col(s"src_$leg"))
+        .select(col(s"dst_$leg").as("node"), (col("cost") + col(s"w_$leg")).as("cost"))
+      dist = dist.unionAll(relaxed).groupBy(col("node")).agg(min(col("cost")).as("cost"))
     }
+    val out = ConnectedComponents.snapshot(dist)
     ConnectedComponents.release(e)
-    dist.orderBy(col("node"))
+    out.orderBy(col("node"))
   }
 
   /** Directed-graph reciprocity — what share of trade lanes flow both
@@ -1002,6 +1064,12 @@ object GraphOps {
     var frontier = dist
     var iter = 0
     var done = false
+    // r16: `dist` is a UNION of materialized frontier layers instead of
+    // a re-snapshotted copy per round — the old merged-copy job
+    // re-materialized the whole distance table every round (O(diameter²)
+    // block writes) purely to keep one handle. A union of checkpointed
+    // layers has flat lineage already; layers stay alive for the final
+    // aggregate (they ARE the result) and drop with the frame refs.
     while (iter < 30 && !done) {
       iter += 1
       val next = ConnectedComponents.snapshot(
@@ -1013,14 +1081,10 @@ object GraphOps {
         done = true
         ConnectedComponents.release(next)
       } else {
-        val merged = ConnectedComponents.snapshot(dist.unionAll(next))
-        ConnectedComponents.release(dist)
-        if (frontier ne merged) ConnectedComponents.release(frontier)
-        dist = merged
+        dist = dist.unionAll(next)
         frontier = next
       }
     }
-    if (frontier ne dist) ConnectedComponents.release(frontier)
     ConnectedComponents.release(edges)
     dist.groupBy(col("root"))
       .agg((count(lit(1)) - 1).as("reached"), sum(col("hops")).as("tot"))
@@ -1077,29 +1141,38 @@ object GraphOps {
     val deg = ConnectedComponents.snapshot(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val teleport = when(col("node") === seed, lit(1.0 - Damping)).otherwise(lit(0.0))
-    var ranks: DataFrame = ConnectedComponents.snapshot(
+    var snap: DataFrame = ConnectedComponents.snapshot(
       nodes.select(col("node"),
         when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)).as("rank")))
+    var ranks: DataFrame = snap
     var iter = 0
     var fixpoint = false
     while (iter < Iters && !fixpoint) {
-      val next = ConnectedComponents.snapshot(nodes
+      val next = nodes
         .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"), "left")
         .join(deg, Seq("src"), "left")
         .groupBy(col("node"))
         .agg(round(max(teleport) +
-          lit(Damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank")))
+          lit(Damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank"))
       iter += 1
       // fixpoint probe every 3rd round (see pagerankFrom — identity
-      // rounds under the grid snap make late detection bit-identical)
-      if (iter % 3 == 0 && iter < Iters) {
-        val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
-          .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
-        fixpoint = delta == 0.0
-      }
-      ConnectedComponents.release(ranks)
-      ranks = next
+      // rounds under the grid snap make late detection bit-identical);
+      // r16: snapshots ride the probe cadence too, so up to 3 lazy
+      // rounds chain into one materialization job (same arithmetic,
+      // same 1-round-apart delta compare — `ranks` is one round behind)
+      val probing = iter % 3 == 0 && iter < Iters
+      if (probing || iter == Iters) {
+        val nextSnap = ConnectedComponents.snapshot(next)
+        if (probing) {
+          val delta = nextSnap.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+            .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
+          fixpoint = delta == 0.0
+        }
+        ConnectedComponents.release(snap)
+        snap = nextSnap
+        ranks = nextSnap
+      } else ranks = next
     }
     Seq(edges, nodes, deg).foreach(ConnectedComponents.release)
     ranks.orderBy(col("rank").desc, col("node"))
@@ -1390,14 +1463,12 @@ object GraphOps {
           done = true
           ConnectedComponents.release(next)
         } else {
-          val merged = ConnectedComponents.snapshot(dist.unionAll(next))
-          ConnectedComponents.release(dist)
-          if (frontier ne merged) ConnectedComponents.release(frontier)
-          dist = merged
+          // r16: union of materialized layers instead of a re-snapshot
+          // copy per round (see closeness — the layers ARE the result)
+          dist = dist.unionAll(next)
           frontier = next
         }
       }
-      if (frontier ne dist) ConnectedComponents.release(frontier)
       ConnectedComponents.release(edges)
       dist
     }
@@ -1575,26 +1646,34 @@ object GraphOps {
     val edges = ConnectedComponents.snapshot(tradeEdges(s, d))
     val nodes = ConnectedComponents.snapshot(
       edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct())
-    var scores: DataFrame = ConnectedComponents.snapshot(
+    var snap: DataFrame = ConnectedComponents.snapshot(
       nodes.select(col("node"), lit(1.0).as("score")))
+    var scores: DataFrame = snap
     var iter = 0
     var fixpoint = false
     while (iter < 8 && !fixpoint) {
-      val next = ConnectedComponents.snapshot(nodes
+      val next = nodes
         .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .join(scores.select(col("node").as("src"), col("score")), Seq("src"), "left")
         .groupBy(col("node"))
         .agg(round(lit(1.0) + lit(0.01) * coalesce(sum(col("score")), lit(0.0)), 10)
-          .as("score")))
+          .as("score"))
       iter += 1
-      // fixpoint probe every 3rd round (see pagerankFrom)
-      if (iter % 3 == 0 && iter < 8) {
-        val delta = next.join(scores.select(col("node"), col("score").as("prev")), Seq("node"))
-          .agg(coalesce(sum(abs(col("score") - col("prev"))), lit(0.0))).head.getDouble(0)
-        fixpoint = delta == 0.0
-      }
-      ConnectedComponents.release(scores)
-      scores = next
+      // fixpoint probe every 3rd round (see pagerankFrom); r16:
+      // snapshots ride the probe cadence — up to 3 lazy rounds chain
+      // into one materialization, same arithmetic, 1-round-apart delta
+      val probing = iter % 3 == 0 && iter < 8
+      if (probing || iter == 8) {
+        val nextSnap = ConnectedComponents.snapshot(next)
+        if (probing) {
+          val delta = nextSnap.join(scores.select(col("node"), col("score").as("prev")), Seq("node"))
+            .agg(coalesce(sum(abs(col("score") - col("prev"))), lit(0.0))).head.getDouble(0)
+          fixpoint = delta == 0.0
+        }
+        ConnectedComponents.release(snap)
+        snap = nextSnap
+        scores = nextSnap
+      } else scores = next
     }
     Seq(edges, nodes).foreach(ConnectedComponents.release)
     scores.select(col("node"), col("score").as("katz")).orderBy(col("node"))

@@ -735,8 +735,13 @@ object Sampling {
         (graft.functions.Exprs.md5Long(concat(col("tok"), lit(" "), col("w2"))) % 4096).as("b"))
     // lang rides a doc_id join (the window above already partitioned
     // the stream on doc_id, so this reuses that exchange)
-    val bg = bgRaw.join(
-      Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    // r16: registry-persisted — the hashed-bigram stream feeds FOUR
+    // subplans (raw LM, target LM, the totals row, the per-doc score);
+    // each re-ran the lead() window + per-bigram md5 before (exchange
+    // reuse dedupes only the shuffle below the window, not the window)
+    val bg = graft.CachedPlans.cached(s, s"dsir.bigrams:$d")(
+      bgRaw.join(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id"))
     val lmr = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val lmt = bg.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val tot = broadcast(bg.agg(count(lit(1)).as("nr"),

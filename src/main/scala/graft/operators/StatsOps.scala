@@ -551,11 +551,16 @@ object StatsOps {
       |      * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
       |FROM g""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val t = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("x"),
-        (sum(graft.functions.Exprs.dec2(col("l_extendedprice"))) * 100)
-          .cast(LongType).as("y"))
+    // r16: registry-persisted — this |orders|-row aggregate feeds THREE
+    // subplans (the x-histogram, the y-rank two-phase, and the final
+    // join), each of which re-ran the full lineitem shuffle before; one
+    // materialization serves all three (guide §2.4: share the exchange)
+    val t = graft.CachedPlans.cached(s, s"spearman.t:$d")(
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x"),
+          (sum(graft.functions.Exprs.dec2(col("l_extendedprice"))) * 100)
+            .cast(LongType).as("y")))
     // x's domain is value-bounded (basket size ≤ ~7 distinct values) so
     // its cumulative window runs on a bounded frame; y's domain scales
     // with |orders|, so its doubled rank routes through the
@@ -1354,11 +1359,15 @@ object StatsOps {
     }) { (s, d) =>
     val split = graft.functions.Exprs.md5Long(
       concat(lit("cf#"), col("o_orderkey").cast(StringType)))
-    val o = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_orderkey"),
-        (graft.functions.Exprs.dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
-      .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast(LongType)).as("x2"))
+    // r16: registry-persisted — the per-order feature frame feeds BOTH
+    // the train-side normal equations and the calibration residual
+    // pass; each re-ran the orders⋈lineitem join+aggregate before
+    val o = graft.CachedPlans.cached(s, s"conformal.o:$d")(
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          (graft.functions.Exprs.dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
+        .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast(LongType)).as("x2")))
     val train = o.filter(split % 2 === 0)
     val cal = o.filter(split % 2 === 1)
     val dec38c = DecimalType(38, 0)

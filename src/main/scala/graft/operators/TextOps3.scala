@@ -183,11 +183,15 @@ object TextOps3 {
        |JOIN sz zb ON source_b = zb.source
        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val ss = DedupOps.shingledDocs(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .join(src, Seq("doc_id"))
-      .select(col("source"), Exprs.md5Long(col("shingle")).as("sid"))
-      .distinct()
+    // r16: registry-persisted — the distinct (source, sid) set feeds
+    // THREE subplans (sizes + both sides of the intersection
+    // self-join); each re-ran the explode+join+distinct before
+    val ss = graft.CachedPlans.cached(s, s"text.sourceShingleSet:$d")(
+      DedupOps.shingledDocs(s, d)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .join(src, Seq("doc_id"))
+        .select(col("source"), Exprs.md5Long(col("shingle")).as("sid"))
+        .distinct())
     val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = ss.join(
         ss.select(col("source").as("source_b"), col("sid")), Seq("sid"))

@@ -113,8 +113,11 @@ object TpchMore3 {
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
-    val c2 = cost.join(rsupp, col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_partkey"), col("unit_e4"), col("s_name"), col("n_name"))
+    // r16: registry-persisted — both the per-part min and the final
+    // min-match join read c2; each re-ran the lineitem cost aggregate
+    val c2 = graft.CachedPlans.cached(s, s"q2.c2:$d")(
+      cost.join(rsupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("unit_e4"), col("s_name"), col("n_name")))
     val m = c2.groupBy(col("l_partkey").as("m_partkey")).agg(min(col("unit_e4")).as("min_e4"))
     c2.join(m, col("l_partkey") === col("m_partkey") && col("unit_e4") === col("min_e4"))
       .join(Tables.part(s, d).filter(col("p_size") <= 10),

@@ -10,14 +10,53 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   * bucketed parquet or an open table format); here a thin wrapper so
   * every operator takes `(spark, sfDir)` uniformly and Catalyst sees a
   * plain parquet relation it can push filters/projections into.
+  *
+  * r16 (optimization): the loaded [[DataFrame]] is memoized per
+  * (session, dir, table). Every `spark.read.parquet(path)` call pays
+  * file listing + parquet-footer schema inference on the DRIVER
+  * (~0.1 s per call on this box, measured by graft.tools.Probe16 —
+  * and it is NOT cached across calls), so a 450-query bench pass was
+  * re-inferring the same ten schemas hundreds of times. A catalog
+  * keeps table metadata resolved once; the memo reproduces that. Only
+  * METADATA (the analyzed relation / file list) is reused — execution
+  * still scans parquet every time, so no result is ever cached.
+  *
+  * Safety contract: a (dir, table) pair must be immutable for the
+  * session's lifetime once first loaded (true for /root/testdata and
+  * for every test, which writes each synthetic corpus to a fresh
+  * createTempDirectory). A writer that rewrites a table in place must
+  * call [[invalidate]] before re-reading.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Weak on the session (the CachedPlans lifecycle discipline): an
+  // abandoned session's relations become unreachable with it.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def sessionMap(s: SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] =
+    cache.synchronized {
+      var m = cache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        cache.put(s, m)
+      }
+      m
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    sessionMap(spark).getOrElseUpdate(s"$dir/$name",
+      spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Drop the memoized relation for every table under `dir` (for
+    * callers that rewrite a table dir in place mid-session). */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val m = sessionMap(spark)
+    m.keys.filter(_.startsWith(s"$dir/")).foreach(m.remove)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -28,16 +67,19 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects;
     * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and this
-    * loader truncates ns → µs NTZ (matching DuckDB's ns→µs read). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      case _ => df
-    }
-  }
+    * loader truncates ns → µs NTZ (matching DuckDB's ns→µs read).
+    * The converted frame is memoized under its own key so the
+    * conversion's analysis also runs once per session. */
+  def events(s: SparkSession, d: String): DataFrame =
+    sessionMap(s).getOrElseUpdate(s"$d/events#ntz", {
+      val df = load(s, d, "events")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+        case _ => df
+      }
+    })
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
