@@ -1315,25 +1315,37 @@ object DedupOps {
     val nTruth = truth.count()
     val marked = truth.withColumn("in_t", lit(1))
     val sigs = corpusSigs(s, d)
-    val rungs = Seq(1, 2, 4, 8, 16).map { b =>
+    // r16: ONE job for the whole curve — the five rungs' band frames
+    // union into a single rung-tagged frame and the self-join keys on
+    // (rung, band, sig), so volume and truth hits for every rung come
+    // off one traversal (the per-rung head() loop ran 5 sequential
+    // jobs over the same persisted signature frame)
+    val allBands = Seq(1, 2, 4, 8, 16).map { b =>
       val rows = 16 / b
       val bandSig = (0 until b).map(band =>
         concat_ws(",", (0 until rows).map(r => col(s"m${band * rows + r}").cast(StringType)): _*))
-      val bands = sigs
+      sigs
         .select(col("doc_id"), posexplode(array(bandSig: _*)))
         .toDF("doc_id", "band", "sig")
-      // ONE job per rung: volume and truth hits off the same traversal
-      // (truth is pair-count-sized; AQE broadcasts it at test scale)
-      val agg = bands.as("a")
-        .join(bands.as("b"),
+        .withColumn("rung", lit(b))
+    }.reduce(_ unionAll _)
+    val curve = allBands.as("a")
+      .join(allBands.as("b"),
+        col("a.rung") === col("b.rung") &&
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .join(marked, Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("nc"), count(col("in_t")).as("nh"))
-        .head()
-      (b, rows, agg.getLong(0), nTruth, agg.getLong(1))
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.rung").as("rung"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(marked, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("rung"))
+      .agg(count(lit(1)).as("nc"), count(col("in_t")).as("nh"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // an empty rung produces no aggregate row — emit explicit zeros so
+    // the curve always has its five rows (same as the old per-rung agg)
+    val rungs = Seq(1, 2, 4, 8, 16).map { b =>
+      val (nc, nh) = curve.getOrElse(b, (0L, 0L))
+      (b, 16 / b, nc, nTruth, nh)
     }
     // truth and sigs both stay: registry-persisted, other consumers serve them
     rungs.toDF("n_bands", "rows_per_band", "n_candidates", "n_truth", "n_hits")

@@ -619,14 +619,31 @@ object KnnOps {
       .select(col("query_id"), col("corpus_id"))
     val truth = topK(IvfIndex.corpus(s, d).crossJoin(broadcast(qDf)))
       .localCheckpoint(true) // K·|queries| rows, reused by every rung
-    val rungs = Seq(1, 2, 4, 8).map { nprobe =>
-      val probeDf = s.createDataFrame(ivfProbes(qMicros, centroids, nprobe).toIndexedSeq)
-        .toDF("query_id", "cell")
-      val got = topK(assigned.join(broadcast(probeDf), "cell")
-        .join(broadcast(qDf), "query_id"))
-      val hits = got.join(truth, Seq("query_id", "corpus_id"), "left_semi").count()
-      (nprobe, hits, K.toLong * qMicros.length)
-    }
+    // r16: ONE job for the whole curve — the four rungs' probe lists
+    // union into a single nprobe-tagged frame, the serve/top-K/semi-
+    // join runs once keyed by (nprobe, query), and hits per rung come
+    // off one groupBy (the per-rung loop ran 4 sequential count jobs
+    // over the same persisted inverted file)
+    val probeAll = s.createDataFrame(
+        Seq(1, 2, 4, 8).flatMap(np =>
+          ivfProbes(qMicros, centroids, np).map { case (qid, cell) => (np, qid, cell) })
+          .toIndexedSeq)
+      .toDF("nprobe", "query_id", "cell")
+    val byQueryRung = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    val got = assigned.join(broadcast(probeAll), "cell")
+      .join(broadcast(qDf), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("nprobe"), col("query_id"), col("vec_id").as("corpus_id"),
+        Exprs.dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rn", row_number().over(byQueryRung))
+      .filter(col("rn") <= K)
+      .select(col("nprobe"), col("query_id"), col("corpus_id"))
+    val hitMap = got.join(truth, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rungs = Seq(1, 2, 4, 8).map(np =>
+      (np, hitMap.getOrElse(np, 0L), K.toLong * qMicros.length))
     import s.implicits._
     rungs.toDF("nprobe", "hits", "possible")
       .select(col("nprobe"), col("hits"), col("possible"),
