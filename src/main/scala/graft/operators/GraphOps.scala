@@ -271,10 +271,12 @@ object GraphOps {
     val n = nodes.count()
 
     // one half-step: fold `scores` (on `from`) across edges onto `to`.
-    // LAZY (r16): materialization is decided by the loop below — each
-    // eager localCheckpoint is a driver-blocking job, and chaining the
-    // half-steps between probe points halves the per-query job count
-    // with bit-identical arithmetic (the 1e-10 snap is in the plan).
+    // NB (r16): a lazy probe-cadence variant of this loop was measured
+    // SLOWER in-bench (1.22 → ~2.2 s min across 4 passes) — the probe
+    // re-evaluated the un-materialized half-step chain (each half-step
+    // carries a broadcast-total cross join) several times per
+    // materialization point — and was reverted; eager per-half-step
+    // snapshots stay.
     def halfStep(scores: DataFrame, from: String, to: String, outCol: String): DataFrame = {
       val raw = nodes
         .join(edges.withColumnRenamed(to, "node"), Seq("node"), "left")
@@ -282,51 +284,31 @@ object GraphOps {
         .groupBy(col("node"))
         .agg(coalesce(sum(col("score")), lit(0.0)).as("raw"))
       val total = raw.agg(sum(col("raw")).as("total"))
-      raw.crossJoin(broadcast(total))
-        .select(col("node"), round(col("raw") / col("total"), 10).as(outCol))
-        .withColumnRenamed(outCol, "score")
+      ConnectedComponents.snapshot(
+        raw.crossJoin(broadcast(total))
+          .select(col("node"), round(col("raw") / col("total"), 10).as(outCol))
+          .withColumnRenamed(outCol, "score"))
     }
 
-    // two-generation snapshot lifecycle: `hubsSnap`/`authsSnap` are the
-    // last MATERIALIZED generation (lazy rounds in between still read
-    // them, so they release only after the next generation lands)
-    var hubsSnap: DataFrame = ConnectedComponents.snapshot(
+    var hubs: DataFrame = ConnectedComponents.snapshot(
       nodes.select(col("node"), round(lit(1.0) / n, 10).as("score")))
-    var authsSnap: DataFrame = null
-    var hubs: DataFrame = hubsSnap
     var auths: DataFrame = null
     var iter = 0
     var fixpoint = false
     while (iter < iters && !fixpoint) {
       val nextAuths = halfStep(hubs, from = "src", to = "dst", outCol = "auth")
+      val nextHubs = halfStep(nextAuths, from = "dst", to = "src", outCol = "hub")
+      val delta = nextHubs.select(col("node"), col("score").as("next"))
+        .join(hubs.select(col("node"), col("score").as("prev")), Seq("node"))
+        .agg(coalesce(sum(abs(col("next") - col("prev"))), lit(0.0))).head.getDouble(0)
+      fixpoint = delta == 0.0
+      ConnectedComponents.release(hubs)
+      if (auths != null) ConnectedComponents.release(auths)
+      hubs = nextHubs
+      auths = nextAuths
       iter += 1
-      // probe every 2nd round + the penultimate (the pagerank cadence
-      // argument: post-fixpoint rounds are the identity under the grid
-      // snap, and hub-vector equality is probed one ROUND apart — the
-      // auth half-step inside the round is a function of the hubs).
-      val probing = (iter % 2 == 0 || iter == iters - 1) && iter < iters
-      if (probing || iter == iters) {
-        val aSnap = ConnectedComponents.snapshot(nextAuths)
-        val hSnap = ConnectedComponents.snapshot(
-          halfStep(aSnap, from = "dst", to = "src", outCol = "hub"))
-        if (probing) {
-          val delta = hSnap.select(col("node"), col("score").as("next"))
-            .join(hubs.select(col("node"), col("score").as("prev")), Seq("node"))
-            .agg(coalesce(sum(abs(col("next") - col("prev"))), lit(0.0))).head.getDouble(0)
-          fixpoint = delta == 0.0
-        }
-        ConnectedComponents.release(hubsSnap)
-        if (authsSnap != null) ConnectedComponents.release(authsSnap)
-        hubsSnap = hSnap; authsSnap = aSnap
-        hubs = hSnap; auths = aSnap
-      } else {
-        auths = nextAuths
-        hubs = halfStep(nextAuths, from = "dst", to = "src", outCol = "hub")
-      }
     }
     lastHitsIterations = iter
-    // loop exit lands on snapshots (iter == iters and fixpoint branches
-    // both materialize)
     val out = hubs.select(col("node"), col("score").as("hub"))
       .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
     Seq(edges, nodes).foreach(ConnectedComponents.release)
@@ -1141,38 +1123,34 @@ object GraphOps {
     val deg = ConnectedComponents.snapshot(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val teleport = when(col("node") === seed, lit(1.0 - Damping)).otherwise(lit(0.0))
-    var snap: DataFrame = ConnectedComponents.snapshot(
+    // NB (r16): a lazy probe-cadence variant (3 chained rounds per
+    // materialization) measured slower in-bench here and was reverted —
+    // see pagerankFrom, where the same cadence IS kept (flat there;
+    // the PPR teleport round carries a max() aggregate that made the
+    // re-derived probe chain pricier).
+    var ranks: DataFrame = ConnectedComponents.snapshot(
       nodes.select(col("node"),
         when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)).as("rank")))
-    var ranks: DataFrame = snap
     var iter = 0
     var fixpoint = false
     while (iter < Iters && !fixpoint) {
-      val next = nodes
+      val next = ConnectedComponents.snapshot(nodes
         .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"), "left")
         .join(deg, Seq("src"), "left")
         .groupBy(col("node"))
         .agg(round(max(teleport) +
-          lit(Damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank"))
+          lit(Damping) * coalesce(sum(col("rank") / col("outdeg")), lit(0.0)), 10).as("rank")))
       iter += 1
       // fixpoint probe every 3rd round (see pagerankFrom — identity
-      // rounds under the grid snap make late detection bit-identical);
-      // r16: snapshots ride the probe cadence too, so up to 3 lazy
-      // rounds chain into one materialization job (same arithmetic,
-      // same 1-round-apart delta compare — `ranks` is one round behind)
-      val probing = iter % 3 == 0 && iter < Iters
-      if (probing || iter == Iters) {
-        val nextSnap = ConnectedComponents.snapshot(next)
-        if (probing) {
-          val delta = nextSnap.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
-            .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
-          fixpoint = delta == 0.0
-        }
-        ConnectedComponents.release(snap)
-        snap = nextSnap
-        ranks = nextSnap
-      } else ranks = next
+      // rounds under the grid snap make late detection bit-identical)
+      if (iter % 3 == 0 && iter < Iters) {
+        val delta = next.join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
+          .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0))).head.getDouble(0)
+        fixpoint = delta == 0.0
+      }
+      ConnectedComponents.release(ranks)
+      ranks = next
     }
     Seq(edges, nodes, deg).foreach(ConnectedComponents.release)
     ranks.orderBy(col("rank").desc, col("node"))
@@ -1646,34 +1624,28 @@ object GraphOps {
     val edges = ConnectedComponents.snapshot(tradeEdges(s, d))
     val nodes = ConnectedComponents.snapshot(
       edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct())
-    var snap: DataFrame = ConnectedComponents.snapshot(
+    // NB (r16): a lazy probe-cadence variant measured slower in-bench
+    // here (like graph_ppr / graph_hits) and was reverted.
+    var scores: DataFrame = ConnectedComponents.snapshot(
       nodes.select(col("node"), lit(1.0).as("score")))
-    var scores: DataFrame = snap
     var iter = 0
     var fixpoint = false
     while (iter < 8 && !fixpoint) {
-      val next = nodes
+      val next = ConnectedComponents.snapshot(nodes
         .join(edges.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .join(scores.select(col("node").as("src"), col("score")), Seq("src"), "left")
         .groupBy(col("node"))
         .agg(round(lit(1.0) + lit(0.01) * coalesce(sum(col("score")), lit(0.0)), 10)
-          .as("score"))
+          .as("score")))
       iter += 1
-      // fixpoint probe every 3rd round (see pagerankFrom); r16:
-      // snapshots ride the probe cadence — up to 3 lazy rounds chain
-      // into one materialization, same arithmetic, 1-round-apart delta
-      val probing = iter % 3 == 0 && iter < 8
-      if (probing || iter == 8) {
-        val nextSnap = ConnectedComponents.snapshot(next)
-        if (probing) {
-          val delta = nextSnap.join(scores.select(col("node"), col("score").as("prev")), Seq("node"))
-            .agg(coalesce(sum(abs(col("score") - col("prev"))), lit(0.0))).head.getDouble(0)
-          fixpoint = delta == 0.0
-        }
-        ConnectedComponents.release(snap)
-        snap = nextSnap
-        scores = nextSnap
-      } else scores = next
+      // fixpoint probe every 3rd round (see pagerankFrom)
+      if (iter % 3 == 0 && iter < 8) {
+        val delta = next.join(scores.select(col("node"), col("score").as("prev")), Seq("node"))
+          .agg(coalesce(sum(abs(col("score") - col("prev"))), lit(0.0))).head.getDouble(0)
+        fixpoint = delta == 0.0
+      }
+      ConnectedComponents.release(scores)
+      scores = next
     }
     Seq(edges, nodes).foreach(ConnectedComponents.release)
     scores.select(col("node"), col("score").as("katz")).orderBy(col("node"))

@@ -1202,13 +1202,11 @@ object KnnOps {
       lit(0).as("steps"), lit(false).as("done"))
     var hop = 0
     var active = true
-    // r16: the walk materializes every 2nd hop instead of every hop —
-    // each localCheckpoint is a driver-blocking job, and a hop past
-    // each query's local optimum is the IDENTITY (no better neighbor →
-    // done stays set, node/cos/steps unchanged), so probing the active
-    // set at half cadence emits a bit-identical frame at roughly half
-    // the driver round-trips. The greedy arithmetic per hop is
-    // unchanged.
+    // NB (r16): a 2-hop lazy materialization cadence was measured
+    // slower in-bench (2.28 → ~3.3 s min across 4 passes — the odd
+    // hop's un-checkpointed chain is referenced twice by the next hop,
+    // re-evaluating its broadcast+3-join body) and was reverted;
+    // per-hop checkpoints stay.
     while (hop < GraphSearchHops && active) {
       hop += 1
       val cand = broadcast(walk.filter(!col("done")))
@@ -1228,10 +1226,8 @@ object KnnOps {
           coalesce(col("bcos"), col("cos")).as("cos"),
           (col("steps") + when(col("bnode").isNotNull, 1).otherwise(0)).as("steps"),
           (col("done") || col("bnode").isNull).as("done"))
-      if (hop % 2 == 0 || hop == GraphSearchHops) {
-        walk = walk.localCheckpoint()
-        active = walk.filter(!col("done")).limit(1).count() > 0
-      }
+        .localCheckpoint()
+      active = walk.filter(!col("done")).limit(1).count() > 0
     }
     val byQ = Window.partitionBy(col("qid")).orderBy(col("bc").desc, col("nbr"))
     val brute = broadcast(qv)
