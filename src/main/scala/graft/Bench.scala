@@ -283,6 +283,18 @@ object Bench {
     val missing = ArtifactKeys.filterNot(k => line.contains("\"" + k + "\":"))
     require(missing.isEmpty, s"bench artifact missing keys: ${missing.mkString(",")}")
     println(line)
+    // Truncation insurance (r17, verdict #5/#8): the r15 driver bench
+    // was lost to stdout tail-truncation (BENCH_r15.json parsed:null),
+    // which cost r16 its whole per-query round-over-round comparison.
+    // Mirror the EXACT artifact line to a file so a clipped stdout can
+    // never erase the measurement. Fail-soft: a read-only CWD must not
+    // fail the bench itself.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch {
+      case e: Throwable => System.err.println(s"[bench] bench_last write failed: ${e.getMessage}")
+    }
     if (only.isEmpty)
       writeSnapshot(sfDir, results, run1, run2, warmupSec,
         start1, start2, gc1, gc2, loadJson)

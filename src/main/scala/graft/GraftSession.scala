@@ -16,6 +16,30 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r17: size post-shuffle partitions by BYTES (advisory size),
+      // not by a parallelism floor. The parallelismFirst=true default
+      // pads every post-shuffle stage out to defaultParallelism tasks
+      // regardless of data size — Spark's own config doc says "it's
+      // recommended to set this config to false and respect the
+      // configured target size". On a KB-sized aggregate that padding
+      // is `cores` task launches of pure scheduling overhead per
+      // exchange (the dedup_embed / corpus_datasheet 32-core flags:
+      // both ran 4× FASTER at 8 cores before this). At 100 TB the
+      // advisory size (64 MB default) yields thousands of partitions —
+      // parallelism follows the data, no local-mode constant involved.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ... with a cores-derived FLOOR (suggested, not guaranteed):
+      // pure bytes-based coalescing serializes compute-dense mid-size
+      // stages — a 15 MB window input is one 64 MB-advisory partition,
+      // i.e. a single-task sort+eval (q_window measured 0.48→1.81 s
+      // when this floor was absent). minPartitionNum folds into the
+      // target as max(total/minNum, minPartitionSize): a KB-sized
+      // aggregate still collapses to 1 task (minPartitionSize 1 MB
+      // wins), a mid-size stage keeps ~cores/4 tasks, and at scale
+      // stages exceed the floor naturally so it is inert. The floor
+      // derives from the session's core count, not a local constant.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        math.max(2, cores / 4).toString)
       // pinned to their Spark 4 defaults deliberately: both are
       // load-bearing for the 100-TB plan shape (AQE skew-join split
       // for hot keys; runtime bloom filters pruning the fact side of

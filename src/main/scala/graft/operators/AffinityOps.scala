@@ -51,6 +51,25 @@ object AffinityOps {
         .filter(col("support") >= 2)
     }
 
+  /** Per-(part, month) demand census — the lineitem aggregate the
+    * demand-variability family (q_xyz_classes, q_service_level_stock,
+    * q_abc_xyz) builds byte-identically; one builder so the three
+    * cannot drift. Deliberately NOT registry-persisted (r17, measured):
+    * the census is nearly lineitem-sized at every SF ((part, month)
+    * cells barely collapse), so persist+serve cost MORE than
+    * re-running the scan+partial-agg per consumer — isolated probe
+    * xyz/abc/sls warm 1.1–1.7/1.6–1.7/1.4–1.8 s unpersisted vs
+    * 1.6–1.9/1.9–2.7/2.0–2.1 s persisted. Guide §5's cache rule
+    * (persist only when recompute beats the memory pressure) decides
+    * against; ReuseExchange already dedupes the identical exchange
+    * within each single query where plans allow. */
+  private def partMonthDemand(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("partkey"),
+        date_trunc("month", to_date(col("l_shipdate"))).as("m"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
+
   /** Top co-purchased part pairs with support and lift. Lift =
     * support·n_orders / (count(p1)·count(p2)) is a ratio of exact
     * integer products (each < 2⁵³), so the one double division is
@@ -512,10 +531,7 @@ object AffinityOps {
       |  CAST(sum(s) AS BIGINT) AS total_qty,
       |  CAST(sum(s) * 1000000 // t.tot AS BIGINT) AS demand_share_ppm
       |FROM cls, t GROUP BY xyz, t.tot ORDER BY xyz""".stripMargin) { (s, d) =>
-    val pm = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey").as("partkey"),
-        date_trunc("month", to_date(col("l_shipdate"))).as("m"))
-      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
+    val pm = partMonthDemand(s, d)
     val mm = broadcast(pm.agg(countDistinct(col("m")).as("mc")))
     val p = pm.groupBy(col("partkey"))
       .agg(sum(col("q")).as("s"),
@@ -586,10 +602,7 @@ object AffinityOps {
       |  CAST(sum(CAST(stock AS HUGEINT)) * mc * 1000000 // sum(total_q) AS BIGINT)
       |    AS safety_multiplier_ppm
       |FROM ln GROUP BY product_line, mc ORDER BY product_line""".stripMargin) { (s, d) =>
-    val pm = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey").as("partkey"),
-        date_trunc("month", to_date(col("l_shipdate"))).as("m"))
-      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
+    val pm = partMonthDemand(s, d)
     val mm = broadcast(pm.agg(countDistinct(col("m")).as("mc")))
     val v = pm.groupBy(col("partkey"), col("q")).agg(count(lit(1)).as("months_at"))
     val byPart = org.apache.spark.sql.expressions.Window.partitionBy(col("partkey"))
@@ -751,10 +764,7 @@ object AffinityOps {
     import org.apache.spark.sql.expressions.Window
     val dec = DecimalType(38, 0)
     // XYZ side — the xyzClasses predicate text verbatim
-    val pm = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey").as("partkey"),
-        date_trunc("month", to_date(col("l_shipdate"))).as("m"))
-      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
+    val pm = partMonthDemand(s, d)
     val mm = broadcast(pm.agg(countDistinct(col("m")).as("mc")))
     val p = pm.groupBy(col("partkey"))
       .agg(sum(col("q")).as("s"),

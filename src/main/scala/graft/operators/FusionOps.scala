@@ -32,6 +32,28 @@ object FusionOps {
        |+ (CASE WHEN $dense IS NULL THEN CAST(0 AS DOUBLE)
        |  ELSE CAST(1 AS DOUBLE) / (60 + $dense) END)""".stripMargin
 
+  /** Registry-persisted (doc_id, r_lex) full lexical ranking — BUILT
+    * BY the audited op's own `run` (the knn_graph_edges precedent:
+    * audit and audited cannot drift because the registry entry IS the
+    * audited plan). r17, guide §2.4: text_err_rank previously ran the
+    * BM25 plan twice per query (once directly, once inside rrf.run)
+    * and text_rrf_fusion once more — three full ranker derivations per
+    * bench pass for two narrow ranked lists. */
+  private def lexRanked(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.CachedPlans.cached(s, s"fusion.lexRanked:$d")(
+      TextOps.bm25.run(s, d)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_lex")))
+
+  /** Registry-persisted query-0 dense top-k (doc_id, r_dense) — the
+    * MIPS op's own emitted ranking, same sharing rationale. */
+  private def denseQ0(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.CachedPlans.cached(s, s"fusion.denseQ0:$d")(
+      MipsOps.mips.run(s, d)
+        .filter(col("query_id") === 0)
+        .select(col("corpus_id").as("doc_id"), col("rn").cast("long").as("r_dense")))
+
   val rrf: GraftOp = GraftOp(
     "text_rrf_fusion",
     s"""WITH lex AS (
@@ -53,13 +75,9 @@ object FusionOps {
        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rn
        |FROM fused ORDER BY rn LIMIT 20""".stripMargin) { (s, d) =>
     // each ranker's own (already-verified) plan, reduced to (doc, rank)
-    val lex = TextOps.bm25.run(s, d)
-      .withColumn("r_lex",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("r_lex"))
-    val dense = MipsOps.mips.run(s, d)
-      .filter(col("query_id") === 0)
-      .select(col("corpus_id").as("doc_id"), col("rn").cast("long").as("r_dense"))
+    // and served from the shared registry entries (r17)
+    val lex = lexRanked(s, d)
+    val dense = denseQ0(s, d)
     lex.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf", expr(rrfExpr("r_lex", "r_dense")))
       .select(col("doc_id"),
@@ -135,14 +153,11 @@ object FusionOps {
        |    / 1000000.0 AS err
        |FROM tt GROUP BY ranker ORDER BY ranker""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    val lex = TextOps.bm25.run(s, d)
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
-      .filter(col("rn") <= 10)
-      .select(lit("bm25").as("ranker"), col("doc_id"), col("rn"))
-    val dense = MipsOps.mips.run(s, d).filter(col("query_id") === 0)
-      .select(lit("dense").as("ranker"), col("corpus_id").as("doc_id"),
-        col("rn").cast("long").as("rn"))
+    val lex = lexRanked(s, d)
+      .filter(col("r_lex") <= 10)
+      .select(lit("bm25").as("ranker"), col("doc_id"), col("r_lex").as("rn"))
+    val dense = denseQ0(s, d)
+      .select(lit("dense").as("ranker"), col("doc_id"), col("r_dense").as("rn"))
     val fused = rrf.run(s, d).filter(col("rn") <= 10)
       .select(lit("rrf").as("ranker"), col("doc_id"), col("rn").cast("long").as("rn"))
     val truth = KnnOps.brute.run(s, d).filter(col("query_id") === 0)

@@ -76,9 +76,16 @@ object PrefOps {
       .groupBy(col("user_id"))
       .agg(expr("""bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
                    WHEN 'signup' THEN 4 ELSE 8 END)""").cast(LongType).as("mask"))
-    val cnt = fp.join(pre, Seq("user_id"), "left")
-      .groupBy(coalesce(col("mask"), lit(0L)).as("mask"))
-      .agg(count(lit(1)).as("c"))
+    // r17, guide §2.4: everything below runs on ≤16 mask counts, but
+    // SIX subplans (v0/v1 broadcasts, tot's two coalition filters,
+    // v_solo, phi's own agg) chain back through cnt to the events
+    // purchase-window aggregate — each broadcast subtree re-derived
+    // the corpus scan. Persist the 16-row census; every coalition
+    // frame then starts at a cached 16-row scan.
+    val cnt = graft.CachedPlans.cached(s, s"shapley.cnt:$d")(
+      fp.join(pre, Seq("user_id"), "left")
+        .groupBy(coalesce(col("mask"), lit(0L)).as("mask"))
+        .agg(count(lit(1)).as("c")))
     // ≤16 mask counts from here on: literal coalition frames
     val sFrame = s.range(16).select(col("id").as("s"))
     val v = sFrame.join(broadcast(cnt),

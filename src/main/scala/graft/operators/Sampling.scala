@@ -644,24 +644,40 @@ object Sampling {
     val d0 = dd2.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("CAST(sum(d_doc) div count(*) AS BIGINT)").as("d_ppm"))
-    val k = broadcast(d0.agg(count(lit(1)).as("k")))
-    var w = d0.crossJoin(k).select(col("source"), col("n_docs"), col("d_ppm"),
-      expr("1000000 div k").as("w"))
+    // r17 (guide §5, measured): the three multiplicative-weights
+    // rounds are scalar algebra over the |domains|-row census, but as
+    // a lazy Spark plan each round added TWO BroadcastExchange jobs
+    // (avg, tot) whose subtrees re-derive the census chain — 7 driver-
+    // blocking jobs for ~20 rows (sample_doremi measured 1.7–2.2 s,
+    // almost all broadcast-build latency). DoReMi's domain-weight
+    // vector is driver state in the paper itself; the census aggregate
+    // stays distributed, the k-row rounds now run on the driver with
+    // BIT-IDENTICAL arithmetic: exact BIGINT sums/divs, and the one
+    // double chain replicated operation-for-operation (math.exp =
+    // Spark Exp's math.exp; BigDecimal.valueOf(x).setScale(10,
+    // HALF_UP) = Spark Round's scala BigDecimal.decimal path;
+    // w.toDouble * snapped then floor = `floor(w * round(...))` on
+    // promoted doubles). Oracle-verified at sf0.001/0.01/0.1.
+    val census = d0.collect() // |domains| rows — bounded, never corpus-scale
+    val k = census.length.toLong
+    final case class Dom(source: String, nDocs: Long, dPpm: Long, var w: Long)
+    val doms = census.map(r =>
+      Dom(r.getString(0), r.getLong(1), r.getLong(2), 1000000L / k))
     for (_ <- 1 to 3) {
-      val avg = broadcast(w.agg(
-        expr("CAST(sum(w * d_ppm) div 1000000 AS BIGINT)").as("avg")))
-      val u = w.crossJoin(avg)
-        .select(col("source"), col("n_docs"), col("d_ppm"),
-          expr("""CAST(floor(w * round(exp(2.0D * greatest(0, d_ppm - avg) / 1000000.0D), 10))
-            |  AS BIGINT)""".stripMargin).as("raw"))
-      val tot = broadcast(u.agg(sum(col("raw")).cast(LongType).as("tot")))
-      w = u.crossJoin(tot).select(col("source"), col("n_docs"), col("d_ppm"),
-        expr("raw * 1000000 div tot").as("w"))
+      val avg = doms.map(x => x.w * x.dPpm).sum / 1000000L
+      val raws = doms.map { x =>
+        val excess = math.max(0L, x.dPpm - avg)
+        val snapped = java.math.BigDecimal.valueOf(math.exp(2.0 * excess / 1000000.0))
+          .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+        math.floor(x.w.toDouble * snapped).toLong
+      }
+      val tot = raws.sum
+      doms.zip(raws).foreach { case (x, raw) => x.w = raw * 1000000L / tot }
     }
-    w.crossJoin(k)
-      .select(col("source"), col("n_docs"), col("d_ppm").as("deficit_ppm"),
-        col("w").as("weight_ppm"),
-        expr("CAST(w * k AS DOUBLE) / 1000000.0D").as("boost_vs_uniform"))
+    import s.implicits._
+    doms.toSeq
+      .map(x => (x.source, x.nDocs, x.dPpm, x.w, (x.w * k).toDouble / 1000000.0))
+      .toDF("source", "n_docs", "deficit_ppm", "weight_ppm", "boost_vs_uniform")
       .orderBy(col("source"))
   }
 

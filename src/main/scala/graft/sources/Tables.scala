@@ -32,20 +32,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Weak on the session (the CachedPlans lifecycle discipline): an
-  // abandoned session's relations become unreachable with it.
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  // Strong session keys + stopped-context sweep (the CachedPlans r17
+  // lifecycle discipline — the former WeakHashMap's weakness was
+  // illusory: memoized DataFrames strongly reference their session, a
+  // value→key path that kept every entry reachable). Entries of
+  // sessions whose SparkContext has stopped are dropped on access.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  private def sessionMap(s: SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] =
-    cache.synchronized {
-      var m = cache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        cache.put(s, m)
-      }
-      m
-    }
+  private def sessionMap(s: SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    cache.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     sessionMap(spark).getOrElseUpdate(s"$dir/$name",
