@@ -1227,7 +1227,16 @@ object KnnOps {
           (col("steps") + when(col("bnode").isNotNull, 1).otherwise(0)).as("steps"),
           (col("done") || col("bnode").isNull).as("done"))
         .localCheckpoint()
-      active = walk.filter(!col("done")).limit(1).count() > 0
+      // r17 (verdict #7, surgical retake of the reverted r16 batching):
+      // the checkpoint cadence stays per-hop (constant-size logical
+      // plans — the lesson of the r16 revert), but the ACTIVE probe now
+      // runs every 2nd hop. Safe: a hop past convergence is an identity
+      // on the walk state (no candidate beats `cos`, so best is empty,
+      // coalesce keeps node/cos, steps += 0, done stays) — at worst one
+      // identity hop runs before the probe fires, and the probe job on
+      // the checkpointed frame is what's saved every other hop.
+      if (hop % 2 == 0 || hop == GraphSearchHops)
+        active = walk.filter(!col("done")).limit(1).count() > 0
     }
     val byQ = Window.partitionBy(col("qid")).orderBy(col("bc").desc, col("nbr"))
     val brute = broadcast(qv)

@@ -186,11 +186,16 @@ object TextOps3 {
     // r16: registry-persisted — the distinct (source, sid) set feeds
     // THREE subplans (sizes + both sides of the intersection
     // self-join); each re-ran the explode+join+distinct before
+    // r17: start from the session-shared hashedIndex (doc_id, sid) —
+    // it IS the exploded+md5'd shingle frame, already materialized by
+    // the index build phase; re-running the explode+md5 kernel here
+    // (the expensive part per the r16 shingling notes) was pure
+    // duplicate derivation. Same sids by construction (identical
+    // md5Long over identical shingles), oracle unchanged.
     val ss = graft.CachedPlans.cached(s, s"text.sourceShingleSet:$d")(
-      DedupOps.shingledDocs(s, d)
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      DedupOps.hashedIndex(s, d)
         .join(src, Seq("doc_id"))
-        .select(col("source"), Exprs.md5Long(col("shingle")).as("sid"))
+        .select(col("source"), col("sid"))
         .distinct())
     val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = ss.join(

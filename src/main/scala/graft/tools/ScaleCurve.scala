@@ -37,11 +37,13 @@ object ScaleCurve {
       "corpus_datasheet", "q_service_level_stock", "graph_ppr",
       "text_source_jaccard", "dedup_lsh_band_curve", "graph_clustering",
       "q_shapley", "q_conformal", "text_err_rank", "q_kll",
-      "graph_closeness", "sample_dsir", "q5_join", "q18_agg",
+      "graph_closeness", "sample_dsir", "q5_join", "q18_large",
       "dedup_embed", "emb_centroid_margin", "knn_mmr", "text_bpe_learn",
-      "q_basket_rules", "mm_image_decode", "graph_pagerank",
+      "q_basket_rules", "mm_decode", "graph_pagerank",
       "dedup_minhash", "text_decontam", "agg_incremental")
     val ops = if (opArgs.length > 1) opArgs.toSeq.drop(1) else defaultOps
+    val unknown = ops.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -50,22 +52,27 @@ object ScaleCurve {
     // results(op) = Seq((mult, sec))
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Double)]]
+    val failed = scala.collection.mutable.Set.empty[String]
     for ((dir, mult) <- dirs.sortBy(_._2)) {
-      for (op <- ops) {
+      for (op <- ops if !failed(op)) {
         val fn = SparkEntry.queries(op)
         spark.sparkContext.setJobDescription(s"scalecurve x$mult $op")
-        val secs = (1 to 2).map { _ =>
+        val secs = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
-          catch { case e: Throwable =>
+          try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
             System.err.println(s"[curve] $op x$mult FAILED: ${e.getMessage}")
-            return
+            failed += op
+            None
           }
-          (System.nanoTime() - t0) / 1e9
         }
-        val best = secs.min
-        System.err.println(f"[curve] x$mult%-4s $op%-26s ${secs.head}%7.2f ${secs(1)}%7.2f -> $best%7.2f s")
-        results.getOrElseUpdate(op, scala.collection.mutable.ArrayBuffer.empty) += ((mult, best))
+        if (secs.nonEmpty) {
+          val best = secs.min
+          System.err.println(f"[curve] x$mult%-4s $op%-26s ${secs.map(x => f"$x%7.2f").mkString(" ")} -> $best%7.2f s")
+          results.getOrElseUpdate(op, scala.collection.mutable.ArrayBuffer.empty) += ((mult, best))
+        }
       }
       CachedPlans.clear(spark)
     }
